@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's correctness gate: run DuckDB on
+oracle_sql.json and compare against the Spark-written parquet results
+(sort columns by name, sort rows, exact value compare)."""
+import sys, os, glob, json
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True,
+                        na_position="first")
+    return df
+
+def main(outdir, sfdir):
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        res_dir = os.path.join(outdir, name)
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark result at {res_dir}")
+            n_fail += 1
+            continue
+        try:
+            spark_df = pd.concat([pd.read_parquet(f) for f in files],
+                                 ignore_index=True)
+            duck_df = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        s, d = canon(spark_df), canon(duck_df)
+        if list(s.columns) != list(d.columns):
+            print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
+            n_fail += 1
+            continue
+        if len(s) != len(d):
+            print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
+            n_fail += 1
+            continue
+        # compare as strings to sidestep dtype differences (int32 vs int64)
+        mism = (s.astype(str).values != d.astype(str).values)
+        if mism.any():
+            i, j = [x[0] for x in mism.nonzero()][0], [x[1] for x in mism.nonzero()][1]
+            colname = s.columns[j]
+            print(f"FAIL {name}: value mismatch at row {i} col {colname}: "
+                  f"spark={s.iloc[i, j]!r} duck={d.iloc[i, j]!r}")
+            # dtypes aid
+            print(f"   dtypes spark={dict(spark_df.dtypes.astype(str))}")
+            print(f"   dtypes duck ={dict(duck_df.dtypes.astype(str))}")
+            n_fail += 1
+            continue
+        # strict dtype note (schema check may be stricter in driver)
+        dt_s = dict(s.dtypes.astype(str))
+        dt_d = dict(d.dtypes.astype(str))
+        note = "" if dt_s == dt_d else f"  [dtype diff: {{k: (dt_s[k], dt_d[k]) for k in dt_s if dt_s[k] != dt_d[k]}}]"
+        if dt_s != dt_d:
+            diffs = {k: (dt_s[k], dt_d[k]) for k in dt_s if dt_s[k] != dt_d[k]}
+            note = f"  [dtype diff: {diffs}]"
+        print(f"PASS {name} ({len(s)} rows){note}")
+        n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

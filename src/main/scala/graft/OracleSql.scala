@@ -1,0 +1,246 @@
+package graft
+
+/** DuckDB oracle SQL per query (see SURVEY.md §4 for the hash-stability
+  * rules: bigint/string outputs only, epoch-ms arithmetic instead of raw
+  * ns timestamps, CAST on every SUM because DuckDB sums to HUGEINT).
+  */
+object OracleSql {
+  /** Shared normalized-changelog CTE body — the SQL twin of
+    * operators.ChangeLog.normalize. */
+  val CL: String =
+    """cl AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN event_type='signup' THEN 'I'
+      |         WHEN event_type='error' THEN 'D' ELSE 'U' END AS op,
+      |    epoch_ms(ts) AS ems,
+      |    epoch_ms(ts)//1000 AS epoch_s,
+      |    CAST(ROUND(value*100) AS BIGINT) AS value_cents,
+      |    CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
+      |    user_id % 16 AS part
+      |  FROM events
+      |)""".stripMargin
+
+  /** Latest-change-per-key CTE (deletes included). */
+  val LAST: String =
+    """last AS (
+      |  SELECT * FROM cl
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+      |                             ORDER BY ems DESC, event_id DESC) = 1
+      |)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "changelog_normalize" ->
+      s"""WITH $CL
+         |SELECT event_id, user_id, op, ems, epoch_s, value_cents, k, part
+         |FROM cl""".stripMargin,
+
+    "poll_batch" ->
+      s"""WITH $CL,
+         |polled AS (SELECT event_id FROM cl WHERE event_id % 7 = 0)
+         |SELECT event_id, user_id, op, part FROM cl
+         |WHERE NOT EXISTS (SELECT 1 FROM polled p WHERE p.event_id = cl.event_id)
+         |ORDER BY event_id LIMIT 500""".stripMargin,
+
+    "cdc_merge" ->
+      s"""WITH $CL, $LAST
+         |SELECT user_id, event_id AS last_event_id, op AS last_op,
+         |       epoch_s AS last_epoch_s, value_cents AS last_value_cents
+         |FROM last WHERE op <> 'D'""".stripMargin,
+
+    "cdc_upsert_apply" ->
+      s"""WITH $CL, $LAST,
+         |base AS (
+         |  SELECT c_custkey, c_name, c_mktsegment,
+         |         CAST(ROUND(c_acctbal*100) AS BIGINT) AS base_cents
+         |  FROM customer)
+         |SELECT COALESCE(l.user_id, b.c_custkey) AS key,
+         |       COALESCE(b.c_name, 'user_' || l.user_id) AS name,
+         |       COALESCE(b.c_mktsegment, 'NEW') AS mktsegment,
+         |       COALESCE(l.value_cents, b.base_cents) AS acctbal_cents,
+         |       CASE WHEN l.op IS NULL THEN 'BASE'
+         |            WHEN b.c_custkey IS NULL THEN 'INSERT'
+         |            ELSE 'UPDATE' END AS apply_op
+         |FROM base b FULL OUTER JOIN last l ON b.c_custkey = l.user_id
+         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+
+    "cdc_delete_apply" ->
+      s"""WITH $CL, $LAST,
+         |del AS (SELECT user_id FROM last WHERE op = 'D')
+         |SELECT c_custkey, c_mktsegment,
+         |       CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
+         |FROM customer c
+         |WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.user_id = c.c_custkey)""".stripMargin,
+
+    "ordered_apply" ->
+      s"""WITH $CL, $LAST
+         |SELECT part,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(COUNT(CASE WHEN op <> 'D' THEN 1 END) AS BIGINT) AS n_live,
+         |  CAST(COALESCE(SUM(CASE WHEN op <> 'D' THEN value_cents END), 0) AS BIGINT) AS sum_live_cents
+         |FROM last GROUP BY part""".stripMargin,
+
+    "route_fanout" ->
+      s"""WITH $CL,
+         |r AS (SELECT part,
+         |  CASE WHEN user_id%3=0 THEN 'tdb0,tdb1'
+         |       WHEN user_id%3=1 THEN 'tdb1' ELSE 'tdb1,tdb2' END AS tgts
+         |  FROM cl)
+         |SELECT t.target_db, r.part, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM r, UNNEST(string_split(r.tgts, ',')) AS t(target_db)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "batch_ack" ->
+      s"""WITH $CL,
+         |a AS (SELECT part,
+         |  CASE WHEN op='D' THEN 'ERR'
+         |       WHEN op='U' AND user_id%10=0 THEN 'BLK' ELSE 'OK' END AS status,
+         |  CASE WHEN op='D' THEN event_id%5 ELSE 0 END AS retry
+         |  FROM cl)
+         |SELECT part, status, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(retry) AS BIGINT) AS sum_retry,
+         |  CAST(MAX(retry) AS BIGINT) AS max_retry
+         |FROM a GROUP BY 1, 2""".stripMargin,
+
+    "sync_state" ->
+      s"""WITH $CL,
+         |a AS (SELECT *,
+         |  CASE WHEN op='D' THEN 'ERR'
+         |       WHEN op='U' AND user_id%10=0 THEN 'BLK' ELSE 'OK' END AS status
+         |  FROM cl)
+         |SELECT 'db' || (user_id % 3) AS db,
+         |  CAST(COUNT(CASE WHEN event_id%7<>0 THEN 1 END) AS BIGINT) AS pending,
+         |  CAST(COUNT(CASE WHEN event_id%7=0 AND status='BLK' THEN 1 END) AS BIGINT) AS blocked,
+         |  CAST(COUNT(CASE WHEN event_id%7=0 AND status='ERR' THEN 1 END) AS BIGINT) AS error,
+         |  CAST(COUNT(CASE WHEN event_id%7=0 AND status='OK' THEN 1 END) AS BIGINT) AS success,
+         |  CAST(0 AS BIGINT) AS others
+         |FROM a GROUP BY 1""".stripMargin,
+
+    "monitor_alerts" ->
+      s"""WITH $CL,
+         |a AS (SELECT *,
+         |  CASE WHEN op='D' THEN 'ERR'
+         |       WHEN op='U' AND user_id%10=0 THEN 'BLK' ELSE 'OK' END AS status
+         |  FROM cl),
+         |st AS (
+         |  SELECT 'db' || (user_id % 3) AS db,
+         |    CAST(COUNT(CASE WHEN event_id%7<>0 THEN 1 END) AS BIGINT) AS pending,
+         |    CAST(COUNT(CASE WHEN event_id%7=0 AND status='BLK' THEN 1 END) AS BIGINT) AS blocked,
+         |    CAST(COUNT(CASE WHEN event_id%7=0 AND status='ERR' THEN 1 END) AS BIGINT) AS error,
+         |    CAST(COUNT(CASE WHEN event_id%7=0 AND status='OK' THEN 1 END) AS BIGINT) AS success
+         |  FROM a GROUP BY 1)
+         |SELECT db,
+         |  CASE WHEN error > 10 THEN 'ERR_HIGH'
+         |       WHEN pending > 400 THEN 'PENDING_HIGH'
+         |       WHEN blocked > 10 THEN 'BLOCKED_HIGH'
+         |       ELSE 'HEALTHY' END AS alert,
+         |  pending, blocked, error, success
+         |FROM st""".stripMargin,
+
+    "error_retry" ->
+      s"""WITH $CL,
+         |e AS (SELECT part, event_id, event_id % 5 AS retry FROM cl WHERE op='D')
+         |SELECT part,
+         |  CAST(COUNT(*) AS BIGINT) AS n_err,
+         |  CAST(COUNT(CASE WHEN retry < 3 THEN 1 END) AS BIGINT) AS n_eligible,
+         |  CAST(COUNT(CASE WHEN retry >= 3 THEN 1 END) AS BIGINT) AS n_exhausted,
+         |  CAST(MIN(CASE WHEN retry < 3 THEN event_id END) AS BIGINT) AS next_retry_id
+         |FROM e GROUP BY part""".stripMargin,
+
+    "blocked_chain" ->
+      s"""WITH $CL,
+         |b AS (SELECT user_id,
+         |  MIN(CASE WHEN op='D' THEN event_id END) OVER (
+         |    PARTITION BY user_id ORDER BY ems, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_err_eid
+         |  FROM cl)
+         |SELECT user_id, CAST(MIN(first_err_eid) AS BIGINT) AS first_err_eid,
+         |       CAST(COUNT(*) AS BIGINT) AS n_blocked
+         |FROM b WHERE first_err_eid IS NOT NULL GROUP BY user_id""".stripMargin,
+
+    "heartbeat_state" ->
+      s"""WITH $CL,
+         |lastper AS (
+         |  SELECT 'db' || (user_id % 3) AS db,
+         |         'worker-' || part AS component,
+         |         MAX(epoch_s) AS last_hb_s
+         |  FROM cl GROUP BY 1, 2),
+         |clock AS (SELECT MAX(epoch_s) AS now_s FROM cl)
+         |SELECT db, component, last_hb_s,
+         |  CASE WHEN now_s - last_hb_s <= 21600 THEN 'GREEN' ELSE 'RED' END AS hb_status
+         |FROM lastper, clock""".stripMargin,
+
+    "clean_retention" ->
+      s"""WITH $CL,
+         |wm AS (SELECT MAX(epoch_s) AS max_s FROM cl)
+         |SELECT part, op,
+         |  CAST(COUNT(CASE WHEN epoch_s >= max_s - 259200 THEN 1 END) AS BIGINT) AS n_kept,
+         |  CAST(COUNT(CASE WHEN epoch_s < max_s - 259200 THEN 1 END) AS BIGINT) AS n_cleaned
+         |FROM cl, wm GROUP BY 1, 2""".stripMargin,
+
+    "queue_depth" ->
+      s"""WITH $CL
+         |SELECT part, (ems - ems % 3600000) // 1000 AS hour_s,
+         |       CAST(COUNT(*) AS BIGINT) AS depth
+         |FROM cl GROUP BY 1, 2""".stripMargin,
+
+    "initial_sync" ->
+      """SELECT c_custkey, c_name, n_name, r_name, c_mktsegment,
+        |       CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    "delta_detect" ->
+      """WITH base AS (
+        |  SELECT c_custkey, CAST(ROUND(c_acctbal*100) AS BIGINT) AS cents
+        |  FROM customer),
+        |src AS (SELECT c_custkey AS src_key, cents AS src_cents FROM base),
+        |tgt AS (
+        |  SELECT c_custkey AS tgt_key,
+        |         cents + CASE WHEN c_custkey%10=0 THEN 100 ELSE 0 END AS tgt_cents
+        |  FROM base WHERE c_custkey%13 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, cents FROM base WHERE c_custkey%17 = 0)
+        |SELECT * FROM (
+        |  SELECT COALESCE(src_key, tgt_key) AS key,
+        |    CASE WHEN tgt_key IS NULL THEN 'INSERT'
+        |         WHEN src_key IS NULL THEN 'DELETE'
+        |         WHEN src_cents <> tgt_cents THEN 'UPDATE'
+        |         ELSE 'NONE' END AS change_type,
+        |    src_cents, tgt_cents
+        |  FROM src FULL OUTER JOIN tgt ON src_key = tgt_key) d
+        |WHERE change_type <> 'NONE'""".stripMargin,
+
+    "source_partition_plan" ->
+      """WITH b AS (
+        |  SELECT CAST(MIN(c_custkey) AS BIGINT) AS lo,
+        |         CAST(MAX(c_custkey) AS BIGINT) AS hi
+        |  FROM customer),
+        |p AS (SELECT UNNEST(range(0, 8)) AS pid),
+        |s AS (SELECT pid, lo, hi, (hi - lo) // 8 AS stride FROM p, b)
+        |SELECT pid,
+        |  lo + pid*stride AS range_lo,
+        |  CASE WHEN pid = 7 THEN hi + 1 ELSE lo + (pid+1)*stride END AS range_hi,
+        |  'c_custkey >= ' || (lo + pid*stride) || ' AND c_custkey < ' ||
+        |    (CASE WHEN pid = 7 THEN hi + 1 ELSE lo + (pid+1)*stride END) AS predicate
+        |FROM s""".stripMargin,
+
+    "config_matrix" ->
+      """SELECT * FROM (VALUES
+        |  ('db0','db1','public','customer','c_custkey', CAST(16 AS BIGINT)),
+        |  ('db0','db2','public','customer','c_custkey', 16),
+        |  ('db0','db1','public','orders','o_orderkey', 16),
+        |  ('db1','db2','public','lineitem','l_orderkey,l_linenumber', 16)
+        |) AS t(source_db, target_db, schema_name, table_name, sync_keys, n_partitions)""".stripMargin,
+
+    "stream_window_agg" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) AS ems, event_type,
+        |         CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |  FROM events)
+        |SELECT (ems - ems % 3600000) // 1000 AS hour_s, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(value_cents) AS BIGINT) AS sum_cents
+        |FROM e GROUP BY 1, 2""".stripMargin
+  )
+}

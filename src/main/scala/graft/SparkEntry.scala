@@ -1,13 +1,68 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.SyncConfigs
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2/§7. Each entry is one
+  * operator from the inventory; oracleSql holds the DuckDB twin.
+  */
 object SparkEntry {
+
+  /** Normalized changelog for a scale-factor dir. */
+  private def cl(s: SparkSession, dir: String): DataFrame =
+    ChangeLog.normalize(Tables.events(s, dir))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CdcMerge.merge(cl(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "changelog_normalize" -> ((s, dir) => cl(s, dir)),
+    "poll_batch"          -> ((s, dir) => ChangeLog.pollBatch(cl(s, dir))),
+    "cdc_merge"           -> ((s, dir) => CdcMerge.merge(cl(s, dir))),
+    "cdc_upsert_apply"    -> ((s, dir) =>
+      CdcMerge.upsertApply(cl(s, dir), Tables.customer(s, dir))),
+    "cdc_delete_apply"    -> ((s, dir) =>
+      CdcMerge.deleteApply(cl(s, dir), Tables.customer(s, dir))),
+    "ordered_apply"       -> ((s, dir) => ChangeLog.orderedApply(cl(s, dir))),
+    "route_fanout"        -> ((s, dir) => ChangeLog.routeFanout(cl(s, dir))),
+    "batch_ack"           -> ((s, dir) => Ledger.batchAck(cl(s, dir))),
+    "sync_state"          -> ((s, dir) => Ledger.syncState(cl(s, dir))),
+    "monitor_alerts"      -> ((s, dir) => Ledger.monitorAlerts(cl(s, dir))),
+    "error_retry"         -> ((s, dir) => Ledger.errorRetry(cl(s, dir))),
+    "blocked_chain"       -> ((s, dir) => Ledger.blockedChain(cl(s, dir))),
+    "heartbeat_state"     -> ((s, dir) => Ledger.heartbeatState(cl(s, dir))),
+    "clean_retention"     -> ((s, dir) => Ledger.cleanRetention(cl(s, dir))),
+    "queue_depth"         -> ((s, dir) => Ledger.queueDepth(cl(s, dir))),
+    "initial_sync"        -> ((s, dir) =>
+      Snapshot.initialSync(Tables.customer(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir))),
+    "delta_detect"        -> ((s, dir) =>
+      Snapshot.deltaDetect(Tables.customer(s, dir))),
+    "source_partition_plan" -> ((s, dir) =>
+      Snapshot.sourcePartitionPlan(Tables.customer(s, dir))),
+    "config_matrix"       -> ((s, _) => SyncConfigs.configMatrix(s)),
+    "trigger_specs"       -> ((s, _) => SyncConfigs.triggerSpecs(s)),
+    "stream_window_agg"   -> ((s, dir) => streamWindowAgg(s, dir))
+  )
+
+  /** Tumbling 1-hour window × event_type throughput — the batch twin of
+    * streaming.CdcStream's windowed aggregation. */
+  private def streamWindowAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value_cents").as("sum_cents"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_s"),
+        col("event_type"), col("n"), col("sum_cents"))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

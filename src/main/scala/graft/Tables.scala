@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Parquet-backed table loaders (TESTDATA.md tables). Single place that
+  * touches storage so column pruning / filter pushdown stay auditable:
+  * every operator selects columns immediately after these reads, which
+  * Catalyst pushes into the parquet scan (`ReadSchema`).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses by default. Read it as an exact ns-since-epoch long
+    * (legacy.parquet.nanosAsLong) and surface BOTH `ts_ns` (exact, for
+    * ordering/arithmetic) and `ts` (µs-truncated TimestampType, for
+    * window()/streaming APIs).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, sfDir, "events")
+    val base = Seq(col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("props"))
+    if (raw.schema("ts").dataType == LongType)
+      // integer div: ns values overflow double's exact range, so no `/`
+      raw.select(base :+ col("ts").as("ts_ns")
+        :+ timestamp_micros(expr("ts div 1000")).as("ts"): _*)
+    else
+      raw.select(base :+ (unix_micros(col("ts")) * 1000L).as("ts_ns")
+        :+ col("ts"): _*)
+  }
+  def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")
+  def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
+  def nation(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "region")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame       = table(spark, sfDir, "part")
+  def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+}

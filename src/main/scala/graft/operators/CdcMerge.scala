@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Last-writer-wins merge + upsert/delete apply — the heart of the sync.
+  *
+  * Reference semantics: `sync/DataSyncer.scala:70-133` applies changes of
+  * one partition strictly in change order; the net effect per key is that
+  * the LAST change wins (`dbopt/PgOperation.scala:49-82` INSERT .. ON
+  * CONFLICT DO UPDATE for I/U, `:85-101` DELETE for D). At 100 TB the
+  * per-key ordered replay collapses to one window (one hash shuffle on
+  * the key) that picks the latest change, then a single set operation
+  * against the base table.
+  */
+object CdcMerge {
+
+  /** Latest change per key, deletes included. Deterministic total order:
+    * (ems, event_id). One hash shuffle on user_id.
+    */
+  def lastPerKey(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ems").desc, col("event_id").desc)
+    changelog
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Merged live state: latest change per key, with deleted keys dropped.
+    * This is the "materialized target table" view of the changelog.
+    */
+  def merge(changelog: DataFrame): DataFrame =
+    lastPerKey(changelog)
+      .where(col("op") =!= "D")
+      .select(
+        col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("op").as("last_op"),
+        col("epoch_s").as("last_epoch_s"),
+        col("value_cents").as("last_value_cents"))
+
+  /** Apply the merged changelog onto a base table (customer keyed by
+    * c_custkey): upserts update/insert, latest-op-D keys are deleted,
+    * untouched base rows pass through. Single full-outer hash join —
+    * both sides shuffled once on the key; no driver-side loop.
+    */
+  def upsertApply(changelog: DataFrame, customer: DataFrame): DataFrame = {
+    val last = lastPerKey(changelog)
+      .select("user_id", "op", "value_cents", "event_id")
+    val base = customer.select(
+      col("c_custkey"),
+      col("c_name"),
+      col("c_mktsegment"),
+      round(col("c_acctbal") * 100).cast("long").as("base_cents"))
+    base
+      .join(last, base("c_custkey") === last("user_id"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("user_id"), col("c_custkey")).as("key"),
+        coalesce(col("c_name"),
+          concat(lit("user_"), col("user_id").cast("string"))).as("name"),
+        coalesce(col("c_mktsegment"), lit("NEW")).as("mktsegment"),
+        coalesce(col("value_cents"), col("base_cents")).as("acctbal_cents"),
+        when(col("op").isNull, lit("BASE"))
+          .when(col("c_custkey").isNull, lit("INSERT"))
+          .otherwise(lit("UPDATE")).as("apply_op"))
+  }
+
+  /** Delete-only apply: base rows whose key's latest change is a delete
+    * are removed (left-anti join on the deleted-key set).
+    */
+  def deleteApply(changelog: DataFrame, customer: DataFrame): DataFrame = {
+    val deleted = lastPerKey(changelog)
+      .where(col("op") === "D")
+      .select(col("user_id").as("c_custkey"))
+    customer
+      .join(deleted, Seq("c_custkey"), "left_anti")
+      .select(
+        col("c_custkey"),
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+  }
+}

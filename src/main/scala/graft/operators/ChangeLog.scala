@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Changelog normalization + poll/partition/routing stages of the CDC
+  * pipeline, re-expressed as declarative DataFrame transforms.
+  *
+  * Reference semantics (cited, not copied):
+  *  - poll: `dbopt/PgOperation.scala:27-46` — unpolled rows (anti-join vs
+  *    `sync_polled`), id-ordered, bounded batch.
+  *  - partition: `sync/DataPoller.scala:88-105` — hash of the sync key
+  *    modulo `sysConfig.partition`, so all changes of one key are applied
+  *    in order by one worker. Here the *logical* partition id is a column
+  *    (key mod N, oracle-checkable) and the *physical* co-location is a
+  *    hash shuffle on the key — which is exactly what `groupBy`/`Window`
+  *    over the key gives us, at any cluster size.
+  *  - routing: `sync/DataPoller.scala pushModel` — one change fans out to
+  *    each configured targetDb.
+  *
+  * All outputs use hash-stable types only (bigint / string): raw
+  * timestamps are ns in the parquet files, which Spark truncates to µs —
+  * so time is surfaced as epoch milliseconds/seconds (bigint).
+  */
+object ChangeLog {
+  /** Mirrors sysConfig.partition (reference default-ish scale knob). */
+  val NumPartitions = 16
+
+  /** Poll batch size, mirrors sysConfig.batch. */
+  val BatchSize = 500
+
+  /** event_type → I/U/D op code: deterministic stand-in for the
+    * trigger-written operation column (`sync/SyncDataModel.scala`). */
+  val opCol: Column =
+    when(col("event_type") === "signup", lit("I"))
+      .when(col("event_type") === "error", lit("D"))
+      .otherwise(lit("U"))
+
+  /** events.parquet → normalized changelog. Column set:
+    * event_id, user_id (sync key), op, ems (epoch millis — the change
+    * order), epoch_s, value_cents, k (parsed from the JSON props), part.
+    */
+  def normalize(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      col("user_id"),
+      opCol.as("op"),
+      expr("ts_ns div 1000000").as("ems"),
+      expr("ts_ns div 1000000000").as("epoch_s"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      pmod(col("user_id"), lit(NumPartitions.toLong)).as("part"))
+
+  /** Simulated already-polled set (stand-in for `sync_polled`). */
+  def polledIds(changelog: DataFrame): DataFrame =
+    changelog.where(col("event_id") % 7 === 0).select("event_id")
+
+  /** Unpolled changes, id-ordered, bounded batch — the pollBatch step.
+    * Anti-join is a single shuffle; the order+limit is a TakeOrdered
+    * (no full sort materialization).
+    */
+  def pollBatch(changelog: DataFrame, batch: Int = BatchSize): DataFrame =
+    changelog
+      .join(polledIds(changelog), Seq("event_id"), "left_anti")
+      .orderBy("event_id")
+      .limit(batch)
+      .select("event_id", "user_id", "op", "part")
+
+  /** Per-partition apply summary after last-writer-wins: how many keys
+    * each ordered worker owns and the applied (live) state it would
+    * write. One hash shuffle on the key, then a map-side-combined
+    * aggregation by partition id.
+    */
+  def orderedApply(changelog: DataFrame): DataFrame = {
+    val last = CdcMerge.lastPerKey(changelog)
+    last
+      .groupBy("part")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        count(when(col("op") =!= "D", 1)).as("n_live"),
+        coalesce(sum(when(col("op") =!= "D", col("value_cents"))), lit(0L))
+          .as("sum_live_cents"))
+  }
+
+  /** Multi-target routing: one change row fans out to each configured
+    * target db (reference: trigger loop over regexp_split targetDb).
+    * Routing table is a deterministic function of the key here.
+    */
+  def routeFanout(changelog: DataFrame): DataFrame = {
+    val targets =
+      when(pmod(col("user_id"), lit(3L)) === 0, lit("tdb0,tdb1"))
+        .when(pmod(col("user_id"), lit(3L)) === 1, lit("tdb1"))
+        .otherwise(lit("tdb1,tdb2"))
+    changelog
+      .select(col("part"), explode(split(targets, ",")).as("target_db"))
+      .groupBy("target_db", "part")
+      .agg(count(lit(1)).as("n"))
+  }
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ack/status ledger, error retry, blocked-key chains, heartbeats,
+  * retention cleanup, queue depth — the operational state machinery of
+  * the sync, as aggregations over the changelog.
+  *
+  * Reference semantics: `dbopt/PgOperation.scala:104-113` (batchAck
+  * upsert of OK/ERR + retry counter), `sync/ErrorResolver.scala:47-88`
+  * (bounded retry), `sync/QueueManager.scala:32-55` +
+  * `sync/BlockedHandler.scala` (later changes of a key blocked behind an
+  * unresolved earlier failure), `sync/StateManger.scala` /
+  * `sync/ComponentManager.scala` (heartbeats), `job/CleanWorker.scala`
+  * (dataKeepHours retention), `monitor/Endpoints.scala` SyncState
+  * (pending/blocked/error/success counts).
+  */
+object Ledger {
+  /** Mirrors sysConfig.maxRetry. */
+  val MaxRetry = 3
+
+  /** Retention window, mirrors sysConfig.dataKeepHours. */
+  val KeepHours = 72L
+
+  /** Heartbeat staleness threshold (seconds). */
+  val StaleAfterS = 21600L
+
+  /** Deterministic ack status per change: deletes fail (ERR), every
+    * 10th key's updates block (BLK), the rest succeed (OK). Stand-in for
+    * the runtime-outcome column the reference writes to
+    * sync_data_status. */
+  val statusCol: Column =
+    when(col("op") === "D", lit("ERR"))
+      .when(col("op") === "U" && pmod(col("user_id"), lit(10L)) === 0, lit("BLK"))
+      .otherwise(lit("OK"))
+
+  /** Retry counter per change (ERR rows retry 0..4 times). */
+  val retryCol: Column =
+    when(statusCol === "ERR", pmod(col("event_id"), lit(5L))).otherwise(lit(0L))
+
+  /** Source-db assignment for multi-db state reporting. */
+  val dbCol: Column =
+    concat(lit("db"), pmod(col("user_id"), lit(3L)).cast("string"))
+
+  /** Ack-ledger rollup: per (part, status) counts + retry stats. */
+  def batchAck(changelog: DataFrame): DataFrame =
+    changelog
+      .withColumn("status", statusCol)
+      .withColumn("retry", retryCol)
+      .groupBy("part", "status")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("retry").as("sum_retry"),
+        max("retry").as("max_retry"))
+
+  /** SyncState per source db: pending (unpolled) + per-status counts of
+    * polled changes. Mirrors `monitor/Endpoints.scala` SyncState. */
+  def syncState(changelog: DataFrame): DataFrame = {
+    val polled = col("event_id") % 7 === 0
+    changelog
+      .withColumn("status", statusCol)
+      .groupBy(dbCol.as("db"))
+      .agg(
+        count(when(!polled, 1)).as("pending"),
+        count(when(polled && col("status") === "BLK", 1)).as("blocked"),
+        count(when(polled && col("status") === "ERR", 1)).as("error"),
+        count(when(polled && col("status") === "OK", 1)).as("success"),
+        lit(0L).as("others"))
+  }
+
+  /** Alert rule evaluation over syncState — mirrors
+    * `monitor/SelfMonitor.scala` threshold checks. */
+  def monitorAlerts(changelog: DataFrame): DataFrame =
+    syncState(changelog).select(
+      col("db"),
+      when(col("error") > 10, lit("ERR_HIGH"))
+        .when(col("pending") > 400, lit("PENDING_HIGH"))
+        .when(col("blocked") > 10, lit("BLOCKED_HIGH"))
+        .otherwise(lit("HEALTHY")).as("alert"),
+      col("pending"), col("blocked"), col("error"), col("success"))
+
+  /** Bounded-retry schedule per partition: eligible (retry < MaxRetry)
+    * vs exhausted errors, and the next id each partition worker would
+    * retry. */
+  def errorRetry(changelog: DataFrame): DataFrame =
+    changelog
+      .where(col("op") === "D")
+      .withColumn("retry", pmod(col("event_id"), lit(5L)))
+      .groupBy("part")
+      .agg(
+        count(lit(1)).as("n_err"),
+        count(when(col("retry") < MaxRetry, 1)).as("n_eligible"),
+        count(when(col("retry") >= MaxRetry, 1)).as("n_exhausted"),
+        min(when(col("retry") < MaxRetry, col("event_id"))).as("next_retry_id"))
+
+  /** Blocked-key chains: every change of a key that comes strictly after
+    * the key's FIRST failed change is blocked until that error resolves.
+    * Single window over the key — one hash shuffle, ordered by change
+    * order (ems, event_id), exactly the reference's per-key queueing. */
+  def blockedChain(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ems"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    changelog
+      .withColumn("first_err_eid",
+        min(when(col("op") === "D", col("event_id"))).over(w))
+      .where(col("first_err_eid").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        min("first_err_eid").as("first_err_eid"),
+        count(lit(1)).as("n_blocked"))
+  }
+
+  /** Heartbeat staleness per (db, component): GREEN if the component
+    * heartbeat is within StaleAfterS of the global clock (max ts).
+    * The global max is a 1-row aggregate broadcast back — the scalable
+    * form of "now" for a deterministic dataset. */
+  def heartbeatState(changelog: DataFrame): DataFrame = {
+    val comp = concat(lit("worker-"), col("part").cast("string"))
+    val lastPer = changelog
+      .groupBy(dbCol.as("db"), comp.as("component"))
+      .agg(max("epoch_s").as("last_hb_s"))
+    val clock = changelog.agg(max("epoch_s").as("now_s"))
+    lastPer
+      .join(broadcast(clock))
+      .select(
+        col("db"), col("component"), col("last_hb_s"),
+        when(col("now_s") - col("last_hb_s") <= StaleAfterS, lit("GREEN"))
+          .otherwise(lit("RED")).as("hb_status"))
+  }
+
+  /** Retention cleanup accounting: rows older than (max ts - KeepHours)
+    * are cleaned, the rest kept — per (part, op). Mirrors cleanSysTable.
+    * The watermark is a broadcast 1-row aggregate; the "delete" is an
+    * anti-filter, i.e. an incremental rewrite at scale. */
+  def cleanRetention(changelog: DataFrame): DataFrame = {
+    val wm = changelog.agg(max("epoch_s").as("max_s"))
+    changelog
+      .join(broadcast(wm))
+      .withColumn("kept", col("epoch_s") >= col("max_s") - KeepHours * 3600L)
+      .groupBy("part", "op")
+      .agg(
+        count(when(col("kept"), 1)).as("n_kept"),
+        count(when(!col("kept"), 1)).as("n_cleaned"))
+  }
+
+  /** Queue depth per (partition, hour): tumbling-window inflow counts —
+    * the observable analog of the reference's bounded in-memory queues. */
+  def queueDepth(changelog: DataFrame): DataFrame =
+    changelog
+      .withColumn("hour_s",
+        ((col("ems") - pmod(col("ems"), lit(3600000L))) / 1000).cast("long"))
+      .groupBy(col("part"), col("hour_s"))
+      .agg(count(lit(1)).as("depth"))
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-table initial sync, snapshot delta detection, and partitioned
+  * source-read planning.
+  *
+  * Reference semantics: `job/SyncTrigger.scala` (full sync bootstrap +
+  * index checks), the resync path in `monitor/SelfMonitor.scala`, and
+  * the partitioned-read planning any JDBC bulk reader needs
+  * (`dbopt/DbOperation.scala` abstraction, `DatasourcePools.scala`).
+  */
+object Snapshot {
+  /** Partition count for planned bulk reads (JDBC numPartitions). */
+  val ReadPartitions = 8L
+
+  /** Initial full-table sync with dimension enrichment: fact side
+    * streams through, dims broadcast (no shuffle of the big side). */
+  def initialSync(customer: DataFrame, nation: DataFrame,
+                  region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("n_name"),
+        col("r_name"),
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+
+  /** Snapshot diff source-vs-target → INSERT/UPDATE/DELETE rows. The
+    * target here is a deterministic drift of the source (missing keys,
+    * changed balances, orphan keys) so the diff is oracle-checkable.
+    * One full-outer hash join on the key; only changed rows survive. */
+  def deltaDetect(customer: DataFrame): DataFrame = {
+    val src = customer.select(
+      col("c_custkey").as("src_key"),
+      round(col("c_acctbal") * 100).cast("long").as("src_cents"))
+    // simulated target: keys %13 missing, %10 drifted by +100 cents,
+    // plus orphan keys (key+1000000) for %17.
+    val base = customer.select(
+      col("c_custkey"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val tgtExisting = base
+      .where(pmod(col("c_custkey"), lit(13L)) =!= 0)
+      .select(
+        col("c_custkey").as("tgt_key"),
+        (col("cents") + when(pmod(col("c_custkey"), lit(10L)) === 0, 100L)
+          .otherwise(0L)).as("tgt_cents"))
+    val tgtOrphans = base
+      .where(pmod(col("c_custkey"), lit(17L)) === 0)
+      .select(
+        (col("c_custkey") + 1000000L).as("tgt_key"),
+        col("cents").as("tgt_cents"))
+    val tgt = tgtExisting.unionByName(tgtOrphans)
+    src
+      .join(tgt, col("src_key") === col("tgt_key"), "full_outer")
+      .select(
+        coalesce(col("src_key"), col("tgt_key")).as("key"),
+        when(col("tgt_key").isNull, lit("INSERT"))
+          .when(col("src_key").isNull, lit("DELETE"))
+          .when(col("src_cents") =!= col("tgt_cents"), lit("UPDATE"))
+          .otherwise(lit("NONE")).as("change_type"),
+        col("src_cents"), col("tgt_cents"))
+      .where(col("change_type") =!= "NONE")
+  }
+
+  /** Partitioned bulk-read plan: split [min(key), max(key)] into
+    * ReadPartitions ranges with the stride arithmetic a JDBC partitioned
+    * reader uses; emits the per-partition predicate strings. The bounds
+    * are a 1-row aggregate — no data moves. */
+  def sourcePartitionPlan(customer: DataFrame): DataFrame = {
+    val bounds = customer.agg(
+      min(col("c_custkey")).cast("long").as("lo"),
+      max(col("c_custkey")).cast("long").as("hi"))
+    bounds
+      .select(col("lo"), col("hi"),
+        explode(sequence(lit(0L), lit(ReadPartitions - 1))).as("pid"))
+      .withColumn("stride",
+        ((col("hi") - col("lo")) / ReadPartitions).cast("long"))
+      .select(
+        col("pid"),
+        (col("lo") + col("pid") * col("stride")).as("range_lo"),
+        when(col("pid") === ReadPartitions - 1, col("hi") + 1)
+          .otherwise(col("lo") + (col("pid") + 1) * col("stride"))
+          .as("range_hi"))
+      .withColumn("predicate",
+        concat(lit("c_custkey >= "), col("range_lo").cast("string"),
+          lit(" AND c_custkey < "), col("range_hi").cast("string")))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.SyncConfigs
+import graft.operators._
+
+/** Ledger/snapshot/config operator correctness on sf0.001. */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val cl = ChangeLog.normalize(Tables.events(spark, TestSpark.Sf)).cache()
+
+  test("sync_state counts partition the polled/unpolled universe") {
+    val st = Ledger.syncState(cl).collect()
+    val total = st.map(r => r.getAs[Long]("pending") + r.getAs[Long]("blocked")
+      + r.getAs[Long]("error") + r.getAs[Long]("success")).sum
+    assert(total === cl.count())
+  }
+
+  test("clean_retention keeps+cleans every row exactly once") {
+    val cr = Ledger.cleanRetention(cl)
+    val total = cr.agg(sum(col("n_kept") + col("n_cleaned"))).collect().head.getLong(0)
+    assert(total === cl.count())
+    // watermark math: nothing newer than max is cleaned
+    val maxS = cl.agg(max("epoch_s")).collect().head.getLong(0)
+    val kept = cl.where(col("epoch_s") >= maxS - Ledger.KeepHours * 3600L).count()
+    assert(cr.agg(sum("n_kept")).collect().head.getLong(0) === kept)
+  }
+
+  test("error_retry: eligible + exhausted = all errors") {
+    val er = Ledger.errorRetry(cl)
+    val nErr = er.agg(sum("n_err")).collect().head.getLong(0)
+    assert(nErr === cl.where(col("op") === "D").count())
+    val parts = er.collect()
+    parts.foreach { r =>
+      assert(r.getAs[Long]("n_eligible") + r.getAs[Long]("n_exhausted")
+        === r.getAs[Long]("n_err"))
+    }
+  }
+
+  test("heartbeat_state marks recent components GREEN") {
+    val hb = Ledger.heartbeatState(cl).collect()
+    assert(hb.nonEmpty)
+    val maxHb = hb.map(_.getAs[Long]("last_hb_s")).max
+    hb.foreach { r =>
+      val expected = if (maxHb - r.getAs[Long]("last_hb_s") <= Ledger.StaleAfterS)
+        "GREEN" else "RED"
+      assert(r.getAs[String]("hb_status") === expected)
+    }
+  }
+
+  test("route_fanout conserves and amplifies rows per routing table") {
+    val n = ChangeLog.routeFanout(cl).agg(sum("n")).collect().head.getLong(0)
+    val expected = cl.select(
+      when(pmod(col("user_id"), lit(3L)) === 1, 1L).otherwise(2L).as("f"))
+      .agg(sum("f")).collect().head.getLong(0)
+    assert(n === expected)
+  }
+
+  test("delta_detect classifies the simulated drift exactly") {
+    val customer = Tables.customer(spark, TestSpark.Sf)
+    val d = Snapshot.deltaDetect(customer).cache()
+    val keys = customer.select("c_custkey").collect().map(_.getLong(0))
+    val inserts = keys.count(k => k % 13 == 0)
+    val updates = keys.count(k => k % 13 != 0 && k % 10 == 0)
+    val deletes = keys.count(k => k % 17 == 0)
+    val got = d.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.getOrElse("INSERT", 0L) === inserts)
+    assert(got.getOrElse("UPDATE", 0L) === updates)
+    assert(got.getOrElse("DELETE", 0L) === deletes)
+  }
+
+  test("source_partition_plan covers [lo, hi] with disjoint ranges") {
+    val customer = Tables.customer(spark, TestSpark.Sf)
+    val plan = Snapshot.sourcePartitionPlan(customer).orderBy("pid").collect()
+    assert(plan.length === Snapshot.ReadPartitions)
+    val lo = customer.agg(min("c_custkey")).collect().head.getLong(0)
+    val hi = customer.agg(max("c_custkey")).collect().head.getLong(0)
+    assert(plan.head.getAs[Long]("range_lo") === lo)
+    assert(plan.last.getAs[Long]("range_hi") === hi + 1)
+    plan.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("range_hi") === b.getAs[Long]("range_lo"))
+    }
+  }
+
+  test("config parsing round-trips the demo YAML") {
+    val cfg = SyncConfigs.parse(SyncConfigs.DemoYaml)
+    assert(cfg.sys.partition === 16)
+    assert(cfg.dbs.map(_.name) === List("db0", "db1", "db2"))
+    assert(cfg.sync.length === 3)
+    assert(SyncConfigs.configMatrix(spark).count() === 4)
+    assert(SyncConfigs.triggerSpecs(spark).count() === 9)
+  }
+
+  test("queue_depth counts every change exactly once") {
+    val qd = Ledger.queueDepth(cl)
+    assert(qd.agg(sum("depth")).collect().head.getLong(0) === cl.count())
+  }
+}
