@@ -241,6 +241,91 @@ object OracleSql {
         |SELECT (ems - ems % 3600000) // 1000 AS hour_s, event_type,
         |       CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(value_cents) AS BIGINT) AS sum_cents
-        |FROM e GROUP BY 1, 2""".stripMargin
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash,
+        |       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "text_stats" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS stops,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS puncts
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(stops) AS BIGINT) AS sum_stopwords,
+        |  CAST(SUM(puncts) AS BIGINT) AS sum_punct
+        |FROM d GROUP BY lang""".stripMargin,
+
+    "lang_id" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      t -> t IN ('the','a'))) AS BIGINT) AS c_en,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      t -> t IN ('scan','merge','hash'))) AS BIGINT) AS c_de,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      t -> t IN ('data','query','row'))) AS BIGINT) AS c_es
+        |  FROM documents),
+        |p AS (SELECT lang,
+        |  CASE WHEN c_en >= c_de AND c_en >= c_es THEN 'en'
+        |       WHEN c_de >= c_es THEN 'de' ELSE 'es' END AS predicted
+        |  FROM d)
+        |SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    "token_count" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ws) AS BIGINT) AS sum_ws_tokens,
+        |  CAST(SUM(bpe) AS BIGINT) AS sum_bpe_tokens
+        |FROM d GROUP BY source""".stripMargin,
+
+    "doc_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |      ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS fp,
+        |       CAST(length(norm) AS BIGINT) AS n_chars_norm
+        |FROM n""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  md5(text) AS checksum,
+        |  CAST(n_chars % 640 AS BIGINT) AS width,
+        |  CAST((doc_id * 37) % 480 AS BIGINT) AS height,
+        |  CAST(strlen(text) % 256 AS BIGINT) AS fake_brightness
+        |FROM documents""".stripMargin,
+
+    "ann_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (
+        |  SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id >= 8),
+        |s AS (
+        |  SELECT q_id, cand_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY list_cosine_similarity(qv, cv) DESC, cand_id) AS rn
+        |  FROM q, c)
+        |SELECT q_id, cand_id, CAST(rn AS BIGINT) AS rank
+        |FROM s WHERE rn <= 10""".stripMargin
   )
 }

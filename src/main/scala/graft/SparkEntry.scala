@@ -47,7 +47,35 @@ object SparkEntry {
       Snapshot.sourcePartitionPlan(Tables.customer(s, dir))),
     "config_matrix"       -> ((s, _) => SyncConfigs.configMatrix(s)),
     "trigger_specs"       -> ((s, _) => SyncConfigs.triggerSpecs(s)),
-    "stream_window_agg"   -> ((s, dir) => streamWindowAgg(s, dir))
+    "stream_window_agg"   -> ((s, dir) => streamWindowAgg(s, dir)),
+    // LLM-data-pipeline operators (SURVEY.md §2 #23-34)
+    "dedup_exact"         -> ((s, dir) =>
+      TextAnalysis.dedupExact(Tables.documents(s, dir))),
+    "text_stats"          -> ((s, dir) =>
+      TextAnalysis.textStats(Tables.documents(s, dir))),
+    "lang_id"             -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir))),
+    "token_count"         -> ((s, dir) =>
+      TextAnalysis.tokenCount(Tables.documents(s, dir))),
+    "doc_fingerprint"     -> ((s, dir) =>
+      TextAnalysis.docFingerprint(Tables.documents(s, dir))),
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.features(Tables.documents(s, dir))),
+    "multimodal_decode"   -> ((s, dir) =>
+      Multimodal.decodeFeatures(s,
+        Multimodal.mediaTable(Tables.documents(s, dir))).toDF()),
+    "ann_topk"            -> ((s, dir) =>
+      Similarity.bruteTopK(Tables.embeddings(s, dir))),
+    "ann_lsh"             -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir))),
+    "dedup_embedding"     -> ((s, dir) =>
+      Similarity.embeddingNearDup(Tables.embeddings(s, dir))),
+    "dedup_minhash"       -> ((s, dir) =>
+      Dedup.minhashDedup(Tables.documents(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir))),
+    "dedup_simhash"       -> ((s, dir) =>
+      Dedup.simhashDedup(Tables.documents(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media payloads as opaque binary columns
+  * with typed metadata, plus per-partition batched "decode" — the Spark
+  * plumbing (schema, partitioning, batch shape) is real; the actual
+  * codec is a clearly-marked deterministic stub (no image/audio libs in
+  * this environment, per the brief).
+  */
+object Multimodal {
+  /** A media row: opaque payload + typed metadata (what an
+    * image/audio ingestion table looks like at scale). */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte],
+                         width: Long, height: Long, channels: Long,
+                         fmt: String)
+
+  /** Decoded features (what a real decoder would emit per record). */
+  case class MediaFeatures(doc_id: Long, byte_len: Long, mean_byte: Long,
+                           first_byte: Long, frames: Long)
+
+  /** Build the media table from `documents`: the text bytes stand in
+    * for the media payload; metadata is deterministic. */
+  def mediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      (col("n_chars") % 640).cast("long").as("width"),
+      ((col("doc_id") * 37) % 480).cast("long").as("height"),
+      lit(3L).as("channels"),
+      lit("fake/raw").as("fmt"))
+
+  /** STUB DECODER — deterministic fake standing in for a real image/
+    * audio codec. Shape matters, values don't: it consumes the binary
+    * payload per record, batched per partition (the mapInPandas
+    * equivalent), and emits a fixed feature schema.
+    */
+  def decodeStub(bytes: Array[Byte]): (Long, Long, Long) = {
+    // real impl would be: decode → resize → feature-extract
+    val len = bytes.length.toLong
+    val mean = if (len == 0) 0L else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)) / len
+    val first = if (len == 0) 0L else (bytes(0) & 0xff).toLong
+    (len, mean, first)
+  }
+
+  /** Batched per-partition decode: the distributed plumbing around the
+    * stub. Partition count is preserved; each partition iterates its
+    * records once (zero driver involvement). */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (len, mean, first) = decodeStub(bytes)
+          MediaFeatures(id, len, mean, first, frames = len / 1000L + 1L)
+        }
+      }
+  }
+
+  /** Oracle-checkable feature projection (pure native functions over
+    * the binary column — octet_length/md5 are codegen'd). */
+  def features(documents: DataFrame): DataFrame =
+    mediaTable(documents).select(
+      col("doc_id"),
+      octet_length(col("payload")).cast("long").as("byte_len"),
+      md5(col("payload")).as("checksum"),
+      col("width"),
+      col("height"),
+      (octet_length(col("payload")) % 256).cast("long").as("fake_brightness"))
+}

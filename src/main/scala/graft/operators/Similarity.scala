@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosineSim
+
+/** Similarity search over the `embeddings` table (array<float> vectors).
+  *
+  * Two paths:
+  *  - [[bruteTopK]]: exact top-k — broadcast the (tiny) query set and
+  *    stream every candidate once through the codegen'd cosine
+  *    expression. Exact, O(Q·N); the baseline and the oracle-checked
+  *    variant.
+  *  - [[lshTopK]]: random-hyperplane LSH — bucket vectors by sign
+  *    pattern, search only same-bucket candidates. The 100 TB path:
+  *    the bucket id is the shuffle key, no cross join anywhere.
+  */
+object Similarity {
+  val TopK = 10
+
+  /** Query set: the first QueryCount vec_ids; everything else is a
+    * candidate. */
+  val QueryCount = 8
+
+  /** Number of hyperplanes → 2^Planes buckets. */
+  val Planes = 8
+
+  /** Vector dimensionality of the test embeddings. */
+  val Dim = 64
+
+  /** Deterministic pseudo-random hyperplanes (splitmix64-style LCG —
+    * public-domain constants), values in [-1, 1). */
+  lazy val hyperplanes: Array[Array[Double]] = {
+    var state = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.fill(Planes) {
+      Array.fill(Dim)((next() >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0)
+    }
+  }
+
+  /** Sign-pattern LSH bucket id of an embedding column. */
+  def bucketCol(emb: Column): Column = {
+    val bits = hyperplanes.zipWithIndex.map { case (plane, b) =>
+      val planeLit = array(plane.map(lit): _*)
+      val dot = aggregate(
+        zip_with(emb, planeLit, (x, p) => x * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def queries(embeddings: DataFrame): DataFrame =
+    embeddings.where(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+  private def candidates(embeddings: DataFrame): DataFrame =
+    embeddings.where(col("vec_id") >= QueryCount)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_vec"))
+
+  /** Exact top-k: broadcast-nested-loop against the tiny query set,
+    * rank per query. Output (q_id, cand_id, rank) — rank-only so the
+    * oracle compare is float-robust. */
+  def bruteTopK(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("cand_id"))
+    candidates(embeddings)
+      .join(broadcast(queries(embeddings)))
+      .withColumn("sim", cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "cand_id", "rank")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates are only those sharing
+    * the query's sign bucket — the shuffle key is the bucket id, so at
+    * scale this is one hash join + small per-bucket rankings. */
+  def lshTopK(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val q = queries(embeddings).withColumn("bucket", bucketCol(col("q_vec")))
+    val c = candidates(embeddings).withColumn("bucket", bucketCol(col("c_vec")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("cand_id"))
+    c.join(q, Seq("bucket"))
+      .withColumn("sim", cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("cand_id"), col("rank"),
+        round(col("sim") * 1000000).cast("long").as("sim_e6"))
+  }
+
+  /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ τ.
+    * No all-pairs: the bucket id is the join key. */
+  def embeddingNearDup(embeddings: DataFrame, tauE6: Long = 950000L): DataFrame = {
+    val v = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", bucketCol(col("embedding")))
+    val a = v.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("vec_a"))
+    val b = v.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim_e6",
+        round(cosineSim(col("vec_a"), col("vec_b")) * 1000000).cast("long"))
+      .where(col("sim_e6") >= tauE6)
+      .select("id_a", "id_b", "sim_e6")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM-data pipeline over `documents`:
+  * quality stats, language-ID heuristic, token counting (whitespace +
+  * BPE-ish regex), and document fingerprinting. Everything is built from
+  * codegen'd native functions (split/filter/regexp/md5) — no UDFs — so
+  * the whole stage stays inside WholeStageCodegen and the only shuffle
+  * is the final aggregation.
+  */
+object TextAnalysis {
+  /** Tiny stopword list (matches the synthetic corpus vocabulary). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  private val stopArray: Column = array(Stopwords.map(lit): _*)
+
+  /** Whitespace tokens (corpus is single-space joined). */
+  val tokensCol: Column = split(col("text"), " ")
+
+  /** Per-language quality stats: doc count, chars, tokens, stopwords,
+    * punctuation — all bigint. */
+  def textStats(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        size(tokensCol).cast("long").as("toks"),
+        size(filter(tokensCol, t => array_contains(stopArray, t)))
+          .cast("long").as("stops"),
+        size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+          .cast("long").as("puncts"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("chars").as("sum_chars"),
+        sum("toks").as("sum_tokens"),
+        sum("stops").as("sum_stopwords"),
+        sum("puncts").as("sum_punct"))
+
+  /** Marker-token language-ID heuristic → confusion counts vs the
+    * labeled lang. Fixed tie order en > de > es. */
+  def langId(documents: DataFrame): DataFrame = {
+    def markers(words: Seq[String]): Column = {
+      val arr = array(words.map(lit): _*)
+      size(filter(tokensCol, t => array_contains(arr, t))).cast("long")
+    }
+    documents
+      .select(
+        col("lang"),
+        markers(Seq("the", "a")).as("c_en"),
+        markers(Seq("scan", "merge", "hash")).as("c_de"),
+        markers(Seq("data", "query", "row")).as("c_es"))
+      .select(col("lang"),
+        when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es"), "en")
+          .when(col("c_de") >= col("c_es"), "de")
+          .otherwise("es").as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Token counting per source: whitespace tokens + BPE-ish regex tokens
+    * (letter runs / digit runs / single non-alnum). */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("source"),
+        size(tokensCol).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("bpe"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("ws").as("sum_ws_tokens"),
+        sum("bpe").as("sum_bpe_tokens"))
+
+  /** Normalized content fingerprint per document: lowercase, strip
+    * non-alnum-space, collapse whitespace → md5. */
+  val normCol: Column =
+    trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+      " +", " "))
+
+  def docFingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      md5(normCol.cast("binary")).as("fp"),
+      length(normCol).cast("long").as("n_chars_norm"))
+
+  /** Exact dedup: group identical texts (by md5), keep the smallest
+    * doc_id as the canonical copy. One hash shuffle on the digest. */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents
+      .select(md5(col("text").cast("binary")).as("text_hash"), col("doc_id"))
+      .groupBy("text_hash")
+      .agg(
+        min("doc_id").as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+}

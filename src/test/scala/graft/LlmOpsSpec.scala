@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.operators._
+
+/** LLM-pipeline operators: dedup family, similarity search, text
+  * analysis, multimodal plumbing.
+  */
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs = Tables.documents(spark, TestSpark.Sf).cache()
+  private lazy val embs = Tables.embeddings(spark, TestSpark.Sf).cache()
+
+  // --- similarity ---
+
+  test("cosine expression matches a plain-Scala computation (codegen + interpreted)") {
+    val rows = embs.limit(20).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val a = embs.select(col("vec_id").as("ida"), col("embedding").as("va")).limit(20)
+    val b = embs.select(col("vec_id").as("idb"), col("embedding").as("vb")).limit(20)
+    val got = a.crossJoin(b)
+      .select(col("ida"), col("idb"),
+        VectorFunctions.cosineSim(col("va"), col("vb")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val m = rows.toMap
+    for (((ia, ib), sim) <- got) {
+      assert(math.abs(sim - cos(m(ia), m(ib))) < 1e-12, s"pair ($ia,$ib)")
+    }
+    // self-similarity is 1
+    rows.foreach { case (id, _) => assert(math.abs(got((id, id)) - 1.0) < 1e-12) }
+  }
+
+  test("bruteTopK ranks by exact cosine, k per query") {
+    val topk = Similarity.bruteTopK(embs, k = 5).collect()
+    val byQ = topk.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet === (0L until Similarity.QueryCount).toSet)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to 5L))
+    }
+  }
+
+  test("lshTopK returns a subset of candidates that share the query bucket") {
+    val lsh = Similarity.lshTopK(embs).collect()
+    assert(lsh.nonEmpty)
+    // every returned candidate must NOT be a query id
+    assert(lsh.forall(_.getAs[Long]("cand_id") >= Similarity.QueryCount))
+  }
+
+  test("embeddingNearDup finds planted near-duplicates and nothing on random data") {
+    import spark.implicits._
+    // random embeddings: no pairs at tau=0.95
+    assert(Similarity.embeddingNearDup(embs).count() === 0)
+    // planted: v and v+tiny-noise must pair up
+    val base = Array.tabulate(Similarity.Dim)(i => math.sin(i).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.001f
+    val far = Array.tabulate(Similarity.Dim)(i => math.cos(i * 3 + 1).toFloat)
+    val planted = Seq((1L, base.toSeq), (2L, near.toSeq), (3L, far.toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val pairs = Similarity.embeddingNearDup(planted).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  // --- dedup ---
+
+  /** Brute-force token-3-shingle Jaccard over all doc pairs. */
+  private lazy val bruteJaccard: Map[(Long, Long), Double] = {
+    val sh = docs.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).split(" ")
+      val shingles =
+        if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+        else Set(r.getString(1))
+      r.getLong(0) -> shingles
+    }
+    (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      inter = sa.intersect(sb).size
+      if inter > 0
+    } yield (ia, ib) -> inter.toDouble / (sa.size + sb.size - inter)).toMap
+  }
+
+  test("minhash LSH candidates have high recall on true near-dups (J >= 0.8)") {
+    val trueDups = bruteJaccard.filter(_._2 >= 0.8).keySet
+    val cands = Dedup.minhashCandidates(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val missed = trueDups.diff(cands)
+    assert(missed.isEmpty,
+      s"LSH missed ${missed.size}/${trueDups.size} true near-dup pairs: $missed")
+  }
+
+  test("ngramJaccard computes exact Jaccard (milli) on candidate pairs") {
+    val got = Dedup.ngramJaccard(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("j_milli")).toMap
+    got.foreach { case (pair, jm) =>
+      val expect = (bruteJaccard(pair) * 1000).toLong
+      assert(jm === expect, s"pair $pair")
+    }
+  }
+
+  test("minhashDedup keeps the smaller doc_id as canonical") {
+    val d = Dedup.minhashDedup(docs).collect()
+    assert(d.forall(r => r.getAs[Long]("keeper_doc_id") < r.getAs[Long]("dup_doc_id")))
+    assert(d.forall(r => r.getAs[Long]("j_milli") >= Dedup.JaccardMilli))
+  }
+
+  test("simhash of identical texts is identical; near-dup texts are close") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, t), (2L, t), (3L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashDedup(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming")))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  // --- text analysis ---
+
+  test("textStats aggregates reconcile with direct counts") {
+    val st = TextAnalysis.textStats(docs)
+    assert(st.agg(sum("n_docs")).collect().head.getLong(0) === docs.count())
+    val sumChars = st.agg(sum("sum_chars")).collect().head.getLong(0)
+    val direct = docs.agg(sum(length(col("text")))).collect().head.getLong(0)
+    assert(sumChars === direct)
+  }
+
+  test("docFingerprint: same normalized content ⇒ same fp") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.docFingerprint(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("dedupExact groups every doc exactly once") {
+    val d = TextAnalysis.dedupExact(docs)
+    assert(d.agg(sum("n_copies")).collect().head.getLong(0) === docs.count())
+  }
+
+  // --- multimodal ---
+
+  test("multimodal decode plumbing: per-partition batch decode matches the payload") {
+    val media = Multimodal.mediaTable(docs)
+    val feats = Multimodal.decodeFeatures(spark, media)
+    assert(feats.count() === docs.count())
+    val byteLens = feats.toDF().select("doc_id", "byte_len").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = docs.select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byteLens === expected)
+    // partitioning is preserved (no repartition to 1 / driver collect)
+    assert(feats.rdd.getNumPartitions === media.rdd.getNumPartitions)
+  }
+}
