@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming form of the CDC pipeline: the reference's
+  * poll-loop (`sync/DataPoller.scala:47-80`) becomes a continuous
+  * source; per-key ordered apply (`sync/DataSyncer.scala`) becomes
+  * keyed state with last-writer-wins; throughput accounting becomes a
+  * watermarked windowed aggregation.
+  *
+  * At scale: state is hash-partitioned by the sync key across
+  * executors (same shuffle key as the batch path), the watermark
+  * bounds state growth, and checkpointing gives exactly-once sinks.
+  */
+object CdcStream {
+  /** One normalized change (streaming twin of ChangeLog.normalize). */
+  case class Change(user_id: Long, event_id: Long, ems: Long,
+                    op: String, value_cents: Long)
+
+  /** Materialized per-key state after last-writer-wins. */
+  case class KeyState(user_id: Long, last_event_id: Long, last_ems: Long,
+                      last_op: String, last_value_cents: Long)
+
+  /** Continuous last-writer-wins: mapGroupsWithState keyed on the sync
+    * key; each micro-batch folds its changes into the running maximum
+    * by (ems, event_id). Emits the updated state per key per batch.
+    */
+  def latestState(spark: SparkSession, changes: Dataset[Change]): Dataset[KeyState] = {
+    import spark.implicits._
+    changes
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[KeyState, KeyState](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Change], state: GroupState[KeyState]) =>
+          def later(aE: Long, aI: Long, bE: Long, bI: Long): Boolean =
+            aE > bE || (aE == bE && aI > bI)
+          val incoming = batch.reduceOption { (a, b) =>
+            if (later(b.ems, b.event_id, a.ems, a.event_id)) b else a
+          }
+          val merged = (state.getOption, incoming) match {
+            case (Some(s), Some(c))
+              if later(c.ems, c.event_id, s.last_ems, s.last_event_id) =>
+              KeyState(uid, c.event_id, c.ems, c.op, c.value_cents)
+            case (Some(s), _) => s
+            case (None, Some(c)) =>
+              KeyState(uid, c.event_id, c.ems, c.op, c.value_cents)
+            case (None, None) =>
+              KeyState(uid, -1L, -1L, "?", 0L) // unreachable: group has rows
+          }
+          state.update(merged)
+          merged
+      }
+  }
+
+  /** Watermarked tumbling-window throughput (streaming twin of the
+    * batch `stream_window_agg` query — same hour_s/event_type/n/
+    * sum_cents schema). */
+  def windowedThroughput(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value_cents").as("sum_cents"))
+      .select(unix_timestamp(col("window.start")).as("hour_s"),
+        col("event_type"), col("n"), col("sum_cents"))
+
+  /** Wire a changes stream through latestState into an in-memory sink
+    * (used by tests; a production run would writeStream to a table with
+    * a checkpoint location). */
+  def runToMemory(spark: SparkSession, changes: Dataset[Change],
+                  queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    latestState(spark, changes).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .start()
+}

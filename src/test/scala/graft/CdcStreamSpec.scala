@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CdcMerge, ChangeLog}
+import graft.streaming.CdcStream
+import graft.streaming.CdcStream.Change
+
+/** Streaming/batch parity: feeding the sf0.001 changelog through the
+  * streaming last-writer-wins state in two micro-batches must converge
+  * to exactly the batch cdc_merge result.
+  */
+class CdcStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming latestState converges to the batch last-writer-wins merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val cl = ChangeLog.normalize(Tables.events(spark, TestSpark.Sf))
+    val changes = cl.select("user_id", "event_id", "ems", "op", "value_cents")
+      .as[Change].collect().sortBy(c => (c.ems, c.event_id))
+
+    val stream = MemoryStream[Change]
+    val query = CdcStream.runToMemory(spark, stream.toDS(), "lww_state")
+    try {
+      val (first, second) = changes.splitAt(changes.length / 2)
+      stream.addData(first.toSeq)
+      query.processAllAvailable()
+      stream.addData(second.toSeq)
+      query.processAllAvailable()
+
+      // memory sink in Update mode appends updated rows per batch →
+      // take the last row per key.
+      val finalState = spark.table("lww_state")
+        .groupBy("user_id")
+        .agg(max(struct(col("last_ems"), col("last_event_id"),
+          col("last_op"), col("last_value_cents"))).as("s"))
+        .select(col("user_id"), col("s.last_event_id"), col("s.last_op"),
+          col("s.last_value_cents"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
+        .toMap
+
+      val batch = CdcMerge.lastPerKey(cl).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("event_id"), r.getAs[String]("op"),
+            r.getAs[Long]("value_cents")))
+        .toMap
+
+      assert(finalState === batch)
+    } finally query.stop()
+  }
+
+  test("windowed throughput on a bounded stream equals the batch window agg") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select(col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+    val rows = ev.as[(java.sql.Timestamp, String, Long)].collect()
+
+    val stream = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val streamed = CdcStream.windowedThroughput(
+      stream.toDS().toDF("ts", "event_type", "value_cents"))
+    val query = streamed.writeStream.format("memory")
+      .queryName("win_agg").outputMode("complete").start()
+    try {
+      stream.addData(rows.toSeq)
+      query.processAllAvailable()
+      val got = spark.table("win_agg").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val expected = ev
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value_cents").as("sum_cents"))
+        .select(unix_timestamp(col("window.start")).as("hour_s"),
+          col("event_type"), col("n"), col("sum_cents"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(got === expected)
+    } finally query.stop()
+  }
+}
