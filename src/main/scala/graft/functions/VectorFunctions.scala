@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for cosine similarity over
   * `array<float>` embedding columns — stays inside whole-stage codegen
@@ -63,9 +63,73 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-pattern LSH bucket of an array<float> vector against a fixed
+  * set of hyperplanes: bit b of the result is sign(v·plane_b). One pass
+  * over the vector for all planes, fully codegen'd — replaces 2·P
+  * interpreted higher-order-function lambdas per row.
+  */
+case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "hyperplane_bucket"
+
+  @transient private lazy val nPlanes = planes.length
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bucket = 0L
+    var b = 0
+    while (b < nPlanes) {
+      val plane = planes(b)
+      val dim = math.min(n, plane.length)
+      var dot = 0.0
+      var i = 0
+      while (i < dim) { dot += v.getFloat(i).toDouble * plane(i); i += 1 }
+      if (dot > 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val dim = ctx.freshName("dim")
+      val plane = ctx.freshName("plane")
+      s"""
+         |${ev.value} = 0L;
+         |for (int $b = 0; $b < ${planes.length}; $b++) {
+         |  double[] $plane = $planesRef[$b];
+         |  int $dim = java.lang.Math.min($v.numElements(), $plane.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $dot += (double) $v.getFloat($i) * $plane[$i];
+         |  }
+         |  if ($dot > 0) ${ev.value} |= (1L << $b);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API: cosine similarity of two array<float> columns. */
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API: sign-pattern LSH bucket id against fixed planes. */
+  def hyperplaneBucket(v: Column, planes: Array[Array[Double]]): Column =
+    GraftBridge.column(HyperplaneBucket(GraftBridge.expression(v), planes))
 }

@@ -6,8 +6,14 @@ import org.apache.spark.sql.functions._
 /** Near-duplicate detection over `documents` — MinHash+LSH, SimHash,
   * and n-gram Jaccard verification. All bucketed: the LSH band (or
   * simhash band) is the shuffle key; candidate pairs are generated only
-  * within buckets — never an all-pairs cross join. All hashing uses
-  * xxhash64 (codegen'd, deterministic) so results are reproducible.
+  * within buckets — never an all-pairs cross join.
+  *
+  * Performance shape (the 100 TB contract): each document's shingles/
+  * tokens are hashed ONCE into longs via a Generate (explode), and the
+  * 64-wide signatures are built by 64 codegen'd min/sum aggregates with
+  * map-side partial aggregation — not by higher-order-function lambdas,
+  * which are interpreted and invite CollapseProject to duplicate the
+  * shingle expression into every seed (measured 60×+ slowdown).
   */
 object Dedup {
   /** MinHash signature length and banding (16 bands × 4 rows). */
@@ -21,35 +27,44 @@ object Dedup {
   /** SimHash near-dup hamming threshold. */
   val MaxHamming = 6
 
-  /** Token 3-gram shingles of the text (distinct). Falls back to whole
-    * text for degenerate short docs. */
-  val shinglesCol: Column = {
-    val t = expr("split(text, ' ')")
-    when(size(t) >= 3,
-      array_distinct(expr(
-        "transform(sequence(0, size(split(text,' '))-3), " +
-          "i -> concat_ws(' ', slice(split(text,' '), i+1, 3)))")))
-      .otherwise(array(col("text")))
+  /** One row per (doc_id, distinct token-3-shingle hash). The shingle
+    * strings exist only inside this projection — downstream everything
+    * is a long. Degenerate (<3 token) docs hash the whole text. */
+  def shingleHashes(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val shingles = when(size(col("toks")) >= 3,
+      expr("transform(sequence(0, size(toks)-3), " +
+        "i -> concat_ws(' ', slice(toks, i+1, 3)))"))
+      .otherwise(array(concat_ws(" ", col("toks"))))
+    toks
+      .select(col("doc_id"), explode(array_distinct(shingles)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
   }
 
-  /** docs → (doc_id, shingles). */
-  def withShingles(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), shinglesCol.as("shingles"))
-
-  /** 64-wide MinHash signature: per seed s, min over shingles of
-    * xxhash64(shingle, s). Pure array expressions — no explode of the
-    * shingle set, no UDF. */
-  def withMinhash(documents: DataFrame): DataFrame =
-    withShingles(documents).withColumn("mh", expr(
-      s"transform(sequence(0, ${NumHashes - 1}), " +
-        "s -> array_min(transform(shingles, sh -> xxhash64(sh, s))))"))
+  /** Per-doc signature row: 64 minhashes (seed-mixed via xxhash64 over
+    * the fixed-width (h, seed) pair — constant cost, codegen'd) plus the
+    * distinct shingle-hash set for exact-Jaccard verification. */
+  def docSignatures(documents: DataFrame): DataFrame = {
+    val aggs =
+      (0 until NumHashes).map(s => min(xxhash64(col("h"), lit(s))).as(s"m$s")) :+
+        collect_set(col("h")).as("hs")
+    shingleHashes(documents)
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(s => col(s"m$s")): _*).as("mh"),
+        col("hs"))
+  }
 
   /** LSH candidate pairs: band signature = xxhash64(slice of the
     * signature, band index); docs sharing any (band, sig) bucket pair
     * up. The bucket is the shuffle key — pairs are generated inside
-    * buckets only. */
-  def minhashCandidates(documents: DataFrame): DataFrame = {
-    val banded = withMinhash(documents)
+    * buckets only, never across. */
+  def minhashCandidates(documents: DataFrame): DataFrame =
+    candidatesFromSignatures(docSignatures(documents))
+
+  private[operators] def candidatesFromSignatures(sigs: DataFrame): DataFrame = {
+    val banded = sigs
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${Bands - 1}), " +
           s"b -> xxhash64(slice(mh, b*$RowsPerBand + 1, $RowsPerBand), b))"))
@@ -67,15 +82,14 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard over the LSH candidate pairs only (the
-    * verification stage of MinHash dedup). j_milli = ⌊1000·J⌋. */
+    * verification stage of MinHash dedup), computed on the hashed
+    * shingle sets. j_milli = ⌊1000·J⌋. */
   def ngramJaccard(documents: DataFrame): DataFrame = {
-    val sh = withShingles(documents)
-    val pairs = minhashCandidates(documents)
+    val sigs = docSignatures(documents).cache()
+    val pairs = candidatesFromSignatures(sigs)
     pairs
-      .join(sh.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("shingles", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("shingles", "sh_b"), "doc_b")
+      .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("uni",
         size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
@@ -92,22 +106,29 @@ object Dedup {
       .select(col("doc_a").as("keeper_doc_id"), col("doc_b").as("dup_doc_id"),
         col("j_milli"))
 
-  /** 64-bit SimHash from token hashes: bit i is the sign of the sum of
-    * ±1 contributions of each token's hash bit i. */
-  val simhashCol: Column = expr(
-    """aggregate(
-      |  sequence(0, 63),
-      |  cast(0 as bigint),
-      |  (acc, i) -> acc | shiftleft(
-      |    cast(aggregate(transform(split(text, ' '), t -> xxhash64(t)),
-      |                   cast(0 as bigint),
-      |                   (s, h) -> s + if(((h >> i) & 1) = 1, 1, -1)) > 0
-      |         as bigint), i))""".stripMargin)
+  /** 64-bit SimHash per doc: explode tokens, hash once, then 64
+    * codegen'd ±1 sums (one per bit) reassembled into the fingerprint. */
+  def simhashes(documents: DataFrame): DataFrame = {
+    val tokenHashes = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L) * (1L << i)) =!= 0, 1L)
+        .otherwise(-1L)).as(s"b$i")
+    }
+    val fingerprint = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L) * (1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    tokenHashes
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
+  }
 
   /** SimHash near-dup pairs: 4 bands of 16 bits as bucket keys, exact
     * hamming check (bit_count of xor) within buckets only. */
   def simhashDedup(documents: DataFrame): DataFrame = {
-    val hashed = documents.select(col("doc_id"), simhashCol.as("simhash"))
+    val hashed = simhashes(documents)
     val banded = hashed.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)"))

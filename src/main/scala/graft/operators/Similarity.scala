@@ -46,17 +46,10 @@ object Similarity {
     }
   }
 
-  /** Sign-pattern LSH bucket id of an embedding column. */
-  def bucketCol(emb: Column): Column = {
-    val bits = hyperplanes.zipWithIndex.map { case (plane, b) =>
-      val planeLit = array(plane.map(lit): _*)
-      val dot = aggregate(
-        zip_with(emb, planeLit, (x, p) => x * p),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Sign-pattern LSH bucket id of an embedding column (codegen'd
+    * single-pass expression — see functions.HyperplaneBucket). */
+  def bucketCol(emb: Column): Column =
+    graft.functions.VectorFunctions.hyperplaneBucket(emb, hyperplanes)
 
   private def queries(embeddings: DataFrame): DataFrame =
     embeddings.where(col("vec_id") < QueryCount)
