@@ -313,6 +313,23 @@ object OracleSql {
         |  CAST(strlen(text) % 256 AS BIGINT) AS fake_brightness
         |FROM documents""".stripMargin,
 
+    "quality_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS stops,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS puncts
+        |  FROM documents)
+        |SELECT doc_id, chars, tokens,
+        |  (stops * 1000) // tokens AS stop_milli,
+        |  (puncts * 1000) // chars AS punct_milli,
+        |  CAST(chars BETWEEN 50 AND 2000
+        |       AND tokens >= 10
+        |       AND (puncts * 1000) // chars <= 100 AS VARCHAR) AS keep
+        |FROM d""".stripMargin,
+
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

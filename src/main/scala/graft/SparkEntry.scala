@@ -75,7 +75,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir))),
     "dedup_simhash"       -> ((s, dir) =>
-      Dedup.simhashDedup(Tables.documents(s, dir)))
+      Dedup.simhashDedup(Tables.documents(s, dir))),
+    "dedup_apply"         -> ((s, dir) =>
+      Dedup.dedupApply(Tables.documents(s, dir))),
+    "quality_filter"      -> ((s, dir) =>
+      TextAnalysis.qualityFilter(Tables.documents(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

@@ -106,6 +106,15 @@ object Dedup {
       .select(col("doc_a").as("keeper_doc_id"), col("doc_b").as("dup_doc_id"),
         col("j_milli"))
 
+  /** End-to-end dedup materialization: the corpus minus confirmed
+    * near-duplicates (anti-join on the dup ids — the incremental
+    * delete shape, same as retention cleanup). */
+  def dedupApply(documents: DataFrame): DataFrame =
+    documents
+      .join(minhashDedup(documents)
+        .select(col("dup_doc_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+
   /** 64-bit SimHash per doc: explode tokens, hash once, then 64
     * codegen'd ±1 sums (one per bit) reassembled into the fingerprint. */
   def simhashes(documents: DataFrame): DataFrame = {

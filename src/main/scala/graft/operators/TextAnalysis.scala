@@ -88,6 +88,29 @@ object TextAnalysis {
       md5(normCol.cast("binary")).as("fp"),
       length(normCol).cast("long").as("n_chars_norm"))
 
+  /** Per-document quality gate (training-data filtering): length,
+    * token-count, and punctuation-ratio rules; emits the verdict and
+    * the integer-milli ratios (hash-stable). Pure narrow projection —
+    * no shuffle at all. */
+  def qualityFilter(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        size(tokensCol).cast("long").as("tokens"),
+        size(filter(tokensCol, t => array_contains(stopArray, t)))
+          .cast("long").as("stops"),
+        size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+          .cast("long").as("puncts"))
+      .select(
+        col("doc_id"), col("chars"), col("tokens"),
+        expr("(stops * 1000) div tokens").as("stop_milli"),
+        expr("(puncts * 1000) div chars").as("punct_milli"))
+      .withColumn("keep",
+        (col("chars").between(50L, 2000L) &&
+          col("tokens") >= 10L &&
+          col("punct_milli") <= 100L).cast("string"))
+
   /** Exact dedup: group identical texts (by md5), keep the smallest
     * doc_id as the canonical copy. One hash shuffle on the digest. */
   def dedupExact(documents: DataFrame): DataFrame =

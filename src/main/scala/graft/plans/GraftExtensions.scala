@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, HyperplaneBucket}
+import graft.operators.Similarity
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions so `spark.sql("... cosine_sim(a,b)")`
+  * works on any session built with
+  * `.withExtensions(new GraftExtensions)` — or via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+object GraftExtensions {
+  /** Register the same functions on an already-built session (temp
+    * functions — handy in notebooks/tests where the builder is gone). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_bucket",
+      (children: Seq[Expression]) => HyperplaneBucket(children.head, Similarity.hyperplanes),
+      "built-in")
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "lsh_bucket"),
+      (children: Seq[Expression]) =>
+        HyperplaneBucket(children.head, Similarity.hyperplanes)))
+  }
+}

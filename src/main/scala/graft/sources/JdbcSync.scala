@@ -1,0 +1,96 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+
+import graft.config.{DbConfig, SyncConfig}
+import graft.operators.Snapshot
+
+/** JDBC source/sink wiring for the sync pipeline — the Spark-native
+  * form of the reference's datasource abstraction
+  * (`dbopt/DbOperation.scala`, `DatasourcePools.scala`): partitioned
+  * parallel reads with predicate/column pushdown, and the generated
+  * upsert/delete statements a JDBC sink executes per partition.
+  *
+  * No live database exists in this environment (zero egress), so the
+  * edge itself is exercised only up to option/SQL generation — the
+  * planning halves (`Snapshot.sourcePartitionPlan`,
+  * `config.SyncConfigs`) are the tested surface (SURVEY.md §6).
+  */
+object JdbcSync {
+  /** JDBC url per db type — mirrors the url shapes the reference's
+    * config carries. */
+  def url(db: DbConfig, host: String = "localhost", port: Int = 5432): String =
+    db.`type` match {
+      case "postgresql" | "greenplum" => s"jdbc:postgresql://$host:$port/${db.name}"
+      case "mysql"                    => s"jdbc:mysql://$host:$port/${db.name}"
+      case other => throw new IllegalArgumentException(s"unsupported db type: $other")
+    }
+
+  /** Configure a partitioned JDBC read for one sync table: N parallel
+    * range scans on the first sync key (Spark pushes the per-partition
+    * predicates + column pruning + filters into the remote SQL). */
+  def partitionedReader(spark: SparkSession, db: DbConfig, sync: SyncConfig,
+                        lower: Long, upper: Long,
+                        numPartitions: Int = Snapshot.ReadPartitions.toInt):
+      DataFrameReader = {
+    val key = sync.sourceKeys.split(",").head
+    spark.read
+      .option("url", url(db))
+      .option("dbtable", s"${sync.sourceSchema}.${sync.sourceTable}")
+      .option("partitionColumn", key)
+      .option("lowerBound", lower)
+      .option("upperBound", upper)
+      .option("numPartitions", numPartitions)
+      .option("fetchsize", 10000)
+      .format("jdbc")
+  }
+
+  /** The poll query a JDBC changelog source issues — the reference's
+    * pollBatch SQL shape (`dbopt/PgOperation.scala:27-46`): unpolled
+    * rows, id-ordered, bounded. */
+  def pollSql(sysSchema: String, batch: Int): String =
+    s"""SELECT t1.* FROM $sysSchema.sync_data t1
+       |LEFT JOIN $sysSchema.sync_polled t2 ON t1.id = t2.data_id
+       |WHERE t2.data_id IS NULL ORDER BY t1.id LIMIT $batch""".stripMargin
+
+  /** Upsert statement for one sync table (ANSI MERGE shape; the
+    * reference emits INSERT..ON CONFLICT / ON DUPLICATE KEY per
+    * dialect). Executed per partition by a JDBC sink. */
+  def upsertSql(sync: SyncConfig, columns: Seq[String]): String = {
+    val keys = sync.sourceKeys.split(",").toSeq
+    val nonKeys = columns.filterNot(keys.contains)
+    val target = s"${sync.sourceSchema}.${sync.sourceTable}"
+    val cols = columns.mkString(", ")
+    val placeholders = columns.map(_ => "?").mkString(", ")
+    if (nonKeys.isEmpty)
+      s"INSERT INTO $target ($cols) VALUES ($placeholders) " +
+        s"ON CONFLICT (${keys.mkString(", ")}) DO NOTHING"
+    else
+      s"INSERT INTO $target ($cols) VALUES ($placeholders) " +
+        s"ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET " +
+        nonKeys.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+  }
+
+  /** Delete statement keyed on the sync keys. */
+  def deleteSql(sync: SyncConfig): String = {
+    val keys = sync.sourceKeys.split(",").toSeq
+    s"DELETE FROM ${sync.sourceSchema}.${sync.sourceTable} WHERE " +
+      keys.map(k => s"$k = ?").mkString(" AND ")
+  }
+
+  /** Write a merged changelog to a JDBC sink partition-parallel:
+    * each partition opens one connection and executes the batched
+    * upsert — the DataFrame side is exactly `CdcMerge.merge` output,
+    * already hash-partitioned by key. (Requires a live database;
+    * see SURVEY.md §6.) */
+  def writeUpsert(df: DataFrame, db: DbConfig, sync: SyncConfig,
+                  props: Properties = new Properties()): Unit =
+    df.write
+      .mode("append")
+      .option("url", url(db))
+      .option("dbtable", s"${sync.sourceSchema}.${sync.sourceTable}")
+      .format("jdbc")
+      .save()
+}

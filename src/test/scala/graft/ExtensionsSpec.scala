@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.SyncConfigs
+import graft.plans.GraftExtensions
+import graft.sources.JdbcSync
+
+/** SQL function registration + JDBC sync wiring. */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("registered SQL functions evaluate through spark.sql") {
+    GraftExtensions.registerAll(spark)
+    Tables.embeddings(spark, TestSpark.Sf).limit(5)
+      .createOrReplaceTempView("emb_t")
+    val rows = spark.sql(
+      """SELECT vec_id, cosine_sim(embedding, embedding) AS self_sim,
+        |       lsh_bucket(embedding) AS bucket
+        |FROM emb_t""".stripMargin).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("self_sim") - 1.0) < 1e-12)
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b < 256) // 8 planes → buckets in [0, 2^8)
+    }
+  }
+
+  test("jdbc sync SQL generation matches the reference's upsert/delete/poll shapes") {
+    val cfg = SyncConfigs.parse(SyncConfigs.DemoYaml)
+    val sync = cfg.sync.find(_.sourceTable == "lineitem").get
+    val up = JdbcSync.upsertSql(sync, Seq("l_orderkey", "l_linenumber", "l_quantity"))
+    assert(up.contains("ON CONFLICT (l_orderkey, l_linenumber) DO UPDATE SET"))
+    assert(up.contains("l_quantity = EXCLUDED.l_quantity"))
+    assert(!up.contains("l_orderkey = EXCLUDED"))
+    val keysOnly = JdbcSync.upsertSql(sync, Seq("l_orderkey", "l_linenumber"))
+    assert(keysOnly.contains("DO NOTHING"))
+    val del = JdbcSync.deleteSql(sync)
+    assert(del === "DELETE FROM public.lineitem WHERE l_orderkey = ? AND l_linenumber = ?")
+    assert(JdbcSync.pollSql("dbsync", 500).contains("LIMIT 500"))
+    assert(JdbcSync.url(cfg.dbs.head).startsWith("jdbc:postgresql://"))
+    assert(JdbcSync.url(cfg.dbs(1)).startsWith("jdbc:mysql://"))
+  }
+
+  test("quality_filter verdicts follow the rules") {
+    import org.apache.spark.sql.functions._
+    val qf = graft.operators.TextAnalysis.qualityFilter(
+      Tables.documents(spark, TestSpark.Sf))
+    val bad = qf.where(col("keep") === "false")
+    bad.collect().foreach { r =>
+      val ok = r.getAs[Long]("chars") >= 50 && r.getAs[Long]("chars") <= 2000 &&
+        r.getAs[Long]("tokens") >= 10 && r.getAs[Long]("punct_milli") <= 100
+      assert(!ok)
+    }
+    assert(qf.count() === Tables.documents(spark, TestSpark.Sf).count())
+  }
+
+  test("dedup_apply removes exactly the confirmed dup ids") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val dups = graft.operators.Dedup.minhashDedup(docs)
+      .select("dup_doc_id").collect().map(_.getLong(0)).toSet
+    val kept = graft.operators.Dedup.dedupApply(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === all.diff(dups))
+  }
+}
