@@ -183,6 +183,49 @@ object OracleSql {
          |       CAST(COUNT(*) AS BIGINT) AS depth
          |FROM cl GROUP BY 1, 2""".stripMargin,
 
+    "status_rollup" ->
+      s"""WITH $CL,
+         |a AS (SELECT *,
+         |  CASE WHEN op='D' THEN 'ERR'
+         |       WHEN op='U' AND user_id%10=0 THEN 'BLK' ELSE 'OK' END AS status
+         |  FROM cl),
+         |st AS (
+         |  SELECT 'db' || (user_id % 3) AS db,
+         |    CAST(COUNT(CASE WHEN event_id%7<>0 THEN 1 END) AS BIGINT) AS pending,
+         |    CAST(COUNT(CASE WHEN event_id%7=0 AND status='BLK' THEN 1 END) AS BIGINT) AS blocked,
+         |    CAST(COUNT(CASE WHEN event_id%7=0 AND status='ERR' THEN 1 END) AS BIGINT) AS error,
+         |    CAST(COUNT(CASE WHEN event_id%7=0 AND status='OK' THEN 1 END) AS BIGINT) AS success
+         |  FROM a GROUP BY 1),
+         |lastper AS (
+         |  SELECT 'db' || (user_id % 3) AS db, 'worker-' || part AS component,
+         |         MAX(epoch_s) AS last_hb_s
+         |  FROM cl GROUP BY 1, 2),
+         |clock AS (SELECT MAX(epoch_s) AS now_s FROM cl),
+         |worst AS (
+         |  SELECT CAST(MAX(CASE WHEN now_s - last_hb_s <= 21600 THEN 0 ELSE 1 END) AS BIGINT) AS any_red
+         |  FROM lastper, clock)
+         |SELECT 'N/A' AS name,
+         |  CAST(SUM(pending) AS BIGINT) AS pending,
+         |  CAST(SUM(blocked) AS BIGINT) AS blocked,
+         |  CAST(SUM(error) AS BIGINT) AS error,
+         |  CAST(SUM(success) AS BIGINT) AS success,
+         |  CASE WHEN (SELECT any_red FROM worst) = 1 THEN 'RED' ELSE 'GREEN' END AS overall
+         |FROM st""".stripMargin,
+
+    "pause_filter" ->
+      s"""WITH $CL,
+         |r AS (SELECT part,
+         |  CASE WHEN user_id%3=0 THEN 'tdb0,tdb1'
+         |       WHEN user_id%3=1 THEN 'tdb1' ELSE 'tdb1,tdb2' END AS tgts
+         |  FROM cl),
+         |routed AS (
+         |  SELECT t.target_db, r.part, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM r, UNNEST(string_split(r.tgts, ',')) AS t(target_db)
+         |  GROUP BY 1, 2)
+         |SELECT target_db, part, n,
+         |  CASE WHEN target_db = 'tdb2' THEN 'PAUSED' ELSE 'FLOWING' END AS route_state
+         |FROM routed""".stripMargin,
+
     "initial_sync" ->
       """SELECT c_custkey, c_name, n_name, r_name, c_mktsegment,
         |       CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents

@@ -38,6 +38,8 @@ object SparkEntry {
     "heartbeat_state"     -> ((s, dir) => Ledger.heartbeatState(cl(s, dir))),
     "clean_retention"     -> ((s, dir) => Ledger.cleanRetention(cl(s, dir))),
     "queue_depth"         -> ((s, dir) => Ledger.queueDepth(cl(s, dir))),
+    "status_rollup"       -> ((s, dir) => Ledger.statusRollup(cl(s, dir))),
+    "pause_filter"        -> ((s, dir) => Ledger.pauseFilter(cl(s, dir))),
     "initial_sync"        -> ((s, dir) =>
       Snapshot.initialSync(Tables.customer(s, dir), Tables.nation(s, dir),
         Tables.region(s, dir))),

@@ -146,6 +146,36 @@ object Ledger {
         count(when(!col("kept"), 1)).as("n_cleaned"))
   }
 
+  /** Global monitor rollup — mirrors `monitor/SelfMonitor.scala:46-68`:
+    * sync-state totals reduced across dbs plus the worst component
+    * status (any RED heartbeat ⇒ RED overall). One row. */
+  def statusRollup(changelog: DataFrame): DataFrame = {
+    val totals = syncState(changelog).agg(
+      sum("pending").as("pending"),
+      sum("blocked").as("blocked"),
+      sum("error").as("error"),
+      sum("success").as("success"))
+    val worst = heartbeatState(changelog).agg(
+      max(when(col("hb_status") === "RED", 1L).otherwise(0L)).as("any_red"))
+    totals.join(broadcast(worst)).select(
+      lit("N/A").as("name"),
+      col("pending"), col("blocked"), col("error"), col("success"),
+      when(col("any_red") === 1L, lit("RED")).otherwise(lit("GREEN"))
+        .as("overall"))
+  }
+
+  /** Route pausing — mirrors the PauseSetting control surface
+    * (`monitor/Endpoints.scala:108`): changes bound for a paused
+    * (targetDb) route are held, the rest flow. Static pause list:
+    * tdb2 is paused. */
+  def pauseFilter(changelog: DataFrame): DataFrame = {
+    val routed = ChangeLog.routeFanout(changelog)
+    routed.select(
+      col("target_db"), col("part"), col("n"),
+      when(col("target_db") === "tdb2", lit("PAUSED"))
+        .otherwise(lit("FLOWING")).as("route_state"))
+  }
+
   /** Queue depth per (partition, hour): tumbling-window inflow counts —
     * the observable analog of the reference's bounded in-memory queues. */
   def queueDepth(changelog: DataFrame): DataFrame =
