@@ -373,6 +373,43 @@ object OracleSql {
         |       AND (puncts * 1000) // chars <= 100 AS VARCHAR) AS keep
         |FROM d""".stripMargin,
 
+    "ivf_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+        |         WHERE vec_id BETWEEN 8 AND 23),
+        |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8)
+        |SELECT vec_id, centroid_id FROM (
+        |  SELECT cand.vec_id, cent.centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+        |      ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
+        |  FROM cand, cent) t WHERE rn = 1""".stripMargin,
+
+    "ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+        |         WHERE vec_id BETWEEN 8 AND 23),
+        |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+        |assign AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT cand.vec_id, cent.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+        |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
+        |    FROM cand, cent) t WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |probes AS (
+        |  SELECT q_id, centroid_id FROM (
+        |    SELECT q_id, centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY list_cosine_similarity(qv, cv) DESC, centroid_id) AS rn
+        |    FROM q, cent) t WHERE rn <= 4),
+        |probed AS (SELECT p.q_id, a.vec_id FROM probes p JOIN assign a USING (centroid_id))
+        |SELECT q_id, vec_id AS cand_id, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT pr.q_id, pr.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY pr.q_id
+        |      ORDER BY list_cosine_similarity(q.qv, c.v) DESC, pr.vec_id) AS rn
+        |  FROM probed pr JOIN q ON pr.q_id = q.q_id
+        |  JOIN cand c ON pr.vec_id = c.vec_id) t WHERE rn <= 10""".stripMargin,
+
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

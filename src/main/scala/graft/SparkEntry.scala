@@ -70,6 +70,10 @@ object SparkEntry {
       Similarity.bruteTopK(Tables.embeddings(s, dir))),
     "ann_lsh"             -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir))),
+    "ivf_assign"          -> ((s, dir) =>
+      Similarity.ivfAssign(Tables.embeddings(s, dir))),
+    "ann_ivf"             -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir))),
     "dedup_embedding"     -> ((s, dir) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, dir))),
     "dedup_minhash"       -> ((s, dir) =>

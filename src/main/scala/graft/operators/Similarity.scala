@@ -89,6 +89,60 @@ object Similarity {
         round(col("sim") * 1000000).cast("long").as("sim_e6"))
   }
 
+  /** IVF index parameters: 16 fixed centroids (vec_ids 8..23, disjoint
+    * from the query set), 4 probed lists per query. */
+  val CentroidLo = 8L
+  val NumCentroids = 16
+  val NumProbes = 4
+
+  /** The centroid table (tiny — always broadcast). A production build
+    * would k-means these; fixed seeds keep the oracle deterministic. */
+  def centroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .where(col("vec_id").between(CentroidLo, CentroidLo + NumCentroids - 1))
+      .select((col("vec_id") - CentroidLo).as("centroid_id"),
+        col("embedding").as("cv"))
+
+  /** IVF list assignment: every candidate vector goes to its
+    * most-similar centroid (ties → smaller id). Broadcast the 16
+    * centroids, then a map-side-combined max_by per vector — the
+    * shuffle carries one row per vector, not one per (vector,
+    * centroid). */
+  def ivfAssign(embeddings: DataFrame): DataFrame =
+    candidates(embeddings)
+      .join(broadcast(centroids(embeddings)))
+      .withColumn("sim", cosineSim(col("c_vec"), col("cv")))
+      .groupBy(col("cand_id").as("vec_id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("sim"), (-col("centroid_id")).as("nid"))).as("centroid_id"))
+
+  /** IVF ANN search: rank the NumProbes nearest centroid lists per
+    * query, then search only vectors assigned to those lists. At scale
+    * the probe join shuffles on centroid_id (≤ NumCentroids keys ×
+    * balanced lists) and candidate vectors stream through the codegen'd
+    * cosine once. */
+  def ivfTopK(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val cents = broadcast(centroids(embeddings))
+    val q = queries(embeddings)
+    val probes = q.join(cents)
+      .withColumn("sim", cosineSim(col("q_vec"), col("cv")))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("centroid_id"))))
+      .where(col("rn") <= NumProbes)
+      .select("q_id", "centroid_id")
+    val probed = probes
+      .join(ivfAssign(embeddings), Seq("centroid_id"))
+      .select("q_id", "vec_id")
+    probed
+      .join(candidates(embeddings).withColumnRenamed("cand_id", "vec_id"), "vec_id")
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("sim", cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("cand_id"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ τ.
     * No all-pairs: the bucket id is the join key. */
   def embeddingNearDup(embeddings: DataFrame, tauE6: Long = 950000L): DataFrame = {

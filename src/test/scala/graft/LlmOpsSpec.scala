@@ -56,6 +56,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lsh.forall(_.getAs[Long]("cand_id") >= Similarity.QueryCount))
   }
 
+  test("ivfAssign: exactly one centroid list per candidate vector") {
+    val assign = Similarity.ivfAssign(embs)
+    assert(assign.count() ===
+      embs.where(col("vec_id") >= Similarity.CentroidLo).count())
+    assert(assign.select("vec_id").distinct().count() === assign.count())
+    val cids = assign.select("centroid_id").distinct().collect().map(_.getLong(0))
+    assert(cids.forall(c => c >= 0 && c < Similarity.NumCentroids))
+  }
+
+  test("ann_ivf overlaps brute-force top-k (probed recall is nontrivial)") {
+    val brute = Similarity.bruteTopK(embs).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivf = Similarity.ivfTopK(embs).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))).toSet
+    // every query returns k results and recall against the exact top-10
+    // is well above chance (4/16 lists probed ⇒ ~25% baseline)
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(ivf.size === brute.size)
+    assert(recall > 0.2, s"IVF recall vs brute top-10 = $recall")
+  }
+
   test("embeddingNearDup finds planted near-duplicates and nothing on random data") {
     import spark.implicits._
     // random embeddings: no pairs at tau=0.95
