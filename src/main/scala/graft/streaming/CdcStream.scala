@@ -64,6 +64,16 @@ object CdcStream {
       .select(unix_timestamp(col("window.start")).as("hour_s"),
         col("event_type"), col("n"), col("sum_cents"))
 
+  /** Exactly-once ingestion guard: drop redundant deliveries of the
+    * same change id within the watermark horizon (the streaming analog
+    * of the reference's sync_polled dedup table —
+    * `dbopt/PgOperation.scala:27-46`). State is bounded by the
+    * watermark; the dedup key is the shuffle key. */
+  def dedupDeliveries(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Wire a changes stream through latestState into an in-memory sink
     * (used by tests; a production run would writeStream to a table with
     * a checkpoint location). */

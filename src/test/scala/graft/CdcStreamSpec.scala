@@ -54,6 +54,30 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("dedupDeliveries drops redundant deliveries of the same change id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = Tables.events(spark, TestSpark.Sf)
+      .select(col("event_id"), col("ts")).limit(100)
+      .as[(Long, java.sql.Timestamp)].collect()
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = CdcStream.dedupDeliveries(
+      stream.toDS().toDF("event_id", "ts"))
+    val query = deduped.writeStream.format("memory")
+      .queryName("dedup_stream").outputMode("append").start()
+    try {
+      // deliver everything twice (at-least-once source semantics)
+      stream.addData(base.toSeq)
+      stream.addData(base.toSeq)
+      query.processAllAvailable()
+      val got = spark.table("dedup_stream").select("event_id").collect()
+        .map(_.getLong(0))
+      assert(got.length === base.length)
+      assert(got.toSet === base.map(_._1).toSet)
+    } finally query.stop()
+  }
+
   test("windowed throughput on a bounded stream equals the batch window agg") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
