@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Last-writer-wins merge + upsert/delete apply — the heart of the sync.
@@ -17,16 +16,21 @@ import org.apache.spark.sql.functions._
 object CdcMerge {
 
   /** Latest change per key, deletes included. Deterministic total order:
-    * (ems, event_id). One hash shuffle on user_id.
+    * (ems, event_id) — those two lead the struct, so lexicographic max
+    * IS last-writer-wins. Implemented as an aggregation (not a window):
+    * partial aggregation collapses each key map-side, so the single
+    * hash shuffle carries ~|keys| rows instead of |events| — and a hot
+    * key is reduced before it ever concentrates on one reducer (no
+    * salting needed; the combiner is the skew handling).
     */
-  def lastPerKey(changelog: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ems").desc, col("event_id").desc)
+  def lastPerKey(changelog: DataFrame): DataFrame =
     changelog
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("rn")
-  }
+      .groupBy("user_id")
+      .agg(max(struct(
+        col("ems"), col("event_id"), col("op"), col("epoch_s"),
+        col("value_cents"), col("k"), col("part"))).as("s"))
+      .select(col("user_id"), col("s.event_id"), col("s.op"), col("s.ems"),
+        col("s.epoch_s"), col("s.value_cents"), col("s.k"), col("s.part"))
 
   /** Merged live state: latest change per key, with deleted keys dropped.
     * This is the "materialized target table" view of the changelog.

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.streaming.CdcStream.{Change, KeyState}
+
+/** ScalaCheck properties for the engine's pure core invariants:
+  * last-writer-wins is an associative/commutative fold (so the batch
+  * argmax, the streaming incremental fold, and any partial-aggregation
+  * split agree), Jaccard bounds, and partition-plan coverage.
+  */
+object InvariantProps extends Properties("graft.invariants") {
+
+  private val genChange: Gen[Change] = for {
+    uid <- Gen.choose(0L, 5L)
+    eid <- Gen.choose(0L, 1000L)
+    ems <- Gen.choose(0L, 50L) // small range forces ems ties
+    op <- Gen.oneOf("I", "U", "D")
+    cents <- Gen.choose(-10000L, 10000L)
+  } yield Change(uid, eid, ems, op, cents)
+
+  private def later(a: Change, b: Change): Change =
+    if (b.ems > a.ems || (b.ems == a.ems && b.event_id > a.event_id)) b else a
+
+  /** Reference result: strict replay in (ems, event_id) order. */
+  private def replay(changes: List[Change]): Map[Long, Change] =
+    changes.sortBy(c => (c.ems, c.event_id))
+      .foldLeft(Map.empty[Long, Change])((m, c) => m.updated(c.user_id, c))
+
+  property("LWW fold order-independence (batch argmax == ordered replay)") =
+    forAll(Gen.listOf(genChange)) { changes =>
+      val folded = changes.groupBy(_.user_id)
+        .map { case (k, cs) => k -> cs.reduce(later) }
+      folded == replay(changes)
+    }
+
+  property("LWW partial aggregation: any split merges to the same state") =
+    forAll(Gen.listOf(genChange), Gen.choose(0, 100)) { (changes, cut) =>
+      val (a, b) = changes.splitAt(cut % (changes.length + 1))
+      def fold(cs: List[Change]) =
+        cs.groupBy(_.user_id).map { case (k, v) => k -> v.reduce(later) }
+      val merged = (fold(a).toSeq ++ fold(b).toSeq)
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).reduce(later) }
+      merged == fold(changes)
+    }
+
+  property("streaming KeyState fold equals batch fold") =
+    forAll(Gen.listOf(genChange)) { changes =>
+      // micro-batch the stream arbitrarily (size 3) and fold like
+      // CdcStream.latestState does
+      val streamed = changes.grouped(3).foldLeft(Map.empty[Long, KeyState]) {
+        (state, batch) =>
+          batch.groupBy(_.user_id).foldLeft(state) { case (st, (uid, cs)) =>
+            val c = cs.reduce(later)
+            st.get(uid) match {
+              case Some(s) if !(c.ems > s.last_ems ||
+                (c.ems == s.last_ems && c.event_id > s.last_event_id)) => st
+              case _ => st.updated(uid,
+                KeyState(uid, c.event_id, c.ems, c.op, c.value_cents))
+            }
+          }
+      }
+      val batchRes = replay(changes).map { case (k, c) =>
+        k -> KeyState(k, c.event_id, c.ems, c.op, c.value_cents)
+      }
+      streamed == batchRes
+    }
+
+  private val genSet = Gen.containerOf[Set, Long](Gen.choose(0L, 50L))
+
+  property("Jaccard milli is within [0, 1000] and 1000 iff equal (nonempty)") =
+    forAll(genSet, genSet) { (a, b) =>
+      if (a.isEmpty && b.isEmpty) true
+      else {
+        val inter = a.intersect(b).size.toLong
+        val uni = (a.size + b.size - inter).toLong
+        val jm = inter * 1000 / uni
+        jm >= 0 && jm <= 1000 && ((jm == 1000) == (a == b))
+      }
+    }
+
+  property("partition plan covers [lo, hi] exactly, ranges disjoint & adjacent") =
+    forAll(Gen.choose(0L, 1000L), Gen.choose(1L, 100000L)) { (lo, span) =>
+      val hi = lo + span
+      val n = 8
+      val stride = (hi - lo) / n
+      val ranges = (0L until n).map { pid =>
+        val rlo = lo + pid * stride
+        val rhi = if (pid == n - 1) hi + 1 else lo + (pid + 1) * stride
+        (rlo, rhi)
+      }
+      val structural = ranges.head._1 == lo && ranges.last._2 == hi + 1 &&
+        ranges.sliding(2).forall { case Seq(x, y) => x._2 == y._1 }
+      // exhaustive membership check only for small spans
+      val membership = span > 5000 ||
+        (lo to hi).forall(v => ranges.count(r => v >= r._1 && v < r._2) == 1)
+      structural && membership
+    }
+}
