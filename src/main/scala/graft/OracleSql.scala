@@ -373,6 +373,19 @@ object OracleSql {
         |       AND (puncts * 1000) // chars <= 100 AS VARCHAR) AS keep
         |FROM d""".stripMargin,
 
+    "multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars % 640 AS BIGINT) AS width,
+        |    CAST((doc_id * 37) % 480 AS BIGINT) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN greatest(width, height) <= 224 THEN width
+        |       ELSE (width * 224) // greatest(width, height) END AS out_width,
+        |  CASE WHEN greatest(width, height) <= 224 THEN height
+        |       ELSE (height * 224) // greatest(width, height) END AS out_height
+        |FROM m""".stripMargin,
+
     "ivf_assign" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e

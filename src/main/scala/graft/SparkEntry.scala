@@ -66,6 +66,16 @@ object SparkEntry {
     "multimodal_decode"   -> ((s, dir) =>
       Multimodal.decodeFeatures(s,
         Multimodal.mediaTable(Tables.documents(s, dir))).toDF()),
+    "multimodal_frames"   -> ((s, dir) =>
+      Multimodal.frameSample(s,
+        Multimodal.mediaTable(Tables.documents(s, dir))).toDF()
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame_bytes")).cast("long").as("frame_len"),
+          col("width"), col("height"))),
+    "multimodal_resize"   -> ((s, dir) =>
+      Multimodal.resizeMeta(
+        Multimodal.mediaTable(Tables.documents(s, dir)))
+        .select("doc_id", "width", "height", "out_width", "out_height")),
     "ann_topk"            -> ((s, dir) =>
       Similarity.bruteTopK(Tables.embeddings(s, dir))),
     "ann_lsh"             -> ((s, dir) =>

@@ -44,18 +44,63 @@ object Multimodal {
     (len, mean, first)
   }
 
+  /** Records per decode batch (the mapInPandas batch-size analog). */
+  val DecodeBatchSize = 64
+
   /** Batched per-partition decode: the distributed plumbing around the
-    * stub. Partition count is preserved; each partition iterates its
-    * records once (zero driver involvement). */
+    * stub. Partition count is preserved; each partition drains its
+    * records in fixed-size batches — the exact shape a vectorized
+    * (Arrow/pandas) decode UDF sees — with zero driver involvement. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val (len, mean, first) = decodeStub(bytes)
-          MediaFeatures(id, len, mean, first, frames = len / 1000L + 1L)
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          // a real codec would decode the whole batch in one native call
+          batch.iterator.map { case (id, bytes) =>
+            val (len, mean, first) = decodeStub(bytes)
+            MediaFeatures(id, len, mean, first, frames = len / 1000L + 1L)
+          }
         }
       }
+  }
+
+  /** One sampled frame of a media payload. */
+  case class Frame(doc_id: Long, frame_idx: Long, frame_bytes: Array[Byte],
+                   width: Long, height: Long)
+
+  /** Frame sampling: slice the payload into fixed-size "frames", keep
+    * every `everyN`-th up to `maxFrames` — the video-frame-sample shape
+    * (one input row fans out to 0..maxFrames rows; schema + fan-out are
+    * real, the frame content is the stubbed byte slice). */
+  def frameSample(spark: SparkSession, media: DataFrame,
+                  frameBytes: Int = 100, everyN: Int = 3,
+                  maxFrames: Int = 8): Dataset[Frame] = {
+    import spark.implicits._
+    media.select("doc_id", "payload", "width", "height")
+      .as[(Long, Array[Byte], Long, Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes, w, h) =>
+          bytes.grouped(frameBytes).zipWithIndex
+            .filter(_._2 % everyN == 0)
+            .take(maxFrames)
+            .map { case (chunk, idx) => Frame(id, idx.toLong, chunk, w, h) }
+        }
+      }
+  }
+
+  /** Resize stub: rewrite the metadata (and, in a real codec, the
+    * payload) to a target box preserving aspect ratio — metadata math
+    * is real, pixel work is stubbed. */
+  def resizeMeta(media: DataFrame, maxDim: Long = 224L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val longest = greatest(col("width"), col("height"))
+    media.withColumn("out_width",
+        when(longest <= maxDim, col("width"))
+          .otherwise(expr(s"(width * $maxDim) div greatest(width, height)")))
+      .withColumn("out_height",
+        when(longest <= maxDim, col("height"))
+          .otherwise(expr(s"(height * $maxDim) div greatest(width, height)")))
   }
 
   /** Oracle-checkable feature projection (pure native functions over

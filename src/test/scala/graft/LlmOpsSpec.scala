@@ -185,4 +185,33 @@ class LlmOpsSpec extends AnyFunSuite {
     // partitioning is preserved (no repartition to 1 / driver collect)
     assert(feats.rdd.getNumPartitions === media.rdd.getNumPartitions)
   }
+
+  test("frameSample fans out to every-Nth fixed-size chunk, capped") {
+    val media = Multimodal.mediaTable(docs)
+    val frames = Multimodal.frameSample(spark, media,
+      frameBytes = 100, everyN = 3, maxFrames = 8).collect()
+    val lenById = docs.select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = frames.groupBy(_.doc_id)
+    byDoc.foreach { case (id, fs) =>
+      val nChunks = (lenById(id) + 99) / 100
+      val expected = math.min((nChunks + 2) / 3, 8L)
+      assert(fs.length.toLong === expected, s"doc $id")
+      assert(fs.forall(_.frame_idx % 3 == 0))
+      assert(fs.forall(_.frame_bytes.length <= 100))
+    }
+  }
+
+  test("resizeMeta preserves aspect ratio cap") {
+    val resized = Multimodal.resizeMeta(Multimodal.mediaTable(docs)).collect()
+    resized.foreach { r =>
+      val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+      val (ow, oh) = (r.getAs[Long]("out_width"), r.getAs[Long]("out_height"))
+      if (math.max(w, h) <= 224) assert(ow === w && oh === h)
+      else {
+        assert(math.max(ow, oh) <= 224)
+        assert(ow === w * 224 / math.max(w, h))
+      }
+    }
+  }
 }
