@@ -133,6 +133,10 @@ object OracleSql {
          |       WHEN pending > 400 THEN 'PENDING_HIGH'
          |       WHEN blocked > 10 THEN 'BLOCKED_HIGH'
          |       ELSE 'HEALTHY' END AS alert,
+         |  CASE WHEN error > 10 THEN 'restart'
+         |       WHEN pending > 400 THEN 'webhook'
+         |       WHEN blocked > 10 THEN 'email'
+         |       ELSE 'none' END AS action,
          |  pending, blocked, error, success
          |FROM st""".stripMargin,
 

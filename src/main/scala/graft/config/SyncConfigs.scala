@@ -66,6 +66,24 @@ object SyncConfigs {
       "sync_keys", "n_partitions")
   }
 
+  /** System-table DDL for one database — the bootstrap the reference's
+    * `init/DatabaseInitializer.scala` performs: the change-capture table
+    * the triggers write to, the polled-offset table, and the ack/status
+    * ledger. Our own DDL text, same information content. */
+  def sysTableDdl(sysSchema: String): Seq[String] = Seq(
+    s"CREATE SCHEMA IF NOT EXISTS $sysSchema",
+    s"""CREATE TABLE IF NOT EXISTS $sysSchema.sync_data (
+       |  id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+       |  source_db VARCHAR NOT NULL, target_db VARCHAR NOT NULL,
+       |  schema_name VARCHAR NOT NULL, table_name VARCHAR NOT NULL,
+       |  operation CHAR(1) NOT NULL CHECK (operation IN ('I','U','D')),
+       |  data TEXT NOT NULL, create_time TIMESTAMP DEFAULT now())""".stripMargin,
+    s"CREATE TABLE IF NOT EXISTS $sysSchema.sync_polled (data_id BIGINT PRIMARY KEY)",
+    s"""CREATE TABLE IF NOT EXISTS $sysSchema.sync_data_status (
+       |  data_id BIGINT PRIMARY KEY, status VARCHAR NOT NULL,
+       |  message TEXT, retry INT DEFAULT 0)""".stripMargin,
+    s"CREATE INDEX IF NOT EXISTS idx_sync_data_time ON $sysSchema.sync_data (create_time)")
+
   /** Trigger DDL specs: one row per (sync entry, I/U/D op). Deterministic
     * strings — our own DDL dialect, same information content as the
     * reference's trigger templates. */

@@ -72,14 +72,23 @@ object Ledger {
 
   /** Alert rule evaluation over syncState — mirrors
     * `monitor/SelfMonitor.scala` threshold checks. */
-  def monitorAlerts(changelog: DataFrame): DataFrame =
-    syncState(changelog).select(
-      col("db"),
+  def monitorAlerts(changelog: DataFrame): DataFrame = {
+    val alert =
       when(col("error") > 10, lit("ERR_HIGH"))
         .when(col("pending") > 400, lit("PENDING_HIGH"))
         .when(col("blocked") > 10, lit("BLOCKED_HIGH"))
-        .otherwise(lit("HEALTHY")).as("alert"),
+        .otherwise(lit("HEALTHY"))
+    // action routing mirrors the reference's ActionHandler registry
+    // (monitor/{Restart,Email,Webhook}ActionHandler.scala)
+    val action =
+      when(alert === "ERR_HIGH", lit("restart"))
+        .when(alert === "PENDING_HIGH", lit("webhook"))
+        .when(alert === "BLOCKED_HIGH", lit("email"))
+        .otherwise(lit("none"))
+    syncState(changelog).select(
+      col("db"), alert.as("alert"), action.as("action"),
       col("pending"), col("blocked"), col("error"), col("success"))
+  }
 
   /** Bounded-retry schedule per partition: eligible (retry < MaxRetry)
     * vs exhausted errors, and the next id each partition worker would

@@ -55,22 +55,54 @@ object JdbcSync {
        |LEFT JOIN $sysSchema.sync_polled t2 ON t1.id = t2.data_id
        |WHERE t2.data_id IS NULL ORDER BY t1.id LIMIT $batch""".stripMargin
 
-  /** Upsert statement for one sync table (ANSI MERGE shape; the
-    * reference emits INSERT..ON CONFLICT / ON DUPLICATE KEY per
-    * dialect). Executed per partition by a JDBC sink. */
-  def upsertSql(sync: SyncConfig, columns: Seq[String]): String = {
+  /** Upsert statement for one sync table, per target dialect — the
+    * reference emits INSERT..ON CONFLICT (postgresql/greenplum,
+    * `dbopt/PgOperation.scala:49-82`) or INSERT..ON DUPLICATE KEY
+    * (mysql, `dbopt/MysqlOperation.scala`). Executed per partition by a
+    * JDBC sink. */
+  def upsertSql(sync: SyncConfig, columns: Seq[String],
+                dialect: String = "postgresql"): String = {
     val keys = sync.sourceKeys.split(",").toSeq
     val nonKeys = columns.filterNot(keys.contains)
     val target = s"${sync.sourceSchema}.${sync.sourceTable}"
     val cols = columns.mkString(", ")
     val placeholders = columns.map(_ => "?").mkString(", ")
-    if (nonKeys.isEmpty)
-      s"INSERT INTO $target ($cols) VALUES ($placeholders) " +
-        s"ON CONFLICT (${keys.mkString(", ")}) DO NOTHING"
-    else
-      s"INSERT INTO $target ($cols) VALUES ($placeholders) " +
-        s"ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET " +
-        nonKeys.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    dialect match {
+      case "postgresql" | "greenplum" =>
+        if (nonKeys.isEmpty)
+          s"INSERT INTO $target ($cols) VALUES ($placeholders) " +
+            s"ON CONFLICT (${keys.mkString(", ")}) DO NOTHING"
+        else
+          s"INSERT INTO $target ($cols) VALUES ($placeholders) " +
+            s"ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET " +
+            nonKeys.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      case "mysql" =>
+        if (nonKeys.isEmpty)
+          s"INSERT IGNORE INTO $target ($cols) VALUES ($placeholders)"
+        else
+          s"INSERT INTO $target ($cols) VALUES ($placeholders) " +
+            "ON DUPLICATE KEY UPDATE " +
+            nonKeys.map(c => s"$c = VALUES($c)").mkString(", ")
+      case other => throw new IllegalArgumentException(s"unsupported dialect: $other")
+    }
+  }
+
+  /** Greenplum bulk-load path (the reference's gpfdist fast lane,
+    * `dbopt/GpOperation.scala`): stage partition files behind a file
+    * server, map them as a readable external table, INSERT..SELECT.
+    * In Spark the staging IS the DataFrame write — each partition
+    * writes one file in parallel. */
+  def bulkLoadSql(sync: SyncConfig, columns: Seq[String],
+                  gpfdistUrl: String): Seq[String] = {
+    val target = s"${sync.sourceSchema}.${sync.sourceTable}"
+    val ext = s"ext_${sync.sourceTable}_stage"
+    val cols = columns.mkString(", ")
+    Seq(
+      s"DROP EXTERNAL TABLE IF EXISTS $ext",
+      s"CREATE READABLE EXTERNAL TABLE $ext (LIKE $target) " +
+        s"LOCATION ('$gpfdistUrl/part-*.csv') FORMAT 'CSV'",
+      s"INSERT INTO $target ($cols) SELECT $cols FROM $ext",
+      s"DROP EXTERNAL TABLE $ext")
   }
 
   /** Delete statement keyed on the sync keys. */

@@ -40,6 +40,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(JdbcSync.pollSql("dbsync", 500).contains("LIMIT 500"))
     assert(JdbcSync.url(cfg.dbs.head).startsWith("jdbc:postgresql://"))
     assert(JdbcSync.url(cfg.dbs(1)).startsWith("jdbc:mysql://"))
+    // mysql dialect
+    val my = JdbcSync.upsertSql(sync, Seq("l_orderkey", "l_linenumber", "l_quantity"),
+      dialect = "mysql")
+    assert(my.contains("ON DUPLICATE KEY UPDATE l_quantity = VALUES(l_quantity)"))
+    assert(JdbcSync.upsertSql(sync, Seq("l_orderkey", "l_linenumber"),
+      dialect = "mysql").startsWith("INSERT IGNORE"))
+    // greenplum bulk path
+    val bulk = JdbcSync.bulkLoadSql(sync, Seq("l_orderkey", "l_quantity"),
+      "gpfdist://host:8081/stage")
+    assert(bulk.length === 4)
+    assert(bulk(1).contains("READABLE EXTERNAL TABLE"))
+    assert(bulk(2).startsWith("INSERT INTO public.lineitem"))
+    // sys-table bootstrap DDL
+    val ddl = SyncConfigs.sysTableDdl("dbsync")
+    assert(ddl.exists(_.contains("sync_data (")))
+    assert(ddl.exists(_.contains("sync_polled")))
+    assert(ddl.exists(_.contains("sync_data_status")))
   }
 
   test("quality_filter verdicts follow the rules") {
