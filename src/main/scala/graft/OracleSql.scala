@@ -5,6 +5,15 @@ package graft
   * ns timestamps, CAST on every SUM because DuckDB sums to HUGEINT).
   */
 object OracleSql {
+  /** Hyperplane literals for the LSH oracles — same planes as
+    * operators.Similarity; Double.toString round-trips exactly. */
+  private def planeLit(p: Array[Double]): String =
+    p.mkString("[", ", ", "]::DOUBLE[]")
+
+  private lazy val bucketExpr: String =
+    graft.operators.Similarity.hyperplanes.zipWithIndex.map { case (p, b) =>
+      s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
   /** Shared normalized-changelog CTE body — the SQL twin of
     * operators.ChangeLog.normalize. */
   val CL: String =
@@ -426,6 +435,51 @@ object OracleSql {
         |      ORDER BY list_cosine_similarity(q.qv, c.v) DESC, pr.vec_id) AS rn
         |  FROM probed pr JOIN q ON pr.q_id = q.q_id
         |  JOIN cand c ON pr.vec_id = c.vec_id) t WHERE rn <= 10""".stripMargin,
+
+    "ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cand_id, v AS cv, bucket FROM b WHERE vec_id >= 8),
+         |s AS (SELECT q_id, cand_id, list_cosine_similarity(qv, cv) AS sim,
+         |  ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY list_cosine_similarity(qv, cv) DESC, cand_id) AS rn
+         |  FROM q JOIN c USING (bucket))
+         |SELECT q_id, cand_id, CAST(rn AS BIGINT) AS rank,
+         |       CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_e6
+         |FROM s WHERE rn <= 10""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+         |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |  CAST(ROUND(list_cosine_similarity(a.v, b2.v) * 1000000) AS BIGINT) AS sim_e6
+         |  FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
+         |SELECT id_a, id_b, sim_e6 FROM p WHERE sim_e6 >= 950000""".stripMargin,
+
+    "multimodal_decode" ->
+      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len, text
+        |           FROM documents)
+        |SELECT doc_id, len AS byte_len,
+        |  CAST(list_sum(list_transform(string_split(text, ''),
+        |       x -> unicode(x))) // len AS BIGINT) AS mean_byte,
+        |  CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+        |  len // 1000 + 1 AS frames
+        |FROM m""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len,
+        |    CAST(n_chars % 640 AS BIGINT) AS width,
+        |    CAST((doc_id * 37) % 480 AS BIGINT) AS height
+        |  FROM documents),
+        |x AS (SELECT doc_id, len, width, height,
+        |    UNNEST(range(0, (len + 99) // 100)) AS idx FROM m),
+        |f AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) AS rn
+        |      FROM x WHERE idx % 3 = 0)
+        |SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
+        |  CAST(least(100, len - idx * 100) AS BIGINT) AS frame_len,
+        |  width, height
+        |FROM f WHERE rn <= 8""".stripMargin,
 
     "ann_topk" ->
       """WITH q AS (
