@@ -190,6 +190,41 @@ object OracleSql {
          |  CAST(COUNT(CASE WHEN epoch_s < max_s - 259200 THEN 1 END) AS BIGINT) AS n_cleaned
          |FROM cl, wm GROUP BY 1, 2""".stripMargin,
 
+    "scd2_history" ->
+      s"""WITH $CL,
+         |h AS (SELECT *,
+         |  LEAD(ems, 1) OVER (PARTITION BY user_id
+         |    ORDER BY ems, event_id) AS valid_to_ms
+         |  FROM cl)
+         |SELECT user_id, event_id, op, value_cents,
+         |  ems AS valid_from_ms, valid_to_ms,
+         |  CASE WHEN valid_to_ms IS NULL THEN 'true' ELSE 'false' END AS is_current
+         |FROM h WHERE op <> 'D'""".stripMargin,
+
+    "event_gaps" ->
+      s"""WITH $CL,
+         |g AS (SELECT user_id, event_id, ems,
+         |  LAG(ems, 1) OVER (PARTITION BY user_id ORDER BY ems, event_id) AS prev_ems,
+         |  LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY ems, event_id) AS prev_event_id
+         |  FROM cl)
+         |SELECT user_id, event_id, prev_event_id, ems - prev_ems AS gap_ms
+         |FROM g WHERE prev_ems IS NOT NULL""".stripMargin,
+
+    "sessionize" ->
+      s"""WITH $CL,
+         |g AS (SELECT user_id, event_id, ems,
+         |  ems - LAG(ems, 1) OVER (PARTITION BY user_id ORDER BY ems, event_id) AS gap_ms
+         |  FROM cl),
+         |s AS (SELECT user_id, ems,
+         |  SUM(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY ems, event_id) AS session_id
+         |  FROM g)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  MIN(ems) AS start_ms, MAX(ems) AS end_ms,
+         |  MAX(ems) - MIN(ems) AS duration_ms
+         |FROM s GROUP BY 1, 2""".stripMargin,
+
     "queue_depth" ->
       s"""WITH $CL
          |SELECT part, (ems - ems % 3600000) // 1000 AS hour_s,

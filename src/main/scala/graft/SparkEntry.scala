@@ -39,6 +39,9 @@ object SparkEntry {
     "clean_retention"     -> ((s, dir) => Ledger.cleanRetention(cl(s, dir))),
     "queue_depth"         -> ((s, dir) => Ledger.queueDepth(cl(s, dir))),
     "status_rollup"       -> ((s, dir) => Ledger.statusRollup(cl(s, dir))),
+    "scd2_history"        -> ((s, dir) => Temporal.scd2History(cl(s, dir))),
+    "event_gaps"          -> ((s, dir) => Temporal.eventGaps(cl(s, dir))),
+    "sessionize"          -> ((s, dir) => Temporal.sessionize(cl(s, dir))),
     "pause_filter"        -> ((s, dir) => Ledger.pauseFilter(cl(s, dir))),
     "initial_sync"        -> ((s, dir) =>
       Snapshot.initialSync(Tables.customer(s, dir), Tables.nation(s, dir),
