@@ -72,6 +72,22 @@ object OracleSql {
          |FROM base b FULL OUTER JOIN last l ON b.c_custkey = l.user_id
          |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
 
+    "pipeline_e2e" ->
+      s"""WITH $CL, $LAST,
+         |base AS (
+         |  SELECT c_custkey, c_name, c_mktsegment,
+         |         CAST(ROUND(c_acctbal*100) AS BIGINT) AS base_cents
+         |  FROM customer)
+         |SELECT COALESCE(l.user_id, b.c_custkey) AS key,
+         |       COALESCE(b.c_name, 'user_' || l.user_id) AS name,
+         |       COALESCE(b.c_mktsegment, 'NEW') AS mktsegment,
+         |       COALESCE(l.value_cents, b.base_cents) AS acctbal_cents,
+         |       CASE WHEN l.op IS NULL THEN 'BASE'
+         |            WHEN b.c_custkey IS NULL THEN 'INSERT'
+         |            ELSE 'UPDATE' END AS apply_op
+         |FROM base b FULL OUTER JOIN last l ON b.c_custkey = l.user_id
+         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+
     "cdc_delete_apply" ->
       s"""WITH $CL, $LAST,
          |del AS (SELECT user_id FROM last WHERE op = 'D')

@@ -53,6 +53,7 @@ object SparkEntry {
     "config_matrix"       -> ((s, _) => SyncConfigs.configMatrix(s)),
     "trigger_specs"       -> ((s, _) => SyncConfigs.triggerSpecs(s)),
     "stream_window_agg"   -> ((s, dir) => streamWindowAgg(s, dir)),
+    "pipeline_e2e"        -> ((s, dir) => Pipeline.run(s, dir).applied),
     // LLM-data-pipeline operators (SURVEY.md §2 #23-34)
     "dedup_exact"         -> ((s, dir) =>
       TextAnalysis.dedupExact(Tables.documents(s, dir))),
