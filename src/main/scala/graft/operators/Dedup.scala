@@ -63,20 +63,30 @@ object Dedup {
   def minhashCandidates(documents: DataFrame): DataFrame =
     candidatesFromSignatures(docSignatures(documents))
 
+  /** Above this bucket size, emit star pairs (keeper ↔ member) instead
+    * of all pairs: a mass-duplicate cluster of B docs then costs O(B)
+    * rows instead of O(B²) on one reducer, and dedup semantics are
+    * preserved transitively through the keeper. */
+  val MaxQuadraticBucket = 64
+
   private[operators] def candidatesFromSignatures(sigs: DataFrame): DataFrame = {
     val banded = sigs
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${Bands - 1}), " +
           s"b -> xxhash64(slice(mh, b*$RowsPerBand + 1, $RowsPerBand), b))"))
         .as(Seq("band", "sig")))
+    val allPairs =
+      "flatten(transform(ids, (a, i) -> " +
+        "transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"
+    val starPairs =
+      "transform(slice(ids, 2, size(ids) - 1), b -> struct(ids[0] as a, b))"
     banded
       .groupBy("band", "sig")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"))
-        .as("p"))
+      .select(explode(
+        when(size(col("ids")) <= MaxQuadraticBucket, expr(allPairs))
+          .otherwise(expr(starPairs))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }

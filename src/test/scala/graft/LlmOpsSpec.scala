@@ -129,6 +129,23 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mass-duplicate cluster: star pairs (linear), dedup keeps one copy") {
+    import spark.implicits._
+    val cluster = (1L to 100L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val other = Seq((200L,
+      "completely different content with no overlap whatsoever here now"))
+    val docs = (cluster ++ other).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(docs)
+    // 100 identical docs > MaxQuadraticBucket ⇒ star: exactly 99 pairs
+    assert(pairs.count() === 99)
+    assert(pairs.where(col("doc_a") =!= 1L).count() === 0)
+    val kept = Dedup.dedupApply(docs.withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 200L))
+  }
+
   test("minhashDedup keeps the smaller doc_id as canonical") {
     val d = Dedup.minhashDedup(docs).collect()
     assert(d.forall(r => r.getAs[Long]("keeper_doc_id") < r.getAs[Long]("dup_doc_id")))
