@@ -96,6 +96,22 @@ object OracleSql {
          |FROM customer c
          |WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.user_id = c.c_custkey)""".stripMargin,
 
+    "incremental_agg" ->
+      s"""WITH $CL, $LAST,
+         |base AS (
+         |  SELECT c_custkey, c_name, c_mktsegment,
+         |         CAST(ROUND(c_acctbal*100) AS BIGINT) AS base_cents
+         |  FROM customer),
+         |applied AS (
+         |  SELECT COALESCE(b.c_mktsegment, 'NEW') AS mktsegment,
+         |         COALESCE(l.value_cents, b.base_cents) AS acctbal_cents
+         |  FROM base b FULL OUTER JOIN last l ON b.c_custkey = l.user_id
+         |  WHERE l.op IS NULL OR l.op <> 'D')
+         |SELECT mktsegment,
+         |  CAST(SUM(acctbal_cents) AS BIGINT) AS acctbal_cents,
+         |  CAST(COUNT(*) AS BIGINT) AS n_customers
+         |FROM applied GROUP BY 1""".stripMargin,
+
     "ordered_apply" ->
       s"""WITH $CL, $LAST
          |SELECT part,

@@ -28,6 +28,8 @@ object SparkEntry {
       CdcMerge.upsertApply(cl(s, dir), Tables.customer(s, dir))),
     "cdc_delete_apply"    -> ((s, dir) =>
       CdcMerge.deleteApply(cl(s, dir), Tables.customer(s, dir))),
+    "incremental_agg"     -> ((s, dir) =>
+      CdcMerge.incrementalAgg(cl(s, dir), Tables.customer(s, dir))),
     "ordered_apply"       -> ((s, dir) => ChangeLog.orderedApply(cl(s, dir))),
     "route_fanout"        -> ((s, dir) => ChangeLog.routeFanout(cl(s, dir))),
     "batch_ack"           -> ((s, dir) => Ledger.batchAck(cl(s, dir))),

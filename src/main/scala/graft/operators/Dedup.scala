@@ -148,22 +148,31 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 4 bands of 16 bits as bucket keys, exact
-    * hamming check (bit_count of xor) within buckets only. */
+    * hamming check (bit_count of xor) within buckets only — with the
+    * same star-pattern cap as MinHash so a mass-duplicate bucket stays
+    * linear. */
   def simhashDedup(documents: DataFrame): DataFrame = {
     val hashed = simhashes(documents)
     val banded = hashed.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)"))
         .as(Seq("band", "key")))
-    val a = banded.select(col("band"), col("key"),
-      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band"), col("key"),
-      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
-          .as("hamming"))
+    val allPairs =
+      "flatten(transform(ds, (a, i) -> " +
+        "transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))"
+    val starPairs =
+      "transform(slice(ds, 2, size(ds) - 1), b -> struct(ds[0] as a, b))"
+    banded
+      .groupBy("band", "key")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(
+        when(size(col("ds")) <= MaxQuadraticBucket, expr(allPairs))
+          .otherwise(expr(starPairs))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
+          .cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= MaxHamming)
   }
