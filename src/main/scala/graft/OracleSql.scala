@@ -257,6 +257,26 @@ object OracleSql {
          |  MAX(ems) - MIN(ems) AS duration_ms
          |FROM s GROUP BY 1, 2""".stripMargin,
 
+    "asof_enrich" ->
+      s"""WITH $CL,
+         |op AS (
+         |  SELECT o_custkey, epoch_ms(o_orderdate) AS t,
+         |    arg_max(CAST(ROUND(o_totalprice*100) AS BIGINT), o_orderkey) AS price_cents
+         |  FROM orders GROUP BY 1, 2)
+         |SELECT cl.event_id, cl.user_id, cl.ems,
+         |       op.price_cents AS last_order_cents
+         |FROM cl ASOF LEFT JOIN op
+         |  ON cl.user_id = op.o_custkey AND cl.ems >= op.t""".stripMargin,
+
+    "range_join_events" ->
+      s"""WITH $CL
+         |SELECT o.o_orderkey, CAST(COUNT(cl.event_id) AS BIGINT) AS n_events_7d
+         |FROM orders o LEFT JOIN cl
+         |  ON cl.user_id = o.o_custkey
+         |  AND cl.ems >= epoch_ms(o.o_orderdate)
+         |  AND cl.ems < epoch_ms(o.o_orderdate) + 604800000
+         |GROUP BY 1""".stripMargin,
+
     "queue_depth" ->
       s"""WITH $CL
          |SELECT part, (ems - ems % 3600000) // 1000 AS hour_s,

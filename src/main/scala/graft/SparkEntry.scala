@@ -44,6 +44,10 @@ object SparkEntry {
     "scd2_history"        -> ((s, dir) => Temporal.scd2History(cl(s, dir))),
     "event_gaps"          -> ((s, dir) => Temporal.eventGaps(cl(s, dir))),
     "sessionize"          -> ((s, dir) => Temporal.sessionize(cl(s, dir))),
+    "asof_enrich"         -> ((s, dir) =>
+      Joins.asofEnrich(cl(s, dir), Tables.orders(s, dir))),
+    "range_join_events"   -> ((s, dir) =>
+      Joins.rangeJoinEvents(cl(s, dir), Tables.orders(s, dir))),
     "pause_filter"        -> ((s, dir) => Ledger.pauseFilter(cl(s, dir))),
     "initial_sync"        -> ((s, dir) =>
       Snapshot.initialSync(Tables.customer(s, dir), Tables.nation(s, dir),

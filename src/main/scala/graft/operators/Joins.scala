@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join shapes Spark lacks natively, composed scale-safely:
+  *
+  *  - As-of join: each left row picks the latest right row with
+  *    t_right <= t_left per key. Implemented with the union+window
+  *    trick (tag sides, sort (t, side), running last_value of the
+  *    right payload) — ONE hash shuffle on the key, no inequality
+  *    join, no per-row probe. A custom LogicalPlan/Strategy isn't
+  *    needed; this plan is already the one a custom operator would
+  *    produce.
+  *  - Range join: right rows match a [t, t+window) interval. A naive
+  *    inequality join is a BroadcastNestedLoop at any size; instead
+  *    both sides are bucketed into time bands, the interval side
+  *    explodes into its covered bands, and the join is an equi-join on
+  *    (key, band) with the exact range predicate as a residual filter.
+  */
+object Joins {
+  /** One day in ms — the range-join band width. */
+  val BandMs = 86400000L
+
+  /** Range-join window: events within 7 days after an order. */
+  val RangeWindowMs: Long = 7L * BandMs
+
+  /** Orders reduced to unique (custkey, epoch-ms) points: cents of the
+    * highest orderkey on ties — deterministic on both engines. */
+  def orderPoints(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        col("o_custkey"),
+        // o_orderdate is parquet TIMESTAMP_NTZ; session tz is UTC, so
+        // the cast matches DuckDB's naive epoch_ms exactly
+        unix_millis(col("o_orderdate").cast("timestamp")).as("t"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .groupBy("o_custkey", "t")
+      .agg(max_by(col("price_cents"), col("o_orderkey")).as("price_cents"))
+
+  /** As-of enrichment: each change annotated with the customer's most
+    * recent order (by event time). */
+  def asofEnrich(changelog: DataFrame, orders: DataFrame): DataFrame = {
+    val left = changelog.select(
+      col("user_id").as("key"), col("ems").as("t"),
+      col("event_id"), lit(null).cast("long").as("price_cents"),
+      lit(1).as("side"))
+    val right = orderPoints(orders).select(
+      col("o_custkey").as("key"), col("t"),
+      lit(null).cast("long").as("event_id"), col("price_cents"),
+      lit(0).as("side"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("t"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("last_order_cents",
+        last(col("price_cents"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("event_id"), col("key").as("user_id"), col("t").as("ems"),
+        col("last_order_cents"))
+  }
+
+  /** Bucketed range join: events within [order time, order time + 7d)
+    * per customer, counted per order. The order side explodes into its
+    * covered day-bands (8 rows per order), the event side buckets into
+    * one band — the join is a plain equi-join on (key, band). */
+  def rangeJoinEvents(changelog: DataFrame, orders: DataFrame): DataFrame = {
+    val o = orders.select(
+      col("o_orderkey"), col("o_custkey"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("o_ems"))
+      .withColumn("band", explode(expr(
+        s"sequence(o_ems div $BandMs, (o_ems + $RangeWindowMs - 1) div $BandMs)")))
+    val e = changelog.select(
+      col("user_id"), col("ems"), col("event_id"),
+      expr(s"ems div $BandMs").as("band"))
+    o.join(e,
+        o("o_custkey") === e("user_id") && o("band") === e("band") &&
+          e("ems") >= o("o_ems") && e("ems") < o("o_ems") + RangeWindowMs,
+        "left")
+      .groupBy("o_orderkey")
+      .agg(count(col("event_id")).as("n_events_7d"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ChangeLog, Joins}
+
+class JoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val cl = ChangeLog.normalize(Tables.events(spark, TestSpark.Sf)).cache()
+  private lazy val orders = Tables.orders(spark, TestSpark.Sf)
+
+  test("asofEnrich picks the latest order at-or-before each event, per key") {
+    val points = Joins.orderPoints(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .groupBy(_._1._1)
+      .map { case (k, vs) => k -> vs.map { case ((_, t), p) => (t, p) }.sortBy(_._1) }
+    val enriched = Joins.asofEnrich(cl, orders).collect()
+    val events = cl.select("event_id", "user_id", "ems").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enriched.length === events.size)
+    enriched.foreach { r =>
+      val (uid, ems) = events(r.getLong(0))
+      val expected = points.get(uid)
+        .flatMap(ts => ts.filter(_._1 <= ems).lastOption.map(_._2))
+      val got = Option(r.getAs[java.lang.Long]("last_order_cents")).map(_.toLong)
+      assert(got === expected, s"event ${r.getLong(0)}")
+    }
+  }
+
+  test("rangeJoinEvents equals a brute-force inequality count") {
+    val got = Joins.rangeJoinEvents(cl, orders).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evs = cl.select("user_id", "ems").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val brute = orders.select(col("o_orderkey"), col("o_custkey"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("t")).collect()
+      .map { r =>
+        val n = evs.getOrElse(r.getLong(1), Array.empty[(Long, Long)])
+          .count { case (_, ems) =>
+            ems >= r.getLong(2) && ems < r.getLong(2) + Joins.RangeWindowMs }
+        r.getLong(0) -> n.toLong
+      }.toMap
+    assert(got === brute)
+  }
+}
