@@ -71,6 +71,8 @@ object SparkEntry {
       TextAnalysis.tokenCount(Tables.documents(s, dir))),
     "doc_fingerprint"     -> ((s, dir) =>
       TextAnalysis.docFingerprint(Tables.documents(s, dir))),
+    "doc_winnow"          -> ((s, dir) =>
+      TextAnalysis.winnowStats(Tables.documents(s, dir))),
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(Tables.documents(s, dir))),
     "multimodal_decode"   -> ((s, dir) =>

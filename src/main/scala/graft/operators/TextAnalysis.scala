@@ -111,6 +111,48 @@ object TextAnalysis {
           col("tokens") >= 10L &&
           col("punct_milli") <= 100L).cast("string"))
 
+  /** Winnowing parameters: k-gram size and window width (Schleimer/
+    * Wilkerson/Aiken winnowing — the rolling-hash fingerprint family). */
+  val WinnowK = 5
+  val WinnowW = 4
+
+  /** Winnowed document fingerprints: hash every token k-gram, slide a
+    * w-wide window over the hash sequence, keep each window's minimum —
+    * the classic guarantee that any shared run of ≥ w+k-1 tokens
+    * yields at least one shared fingerprint. The window-min is a
+    * catalyst Window over the exploded positions (codegen'd), not a
+    * per-row lambda. */
+  def winnowFingerprints(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val toks = documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val kgrams = toks
+      .where(size(col("toks")) >= WinnowK)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks)-$WinnowK), " +
+          s"i -> xxhash64(concat_ws(' ', slice(toks, i+1, $WinnowK))))"))
+        .as(Seq("pos", "h")))
+    val win = W.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, WinnowW - 1)
+    kgrams
+      .withColumn("n_kgrams", count(lit(1)).over(W.partitionBy("doc_id")))
+      .withColumn("fp", min(col("h")).over(win))
+      // window start positions only — AFTER the min so the last window
+      // still sees its full w-wide frame
+      .where(col("pos") <= col("n_kgrams") - WinnowW)
+      .groupBy("doc_id")
+      .agg(collect_set("fp").as("fps"))
+      .select(col("doc_id"), col("fps"),
+        size(col("fps")).cast("long").as("n_fps"))
+  }
+
+  /** Query-shaped winnowing summary (fingerprint arrays are not
+    * hash-stable across engines, so expose scalar stats). */
+  def winnowStats(documents: DataFrame): DataFrame =
+    winnowFingerprints(documents).select(
+      col("doc_id"), col("n_fps"),
+      array_min(col("fps")).as("min_fp"),
+      array_max(col("fps")).as("max_fp"))
+
   /** Exact dedup: group identical texts (by md5), keep the smallest
     * doc_id as the canonical copy. One hash shuffle on the digest. */
   def dedupExact(documents: DataFrame): DataFrame =

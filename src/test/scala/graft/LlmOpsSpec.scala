@@ -183,6 +183,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fps(1L) !== fps(3L))
   }
 
+  test("winnowing: docs sharing a long run share a fingerprint; disjoint docs don't") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, s"one two three four five $shared"),
+      (2L, s"$shared six seven eight nine ten"),
+      (3L, "completely unrelated words without any common run at all yes")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // shared run of 10 tokens >= w+k-1 = 8 ⇒ guaranteed common fingerprint
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+    // winnowing matches a naive reference implementation
+    def naive(text: String): Set[Long] = {
+      val toks = text.split(" ")
+      val hs = toks.sliding(TextAnalysis.WinnowK)
+        .map(g => g.mkString(" ")).toArray
+      // xxhash64 via Spark for identical hashing
+      val hashes = hs.toSeq.toDF("s")
+        .select(xxhash64(col("s"))).collect().map(_.getLong(0))
+      hashes.sliding(TextAnalysis.WinnowW).map(_.min).toSet
+    }
+    assert(fps(1L) === naive(s"one two three four five $shared"))
+  }
+
   test("dedupExact groups every doc exactly once") {
     val d = TextAnalysis.dedupExact(docs)
     assert(d.agg(sum("n_copies")).collect().head.getLong(0) === docs.count())
