@@ -37,6 +37,24 @@ object OracleSql {
       |                             ORDER BY ems DESC, event_id DESC) = 1
       |)""".stripMargin
 
+  /** Shared by cdc_upsert_apply and pipeline_e2e (the pipeline's
+    * applied output IS the upsert apply — one definition, two gates). */
+  private val UpsertApplySql: String =
+    s"""WITH $CL, $LAST,
+       |base AS (
+       |  SELECT c_custkey, c_name, c_mktsegment,
+       |         CAST(ROUND(c_acctbal*100) AS BIGINT) AS base_cents
+       |  FROM customer)
+       |SELECT COALESCE(l.user_id, b.c_custkey) AS key,
+       |       COALESCE(b.c_name, 'user_' || l.user_id) AS name,
+       |       COALESCE(b.c_mktsegment, 'NEW') AS mktsegment,
+       |       COALESCE(l.value_cents, b.base_cents) AS acctbal_cents,
+       |       CASE WHEN l.op IS NULL THEN 'BASE'
+       |            WHEN b.c_custkey IS NULL THEN 'INSERT'
+       |            ELSE 'UPDATE' END AS apply_op
+       |FROM base b FULL OUTER JOIN last l ON b.c_custkey = l.user_id
+       |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin
+
   val sql: Map[String, String] = Map(
     "changelog_normalize" ->
       s"""WITH $CL
@@ -56,37 +74,9 @@ object OracleSql {
          |       epoch_s AS last_epoch_s, value_cents AS last_value_cents
          |FROM last WHERE op <> 'D'""".stripMargin,
 
-    "cdc_upsert_apply" ->
-      s"""WITH $CL, $LAST,
-         |base AS (
-         |  SELECT c_custkey, c_name, c_mktsegment,
-         |         CAST(ROUND(c_acctbal*100) AS BIGINT) AS base_cents
-         |  FROM customer)
-         |SELECT COALESCE(l.user_id, b.c_custkey) AS key,
-         |       COALESCE(b.c_name, 'user_' || l.user_id) AS name,
-         |       COALESCE(b.c_mktsegment, 'NEW') AS mktsegment,
-         |       COALESCE(l.value_cents, b.base_cents) AS acctbal_cents,
-         |       CASE WHEN l.op IS NULL THEN 'BASE'
-         |            WHEN b.c_custkey IS NULL THEN 'INSERT'
-         |            ELSE 'UPDATE' END AS apply_op
-         |FROM base b FULL OUTER JOIN last l ON b.c_custkey = l.user_id
-         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+    "cdc_upsert_apply" -> UpsertApplySql,
 
-    "pipeline_e2e" ->
-      s"""WITH $CL, $LAST,
-         |base AS (
-         |  SELECT c_custkey, c_name, c_mktsegment,
-         |         CAST(ROUND(c_acctbal*100) AS BIGINT) AS base_cents
-         |  FROM customer)
-         |SELECT COALESCE(l.user_id, b.c_custkey) AS key,
-         |       COALESCE(b.c_name, 'user_' || l.user_id) AS name,
-         |       COALESCE(b.c_mktsegment, 'NEW') AS mktsegment,
-         |       COALESCE(l.value_cents, b.base_cents) AS acctbal_cents,
-         |       CASE WHEN l.op IS NULL THEN 'BASE'
-         |            WHEN b.c_custkey IS NULL THEN 'INSERT'
-         |            ELSE 'UPDATE' END AS apply_op
-         |FROM base b FULL OUTER JOIN last l ON b.c_custkey = l.user_id
-         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+    "pipeline_e2e" -> UpsertApplySql,
 
     "cdc_delete_apply" ->
       s"""WITH $CL, $LAST,
@@ -545,12 +535,14 @@ object OracleSql {
          |SELECT id_a, id_b, sim_e6 FROM p WHERE sim_e6 >= 950000""".stripMargin,
 
     "multimodal_decode" ->
-      """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len, text
-        |           FROM documents)
+      """WITH m AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS len,
+        |    hex(encode(text)) AS hx
+        |  FROM documents)
         |SELECT doc_id, len AS byte_len,
-        |  CAST(list_sum(list_transform(string_split(text, ''),
-        |       x -> unicode(x))) // len AS BIGINT) AS mean_byte,
-        |  CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+        |  CAST(list_sum(list_transform(regexp_extract_all(hx, '..'),
+        |       x -> ('0x' || x)::INT)) // len AS BIGINT) AS mean_byte,
+        |  CAST(('0x' || substr(hx, 1, 2))::INT AS BIGINT) AS first_byte,
         |  len // 1000 + 1 AS frames
         |FROM m""".stripMargin,
 

@@ -34,15 +34,15 @@ object Pipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
     val r = run(spark, sfDir)
-    val rows = r.applied.count()
-    val inserts = r.applied.where(org.apache.spark.sql.functions
-      .col("apply_op") === "INSERT").count()
-    val updates = r.applied.where(org.apache.spark.sql.functions
-      .col("apply_op") === "UPDATE").count()
-    val alerts = r.alerts.where(org.apache.spark.sql.functions
-      .col("alert") =!= "HEALTHY").count()
-    println(s"""{"pipeline":"sync_pass","applied_rows":$rows,"inserts":$inserts,"updates":$updates,"active_alerts":$alerts}""")
+    // one job over the applied plan, not three
+    val s = r.applied.agg(
+      count(lit(1)).as("rows"),
+      count(when(col("apply_op") === "INSERT", 1)).as("inserts"),
+      count(when(col("apply_op") === "UPDATE", 1)).as("updates")).collect().head
+    val alerts = r.alerts.where(col("alert") =!= "HEALTHY").count()
+    println(s"""{"pipeline":"sync_pass","applied_rows":${s.getLong(0)},"inserts":${s.getLong(1)},"updates":${s.getLong(2)},"active_alerts":$alerts}""")
     spark.stop()
   }
 }

@@ -1,10 +1,23 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+private[functions] object VectorTypeCheck {
+  /** Inputs must be array<float>: ArrayData.getFloat on any other
+    * backing silently reads garbage, so reject at analysis time. */
+  def check(name: String, types: Seq[DataType]): TypeCheckResult =
+    if (types.forall {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<float> arguments, got ${types.mkString(", ")}")
+}
 
 /** Native Catalyst expression for cosine similarity over
   * `array<float>` embedding columns — stays inside whole-stage codegen
@@ -19,6 +32,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
 
   override def prettyName: String = "cosine_similarity"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.check(prettyName, Seq(left.dataType, right.dataType))
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -76,6 +92,9 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
   override def nullIntolerant: Boolean = true
 
   override def prettyName: String = "hyperplane_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.check(prettyName, Seq(child.dataType))
 
   @transient private lazy val nPlanes = planes.length
 

@@ -42,7 +42,8 @@ object Similarity {
       z ^ (z >>> 31)
     }
     Array.fill(Planes) {
-      Array.fill(Dim)((next() >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0)
+      // 53-bit mantissa / 2^53 → [0,1), then map to [-1,1)
+      Array.fill(Dim)((next() >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0)
     }
   }
 

@@ -137,8 +137,9 @@ object TextAnalysis {
       .withColumn("n_kgrams", count(lit(1)).over(W.partitionBy("doc_id")))
       .withColumn("fp", min(col("h")).over(win))
       // window start positions only — AFTER the min so the last window
-      // still sees its full w-wide frame
-      .where(col("pos") <= col("n_kgrams") - WinnowW)
+      // still sees its full w-wide frame; docs with fewer than w
+      // k-grams keep their single truncated window (pos 0)
+      .where(col("pos") <= greatest(col("n_kgrams") - WinnowW, lit(0L)))
       .groupBy("doc_id")
       .agg(collect_set("fp").as("fps"))
       .select(col("doc_id"), col("fps"),

@@ -14,17 +14,27 @@ import graft.operators.Similarity
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 object GraftExtensions {
+  private def arity(name: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      require(children.length == n,
+        s"$name expects $n argument(s), got ${children.length}")
+      b(children)
+    }
+
+  val cosineBuilder: Seq[Expression] => Expression =
+    arity("cosine_sim", 2)(c => CosineSimilarity(c.head, c(1)))
+
+  val bucketBuilder: Seq[Expression] => Expression =
+    arity("lsh_bucket", 1)(c => HyperplaneBucket(c.head, Similarity.hyperplanes))
+
   /** Register the same functions on an already-built session (temp
     * functions — handy in notebooks/tests where the builder is gone). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)),
-      "built-in")
+      "cosine_sim", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_bucket",
-      (children: Seq[Expression]) => HyperplaneBucket(children.head, Similarity.hyperplanes),
-      "built-in")
+      "lsh_bucket", bucketBuilder, "built-in")
   }
 }
 
@@ -33,12 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) =>
-        CosineSimilarity(children.head, children(1))))
+      GraftExtensions.cosineBuilder))
     ext.injectFunction((
       new FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "lsh_bucket"),
-      (children: Seq[Expression]) =>
-        HyperplaneBucket(children.head, Similarity.hyperplanes)))
+      GraftExtensions.bucketBuilder))
   }
 }

@@ -35,7 +35,7 @@ object JdbcSync {
                         lower: Long, upper: Long,
                         numPartitions: Int = Snapshot.ReadPartitions.toInt):
       DataFrameReader = {
-    val key = sync.sourceKeys.split(",").head
+    val key = sync.sourceKeys.split(",").map(_.trim).head
     spark.read
       .option("url", url(db))
       .option("dbtable", s"${sync.sourceSchema}.${sync.sourceTable}")
@@ -62,7 +62,7 @@ object JdbcSync {
     * JDBC sink. */
   def upsertSql(sync: SyncConfig, columns: Seq[String],
                 dialect: String = "postgresql"): String = {
-    val keys = sync.sourceKeys.split(",").toSeq
+    val keys = sync.sourceKeys.split(",").map(_.trim).toSeq
     val nonKeys = columns.filterNot(keys.contains)
     val target = s"${sync.sourceSchema}.${sync.sourceTable}"
     val cols = columns.mkString(", ")
@@ -107,22 +107,42 @@ object JdbcSync {
 
   /** Delete statement keyed on the sync keys. */
   def deleteSql(sync: SyncConfig): String = {
-    val keys = sync.sourceKeys.split(",").toSeq
+    val keys = sync.sourceKeys.split(",").map(_.trim).toSeq
     s"DELETE FROM ${sync.sourceSchema}.${sync.sourceTable} WHERE " +
       keys.map(k => s"$k = ?").mkString(" AND ")
   }
 
-  /** Write a merged changelog to a JDBC sink partition-parallel:
-    * each partition opens one connection and executes the batched
-    * upsert — the DataFrame side is exactly `CdcMerge.merge` output,
-    * already hash-partitioned by key. (Requires a live database;
-    * see SURVEY.md §6.) */
+  /** Batch size per executeBatch round-trip. */
+  val UpsertBatchSize = 500
+
+  /** Write a merged changelog to a JDBC sink partition-parallel: each
+    * partition opens one connection and executes the batched UPSERT
+    * statement (not a plain INSERT — re-synced keys must update, which
+    * is the whole point of the merge). The DataFrame side is exactly
+    * `CdcMerge.merge` output, already hash-partitioned by key.
+    * (Requires a live database; see SURVEY.md §6.) */
   def writeUpsert(df: DataFrame, db: DbConfig, sync: SyncConfig,
-                  props: Properties = new Properties()): Unit =
-    df.write
-      .mode("append")
-      .option("url", url(db))
-      .option("dbtable", s"${sync.sourceSchema}.${sync.sourceTable}")
-      .format("jdbc")
-      .save()
+                  props: Properties = new Properties()): Unit = {
+    val columns = df.columns.toSeq
+    val sql = upsertSql(sync, columns, db.`type`)
+    val jdbcUrl = url(db)
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
+      try {
+        conn.setAutoCommit(false)
+        val stmt = conn.prepareStatement(sql)
+        var pending = 0
+        rows.foreach { row =>
+          columns.indices.foreach(i => stmt.setObject(i + 1, row.get(i)))
+          stmt.addBatch()
+          pending += 1
+          if (pending >= UpsertBatchSize) {
+            stmt.executeBatch(); conn.commit(); pending = 0
+          }
+        }
+        if (pending > 0) { stmt.executeBatch(); conn.commit() }
+        stmt.close()
+      } finally conn.close()
+    }
+  }
 }

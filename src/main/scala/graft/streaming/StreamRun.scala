@@ -34,8 +34,14 @@ object StreamRun {
     val schema = Tables.table(spark, sfDir, "events").schema
     val raw = spark.readStream.schema(schema)
       .parquet(stageDir.toString)
+    // mirror Tables.events' dual handling: ts arrives as ns-long under
+    // nanosAsLong, or as a native timestamp otherwise
+    val tsCol =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts")
     val events = raw.select(
-      timestamp_micros(expr("ts div 1000")).as("ts"),
+      tsCol.as("ts"),
       col("event_type"),
       round(col("value") * 100).cast("long").as("value_cents"))
 
