@@ -185,6 +185,20 @@ object Ledger {
         .otherwise(lit("FLOWING")).as("route_state"))
   }
 
+  /** Sketch-based cardinality per db: HLL++ (approx_count_distinct,
+    * Spark's built-in sketch — preference order (a): compose built-ins
+    * before writing a custom TypedImperativeAggregate) alongside the
+    * exact count. At 100 TB the approx column is the one you can
+    * afford; rsd=0.02 keeps the merge buffers tiny and the result is
+    * deterministic for a fixed input (HLL merge is order-independent).
+    */
+  def approxDistinct(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy(dbCol.as("db"))
+      .agg(
+        approx_count_distinct("user_id", rsd = 0.02).as("n_users_approx"),
+        countDistinct("user_id").as("n_users_exact"))
+
   /** Queue depth per (partition, hour): tumbling-window inflow counts —
     * the observable analog of the reference's bounded in-memory queues. */
   def queueDepth(changelog: DataFrame): DataFrame =

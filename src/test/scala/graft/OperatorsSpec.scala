@@ -94,6 +94,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SyncConfigs.triggerSpecs(spark).count() === 9)
   }
 
+  test("approx_distinct sketch stays within 5% of the exact cardinality") {
+    Ledger.approxDistinct(cl).collect().foreach { r =>
+      val approx = r.getAs[Long]("n_users_approx").toDouble
+      val exact = r.getAs[Long]("n_users_exact").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"db ${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("queue_depth counts every change exactly once") {
     val qd = Ledger.queueDepth(cl)
     assert(qd.agg(sum("depth")).collect().head.getLong(0) === cl.count())
