@@ -316,6 +316,41 @@ object OracleSql {
          |  CASE WHEN target_db = 'tdb2' THEN 'PAUSED' ELSE 'FLOWING' END AS route_state
          |FROM routed""".stripMargin,
 
+    "olap_pricing_summary" ->
+      """WITH l AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c,
+        |    CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT) AS rev_c
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+        |  CAST(SUM(rev_c) AS BIGINT) AS sum_rev_c,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM l GROUP BY 1, 2""".stripMargin,
+
+    "olap_top_revenue" ->
+      """WITH r AS (
+        |  SELECT o.o_orderkey,
+        |    CAST(SUM(CAST(ROUND(l.l_extendedprice*(1.0-l.l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+        |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1)
+        |SELECT o_orderkey, revenue_c, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue_c DESC, o_orderkey) AS rn
+        |  FROM r) t WHERE rn <= 10""".stripMargin,
+
+    "olap_supplier_nation" ->
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(ROUND(l.l_extendedprice*(1.0-l.l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1""".stripMargin,
+
     "initial_sync" ->
       """SELECT c_custkey, c_name, n_name, r_name, c_mktsegment,
         |       CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents

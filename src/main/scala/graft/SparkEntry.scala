@@ -50,6 +50,14 @@ object SparkEntry {
     "range_join_events"   -> ((s, dir) =>
       Joins.rangeJoinEvents(cl(s, dir), Tables.orders(s, dir))),
     "pause_filter"        -> ((s, dir) => Ledger.pauseFilter(cl(s, dir))),
+    "olap_pricing_summary" -> ((s, dir) =>
+      Analytics.pricingSummary(Tables.lineitem(s, dir))),
+    "olap_top_revenue"    -> ((s, dir) =>
+      Analytics.topRevenueOrders(Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "olap_supplier_nation" -> ((s, dir) =>
+      Analytics.supplierNationRevenue(Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.lineitem(s, dir))),
     "initial_sync"        -> ((s, dir) =>
       Snapshot.initialSync(Tables.customer(s, dir), Tables.nation(s, dir),
         Tables.region(s, dir))),
