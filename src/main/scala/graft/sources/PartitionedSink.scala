@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.CdcMerge
+
+/** Partitioned-parquet merge target with rewrite minimization: the
+  * changelog only dirties the partitions its keys hash into, so the
+  * apply reads and rewrites ONLY those partitions (dynamic partition
+  * overwrite) — at 100 TB a sync batch touching 3 of 10k partitions
+  * costs 3 partitions of IO, not a table rewrite. This is the
+  * file-layout half of the reference's per-partition ordered apply
+  * (`sync/DataPoller.scala:88-105`): same key→partition hash, applied
+  * to storage.
+  */
+object PartitionedSink {
+  val NumPartitions = 16L
+
+  /** Write the initial target state partitioned by key-hash. */
+  def writeTarget(base: DataFrame, path: String,
+                  keyCol: String = "key"): Unit =
+    base
+      .withColumn("part", pmod(col(keyCol), lit(NumPartitions)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("part")
+      .parquet(path)
+
+  /** Apply a merged changelog to the partitioned target, rewriting only
+    * the partitions the changelog touches:
+    *   1. affected = distinct partition ids in the changelog (tiny);
+    *   2. read ONLY those partitions (partition pruning — the filter is
+    *      on the partition column);
+    *   3. LWW-apply upserts/deletes against just that slice;
+    *   4. dynamic-partition-overwrite writes back only those ids.
+    */
+  def applyChanges(spark: SparkSession, changelog: DataFrame,
+                   path: String): Seq[Long] = {
+    val last = CdcMerge.lastPerKey(changelog)
+      .select(col("user_id").as("key"), col("op"),
+        col("value_cents").as("new_cents"),
+        pmod(col("user_id"), lit(NumPartitions)).as("part"))
+    val affected = last.select("part").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val target = spark.read.parquet(path)
+      .where(col("part").isin(affected: _*))
+    val applied = target
+      .join(last.withColumnRenamed("part", "ch_part"),
+        target("key") === last("key"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(target("key"), last("key")).as("key"),
+        coalesce(col("new_cents"), col("cents")).as("cents"),
+        coalesce(target("part"), col("ch_part")).as("part"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try applied.write.mode(SaveMode.Overwrite).partitionBy("part").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    affected
+  }
+}
