@@ -4,11 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
 
-/** The full sync flow composed end-to-end, the way a user of the
-  * reference runs it: poll → normalize → last-writer-wins merge →
-  * upsert/delete apply → ack ledger → sync state. Each stage is the
-  * library operator; composing them adds no extra shuffles beyond the
-  * stages themselves (one on the sync key, one on the base key).
+/** The sync flow composed end-to-end as one full-stream pass:
+  * normalize → last-writer-wins merge → upsert/delete apply → ack
+  * ledger → sync state/alerts. (For bounded incremental batches, feed
+  * `ChangeLog.pollBatch` output in instead of the full changelog —
+  * `state.pending` then reflects what the poll has not yet picked up.)
+  * Each stage is the library operator; composing them adds no extra
+  * shuffles beyond the stages themselves (one on the sync key, one on
+  * the base key).
   */
 object Pipeline {
   final case class Result(applied: DataFrame, state: DataFrame,

@@ -64,8 +64,9 @@ object Joins {
 
   /** Bucketed range join: events within [order time, order time + 7d)
     * per customer, counted per order. The order side explodes into its
-    * covered day-bands (8 rows per order), the event side buckets into
-    * one band — the join is a plain equi-join on (key, band). */
+    * covered day-bands (7 for band-aligned order dates, 8 in the
+    * general unaligned case), the event side buckets into one band —
+    * the join is a plain equi-join on (key, band). */
   def rangeJoinEvents(changelog: DataFrame, orders: DataFrame): DataFrame = {
     val o = orders.select(
       col("o_orderkey"), col("o_custkey"),

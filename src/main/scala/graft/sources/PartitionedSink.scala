@@ -1,9 +1,11 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.CdcMerge
+import graft.operators.{CdcMerge, ChangeLog}
 
 /** Partitioned-parquet merge target with rewrite minimization: the
   * changelog only dirties the partitions its keys hash into, so the
@@ -15,13 +17,17 @@ import graft.operators.CdcMerge
   * to storage.
   */
 object PartitionedSink {
-  val NumPartitions = 16L
+  /** Single source of truth for the key→partition modulus: must match
+    * the changelog's logical partition column. */
+  val NumPartitions: Long = ChangeLog.NumPartitions.toLong
 
-  /** Write the initial target state partitioned by key-hash. */
-  def writeTarget(base: DataFrame, path: String,
-                  keyCol: String = "key"): Unit =
+  /** Write the initial target state partitioned by key-hash. The same
+    * (keyCol, valueCol) pair must be passed to applyChanges. */
+  def writeTarget(base: DataFrame, path: String, keyCol: String = "key",
+                  valueCol: String = "cents"): Unit =
     base
-      .withColumn("part", pmod(col(keyCol), lit(NumPartitions)))
+      .select(col(keyCol).as("key"), col(valueCol).as("cents"))
+      .withColumn("part", pmod(col("key"), lit(NumPartitions)))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("part")
       .parquet(path)
@@ -32,33 +38,55 @@ object PartitionedSink {
     *   2. read ONLY those partitions (partition pruning — the filter is
     *      on the partition column);
     *   3. LWW-apply upserts/deletes against just that slice;
-    *   4. dynamic-partition-overwrite writes back only those ids.
+    *   4. dynamic-partition-overwrite writes back only those ids;
+    *   5. an affected partition whose rows were ALL deleted produces no
+    *      output rows, which dynamic overwrite would silently leave on
+    *      disk — those partition directories are dropped explicitly.
+    * The merged changelog is persisted for the duration: it drives the
+    * affected-set, the join, and the emptied-set without recomputing
+    * the changelog merge per action.
     */
   def applyChanges(spark: SparkSession, changelog: DataFrame,
                    path: String): Seq[Long] = {
     val last = CdcMerge.lastPerKey(changelog)
       .select(col("user_id").as("key"), col("op"),
         col("value_cents").as("new_cents"),
-        pmod(col("user_id"), lit(NumPartitions)).as("part"))
-    val affected = last.select("part").distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
-    val target = spark.read.parquet(path)
-      .where(col("part").isin(affected: _*))
-    val applied = target
-      .join(last.withColumnRenamed("part", "ch_part"),
-        target("key") === last("key"), "full_outer")
-      .where(col("op").isNull || col("op") =!= "D")
-      .select(
-        coalesce(target("key"), last("key")).as("key"),
-        coalesce(col("new_cents"), col("cents")).as("cents"),
-        coalesce(target("part"), col("ch_part")).as("part"))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try applied.write.mode(SaveMode.Overwrite).partitionBy("part").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    affected
+        col("part")) // carries the same modulus as the physical layout
+      .persist()
+    try {
+      val affected = last.select("part").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val target = spark.read.parquet(path)
+        .where(col("part").isin(affected: _*))
+      val applied = target
+        .join(last.withColumnRenamed("part", "ch_part"),
+          target("key") === last("key"), "full_outer")
+        .where(col("op").isNull || col("op") =!= "D")
+        .select(
+          coalesce(target("key"), last("key")).as("key"),
+          coalesce(col("new_cents"), col("cents")).as("cents"),
+          coalesce(target("part"), col("ch_part")).as("part"))
+        .persist()
+      try {
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try applied.write.mode(SaveMode.Overwrite).partitionBy("part").parquet(path)
+        finally prev match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        val present = applied.select("part").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val emptied = affected.filterNot(present)
+        if (emptied.nonEmpty) {
+          val root = new Path(path)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          emptied.foreach(p => fs.delete(new Path(root, s"part=$p"), true))
+        }
+      } finally applied.unpersist()
+      affected
+    } finally last.unpersist()
   }
 }

@@ -59,4 +59,27 @@ class PartitionedSinkSpec extends AnyFunSuite {
     }
     assert(got === naive)
   }
+
+  test("a partition fully emptied by deletes is physically removed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sink-del").toString
+    // partition 5 holds exactly keys {5, 21}; partition 0 holds {16}
+    val base = Seq((5L, 100L), (21L, 200L), (16L, 300L)).toDF("key", "cents")
+    PartitionedSink.writeTarget(base, dir)
+    assert(Files.exists(Paths.get(dir, "part=5")))
+    // changelog: delete both partition-5 keys, update the partition-0 key
+    val cl = Seq(
+      (1L, 5L, "D", 1000L, 0L, 0L, 5L),
+      (2L, 21L, "D", 1000L, 0L, 0L, 5L),
+      (3L, 16L, "U", 1000L, 0L, 999L, 0L)
+    ).toDF("event_id", "user_id", "op", "ems", "epoch_s", "value_cents", "part")
+      .withColumn("k", lit(0L))
+    val affected = PartitionedSink.applyChanges(spark, cl, dir)
+    assert(affected === Seq(0L, 5L))
+    // the emptied partition is gone; the read-back has no trace of it
+    assert(!Files.exists(Paths.get(dir, "part=5")))
+    val got = spark.read.parquet(dir).select("key", "cents").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(16L -> 999L))
+  }
 }
