@@ -498,6 +498,25 @@ object OracleSql {
         |       AND (puncts * 1000) // chars <= 100 AS VARCHAR) AS keep
         |FROM d""".stripMargin,
 
+    "token_topk" ->
+      """WITH t AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM t GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "pii_scrub" ->
+      s"""WITH r AS (SELECT doc_id, text,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${graft.operators.TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${graft.operators.TextAnalysis.SsnRe}', '<SSN>', 'g'),
+         |    '${graft.operators.TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS red
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.SsnRe}')) AS BIGINT) AS n_ssns,
+         |  md5(red) AS redacted_md5
+         |FROM r""".stripMargin,
+
     "multimodal_resize" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -82,6 +82,10 @@ object SparkEntry {
       TextAnalysis.docFingerprint(Tables.documents(s, dir))),
     "doc_winnow"          -> ((s, dir) =>
       TextAnalysis.winnowStats(Tables.documents(s, dir))),
+    "token_topk"          -> ((s, dir) =>
+      TextAnalysis.tokenTopK(Tables.documents(s, dir))),
+    "pii_scrub"           -> ((s, dir) =>
+      TextAnalysis.piiScrub(Tables.documents(s, dir))),
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(Tables.documents(s, dir))),
     "multimodal_decode"   -> ((s, dir) =>

@@ -111,6 +111,44 @@ object TextAnalysis {
           col("tokens") >= 10L &&
           col("punct_milli") <= 100L).cast("string"))
 
+  /** Corpus token frequency: explode → count → top-k (ties broken by
+    * token). One shuffle with map-side combine; the top-k is a
+    * TakeOrdered, not a full sort. */
+  def tokenTopK(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .select(explode(tokensCol).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** PII patterns (no \b word-boundaries — RE2 and Java regex agree on
+    * these literal classes, so the oracle stays portable). */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+  val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** PII detection + redaction: per-doc match counts and the md5 of the
+    * redacted text (the redaction itself stays distributed; only
+    * hash-stable columns surface). */
+  def piiScrub(documents: DataFrame): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          SsnRe, "<SSN>"),
+        PhoneRe, "<PHONE>")
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(SsnRe), lit(0)))
+        .cast("long").as("n_ssns"),
+      md5(redacted.cast("binary")).as("redacted_md5"))
+  }
+
   /** Winnowing parameters: k-gram size and window width (Schleimer/
     * Wilkerson/Aiken winnowing — the rolling-hash fingerprint family). */
   val WinnowK = 5

@@ -209,6 +209,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fps(1L) === naive(s"one two three four five $shared"))
   }
 
+  test("piiScrub detects and redacts synthetic PII") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact me at alice.smith@example.com or 555-123-4567 thanks"),
+      (2L, "ssn is 123-45-6789 email bob@test.org"),
+      (3L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[Long]("n_ssns"))).toMap
+    assert(out(1L) === ((1L, 1L, 0L)))
+    assert(out(2L) === ((1L, 0L, 1L)))
+    assert(out(3L) === ((0L, 0L, 0L)))
+  }
+
+  test("tokenTopK returns k most frequent tokens in order") {
+    val top = TextAnalysis.tokenTopK(docs, k = 5).collect()
+    assert(top.length === 5)
+    val counts = top.map(_.getAs[Long]("n"))
+    assert(counts.sameElements(counts.sortBy(-_)))
+  }
+
   test("dedupExact groups every doc exactly once") {
     val d = TextAnalysis.dedupExact(docs)
     assert(d.agg(sum("n_copies")).collect().head.getLong(0) === docs.count())
