@@ -64,6 +64,33 @@ object CdcStream {
       .select(unix_timestamp(col("window.start")).as("hour_s"),
         col("event_type"), col("n"), col("sum_cents"))
 
+  /** Change-feed variant: flatMapGroupsWithState emitting a key's state
+    * ONLY in micro-batches where it actually advanced — downstream
+    * consumers see a delta stream, not a state dump. Same keyed-state
+    * shuffle as latestState. */
+  def changedStates(spark: SparkSession, changes: Dataset[Change]): Dataset[KeyState] = {
+    import spark.implicits._
+    changes
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[KeyState, KeyState](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Change], state: GroupState[KeyState]) =>
+          def later(aE: Long, aI: Long, bE: Long, bI: Long): Boolean =
+            aE > bE || (aE == bE && aI > bI)
+          val incoming = batch.reduceOption { (a, b) =>
+            if (later(b.ems, b.event_id, a.ems, a.event_id)) b else a
+          }
+          incoming match {
+            case Some(c) if state.getOption.forall(s =>
+              later(c.ems, c.event_id, s.last_ems, s.last_event_id)) =>
+              val ns = KeyState(uid, c.event_id, c.ems, c.op, c.value_cents)
+              state.update(ns)
+              Iterator.single(ns)
+            case _ => Iterator.empty // stale or duplicate delivery: no emission
+          }
+      }
+  }
+
   /** Exactly-once ingestion guard: drop redundant deliveries of the
     * same change id within the watermark horizon (the streaming analog
     * of the reference's sync_polled dedup table —

@@ -54,6 +54,29 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("changedStates emits only keys that actually advanced per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[Change]
+    val query = CdcStream.changedStates(spark, stream.toDS())
+      .writeStream.format("memory").queryName("delta_feed")
+      .outputMode("append").start()
+    try {
+      stream.addData(Change(1L, 10L, 100L, "I", 5L), Change(2L, 11L, 100L, "I", 6L))
+      query.processAllAvailable()
+      assert(spark.table("delta_feed").count() === 2)
+      // re-deliver key 1's old change (stale) + a real advance for key 2
+      stream.addData(Change(1L, 10L, 100L, "I", 5L), Change(2L, 12L, 200L, "U", 7L))
+      query.processAllAvailable()
+      val rows = spark.table("delta_feed").collect()
+      assert(rows.length === 3) // key 1 emitted once only
+      val k2 = rows.filter(_.getAs[Long]("user_id") == 2L)
+        .map(_.getAs[Long]("last_event_id")).sorted
+      assert(k2.sameElements(Array(11L, 12L)))
+    } finally query.stop()
+  }
+
   test("dedupDeliveries drops redundant deliveries of the same change id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
