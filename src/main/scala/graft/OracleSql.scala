@@ -37,6 +37,36 @@ object OracleSql {
       |                             ORDER BY ems DESC, event_id DESC) = 1
       |)""".stripMargin
 
+  /** Ack-status CTE (twin of Ledger.statusCol) — shared by sync_state,
+    * monitor_alerts and status_rollup so the rules can't drift apart. */
+  val STATUS: String =
+    """a AS (SELECT *,
+      |  CASE WHEN op='D' THEN 'ERR'
+      |       WHEN op='U' AND user_id%10=0 THEN 'BLK' ELSE 'OK' END AS status
+      |  FROM cl)""".stripMargin
+
+  /** Per-db state counts over STATUS (twin of Ledger.syncState). */
+  val ST: String =
+    """st AS (
+      |  SELECT 'db' || (user_id % 3) AS db,
+      |    CAST(COUNT(CASE WHEN event_id%7<>0 THEN 1 END) AS BIGINT) AS pending,
+      |    CAST(COUNT(CASE WHEN event_id%7=0 AND status='BLK' THEN 1 END) AS BIGINT) AS blocked,
+      |    CAST(COUNT(CASE WHEN event_id%7=0 AND status='ERR' THEN 1 END) AS BIGINT) AS error,
+      |    CAST(COUNT(CASE WHEN event_id%7=0 AND status='OK' THEN 1 END) AS BIGINT) AS success
+      |  FROM a GROUP BY 1)""".stripMargin
+
+  /** Fan-out routing CTE (twin of ChangeLog.routeFanout) — shared by
+    * route_fanout and pause_filter. */
+  val ROUTED: String =
+    """r AS (SELECT part,
+      |  CASE WHEN user_id%3=0 THEN 'tdb0,tdb1'
+      |       WHEN user_id%3=1 THEN 'tdb1' ELSE 'tdb1,tdb2' END AS tgts
+      |  FROM cl),
+      |routed AS (
+      |  SELECT t.target_db, r.part, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM r, UNNEST(string_split(r.tgts, ',')) AS t(target_db)
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** Shared by cdc_upsert_apply and pipeline_e2e (the pipeline's
     * applied output IS the upsert apply — one definition, two gates). */
   private val UpsertApplySql: String =
@@ -111,14 +141,8 @@ object OracleSql {
          |FROM last GROUP BY part""".stripMargin,
 
     "route_fanout" ->
-      s"""WITH $CL,
-         |r AS (SELECT part,
-         |  CASE WHEN user_id%3=0 THEN 'tdb0,tdb1'
-         |       WHEN user_id%3=1 THEN 'tdb1' ELSE 'tdb1,tdb2' END AS tgts
-         |  FROM cl)
-         |SELECT t.target_db, r.part, CAST(COUNT(*) AS BIGINT) AS n
-         |FROM r, UNNEST(string_split(r.tgts, ',')) AS t(target_db)
-         |GROUP BY 1, 2""".stripMargin,
+      s"""WITH $CL, $ROUTED
+         |SELECT target_db, part, n FROM routed""".stripMargin,
 
     "batch_ack" ->
       s"""WITH $CL,
@@ -133,32 +157,13 @@ object OracleSql {
          |FROM a GROUP BY 1, 2""".stripMargin,
 
     "sync_state" ->
-      s"""WITH $CL,
-         |a AS (SELECT *,
-         |  CASE WHEN op='D' THEN 'ERR'
-         |       WHEN op='U' AND user_id%10=0 THEN 'BLK' ELSE 'OK' END AS status
-         |  FROM cl)
-         |SELECT 'db' || (user_id % 3) AS db,
-         |  CAST(COUNT(CASE WHEN event_id%7<>0 THEN 1 END) AS BIGINT) AS pending,
-         |  CAST(COUNT(CASE WHEN event_id%7=0 AND status='BLK' THEN 1 END) AS BIGINT) AS blocked,
-         |  CAST(COUNT(CASE WHEN event_id%7=0 AND status='ERR' THEN 1 END) AS BIGINT) AS error,
-         |  CAST(COUNT(CASE WHEN event_id%7=0 AND status='OK' THEN 1 END) AS BIGINT) AS success,
-         |  CAST(0 AS BIGINT) AS others
-         |FROM a GROUP BY 1""".stripMargin,
+      s"""WITH $CL, $STATUS, $ST
+         |SELECT db, pending, blocked, error, success,
+         |       CAST(0 AS BIGINT) AS others
+         |FROM st""".stripMargin,
 
     "monitor_alerts" ->
-      s"""WITH $CL,
-         |a AS (SELECT *,
-         |  CASE WHEN op='D' THEN 'ERR'
-         |       WHEN op='U' AND user_id%10=0 THEN 'BLK' ELSE 'OK' END AS status
-         |  FROM cl),
-         |st AS (
-         |  SELECT 'db' || (user_id % 3) AS db,
-         |    CAST(COUNT(CASE WHEN event_id%7<>0 THEN 1 END) AS BIGINT) AS pending,
-         |    CAST(COUNT(CASE WHEN event_id%7=0 AND status='BLK' THEN 1 END) AS BIGINT) AS blocked,
-         |    CAST(COUNT(CASE WHEN event_id%7=0 AND status='ERR' THEN 1 END) AS BIGINT) AS error,
-         |    CAST(COUNT(CASE WHEN event_id%7=0 AND status='OK' THEN 1 END) AS BIGINT) AS success
-         |  FROM a GROUP BY 1)
+      s"""WITH $CL, $STATUS, $ST
          |SELECT db,
          |  CASE WHEN error > 10 THEN 'ERR_HIGH'
          |       WHEN pending > 400 THEN 'PENDING_HIGH'
@@ -274,18 +279,7 @@ object OracleSql {
          |FROM cl GROUP BY 1, 2""".stripMargin,
 
     "status_rollup" ->
-      s"""WITH $CL,
-         |a AS (SELECT *,
-         |  CASE WHEN op='D' THEN 'ERR'
-         |       WHEN op='U' AND user_id%10=0 THEN 'BLK' ELSE 'OK' END AS status
-         |  FROM cl),
-         |st AS (
-         |  SELECT 'db' || (user_id % 3) AS db,
-         |    CAST(COUNT(CASE WHEN event_id%7<>0 THEN 1 END) AS BIGINT) AS pending,
-         |    CAST(COUNT(CASE WHEN event_id%7=0 AND status='BLK' THEN 1 END) AS BIGINT) AS blocked,
-         |    CAST(COUNT(CASE WHEN event_id%7=0 AND status='ERR' THEN 1 END) AS BIGINT) AS error,
-         |    CAST(COUNT(CASE WHEN event_id%7=0 AND status='OK' THEN 1 END) AS BIGINT) AS success
-         |  FROM a GROUP BY 1),
+      s"""WITH $CL, $STATUS, $ST,
          |lastper AS (
          |  SELECT 'db' || (user_id % 3) AS db, 'worker-' || part AS component,
          |         MAX(epoch_s) AS last_hb_s
@@ -303,15 +297,7 @@ object OracleSql {
          |FROM st""".stripMargin,
 
     "pause_filter" ->
-      s"""WITH $CL,
-         |r AS (SELECT part,
-         |  CASE WHEN user_id%3=0 THEN 'tdb0,tdb1'
-         |       WHEN user_id%3=1 THEN 'tdb1' ELSE 'tdb1,tdb2' END AS tgts
-         |  FROM cl),
-         |routed AS (
-         |  SELECT t.target_db, r.part, CAST(COUNT(*) AS BIGINT) AS n
-         |  FROM r, UNNEST(string_split(r.tgts, ',')) AS t(target_db)
-         |  GROUP BY 1, 2)
+      s"""WITH $CL, $ROUTED
          |SELECT target_db, part, n,
          |  CASE WHEN target_db = 'tdb2' THEN 'PAUSED' ELSE 'FLOWING' END AS route_state
          |FROM routed""".stripMargin,

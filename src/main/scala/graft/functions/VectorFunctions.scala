@@ -31,11 +31,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // null ELEMENTS also produce null, even when the array columns
+  // themselves are non-nullable
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_similarity"
 
   override def checkInputDataTypes(): TypeCheckResult =
     VectorTypeCheck.check(prettyName, Seq(left.dataType, right.dataType))
 
+  /** Zero-norm inputs yield -1.0 (DuckDB list_cosine_similarity's
+    * convention, kept for oracle parity); a null ELEMENT yields a null
+    * result (DuckDB raises there — we degrade gracefully instead of
+    * reading garbage through getFloat). */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -43,12 +51,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
-    if (nx == 0.0 || ny == 0.0) 0.0
+    if (nx == 0.0 || ny == 0.0) -1.0
     else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
@@ -65,12 +74,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xv = (double) $x.getFloat($i);
          |  double $yv = (double) $y.getFloat($i);
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
-         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
-         |  : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = ($nx == 0.0 || $ny == 0.0) ? -1.0
+         |    : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |}
        """.stripMargin
     })
 
@@ -98,17 +110,22 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
 
   @transient private lazy val nPlanes = planes.length
 
+  // null elements ⇒ null bucket (mirrors CosineSimilarity)
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    var i = 0
+    while (i < n) { if (v.isNullAt(i)) return null; i += 1 }
     var bucket = 0L
     var b = 0
     while (b < nPlanes) {
       val plane = planes(b)
       val dim = math.min(n, plane.length)
       var dot = 0.0
-      var i = 0
-      while (i < dim) { dot += v.getFloat(i).toDouble * plane(i); i += 1 }
+      var j = 0
+      while (j < dim) { dot += v.getFloat(j).toDouble * plane(j); j += 1 }
       if (dot > 0) bucket |= (1L << b)
       b += 1
     }
@@ -120,19 +137,25 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
     nullSafeCodeGen(ctx, ev, v => {
       val b = ctx.freshName("b")
       val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
       val dot = ctx.freshName("dot")
       val dim = ctx.freshName("dim")
       val plane = ctx.freshName("plane")
       s"""
          |${ev.value} = 0L;
-         |for (int $b = 0; $b < ${planes.length}; $b++) {
-         |  double[] $plane = $planesRef[$b];
-         |  int $dim = java.lang.Math.min($v.numElements(), $plane.length);
-         |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $dim; $i++) {
-         |    $dot += (double) $v.getFloat($i) * $plane[$i];
+         |for (int $k = 0; $k < $v.numElements(); $k++) {
+         |  if ($v.isNullAt($k)) { ${ev.isNull} = true; break; }
+         |}
+         |if (!${ev.isNull}) {
+         |  for (int $b = 0; $b < ${planes.length}; $b++) {
+         |    double[] $plane = $planesRef[$b];
+         |    int $dim = java.lang.Math.min($v.numElements(), $plane.length);
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $dot += (double) $v.getFloat($i) * $plane[$i];
+         |    }
+         |    if ($dot > 0) ${ev.value} |= (1L << $b);
          |  }
-         |  if ($dot > 0) ${ev.value} |= (1L << $b);
          |}
        """.stripMargin
     })

@@ -17,7 +17,10 @@ object CdcMerge {
 
   /** Latest change per key, deletes included. Deterministic total order:
     * (ems, event_id) — those two lead the struct, so lexicographic max
-    * IS last-writer-wins. Implemented as an aggregation (not a window):
+    * IS last-writer-wins. Assumes event_id is unique per changelog (it
+    * is the change sequence number, like the reference's sync_data.id);
+    * duplicate (ems, event_id) rows with different payloads would
+    * tie-break arbitrarily. Implemented as an aggregation (not a window):
     * partial aggregation collapses each key map-side, so the single
     * hash shuffle carries ~|keys| rows instead of |events| — and a hot
     * key is reduced before it ever concentrates on one reducer (no
@@ -52,7 +55,7 @@ object CdcMerge {
     */
   def upsertApply(changelog: DataFrame, customer: DataFrame): DataFrame = {
     val last = lastPerKey(changelog)
-      .select("user_id", "op", "value_cents", "event_id")
+      .select("user_id", "op", "value_cents")
     val base = customer.select(
       col("c_custkey"),
       col("c_name"),

@@ -69,24 +69,31 @@ object Dedup {
     * preserved transitively through the keeper. */
   val MaxQuadraticBucket = 64
 
+  /** Bounded within-bucket pair generation over a sorted array column
+    * `arr` of (a,b)-comparable structs/values — all pairs for small
+    * buckets, keeper-star above MaxQuadraticBucket. Shared by the
+    * MinHash and SimHash banding so the pairing policy can't drift. */
+  private def boundedPairs(arr: String) = {
+    val allPairs =
+      s"flatten(transform($arr, (a, i) -> " +
+        s"transform(slice($arr, i + 2, size($arr)), b -> struct(a, b))))"
+    val starPairs =
+      s"transform(slice($arr, 2, size($arr) - 1), b -> struct($arr[0] as a, b))"
+    when(size(col(arr)) <= MaxQuadraticBucket, expr(allPairs))
+      .otherwise(expr(starPairs))
+  }
+
   private[operators] def candidatesFromSignatures(sigs: DataFrame): DataFrame = {
     val banded = sigs
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${Bands - 1}), " +
           s"b -> xxhash64(slice(mh, b*$RowsPerBand + 1, $RowsPerBand), b))"))
         .as(Seq("band", "sig")))
-    val allPairs =
-      "flatten(transform(ids, (a, i) -> " +
-        "transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"
-    val starPairs =
-      "transform(slice(ids, 2, size(ids) - 1), b -> struct(ids[0] as a, b))"
     banded
       .groupBy("band", "sig")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(
-        when(size(col("ids")) <= MaxQuadraticBucket, expr(allPairs))
-          .otherwise(expr(starPairs))).as("p"))
+      .select(explode(boundedPairs("ids")).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }
@@ -157,19 +164,12 @@ object Dedup {
       posexplode(expr(
         "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)"))
         .as(Seq("band", "key")))
-    val allPairs =
-      "flatten(transform(ds, (a, i) -> " +
-        "transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))"
-    val starPairs =
-      "transform(slice(ds, 2, size(ds) - 1), b -> struct(ds[0] as a, b))"
     banded
       .groupBy("band", "key")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
         .as("ds"))
       .where(size(col("ds")) > 1)
-      .select(explode(
-        when(size(col("ds")) <= MaxQuadraticBucket, expr(allPairs))
-          .otherwise(expr(starPairs))).as("p"))
+      .select(explode(boundedPairs("ds")).as("p"))
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
           .cast("long").as("hamming"))

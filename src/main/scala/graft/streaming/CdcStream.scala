@@ -11,8 +11,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * watermarked windowed aggregation.
   *
   * At scale: state is hash-partitioned by the sync key across
-  * executors (same shuffle key as the batch path), the watermark
-  * bounds state growth, and checkpointing gives exactly-once sinks.
+  * executors (same shuffle key as the batch path); state growth is
+  * bounded by the optional per-key TTL on latestState (expired keys
+  * emit their final state and are evicted — a change arriving after
+  * its key expired starts fresh, the usual TTL trade); checkpointing
+  * gives exactly-once sinks.
   */
 object CdcStream {
   /** One normalized change (streaming twin of ChangeLog.normalize). */
@@ -23,33 +26,54 @@ object CdcStream {
   case class KeyState(user_id: Long, last_event_id: Long, last_ems: Long,
                       last_op: String, last_value_cents: Long)
 
+  /** LWW change order, the ONE definition every path shares
+    * (matches CdcMerge.lastPerKey's struct ordering): (ems, event_id). */
+  private def later(aE: Long, aI: Long, bE: Long, bI: Long): Boolean =
+    aE > bE || (aE == bE && aI > bI)
+
+  /** Latest change of a micro-batch slice. */
+  private def latestOf(batch: Iterator[Change]): Option[Change] =
+    batch.reduceOption { (a, b) =>
+      if (later(b.ems, b.event_id, a.ems, a.event_id)) b else a
+    }
+
+  /** Fold one batch's latest change into the stored state; None when
+    * nothing advanced. */
+  private def advance(uid: Long, stored: Option[KeyState],
+                      incoming: Option[Change]): Option[KeyState] =
+    incoming.collect {
+      case c if stored.forall(s => later(c.ems, c.event_id, s.last_ems, s.last_event_id)) =>
+        KeyState(uid, c.event_id, c.ems, c.op, c.value_cents)
+    }
+
   /** Continuous last-writer-wins: mapGroupsWithState keyed on the sync
     * key; each micro-batch folds its changes into the running maximum
-    * by (ems, event_id). Emits the updated state per key per batch.
+    * by (ems, event_id). Emits the (possibly unchanged) state per key
+    * per batch. `stateTtl` evicts keys idle longer than the duration
+    * (processing time) — the state-bound for unbounded key spaces.
     */
-  def latestState(spark: SparkSession, changes: Dataset[Change]): Dataset[KeyState] = {
+  def latestState(spark: SparkSession, changes: Dataset[Change],
+                  stateTtl: Option[java.time.Duration] = None): Dataset[KeyState] = {
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     changes
       .groupByKey(_.user_id)
-      .mapGroupsWithState[KeyState, KeyState](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[KeyState, KeyState](timeoutConf) {
         (uid: Long, batch: Iterator[Change], state: GroupState[KeyState]) =>
-          def later(aE: Long, aI: Long, bE: Long, bI: Long): Boolean =
-            aE > bE || (aE == bE && aI > bI)
-          val incoming = batch.reduceOption { (a, b) =>
-            if (later(b.ems, b.event_id, a.ems, a.event_id)) b else a
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove() // evict; final state flows out once more
+            last
+          } else {
+            val merged = advance(uid, state.getOption, latestOf(batch))
+              .orElse(state.getOption)
+              .getOrElse(KeyState(uid, -1L, -1L, "?", 0L)) // unreachable: group has rows
+            state.update(merged)
+            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            merged
           }
-          val merged = (state.getOption, incoming) match {
-            case (Some(s), Some(c))
-              if later(c.ems, c.event_id, s.last_ems, s.last_event_id) =>
-              KeyState(uid, c.event_id, c.ems, c.op, c.value_cents)
-            case (Some(s), _) => s
-            case (None, Some(c)) =>
-              KeyState(uid, c.event_id, c.ems, c.op, c.value_cents)
-            case (None, None) =>
-              KeyState(uid, -1L, -1L, "?", 0L) // unreachable: group has rows
-          }
-          state.update(merged)
-          merged
       }
   }
 
@@ -75,18 +99,11 @@ object CdcStream {
       .flatMapGroupsWithState[KeyState, KeyState](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (uid: Long, batch: Iterator[Change], state: GroupState[KeyState]) =>
-          def later(aE: Long, aI: Long, bE: Long, bI: Long): Boolean =
-            aE > bE || (aE == bE && aI > bI)
-          val incoming = batch.reduceOption { (a, b) =>
-            if (later(b.ems, b.event_id, a.ems, a.event_id)) b else a
-          }
-          incoming match {
-            case Some(c) if state.getOption.forall(s =>
-              later(c.ems, c.event_id, s.last_ems, s.last_event_id)) =>
-              val ns = KeyState(uid, c.event_id, c.ems, c.op, c.value_cents)
+          advance(uid, state.getOption, latestOf(batch)) match {
+            case Some(ns) =>
               state.update(ns)
               Iterator.single(ns)
-            case _ => Iterator.empty // stale or duplicate delivery: no emission
+            case None => Iterator.empty // stale or duplicate delivery
           }
       }
   }
