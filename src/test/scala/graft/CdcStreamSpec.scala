@@ -54,6 +54,33 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("latestState with a TTL configured starts and merges (bounded wait)") {
+    // NOTE: with ProcessingTimeTimeout configured, the engine keeps
+    // scheduling timeout-check batches, so processAllAvailable() never
+    // drains — poll the sink with a deadline instead.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[Change]
+    val query = CdcStream.latestState(spark, stream.toDS(),
+        stateTtl = Some(java.time.Duration.ofHours(1)))
+      .writeStream.format("memory").queryName("lww_ttl")
+      .outputMode("update").start()
+    try {
+      stream.addData(Change(1L, 10L, 100L, "I", 5L), Change(1L, 11L, 200L, "U", 6L))
+      val deadline = System.currentTimeMillis() + 60000
+      var rows = Array.empty[org.apache.spark.sql.Row]
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        rows = spark.table("lww_ttl").collect()
+      }
+      assert(rows.nonEmpty, "TTL-configured stream produced no output in 60s")
+      val latest = rows.maxBy(_.getAs[Long]("last_event_id"))
+      assert(latest.getAs[Long]("last_event_id") === 11L)
+      assert(latest.getAs[Long]("last_value_cents") === 6L)
+    } finally query.stop()
+  }
+
   test("changedStates emits only keys that actually advanced per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
