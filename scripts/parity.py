@@ -63,7 +63,7 @@ def main(outdir, sfdir):
         # strict dtype note (schema check may be stricter in driver)
         dt_s = dict(s.dtypes.astype(str))
         dt_d = dict(d.dtypes.astype(str))
-        note = "" if dt_s == dt_d else f"  [dtype diff: {{k: (dt_s[k], dt_d[k]) for k in dt_s if dt_s[k] != dt_d[k]}}]"
+        note = ""
         if dt_s != dt_d:
             diffs = {k: (dt_s[k], dt_d[k]) for k in dt_s if dt_s[k] != dt_d[k]}
             note = f"  [dtype diff: {diffs}]"
