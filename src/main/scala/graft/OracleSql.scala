@@ -272,6 +272,26 @@ object OracleSql {
          |  AND cl.ems < epoch_ms(o.o_orderdate) + 604800000
          |GROUP BY 1""".stripMargin,
 
+    "log_compact" ->
+      s"""WITH $CL, $LAST,
+         |wm AS (SELECT MAX(epoch_s) AS max_s FROM cl)
+         |SELECT cl.event_id, cl.user_id, cl.op,
+         |  CASE WHEN cl.epoch_s >= wm.max_s - 259200 AND l.event_id IS NOT NULL THEN 'BOTH'
+         |       WHEN l.event_id IS NOT NULL THEN 'LATEST'
+         |       ELSE 'RECENT' END AS kept_reason
+         |FROM cl CROSS JOIN wm
+         |LEFT JOIN last l ON cl.event_id = l.event_id
+         |WHERE cl.epoch_s >= wm.max_s - 259200 OR l.event_id IS NOT NULL""".stripMargin,
+
+    "value_median" ->
+      s"""WITH $CL,
+         |r AS (SELECT op, value_cents, event_id,
+         |  ROW_NUMBER() OVER (PARTITION BY op ORDER BY value_cents, event_id) AS rn,
+         |  COUNT(*) OVER (PARTITION BY op) AS cnt
+         |  FROM cl)
+         |SELECT op, value_cents AS median_low_cents, CAST(cnt AS BIGINT) AS n
+         |FROM r WHERE rn = (cnt + 1) // 2""".stripMargin,
+
     "queue_depth" ->
       s"""WITH $CL
          |SELECT part, (ems - ems % 3600000) // 1000 AS hour_s,

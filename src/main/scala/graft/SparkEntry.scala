@@ -41,6 +41,8 @@ object SparkEntry {
     "clean_retention"     -> ((s, dir) => Ledger.cleanRetention(cl(s, dir))),
     "queue_depth"         -> ((s, dir) => Ledger.queueDepth(cl(s, dir))),
     "approx_distinct"     -> ((s, dir) => Ledger.approxDistinct(cl(s, dir))),
+    "log_compact"         -> ((s, dir) => Ledger.logCompact(cl(s, dir))),
+    "value_median"        -> ((s, dir) => Ledger.valueMedian(cl(s, dir))),
     "status_rollup"       -> ((s, dir) => Ledger.statusRollup(cl(s, dir))),
     "scd2_history"        -> ((s, dir) => Temporal.scd2History(cl(s, dir))),
     "event_gaps"          -> ((s, dir) => Temporal.eventGaps(cl(s, dir))),

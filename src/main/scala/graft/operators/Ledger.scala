@@ -185,6 +185,41 @@ object Ledger {
         .otherwise(lit("FLOWING")).as("route_state"))
   }
 
+  /** Changelog compaction (compacted-topic semantics, the storage form
+    * of `job/CleanWorker.scala` + the merge): keep every key's LATEST
+    * change unconditionally, plus all changes inside the retention
+    * window. One key-shuffle for the latest set (semi-join on change
+    * id), broadcast 1-row watermark for the recency filter. */
+  def logCompact(changelog: DataFrame): DataFrame = {
+    val latestIds = CdcMerge.lastPerKey(changelog).select("event_id")
+    val wm = changelog.agg(max("epoch_s").as("max_s"))
+    changelog
+      .join(broadcast(wm))
+      .withColumn("recent",
+        col("epoch_s") >= col("max_s") - KeepHours * 3600L)
+      .join(latestIds.withColumn("is_last", lit(true)), Seq("event_id"), "left")
+      .where(col("recent") || col("is_last").isNotNull)
+      .select(col("event_id"), col("user_id"), col("op"),
+        when(col("recent") && col("is_last").isNotNull, lit("BOTH"))
+          .when(col("is_last").isNotNull, lit("LATEST"))
+          .otherwise(lit("RECENT")).as("kept_reason"))
+  }
+
+  /** Exact distributed order statistic (no sketch): the lower median of
+    * value cents per event op class, computed by window rank — the
+    * deterministic form percentile_approx can't give. */
+  def valueMedian(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy("op").orderBy(col("value_cents"), col("event_id"))
+    val cw = Window.partitionBy("op")
+    changelog
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .where(col("rn") === expr("(cnt + 1) div 2")) // lower median rank
+      .select(col("op"),
+        col("value_cents").as("median_low_cents"),
+        col("cnt").as("n"))
+  }
+
   /** Sketch-based cardinality per db: HLL++ (approx_count_distinct,
     * Spark's built-in sketch — preference order (a): compose built-ins
     * before writing a custom TypedImperativeAggregate) alongside the
