@@ -536,6 +536,21 @@ object OracleSql {
         |       ELSE (height * 224) // greatest(width, height) END AS out_height
         |FROM m""".stripMargin,
 
+    "embed_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(ROUND(GREATEST(LEAST(x, 1.0), -1.0) * 127) AS BIGINT)) AS qv,
+        |    CAST(len(list_filter(CAST(embedding AS DOUBLE[]),
+        |      x -> x > 1.0 OR x < -1.0)) AS BIGINT) AS n_clipped
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  n_clipped
+        |FROM q""".stripMargin,
+
     "ivf_assign" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e

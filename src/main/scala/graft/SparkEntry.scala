@@ -107,6 +107,8 @@ object SparkEntry {
       Similarity.bruteTopK(Tables.embeddings(s, dir))),
     "ann_lsh"             -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir))),
+    "embed_quantize"      -> ((s, dir) =>
+      Similarity.quantizeStats(Tables.embeddings(s, dir))),
     "ivf_assign"          -> ((s, dir) =>
       Similarity.ivfAssign(Tables.embeddings(s, dir))),
     "ann_ivf"             -> ((s, dir) =>

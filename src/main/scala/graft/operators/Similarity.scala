@@ -144,6 +144,25 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("cand_id"), col("rank"))
   }
 
+  /** Int8 quantization summary per vector: clip to [-1,1], scale by
+    * 127, round — the storage-compression step (4× smaller than f32)
+    * a 100 TB vector corpus ships with. Surfaced as hash-stable
+    * per-vector stats (sum/min/max of the quantized codes + clip
+    * count); the quantized array itself stays an internal column. */
+  def quantizeStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(" +
+          "greatest(least(cast(x as double), 1.0d), -1.0d) * 127) as bigint))")
+          .as("q"),
+        expr("size(filter(embedding, x -> cast(x as double) > 1.0d or " +
+          "cast(x as double) < -1.0d))").cast("long").as("n_clipped"))
+      .select(col("vec_id"),
+        expr("aggregate(q, cast(0 as bigint), (a, v) -> a + v)").as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        col("n_clipped"))
+
   /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ τ.
     * No all-pairs: the bucket id is the join key. */
   def embeddingNearDup(embeddings: DataFrame, tauE6: Long = 950000L): DataFrame = {
