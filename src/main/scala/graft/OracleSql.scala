@@ -144,6 +144,18 @@ object OracleSql {
       s"""WITH $CL, $ROUTED
          |SELECT target_db, part, n FROM routed""".stripMargin,
 
+    "conditional_capture" ->
+      s"""WITH $CL,
+         |c AS (SELECT op,
+         |  CASE WHEN op='I' THEN value_cents >= 1000
+         |       WHEN op='U' THEN value_cents > 0
+         |       ELSE TRUE END AS captured
+         |  FROM cl)
+         |SELECT op,
+         |  CAST(COUNT(CASE WHEN captured THEN 1 END) AS BIGINT) AS n_captured,
+         |  CAST(COUNT(CASE WHEN NOT captured THEN 1 END) AS BIGINT) AS n_suppressed
+         |FROM c GROUP BY op""".stripMargin,
+
     "batch_ack" ->
       s"""WITH $CL,
          |a AS (SELECT part,

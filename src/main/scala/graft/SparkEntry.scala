@@ -32,6 +32,8 @@ object SparkEntry {
       CdcMerge.incrementalAgg(cl(s, dir), Tables.customer(s, dir))),
     "ordered_apply"       -> ((s, dir) => ChangeLog.orderedApply(cl(s, dir))),
     "route_fanout"        -> ((s, dir) => ChangeLog.routeFanout(cl(s, dir))),
+    "conditional_capture" -> ((s, dir) =>
+      ChangeLog.conditionalCapture(cl(s, dir))),
     "batch_ack"           -> ((s, dir) => Ledger.batchAck(cl(s, dir))),
     "sync_state"          -> ((s, dir) => Ledger.syncState(cl(s, dir))),
     "monitor_alerts"      -> ((s, dir) => Ledger.monitorAlerts(cl(s, dir))),

@@ -82,6 +82,24 @@ object ChangeLog {
           .as("sum_live_cents"))
   }
 
+  /** Conditional capture — mirrors the per-table insertCondition /
+    * updateCondition the reference compiles into its triggers
+    * (`dbopt/PgOperation.scala:140` `{{insertCondition}}`,
+    * `config/ConfigObjects.scala`): a change is captured only when its
+    * op's condition holds. Demo conditions: inserts capture only at
+    * value ≥ 10.00, updates only at value > 0, deletes always. */
+  def conditionalCapture(changelog: DataFrame): DataFrame = {
+    val captured =
+      when(col("op") === "I", col("value_cents") >= 1000L)
+        .when(col("op") === "U", col("value_cents") > 0L)
+        .otherwise(lit(true))
+    changelog
+      .groupBy("op")
+      .agg(
+        count(when(captured, 1)).as("n_captured"),
+        count(when(!captured, 1)).as("n_suppressed"))
+  }
+
   /** Multi-target routing: one change row fans out to each configured
     * target db (reference: trigger loop over regexp_split targetDb).
     * Routing table is a deterministic function of the key here.
