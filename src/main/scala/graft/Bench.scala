@@ -37,11 +37,12 @@ object Bench {
           failed += name
       }
     }
-    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
+    import JsonOut.q
+    val qs = timings.map { case (k, v) => s"${q(k)}:$v" }
       .mkString("{", ",", "}")
-    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fs = failed.map(q).mkString("[", ",", "]")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

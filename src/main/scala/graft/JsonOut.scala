@@ -1,0 +1,18 @@
+package graft
+
+/** JSON string escaping shared by the Verify and Bench emitters:
+  * backslash, quote, and ALL control chars (<0x20) — a tab or CR in a
+  * builder-authored SQL string or path would otherwise make the
+  * driver's json.load fail and silently zero the round.
+  */
+object JsonOut {
+  def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

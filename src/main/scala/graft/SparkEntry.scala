@@ -22,7 +22,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "changelog_normalize" -> ((s, dir) => cl(s, dir)),
-    "poll_batch"          -> ((s, dir) => ChangeLog.pollBatch(cl(s, dir))),
+    "poll_batch"          -> ((s, dir) =>
+      ChangeLog.pollBatch(cl(s, dir)).select("event_id", "user_id", "op", "part")),
     "cdc_merge"           -> ((s, dir) => CdcMerge.merge(cl(s, dir))),
     "cdc_upsert_apply"    -> ((s, dir) =>
       CdcMerge.upsertApply(cl(s, dir), Tables.customer(s, dir))),

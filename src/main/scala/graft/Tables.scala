@@ -18,6 +18,12 @@ object Tables {
     * (legacy.parquet.nanosAsLong) and surface BOTH `ts_ns` (exact, for
     * ordering/arithmetic) and `ts` (µs-truncated TimestampType, for
     * window()/streaming APIs).
+    *
+    * NOTE: this sets nanosAsLong on the SESSION (there is no per-read
+    * option for it) — a deliberate global: after the first events()
+    * call, any other parquet nanos column in the session also reads as
+    * long. All engine reads go through this object, so the flag is
+    * uniform by construction.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

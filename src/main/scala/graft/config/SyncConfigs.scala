@@ -49,8 +49,19 @@ object SyncConfigs {
     m
   }
 
-  def parse(yaml: String): RootConfig =
-    mapper.readValue(yaml, classOf[RootConfig])
+  def parse(yaml: String): RootConfig = {
+    val cfg = mapper.readValue(yaml, classOf[RootConfig])
+    // jackson defaults missing primitives to 0/null — reject instead of
+    // letting a typo'd key plan zero partitions downstream
+    require(cfg.sys != null && cfg.sys.partition > 0, "sys.partition must be > 0")
+    require(cfg.sys.batch > 0, "sys.batch must be > 0")
+    require(cfg.dbs != null && cfg.dbs.nonEmpty && cfg.dbs.forall(d =>
+      d.name != null && d.`type` != null), "dbs must be nonempty with name/type")
+    require(cfg.sync != null && cfg.sync.forall(s =>
+      s.sourceDb != null && s.targetDb != null && s.sourceTable != null &&
+        s.sourceKeys != null), "sync entries need sourceDb/targetDb/table/keys")
+    cfg
+  }
 
   /** Sync routing matrix: one row per (sync entry, target db) — the
     * fan-out form the pollers route on. */
@@ -99,7 +110,7 @@ object SyncConfigs {
       val fn = s"sync_${sc.sourceTable}_$opName"
       val payload = if (opCode == "D") "OLD" else "NEW"
       val ddl =
-        s"CREATE TRIGGER $trigger AFTER ${opName.toUpperCase} ON " +
+        s"CREATE TRIGGER $trigger AFTER ${opName.toUpperCase(java.util.Locale.ROOT)} ON " +
           s"${sc.sourceSchema}.${sc.sourceTable} FOR EACH ROW EXECUTE " +
           s"$fn() -- writes (sourceDb=${sc.sourceDb}, op=$opCode, " +
           s"data=row_to_json($payload)) to dbsync.sync_data for targets ${sc.targetDb}"

@@ -51,20 +51,25 @@ object ChangeLog {
       get_json_object(col("props"), "$.k").cast("long").as("k"),
       pmod(col("user_id"), lit(NumPartitions.toLong)).as("part"))
 
-  /** Simulated already-polled set (stand-in for `sync_polled`). */
+  /** Already-polled predicate (stand-in for the `sync_polled` lookup) —
+    * THE definition; Ledger.syncState and the oracle ST CTE mirror it. */
+  val polledCol: Column = col("event_id") % 7 === 0
+
+  /** Simulated already-polled set. */
   def polledIds(changelog: DataFrame): DataFrame =
-    changelog.where(col("event_id") % 7 === 0).select("event_id")
+    changelog.where(polledCol).select("event_id")
 
   /** Unpolled changes, id-ordered, bounded batch — the pollBatch step.
     * Anti-join is a single shuffle; the order+limit is a TakeOrdered
-    * (no full sort materialization).
+    * (no full sort materialization). Returns the FULL changelog schema
+    * so the batch composes into merge/apply (Pipeline's incremental
+    * mode).
     */
   def pollBatch(changelog: DataFrame, batch: Int = BatchSize): DataFrame =
     changelog
       .join(polledIds(changelog), Seq("event_id"), "left_anti")
       .orderBy("event_id")
       .limit(batch)
-      .select("event_id", "user_id", "op", "part")
 
   /** Per-partition apply summary after last-writer-wins: how many keys
     * each ordered worker owns and the applied (live) state it would

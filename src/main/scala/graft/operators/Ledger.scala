@@ -58,7 +58,7 @@ object Ledger {
   /** SyncState per source db: pending (unpolled) + per-status counts of
     * polled changes. Mirrors `monitor/Endpoints.scala` SyncState. */
   def syncState(changelog: DataFrame): DataFrame = {
-    val polled = col("event_id") % 7 === 0
+    val polled = ChangeLog.polledCol
     changelog
       .withColumn("status", statusCol)
       .groupBy(dbCol.as("db"))
@@ -95,8 +95,8 @@ object Ledger {
     * retry. */
   def errorRetry(changelog: DataFrame): DataFrame =
     changelog
-      .where(col("op") === "D")
-      .withColumn("retry", pmod(col("event_id"), lit(5L)))
+      .where(statusCol === "ERR")
+      .withColumn("retry", retryCol)
       .groupBy("part")
       .agg(
         count(lit(1)).as("n_err"),
@@ -107,7 +107,11 @@ object Ledger {
   /** Blocked-key chains: every change of a key that comes strictly after
     * the key's FIRST failed change is blocked until that error resolves.
     * Single window over the key — one hash shuffle, ordered by change
-    * order (ems, event_id), exactly the reference's per-key queueing. */
+    * order (ems, event_id), exactly the reference's per-key queueing.
+    * first_err_eid = min event_id among preceding errors, which IS the
+    * first-in-change-order error under the changelog contract that
+    * event_id is the change sequence number (monotone in ems; see
+    * CdcMerge.lastPerKey). */
   def blockedChain(changelog: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ems"), col("event_id"))
@@ -238,8 +242,7 @@ object Ledger {
     * the observable analog of the reference's bounded in-memory queues. */
   def queueDepth(changelog: DataFrame): DataFrame =
     changelog
-      .withColumn("hour_s",
-        ((col("ems") - pmod(col("ems"), lit(3600000L))) / 1000).cast("long"))
+      .withColumn("hour_s", expr("(ems - ems % 3600000) div 1000"))
       .groupBy(col("part"), col("hour_s"))
       .agg(count(lit(1)).as("depth"))
 }
