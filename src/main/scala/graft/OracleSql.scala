@@ -411,6 +411,19 @@ object OracleSql {
         |    (CASE WHEN pid = 7 THEN hi + 1 ELSE lo + (pid+1)*stride END) AS predicate
         |FROM s""".stripMargin,
 
+    "trigger_specs" -> {
+      def esc(s: String) = "'" + s.replace("'", "''") + "'"
+      val values = graft.config.SyncConfigs.triggerSpecRows()
+        .map { case (db, sch, tbl, op, trg, fn, ddl) =>
+          s"(${esc(db)}, ${esc(sch)}, ${esc(tbl)}, ${esc(op)}, " +
+            s"${esc(trg)}, ${esc(fn)}, ${esc(ddl)})"
+        }.mkString(",\n  ")
+      s"""SELECT * FROM (VALUES
+         |  $values
+         |) AS t(source_db, schema_name, table_name, op, trigger_name,
+         |       function_name, ddl)""".stripMargin
+    },
+
     "config_matrix" ->
       """SELECT * FROM (VALUES
         |  ('db0','db1','public','customer','c_custkey', CAST(16 AS BIGINT)),

@@ -95,14 +95,14 @@ object SyncConfigs {
        |  message TEXT, retry INT DEFAULT 0)""".stripMargin,
     s"CREATE INDEX IF NOT EXISTS idx_sync_data_time ON $sysSchema.sync_data (create_time)")
 
-  /** Trigger DDL specs: one row per (sync entry, I/U/D op). Deterministic
-    * strings — our own DDL dialect, same information content as the
-    * reference's trigger templates. */
-  def triggerSpecs(spark: SparkSession, yaml: String = DemoYaml): DataFrame = {
-    import spark.implicits._
+  /** Trigger DDL spec rows: one per (sync entry, I/U/D op). Pure —
+    * the DataFrame AND the DuckDB oracle VALUES literal both derive
+    * from this, so they cannot drift. */
+  def triggerSpecRows(yaml: String = DemoYaml):
+      Seq[(String, String, String, String, String, String, String)] = {
     val cfg = parse(yaml)
     val ops = List("insert" -> "I", "update" -> "U", "delete" -> "D")
-    val rows = for {
+    for {
       sc <- cfg.sync
       (opName, opCode) <- ops
     } yield {
@@ -116,7 +116,13 @@ object SyncConfigs {
           s"data=row_to_json($payload)) to dbsync.sync_data for targets ${sc.targetDb}"
       (sc.sourceDb, sc.sourceSchema, sc.sourceTable, opCode, trigger, fn, ddl)
     }
-    rows.toDF("source_db", "schema_name", "table_name", "op", "trigger_name",
-      "function_name", "ddl")
+  }
+
+  /** Trigger DDL specs as a DataFrame — our own DDL dialect, same
+    * information content as the reference's trigger templates. */
+  def triggerSpecs(spark: SparkSession, yaml: String = DemoYaml): DataFrame = {
+    import spark.implicits._
+    triggerSpecRows(yaml).toDF("source_db", "schema_name", "table_name",
+      "op", "trigger_name", "function_name", "ddl")
   }
 }
