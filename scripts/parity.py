@@ -51,7 +51,8 @@ def main(outdir, sfdir):
         # compare as strings to sidestep dtype differences (int32 vs int64)
         mism = (s.astype(str).values != d.astype(str).values)
         if mism.any():
-            i, j = [x[0] for x in mism.nonzero()][0], [x[1] for x in mism.nonzero()][1]
+            rows, cols = mism.nonzero()
+            i, j = rows[0], cols[0]
             colname = s.columns[j]
             print(f"FAIL {name}: value mismatch at row {i} col {colname}: "
                   f"spark={s.iloc[i, j]!r} duck={d.iloc[i, j]!r}")

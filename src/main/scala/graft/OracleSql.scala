@@ -14,6 +14,96 @@ object OracleSql {
     graft.operators.Similarity.hyperplanes.zipWithIndex.map { case (p, b) =>
       s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
+  import graft.functions.PortableHash.{sqlPermute, sqlPhash}
+  import graft.operators.{Dedup, TextAnalysis}
+
+  /** SQL string literal escape for generated VALUES clauses. */
+  private def esc(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** MinHash dedup CTE chain — the SQL twin of operators.Dedup
+    * (shingle → portable hash → 64 universal-hash minhashes → 16-band
+    * LSH buckets → bounded pair generation → exact Jaccard). The
+    * band/threshold/star-cap constants come from Dedup itself so the
+    * two engines cannot drift. */
+  private lazy val MinhashCtes: String = {
+    val mins = (0 until Dedup.NumHashes)
+      .map(s => s"CAST(MIN(${sqlPermute("h", s)}) AS BIGINT) AS m$s")
+      .mkString(", ")
+    val bandSig = (0 until Dedup.Bands).map { b =>
+      val cols = (0 until Dedup.RowsPerBand)
+        .map(r => s"m${b * Dedup.RowsPerBand + r}")
+      s"WHEN $b THEN ${cols.mkString(" || ':' || ")}"
+    }.mkString(" ")
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |grams AS (SELECT doc_id,
+       |    CASE WHEN len(tk) >= 3
+       |      THEN list_transform(generate_series(0, len(tk)-3),
+       |             i -> array_to_string(tk[i+1:i+3], ' '))
+       |      ELSE [array_to_string(tk, ' ')] END AS gs
+       |  FROM tk),
+       |sh AS (SELECT doc_id, ${sqlPhash("g.g")} AS h
+       |  FROM grams, UNNEST(list_distinct(gs)) AS g(g)),
+       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |banded AS (SELECT doc_id, b.j AS band,
+       |    CASE b.j $bandSig END AS sig
+       |  FROM sigs, UNNEST(generate_series(0, ${Dedup.Bands - 1})) AS b(j)),
+       |bn AS (SELECT band, sig, COUNT(*) AS n, MIN(doc_id) AS keeper
+       |  FROM banded GROUP BY 1, 2 HAVING COUNT(*) > 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bn JOIN banded a USING (band, sig) JOIN banded b USING (band, sig)
+       |  WHERE bn.n <= ${Dedup.MaxQuadraticBucket} AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT bn.keeper, b.doc_id
+       |  FROM bn JOIN banded b USING (band, sig)
+       |  WHERE bn.n > ${Dedup.MaxQuadraticBucket} AND b.doc_id <> bn.keeper),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |it AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+       |  FROM pairs p
+       |  JOIN sh s1 ON s1.doc_id = p.doc_a
+       |  JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.h = s1.h
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT p.doc_a, p.doc_b,
+       |    (COALESCE(it.c, 0) * 1000) // (za.n + zb.n - COALESCE(it.c, 0)) AS j_milli
+       |  FROM pairs p
+       |  LEFT JOIN it ON p.doc_a = it.doc_a AND p.doc_b = it.doc_b
+       |  JOIN sz za ON za.doc_id = p.doc_a
+       |  JOIN sz zb ON zb.doc_id = p.doc_b)""".stripMargin
+  }
+
+  /** SimHash dedup CTE chain — twin of Dedup.simhashDedup (60-bit
+    * portable simhash, 4×15-bit bands, bounded pairs, hamming check). */
+  private lazy val SimhashCtes: String = {
+    val bitSums = (0 until Dedup.SimBits)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(", ")
+    val fp = (0 until Dedup.SimBits)
+      .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    val mask = (1 << Dedup.SimBandBits) - 1
+    s"""stok AS (SELECT doc_id, ${sqlPhash("t.t")} AS h
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)),
+       |sbits AS (SELECT doc_id, $bitSums FROM stok GROUP BY doc_id),
+       |sfp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sbits),
+       |sbanded AS (SELECT doc_id, simhash, b.j AS band,
+       |    (simhash >> (b.j * ${Dedup.SimBandBits})) & $mask AS bkey
+       |  FROM sfp, UNNEST(generate_series(0, ${Dedup.SimBands - 1})) AS b(j)),
+       |sbn AS (SELECT band, bkey, COUNT(*) AS n, MIN(doc_id) AS keeper
+       |  FROM sbanded GROUP BY 1, 2 HAVING COUNT(*) > 1),
+       |spairs AS (
+       |  SELECT a.doc_id AS doc_a, a.simhash AS sa,
+       |         b.doc_id AS doc_b, b.simhash AS sb
+       |  FROM sbn JOIN sbanded a USING (band, bkey)
+       |       JOIN sbanded b USING (band, bkey)
+       |  WHERE sbn.n <= ${Dedup.MaxQuadraticBucket} AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT sbn.keeper, k.simhash, b.doc_id, b.simhash
+       |  FROM sbn JOIN sbanded b USING (band, bkey)
+       |  JOIN sbanded k ON k.band = sbn.band AND k.bkey = sbn.bkey
+       |    AND k.doc_id = sbn.keeper
+       |  WHERE sbn.n > ${Dedup.MaxQuadraticBucket} AND b.doc_id <> sbn.keeper)""".stripMargin
+  }
+
   /** Shared normalized-changelog CTE body — the SQL twin of
     * operators.ChangeLog.normalize. */
   val CL: String =
@@ -412,16 +502,78 @@ object OracleSql {
         |FROM s""".stripMargin,
 
     "trigger_specs" -> {
-      def esc(s: String) = "'" + s.replace("'", "''") + "'"
       val values = graft.config.SyncConfigs.triggerSpecRows()
-        .map { case (db, sch, tbl, op, trg, fn, ddl) =>
-          s"(${esc(db)}, ${esc(sch)}, ${esc(tbl)}, ${esc(op)}, " +
-            s"${esc(trg)}, ${esc(fn)}, ${esc(ddl)})"
+        .map { case (db, dia, sch, tbl, op, trg, fn, ddl) =>
+          s"(${esc(db)}, ${esc(dia)}, ${esc(sch)}, ${esc(tbl)}, " +
+            s"${esc(op)}, ${esc(trg)}, ${esc(fn)}, ${esc(ddl)})"
         }.mkString(",\n  ")
       s"""SELECT * FROM (VALUES
          |  $values
-         |) AS t(source_db, schema_name, table_name, op, trigger_name,
-         |       function_name, ddl)""".stripMargin
+         |) AS t(source_db, dialect, schema_name, table_name, op,
+         |       trigger_name, function_name, ddl)""".stripMargin
+    },
+
+    // The reconciliation INPUTS (config-derived desired set, simulated
+    // existing catalog) are shared literals; the DIFF itself is computed
+    // independently — DataFrame full-outer join in Spark, SQL full-outer
+    // join here.
+    "sync_reconcile" -> {
+      def catalogValues(rows: Seq[graft.config.SyncConfigs.CatalogRow],
+                        vcol: String): String = {
+        val values = rows.map { case (db, sch, tbl, ot, on, v) =>
+          s"(${esc(db)}, ${esc(sch)}, ${esc(tbl)}, ${esc(ot)}, ${esc(on)}, ${esc(v)})"
+        }.mkString(",\n    ")
+        s"""SELECT * FROM (VALUES
+           |    $values
+           |  ) AS t(db, schema_name, table_name, object_type, object_name, $vcol)"""
+          .stripMargin
+      }
+      s"""WITH want AS (
+         |  ${catalogValues(graft.config.SyncConfigs.desiredCatalogRows(), "want_version")}),
+         |have AS (
+         |  ${catalogValues(graft.config.SyncConfigs.existingCatalogRows(), "have_version")})
+         |SELECT COALESCE(w.db, h.db) AS db,
+         |  COALESCE(w.schema_name, h.schema_name) AS schema_name,
+         |  COALESCE(w.table_name, h.table_name) AS table_name,
+         |  COALESCE(w.object_type, h.object_type) AS object_type,
+         |  COALESCE(w.object_name, h.object_name) AS object_name,
+         |  CASE WHEN h.have_version IS NULL THEN 'CREATE'
+         |       WHEN w.want_version IS NULL
+         |            AND h.object_type = 'trigger' THEN 'DROP'
+         |       WHEN w.want_version IS NULL THEN 'KEEP'
+         |       WHEN w.want_version = h.have_version THEN 'MATCHED'
+         |       ELSE 'REBUILD' END AS action
+         |FROM want w FULL OUTER JOIN have h
+         |  ON w.db = h.db AND w.schema_name = h.schema_name
+         |  AND w.table_name = h.table_name AND w.object_type = h.object_type
+         |  AND w.object_name = h.object_name""".stripMargin
+    },
+
+    "blocked_replay" ->
+      s"""WITH $CL,
+         |b AS (SELECT user_id, event_id, ems,
+         |  MIN(CASE WHEN op='D' THEN event_id END) OVER (
+         |    PARTITION BY user_id ORDER BY ems, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_err_eid
+         |  FROM cl)
+         |SELECT user_id, event_id, first_err_eid,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+         |    ORDER BY ems, event_id) AS BIGINT) AS replay_seq
+         |FROM b WHERE first_err_eid IS NOT NULL AND first_err_eid % 5 < 3""".stripMargin,
+
+    "poll_backoff" -> {
+      val sys = graft.config.SyncConfigs
+        .parse(graft.config.SyncConfigs.DemoYaml).sys
+      val (batch, wait) = (sys.batch, sys.maxPollWait)
+      s"""WITH $CL,
+         |p AS (SELECT 'db' || (user_id % 3) AS db,
+         |    (ems - ems % 3600000) // 1000 AS hour_s,
+         |    CAST(COUNT(*) AS BIGINT) AS n_events
+         |  FROM cl GROUP BY 1, 2)
+         |SELECT db, hour_s, n_events,
+         |  least(n_events, $batch) AS n_polled,
+         |  (($batch - least(n_events, $batch)) * $wait) // $batch AS wait_ms
+         |FROM p""".stripMargin
     },
 
     "config_matrix" ->
@@ -659,6 +811,51 @@ object OracleSql {
         |  CAST(least(100, len - idx * 100) AS BIGINT) AS frame_len,
         |  width, height
         |FROM f WHERE rn <= 8""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $MinhashCtes
+         |SELECT doc_a, doc_b, j_milli,
+         |       CAST(j_milli >= ${Dedup.JaccardMilli} AS VARCHAR) AS is_dup
+         |FROM jac""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $MinhashCtes
+         |SELECT doc_a AS keeper_doc_id, doc_b AS dup_doc_id, j_milli
+         |FROM jac WHERE j_milli >= ${Dedup.JaccardMilli}""".stripMargin,
+
+    "dedup_apply" ->
+      s"""WITH $MinhashCtes
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM jac
+         |  WHERE jac.j_milli >= ${Dedup.JaccardMilli}
+         |    AND jac.doc_b = d.doc_id)""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $SimhashCtes
+         |SELECT DISTINCT doc_a, doc_b,
+         |       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM spairs
+         |WHERE bit_count(xor(sa, sb)) <= ${Dedup.MaxHamming}""".stripMargin,
+
+    "doc_winnow" ->
+      s"""WITH wtok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |  WHERE len(string_split(text, ' ')) >= ${TextAnalysis.WinnowK}),
+         |wkg AS (SELECT doc_id, g.i AS pos,
+         |    ${sqlPhash(s"array_to_string(tk[g.i+1:g.i+${TextAnalysis.WinnowK}], ' ')")} AS h
+         |  FROM wtok,
+         |    UNNEST(generate_series(0, len(tk)-${TextAnalysis.WinnowK})) AS g(i)),
+         |ww AS (SELECT doc_id, pos,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS n_kgrams,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW
+         |      AND ${TextAnalysis.WinnowW - 1} FOLLOWING) AS fp
+         |  FROM wkg),
+         |wsel AS (SELECT doc_id, fp FROM ww
+         |  WHERE pos <= greatest(n_kgrams - ${TextAnalysis.WinnowW}, 0))
+         |SELECT doc_id, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fps,
+         |       MIN(fp) AS min_fp, MAX(fp) AS max_fp
+         |FROM wsel GROUP BY doc_id""".stripMargin,
 
     "ann_topk" ->
       """WITH q AS (

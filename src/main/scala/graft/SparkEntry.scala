@@ -72,6 +72,12 @@ object SparkEntry {
       Snapshot.sourcePartitionPlan(Tables.customer(s, dir))),
     "config_matrix"       -> ((s, _) => SyncConfigs.configMatrix(s)),
     "trigger_specs"       -> ((s, _) => SyncConfigs.triggerSpecs(s)),
+    "sync_reconcile"      -> ((s, _) => SyncConfigs.syncReconcile(s)),
+    "blocked_replay"      -> ((s, dir) => Ledger.blockedReplay(cl(s, dir))),
+    "poll_backoff"        -> ((s, dir) => {
+      val sys = SyncConfigs.parse(SyncConfigs.DemoYaml).sys
+      Ledger.pollBackoff(cl(s, dir), sys.batch.toLong, sys.maxPollWait.toLong)
+    }),
     "stream_window_agg"   -> ((s, dir) => streamWindowAgg(s, dir)),
     "pipeline_e2e"        -> ((s, dir) => Pipeline.run(s, dir).applied),
     // LLM-data-pipeline operators (SURVEY.md §2 #23-34)

@@ -95,26 +95,56 @@ object SyncConfigs {
        |  message TEXT, retry INT DEFAULT 0)""".stripMargin,
     s"CREATE INDEX IF NOT EXISTS idx_sync_data_time ON $sysSchema.sync_data (create_time)")
 
-  /** Trigger DDL spec rows: one per (sync entry, I/U/D op). Pure —
-    * the DataFrame AND the DuckDB oracle VALUES literal both derive
-    * from this, so they cannot drift. */
+  /** Trigger DDL spec rows: one per (sync entry, I/U/D op), in the
+    * DIALECT of the entry's source db (`dbs[].type`). Pure — the
+    * DataFrame AND the DuckDB oracle VALUES literal both derive from
+    * this, so they cannot drift.
+    *
+    * Dialects mirror the reference's split templates: postgresql /
+    * greenplum use a trigger FUNCTION + `row_to_json`
+    * (`dbopt/PgOperation.scala:116-214`); mysql has no trigger
+    * function — the body is inlined `BEGIN … JSON_OBJECT … END`
+    * preceded by `DROP TRIGGER IF EXISTS`, and the trigger condition
+    * guards via `if … then` (`dbopt/MysqlOperation.scala:109-151`).
+    * The DDL text itself is our own template, same information
+    * content. */
   def triggerSpecRows(yaml: String = DemoYaml):
-      Seq[(String, String, String, String, String, String, String)] = {
+      Seq[(String, String, String, String, String, String, String, String)] = {
     val cfg = parse(yaml)
+    val dialectOf = cfg.dbs.map(d => d.name -> d.`type`).toMap
     val ops = List("insert" -> "I", "update" -> "U", "delete" -> "D")
     for {
       sc <- cfg.sync
       (opName, opCode) <- ops
     } yield {
+      val dialect = dialectOf.getOrElse(sc.sourceDb, "postgresql")
       val trigger = s"sync_${opName}_trigger"
-      val fn = s"sync_${sc.sourceTable}_$opName"
+      val action = opName.toUpperCase(java.util.Locale.ROOT)
       val payload = if (opCode == "D") "OLD" else "NEW"
-      val ddl =
-        s"CREATE TRIGGER $trigger AFTER ${opName.toUpperCase(java.util.Locale.ROOT)} ON " +
-          s"${sc.sourceSchema}.${sc.sourceTable} FOR EACH ROW EXECUTE " +
-          s"$fn() -- writes (sourceDb=${sc.sourceDb}, op=$opCode, " +
-          s"data=row_to_json($payload)) to dbsync.sync_data for targets ${sc.targetDb}"
-      (sc.sourceDb, sc.sourceSchema, sc.sourceTable, opCode, trigger, fn, ddl)
+      val (fn, ddl) = dialect match {
+        case "mysql" =>
+          // mysql: no trigger function; DROP-then-CREATE with an
+          // inlined JSON_OBJECT body, one insert per fan-out target
+          val inserts = sc.targetDb.split(",").map(_.trim).map(t =>
+            s"INSERT INTO dbsync.sync_data (source_db, target_db, schema_name, " +
+              s"table_name, operation, data) VALUES ('${sc.sourceDb}', '$t', " +
+              s"'${sc.sourceSchema}', '${sc.sourceTable}', '$opCode', " +
+              s"JSON_OBJECT($payload.*))").mkString("; ")
+          ("",
+            s"DROP TRIGGER IF EXISTS ${sc.sourceSchema}.$trigger; " +
+              s"CREATE TRIGGER ${sc.sourceSchema}.$trigger AFTER $action ON " +
+              s"${sc.sourceSchema}.${sc.sourceTable} FOR EACH ROW BEGIN " +
+              s"IF 1=1 THEN $inserts; END IF; END")
+        case _ => // postgresql + greenplum share the pg trigger shape
+          val f = s"sync_${sc.sourceTable}_$opName"
+          (f,
+            s"CREATE TRIGGER $trigger AFTER $action ON " +
+              s"${sc.sourceSchema}.${sc.sourceTable} FOR EACH ROW EXECUTE " +
+              s"$f() -- writes (sourceDb=${sc.sourceDb}, op=$opCode, " +
+              s"data=row_to_json($payload)) to dbsync.sync_data for targets ${sc.targetDb}")
+      }
+      (sc.sourceDb, dialect, sc.sourceSchema, sc.sourceTable, opCode, trigger,
+        fn, ddl)
     }
   }
 
@@ -122,7 +152,90 @@ object SyncConfigs {
     * information content as the reference's trigger templates. */
   def triggerSpecs(spark: SparkSession, yaml: String = DemoYaml): DataFrame = {
     import spark.implicits._
-    triggerSpecRows(yaml).toDF("source_db", "schema_name", "table_name",
-      "op", "trigger_name", "function_name", "ddl")
+    triggerSpecRows(yaml).toDF("source_db", "dialect", "schema_name",
+      "table_name", "op", "trigger_name", "function_name", "ddl")
+  }
+
+  // --- index + trigger reconciliation ------------------------------------
+
+  /** One desired catalog object: triggers carry a version hash of their
+    * DDL (the reference stores a hash of the trigger SQL in
+    * sync_trigger_version and rebuilds on mismatch —
+    * `dbopt/MysqlOperation.scala:143-151` triggerExists/saveTriggerVersion);
+    * unique indexes carry their sorted column list
+    * (`job/SyncTrigger.scala:104-126` checkIndex sorts sourceKeys before
+    * comparing against `uniqueIndexExists`). */
+  type CatalogRow = (String, String, String, String, String, String)
+  //                 db      schema  table   type    name    version
+
+  /** Desired catalog derived from config: every trigger of every sync
+    * entry (on the SOURCE db) + a unique key index per (sync entry,
+    * fan-out target) on the TARGET db. Pure. */
+  def desiredCatalogRows(yaml: String = DemoYaml): Seq[CatalogRow] = {
+    val cfg = parse(yaml)
+    val triggers = triggerSpecRows(yaml).map {
+      case (db, _, sch, tbl, _, trg, _, ddl) =>
+        (db, sch, tbl, "trigger", trg,
+          graft.functions.PortableHash.md5Hex(ddl))
+    }
+    val indexes = for {
+      sc <- cfg.sync
+      tgt <- sc.targetDb.split(",").toList.map(_.trim)
+    } yield {
+      val cols = sc.sourceKeys.split(",").map(_.trim).sorted.mkString(",")
+      (tgt, sc.sourceSchema, sc.sourceTable, "index",
+        s"uk_${sc.sourceTable}", cols)
+    }
+    (triggers ++ indexes).distinct
+  }
+
+  /** Simulated existing catalog — the deterministic stand-in for
+    * `sync_trigger_version` + the target-db index catalog (the live
+    * JDBC edge is untestable here, SURVEY §6). Shape: the first sync
+    * table's objects are current (MATCHED), the second table's triggers
+    * carry a stale version hash (REBUILD), the third table is absent
+    * entirely (CREATE), and a retired table still holds triggers
+    * (DROP — `init/TriggerInitializer.scala:24` cleanTrigger) and an
+    * index (KEEP — the reference never drops indexes). */
+  def existingCatalogRows(yaml: String = DemoYaml): Seq[CatalogRow] = {
+    val cfg = parse(yaml)
+    val desired = desiredCatalogRows(yaml)
+    val tables = cfg.sync.map(_.sourceTable).distinct
+    val current = desired.filter(r => tables.headOption.contains(r._3))
+    val stale = desired
+      .filter(r => tables.lift(1).contains(r._3) && r._4 == "trigger")
+      .map(r => r.copy(_6 = "0000stale0000"))
+    val orphans = Seq(
+      ("db0", "public", "retired_table", "trigger", "sync_insert_trigger",
+        "0000orphan000"),
+      ("db1", "public", "retired_table", "index", "uk_retired_table", "id"))
+    current ++ stale ++ orphans
+  }
+
+  /** Index + trigger reconciliation — the Spark form of the reference's
+    * per-boot catalog repair (`job/SyncTrigger.scala` syncTrigger +
+    * checkIndex, `init/TriggerInitializer.scala` cleanTrigger): a
+    * full-outer diff of desired vs existing catalog per object.
+    * Actions: CREATE (desired, absent), MATCHED (version equal),
+    * REBUILD (version drift), DROP (orphan trigger), KEEP (orphan
+    * index — never auto-dropped). Both sides are tiny config-derived
+    * relations; at scale this stays a broadcastable metadata join, not
+    * a data-path operator. */
+  def syncReconcile(spark: SparkSession, yaml: String = DemoYaml): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cols = Seq("db", "schema_name", "table_name", "object_type",
+      "object_name")
+    val want = desiredCatalogRows(yaml).toDF(cols :+ "want_version": _*)
+    val have = existingCatalogRows(yaml).toDF(cols :+ "have_version": _*)
+    want.join(have, cols, "full_outer")
+      .select(col("db"), col("schema_name"), col("table_name"),
+        col("object_type"), col("object_name"),
+        when(col("have_version").isNull, lit("CREATE"))
+          .when(col("want_version").isNull && col("object_type") === "trigger",
+            lit("DROP"))
+          .when(col("want_version").isNull, lit("KEEP"))
+          .when(col("want_version") === col("have_version"), lit("MATCHED"))
+          .otherwise(lit("REBUILD")).as("action"))
   }
 }

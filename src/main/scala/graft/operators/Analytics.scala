@@ -31,21 +31,31 @@ object Analytics {
         count(lit(1)).as("n"))
 
   /** Top-10 orders by revenue for one market segment: broadcast-filtered
-    * customer dim, fact joins shuffled on the order key, windowed top-k
-    * after the aggregate (WindowGroupLimit prunes map-side). */
+    * customer dim, fact joins shuffled on the order key, then a global
+    * `orderBy(..).limit(k)` — planned as TakeOrderedAndProject, i.e.
+    * per-partition top-k heaps merged once, never a full sort (and
+    * never the single-partition global Window the round-2 bench warned
+    * about). The rank column is re-derived by a window over the already
+    * k-row result; its partition key is a non-foldable constant
+    * (pmod(key, 1) ≡ 0 — a literal would be constant-folded back to an
+    * UNpartitioned window and re-trigger the warning), so the k rows
+    * land on one defined partition — which is the point, not a skew. */
   def topRevenueOrders(customer: DataFrame, orders: DataFrame,
                        lineitem: DataFrame, segment: String = "BUILDING",
                        k: Int = 10): DataFrame = {
     val cust = customer.where(col("c_mktsegment") === segment)
       .select("c_custkey")
-    val w = Window.orderBy(col("revenue_c").desc, col("o_orderkey"))
+    val w = Window.partitionBy(pmod(col("o_orderkey"), lit(1)))
+      .orderBy(col("revenue_c").desc, col("o_orderkey"))
     orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"), revCents.as("rev_c"))
       .groupBy("o_orderkey")
       .agg(sum("rev_c").as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("o_orderkey"))
+      .limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+      .select("o_orderkey", "revenue_c", "rank")
   }
 
   /** Revenue per supplier nation: two broadcast dims, one fact shuffle. */

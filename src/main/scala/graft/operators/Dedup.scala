@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash.{permute, phash}
 
 /** Near-duplicate detection over `documents` — MinHash+LSH, SimHash,
   * and n-gram Jaccard verification. All bucketed: the LSH band (or
@@ -13,7 +15,14 @@ import org.apache.spark.sql.functions._
   * 64-wide signatures are built by 64 codegen'd min/sum aggregates with
   * map-side partial aggregation — not by higher-order-function lambdas,
   * which are interpreted and invite CollapseProject to duplicate the
-  * shingle expression into every seed (measured 60×+ slowdown).
+  * shingle expression into every seed (measured 60×+ slowdown). Seed
+  * mixing is the universal-hash permutation from
+  * [[graft.functions.PortableHash]]: one md5 per shingle, then 64
+  * integer ops — portable to the DuckDB oracle, so every query in this
+  * family is hash-checked cross-engine (the round-2 gap). The
+  * verification joins run against the per-shingle hash table (a narrow
+  * explode, cheap to recompute), never against the 64-aggregate
+  * signature build — that runs exactly once per query.
   */
 object Dedup {
   /** MinHash signature length and banding (16 bands × 4 rows). */
@@ -23,6 +32,12 @@ object Dedup {
 
   /** Jaccard duplicate threshold in milli-units (0.6). */
   val JaccardMilli = 600L
+
+  /** SimHash width: 60 bits — everything [[graft.functions.PortableHash
+    * .phash]] yields. 4 bands × 15 bits. */
+  val SimBits = 60
+  val SimBands = 4
+  val SimBandBits: Int = SimBits / SimBands
 
   /** SimHash near-dup hamming threshold. */
   val MaxHamming = 6
@@ -38,28 +53,27 @@ object Dedup {
       .otherwise(array(concat_ws(" ", col("toks"))))
     toks
       .select(col("doc_id"), explode(array_distinct(shingles)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .select(col("doc_id"), phash(col("sh")).as("h"))
   }
 
-  /** Per-doc signature row: 64 minhashes (seed-mixed via xxhash64 over
-    * the fixed-width (h, seed) pair — constant cost, codegen'd) plus the
-    * distinct shingle-hash set for exact-Jaccard verification. */
+  /** Per-doc signature row: 64 minhashes — min over the seeded
+    * universal-hash permutations of the shingle hashes (constant cost,
+    * codegen'd, map-side combined). */
   def docSignatures(documents: DataFrame): DataFrame = {
-    val aggs =
-      (0 until NumHashes).map(s => min(xxhash64(col("h"), lit(s))).as(s"m$s")) :+
-        collect_set(col("h")).as("hs")
+    val aggs = (0 until NumHashes).map(s => min(permute(col("h"), s)).as(s"m$s"))
     shingleHashes(documents)
       .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
-        array((0 until NumHashes).map(s => col(s"m$s")): _*).as("mh"),
-        col("hs"))
+        array((0 until NumHashes).map(s => col(s"m$s")): _*).as("mh"))
   }
 
-  /** LSH candidate pairs: band signature = xxhash64(slice of the
-    * signature, band index); docs sharing any (band, sig) bucket pair
-    * up. The bucket is the shuffle key — pairs are generated inside
-    * buckets only, never across. */
+  /** LSH candidate pairs: band signature = the ':'-joined 4-minhash
+    * slice (a plain string, identical across engines — no second-level
+    * hash needed; the bucket count is what matters, not the key width).
+    * Docs sharing any (band, sig) bucket pair up. The bucket is the
+    * shuffle key — pairs are generated inside buckets only, never
+    * across. */
   def minhashCandidates(documents: DataFrame): DataFrame =
     candidatesFromSignatures(docSignatures(documents))
 
@@ -86,8 +100,9 @@ object Dedup {
   private[operators] def candidatesFromSignatures(sigs: DataFrame): DataFrame = {
     val banded = sigs
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${Bands - 1}), " +
-          s"b -> xxhash64(slice(mh, b*$RowsPerBand + 1, $RowsPerBand), b))"))
+        s"transform(sequence(0, ${Bands - 1}), b -> " +
+          s"array_join(transform(slice(mh, b*$RowsPerBand + 1, $RowsPerBand), " +
+          "x -> cast(x as string)), ':'))"))
         .as(Seq("band", "sig")))
     banded
       .groupBy("band", "sig")
@@ -99,22 +114,27 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard over the LSH candidate pairs only (the
-    * verification stage of MinHash dedup), computed on the hashed
-    * shingle sets. j_milli = ⌊1000·J⌋. */
+    * verification stage of MinHash dedup). The intersection size comes
+    * from joining the candidate pairs against the per-shingle hash
+    * table on both sides — the signature build (the expensive 64-wide
+    * aggregate) is NOT re-derived per join side, only the narrow
+    * shingle explode is. j_milli = ⌊1000·J⌋. */
   def ngramJaccard(documents: DataFrame): DataFrame = {
-    // no cache(): signatures recompute ~once per use, which is cheaper
-    // and stateless — a session-lifetime cache here leaks across the
-    // 38-query bench run and the eviction churn costs 10× the recompute.
-    val sigs = docSignatures(documents)
-    val pairs = candidatesFromSignatures(sigs)
+    val sh = shingleHashes(documents)
+    val pairs = candidatesFromSignatures(docSignatures(documents))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("c"))
     pairs
-      .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("uni",
-        size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        expr("(inter * 1000) div uni").as("j_milli"))
+        expr("(c * 1000) div (na + nb - c)").as("j_milli"))
       .withColumn("is_dup", (col("j_milli") >= JaccardMilli).cast("string"))
   }
 
@@ -135,17 +155,17 @@ object Dedup {
         .select(col("dup_doc_id").as("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
 
-  /** 64-bit SimHash per doc: explode tokens, hash once, then 64
+  /** 60-bit SimHash per doc: explode tokens, hash once, then 60
     * codegen'd ±1 sums (one per bit) reassembled into the fingerprint. */
   def simhashes(documents: DataFrame): DataFrame = {
     val tokenHashes = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map { i =>
+      .select(col("doc_id"), phash(col("t")).as("h"))
+    val bitSums = (0 until SimBits).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L) * (1L << i)) =!= 0, 1L)
         .otherwise(-1L)).as(s"b$i")
     }
-    val fingerprint = (0 until 64)
+    val fingerprint = (0 until SimBits)
       .map(i => when(col(s"b$i") > 0, lit(1L) * (1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     tokenHashes
@@ -154,7 +174,7 @@ object Dedup {
       .select(col("doc_id"), fingerprint.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: 4 bands of 16 bits as bucket keys, exact
+  /** SimHash near-dup pairs: 4 bands of 15 bits as bucket keys, exact
     * hamming check (bit_count of xor) within buckets only — with the
     * same star-pattern cap as MinHash so a mass-duplicate bucket stays
     * linear. */
@@ -162,7 +182,8 @@ object Dedup {
     val hashed = simhashes(documents)
     val banded = hashed.select(col("doc_id"), col("simhash"),
       posexplode(expr(
-        "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)"))
+        s"transform(sequence(0, ${SimBands - 1}), " +
+          s"b -> (simhash >> (b * $SimBandBits)) & ${(1 << SimBandBits) - 1})"))
         .as(Seq("band", "key")))
     banded
       .groupBy("band", "key")

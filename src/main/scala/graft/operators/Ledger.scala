@@ -126,6 +126,48 @@ object Ledger {
         count(lit(1)).as("n_blocked"))
   }
 
+  /** Blocked→unblocked replay schedule — the `ErrorResolver.resolvedError`
+    * → `BlockedHandler` re-enqueue transition
+    * (`/root/reference/.../sync/ErrorResolver.scala`,
+    * `sync/BlockedHandler.scala`): once a key's FIRST error is resolved
+    * (deterministic stand-in: its retry counter `event_id % 5` is under
+    * MaxRetry, i.e. the bounded retry eventually succeeded), every
+    * change queued behind it replays in original change order. Same
+    * single key-shuffle as blockedChain; the replay sequence is a
+    * row_number over the already-partitioned, already-sorted rows (no
+    * second shuffle). */
+  def blockedReplay(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ems"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val seqW = Window.partitionBy("user_id").orderBy(col("ems"), col("event_id"))
+    changelog
+      .withColumn("first_err_eid",
+        min(when(col("op") === "D", col("event_id"))).over(w))
+      .where(col("first_err_eid").isNotNull &&
+        pmod(col("first_err_eid"), lit(5L)) < MaxRetry)
+      .withColumn("replay_seq", row_number().over(seqW).cast("long"))
+      .select(col("user_id"), col("event_id"), col("first_err_eid"),
+        col("replay_seq"))
+  }
+
+  /** Adaptive poll backoff — `sync/DataPoller.scala:60-74`: after each
+    * poll the worker sleeps `(batch - polled) / batch · maxPollWait`
+    * (full batch ⇒ poll again immediately; empty poll ⇒ full backoff).
+    * Modeled per (db, hour) poll cycle over the changelog; integer
+    * arithmetic in both engines. The same policy drives the streaming
+    * job's trigger interval (streaming.StreamRun). */
+  def pollBackoff(changelog: DataFrame, batch: Long = 500L,
+                  maxPollWaitMs: Long = 10000L): DataFrame =
+    changelog
+      .withColumn("hour_s", expr("(ems - ems % 3600000) div 1000"))
+      .groupBy(dbCol.as("db"), col("hour_s"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("db"), col("hour_s"), col("n_events"),
+        least(col("n_events"), lit(batch)).as("n_polled"),
+        expr(s"(($batch - least(n_events, $batch)) * $maxPollWaitMs) div $batch")
+          .as("wait_ms"))
+
   /** Heartbeat staleness per (db, component): GREEN if the component
     * heartbeat is within StaleAfterS of the global clock (max ts).
     * The global max is a 1-row aggregate broadcast back — the scalable
@@ -210,15 +252,28 @@ object Ledger {
   }
 
   /** Exact distributed order statistic (no sketch): the lower median of
-    * value cents per event op class, computed by window rank — the
-    * deterministic form percentile_approx can't give. */
+    * value cents per event op class — the deterministic form
+    * percentile_approx can't give.
+    *
+    * Scale shape: the raw changelog is first collapsed to
+    * (op, value_cents) COUNTS — a map-side-combined aggregate, so the
+    * shuffle carries at most |ops|·|distinct values| rows, not the raw
+    * log. Only that (small) distinct-value relation flows into the
+    * per-op cumulative-sum window; the median is the first value whose
+    * running count reaches rank (n+1)/2. A window over raw rows with
+    * only 3 partitions would sort the whole 100 TB log on 3 reducers —
+    * the round-2 plan bug this replaces (PlanSpec pins the aggregate-
+    * below-window shape). */
   def valueMedian(changelog: DataFrame): DataFrame = {
-    val w = Window.partitionBy("op").orderBy(col("value_cents"), col("event_id"))
+    val w = Window.partitionBy("op").orderBy("value_cents")
     val cw = Window.partitionBy("op")
     changelog
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(cw))
-      .where(col("rn") === expr("(cnt + 1) div 2")) // lower median rank
+      .groupBy("op", "value_cents")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("cnt", sum("c").over(cw))
+      .where(col("cum") - col("c") < expr("(cnt + 1) div 2") &&
+        expr("(cnt + 1) div 2") <= col("cum"))
       .select(col("op"),
         col("value_cents").as("median_low_cents"),
         col("cnt").as("n"))

@@ -80,7 +80,7 @@ object Snapshot {
       .select(col("lo"), col("hi"),
         explode(sequence(lit(0L), lit(ReadPartitions - 1))).as("pid"))
       .withColumn("stride",
-        ((col("hi") - col("lo")) / ReadPartitions).cast("long"))
+        expr(s"(hi - lo) div $ReadPartitions"))
       .select(
         col("pid"),
         (col("lo") + col("pid") * col("stride")).as("range_lo"),

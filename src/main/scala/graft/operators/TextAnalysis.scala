@@ -167,8 +167,10 @@ object TextAnalysis {
       .where(size(col("toks")) >= WinnowK)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(toks)-$WinnowK), " +
-          s"i -> xxhash64(concat_ws(' ', slice(toks, i+1, $WinnowK))))"))
-        .as(Seq("pos", "h")))
+          s"i -> concat_ws(' ', slice(toks, i+1, $WinnowK)))"))
+        .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.PortableHash.phash(col("g")).as("h"))
     val win = W.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(0, WinnowW - 1)
     kgrams

@@ -19,6 +19,21 @@ import graft.operators.Snapshot
   * `config.SyncConfigs`) are the tested surface (SURVEY.md §6).
   */
 object JdbcSync {
+  private val IdentRe = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** Validate a YAML-sourced identifier before interpolating it into
+    * generated SQL — config is data, not trusted SQL text; a malformed
+    * or hostile schema/table/key/column name must fail fast here, not
+    * produce a broken or injectable statement downstream. */
+  def ident(name: String): String = {
+    require(IdentRe.matches(name),
+      s"illegal SQL identifier from config: '$name'")
+    name
+  }
+
+  private def qualified(schema: String, table: String): String =
+    s"${ident(schema)}.${ident(table)}"
+
   /** JDBC url per db type — mirrors the url shapes the reference's
     * config carries. */
   def url(db: DbConfig, host: String = "localhost", port: Int = 5432): String =
@@ -51,8 +66,8 @@ object JdbcSync {
     * pollBatch SQL shape (`dbopt/PgOperation.scala:27-46`): unpolled
     * rows, id-ordered, bounded. */
   def pollSql(sysSchema: String, batch: Int): String =
-    s"""SELECT t1.* FROM $sysSchema.sync_data t1
-       |LEFT JOIN $sysSchema.sync_polled t2 ON t1.id = t2.data_id
+    s"""SELECT t1.* FROM ${ident(sysSchema)}.sync_data t1
+       |LEFT JOIN ${ident(sysSchema)}.sync_polled t2 ON t1.id = t2.data_id
        |WHERE t2.data_id IS NULL ORDER BY t1.id LIMIT $batch""".stripMargin
 
   /** Upsert statement for one sync table, per target dialect — the
@@ -62,10 +77,10 @@ object JdbcSync {
     * JDBC sink. */
   def upsertSql(sync: SyncConfig, columns: Seq[String],
                 dialect: String = "postgresql"): String = {
-    val keys = sync.sourceKeys.split(",").map(_.trim).toSeq
-    val nonKeys = columns.filterNot(keys.contains)
-    val target = s"${sync.sourceSchema}.${sync.sourceTable}"
-    val cols = columns.mkString(", ")
+    val keys = sync.sourceKeys.split(",").map(_.trim).map(ident).toSeq
+    val nonKeys = columns.filterNot(keys.contains).map(ident)
+    val target = qualified(sync.sourceSchema, sync.sourceTable)
+    val cols = columns.map(ident).mkString(", ")
     val placeholders = columns.map(_ => "?").mkString(", ")
     dialect match {
       case "postgresql" | "greenplum" =>
@@ -94,9 +109,9 @@ object JdbcSync {
     * writes one file in parallel. */
   def bulkLoadSql(sync: SyncConfig, columns: Seq[String],
                   gpfdistUrl: String): Seq[String] = {
-    val target = s"${sync.sourceSchema}.${sync.sourceTable}"
-    val ext = s"ext_${sync.sourceTable}_stage"
-    val cols = columns.mkString(", ")
+    val target = qualified(sync.sourceSchema, sync.sourceTable)
+    val ext = ident(s"ext_${sync.sourceTable}_stage")
+    val cols = columns.map(ident).mkString(", ")
     Seq(
       s"DROP EXTERNAL TABLE IF EXISTS $ext",
       s"CREATE READABLE EXTERNAL TABLE $ext (LIKE $target) " +
@@ -107,8 +122,8 @@ object JdbcSync {
 
   /** Delete statement keyed on the sync keys. */
   def deleteSql(sync: SyncConfig): String = {
-    val keys = sync.sourceKeys.split(",").map(_.trim).toSeq
-    s"DELETE FROM ${sync.sourceSchema}.${sync.sourceTable} WHERE " +
+    val keys = sync.sourceKeys.split(",").map(_.trim).map(ident).toSeq
+    s"DELETE FROM ${qualified(sync.sourceSchema, sync.sourceTable)} WHERE " +
       keys.map(k => s"$k = ?").mkString(" AND ")
   }
 

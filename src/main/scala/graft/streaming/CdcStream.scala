@@ -118,6 +118,17 @@ object CdcStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Adaptive poll backoff — the exact wait-time policy of
+    * `/root/reference/.../sync/DataPoller.scala:60-74`: sleep
+    * `(batch - polled)/batch · maxPollWait` ms after each poll (full
+    * batch ⇒ 0, poll again immediately; empty poll ⇒ full backoff).
+    * Integer arithmetic so the streaming trigger, the Ledger
+    * poll_backoff query and the DuckDB oracle agree bit-for-bit. */
+  def backoffMs(polled: Long, batch: Long, maxPollWaitMs: Long): Long = {
+    require(batch > 0, "batch must be > 0")
+    (batch - math.min(polled, batch)) * maxPollWaitMs / batch
+  }
+
   /** Wire a changes stream through latestState into an in-memory sink
     * (used by tests; a production run would writeStream to a table with
     * a checkpoint location). */

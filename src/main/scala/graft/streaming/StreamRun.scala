@@ -55,7 +55,15 @@ object StreamRun {
     val out = spark.table("stream_out")
     val rows = out.count()
     val events_total = out.agg(sum("n")).collect().head.getLong(0)
-    println(s"""{"stream":"windowed_throughput","windows":$rows,"events":$events_total}""")
+    // Adaptive poll backoff (DataPoller semantics): the drained batch
+    // size decides how long the NEXT trigger waits. A long-running
+    // deployment would restart the query with this ProcessingTime
+    // trigger; the bounded AvailableNow demo reports it.
+    val sysCfg =
+      graft.config.SyncConfigs.parse(graft.config.SyncConfigs.DemoYaml).sys
+    val nextWaitMs = CdcStream.backoffMs(events_total, sysCfg.batch.toLong,
+      sysCfg.maxPollWait.toLong)
+    println(s"""{"stream":"windowed_throughput","windows":$rows,"events":$events_total,"next_poll_wait_ms":$nextWaitMs}""")
     spark.stop()
   }
 }

@@ -199,11 +199,9 @@ class LlmOpsSpec extends AnyFunSuite {
     // winnowing matches a naive reference implementation
     def naive(text: String): Set[Long] = {
       val toks = text.split(" ")
-      val hs = toks.sliding(TextAnalysis.WinnowK)
-        .map(g => g.mkString(" ")).toArray
-      // xxhash64 via Spark for identical hashing
-      val hashes = hs.toSeq.toDF("s")
-        .select(xxhash64(col("s"))).collect().map(_.getLong(0))
+      val hashes = toks.sliding(TextAnalysis.WinnowK)
+        .map(g => graft.functions.PortableHash.md5Long(g.mkString(" ")))
+        .toArray
       hashes.sliding(TextAnalysis.WinnowW).map(_.min).toSet
     }
     assert(fps(1L) === naive(s"one two three four five $shared"))

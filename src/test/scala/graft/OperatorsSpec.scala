@@ -107,4 +107,91 @@ class OperatorsSpec extends AnyFunSuite {
     val qd = Ledger.queueDepth(cl)
     assert(qd.agg(sum("depth")).collect().head.getLong(0) === cl.count())
   }
+
+  test("portable hash: the Column form equals the JVM twin, permutations " +
+    "stay in [0, P)") {
+    import graft.functions.PortableHash
+    import spark.implicits._
+    val samples = Seq("", "a", "hello world", "ünïcode ☃", "x" * 500)
+    val viaColumn = samples.toDF("s")
+      .select(PortableHash.phash(col("s"))).collect().map(_.getLong(0))
+    assert(viaColumn.toSeq === samples.map(PortableHash.md5Long))
+    val perms = samples.toDF("s")
+      .select(PortableHash.permute(PortableHash.phash(col("s")), 63))
+      .collect().map(_.getLong(0))
+    assert(perms.forall(p => p >= 0 && p < PortableHash.P))
+  }
+
+  test("poll backoff follows the DataPoller wait curve") {
+    import graft.streaming.CdcStream.backoffMs
+    assert(backoffMs(500, 500, 10000) === 0)     // full batch: poll again now
+    assert(backoffMs(0, 500, 10000) === 10000)   // empty poll: full backoff
+    assert(backoffMs(250, 500, 10000) === 5000)  // half full: half wait
+    assert(backoffMs(9999, 500, 10000) === 0)    // overfull clamps at batch
+    val pb = Ledger.pollBackoff(cl, 500L, 10000L).collect()
+    pb.foreach { r =>
+      assert(r.getAs[Long]("wait_ms") ===
+        backoffMs(r.getAs[Long]("n_events"), 500L, 10000L))
+    }
+  }
+
+  test("blocked_replay replays only resolved-error chains, in change order") {
+    val chains = Ledger.blockedChain(cl).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("first_err_eid")).toMap
+    val replay = Ledger.blockedReplay(cl).collect()
+    // every replayed key's first error must be resolved (retry < MaxRetry)
+    replay.foreach { r =>
+      val firstErr = r.getAs[Long]("first_err_eid")
+      assert(firstErr % 5 < Ledger.MaxRetry)
+      assert(chains(r.getLong(0)) === firstErr)
+    }
+    // replay sequences are dense 1..n per key
+    replay.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("replay_seq")).sorted.toSeq ===
+        (1L to rs.length.toLong))
+    }
+    // unresolved chains are withheld
+    val replayedKeys = replay.map(_.getLong(0)).toSet
+    val withheld = chains.filter { case (_, e) => e % 5 >= Ledger.MaxRetry }
+    assert(withheld.keySet.intersect(replayedKeys).isEmpty)
+  }
+
+  test("trigger specs speak the source db's dialect") {
+    val rows = SyncConfigs.triggerSpecRows()
+    assert(rows.length === 9)
+    val byDialect = rows.groupBy(_._2)
+    // db0 (postgresql) entries carry a trigger function + row_to_json
+    byDialect("postgresql").foreach { r =>
+      assert(r._7.nonEmpty && r._8.contains("row_to_json"))
+    }
+    // db1 (mysql) entries: no function, DROP-first, inline JSON_OBJECT
+    byDialect("mysql").foreach { r =>
+      assert(r._7.isEmpty)
+      assert(r._8.startsWith("DROP TRIGGER IF EXISTS"))
+      assert(r._8.contains("JSON_OBJECT"))
+    }
+  }
+
+  test("sync_reconcile emits every action class and nothing for matched " +
+    "current objects") {
+    val actions = SyncConfigs.syncReconcile(spark).collect()
+      .map(r => (r.getString(2), r.getString(3), r.getString(5)))
+    val byAction = actions.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byAction.keySet === Set("CREATE", "MATCHED", "REBUILD", "DROP", "KEEP"))
+    // first table (customer) current; second (orders) trigger drift;
+    // third (lineitem) absent; retired_table: trigger dropped, index kept
+    assert(actions.filter(_._1 == "customer").forall(_._3 == "MATCHED"))
+    assert(actions.filter(a => a._1 == "orders" && a._2 == "trigger")
+      .forall(_._3 == "REBUILD"))
+    assert(actions.filter(_._1 == "lineitem").forall(_._3 == "CREATE"))
+    assert(actions.contains(("retired_table", "trigger", "DROP")))
+    assert(actions.contains(("retired_table", "index", "KEEP")))
+  }
+
+  test("jdbc identifier validation rejects hostile config values") {
+    import graft.sources.JdbcSync
+    assert(JdbcSync.ident("valid_name_1") === "valid_name_1")
+    for (bad <- Seq("a;drop table x", "a b", "1abc", "", "x--", "a.b"))
+      intercept[IllegalArgumentException](JdbcSync.ident(bad))
+  }
 }

@@ -59,4 +59,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("olap_top_revenue: global top-k is TakeOrdered, not a full sort " +
+    "or an unpartitioned window") {
+    val qe = SparkEntry.queries("olap_top_revenue")(spark, Sf).queryExecution
+    val p = qe.executedPlan
+    assert(p.toString.contains("TakeOrderedAndProject"), p.toString)
+    // the only Window left runs over the k-row result with a DEFINED
+    // partition key — an empty partitionSpec would mean the
+    // single-partition global-window plan this query regressed from
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+  }
+
+  test("value_median: the window consumes the (op, value) AGGREGATE, " +
+    "never raw changelog rows on 3 reducers") {
+    val qe = SparkEntry.queries("value_median")(spark, Sf).queryExecution
+    val optimized = qe.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = optimized.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, optimized.toString)
+    // every window in the plan must sit above the pre-aggregation
+    windows.foreach { w =>
+      assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"window over raw rows:\n$optimized")
+    }
+  }
 }
