@@ -32,7 +32,7 @@ object OracleSql {
     val bandSig = (0 until Dedup.Bands).map { b =>
       val cols = (0 until Dedup.RowsPerBand)
         .map(r => s"m${b * Dedup.RowsPerBand + r}")
-      s"WHEN $b THEN ${cols.mkString(" || ':' || ")}"
+      s"WHEN $b THEN ${graft.functions.PortableHash.sqlBandKey(cols)}"
     }.mkString(" ")
     s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |grams AS (SELECT doc_id,
@@ -43,32 +43,32 @@ object OracleSql {
        |  FROM tk),
        |sh AS (SELECT doc_id, ${sqlPhash("g.g")} AS h
        |  FROM grams, UNNEST(list_distinct(gs)) AS g(g)),
-       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-       |banded AS (SELECT doc_id, b.j AS band,
+       |sigs AS (SELECT doc_id, $mins, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM sh GROUP BY doc_id),
+       |banded AS (SELECT doc_id, n, b.j AS band,
        |    CASE b.j $bandSig END AS sig
        |  FROM sigs, UNNEST(generate_series(0, ${Dedup.Bands - 1})) AS b(j)),
-       |bn AS (SELECT band, sig, COUNT(*) AS n, MIN(doc_id) AS keeper
+       |bn AS (SELECT band, sig, COUNT(*) AS cnt, MIN(doc_id) AS keeper
        |  FROM banded GROUP BY 1, 2 HAVING COUNT(*) > 1),
        |pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  SELECT a.doc_id AS doc_a, a.n AS na, b.doc_id AS doc_b, b.n AS nb
        |  FROM bn JOIN banded a USING (band, sig) JOIN banded b USING (band, sig)
-       |  WHERE bn.n <= ${Dedup.MaxQuadraticBucket} AND a.doc_id < b.doc_id
+       |  WHERE bn.cnt <= ${Dedup.MaxQuadraticBucket} AND a.doc_id < b.doc_id
        |  UNION
-       |  SELECT bn.keeper, b.doc_id
+       |  SELECT bn.keeper, k.n, b.doc_id, b.n
        |  FROM bn JOIN banded b USING (band, sig)
-       |  WHERE bn.n > ${Dedup.MaxQuadraticBucket} AND b.doc_id <> bn.keeper),
-       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |  JOIN banded k ON k.band = bn.band AND k.sig = bn.sig
+       |    AND k.doc_id = bn.keeper
+       |  WHERE bn.cnt > ${Dedup.MaxQuadraticBucket} AND b.doc_id <> bn.keeper),
        |it AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS c
        |  FROM pairs p
        |  JOIN sh s1 ON s1.doc_id = p.doc_a
        |  JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.h = s1.h
        |  GROUP BY 1, 2),
        |jac AS (SELECT p.doc_a, p.doc_b,
-       |    (COALESCE(it.c, 0) * 1000) // (za.n + zb.n - COALESCE(it.c, 0)) AS j_milli
+       |    (COALESCE(it.c, 0) * 1000) // (p.na + p.nb - COALESCE(it.c, 0)) AS j_milli
        |  FROM pairs p
-       |  LEFT JOIN it ON p.doc_a = it.doc_a AND p.doc_b = it.doc_b
-       |  JOIN sz za ON za.doc_id = p.doc_a
-       |  JOIN sz zb ON zb.doc_id = p.doc_b)""".stripMargin
+       |  LEFT JOIN it ON p.doc_a = it.doc_a AND p.doc_b = it.doc_b)""".stripMargin
   }
 
   /** SimHash dedup CTE chain — twin of Dedup.simhashDedup (60-bit

@@ -77,4 +77,22 @@ object PortableHash {
   /** DuckDB twin of [[permute]]. */
   def sqlPermute(e: String, seed: Int): String =
     s"((($e) % $P) * ${A(seed)} + ${B(seed)}) % $P"
+
+  /** LSH band-key combiner: Horner fold mod 2³¹−1 over the band's
+    * minhash columns — plain integer Column arithmetic (codegen'd; an
+    * array_join/transform string key here would run interpreted and
+    * was measured as the banding hot spot). Rare cross-band collisions
+    * only add candidate pairs, which the exact-Jaccard verify discards;
+    * both engines compute the identical key. Bounds: k < Q ⇒
+    * k·R + m < 2⁴⁷ + 2³³, inside a long under ANSI. */
+  val BandQ: Long = 2147483647L
+  val BandR: Long = 65599L
+
+  def bandKey(ms: Seq[Column]): Column =
+    ms.tail.foldLeft(ms.head % BandQ)((k, m) => (k * BandR + m) % BandQ)
+
+  /** DuckDB twin of [[bandKey]]. */
+  def sqlBandKey(ms: Seq[String]): String =
+    ms.tail.foldLeft(s"(${ms.head} % $BandQ)")((k, m) =>
+      s"(($k * $BandR + $m) % $BandQ)")
 }

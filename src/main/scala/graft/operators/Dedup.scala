@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.PortableHash.{permute, phash}
+import graft.functions.PortableHash.{bandKey, permute, phash}
 
 /** Near-duplicate detection over `documents` — MinHash+LSH, SimHash,
   * and n-gram Jaccard verification. All bucketed: the LSH band (or
@@ -59,23 +59,18 @@ object Dedup {
   /** Per-doc signature row: 64 minhashes — min over the seeded
     * universal-hash permutations of the shingle hashes (constant cost,
     * codegen'd, map-side combined). */
-  def docSignatures(documents: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(s => min(permute(col("h"), s)).as(s"m$s"))
-    shingleHashes(documents)
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
+  def docSignatures(documents: DataFrame): DataFrame =
+    signaturesFromHashes(shingleHashes(documents))
       .select(col("doc_id"),
         array((0 until NumHashes).map(s => col(s"m$s")): _*).as("mh"))
-  }
 
-  /** LSH candidate pairs: band signature = the ':'-joined 4-minhash
-    * slice (a plain string, identical across engines — no second-level
-    * hash needed; the bucket count is what matters, not the key width).
-    * Docs sharing any (band, sig) bucket pair up. The bucket is the
-    * shuffle key — pairs are generated inside buckets only, never
-    * across. */
+  /** LSH candidate pairs: band key = the portable Horner fold of the
+    * band's 4 minhashes (codegen'd integer arithmetic, identical in
+    * the DuckDB oracle). Docs sharing any (band, key) bucket pair up.
+    * The bucket is the shuffle key — pairs are generated inside
+    * buckets only, never across. */
   def minhashCandidates(documents: DataFrame): DataFrame =
-    candidatesFromSignatures(docSignatures(documents))
+    candidatesFromSignatures(signaturesFromHashes(shingleHashes(documents)))
 
   /** Above this bucket size, emit star pairs (keeper ↔ member) instead
     * of all pairs: a mass-duplicate cluster of B docs then costs O(B)
@@ -97,33 +92,50 @@ object Dedup {
       .otherwise(expr(starPairs))
   }
 
+  /** Candidate pairs from the (doc_id, m0..m63, n) signature relation.
+    * Each pair row carries BOTH docs' shingle-set sizes (na/nb ride
+    * along through the banding structs), so the Jaccard stage needs no
+    * extra per-doc size joins. */
   private[operators] def candidatesFromSignatures(sigs: DataFrame): DataFrame = {
+    val bandKeys = (0 until Bands).map { b =>
+      bandKey((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")))
+    }
     val banded = sigs
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${Bands - 1}), b -> " +
-          s"array_join(transform(slice(mh, b*$RowsPerBand + 1, $RowsPerBand), " +
-          "x -> cast(x as string)), ':'))"))
+      .select(col("doc_id"), col("n"), posexplode(array(bandKeys: _*))
         .as(Seq("band", "sig")))
     banded
       .groupBy("band", "sig")
-      .agg(sort_array(collect_list("doc_id")).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(boundedPairs("ids")).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(boundedPairs("ds")).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.a.n").as("na"),
+        col("p.b.doc_id").as("doc_b"), col("p.b.n").as("nb"))
       .distinct()
   }
 
+  /** Per-doc signature relation: one plain column per minhash (the
+    * banding consumes the columns directly; packing them into an array
+    * first would push the band derivation into interpreted higher-order
+    * functions) plus the shingle-set size n, all from ONE aggregate. */
+  private def signaturesFromHashes(sh: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(s => min(permute(col("h"), s)).as(s"m$s")) :+
+      count(lit(1)).as("n")
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Exact n-gram Jaccard over the LSH candidate pairs only (the
-    * verification stage of MinHash dedup). The intersection size comes
-    * from joining the candidate pairs against the per-shingle hash
-    * table on both sides — the signature build (the expensive 64-wide
-    * aggregate) is NOT re-derived per join side, only the narrow
-    * shingle explode is. j_milli = ⌊1000·J⌋. */
+    * verification stage of MinHash dedup). The expensive 64-wide
+    * signature aggregate runs ONCE (for candidates); the intersection
+    * joins touch only the narrow shingle-hash explode, and the set
+    * sizes arrive on the pair rows themselves — measured cheaper at
+    * sf0.1 than either per-side signature recompute (round 2) or a
+    * localCheckpoint stage (cold-run materialization cost exceeds the
+    * recompute). j_milli = ⌊1000·J⌋. */
   def ngramJaccard(documents: DataFrame): DataFrame = {
     val sh = shingleHashes(documents)
-    val pairs = candidatesFromSignatures(docSignatures(documents))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = candidatesFromSignatures(signaturesFromHashes(sh))
     val inter = pairs
+      .select("doc_a", "doc_b")
       .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b")
@@ -131,8 +143,6 @@ object Dedup {
     pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("c"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         expr("(c * 1000) div (na + nb - c)").as("j_milli"))
       .withColumn("is_dup", (col("j_milli") >= JaccardMilli).cast("string"))
@@ -180,11 +190,11 @@ object Dedup {
     * linear. */
   def simhashDedup(documents: DataFrame): DataFrame = {
     val hashed = simhashes(documents)
+    val bandCols = (0 until SimBands).map(b =>
+      shiftright(col("simhash"), b * SimBandBits)
+        .bitwiseAND(lit((1L << SimBandBits) - 1)))
     val banded = hashed.select(col("doc_id"), col("simhash"),
-      posexplode(expr(
-        s"transform(sequence(0, ${SimBands - 1}), " +
-          s"b -> (simhash >> (b * $SimBandBits)) & ${(1 << SimBandBits) - 1})"))
-        .as(Seq("band", "key")))
+      posexplode(array(bandCols: _*)).as(Seq("band", "key")))
     banded
       .groupBy("band", "key")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
