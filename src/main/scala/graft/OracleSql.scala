@@ -25,15 +25,21 @@ object OracleSql {
     * LSH buckets → bounded pair generation → exact Jaccard). The
     * band/threshold/star-cap constants come from Dedup itself so the
     * two engines cannot drift. */
-  private lazy val MinhashCtes: String = {
-    val mins = (0 until Dedup.NumHashes)
-      .map(s => s"CAST(MIN(${sqlPermute("h", s)}) AS BIGINT) AS m$s")
-      .mkString(", ")
-    val bandSig = (0 until Dedup.Bands).map { b =>
-      val cols = (0 until Dedup.RowsPerBand)
-        .map(r => s"m${b * Dedup.RowsPerBand + r}")
-      s"WHEN $b THEN ${graft.functions.PortableHash.sqlBandKey(cols)}"
-    }.mkString(" ")
+  /** 64 min-permutation aggregate columns (m0..m63). */
+  private lazy val mins: String = (0 until Dedup.NumHashes)
+    .map(s => s"CAST(MIN(${sqlPermute("h", s)}) AS BIGINT) AS m$s")
+    .mkString(", ")
+
+  /** Band-key CASE arm per LSH band (same Horner fold as the Column). */
+  private lazy val bandSig: String = (0 until Dedup.Bands).map { b =>
+    val cols = (0 until Dedup.RowsPerBand)
+      .map(r => s"m${b * Dedup.RowsPerBand + r}")
+    s"WHEN $b THEN ${graft.functions.PortableHash.sqlBandKey(cols)}"
+  }.mkString(" ")
+
+  /** Shingle → portable-hash CTE prefix (tk/grams/sh), shared by the
+    * intra-corpus and incremental dedup chains. */
+  private lazy val ShingleCtes: String =
     s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |grams AS (SELECT doc_id,
        |    CASE WHEN len(tk) >= 3
@@ -42,7 +48,10 @@ object OracleSql {
        |      ELSE [array_to_string(tk, ' ')] END AS gs
        |  FROM tk),
        |sh AS (SELECT doc_id, ${sqlPhash("g.g")} AS h
-       |  FROM grams, UNNEST(list_distinct(gs)) AS g(g)),
+       |  FROM grams, UNNEST(list_distinct(gs)) AS g(g))""".stripMargin
+
+  private lazy val MinhashCtes: String = {
+    s"""$ShingleCtes,
        |sigs AS (SELECT doc_id, $mins, CAST(COUNT(*) AS BIGINT) AS n
        |  FROM sh GROUP BY doc_id),
        |banded AS (SELECT doc_id, n, b.j AS band,
@@ -829,6 +838,70 @@ object OracleSql {
          |WHERE NOT EXISTS (SELECT 1 FROM jac
          |  WHERE jac.j_milli >= ${Dedup.JaccardMilli}
          |    AND jac.doc_b = d.doc_id)""".stripMargin,
+
+    "dedup_incremental" -> {
+      val mod = Dedup.IncrementalBatchMod
+      val cap = Dedup.MaxQuadraticBucket
+      s"""WITH $ShingleCtes,
+         |csigs AS (SELECT doc_id, $mins, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM sh WHERE doc_id % $mod <> 0 GROUP BY doc_id),
+         |bsigs AS (SELECT doc_id, $mins, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM sh WHERE doc_id % $mod = 0 GROUP BY doc_id),
+         |cban AS (SELECT doc_id, n, b.j AS band, CASE b.j $bandSig END AS sig
+         |  FROM csigs, UNNEST(generate_series(0, ${Dedup.Bands - 1})) AS b(j)),
+         |bban AS (SELECT doc_id, n, b.j AS band, CASE b.j $bandSig END AS sig
+         |  FROM bsigs, UNNEST(generate_series(0, ${Dedup.Bands - 1})) AS b(j)),
+         |cb AS (SELECT band, sig, COUNT(*) AS cnt, MIN(doc_id) AS keeper
+         |  FROM cban GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT b.doc_id AS batch_doc_id, b.n AS nb,
+         |         c.doc_id AS corpus_doc_id, c.n AS nc
+         |  FROM bban b JOIN cb USING (band, sig) JOIN cban c USING (band, sig)
+         |  WHERE cb.cnt <= $cap
+         |  UNION
+         |  SELECT b.doc_id, b.n, k.doc_id, k.n
+         |  FROM bban b JOIN cb USING (band, sig)
+         |  JOIN cban k ON k.band = cb.band AND k.sig = cb.sig
+         |    AND k.doc_id = cb.keeper
+         |  WHERE cb.cnt > $cap),
+         |it AS (SELECT p.batch_doc_id, p.corpus_doc_id, COUNT(*) AS c
+         |  FROM pairs p
+         |  JOIN sh s1 ON s1.doc_id = p.batch_doc_id
+         |  JOIN sh s2 ON s2.doc_id = p.corpus_doc_id AND s2.h = s1.h
+         |  GROUP BY 1, 2),
+         |j AS (SELECT p.batch_doc_id, p.corpus_doc_id,
+         |    (COALESCE(it.c, 0) * 1000) //
+         |      (p.nb + p.nc - COALESCE(it.c, 0)) AS j_milli
+         |  FROM pairs p
+         |  LEFT JOIN it ON p.batch_doc_id = it.batch_doc_id
+         |    AND p.corpus_doc_id = it.corpus_doc_id)
+         |SELECT batch_doc_id, corpus_doc_id, j_milli,
+         |       CAST(j_milli >= ${Dedup.JaccardMilli} AS VARCHAR) AS is_dup
+         |FROM j""".stripMargin
+    },
+
+    "ivf_train" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+        |         WHERE vec_id BETWEEN 8 AND 23),
+        |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+        |assign AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT cand.vec_id, cent.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+        |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
+        |    FROM cand, cent) t WHERE rn = 1),
+        |m AS (SELECT a.centroid_id, d.i AS dim,
+        |    CAST(ROUND(c.v[d.i+1] * 1000000) AS BIGINT) AS x_e6
+        |  FROM assign a JOIN cand c ON c.vec_id = a.vec_id,
+        |  UNNEST(generate_series(0, len(c.v) - 1)) AS d(i)),
+        |g AS (SELECT centroid_id, dim,
+        |    CAST(SUM(x_e6) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n_members
+        |  FROM m GROUP BY 1, 2)
+        |SELECT centroid_id, CAST(dim AS BIGINT) AS dim,
+        |  (s - s % n_members) // n_members AS mean_e6, n_members
+        |FROM g""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $SimhashCtes

@@ -132,6 +132,10 @@ object SparkEntry {
       Dedup.simhashDedup(Tables.documents(s, dir))),
     "dedup_apply"         -> ((s, dir) =>
       Dedup.dedupApply(Tables.documents(s, dir))),
+    "dedup_incremental"   -> ((s, dir) =>
+      Dedup.incrementalDedup(Tables.documents(s, dir))),
+    "ivf_train"           -> ((s, dir) =>
+      Similarity.ivfTrainStep(Tables.embeddings(s, dir))),
     "quality_filter"      -> ((s, dir) =>
       TextAnalysis.qualityFilter(Tables.documents(s, dir)))
   )

@@ -165,6 +165,61 @@ object Dedup {
         .select(col("dup_doc_id").as("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** Batch-membership predicate for incremental dedup: every 10th
+    * doc_id is "newly arrived", the rest are the existing corpus —
+    * scale-independent and identical in the oracle. */
+  val IncrementalBatchMod = 10L
+
+  /** Incremental near-dup dedup: the NEW batch is checked against the
+    * EXISTING corpus only — batch×batch and corpus×corpus pairs are
+    * never generated (the corpus is presumed already deduped; in a
+    * production pipeline its signature relation is a staged table and
+    * only the batch side is hashed fresh). Candidate generation joins
+    * the batch's band keys against the corpus's band buckets; a bucket
+    * with more than MaxQuadraticBucket corpus members contributes only
+    * its smallest doc (one witness suffices to flag duplication, so a
+    * mass-duplicate bucket stays linear). Output: one row per verified
+    * (batch doc, corpus witness) pair with exact Jaccard. */
+  def incrementalDedup(documents: DataFrame): DataFrame = {
+    val isBatch = pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0
+    val sh = shingleHashes(documents)
+    val corpusSigs = signaturesFromHashes(sh.where(!isBatch))
+    val batchSigs = signaturesFromHashes(sh.where(isBatch))
+    val bandKeys = (0 until Bands).map { b =>
+      bandKey((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")))
+    }
+    def banded(sigs: DataFrame) = sigs.select(col("doc_id"), col("n"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "sig")))
+    val corpusBuckets = banded(corpusSigs)
+      .groupBy("band", "sig")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n"))))
+        .as("cands"))
+      .withColumn("cands",
+        when(size(col("cands")) <= MaxQuadraticBucket, col("cands"))
+          .otherwise(slice(col("cands"), 1, 1)))
+    val pairs = banded(batchSigs)
+      .join(corpusBuckets, Seq("band", "sig"))
+      .select(col("doc_id").as("batch_doc_id"), col("n").as("nb"),
+        explode(col("cands")).as("c"))
+      .select(col("batch_doc_id"), col("nb"),
+        col("c.doc_id").as("corpus_doc_id"), col("c.n").as("nc"))
+      .distinct()
+    val inter = pairs
+      .select("batch_doc_id", "corpus_doc_id")
+      .join(sh.select(col("doc_id").as("batch_doc_id"), col("h")),
+        "batch_doc_id")
+      .join(sh.select(col("doc_id").as("corpus_doc_id"), col("h")),
+        Seq("corpus_doc_id", "h"))
+      .groupBy("batch_doc_id", "corpus_doc_id")
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .join(inter, Seq("batch_doc_id", "corpus_doc_id"), "left")
+      .na.fill(0L, Seq("c"))
+      .select(col("batch_doc_id"), col("corpus_doc_id"),
+        expr("(c * 1000) div (nb + nc - c)").as("j_milli"))
+      .withColumn("is_dup", (col("j_milli") >= JaccardMilli).cast("string"))
+  }
+
   /** 60-bit SimHash per doc: explode tokens, hash once, then 60
     * codegen'd ±1 sums (one per bit) reassembled into the fingerprint. */
   def simhashes(documents: DataFrame): DataFrame = {

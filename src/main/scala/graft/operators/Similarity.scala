@@ -144,6 +144,30 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("cand_id"), col("rank"))
   }
 
+  /** One exact Lloyd (k-means) iteration over the IVF assignment — the
+    * training step `centroids` stubs out, made deterministic and
+    * hash-stable by doing the mean in INTEGER micro-units: each member
+    * coordinate is rounded to e6 once, then summed and divided as
+    * bigints (double summation is order-sensitive and would never
+    * hash-match a serial SQL engine; integer sums are associative).
+    * Shape at scale: assignment is the broadcast max_by (one row per
+    * vector), the update is a narrow per-dimension explode followed by
+    * ONE map-side-combined aggregate on (centroid, dim) — 1024 output
+    * rows regardless of corpus size. */
+  def ivfTrainStep(embeddings: DataFrame): DataFrame =
+    ivfAssign(embeddings)
+      .join(candidates(embeddings).withColumnRenamed("cand_id", "vec_id"),
+        "vec_id")
+      .select(col("centroid_id"),
+        posexplode(col("c_vec")).as(Seq("dim", "x")))
+      .select(col("centroid_id"), col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1000000L).cast("long").as("x_e6"))
+      .groupBy("centroid_id", "dim")
+      .agg(sum("x_e6").as("sum_e6"), count(lit(1)).as("n_members"))
+      .select(col("centroid_id"), col("dim"),
+        expr("sum_e6 div n_members").as("mean_e6"),
+        col("n_members"))
+
   /** Int8 quantization summary per vector: clip to [-1,1], scale by
     * 127, round — the storage-compression step (4× smaller than f32)
     * a 100 TB vector corpus ships with. Surfaced as hash-stable

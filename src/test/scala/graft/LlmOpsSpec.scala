@@ -152,6 +152,58 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(d.forall(r => r.getAs[Long]("j_milli") >= Dedup.JaccardMilli))
   }
 
+  test("incrementalDedup flags batch docs against the corpus only") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val df = Seq(
+      (10L, base),                       // batch (doc_id % 10 == 0), dup of 3
+      (20L, "totally different text with nothing shared at all here now " +
+        "one two three four five six seven eight nine ten"), // batch, novel
+      (3L, base + " phi"),               // corpus near-dup of 10
+      (7L, "unrelated corpus content entirely distinct from everything " +
+        "eleven twelve thirteen fourteen fifteen sixteen seventeen")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(df).collect()
+    // batch doc 10 matches corpus doc 3; nothing pairs batch 20,
+    // and no corpus×corpus or batch×batch rows exist
+    assert(out.forall(r => r.getAs[Long]("batch_doc_id") % 10 == 0))
+    assert(out.forall(r => r.getAs[Long]("corpus_doc_id") % 10 != 0))
+    val dup = out.filter(_.getAs[String]("is_dup") == "true")
+    assert(dup.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((10L, 3L)))
+  }
+
+  test("incrementalDedup prunes mass-duplicate corpus buckets to one witness") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = (1L to 100L).filterNot(_ % 10 == 0).map(i => (i, text))
+    val batch = Seq((10L, text))
+    val df = (corpus ++ batch).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(df).collect()
+    // 90 identical corpus docs exceed MaxQuadraticBucket: the batch doc
+    // pairs with exactly the smallest corpus witness, not all 90
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 10L && out.head.getLong(1) === 1L)
+    assert(out.head.getAs[String]("is_dup") === "true")
+  }
+
+  test("ivfTrainStep: exact integer means, consistent membership counts") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val out = Similarity.ivfTrainStep(emb).collect()
+    val dims = out.map(_.getAs[Long]("dim")).distinct.length
+    // every populated centroid has one row per dimension with the SAME
+    // member count across dimensions
+    out.groupBy(_.getAs[Long]("centroid_id")).foreach { case (_, rs) =>
+      assert(rs.length === dims)
+      assert(rs.map(_.getAs[Long]("n_members")).distinct.length === 1)
+    }
+    // total membership equals the assignment relation, per dimension
+    val assigned = Similarity.ivfAssign(emb).count()
+    assert(out.map(_.getAs[Long]("n_members")).sum === assigned * dims)
+    // means stay inside the e6-scaled coordinate range
+    assert(out.forall(r => math.abs(r.getAs[Long]("mean_e6")) <= 2000000L))
+  }
+
   test("simhash of identical texts is identical; near-dup texts are close") {
     import spark.implicits._
     val t = "the quick brown fox jumps over the lazy dog again and again"

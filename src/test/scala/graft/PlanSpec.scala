@@ -47,7 +47,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("nested-loop joins only where a tiny broadcast side is intended") {
     val allowed = Set("ann_topk", "ann_ivf", "clean_retention",
-      "heartbeat_state", "status_rollup", "ivf_assign", "log_compact")
+      "heartbeat_state", "status_rollup", "ivf_assign", "ivf_train",
+      "log_compact")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
