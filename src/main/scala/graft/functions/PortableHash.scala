@@ -61,10 +61,14 @@ object PortableHash {
   val B: IndexedSeq[Long] =
     (0 until NumSeeds).map(s => md5Long(s"b:$s") % P)
 
-  /** Portable 60-bit hash of a string column (codegen'd: Md5 + Conv +
-    * Cast are all native expressions). */
+  /** Portable 60-bit hash of a string column — the [[Md5Long]] native
+    * expression (digest bytes straight to long; the equivalent
+    * built-in chain `conv(substr(md5(s),1,15),16,10)` round-trips
+    * through a 32-char hex string and a base-16 string parse per
+    * row). */
   def phash(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftBridge.column(
+      Md5Long(org.apache.spark.sql.GraftBridge.expression(c)))
 
   /** DuckDB twin of [[phash]] for a SQL expression `e`. */
   def sqlPhash(e: String): String =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HyperplaneBucket}
+import graft.functions.{CosineSimilarity, HyperplaneBucket, Md5Long}
 import graft.operators.Similarity
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -28,6 +28,9 @@ object GraftExtensions {
   val bucketBuilder: Seq[Expression] => Expression =
     arity("lsh_bucket", 1)(c => HyperplaneBucket(c.head, Similarity.hyperplanes))
 
+  val md5LongBuilder: Seq[Expression] => Expression =
+    arity("md5_long60", 1)(c => Md5Long(c.head))
+
   /** Register the same functions on an already-built session (temp
     * functions — handy in notebooks/tests where the builder is gone). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -35,6 +38,8 @@ object GraftExtensions {
       "cosine_sim", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bucket", bucketBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_long60", md5LongBuilder, "built-in")
   }
 }
 
@@ -48,5 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "lsh_bucket"),
       GraftExtensions.bucketBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_long60"),
+      new ExpressionInfo(classOf[Md5Long].getName, "md5_long60"),
+      GraftExtensions.md5LongBuilder))
   }
 }

@@ -116,6 +116,16 @@ class OperatorsSpec extends AnyFunSuite {
     val viaColumn = samples.toDF("s")
       .select(PortableHash.phash(col("s"))).collect().map(_.getLong(0))
     assert(viaColumn.toSeq === samples.map(PortableHash.md5Long))
+    // the native Md5Long expression == the built-in hex/conv chain
+    // (the formula the DuckDB oracle uses), interpreted path included
+    val viaBuiltins = samples.toDF("s")
+      .select(conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+        .cast("long")).collect().map(_.getLong(0))
+    assert(viaBuiltins.toSeq === viaColumn.toSeq)
+    val interpreted = samples.map(s =>
+      graft.functions.Md5Long(
+        org.apache.spark.sql.catalyst.expressions.Literal(s)).eval(null))
+    assert(interpreted === samples.map(PortableHash.md5Long))
     val perms = samples.toDF("s")
       .select(PortableHash.permute(PortableHash.phash(col("s")), 63))
       .collect().map(_.getLong(0))
