@@ -183,24 +183,31 @@ object Dedup {
   def incrementalDedup(documents: DataFrame): DataFrame = {
     val isBatch = pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0
     val sh = shingleHashes(documents)
-    val corpusSigs = signaturesFromHashes(sh.where(!isBatch))
-    val batchSigs = signaturesFromHashes(sh.where(isBatch))
+    // ONE signature pass over the whole table; the batch/corpus split
+    // happens inside the bucket aggregate (collect_list drops the
+    // nulls from the CASE), so the expensive shingle+hash+64-min chain
+    // is never run once per side.
+    val sigs = signaturesFromHashes(sh).withColumn("is_batch", isBatch)
     val bandKeys = (0 until Bands).map { b =>
       bandKey((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")))
     }
-    def banded(sigs: DataFrame) = sigs.select(col("doc_id"), col("n"),
+    val banded = sigs.select(col("doc_id"), col("n"), col("is_batch"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "sig")))
-    val corpusBuckets = banded(corpusSigs)
+    val member = struct(col("doc_id"), col("n"))
+    val buckets = banded
       .groupBy("band", "sig")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n"))))
-        .as("cands"))
-      .withColumn("cands",
-        when(size(col("cands")) <= MaxQuadraticBucket, col("cands"))
-          .otherwise(slice(col("cands"), 1, 1)))
-    val pairs = banded(batchSigs)
-      .join(corpusBuckets, Seq("band", "sig"))
-      .select(col("doc_id").as("batch_doc_id"), col("n").as("nb"),
-        explode(col("cands")).as("c"))
+      .agg(
+        sort_array(collect_list(when(!col("is_batch"), member)))
+          .as("corpus"),
+        collect_list(when(col("is_batch"), member)).as("batch"))
+      .where(size(col("batch")) > 0 && size(col("corpus")) > 0)
+      .withColumn("corpus",
+        when(size(col("corpus")) <= MaxQuadraticBucket, col("corpus"))
+          .otherwise(slice(col("corpus"), 1, 1)))
+    val pairs = buckets
+      .select(explode(col("batch")).as("b"), col("corpus"))
+      .select(col("b.doc_id").as("batch_doc_id"), col("b.n").as("nb"),
+        explode(col("corpus")).as("c"))
       .select(col("batch_doc_id"), col("nb"),
         col("c.doc_id").as("corpus_doc_id"), col("c.n").as("nc"))
       .distinct()
