@@ -80,6 +80,44 @@ object InvariantProps extends Properties("graft.invariants") {
       }
     }
 
+  property("portable hash: md5Long in [0, 2^60), permutations in [0, P), " +
+    "band keys in [0, Q) — no ANSI overflow anywhere") =
+    forAll(Gen.asciiPrintableStr, Gen.choose(0, 63)) { (s, seed) =>
+      import graft.functions.PortableHash._
+      val h = md5Long(s)
+      val p = ((h % P) * A(seed) + B(seed)) % P
+      val k = Seq(p, p, p, p).tail.foldLeft(p % BandQ)((acc, m) =>
+        (acc * BandR + m) % BandQ)
+      h >= 0 && h < (1L << 60) && p >= 0 && p < P && k >= 0 && k < BandQ &&
+        A(seed) >= 1 && A(seed) <= (1L << 30) &&
+        // every intermediate of the permutation stays inside a long
+        (h % P) <= (Long.MaxValue - B(seed)) / A(seed)
+    }
+
+  property("poll backoff: monotone nonincreasing in polled, bounded, " +
+    "exact at the endpoints") =
+    forAll(Gen.choose(0L, 2000L), Gen.choose(1L, 1000L),
+      Gen.choose(0L, 100000L)) { (polled, batch, wait) =>
+      import graft.streaming.CdcStream.backoffMs
+      val w = backoffMs(polled, batch, wait)
+      w >= 0 && w <= wait &&
+        backoffMs(0, batch, wait) == wait &&
+        backoffMs(batch, batch, wait) == 0 &&
+        (polled == 0 || backoffMs(polled - 1, batch, wait) >= w)
+    }
+
+  property("trigger specs: one row per (sync, op); mysql rows carry no " +
+    "function; reconciliation inputs are deterministic") =
+    forAll(Gen.const(())) { _ =>
+      import graft.config.SyncConfigs
+      val rows = SyncConfigs.triggerSpecRows()
+      val cfg = SyncConfigs.parse(SyncConfigs.DemoYaml)
+      rows.length == cfg.sync.length * 3 &&
+        rows.forall(r => (r._2 == "mysql") == r._7.isEmpty) &&
+        SyncConfigs.desiredCatalogRows() == SyncConfigs.desiredCatalogRows() &&
+        SyncConfigs.existingCatalogRows() == SyncConfigs.existingCatalogRows()
+    }
+
   property("partition plan covers [lo, hi] exactly, ranges disjoint & adjacent") =
     forAll(Gen.choose(0L, 1000L), Gen.choose(1L, 100000L)) { (lo, span) =>
       val hi = lo + span
