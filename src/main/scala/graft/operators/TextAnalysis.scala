@@ -88,6 +88,16 @@ object TextAnalysis {
       md5(normCol.cast("binary")).as("fp"),
       length(normCol).cast("long").as("n_chars_norm"))
 
+  /** The quality-gate verdict straight off the raw text column —
+    * shared by the batch qualityFilter and the streaming ingest
+    * (streaming.CdcStream.ingestDocuments) so the rules cannot
+    * drift. */
+  val keepCol: Column =
+    length(col("text")).between(50L, 2000L) &&
+      size(tokensCol) >= 10 &&
+      expr("(size(regexp_extract_all(text, '[.,!?;:]', 0)) * 1000) " +
+        "div length(text)") <= 100L
+
   /** Per-document quality gate (training-data filtering): length,
     * token-count, and punctuation-ratio rules; emits the verdict and
     * the integer-milli ratios (hash-stable). Pure narrow projection —
@@ -101,15 +111,13 @@ object TextAnalysis {
         size(filter(tokensCol, t => array_contains(stopArray, t)))
           .cast("long").as("stops"),
         size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
-          .cast("long").as("puncts"))
+          .cast("long").as("puncts"),
+        keepCol.cast("string").as("keep"))
       .select(
         col("doc_id"), col("chars"), col("tokens"),
         expr("(stops * 1000) div tokens").as("stop_milli"),
-        expr("(puncts * 1000) div chars").as("punct_milli"))
-      .withColumn("keep",
-        (col("chars").between(50L, 2000L) &&
-          col("tokens") >= 10L &&
-          col("punct_milli") <= 100L).cast("string"))
+        expr("(puncts * 1000) div chars").as("punct_milli"),
+        col("keep"))
 
   /** Corpus token frequency: explode → count → top-k (ties broken by
     * token). One shuffle with map-side combine; the top-k is a

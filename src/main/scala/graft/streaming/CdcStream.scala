@@ -118,6 +118,24 @@ object CdcStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming training-data ingestion — the arrival path of the
+    * LLM-pipeline operators run continuously: quality-gate each
+    * arriving document (same rules as TextAnalysis.qualityFilter),
+    * then drop exact duplicates by normalized content fingerprint
+    * within the watermark horizon (dedup state is bounded — an
+    * always-growing fingerprint set would OOM a year-long stream; the
+    * batch dedup_exact backstops beyond the horizon). The fingerprint
+    * is the dedup/shuffle key. Expects (ts, doc_id, text). */
+  def ingestDocuments(docs: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs
+      .where(TextAnalysis.keepCol)
+      .select(col("ts"), col("doc_id"),
+        md5(TextAnalysis.normCol.cast("binary")).as("fp"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   /** Adaptive poll backoff — the exact wait-time policy of
     * `/root/reference/.../sync/DataPoller.scala:60-74`: sleep
     * `(batch - polled)/batch · maxPollWait` ms after each poll (full

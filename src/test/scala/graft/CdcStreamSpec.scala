@@ -128,6 +128,41 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("ingestDocuments gates quality and dedups by fingerprint in-stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val good = ("the quick brown fox jumps over the lazy dog again and " +
+      "again with plenty of tokens to clear the quality gate easily")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val docs = Seq(
+      (t0, 1L, good),
+      (t0, 2L, good.toUpperCase),       // same normalized content → dup
+      (t0, 3L, "too short"),            // fails the length gate
+      (t0, 4L, good + " but genuinely different content this time yes"))
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = CdcStream.ingestDocuments(
+      stream.toDS().toDF("ts", "doc_id", "text"))
+    val query = out.writeStream.format("memory")
+      .queryName("ingest_stream").outputMode("append").start()
+    try {
+      stream.addData(docs)
+      query.processAllAvailable()
+      val kept = spark.table("ingest_stream").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      // doc 3 gated out; docs 1/2 collapse to one survivor; 4 kept
+      assert(kept.size === 2)
+      assert(kept.contains(4L))
+      assert(kept.intersect(Set(1L, 2L)).size === 1)
+      assert(!kept.contains(3L))
+      // the in-stream verdicts agree with the batch quality gate
+      val batchKeep = graft.operators.TextAnalysis
+        .qualityFilter(docs.toDF("ts", "doc_id", "text"))
+        .where(col("keep") === "true").count()
+      assert(batchKeep === 3) // 1, 2, 4 pass; dedup is the stream's add-on
+    } finally query.stop()
+  }
+
   test("windowed throughput on a bounded stream equals the batch window agg") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
