@@ -383,6 +383,16 @@ object OracleSql {
          |  AND cl.ems < epoch_ms(o.o_orderdate) + 604800000
          |GROUP BY 1""".stripMargin,
 
+    // the oracle is the UNSALTED join — salting must be invisible in
+    // the result
+    "skew_salted_join" ->
+      s"""WITH $CL
+         |SELECT c.c_mktsegment,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(cl.value_cents) AS BIGINT) AS sum_cents
+         |FROM cl JOIN customer c ON cl.user_id = c.c_custkey
+         |GROUP BY 1""".stripMargin,
+
     "log_compact" ->
       s"""WITH $CL, $LAST,
          |wm AS (SELECT MAX(epoch_s) AS max_s FROM cl)

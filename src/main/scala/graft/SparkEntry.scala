@@ -54,6 +54,8 @@ object SparkEntry {
       Joins.asofEnrich(cl(s, dir), Tables.orders(s, dir))),
     "range_join_events"   -> ((s, dir) =>
       Joins.rangeJoinEvents(cl(s, dir), Tables.orders(s, dir))),
+    "skew_salted_join"    -> ((s, dir) =>
+      Joins.skewSaltedEnrich(cl(s, dir), Tables.customer(s, dir))),
     "pause_filter"        -> ((s, dir) => Ledger.pauseFilter(cl(s, dir))),
     "olap_pricing_summary" -> ((s, dir) =>
       Analytics.pricingSummary(Tables.lineitem(s, dir))),

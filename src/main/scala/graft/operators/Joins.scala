@@ -83,4 +83,35 @@ object Joins {
       .groupBy("o_orderkey")
       .agg(count(col("event_id")).as("n_events_7d"))
   }
+
+  /** Salt factor for the skew-safe enrichment join. */
+  val SaltR = 8
+
+  /** Skew-safe enrichment join + rollup: the changelog's key
+    * distribution is whatever the workload makes it (one viral user can
+    * be 50% of all events), and a shuffled equi-join would pile that
+    * key onto ONE reducer. Salting spreads it: the fact side gets a
+    * deterministic salt in [0, SaltR), the dim side replicates SaltR
+    * ways, and the join key becomes (key, salt) — a hot key now lands
+    * on SaltR reducers. Result is provably identical to the unsalted
+    * join (the oracle IS the plain join), and the dim-side blowup is
+    * bounded at SaltR×|dim|, the standard trade when the dim is too big
+    * to broadcast and the fact is skewed. (AQE's skew-join split only
+    * rescues sort-merge joins after the fact; explicit salting also
+    * covers the aggregate that follows.) */
+  def skewSaltedEnrich(changelog: DataFrame,
+                       customer: DataFrame): DataFrame = {
+    val fact = changelog.select(
+      col("user_id"), col("value_cents"),
+      pmod(col("event_id"), lit(SaltR.toLong)).as("salt"))
+    val dim = customer
+      .select(col("c_custkey"), col("c_mktsegment"),
+        explode(expr(s"sequence(0, ${SaltR - 1})")).as("salt"))
+    fact
+      .join(dim, fact("user_id") === dim("c_custkey") &&
+        fact("salt") === dim("salt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum("value_cents").as("sum_cents"))
+  }
 }

@@ -28,6 +28,29 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("skewSaltedEnrich equals the plain join and spreads a hot key " +
+    "over SaltR reducer keys") {
+    import spark.implicits._
+    // 90% of events on ONE key — the viral-user shape
+    val events = ((1L to 900L).map(i => (7L, i, 10L)) ++
+      (901L to 1000L).map(i => (i % 50, i, 20L)))
+      .toDF("user_id", "event_id", "value_cents")
+    val dim = (0L to 60L).map(k => (k, if (k % 2 == 0) "EVEN" else "ODD"))
+      .toDF("c_custkey", "c_mktsegment")
+    val salted = Joins.skewSaltedEnrich(events, dim).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val plain = events.join(dim, events("user_id") === dim("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("value_cents").as("s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted === plain)
+    // the hot key's rows really are spread: distinct (key, salt) pairs
+    // for user 7 == SaltR (event_id is dense, so all salts occur)
+    val spread = events.where(col("user_id") === 7L)
+      .select(pmod(col("event_id"), lit(Joins.SaltR.toLong))).distinct().count()
+    assert(spread === Joins.SaltR.toLong)
+  }
+
   test("rangeJoinEvents equals a brute-force inequality count") {
     val got = Joins.rangeJoinEvents(cl, orders).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
