@@ -568,6 +568,18 @@ object OracleSql {
          |  AND w.object_name = h.object_name""".stripMargin
     },
 
+    "datasource_status" -> {
+      val values = graft.config.SyncConfigs.datasourceStatusRows()
+        .map { case (db, t, url, sch, ns, nt) =>
+          s"(${esc(db)}, ${esc(t)}, ${esc(url)}, ${esc(sch)}, " +
+            s"CAST($ns AS BIGINT), CAST($nt AS BIGINT))"
+        }.mkString(",\n  ")
+      s"""SELECT * FROM (VALUES
+         |  $values
+         |) AS t(db, db_type, jdbc_url, sys_schema,
+         |       n_source_routes, n_target_routes)""".stripMargin
+    },
+
     "blocked_replay" ->
       s"""WITH $CL,
          |b AS (SELECT user_id, event_id, ems,

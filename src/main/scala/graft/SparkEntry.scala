@@ -75,6 +75,7 @@ object SparkEntry {
     "config_matrix"       -> ((s, _) => SyncConfigs.configMatrix(s)),
     "trigger_specs"       -> ((s, _) => SyncConfigs.triggerSpecs(s)),
     "sync_reconcile"      -> ((s, _) => SyncConfigs.syncReconcile(s)),
+    "datasource_status"   -> ((s, _) => SyncConfigs.datasourceStatus(s)),
     "blocked_replay"      -> ((s, dir) => Ledger.blockedReplay(cl(s, dir))),
     "poll_backoff"        -> ((s, dir) => {
       val sys = SyncConfigs.parse(SyncConfigs.DemoYaml).sys

@@ -156,6 +156,31 @@ object SyncConfigs {
       "table_name", "op", "trigger_name", "function_name", "ddl")
   }
 
+  /** Datasource registry status — the `/status/datasource` endpoint of
+    * the reference's monitor (`monitor/Endpoints.scala:54`,
+    * `DatasourcePools.scala`): one row per configured database with its
+    * resolved JDBC url, sys schema, and how many sync routes read from
+    * / write to it (the config-derived half of pool health; live
+    * connection counts are the untestable JDBC edge, SURVEY §6). Pure —
+    * DataFrame and oracle VALUES share this generator. */
+  def datasourceStatusRows(yaml: String = DemoYaml):
+      Seq[(String, String, String, String, Long, Long)] = {
+    val cfg = parse(yaml)
+    cfg.dbs.map { db =>
+      val asSource = cfg.sync.count(_.sourceDb == db.name).toLong
+      val asTarget = cfg.sync
+        .count(_.targetDb.split(",").map(_.trim).contains(db.name)).toLong
+      (db.name, db.`type`, graft.sources.JdbcSync.url(db), db.sysSchema,
+        asSource, asTarget)
+    }
+  }
+
+  def datasourceStatus(spark: SparkSession, yaml: String = DemoYaml): DataFrame = {
+    import spark.implicits._
+    datasourceStatusRows(yaml).toDF("db", "db_type", "jdbc_url",
+      "sys_schema", "n_source_routes", "n_target_routes")
+  }
+
   // --- index + trigger reconciliation ------------------------------------
 
   /** One desired catalog object: triggers carry a version hash of their
