@@ -131,17 +131,30 @@ object Dedup {
     * sf0.1 than either per-side signature recompute (round 2) or a
     * localCheckpoint stage (cold-run materialization cost exceeds the
     * recompute). j_milli = ⌊1000·J⌋. */
+  /** Intersection sizes for candidate pairs against the shingle-hash
+    * table in ONE scan: explode each pair into its two doc ids, join
+    * the shingle table once, and count the hashes that arrive from
+    * both sides (shingle hashes are distinct per doc, so a count of 2
+    * means shared). The two-sided join form would shuffle the full
+    * corpus-wide shingle table twice. */
+  private def pairIntersections(pairs: DataFrame, sh: DataFrame,
+                                aCol: String, bCol: String): DataFrame =
+    pairs
+      .select(col(aCol), col(bCol),
+        explode(array(col(aCol), col(bCol))).as("doc_id"))
+      .join(sh, "doc_id")
+      .groupBy(aCol, bCol, "h")
+      .agg(count(lit(1)).as("k"))
+      .where(col("k") === 2)
+      .groupBy(aCol, bCol)
+      .agg(count(lit(1)).as("c"))
+
   def ngramJaccard(documents: DataFrame): DataFrame = {
     val sh = shingleHashes(documents)
     val pairs = candidatesFromSignatures(signaturesFromHashes(sh))
-    val inter = pairs
-      .select("doc_a", "doc_b")
-      .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("c"))
     pairs
-      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(pairIntersections(pairs, sh, "doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("c"))
       .select(col("doc_a"), col("doc_b"),
         expr("(c * 1000) div (na + nb - c)").as("j_milli"))
@@ -211,16 +224,9 @@ object Dedup {
       .select(col("batch_doc_id"), col("nb"),
         col("c.doc_id").as("corpus_doc_id"), col("c.n").as("nc"))
       .distinct()
-    val inter = pairs
-      .select("batch_doc_id", "corpus_doc_id")
-      .join(sh.select(col("doc_id").as("batch_doc_id"), col("h")),
-        "batch_doc_id")
-      .join(sh.select(col("doc_id").as("corpus_doc_id"), col("h")),
-        Seq("corpus_doc_id", "h"))
-      .groupBy("batch_doc_id", "corpus_doc_id")
-      .agg(count(lit(1)).as("c"))
     pairs
-      .join(inter, Seq("batch_doc_id", "corpus_doc_id"), "left")
+      .join(pairIntersections(pairs, sh, "batch_doc_id", "corpus_doc_id"),
+        Seq("batch_doc_id", "corpus_doc_id"), "left")
       .na.fill(0L, Seq("c"))
       .select(col("batch_doc_id"), col("corpus_doc_id"),
         expr("(c * 1000) div (nb + nc - c)").as("j_milli"))
