@@ -24,6 +24,8 @@ class ExtensionsSpec extends AnyFunSuite {
       val b = r.getAs[Long]("bucket")
       assert(b >= 0 && b < 256) // 8 planes → buckets in [0, 2^8)
     }
+    val h = spark.sql("SELECT md5_long60('abc') AS h").collect().head.getLong(0)
+    assert(h === graft.functions.PortableHash.md5Long("abc"))
   }
 
   test("jdbc sync SQL generation matches the reference's upsert/delete/poll shapes") {
