@@ -404,6 +404,16 @@ object OracleSql {
          |LEFT JOIN last l ON cl.event_id = l.event_id
          |WHERE cl.epoch_s >= wm.max_s - 259200 OR l.event_id IS NOT NULL""".stripMargin,
 
+    // the sketch has no DuckDB twin; the oracle recomputes the exact
+    // count and pins the error-band verdict — an out-of-band sketch
+    // breaks the hash match
+    "approx_distinct" ->
+      s"""WITH $CL
+         |SELECT 'db' || (user_id % 3) AS db,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+         |  'true' AS approx_within_5pct
+         |FROM cl GROUP BY 1""".stripMargin,
+
     "value_median" ->
       s"""WITH $CL,
          |r AS (SELECT op, value_cents, event_id,

@@ -285,8 +285,27 @@ object Ledger {
     * exact count. At 100 TB the approx column is the one you can
     * afford; rsd=0.02 keeps the merge buffers tiny and the result is
     * deterministic for a fixed input (HLL merge is order-independent).
-    */
+    *
+    * Oracle form: the sketch value itself has no cross-engine twin, so
+    * the query emits the exact count plus an integer-arithmetic
+    * error-band VERDICT (|approx−exact|·20 ≤ exact ⟺ within 5%, well
+    * outside rsd=0.02's range) — the DuckDB oracle recomputes the
+    * exact count and pins the verdict to 'true', so a sketch drifting
+    * out of band fails the hash gate. ApproxDistinctSpec still bounds
+    * the raw approx value directly. */
   def approxDistinct(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy(dbCol.as("db"))
+      .agg(
+        approx_count_distinct("user_id", rsd = 0.02).as("approx"),
+        countDistinct("user_id").as("n_users_exact"))
+      .select(col("db"), col("n_users_exact"),
+        (abs(col("approx") - col("n_users_exact")) * 20L <=
+          col("n_users_exact")).cast("string").as("approx_within_5pct"))
+
+  /** The raw sketch value beside the exact count (spec-tested form —
+    * the oracle-checked query wraps this in the error-band verdict). */
+  def approxDistinctRaw(changelog: DataFrame): DataFrame =
     changelog
       .groupBy(dbCol.as("db"))
       .agg(

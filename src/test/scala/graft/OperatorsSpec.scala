@@ -95,7 +95,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("approx_distinct sketch stays within 5% of the exact cardinality") {
-    Ledger.approxDistinct(cl).collect().foreach { r =>
+    Ledger.approxDistinctRaw(cl).collect().foreach { r =>
       val approx = r.getAs[Long]("n_users_approx").toDouble
       val exact = r.getAs[Long]("n_users_exact").toDouble
       assert(math.abs(approx - exact) / exact <= 0.05,
