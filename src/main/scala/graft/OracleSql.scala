@@ -622,8 +622,37 @@ object OracleSql {
         |  ('db0','db1','public','customer','c_custkey', CAST(16 AS BIGINT)),
         |  ('db0','db2','public','customer','c_custkey', 16),
         |  ('db0','db1','public','orders','o_orderkey', 16),
+        |  ('db1','db2','public','orders','o_orderkey', 16),
         |  ('db1','db2','public','lineitem','l_orderkey,l_linenumber', 16)
         |) AS t(source_db, target_db, schema_name, table_name, sync_keys, n_partitions)""".stripMargin,
+
+    // the Spark side unrolls the closure with bounded joins; this
+    // oracle walks the same edges with an actual recursive CTE —
+    // independent derivations of the cascade topology
+    "sync_topology" -> {
+      val cfg = graft.config.SyncConfigs.parse(graft.config.SyncConfigs.DemoYaml)
+      val edges = (for {
+        sc <- cfg.sync
+        t <- sc.targetDb.split(",").map(_.trim)
+      } yield s"(${esc(sc.sourceTable)}, ${esc(sc.sourceDb)}, ${esc(t)})")
+        .mkString(",\n    ")
+      val maxHops = math.max(cfg.dbs.length - 1, 1)
+      s"""WITH RECURSIVE edges AS (
+         |  SELECT * FROM (VALUES
+         |    $edges
+         |  ) AS t(table_name, source_db, target_db)),
+         |paths(table_name, origin_db, dest_db, hops, path) AS (
+         |  SELECT table_name, source_db, target_db, CAST(1 AS BIGINT),
+         |         source_db || '>' || target_db
+         |  FROM edges
+         |  UNION ALL
+         |  SELECT p.table_name, p.origin_db, e.target_db, p.hops + 1,
+         |         p.path || '>' || e.target_db
+         |  FROM paths p JOIN edges e
+         |    ON e.table_name = p.table_name AND e.source_db = p.dest_db
+         |  WHERE p.hops < $maxHops)
+         |SELECT table_name, origin_db, dest_db, hops, path FROM paths""".stripMargin
+    },
 
     "stream_window_agg" ->
       """WITH e AS (

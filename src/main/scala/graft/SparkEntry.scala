@@ -76,6 +76,7 @@ object SparkEntry {
     "trigger_specs"       -> ((s, _) => SyncConfigs.triggerSpecs(s)),
     "sync_reconcile"      -> ((s, _) => SyncConfigs.syncReconcile(s)),
     "datasource_status"   -> ((s, _) => SyncConfigs.datasourceStatus(s)),
+    "sync_topology"       -> ((s, _) => SyncConfigs.syncTopology(s)),
     "blocked_replay"      -> ((s, dir) => Ledger.blockedReplay(cl(s, dir))),
     "poll_backoff"        -> ((s, dir) => {
       val sys = SyncConfigs.parse(SyncConfigs.DemoYaml).sys

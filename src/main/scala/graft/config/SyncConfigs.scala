@@ -40,6 +40,7 @@ object SyncConfigs {
       |sync:
       |  - {sourceDb: db0, targetDb: "db1,db2", sourceSchema: public, sourceTable: customer, sourceKeys: c_custkey}
       |  - {sourceDb: db0, targetDb: db1, sourceSchema: public, sourceTable: orders, sourceKeys: o_orderkey}
+      |  - {sourceDb: db1, targetDb: db2, sourceSchema: public, sourceTable: orders, sourceKeys: o_orderkey}
       |  - {sourceDb: db1, targetDb: db2, sourceSchema: public, sourceTable: lineitem, sourceKeys: "l_orderkey,l_linenumber"}
       |""".stripMargin
 
@@ -154,6 +155,36 @@ object SyncConfigs {
     import spark.implicits._
     triggerSpecRows(yaml).toDF("source_db", "dialect", "schema_name",
       "table_name", "op", "trigger_name", "function_name", "ddl")
+  }
+
+  /** Cascade sync topology — the reference's 级联同步 / binary-tree
+    * sync (Readme feature list; a target db configured as a further
+    * source relays the same table onward). Emits every replication
+    * path per table: direct hops plus multi-hop chains, with the hop
+    * count and the full db path. Spark side unrolls the closure by
+    * joining the (bounded, config-sized) edge relation at most
+    * |dbs|−1 times — no loops, no recursion; the DuckDB oracle uses an
+    * actual RECURSIVE CTE, so the two derivations are genuinely
+    * independent. */
+  def syncTopology(spark: SparkSession, yaml: String = DemoYaml): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cfg = parse(yaml)
+    val edges = configMatrix(spark, yaml)
+      .select(col("table_name"), col("source_db"), col("target_db"))
+    val base = edges.select(
+      col("table_name"), col("source_db").as("origin_db"),
+      col("target_db").as("dest_db"), lit(1L).as("hops"),
+      concat_ws(">", col("source_db"), col("target_db")).as("path"))
+    val maxHops = math.max(cfg.dbs.length - 1, 1)
+    val all = (2 to maxHops).scanLeft(base) { (prev, _) =>
+      prev.join(edges.select(col("table_name"),
+          col("source_db").as("dest_db"), col("target_db").as("next_db")),
+          Seq("table_name", "dest_db"))
+        .select(col("table_name"), col("origin_db"),
+          col("next_db").as("dest_db"), (col("hops") + 1L).as("hops"),
+          concat_ws(">", col("path"), col("next_db")).as("path"))
+    }
+    all.reduce(_.unionByName(_))
   }
 
   /** Datasource registry status — the `/status/datasource` endpoint of

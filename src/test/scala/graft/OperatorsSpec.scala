@@ -89,9 +89,9 @@ class OperatorsSpec extends AnyFunSuite {
     val cfg = SyncConfigs.parse(SyncConfigs.DemoYaml)
     assert(cfg.sys.partition === 16)
     assert(cfg.dbs.map(_.name) === List("db0", "db1", "db2"))
-    assert(cfg.sync.length === 3)
-    assert(SyncConfigs.configMatrix(spark).count() === 4)
-    assert(SyncConfigs.triggerSpecs(spark).count() === 9)
+    assert(cfg.sync.length === 4)
+    assert(SyncConfigs.configMatrix(spark).count() === 5)
+    assert(SyncConfigs.triggerSpecs(spark).count() === 12)
   }
 
   test("approx_distinct sketch stays within 5% of the exact cardinality") {
@@ -168,7 +168,7 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("trigger specs speak the source db's dialect") {
     val rows = SyncConfigs.triggerSpecRows()
-    assert(rows.length === 9)
+    assert(rows.length === 12)
     val byDialect = rows.groupBy(_._2)
     // db0 (postgresql) entries carry a trigger function + row_to_json
     byDialect("postgresql").foreach { r =>
