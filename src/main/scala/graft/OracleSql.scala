@@ -664,6 +664,30 @@ object OracleSql {
         |       CAST(SUM(value_cents) AS BIGINT) AS sum_cents
         |FROM e GROUP BY 1, 2""".stripMargin,
 
+    "corpus_sample" -> {
+      val rateCase = graft.operators.TextAnalysis.SampleRateMilli
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      s"""WITH b AS (SELECT doc_id, lang,
+         |    ${sqlPhash("'sample:' || doc_id")} % 1000 AS bucket,
+         |    CAST(CASE lang $rateCase
+         |      ELSE ${graft.operators.TextAnalysis.DefaultRateMilli} END
+         |      AS BIGINT) AS rate_milli
+         |  FROM documents)
+         |SELECT doc_id, lang, bucket, rate_milli,
+         |       CAST(bucket < rate_milli AS VARCHAR) AS sampled
+         |FROM b""".stripMargin
+    },
+
+    "split_assign" ->
+      s"""WITH b AS (SELECT lang,
+         |    ${sqlPhash("'split:' || doc_id")} % 100 AS bucket
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN bucket < 98 THEN 'train'
+         |       WHEN bucket < 99 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM b GROUP BY 1, 2""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash,
         |       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,

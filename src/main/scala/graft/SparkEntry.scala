@@ -141,7 +141,11 @@ object SparkEntry {
     "ivf_train"           -> ((s, dir) =>
       Similarity.ivfTrainStep(Tables.embeddings(s, dir))),
     "quality_filter"      -> ((s, dir) =>
-      TextAnalysis.qualityFilter(Tables.documents(s, dir)))
+      TextAnalysis.qualityFilter(Tables.documents(s, dir))),
+    "corpus_sample"       -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
+    "split_assign"        -> ((s, dir) =>
+      TextAnalysis.splitAssign(Tables.documents(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

@@ -202,6 +202,46 @@ object TextAnalysis {
       array_min(col("fps")).as("min_fp"),
       array_max(col("fps")).as("max_fp"))
 
+  /** Per-language sampling rates in milli-units for the training-mix
+    * (data-mixing weights: over-sample the scarce languages). */
+  val SampleRateMilli: Map[String, Long] =
+    Map("en" -> 300L, "de" -> 700L, "es" -> 700L)
+  val DefaultRateMilli = 500L
+
+  /** Deterministic stratified corpus sampling — the data-mixing step of
+    * a training pipeline: per-language keep rates applied via the
+    * portable hash of the doc id (NOT rand() — the sample must be
+    * reproducible run-over-run, cluster-over-cluster, and auditable in
+    * the oracle). Shuffle-free narrow projection; the decision column
+    * rides along so downstream stages can invert the sample. */
+  def stratifiedSample(documents: DataFrame): DataFrame = {
+    val bucket = pmod(
+      graft.functions.PortableHash.phash(concat(lit("sample:"),
+        col("doc_id").cast("string"))), lit(1000L))
+    val rate = SampleRateMilli.foldLeft(lit(DefaultRateMilli)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    documents.select(col("doc_id"), col("lang"), bucket.as("bucket"),
+      rate.as("rate_milli"),
+      (bucket < rate).cast("string").as("sampled"))
+  }
+
+  /** Hash-based train/val/test split assignment (98/1/1 by doc-id
+    * hash): deterministic, leakage-free (a doc's split never depends on
+    * corpus order or partitioning), and stable as the corpus grows —
+    * the reason hash-splits beat row-number splits at 100 TB. */
+  def splitAssign(documents: DataFrame): DataFrame = {
+    val bucket = pmod(
+      graft.functions.PortableHash.phash(concat(lit("split:"),
+        col("doc_id").cast("string"))), lit(100L))
+    documents.select(col("doc_id"), col("lang"),
+      when(bucket < 98, lit("train"))
+        .when(bucket < 99, lit("val"))
+        .otherwise(lit("test")).as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Exact dedup: group identical texts (by md5), keep the smallest
     * doc_id as the canonical copy. One hash shuffle on the digest. */
   def dedupExact(documents: DataFrame): DataFrame =

@@ -282,6 +282,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(counts.sameElements(counts.sortBy(-_)))
   }
 
+  test("stratified sample honors per-language rates and is deterministic") {
+    val s1 = TextAnalysis.stratifiedSample(docs).collect()
+    val s2 = TextAnalysis.stratifiedSample(docs).collect()
+    assert(s1.map(r => (r.getLong(0), r.getString(4))).toMap ===
+      s2.map(r => (r.getLong(0), r.getString(4))).toMap) // reproducible
+    s1.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val rate = TextAnalysis.SampleRateMilli
+        .getOrElse(lang, TextAnalysis.DefaultRateMilli).toDouble / 1000
+      val kept = rs.count(_.getString(4) == "true").toDouble / rs.length
+      assert(math.abs(kept - rate) < 0.15,
+        s"$lang: kept $kept expected ~$rate over ${rs.length} docs")
+    }
+  }
+
+  test("split assignment partitions every doc into exactly one split") {
+    val sa = TextAnalysis.splitAssign(docs).collect()
+    assert(sa.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val bySplit = sa.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    // 98/1/1 — train dominates, val/test exist but stay small
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L) * 20)
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("dedupExact groups every doc exactly once") {
     val d = TextAnalysis.dedupExact(docs)
     assert(d.agg(sum("n_copies")).collect().head.getLong(0) === docs.count())
