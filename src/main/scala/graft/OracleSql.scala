@@ -39,8 +39,8 @@ object OracleSql {
 
   /** Shingle → portable-hash CTE prefix (tk/grams/sh), shared by the
     * intra-corpus and incremental dedup chains. */
-  private lazy val ShingleCtes: String =
-    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  private def shingleCtes(src: String): String =
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
        |grams AS (SELECT doc_id,
        |    CASE WHEN len(tk) >= 3
        |      THEN list_transform(generate_series(0, len(tk)-3),
@@ -50,8 +50,10 @@ object OracleSql {
        |sh AS (SELECT doc_id, ${sqlPhash("g.g")} AS h
        |  FROM grams, UNNEST(list_distinct(gs)) AS g(g))""".stripMargin
 
-  private lazy val MinhashCtes: String = {
-    s"""$ShingleCtes,
+  private lazy val ShingleCtes: String = shingleCtes("documents")
+
+  private def minhashCtes(src: String): String = {
+    s"""${shingleCtes(src)},
        |sigs AS (SELECT doc_id, $mins, CAST(COUNT(*) AS BIGINT) AS n
        |  FROM sh GROUP BY doc_id),
        |banded AS (SELECT doc_id, n, b.j AS band,
@@ -79,6 +81,8 @@ object OracleSql {
        |  FROM pairs p
        |  LEFT JOIN it ON p.doc_a = it.doc_a AND p.doc_b = it.doc_b)""".stripMargin
   }
+
+  private lazy val MinhashCtes: String = minhashCtes("documents")
 
   /** SimHash dedup CTE chain — twin of Dedup.simhashDedup (60-bit
     * portable simhash, 4×15-bit bands, bounded pairs, hamming check). */
@@ -663,6 +667,42 @@ object OracleSql {
         |       CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(value_cents) AS BIGINT) AS sum_cents
         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // the composed corpus build: quality gate → exact dedup → near-dup
+    // removal → stratified sample → (lang, split) manifest. Rebuilt
+    // stage by stage in SQL over the same hash constants; the minhash
+    // chain reads the gated/exact-deduped survivor set (qq), exactly
+    // like the Spark composition.
+    "training_pipeline" -> {
+      val rateCase = TextAnalysis.SampleRateMilli
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      val keepSql =
+        "length(text) BETWEEN 50 AND 2000 " +
+          "AND len(string_split(text, ' ')) >= 10 " +
+          "AND (len(regexp_extract_all(text, '[.,!?;:]')) * 1000) " +
+          "// length(text) <= 100"
+      s"""WITH q AS (SELECT * FROM documents WHERE $keepSql),
+         |ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         |qq AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+         |${minhashCtes("qq")},
+         |dups AS (SELECT DISTINCT doc_b AS doc_id FROM jac
+         |  WHERE j_milli >= ${Dedup.JaccardMilli}),
+         |kept AS (SELECT * FROM qq
+         |  WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.doc_id = qq.doc_id)),
+         |samp AS (SELECT * FROM kept
+         |  WHERE ${sqlPhash("'sample:' || doc_id")} % 1000 <
+         |    CASE lang $rateCase
+         |      ELSE ${TextAnalysis.DefaultRateMilli} END),
+         |sp AS (SELECT lang,
+         |    CASE WHEN ${sqlPhash("'split:' || doc_id")} % 100 < 98 THEN 'train'
+         |         WHEN ${sqlPhash("'split:' || doc_id")} % 100 < 99 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    len(string_split(text, ' ')) AS toks
+         |  FROM samp)
+         |SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(toks) AS BIGINT) AS sum_tokens
+         |FROM sp GROUP BY 1, 2""".stripMargin
+    },
 
     "corpus_sample" -> {
       val rateCase = graft.operators.TextAnalysis.SampleRateMilli

@@ -145,7 +145,9 @@ object SparkEntry {
     "corpus_sample"       -> ((s, dir) =>
       TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
     "split_assign"        -> ((s, dir) =>
-      TextAnalysis.splitAssign(Tables.documents(s, dir)))
+      TextAnalysis.splitAssign(Tables.documents(s, dir))),
+    "training_pipeline"   -> ((s, dir) =>
+      TrainingPipeline.run(Tables.documents(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

@@ -214,33 +214,41 @@ object TextAnalysis {
     * reproducible run-over-run, cluster-over-cluster, and auditable in
     * the oracle). Shuffle-free narrow projection; the decision column
     * rides along so downstream stages can invert the sample. */
-  def stratifiedSample(documents: DataFrame): DataFrame = {
-    val bucket = pmod(
-      graft.functions.PortableHash.phash(concat(lit("sample:"),
-        col("doc_id").cast("string"))), lit(1000L))
-    val rate = SampleRateMilli.foldLeft(lit(DefaultRateMilli)) {
-      case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
-    }
-    documents.select(col("doc_id"), col("lang"), bucket.as("bucket"),
-      rate.as("rate_milli"),
-      (bucket < rate).cast("string").as("sampled"))
+  /** Sample bucket/rate/verdict as shared expressions (stratifiedSample
+    * and the composed TrainingPipeline — the pipeline filters inline so
+    * the corpus chain is never evaluated twice for a join-back). */
+  val sampleBucketCol: Column = pmod(
+    graft.functions.PortableHash.phash(concat(lit("sample:"),
+      col("doc_id").cast("string"))), lit(1000L))
+  val sampleRateCol: Column = SampleRateMilli.foldLeft(lit(DefaultRateMilli)) {
+    case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
   }
+  val sampledCol: Column = sampleBucketCol < sampleRateCol
 
-  /** Hash-based train/val/test split assignment (98/1/1 by doc-id
-    * hash): deterministic, leakage-free (a doc's split never depends on
-    * corpus order or partitioning), and stable as the corpus grows —
-    * the reason hash-splits beat row-number splits at 100 TB. */
-  def splitAssign(documents: DataFrame): DataFrame = {
+  def stratifiedSample(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("lang"),
+      sampleBucketCol.as("bucket"),
+      sampleRateCol.as("rate_milli"),
+      sampledCol.cast("string").as("sampled"))
+
+  /** Hash-based train/val/test assignment (98/1/1 by doc-id hash):
+    * deterministic, leakage-free (a doc's split never depends on corpus
+    * order or partitioning), and stable as the corpus grows — the
+    * reason hash-splits beat row-number splits at 100 TB. Shared by
+    * split_assign and the composed TrainingPipeline. */
+  val splitCol: Column = {
     val bucket = pmod(
       graft.functions.PortableHash.phash(concat(lit("split:"),
         col("doc_id").cast("string"))), lit(100L))
-    documents.select(col("doc_id"), col("lang"),
-      when(bucket < 98, lit("train"))
-        .when(bucket < 99, lit("val"))
-        .otherwise(lit("test")).as("split"))
+    when(bucket < 98, lit("train"))
+      .when(bucket < 99, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  def splitAssign(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("lang"), splitCol.as("split"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"))
-  }
 
   /** Exact dedup: group identical texts (by md5), keep the smallest
     * doc_id as the canonical copy. One hash shuffle on the digest. */

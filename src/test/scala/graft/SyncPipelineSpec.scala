@@ -124,4 +124,24 @@ class SyncPipelineSpec extends AnyFunSuite {
         (r.getAs[Long]("first_err_eid"), r.getAs[Long]("n_blocked"))).toMap
     assert(actual === expected)
   }
+
+  test("training pipeline: stages compose consistently, corpus is dup-free") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val gated = docs.where(TextAnalysis.keepCol).count()
+    val kept = TrainingPipeline.corpus(docs)
+    val keptN = kept.count()
+    assert(keptN > 0 && keptN <= gated)
+    // every confirmed near-dup pair had its dup side removed, so a
+    // re-run of the detector over the surviving corpus finds nothing
+    assert(Dedup.minhashDedup(kept).count() === 0)
+    // and no two survivors share identical text
+    assert(kept.select("text").distinct().count() === keptN)
+    val manifest = TrainingPipeline.run(docs)
+    val sampled = manifest.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .collect().head.getLong(0)
+    assert(sampled <= keptN)
+    assert(manifest.collect().forall(
+      r => Set("train", "val", "test")(r.getString(1))))
+  }
 }
