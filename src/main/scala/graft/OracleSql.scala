@@ -680,7 +680,7 @@ object OracleSql {
         "length(text) BETWEEN 50 AND 2000 " +
           "AND len(string_split(text, ' ')) >= 10 " +
           "AND (len(regexp_extract_all(text, '[.,!?;:]')) * 1000) " +
-          "// length(text) <= 100"
+          "// greatest(length(text), 1) <= 100"
       s"""WITH q AS (SELECT * FROM documents WHERE $keepSql),
          |ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
          |qq AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
@@ -809,10 +809,10 @@ object OracleSql {
         |  FROM documents)
         |SELECT doc_id, chars, tokens,
         |  (stops * 1000) // tokens AS stop_milli,
-        |  (puncts * 1000) // chars AS punct_milli,
+        |  (puncts * 1000) // greatest(chars, 1) AS punct_milli,
         |  CAST(chars BETWEEN 50 AND 2000
         |       AND tokens >= 10
-        |       AND (puncts * 1000) // chars <= 100 AS VARCHAR) AS keep
+        |       AND (puncts * 1000) // greatest(chars, 1) <= 100 AS VARCHAR) AS keep
         |FROM d""".stripMargin,
 
     "token_topk" ->

@@ -96,7 +96,7 @@ object TextAnalysis {
     length(col("text")).between(50L, 2000L) &&
       size(tokensCol) >= 10 &&
       expr("(size(regexp_extract_all(text, '[.,!?;:]', 0)) * 1000) " +
-        "div length(text)") <= 100L
+        "div greatest(length(text), 1)") <= 100L
 
   /** Per-document quality gate (training-data filtering): length,
     * token-count, and punctuation-ratio rules; emits the verdict and
@@ -116,7 +116,7 @@ object TextAnalysis {
       .select(
         col("doc_id"), col("chars"), col("tokens"),
         expr("(stops * 1000) div tokens").as("stop_milli"),
-        expr("(puncts * 1000) div chars").as("punct_milli"),
+        expr("(puncts * 1000) div greatest(chars, 1)").as("punct_milli"),
         col("keep"))
 
   /** Corpus token frequency: explode → count → top-k (ties broken by
