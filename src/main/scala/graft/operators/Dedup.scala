@@ -56,14 +56,6 @@ object Dedup {
       .select(col("doc_id"), phash(col("sh")).as("h"))
   }
 
-  /** Per-doc signature row: 64 minhashes — min over the seeded
-    * universal-hash permutations of the shingle hashes (constant cost,
-    * codegen'd, map-side combined). */
-  def docSignatures(documents: DataFrame): DataFrame =
-    signaturesFromHashes(shingleHashes(documents))
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(s => col(s"m$s")): _*).as("mh"))
-
   /** LSH candidate pairs: band key = the portable Horner fold of the
     * band's 4 minhashes (codegen'd integer arithmetic, identical in
     * the DuckDB oracle). Docs sharing any (band, key) bucket pair up.
@@ -92,18 +84,24 @@ object Dedup {
       .otherwise(expr(starPairs))
   }
 
+  /** One (doc_id, n, band, sig) row per LSH band of each signature —
+    * the single definition of banding, shared by the intra-corpus and
+    * incremental candidate generators (and mirrored by the oracle's
+    * bandSig CASE), so the fold can't diverge between paths. */
+  private def banded(sigs: DataFrame): DataFrame = {
+    val bandKeys = (0 until Bands).map { b =>
+      bandKey((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")))
+    }
+    sigs.select(col("doc_id"), col("n"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "sig")))
+  }
+
   /** Candidate pairs from the (doc_id, m0..m63, n) signature relation.
     * Each pair row carries BOTH docs' shingle-set sizes (na/nb ride
     * along through the banding structs), so the Jaccard stage needs no
     * extra per-doc size joins. */
   private[operators] def candidatesFromSignatures(sigs: DataFrame): DataFrame = {
-    val bandKeys = (0 until Bands).map { b =>
-      bandKey((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")))
-    }
-    val banded = sigs
-      .select(col("doc_id"), col("n"), posexplode(array(bandKeys: _*))
-        .as(Seq("band", "sig")))
-    banded
+    banded(sigs)
       .groupBy("band", "sig")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .where(size(col("ds")) > 1)
@@ -123,14 +121,6 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Exact n-gram Jaccard over the LSH candidate pairs only (the
-    * verification stage of MinHash dedup). The expensive 64-wide
-    * signature aggregate runs ONCE (for candidates); the intersection
-    * joins touch only the narrow shingle-hash explode, and the set
-    * sizes arrive on the pair rows themselves — measured cheaper at
-    * sf0.1 than either per-side signature recompute (round 2) or a
-    * localCheckpoint stage (cold-run materialization cost exceeds the
-    * recompute). j_milli = ⌊1000·J⌋. */
   /** Intersection sizes for candidate pairs against the shingle-hash
     * table in ONE scan: explode each pair into its two doc ids, join
     * the shingle table once, and count the hashes that arrive from
@@ -149,6 +139,14 @@ object Dedup {
       .groupBy(aCol, bCol)
       .agg(count(lit(1)).as("c"))
 
+  /** Exact n-gram Jaccard over the LSH candidate pairs only (the
+    * verification stage of MinHash dedup). The expensive 64-wide
+    * signature aggregate runs ONCE (for candidates); the intersection
+    * join touches only the narrow shingle-hash explode, and the set
+    * sizes arrive on the pair rows themselves — measured cheaper at
+    * sf0.1 than either per-side signature recompute (round 2) or a
+    * localCheckpoint stage (cold-run materialization cost exceeds the
+    * recompute). j_milli = ⌊1000·J⌋. */
   def ngramJaccard(documents: DataFrame): DataFrame = {
     val sh = shingleHashes(documents)
     val pairs = candidatesFromSignatures(signaturesFromHashes(sh))
@@ -200,14 +198,12 @@ object Dedup {
     // happens inside the bucket aggregate (collect_list drops the
     // nulls from the CASE), so the expensive shingle+hash+64-min chain
     // is never run once per side.
-    val sigs = signaturesFromHashes(sh).withColumn("is_batch", isBatch)
-    val bandKeys = (0 until Bands).map { b =>
-      bandKey((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")))
-    }
-    val banded = sigs.select(col("doc_id"), col("n"), col("is_batch"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "sig")))
+    // is_batch is derivable from doc_id, so the shared banding helper
+    // applies as-is and the flag is re-attached after the explode
+    val bandedAll = banded(signaturesFromHashes(sh))
+      .withColumn("is_batch", isBatch)
     val member = struct(col("doc_id"), col("n"))
-    val buckets = banded
+    val buckets = bandedAll
       .groupBy("band", "sig")
       .agg(
         sort_array(collect_list(when(!col("is_batch"), member)))

@@ -291,8 +291,9 @@ object Ledger {
     * error-band VERDICT (|approx−exact|·20 ≤ exact ⟺ within 5%, well
     * outside rsd=0.02's range) — the DuckDB oracle recomputes the
     * exact count and pins the verdict to 'true', so a sketch drifting
-    * out of band fails the hash gate. ApproxDistinctSpec still bounds
-    * the raw approx value directly. */
+    * out of band fails the hash gate. OperatorsSpec's sketch-accuracy
+    * test still bounds the raw approx value directly (via
+    * approxDistinctRaw). */
   def approxDistinct(changelog: DataFrame): DataFrame =
     changelog
       .groupBy(dbCol.as("db"))

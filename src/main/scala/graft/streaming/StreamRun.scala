@@ -54,7 +54,10 @@ object StreamRun {
 
     val out = spark.table("stream_out")
     val rows = out.count()
-    val events_total = out.agg(sum("n")).collect().head.getLong(0)
+    // sum over zero windows is null — that's the "empty poll" case, and
+    // it must flow into backoffMs as 0 events (full backoff), not NPE
+    val events_total = out.agg(coalesce(sum("n"), lit(0L)))
+      .collect().head.getLong(0)
     // Adaptive poll backoff (DataPoller semantics): the drained batch
     // size decides how long the NEXT trigger waits. A long-running
     // deployment would restart the query with this ProcessingTime
