@@ -148,8 +148,14 @@ class CdcStreamSpec extends AnyFunSuite {
     try {
       stream.addData(docs)
       query.processAllAvailable()
+      // a redelivery of the same content in a LATER micro-batch (still
+      // inside the watermark) must also be dropped — the dedup state
+      // spans batches
+      stream.addData(Seq((t0, 9L, good)))
+      query.processAllAvailable()
       val kept = spark.table("ingest_stream").select("doc_id").collect()
         .map(_.getLong(0)).toSet
+      assert(!kept.contains(9L))
       // doc 3 gated out; docs 1/2 collapse to one survivor; 4 kept
       assert(kept.size === 2)
       assert(kept.contains(4L))
