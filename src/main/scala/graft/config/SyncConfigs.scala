@@ -96,6 +96,42 @@ object SyncConfigs {
        |  message TEXT, retry INT DEFAULT 0)""".stripMargin,
     s"CREATE INDEX IF NOT EXISTS idx_sync_data_time ON $sysSchema.sync_data (create_time)")
 
+  /** Greenplum sys bootstrap = the pg DDL plus the update-then-insert
+    * upsert helper the sink routes through (classic greenplum has no
+    * INSERT..ON CONFLICT — `dbopt/GpOperation.scala:47-94` installs
+    * `public.gp_upsert`; DDL text here is our own condensed template,
+    * same mechanism). */
+  def sysTableDdl(sysSchema: String, dialect: String): Seq[String] =
+    if (dialect == "greenplum")
+      sysTableDdl(sysSchema) :+
+        """CREATE OR REPLACE FUNCTION public.gp_upsert(
+          |  nsp name, tbl name, keys text[], content json)
+          |RETURNS int LANGUAGE plpgsql STRICT AS $fn$
+          |DECLARE
+          |  k text; v text; n int := 0;
+          |  upd text := ''; cond text := ''; icols text := ''; ivals text := '';
+          |BEGIN
+          |  FOR k, v IN SELECT * FROM json_each_text(content) LOOP
+          |    IF k = ANY(keys) THEN
+          |      cond := cond || format(' AND %I = %L', k, v);
+          |    ELSE
+          |      upd := upd || format(', %I = %L', k, v);
+          |    END IF;
+          |    icols := icols || format(', %I', k);
+          |    ivals := ivals || format(', %L', v);
+          |  END LOOP;
+          |  EXECUTE format('UPDATE %I.%I SET ', nsp, tbl)
+          |    || substr(upd, 3) || ' WHERE true' || cond;
+          |  GET DIAGNOSTICS n = ROW_COUNT;
+          |  IF n = 0 THEN
+          |    EXECUTE format('INSERT INTO %I.%I (', nsp, tbl)
+          |      || substr(icols, 3) || ') VALUES (' || substr(ivals, 3) || ')';
+          |    n := 1;
+          |  END IF;
+          |  RETURN n;
+          |END $fn$""".stripMargin
+    else sysTableDdl(sysSchema)
+
   /** Trigger DDL spec rows: one per (sync entry, I/U/D op), in the
     * DIALECT of the entry's source db (`dbs[].type`). Pure — the
     * DataFrame AND the DuckDB oracle VALUES literal both derive from

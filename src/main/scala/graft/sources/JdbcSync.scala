@@ -71,10 +71,12 @@ object JdbcSync {
        |WHERE t2.data_id IS NULL ORDER BY t1.id LIMIT $batch""".stripMargin
 
   /** Upsert statement for one sync table, per target dialect — the
-    * reference emits INSERT..ON CONFLICT (postgresql/greenplum,
-    * `dbopt/PgOperation.scala:49-82`) or INSERT..ON DUPLICATE KEY
-    * (mysql, `dbopt/MysqlOperation.scala`). Executed per partition by a
-    * JDBC sink. */
+    * reference emits INSERT..ON CONFLICT (postgresql,
+    * `dbopt/PgOperation.scala:49-82`), INSERT..ON DUPLICATE KEY
+    * (mysql, `dbopt/MysqlOperation.scala`), or routes through the
+    * installed update-then-insert `gp_upsert` helper (greenplum has no
+    * ON CONFLICT — `dbopt/GpOperation.scala:47-94`). Executed per
+    * partition by a JDBC sink. */
   def upsertSql(sync: SyncConfig, columns: Seq[String],
                 dialect: String = "postgresql"): String = {
     val keys = sync.sourceKeys.split(",").map(_.trim).map(ident).toSeq
@@ -83,7 +85,11 @@ object JdbcSync {
     val cols = columns.map(ident).mkString(", ")
     val placeholders = columns.map(_ => "?").mkString(", ")
     dialect match {
-      case "postgresql" | "greenplum" =>
+      case "greenplum" =>
+        s"SELECT public.gp_upsert('${ident(sync.sourceSchema)}', " +
+          s"'${ident(sync.sourceTable)}', " +
+          s"ARRAY[${keys.map(k => s"'$k'").mkString(", ")}], ?::json)"
+      case "postgresql" =>
         if (nonKeys.isEmpty)
           s"INSERT INTO $target ($cols) VALUES ($placeholders) " +
             s"ON CONFLICT (${keys.mkString(", ")}) DO NOTHING"
@@ -140,15 +146,26 @@ object JdbcSync {
                   props: Properties = new Properties()): Unit = {
     val columns = df.columns.toSeq
     val sql = upsertSql(sync, columns, db.`type`)
+    // greenplum's statement takes ONE json parameter (the whole row,
+    // consumed by gp_upsert); the other dialects bind per column
+    val gpJson = db.`type` == "greenplum"
     val jdbcUrl = url(db)
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
+      lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       try {
         conn.setAutoCommit(false)
         val stmt = conn.prepareStatement(sql)
         var pending = 0
         rows.foreach { row =>
-          columns.indices.foreach(i => stmt.setObject(i + 1, row.get(i)))
+          if (gpJson) {
+            val m = new java.util.LinkedHashMap[String, AnyRef]()
+            columns.indices.foreach(i =>
+              m.put(columns(i), row.get(i).asInstanceOf[AnyRef]))
+            stmt.setString(1, mapper.writeValueAsString(m))
+          } else {
+            columns.indices.foreach(i => stmt.setObject(i + 1, row.get(i)))
+          }
           stmt.addBatch()
           pending += 1
           if (pending >= UpsertBatchSize) {

@@ -54,11 +54,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bulk.length === 4)
     assert(bulk(1).contains("READABLE EXTERNAL TABLE"))
     assert(bulk(2).startsWith("INSERT INTO public.lineitem"))
+    // greenplum has no ON CONFLICT: upserts route through the installed
+    // update-then-insert helper
+    val gp = JdbcSync.upsertSql(sync, Seq("l_orderkey", "l_linenumber", "l_quantity"),
+      dialect = "greenplum")
+    assert(gp.startsWith("SELECT public.gp_upsert('public', 'lineitem'"))
+    assert(gp.contains("ARRAY['l_orderkey', 'l_linenumber']"))
     // sys-table bootstrap DDL
     val ddl = SyncConfigs.sysTableDdl("dbsync")
     assert(ddl.exists(_.contains("sync_data (")))
     assert(ddl.exists(_.contains("sync_polled")))
     assert(ddl.exists(_.contains("sync_data_status")))
+    // greenplum bootstrap appends the gp_upsert helper function
+    val gddl = SyncConfigs.sysTableDdl("dbsync", "greenplum")
+    assert(gddl.length === ddl.length + 1)
+    assert(gddl.last.contains("FUNCTION public.gp_upsert"))
+    assert(gddl.last.contains("GET DIAGNOSTICS"))
+    assert(SyncConfigs.sysTableDdl("dbsync", "postgresql") === ddl)
   }
 
   test("quality_filter verdicts follow the rules") {
