@@ -118,6 +118,21 @@ object InvariantProps extends Properties("graft.invariants") {
         SyncConfigs.existingCatalogRows() == SyncConfigs.existingCatalogRows()
     }
 
+  property("hash sampling/splitting: bucket ranges, total split coverage, " +
+    "and determinism") =
+    forAll(Gen.choose(0L, 1000000L)) { docId =>
+      import graft.functions.PortableHash.md5Long
+      val sampleBucket = md5Long(s"sample:$docId") % 1000
+      val splitBucket = md5Long(s"split:$docId") % 100
+      val split =
+        if (splitBucket < 98) "train" else if (splitBucket < 99) "val" else "test"
+      sampleBucket >= 0 && sampleBucket < 1000 &&
+        splitBucket >= 0 && splitBucket < 100 &&
+        Set("train", "val", "test")(split) &&
+        // re-derivation is stable (pure function of the id)
+        md5Long(s"split:$docId") == md5Long(s"split:$docId")
+    }
+
   property("partition plan covers [lo, hi] exactly, ranges disjoint & adjacent") =
     forAll(Gen.choose(0L, 1000L), Gen.choose(1L, 100000L)) { (lo, span) =>
       val hi = lo + span

@@ -75,6 +75,14 @@ class PlanSpec extends AnyFunSuite {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
   }
 
+  test("skew_salted_join: the join condition includes the salt key") {
+    val p = plan("skew_salted_join")
+    // the physical join keys must contain the salt column so a hot
+    // user_id is spread over SaltR reducer keys (at test scale the dim
+    // may broadcast, but the keys stay salted either way)
+    assert(p.contains("salt"), p)
+  }
+
   test("value_median: the window consumes the (op, value) AGGREGATE, " +
     "never raw changelog rows on 3 reducers") {
     val qe = SparkEntry.queries("value_median")(spark, Sf).queryExecution
