@@ -84,6 +84,27 @@ object OracleSql {
 
   private lazy val MinhashCtes: String = minhashCtes("documents")
 
+  /** Winnowing CTE chain over `src` with CTE names prefixed by `p`
+    * (`{p}tok/{p}kg/{p}w/{p}sel` — prefixing lets two chains coexist
+    * in one query, as the contamination check needs). The selected
+    * fingerprints land in `{p}sel(doc_id, fp)`. */
+  private def winnowCtes(src: String, p: String): String =
+    s"""${p}tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM $src
+       |  WHERE len(string_split(text, ' ')) >= ${TextAnalysis.WinnowK}),
+       |${p}kg AS (SELECT doc_id, g.i AS pos,
+       |    ${sqlPhash(s"array_to_string(tk[g.i+1:g.i+${TextAnalysis.WinnowK}], ' ')")} AS h
+       |  FROM ${p}tok,
+       |    UNNEST(generate_series(0, len(tk)-${TextAnalysis.WinnowK})) AS g(i)),
+       |${p}w AS (SELECT doc_id, pos,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS n_kgrams,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW
+       |      AND ${TextAnalysis.WinnowW - 1} FOLLOWING) AS fp
+       |  FROM ${p}kg),
+       |${p}sel AS (SELECT doc_id, fp FROM ${p}w
+       |  WHERE pos <= greatest(n_kgrams - ${TextAnalysis.WinnowW}, 0))""".stripMargin
+
   /** SimHash dedup CTE chain — twin of Dedup.simhashDedup (60-bit
     * portable simhash, 4×15-bit bands, bounded pairs, hamming check). */
   private lazy val SimhashCtes: String = {
@@ -1036,24 +1057,25 @@ object OracleSql {
          |WHERE bit_count(xor(sa, sb)) <= ${Dedup.MaxHamming}""".stripMargin,
 
     "doc_winnow" ->
-      s"""WITH wtok AS (
-         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-         |  WHERE len(string_split(text, ' ')) >= ${TextAnalysis.WinnowK}),
-         |wkg AS (SELECT doc_id, g.i AS pos,
-         |    ${sqlPhash(s"array_to_string(tk[g.i+1:g.i+${TextAnalysis.WinnowK}], ' ')")} AS h
-         |  FROM wtok,
-         |    UNNEST(generate_series(0, len(tk)-${TextAnalysis.WinnowK})) AS g(i)),
-         |ww AS (SELECT doc_id, pos,
-         |    COUNT(*) OVER (PARTITION BY doc_id) AS n_kgrams,
-         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN CURRENT ROW
-         |      AND ${TextAnalysis.WinnowW - 1} FOLLOWING) AS fp
-         |  FROM wkg),
-         |wsel AS (SELECT doc_id, fp FROM ww
-         |  WHERE pos <= greatest(n_kgrams - ${TextAnalysis.WinnowW}, 0))
+      s"""WITH ${winnowCtes("documents", "w")}
          |SELECT doc_id, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fps,
          |       MIN(fp) AS min_fp, MAX(fp) AS max_fp
          |FROM wsel GROUP BY doc_id""".stripMargin,
+
+    // two independent winnow chains (train vs eval shard) joined on the
+    // fingerprint — the SQL twin of TextAnalysis.contaminationCheck
+    "contamination_check" ->
+      s"""WITH ${winnowCtes(
+             s"(SELECT * FROM documents WHERE source <> '${TextAnalysis.EvalSource}')", "t")},
+         |${winnowCtes(
+             s"(SELECT * FROM documents WHERE source = '${TextAnalysis.EvalSource}')", "e")},
+         |tf AS (SELECT DISTINCT doc_id, fp FROM tsel),
+         |ef AS (SELECT DISTINCT doc_id AS eval_doc_id, fp FROM esel)
+         |SELECT tf.doc_id,
+         |  CAST(COUNT(DISTINCT ef.eval_doc_id) AS BIGINT) AS n_eval_docs,
+         |  CAST(COUNT(DISTINCT tf.fp) AS BIGINT) AS n_shared_fps
+         |FROM tf JOIN ef ON tf.fp = ef.fp
+         |GROUP BY 1""".stripMargin,
 
     "ann_topk" ->
       """WITH q AS (

@@ -97,6 +97,8 @@ object SparkEntry {
       TextAnalysis.docFingerprint(Tables.documents(s, dir))),
     "doc_winnow"          -> ((s, dir) =>
       TextAnalysis.winnowStats(Tables.documents(s, dir))),
+    "contamination_check" -> ((s, dir) =>
+      TextAnalysis.contaminationCheck(Tables.documents(s, dir))),
     "token_topk"          -> ((s, dir) =>
       TextAnalysis.tokenTopK(Tables.documents(s, dir))),
     "pii_scrub"           -> ((s, dir) =>

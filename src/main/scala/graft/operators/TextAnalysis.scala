@@ -168,7 +168,10 @@ object TextAnalysis {
     * yields at least one shared fingerprint. The window-min is a
     * catalyst Window over the exploded positions (codegen'd), not a
     * per-row lambda. */
-  def winnowFingerprints(documents: DataFrame): DataFrame = {
+  /** One (doc_id, fp) row per DISTINCT selected winnow fingerprint —
+    * the exploded relation winnowFingerprints aggregates and the
+    * contamination check joins on. */
+  def winnowSelected(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
     val toks = documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val kgrams = toks
@@ -188,10 +191,38 @@ object TextAnalysis {
       // still sees its full w-wide frame; docs with fewer than w
       // k-grams keep their single truncated window (pos 0)
       .where(col("pos") <= greatest(col("n_kgrams") - WinnowW, lit(0L)))
+      .select("doc_id", "fp")
+      .distinct()
+  }
+
+  def winnowFingerprints(documents: DataFrame): DataFrame =
+    winnowSelected(documents)
       .groupBy("doc_id")
       .agg(collect_set("fp").as("fps"))
       .select(col("doc_id"), col("fps"),
         size(col("fps")).cast("long").as("n_fps"))
+
+  /** Eval-set stand-in for contamination checks (one of the uniform
+    * source shards). */
+  val EvalSource = "src0"
+
+  /** Benchmark-contamination detection — the decontamination step of a
+    * training-data build: a training document is flagged when it shares
+    * any winnow fingerprint with an eval-set document (the winnowing
+    * guarantee makes that ≈ a shared run of ≥ w+k−1 tokens). The join
+    * key is the fingerprint — eval-side fingerprints are the small
+    * relation at scale (broadcastable for real benchmark suites); no
+    * doc×doc comparison anywhere. */
+  def contaminationCheck(documents: DataFrame,
+                         evalSource: String = EvalSource): DataFrame = {
+    val trainFps = winnowSelected(documents.where(col("source") =!= evalSource))
+    val evalFps = winnowSelected(documents.where(col("source") === evalSource))
+      .select(col("fp"), col("doc_id").as("eval_doc_id"))
+    trainFps
+      .join(evalFps, "fp")
+      .groupBy("doc_id")
+      .agg(countDistinct("eval_doc_id").as("n_eval_docs"),
+        countDistinct("fp").as("n_shared_fps"))
   }
 
   /** Query-shaped winnowing summary (fingerprint arrays are not

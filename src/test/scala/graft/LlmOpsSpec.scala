@@ -259,6 +259,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fps(1L) === naive(s"one two three four five $shared"))
   }
 
+  test("contamination check flags docs sharing a long run with the eval shard") {
+    import spark.implicits._
+    val run = "one two three four five six seven eight nine ten"
+    val df = Seq(
+      (1L, s"$run eleven twelve thirteen", "src0"), // eval-set doc
+      (2L, s"prefix words $run suffix words", "src1"), // contaminated: shared 10-token run ≥ w+k−1
+      (3L, "totally different content with no common run at all here now", "src2")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.contaminationCheck(df).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(2L))
+    assert(out.head.getAs[Long]("n_eval_docs") === 1L)
+    assert(out.head.getAs[Long]("n_shared_fps") >= 1L)
+  }
+
   test("piiScrub detects and redacts synthetic PII") {
     import spark.implicits._
     val df = Seq(
