@@ -38,11 +38,15 @@ object Bench {
       }
     }
     import JsonOut.q
-    val qs = timings.map { case (k, v) => s"${q(k)}:$v" }
+    // 3-decimal (ms) precision: full-precision doubles made the line
+    // overflow the driver's stdout tail window, so it recorded
+    // parsed:null — keep the whole line comfortably under ~2.5 KB
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = timings.map { case (k, v) => s"${q(k)}:${ms(v)}" }
       .mkString("{", ",", "}")
     val fs = failed.map(q).mkString("[", ",", "]")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

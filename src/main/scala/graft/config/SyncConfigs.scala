@@ -120,9 +120,16 @@ object SyncConfigs {
           |    icols := icols || format(', %I', k);
           |    ivals := ivals || format(', %L', v);
           |  END LOOP;
-          |  EXECUTE format('UPDATE %I.%I SET ', nsp, tbl)
-          |    || substr(upd, 3) || ' WHERE true' || cond;
-          |  GET DIAGNOSTICS n = ROW_COUNT;
+          |  IF upd = '' THEN
+          |    -- every column is a key: nothing to update, just probe
+          |    -- existence so the conditional INSERT below stays correct
+          |    EXECUTE format('SELECT count(*) FROM %I.%I WHERE true', nsp, tbl)
+          |      || cond INTO n;
+          |  ELSE
+          |    EXECUTE format('UPDATE %I.%I SET ', nsp, tbl)
+          |      || substr(upd, 3) || ' WHERE true' || cond;
+          |    GET DIAGNOSTICS n = ROW_COUNT;
+          |  END IF;
           |  IF n = 0 THEN
           |    EXECUTE format('INSERT INTO %I.%I (', nsp, tbl)
           |      || substr(icols, 3) || ') VALUES (' || substr(ivals, 3) || ')';
@@ -161,12 +168,21 @@ object SyncConfigs {
       val (fn, ddl) = dialect match {
         case "mysql" =>
           // mysql: no trigger function; DROP-then-CREATE with an
-          // inlined JSON_OBJECT body, one insert per fan-out target
+          // inlined JSON_OBJECT body, one insert per fan-out target.
+          // JSON_OBJECT takes explicit 'col', NEW.col pairs (the
+          // reference enumerates them from INFORMATION_SCHEMA at
+          // install time — MysqlOperation.scala:122); without live
+          // metadata we emit the known key columns so the DDL stays
+          // syntactically valid MySQL, and mark where the non-key
+          // pairs get spliced in.
+          val keyPairs = sc.sourceKeys.split(",").map(_.trim).map(k =>
+            s"'$k', $payload.$k").mkString(", ")
           val inserts = sc.targetDb.split(",").map(_.trim).map(t =>
             s"INSERT INTO dbsync.sync_data (source_db, target_db, schema_name, " +
               s"table_name, operation, data) VALUES ('${sc.sourceDb}', '$t', " +
               s"'${sc.sourceSchema}', '${sc.sourceTable}', '$opCode', " +
-              s"JSON_OBJECT($payload.*))").mkString("; ")
+              s"JSON_OBJECT($keyPairs /* + non-key cols from INFORMATION_SCHEMA */))")
+            .mkString("; ")
           ("",
             s"DROP TRIGGER IF EXISTS ${sc.sourceSchema}.$trigger; " +
               s"CREATE TRIGGER ${sc.sourceSchema}.$trigger AFTER $action ON " +

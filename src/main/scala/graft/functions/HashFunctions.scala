@@ -29,8 +29,12 @@ case class Md5Long(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string argument, got ${child.dataType}")
 
+  // ThreadLocal, not a shared lazy val: one expression instance can be
+  // evaluated from several threads (driver-side local-relation eval,
+  // subexpression reuse), and MessageDigest is stateful
   @transient private lazy val digest =
-    java.security.MessageDigest.getInstance("MD5")
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   /** First 8 digest bytes big-endian, low nibble (16th hex char)
     * dropped ⇒ the 15-hex-char value, always in [0, 2⁶⁰). */
@@ -42,8 +46,9 @@ case class Md5Long(child: Expression) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    digest.reset()
-    fold(digest.digest(input.asInstanceOf[UTF8String].getBytes))
+    val md = digest.get()
+    md.reset()
+    fold(md.digest(input.asInstanceOf[UTF8String].getBytes))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

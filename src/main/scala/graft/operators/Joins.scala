@@ -103,7 +103,10 @@ object Joins {
                        customer: DataFrame): DataFrame = {
     val fact = changelog.select(
       col("user_id"), col("value_cents"),
-      pmod(col("event_id"), lit(SaltR.toLong)).as("salt"))
+      // coalesce: a NULL event_id must not NULL the salt and silently
+      // drop the row from the inner join — salting has to be
+      // result-neutral for ANY input, matching the unsalted oracle
+      coalesce(pmod(col("event_id"), lit(SaltR.toLong)), lit(0L)).as("salt"))
     val dim = customer
       .select(col("c_custkey"), col("c_mktsegment"),
         explode(expr(s"sequence(0, ${SaltR - 1})")).as("salt"))
