@@ -21,6 +21,24 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
+    // Codegen/JIT warmup at the smallest SF (when a sibling sf0.001
+    // exists): the first execution of a freshly generated whole-stage
+    // method costs seconds of C2 compilation that min-of-2 at one SF
+    // doesn't amortize away — the wide dedup signature aggregate was
+    // reporting 3-4x its steady state. Timed numbers should measure
+    // the plan, not the compiler.
+    val warmDir = {
+      val p = java.nio.file.Paths.get(sfDir).toAbsolutePath
+      Option(p.getParent).map(_.resolve("sf0.001"))
+        .filter(q => java.nio.file.Files.isDirectory(q) && q != p)
+        .map(_.toString)
+    }
+    warmDir.foreach { wd =>
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, wd).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         // min of 2 runs: first run pays JIT/codegen, min is the stable

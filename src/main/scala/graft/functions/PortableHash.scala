@@ -78,6 +78,13 @@ object PortableHash {
   def permute(h: Column, seed: Int): Column =
     ((h % P) * A(seed) + B(seed)) % P
 
+  /** Seeded permutation of an already-mod-P-reduced hash — the
+    * signature aggregate computes `h % P` once per row and feeds it to
+    * all [[NumSeeds]] permutations, instead of re-reducing per seed.
+    * Same values as [[permute]] since ((h%P)%P) = h%P. */
+  def permuteReduced(hm: Column, seed: Int): Column =
+    (hm * A(seed) + B(seed)) % P
+
   /** DuckDB twin of [[permute]]. */
   def sqlPermute(e: String, seed: Int): String =
     s"((($e) % $P) * ${A(seed)} + ${B(seed)}) % $P"

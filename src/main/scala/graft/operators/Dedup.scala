@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.PortableHash.{bandKey, permute, phash}
+import graft.functions.PortableHash.{bandKey, permuteReduced, phash}
 
 /** Near-duplicate detection over `documents` — MinHash+LSH, SimHash,
   * and n-gram Jaccard verification. All bucketed: the LSH band (or
@@ -114,11 +114,16 @@ object Dedup {
   /** Per-doc signature relation: one plain column per minhash (the
     * banding consumes the columns directly; packing them into an array
     * first would push the band derivation into interpreted higher-order
-    * functions) plus the shingle-set size n, all from ONE aggregate. */
+    * functions) plus the shingle-set size n, all from ONE aggregate.
+    * `h % P` is hoisted into the projection so each row pays ONE
+    * 64-bit mod, not one per seed (same values — (h%P)%P = h%P). */
   private def signaturesFromHashes(sh: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(s => min(permute(col("h"), s)).as(s"m$s")) :+
+    val reduced = sh.select(col("doc_id"),
+      (col("h") % graft.functions.PortableHash.P).as("hm"))
+    val aggs = (0 until NumHashes).map(s =>
+      min(permuteReduced(col("hm"), s)).as(s"m$s")) :+
       count(lit(1)).as("n")
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    reduced.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Intersection sizes for candidate pairs against the shingle-hash
