@@ -1077,6 +1077,81 @@ object OracleSql {
          |FROM tf JOIN ef ON tf.fp = ef.fp
          |GROUP BY 1""".stripMargin,
 
+    // exact min-reachable-label connected components via a RECURSIVE
+    // CTE — independent of the Spark side's bounded label propagation,
+    // so a diameter undershoot there would hash-mismatch here. The
+    // RECURSIVE marker is scoped to an inner WITH: a top-level WITH
+    // RECURSIVE makes DuckDB reinterpret every UNION-bearing CTE in
+    // the list, corrupting the minhash pair chain (356 vs 25 pairs).
+    "dup_cluster" ->
+      s"""WITH $MinhashCtes,
+         |dup AS (SELECT doc_a AS a, doc_b AS b FROM jac
+         |  WHERE j_milli >= ${Dedup.JaccardMilli}),
+         |edges AS (SELECT a, b FROM dup UNION SELECT b, a FROM dup),
+         |nodes AS (SELECT DISTINCT a AS v FROM edges),
+         |lab AS (
+         |  WITH RECURSIVE reach(src, node) AS (
+         |    SELECT v, v FROM nodes
+         |    UNION
+         |    SELECT r.src, g.b FROM reach r JOIN edges g ON g.a = r.node)
+         |  SELECT node AS doc_id, MIN(src) AS cluster_id
+         |  FROM reach GROUP BY node)
+         |SELECT doc_id, cluster_id,
+         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+         |FROM lab""".stripMargin,
+
+    "quality_gopher" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |  FROM documents),
+         |ts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(DISTINCT t.t) AS BIGINT) AS n_distinct,
+         |    CAST(SUM(len(t.t)) AS BIGINT) AS sum_len
+         |  FROM tk, UNNEST(tk) AS t(t) GROUP BY doc_id),
+         |g2 AS (SELECT doc_id, g.g, COUNT(*) AS c
+         |  FROM tk, UNNEST(CASE WHEN len(tk) >= 2
+         |    THEN list_transform(generate_series(0, len(tk)-2),
+         |           i -> tk[i+1] || ' ' || tk[i+2])
+         |    ELSE [] END) AS g(g)
+         |  GROUP BY 1, 2),
+         |gm AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_gram,
+         |    CAST(SUM(c) AS BIGINT) AS n_grams
+         |  FROM g2 GROUP BY doc_id),
+         |r AS (SELECT ts.doc_id, ts.n_tokens,
+         |    (ts.n_distinct * 1000) // ts.n_tokens AS distinct_milli,
+         |    (ts.sum_len * 1000) // ts.n_tokens AS mean_len_milli,
+         |    CASE WHEN COALESCE(gm.n_grams, 0) = 0 THEN 0
+         |      ELSE (gm.top_gram * 1000) // gm.n_grams END AS top2gram_milli
+         |  FROM ts LEFT JOIN gm ON ts.doc_id = gm.doc_id)
+         |SELECT doc_id, n_tokens, distinct_milli, mean_len_milli,
+         |  top2gram_milli,
+         |  CAST(distinct_milli >= ${TextAnalysis.MinDistinctMilli}
+         |    AND top2gram_milli <= ${TextAnalysis.MaxTop2GramMilli}
+         |    AND mean_len_milli BETWEEN ${TextAnalysis.MinMeanLenMilli}
+         |      AND ${TextAnalysis.MaxMeanLenMilli} AS VARCHAR) AS keep
+         |FROM r""".stripMargin,
+
+    "doc_rarity" ->
+      """WITH toks AS (SELECT doc_id, t.t
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)),
+        |freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY t)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  (CAST(SUM(tf) AS BIGINT) * 1000) // COUNT(*) AS mean_tf_milli,
+        |  MIN(tf) AS min_tf
+        |FROM toks JOIN freq USING (t)
+        |GROUP BY doc_id""".stripMargin,
+
+    "mix_weights" ->
+      s"""WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1, 2),
+         |w AS (SELECT *, CAST(LEAST(n_docs, ${TextAnalysis.MixCap}) AS BIGINT)
+         |    AS weight FROM g),
+         |t AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_w FROM w)
+         |SELECT lang, source, n_docs, n_tokens, weight,
+         |  (weight * 1000000) // total_w AS share_ppm
+         |FROM w, t""".stripMargin,
+
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -149,7 +149,15 @@ object SparkEntry {
     "split_assign"        -> ((s, dir) =>
       TextAnalysis.splitAssign(Tables.documents(s, dir))),
     "training_pipeline"   -> ((s, dir) =>
-      TrainingPipeline.run(Tables.documents(s, dir)))
+      TrainingPipeline.run(Tables.documents(s, dir))),
+    "dup_cluster"         -> ((s, dir) =>
+      Dedup.dupClusters(Tables.documents(s, dir))),
+    "quality_gopher"      -> ((s, dir) =>
+      TextAnalysis.gopherQuality(Tables.documents(s, dir))),
+    "doc_rarity"          -> ((s, dir) =>
+      TextAnalysis.docRarity(Tables.documents(s, dir))),
+    "mix_weights"         -> ((s, dir) =>
+      TextAnalysis.mixWeights(Tables.documents(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

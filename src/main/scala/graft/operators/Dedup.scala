@@ -234,6 +234,58 @@ object Dedup {
       .withColumn("is_dup", (col("j_milli") >= JaccardMilli).cast("string"))
   }
 
+  /** Label-propagation rounds for [[dupClusters]] — covers any
+    * component whose diameter is ≤ this. Near-dup graphs are unions of
+    * near-cliques (every member of a dup cluster shares LSH buckets
+    * with most others), so real diameters are tiny; the verified
+    * cross-engine hash check would catch an undershoot. */
+  val ClusterRounds = 10
+
+  /** Connected components over the VERIFIED near-dup pair graph — the
+    * step between pairwise dedup and materialization: every doc gets a
+    * canonical cluster id (the minimum doc_id reachable through dup
+    * pairs), so "keep one per cluster" is well-defined even when
+    * A~B and B~C but A≁C (pairwise keeper choice would keep A and
+    * drop C's witness otherwise).
+    *
+    * Distributed form: min-label propagation. Self-loops are added to
+    * the edge relation so each round is ONE join + ONE min-aggregate
+    * referencing the previous labels exactly once — a linear plan
+    * chain, no exponential lineage. The edge list (dup pairs, both
+    * directions) is localCheckpoint'ed once: it is tiny relative to
+    * the corpus (only docs that near-dup something), and the 10
+    * rounds then shuffle just that label relation, never touching the
+    * minhash chain again. At adversarial diameters you'd switch to
+    * large-star/small-star (O(log n) rounds); for near-dup cliques
+    * plain propagation converges in 2-3 rounds.
+    *
+    * Output: (doc_id, cluster_id, n_members) per clustered doc. */
+  def dupClusters(documents: DataFrame): DataFrame = {
+    val pairs = minhashDedup(documents)
+      .select(col("keeper_doc_id").as("a"), col("dup_doc_id").as("b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .unionByName(pairs
+        .select(explode(array(col("a"), col("b"))).as("a"))
+        .select(col("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    val init = edges.select(col("a").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+    val converged = (1 to ClusterRounds).foldLeft(init) { (lab, _) =>
+      edges
+        .join(lab.select(col("doc_id").as("b"), col("label")), "b")
+        .groupBy(col("a").as("doc_id"))
+        .agg(min("label").as("label"))
+    }
+    val sized = converged
+      .groupBy("label").agg(count(lit(1)).as("n_members"))
+    converged
+      .join(sized, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("n_members"))
+  }
+
   /** 60-bit SimHash per doc: explode tokens, hash once, then 60
     * codegen'd ±1 sums (one per bit) reassembled into the fingerprint. */
   def simhashes(documents: DataFrame): DataFrame = {

@@ -290,4 +290,111 @@ object TextAnalysis {
       .agg(
         min("doc_id").as("keeper_doc_id"),
         count(lit(1)).as("n_copies"))
+
+  // --- repetition quality rules (Gopher-style) ---------------------------
+
+  /** Thresholds for the repetition gate, in milli-units, chosen to
+    * split the driver corpus rather than pass everything: minimum
+    * distinct-token ratio, maximum top-2-gram mass, and a mean-token-
+    * length band (the analog of Gopher's word-length rule). */
+  val MinDistinctMilli = 400L
+  val MaxTop2GramMilli = 50L
+  val MinMeanLenMilli = 3000L
+  val MaxMeanLenMilli = 6000L
+
+  /** Repetition-based quality rules — the within-document counterpart
+    * of near-dup removal (Rae et al.'s Gopher rules): documents whose
+    * token stream is dominated by repeats, whose single most frequent
+    * 2-gram carries too much of the text, or whose mean token length is
+    * out of band are gated out. Two doc_id-keyed aggregations (token
+    * stats; 2-gram top mass) and one join, all partial-aggregated
+    * map-side — no operator here sees more than the per-doc token
+    * explode, so the shape holds at corpus scale. Ratios are integer
+    * milli (hash-stable across engines). */
+  def gopherQuality(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), tokensCol.as("tk"))
+    val tokStats = toks
+      .select(col("doc_id"), explode(col("tk")).as("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("t")).as("n_distinct"),
+        sum(length(col("t"))).cast("long").as("sum_len"))
+    // guard the <2-token doc: sequence(0, -1) would descend
+    val gram2 = when(size(col("tk")) >= 2,
+      expr("transform(sequence(0, size(tk)-2), " +
+        "i -> concat_ws(' ', tk[i], tk[i+1]))"))
+      .otherwise(array().cast("array<string>"))
+    val gramTop = toks
+      .select(col("doc_id"), explode(gram2).as("g"))
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_gram"), sum("c").cast("long").as("n_grams"))
+    tokStats
+      .join(gramTop, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("top_gram", "n_grams"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(n_distinct * 1000) div n_tokens").as("distinct_milli"),
+        expr("(sum_len * 1000) div n_tokens").as("mean_len_milli"),
+        expr("case when n_grams = 0 then 0 " +
+          "else (top_gram * 1000) div n_grams end").as("top2gram_milli"))
+      .withColumn("keep",
+        (col("distinct_milli") >= MinDistinctMilli &&
+          col("top2gram_milli") <= MaxTop2GramMilli &&
+          col("mean_len_milli").between(MinMeanLenMilli, MaxMeanLenMilli))
+          .cast("string"))
+  }
+
+  // --- corpus-frequency rarity -------------------------------------------
+
+  /** Per-document rarity against the corpus unigram table — the
+    * integer-arithmetic stand-in for a perplexity filter: a doc whose
+    * tokens are all corpus-frequent is boilerplate-like (low rarity);
+    * one built from tokens the corpus almost never uses is an outlier.
+    * Mean corpus-frequency of the doc's tokens (milli) + the rarest
+    * token's count. The frequency relation is vocabulary-sized;
+    * the join back to the token explode is a plain equi-join that AQE
+    * turns into a broadcast when the vocabulary fits (it always does —
+    * vocab grows sublinearly in corpus size), so the only full shuffle
+    * is the doc_id re-aggregation. */
+  def docRarity(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(tokensCol).as("t"))
+    val freq = toks.groupBy("t").agg(count(lit(1)).as("tf"))
+    toks
+      .join(freq, "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("tf").cast("long").as("sum_tf"),
+        min("tf").as("min_tf"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(sum_tf * 1000) div n_tokens").as("mean_tf_milli"),
+        col("min_tf"))
+  }
+
+  // --- training-mixture weights ------------------------------------------
+
+  /** Per-group cap for mixture weighting: groups contribute
+    * proportionally to size up to the cap (capped-proportional mixing —
+    * the integer-exact alternative to temperature exponents, which
+    * would need cross-engine floating-point pow). */
+  val MixCap = 30L
+
+  /** Training-mixture weights per (lang, source) group: document and
+    * token counts, the capped weight, and each group's share in ppm of
+    * the total — the numbers a sampler needs to draw the training mix.
+    * One group aggregate; the 1-row total joins back via broadcast
+    * (never a single-partition window). */
+  def mixWeights(documents: DataFrame): DataFrame = {
+    val g = documents
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokensCol)).cast("long").as("n_tokens"))
+      .withColumn("weight", least(col("n_docs"), lit(MixCap)))
+    val tot = g.agg(sum("weight").cast("long").as("total_w"))
+    g.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("weight"),
+        expr("(weight * 1000000) div total_w").as("share_ppm"))
+  }
 }

@@ -368,4 +368,74 @@ class LlmOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dupClusters merges a transitive chain A~B~C into one cluster") {
+    import spark.implicits._
+    // sliding 20-token windows over w1..w26: A~B and B~C have 3-shingle
+    // Jaccard ~0.71 (dup), A~C ~0.50 (below threshold) — only
+    // transitivity puts all three in one cluster
+    def text(from: Int) = (from until from + 20).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, text(1)), (2L, text(4)), (3L, text(7)),
+      (50L, text(100)), (51L, text(103)),   // a second, separate cluster
+      (99L, text(400))                      // matches nothing
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashDedup(df).collect()
+      .map(r => (r.getAs[Long]("keeper_doc_id"), r.getAs[Long]("dup_doc_id"))).toSet
+    assert(pairs === Set((1L, 2L), (2L, 3L), (50L, 51L)), s"pairs were $pairs")
+    val got = Dedup.dupClusters(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_members"))).toMap
+    assert(got === Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      50L -> (50L, 2L), 51L -> (50L, 2L)))
+  }
+
+  test("gopherQuality flags repetition and keeps diverse in-band docs") {
+    import spark.implicits._
+    val diverse = (1 to 30).map(i => f"w$i%02d").mkString(" ") // 30 × len-3
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, diverse)).toDF("doc_id", "text")
+    val rows = TextAnalysis.gopherQuality(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val rep = rows(1L)
+    assert(rep.getAs[Long]("n_tokens") === 6L)
+    assert(rep.getAs[Long]("distinct_milli") === 166L)
+    assert(rep.getAs[Long]("top2gram_milli") === 1000L) // all grams "spam spam"
+    assert(rep.getAs[String]("keep") === "false")
+    val div = rows(2L)
+    assert(div.getAs[Long]("distinct_milli") === 1000L)
+    assert(div.getAs[Long]("mean_len_milli") === 3000L)
+    assert(div.getAs[Long]("top2gram_milli") === 1000L / 29)
+    assert(div.getAs[String]("keep") === "true")
+  }
+
+  test("docRarity: boilerplate scores common, outliers score rare") {
+    import spark.implicits._
+    val df = Seq((1L, "c c c"), (2L, "c r")).toDF("doc_id", "text")
+    val got = TextAnalysis.docRarity(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("mean_tf_milli"), r.getAs[Long]("min_tf"))).toMap
+    assert(got(1L) === (4000L, 4L)) // 'c' appears 4× corpus-wide
+    assert(got(2L) === (2500L, 1L)) // (4+1)/2 tokens; rarest tf = 1
+  }
+
+  test("mixWeights: capped-proportional shares sum to ~1e6") {
+    import spark.implicits._
+    val df = ((1 to 40).map(i => (i.toLong, "en", "web", "a b c")) ++
+      (41 to 50).map(i => (i.toLong, "de", "book", "x y")))
+      .toDF("doc_id", "lang", "source", "text")
+    val got = TextAnalysis.mixWeights(df).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) -> r).toMap
+    val en = got(("en", "web"))
+    assert(en.getAs[Long]("n_docs") === 40L)
+    assert(en.getAs[Long]("weight") === TextAnalysis.MixCap) // capped
+    assert(en.getAs[Long]("n_tokens") === 120L)
+    assert(en.getAs[Long]("share_ppm") === 750000L)          // 30 / 40
+    val de = got(("de", "book"))
+    assert(de.getAs[Long]("weight") === 10L)                 // uncapped
+    assert(de.getAs[Long]("share_ppm") === 250000L)
+    assert(got.values.map(_.getAs[Long]("share_ppm")).sum === 1000000L)
+  }
 }
