@@ -84,6 +84,39 @@ object OracleSql {
 
   private lazy val MinhashCtes: String = minhashCtes("documents")
 
+  /** Gopher repetition-rule CTE chain — twin of TextAnalysis
+    * .gopherQuality; ends in `gq(doc_id, n_tokens, distinct_milli,
+    * mean_len_milli, top2gram_milli, keep_b)`, shared by
+    * quality_gopher and source_rollup. */
+  private lazy val GopherCtes: String =
+    s"""gtk AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |  FROM documents),
+       |gts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(DISTINCT t.t) AS BIGINT) AS n_distinct,
+       |    CAST(SUM(len(t.t)) AS BIGINT) AS sum_len
+       |  FROM gtk, UNNEST(tk) AS t(t) GROUP BY doc_id),
+       |gg2 AS (SELECT doc_id, g.g, COUNT(*) AS c
+       |  FROM gtk, UNNEST(CASE WHEN len(tk) >= 2
+       |    THEN list_transform(generate_series(0, len(tk)-2),
+       |           i -> tk[i+1] || ' ' || tk[i+2])
+       |    ELSE [] END) AS g(g)
+       |  GROUP BY 1, 2),
+       |ggm AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_gram,
+       |    CAST(SUM(c) AS BIGINT) AS n_grams
+       |  FROM gg2 GROUP BY doc_id),
+       |gqr AS (SELECT gts.doc_id, gts.n_tokens,
+       |    (gts.n_distinct * 1000) // gts.n_tokens AS distinct_milli,
+       |    (gts.sum_len * 1000) // gts.n_tokens AS mean_len_milli,
+       |    CASE WHEN COALESCE(ggm.n_grams, 0) = 0 THEN 0
+       |      ELSE (ggm.top_gram * 1000) // ggm.n_grams END AS top2gram_milli
+       |  FROM gts LEFT JOIN ggm ON gts.doc_id = ggm.doc_id),
+       |gq AS (SELECT *,
+       |    (distinct_milli >= ${TextAnalysis.MinDistinctMilli}
+       |      AND top2gram_milli <= ${TextAnalysis.MaxTop2GramMilli}
+       |      AND mean_len_milli BETWEEN ${TextAnalysis.MinMeanLenMilli}
+       |        AND ${TextAnalysis.MaxMeanLenMilli}) AS keep_b
+       |  FROM gqr)""".stripMargin
+
   /** Winnowing CTE chain over `src` with CTE names prefixed by `p`
     * (`{p}tok/{p}kg/{p}w/{p}sel` — prefixing lets two chains coexist
     * in one query, as the contamination check needs). The selected
@@ -1101,34 +1134,74 @@ object OracleSql {
          |FROM lab""".stripMargin,
 
     "quality_gopher" ->
+      s"""WITH $GopherCtes
+         |SELECT doc_id, n_tokens, distinct_milli, mean_len_milli,
+         |  top2gram_milli, CAST(keep_b AS VARCHAR) AS keep
+         |FROM gq""".stripMargin,
+
+    "source_rollup" ->
+      s"""WITH $GopherCtes,
+         |r AS (SELECT d.source, gq.*
+         |  FROM gq JOIN documents d ON gq.doc_id = d.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN keep_b THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  (CAST(SUM(CASE WHEN keep_b THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // COUNT(*) AS keep_ppm,
+         |  CAST(SUM(distinct_milli) AS BIGINT) // COUNT(*)
+         |    AS mean_distinct_milli,
+         |  CAST(SUM(top2gram_milli) AS BIGINT) // COUNT(*) AS mean_top2_milli
+         |FROM r GROUP BY source""".stripMargin,
+
+    "doc_chunk" -> {
+      val c = TextAnalysis.ChunkTokens
+      val stride = c - TextAnalysis.ChunkOverlap
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
          |  FROM documents),
-         |ts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         |    CAST(COUNT(DISTINCT t.t) AS BIGINT) AS n_distinct,
-         |    CAST(SUM(len(t.t)) AS BIGINT) AS sum_len
-         |  FROM tk, UNNEST(tk) AS t(t) GROUP BY doc_id),
-         |g2 AS (SELECT doc_id, g.g, COUNT(*) AS c
-         |  FROM tk, UNNEST(CASE WHEN len(tk) >= 2
-         |    THEN list_transform(generate_series(0, len(tk)-2),
-         |           i -> tk[i+1] || ' ' || tk[i+2])
-         |    ELSE [] END) AS g(g)
-         |  GROUP BY 1, 2),
-         |gm AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_gram,
-         |    CAST(SUM(c) AS BIGINT) AS n_grams
-         |  FROM g2 GROUP BY doc_id),
-         |r AS (SELECT ts.doc_id, ts.n_tokens,
-         |    (ts.n_distinct * 1000) // ts.n_tokens AS distinct_milli,
-         |    (ts.sum_len * 1000) // ts.n_tokens AS mean_len_milli,
-         |    CASE WHEN COALESCE(gm.n_grams, 0) = 0 THEN 0
-         |      ELSE (gm.top_gram * 1000) // gm.n_grams END AS top2gram_milli
-         |  FROM ts LEFT JOIN gm ON ts.doc_id = gm.doc_id)
-         |SELECT doc_id, n_tokens, distinct_milli, mean_len_milli,
-         |  top2gram_milli,
-         |  CAST(distinct_milli >= ${TextAnalysis.MinDistinctMilli}
-         |    AND top2gram_milli <= ${TextAnalysis.MaxTop2GramMilli}
-         |    AND mean_len_milli BETWEEN ${TextAnalysis.MinMeanLenMilli}
-         |      AND ${TextAnalysis.MaxMeanLenMilli} AS VARCHAR) AS keep
-         |FROM r""".stripMargin,
+         |t AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM tk),
+         |c AS (SELECT doc_id, tk, n_tokens,
+         |    1 + (greatest(n_tokens - $c, 0) + ${stride - 1}) // $stride
+         |      AS n_chunks FROM t),
+         |x AS (SELECT doc_id, tk, n_tokens, u.i AS chunk_idx
+         |  FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(i))
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(chunk_idx * $stride AS BIGINT) AS start_tok,
+         |  CAST(least($c, n_tokens - chunk_idx * $stride) AS BIGINT)
+         |    AS chunk_len,
+         |  ${sqlPhash(s"array_to_string(tk[chunk_idx * $stride + 1 : " +
+             s"chunk_idx * $stride + least($c, n_tokens - chunk_idx * $stride)]" +
+             ", ' ')")} AS chunk_hash
+         |FROM x""".stripMargin
+    },
+
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, lang, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |w AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY lang, source
+         |    ORDER BY doc_id) AS BIGINT) AS end_off FROM t)
+         |SELECT doc_id, lang, source, n_tokens,
+         |  (end_off - n_tokens) // ${TextAnalysis.SeqLen} AS bin,
+         |  (end_off - n_tokens) % ${TextAnalysis.SeqLen} AS bin_offset
+         |FROM w""".stripMargin,
+
+    "dist_drift" ->
+      s"""WITH toks AS (SELECT source, t.t AS token
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)),
+         |tr AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_train
+         |  FROM toks WHERE source <> '${TextAnalysis.EvalSource}' GROUP BY 1),
+         |ev AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_eval
+         |  FROM toks WHERE source = '${TextAnalysis.EvalSource}' GROUP BY 1),
+         |al AS (SELECT token, COALESCE(c_train, 0) AS c_train,
+         |    COALESCE(c_eval, 0) AS c_eval
+         |  FROM tr FULL JOIN ev USING (token)),
+         |t AS (SELECT CAST(SUM(c_train) AS BIGINT) AS tot_train,
+         |    CAST(SUM(c_eval) AS BIGINT) AS tot_eval FROM al),
+         |p AS (SELECT token, (c_train * 1000000) // tot_train AS train_ppm,
+         |    (c_eval * 1000000) // tot_eval AS eval_ppm FROM al, t)
+         |SELECT token, train_ppm, eval_ppm,
+         |  abs(train_ppm - eval_ppm) AS drift_ppm
+         |FROM p ORDER BY drift_ppm DESC, token
+         |LIMIT ${TextAnalysis.DriftTopK}""".stripMargin,
 
     "doc_rarity" ->
       """WITH toks AS (SELECT doc_id, t.t

@@ -157,7 +157,15 @@ object SparkEntry {
     "doc_rarity"          -> ((s, dir) =>
       TextAnalysis.docRarity(Tables.documents(s, dir))),
     "mix_weights"         -> ((s, dir) =>
-      TextAnalysis.mixWeights(Tables.documents(s, dir)))
+      TextAnalysis.mixWeights(Tables.documents(s, dir))),
+    "doc_chunk"           -> ((s, dir) =>
+      TextAnalysis.docChunks(Tables.documents(s, dir))),
+    "pack_sequences"      -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables.documents(s, dir))),
+    "dist_drift"          -> ((s, dir) =>
+      TextAnalysis.distDrift(Tables.documents(s, dir))),
+    "source_rollup"       -> ((s, dir) =>
+      TextAnalysis.sourceRollup(Tables.documents(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

@@ -372,6 +372,116 @@ object TextAnalysis {
         col("min_tf"))
   }
 
+  // --- chunking & packing --------------------------------------------------
+
+  /** Chunk width and overlap (tokens) for [[docChunks]]. */
+  val ChunkTokens = 64L
+  val ChunkOverlap = 8L
+
+  /** Fixed-width document chunking with overlap — the step that turns
+    * variable-length documents into training-window-sized pieces
+    * (context-window slicing with an overlap so no boundary-spanning
+    * run is lost). One narrow explode per doc (`sequence` over the
+    * chunk count — no shuffle at all); the chunk text itself is
+    * sliced from the token array and fingerprinted with the portable
+    * hash so the oracle can verify content, not just arithmetic.
+    * Chunk count is integer-exact: 1 + ceil(max(n−C, 0) / (C−O)). */
+  def docChunks(documents: DataFrame): DataFrame = {
+    val stride = ChunkTokens - ChunkOverlap
+    documents
+      .select(col("doc_id"), tokensCol.as("tk"),
+        size(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("n_chunks",
+        lit(1L) + expr(s"(greatest(n_tokens - $ChunkTokens, 0L) + " +
+          s"${stride - 1}) div $stride"))
+      .select(col("doc_id"), col("tk"), col("n_tokens"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("chunk_len",
+        least(lit(ChunkTokens), col("n_tokens") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("chunk_len"),
+        graft.functions.PortableHash.phash(
+          concat_ws(" ", expr("slice(tk, start_tok + 1, chunk_len)")))
+          .as("chunk_hash"))
+  }
+
+  /** Packed-sequence length (tokens) for [[packSequences]]. */
+  val SeqLen = 256L
+
+  /** Sequence packing — assigns each document a bin and offset in the
+    * concatenated fixed-length training sequences of its (lang,
+    * source) shard: running token offsets within the shard, bin =
+    * start-offset div SeqLen. Deterministic (ordered by doc_id) and
+    * shuffle-minimal: ONE window over the shard key. Sharding by
+    * (lang, source) is what makes this scale — a single global
+    * running sum would serialize on one reducer; per-shard packing
+    * parallelizes across shards and is how a real pipeline packs
+    * (shards are the unit of training-data shuffling anyway). */
+  def packSequences(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "source").orderBy("doc_id")
+    documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("end_off", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        expr(s"(end_off - n_tokens) div $SeqLen").as("bin"),
+        expr(s"(end_off - n_tokens) % $SeqLen").as("bin_offset"))
+  }
+
+  // --- train/eval distribution drift ---------------------------------------
+
+  /** Top-k drifted tokens reported by [[distDrift]]. */
+  val DriftTopK = 50
+
+  /** Token-distribution drift between the training corpus and the
+    * eval shard: per-token proportions in ppm on each side, ranked by
+    * absolute drift — the integer-exact building block of a
+    * total-variation / chi-square shift monitor (the check that the
+    * data feeding a training run still looks like what was validated).
+    * Two vocabulary-sized aggregates from one token explode, a
+    * full-outer align, 1-row broadcast totals, TakeOrdered top-k —
+    * nothing here scales with corpus size except the explode. */
+  def distDrift(documents: DataFrame,
+                evalSource: String = EvalSource): DataFrame = {
+    val toks = documents.select(col("source"), explode(tokensCol).as("token"))
+    val tr = toks.where(col("source") =!= evalSource)
+      .groupBy("token").agg(count(lit(1)).as("c_train"))
+    val ev = toks.where(col("source") === evalSource)
+      .groupBy("token").agg(count(lit(1)).as("c_eval"))
+    val aligned = tr.join(ev, Seq("token"), "full_outer")
+      .na.fill(0L, Seq("c_train", "c_eval"))
+    val tot = aligned.agg(sum("c_train").cast("long").as("tot_train"),
+      sum("c_eval").cast("long").as("tot_eval"))
+    aligned.crossJoin(broadcast(tot))
+      .select(col("token"),
+        expr("(c_train * 1000000) div tot_train").as("train_ppm"),
+        expr("(c_eval * 1000000) div tot_eval").as("eval_ppm"))
+      .withColumn("drift_ppm", abs(col("train_ppm") - col("eval_ppm")))
+      .orderBy(col("drift_ppm").desc, col("token"))
+      .limit(DriftTopK)
+  }
+
+  /** Per-source quality rollup — the shard-level report a curation
+    * pass ends with: how many docs each source contributed, how many
+    * survive the repetition gate, and the mean quality metrics.
+    * Integer means (sum div count); one join of two doc_id-keyed
+    * relations and one source-keyed aggregate. */
+  def sourceRollup(documents: DataFrame): DataFrame =
+    gopherQuality(documents)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep") === "true", 1L).otherwise(0L)).cast("long")
+          .as("n_keep"),
+        sum("distinct_milli").cast("long").as("sum_distinct"),
+        sum("top2gram_milli").cast("long").as("sum_top2"))
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        expr("(n_keep * 1000000) div n_docs").as("keep_ppm"),
+        expr("sum_distinct div n_docs").as("mean_distinct_milli"),
+        expr("sum_top2 div n_docs").as("mean_top2_milli"))
+
   // --- training-mixture weights ------------------------------------------
 
   /** Per-group cap for mixture weighting: groups contribute

@@ -421,6 +421,69 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(2L) === (2500L, 1L)) // (4+1)/2 tokens; rarest tf = 1
   }
 
+  test("docChunks: overlap-strided windows cover every token") {
+    import spark.implicits._
+    val n = 150
+    val df = Seq((1L, (1 to n).map(i => s"w$i").mkString(" ")),
+      (2L, "tiny doc")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.docChunks(df).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // 150 tokens, C=64, stride=56 ⇒ 1 + ceil(86/56) = 3 chunks
+    val big = chunks(1L).sortBy(_.getAs[Long]("chunk_idx"))
+    assert(big.length === 3)
+    assert(big.map(_.getAs[Long]("start_tok")).toSeq === Seq(0L, 56L, 112L))
+    assert(big.map(_.getAs[Long]("chunk_len")).toSeq === Seq(64L, 64L, 38L))
+    // coverage: last chunk reaches the last token
+    assert(big.last.getAs[Long]("start_tok") +
+      big.last.getAs[Long]("chunk_len") === n.toLong)
+    // consecutive chunks overlap by ChunkOverlap
+    assert(big(0).getAs[Long]("start_tok") + TextAnalysis.ChunkTokens -
+      big(1).getAs[Long]("start_tok") === TextAnalysis.ChunkOverlap)
+    assert(chunks(2L).length === 1)
+    assert(chunks(2L).head.getAs[Long]("chunk_len") === 2L)
+  }
+
+  test("packSequences: per-shard offsets are contiguous and bin-consistent") {
+    import spark.implicits._
+    val df = (1 to 20).map(i =>
+      (i.toLong, "en", "web", (1 to 100).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "lang", "source", "text")
+    val packed = TextAnalysis.packSequences(df).collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+    packed.zipWithIndex.foreach { case (r, i) =>
+      val startOff = i * 100L
+      assert(r.getAs[Long]("bin") === startOff / TextAnalysis.SeqLen)
+      assert(r.getAs[Long]("bin_offset") === startOff % TextAnalysis.SeqLen)
+    }
+  }
+
+  test("distDrift: planted eval-only token tops the drift ranking") {
+    import spark.implicits._
+    val common = "alpha beta gamma delta"
+    val df = ((1 to 20).map(i => (i.toLong, "train", common)) :+
+      (99L, TextAnalysis.EvalSource, "zeta zeta zeta zeta"))
+      .map { case (id, src, text) => (id, text, src) }
+      .toDF("doc_id", "text", "source")
+    val top = TextAnalysis.distDrift(df).collect()
+    assert(top.head.getAs[String]("token") === "zeta")
+    assert(top.head.getAs[Long]("eval_ppm") === 1000000L)
+    assert(top.head.getAs[Long]("train_ppm") === 0L)
+  }
+
+  test("sourceRollup reconciles with per-doc gopherQuality") {
+    val roll = TextAnalysis.sourceRollup(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val perDoc = TextAnalysis.gopherQuality(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .collect().groupBy(_.getAs[String]("source"))
+    assert(roll.keySet === perDoc.keySet)
+    perDoc.foreach { case (src, rows) =>
+      assert(roll(src).getAs[Long]("n_docs") === rows.length.toLong)
+      assert(roll(src).getAs[Long]("n_keep") ===
+        rows.count(_.getAs[String]("keep") == "true").toLong)
+    }
+  }
+
   test("mixWeights: capped-proportional shares sum to ~1e6") {
     import spark.implicits._
     val df = ((1 to 40).map(i => (i.toLong, "en", "web", "a b c")) ++
