@@ -25,10 +25,23 @@ class PlanSpec extends AnyFunSuite {
 
   test("narrow projections are shuffle-free") {
     for (q <- Seq("changelog_normalize", "quality_filter", "doc_fingerprint",
-      "multimodal_features", "multimodal_resize")) {
+      "multimodal_features", "multimodal_resize", "doc_chunk")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q has a shuffle:\n$p")
     }
+  }
+
+  test("pack_sequences: one shard-keyed shuffle, window partition defined") {
+    val p = plan("pack_sequences")
+    assert(countOf(p, "Exchange hashpartitioning") === 1, p)
+    // the running sum must be partitioned by the shard key, never a
+    // single-partition global window
+    assert(p.contains("windowspecdefinition(lang"), p)
+  }
+
+  test("dist_drift: top-k is TakeOrdered, never a global sort") {
+    val p = plan("dist_drift")
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("initial_sync and olap_supplier_nation broadcast their dims") {
@@ -46,9 +59,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("nested-loop joins only where a tiny broadcast side is intended") {
+    // mix_weights / dist_drift cross-join a broadcast 1-row total
     val allowed = Set("ann_topk", "ann_ivf", "clean_retention",
       "heartbeat_state", "status_rollup", "ivf_assign", "ivf_train",
-      "log_compact")
+      "log_compact", "mix_weights", "dist_drift")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
