@@ -1225,6 +1225,111 @@ object OracleSql {
          |  (weight * 1000000) // total_w AS share_ppm
          |FROM w, t""".stripMargin,
 
+    "span_dedup" -> {
+      val sp = TextAnalysis.SpanTokens
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |  FROM documents),
+         |sp AS (SELECT doc_id, u.i AS span_idx,
+         |    array_to_string(tk[u.i * $sp + 1 : u.i * $sp + $sp], ' ')
+         |      AS span_text
+         |  FROM tk, UNNEST(generate_series(0, (len(tk) - 1) // $sp)) AS u(i)),
+         |h AS (SELECT doc_id, span_idx, span_text,
+         |    ${sqlPhash("span_text")} AS sh FROM sp),
+         |f AS (SELECT sh, COUNT(DISTINCT doc_id) AS span_docs
+         |  FROM h GROUP BY sh),
+         |j AS (SELECT h.*, f.span_docs >= 2 AS boiler
+         |  FROM h JOIN f USING (sh))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  CAST(SUM(CASE WHEN NOT boiler
+         |    THEN len(string_split(span_text, ' ')) ELSE 0 END) AS BIGINT)
+         |    AS kept_tokens,
+         |  ${sqlPhash("COALESCE(string_agg(CASE WHEN NOT boiler " +
+             "THEN span_text END, ' ' ORDER BY span_idx), '')")} AS kept_hash
+         |FROM j GROUP BY doc_id""".stripMargin
+    },
+
+    "bpe_merge" ->
+      s"""WITH v AS (SELECT t.t AS t, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)
+         |  GROUP BY 1)
+         |SELECT substr(t, u.i, 2) AS pair, CAST(SUM(tf) AS BIGINT) AS n
+         |FROM v, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+         |WHERE len(t) >= 2
+         |GROUP BY 1 ORDER BY n DESC, pair
+         |LIMIT ${TextAnalysis.BpeTopK}""".stripMargin,
+
+    "token_budget" ->
+      s"""WITH $GopherCtes,
+         |d AS (SELECT gq.doc_id, gq.n_tokens,
+         |    gq.distinct_milli AS quality_milli, doc.lang
+         |  FROM gq JOIN documents doc ON gq.doc_id = doc.doc_id),
+         |b AS (SELECT lang, quality_milli,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+         |  FROM d GROUP BY 1, 2),
+         |cb AS (SELECT lang, quality_milli,
+         |    CAST(SUM(bucket_tokens) OVER (PARTITION BY lang
+         |      ORDER BY quality_milli DESC) AS BIGINT) - bucket_tokens
+         |      AS cum_before
+         |  FROM b),
+         |r AS (SELECT d.doc_id, d.lang, d.quality_milli, d.n_tokens,
+         |    cb.cum_before,
+         |    CAST(SUM(d.n_tokens) OVER (PARTITION BY d.lang, d.quality_milli
+         |      ORDER BY d.doc_id) AS BIGINT) AS run_in
+         |  FROM d JOIN cb USING (lang, quality_milli))
+         |SELECT doc_id, lang, quality_milli, n_tokens,
+         |  CAST(cum_before + run_in <= ${TextAnalysis.TokenBudget} AS VARCHAR)
+         |    AS selected
+         |FROM r""".stripMargin,
+
+    "epoch_shuffle" ->
+      s"""WITH e AS (SELECT doc_id, CAST(u.e AS BIGINT) AS epoch
+         |  FROM documents,
+         |  UNNEST(generate_series(0, ${TextAnalysis.NumEpochs - 1})) AS u(e)),
+         |o AS (SELECT doc_id, epoch,
+         |    ${sqlPhash("concat('epoch:', CAST(epoch AS VARCHAR), ':', " +
+             "CAST(doc_id AS VARCHAR))")} AS ord
+         |  FROM e)
+         |SELECT epoch, doc_id, ord % ${TextAnalysis.NumShards} AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch,
+         |    ord % ${TextAnalysis.NumShards} ORDER BY ord, doc_id) AS BIGINT)
+         |    AS pos
+         |FROM o""".stripMargin,
+
+    "vocab_coverage" ->
+      s"""WITH toks AS (SELECT lang, t.t AS t
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)),
+         |v AS (SELECT t FROM (SELECT t, COUNT(*) AS c FROM toks
+         |  GROUP BY t ORDER BY c DESC, t LIMIT ${TextAnalysis.VocabK})),
+         |j AS (SELECT toks.lang, v.t IS NOT NULL AS iv
+         |  FROM toks LEFT JOIN v ON toks.t = v.t)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  (CAST(SUM(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // COUNT(*) AS oov_ppm
+         |FROM j GROUP BY lang""".stripMargin,
+
+    "semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+         |  WHERE vec_id BETWEEN 8 AND 23),
+         |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+         |assign AS (SELECT vec_id, centroid_id, v FROM (
+         |  SELECT cand.vec_id, cent.centroid_id, cand.v,
+         |    ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+         |      ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
+         |  FROM cand, cent) t WHERE rn = 1)
+         |SELECT a.centroid_id, a.vec_id AS keep_vec_id,
+         |  b.vec_id AS dup_vec_id,
+         |  CAST(ROUND(list_cosine_similarity(a.v, b.v) * 1000000) AS BIGINT)
+         |    AS sim_e6
+         |FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id
+         |  AND a.vec_id < b.vec_id
+         |WHERE CAST(ROUND(list_cosine_similarity(a.v, b.v) * 1000000)
+         |  AS BIGINT) >= ${graft.operators.Similarity.SemTauE6}""".stripMargin,
+
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

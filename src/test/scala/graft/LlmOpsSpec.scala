@@ -484,6 +484,101 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("spanDedup removes exactly the cross-doc repeated spans") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")   // one full span
+    val uniq = (id: Int) => (1 to 10).map(i => s"u${id}_$i").mkString(" ")
+    // docs 1..3 share the boilerplate span + a unique span; doc 4 is
+    // all-unique
+    val df = ((1 to 3).map(i => (i.toLong, s"$boiler ${uniq(i)}")) :+
+      (4L, s"${uniq(40)} ${uniq(41)}"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.spanDedup(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (1L to 3L).foreach { id =>
+      assert(got(id).getAs[Long]("n_spans") === 2L)
+      assert(got(id).getAs[Long]("n_removed") === 1L)
+      assert(got(id).getAs[Long]("kept_tokens") === 10L)
+    }
+    assert(got(4L).getAs[Long]("n_removed") === 0L)
+    assert(got(4L).getAs[Long]("kept_tokens") === 20L)
+    // kept hash = hash of the doc minus the boilerplate span
+    assert(got(1L).getAs[Long]("kept_hash") ===
+      graft.functions.PortableHash.md5Long(uniq(1)))
+  }
+
+  test("bpeMergeStep counts vocabulary pairs weighted by token frequency") {
+    import spark.implicits._
+    // "ab" appears in 'abc' (20 docs) and 'ab' (1 doc) → 21
+    val df = ((1 to 20).map(i => (i.toLong, "abc xy")) :+ (21L, "ab xy"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMergeStep(df).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n")).toMap
+    assert(got("ab") === 21L)
+    assert(got("bc") === 20L)
+    assert(got("xy") === 21L)
+  }
+
+  test("tokenBudget: selection is quality-descending and budget-bounded") {
+    val sel = TextAnalysis.tokenBudget(docs).collect()
+    val byLang = sel.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rows) =>
+      val selected = rows.filter(_.getAs[String]("selected") == "true")
+      val selTokens = selected.map(_.getAs[Long]("n_tokens")).sum
+      assert(selTokens <= TextAnalysis.TokenBudget, s"$lang over budget")
+      // no unselected doc strictly dominates a selected one
+      val minSelQ = if (selected.isEmpty) Long.MaxValue
+        else selected.map(_.getAs[Long]("quality_milli")).min
+      rows.filter(_.getAs[String]("selected") == "false").foreach { r =>
+        assert(r.getAs[Long]("quality_milli") <= minSelQ,
+          s"$lang skipped a higher-quality doc")
+      }
+    }
+  }
+
+  test("epochShuffle: permutations differ across epochs, positions are dense") {
+    val rows = TextAnalysis.epochShuffle(docs).collect()
+    val nDocs = docs.count()
+    assert(rows.length === nDocs * TextAnalysis.NumEpochs)
+    val byEpochShard = rows.groupBy(r =>
+      (r.getAs[Long]("epoch"), r.getAs[Long]("shard")))
+    byEpochShard.foreach { case ((e, s), rs) =>
+      val ps = rs.map(_.getAs[Long]("pos")).sorted
+      assert(ps === (1L to rs.length.toLong).toArray, s"epoch $e shard $s")
+    }
+    // the shard assignment of a given doc varies across epochs
+    val shardsOfDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("shard")).distinct.length }
+    assert(shardsOfDoc.exists(_ > 1))
+  }
+
+  test("vocabCoverage: OOV tokens are exactly those outside the top-K") {
+    import spark.implicits._
+    // 26 distinct tokens; 'z9' is rarest → outside a 25-wide vocab
+    val common = (1 to 25).map(i => s"w$i").mkString(" ")
+    val df = ((1 to 5).map(i => (i.toLong, "en", common)) :+
+      (9L, "de", s"$common z9")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.vocabCoverage(df).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(got("en").getAs[Long]("n_oov") === 0L)
+    assert(got("de").getAs[Long]("n_oov") === 1L)
+    assert(got("de").getAs[Long]("n_tokens") === 26L)
+  }
+
+  test("semanticDedup pairs stay within one centroid list and match cosine") {
+    val pairs = Similarity.semanticDedup(embs).collect()
+    assert(pairs.nonEmpty)
+    val assign = Similarity.ivfAssign(embs).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    pairs.foreach { r =>
+      val (a, b) = (r.getAs[Long]("keep_vec_id"), r.getAs[Long]("dup_vec_id"))
+      assert(a < b)
+      assert(assign(a) === r.getAs[Long]("centroid_id"))
+      assert(assign(b) === r.getAs[Long]("centroid_id"))
+      assert(r.getAs[Long]("sim_e6") >= Similarity.SemTauE6)
+    }
+  }
+
   test("mixWeights: capped-proportional shares sum to ~1e6") {
     import spark.implicits._
     val df = ((1 to 40).map(i => (i.toLong, "en", "web", "a b c")) ++

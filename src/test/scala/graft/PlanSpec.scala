@@ -60,9 +60,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("nested-loop joins only where a tiny broadcast side is intended") {
     // mix_weights / dist_drift cross-join a broadcast 1-row total
+    // semantic_dedup inherits ivf_assign's 16-row broadcast centroid
+    // cross join
     val allowed = Set("ann_topk", "ann_ivf", "clean_retention",
       "heartbeat_state", "status_rollup", "ivf_assign", "ivf_train",
-      "log_compact", "mix_weights", "dist_drift")
+      "log_compact", "mix_weights", "dist_drift", "semantic_dedup")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
