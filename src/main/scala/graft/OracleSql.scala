@@ -1310,6 +1310,82 @@ object OracleSql {
          |    // COUNT(*) AS oov_ppm
          |FROM j GROUP BY lang""".stripMargin,
 
+    "ngram_lm_score" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, tk[u.i+1] AS w1, tk[u.i+2] AS w2
+        |  FROM tk, UNNEST(generate_series(0, len(tk)-2)) AS u(i)),
+        |pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        |  FROM bg GROUP BY 1, 2),
+        |uc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        |  FROM bg GROUP BY 1),
+        |p AS (SELECT bg.doc_id, (pc.c2 * 1000000) // uc.c1 AS p_ppm
+        |  FROM bg JOIN pc USING (w1, w2) JOIN uc USING (w1))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(p_ppm) AS BIGINT) // COUNT(*) AS mean_p_ppm,
+        |  MIN(p_ppm) AS min_p_ppm
+        |FROM p GROUP BY doc_id""".stripMargin,
+
+    "quality_classify" -> {
+      val cases = TextAnalysis.ClassifierWeights
+        .map { case (w, v) => s"WHEN ${esc(w)} THEN $v" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(CASE t.t $cases ELSE 0 END AS BIGINT) AS w
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  ${TextAnalysis.ClassifierBias} +
+         |    CAST(SUM(w) AS BIGINT) // COUNT(*) AS score_milli,
+         |  CAST((${TextAnalysis.ClassifierBias} +
+         |    CAST(SUM(w) AS BIGINT) // COUNT(*)) >
+         |    ${TextAnalysis.ClassifierThreshold} AS VARCHAR) AS keep
+         |FROM t GROUP BY doc_id""".stripMargin
+    },
+
+    "dataset_card" ->
+      s"""WITH d AS (SELECT lang, source, md5(text) AS th,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+         |    (length(text) BETWEEN 50 AND 2000
+         |      AND len(string_split(text, ' ')) >= 10
+         |      AND (len(regexp_extract_all(text, '[.,!?;:]')) * 1000)
+         |        // greatest(length(text), 1) <= 100) AS keep,
+         |    (len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) +
+         |     len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) +
+         |     len(regexp_extract_all(text, '${TextAnalysis.SsnRe}'))) > 0
+         |      AS has_pii
+         |  FROM documents)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(COUNT(*) - COUNT(DISTINCT th) AS BIGINT) AS n_exact_dups,
+         |  CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality_fail,
+         |  CAST(SUM(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pii_docs,
+         |  CAST(SUM(toks) AS BIGINT) // COUNT(*) AS mean_doc_tokens
+         |FROM d""".stripMargin,
+
+    "substring_dedup" -> {
+      val l = Dedup.SubstrL
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |  FROM documents),
+         |kg AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         |    ${sqlPhash(s"array_to_string(tk[u.i+1:u.i+$l], ' ')")} AS h
+         |  FROM tk, UNNEST(generate_series(0, len(tk)-$l)) AS u(i)
+         |  WHERE len(tk) >= $l),
+         |rep AS (SELECT h FROM kg
+         |  GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT DISTINCT kg.doc_id, p.p
+         |  FROM kg JOIN rep USING (h),
+         |  UNNEST(generate_series(kg.pos, kg.pos + ${l - 1})) AS p(p)),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered
+         |  FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |  COALESCE(cnt.n_covered, 0) AS n_covered,
+         |  (COALESCE(cnt.n_covered, 0) * 1000) // len(t.tk) AS covered_milli
+         |FROM tk t LEFT JOIN cnt ON t.doc_id = cnt.doc_id""".stripMargin
+    },
+
     "semantic_dedup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),

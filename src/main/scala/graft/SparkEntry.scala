@@ -177,7 +177,15 @@ object SparkEntry {
     "vocab_coverage"      -> ((s, dir) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
     "semantic_dedup"      -> ((s, dir) =>
-      Similarity.semanticDedup(Tables.embeddings(s, dir)))
+      Similarity.semanticDedup(Tables.embeddings(s, dir))),
+    "ngram_lm_score"      -> ((s, dir) =>
+      TextAnalysis.ngramLmScore(Tables.documents(s, dir))),
+    "quality_classify"    -> ((s, dir) =>
+      TextAnalysis.qualityClassify(Tables.documents(s, dir))),
+    "dataset_card"        -> ((s, dir) =>
+      TextAnalysis.datasetCard(Tables.documents(s, dir))),
+    "substring_dedup"     -> ((s, dir) =>
+      Dedup.substringDedup(Tables.documents(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

@@ -286,6 +286,53 @@ object Dedup {
       .select(col("doc_id"), col("label").as("cluster_id"), col("n_members"))
   }
 
+  /** Repeated-substring run length (tokens) for [[substringDedup]]. */
+  val SubstrL = 15
+
+  /** Substring-level deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): find every token
+    * run of length ≥ SubstrL that occurs in MORE THAN ONE document and
+    * report, per document, how many of its token positions such runs
+    * cover — the exact statistic the suffix-array ExactSubstr dedup
+    * computes, re-expressed relationally: a length-≥L shared run
+    * exists iff a shared L-gram exists, so L-gram hashes stand in for
+    * the suffix array. Scale shape: one narrow k-gram explode (the
+    * winnowing shape); the repeated-gram relation aggregates on the
+    * gram hash; only REPEATED grams (the dup mass, not the corpus)
+    * explode into their L covered positions before the per-doc
+    * distinct-position count. No doc×doc comparison, no suffix array.
+    *
+    * Output per doc: n_tokens, n_covered (positions inside any shared
+    * run), covered_milli. */
+  def substringDedup(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      TextAnalysis.tokensCol.as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+    val kgrams = toks
+      .where(size(col("tk")) >= SubstrL)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(tk)-$SubstrL), " +
+          s"i -> concat_ws(' ', slice(tk, i+1, $SubstrL)))"))
+        .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        phash(col("g")).as("h"))
+    val repeated = kgrams.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= 2)
+    val covered = kgrams
+      .join(repeated, "h")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${SubstrL - 1})")).as("p"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_covered"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_covered"))
+      .select(col("doc_id"), col("n_tokens"), col("n_covered"),
+        expr("(n_covered * 1000) div n_tokens").as("covered_milli"))
+  }
+
   /** 60-bit SimHash per doc: explode tokens, hash once, then 60
     * codegen'd ±1 sums (one per bit) reassembled into the fingerprint. */
   def simhashes(documents: DataFrame): DataFrame = {

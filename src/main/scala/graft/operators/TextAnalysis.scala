@@ -657,6 +657,106 @@ object TextAnalysis {
         expr("(n_oov * 1000000) div n_tokens").as("oov_ppm"))
   }
 
+  // --- bigram LM scoring ---------------------------------------------------
+
+  /** Bigram-LM fluency proxy in integer ppm — the KenLM-style
+    * perplexity filter of a data pipeline without the cross-engine
+    * float log: each bigram w1→w2 scores its corpus conditional
+    * frequency c(w1,w2)·1e6 // c(w1·), and a document reports the mean
+    * and min over its bigrams (low mean ⇒ token transitions the corpus
+    * never makes ⇒ garbled text; high mean ⇒ boilerplate-grade
+    * predictability). Scale shape: the count relations are
+    * vocabulary²-sized (sublinear in corpus), AQE broadcasts them back
+    * onto the bigram explode, and the only corpus-sized shuffle is the
+    * final doc_id aggregate. */
+  def ngramLmScore(documents: DataFrame): DataFrame = {
+    val bigrams = documents
+      .select(col("doc_id"), tokensCol.as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk)-2), " +
+          "i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val prefixCounts = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bigrams
+      .join(pairCounts, Seq("w1", "w2"))
+      .join(prefixCounts, Seq("w1"))
+      .select(col("doc_id"), expr("(c2 * 1000000) div c1").as("p_ppm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_ppm) div count(1)").as("mean_p_ppm"),
+        min("p_ppm").as("min_p_ppm"))
+  }
+
+  // --- linear quality classifier -------------------------------------------
+
+  /** Bag-of-words weights (milli) for [[qualityClassify]] — the
+    * stand-in for a trained fastText/logistic quality classifier's
+    * coefficient table (big corpora ship one; the ARCHITECTURE —
+    * broadcast weight table · token explode · per-doc mean — is what
+    * matters at scale, the weights themselves are a training
+    * artifact). */
+  val ClassifierWeights: Seq[(String, Long)] = Seq(
+    "dup" -> -800L, "the" -> -100L, "a" -> -100L, "slow" -> -250L,
+    "spark" -> 300L, "query" -> 200L, "join" -> 150L, "hash" -> 150L,
+    "fast" -> 250L, "vector" -> 200L)
+
+  /** Classifier bias (milli) and keep threshold — the threshold sits
+    * at the corpus's lower-quartile score so the gate actually
+    * discriminates (a classifier that keeps everything is untrained). */
+  val ClassifierBias = 50L
+  val ClassifierThreshold = 65L
+
+  /** Linear text-quality classifier: per-doc score = bias + mean token
+    * weight (unknown tokens weigh 0), keep when positive — the shape
+    * of every production quality classifier (fastText, logistic
+    * regression on bag-of-words). One token explode, one broadcast
+    * join against the (tiny) weight table, one doc aggregate. */
+  def qualityClassify(documents: DataFrame): DataFrame = {
+    val weights = ClassifierWeights.foldLeft(lit(0L)) {
+      case (acc, (w, v)) => when(col("t") === w, lit(v)).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), explode(tokensCol).as("t"))
+      .select(col("doc_id"), weights.as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (lit(ClassifierBias) + expr("sum(w) div count(1)"))
+          .as("score_milli"))
+      .withColumn("keep",
+        (col("score_milli") > ClassifierThreshold).cast("string"))
+  }
+
+  // --- dataset card --------------------------------------------------------
+
+  /** One-row dataset datasheet — the corpus-level manifest a dataset
+    * release ships with (docs, tokens, language/source fan-out, exact-
+    * dup mass, quality-gate and PII incidence). Everything folds into
+    * ONE aggregation pass over a narrow projection; the distinct text
+    * hash is the only 2-level aggregate. */
+  def datasetCard(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), col("source"),
+        md5(col("text").cast("binary")).as("th"),
+        size(tokensCol).cast("long").as("toks"),
+        keepCol.as("keep"),
+        (size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))) +
+          size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))) +
+          size(regexp_extract_all(col("text"), lit(SsnRe), lit(0))) > 0)
+          .as("has_pii"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("n_tokens"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        (count(lit(1)) - countDistinct("th")).as("n_exact_dups"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).cast("long")
+          .as("n_quality_fail"),
+        sum(when(col("has_pii"), 1L).otherwise(0L)).cast("long")
+          .as("n_pii_docs"),
+        expr("sum(toks) div count(1)").as("mean_doc_tokens"))
+
   // --- training-mixture weights ------------------------------------------
 
   /** Per-group cap for mixture weighting: groups contribute

@@ -579,6 +579,63 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramLmScore: repeated transitions score 1e6, unique ones split mass") {
+    import spark.implicits._
+    // 'x y' appears in every doc → p(y|x)=1e6; doc 9's 'x z' makes
+    // p(z|x) = 1/11 of the x-prefix mass
+    val df = ((1 to 10).map(i => (i.toLong, "x y")) :+ (11L, "x z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramLmScore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("mean_p_ppm") === 10000000L / 11)
+    assert(got(11L).getAs[Long]("mean_p_ppm") === 1000000L / 11)
+  }
+
+  test("qualityClassify: score is bias + mean token weight") {
+    import spark.implicits._
+    val df = Seq((1L, "spark fast"), (2L, "dup dup dup"), (3L, "zzz zzz"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityClassify(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("score_milli") ===
+      TextAnalysis.ClassifierBias + (300L + 250L) / 2)
+    assert(got(1L).getAs[String]("keep") === "true")
+    assert(got(2L).getAs[Long]("score_milli") ===
+      TextAnalysis.ClassifierBias - 800L)
+    assert(got(2L).getAs[String]("keep") === "false")
+    // unknown tokens weigh 0
+    assert(got(3L).getAs[Long]("score_milli") === TextAnalysis.ClassifierBias)
+  }
+
+  test("datasetCard: one-row manifest reconciles with the parts") {
+    val card = TextAnalysis.datasetCard(docs).collect()
+    assert(card.length === 1)
+    val r = card.head
+    assert(r.getAs[Long]("n_docs") === docs.count())
+    assert(r.getAs[Long]("n_langs") ===
+      docs.select("lang").distinct().count())
+    val exactDups = docs.count() -
+      docs.select(md5(col("text").cast("binary"))).distinct().count()
+    assert(r.getAs[Long]("n_exact_dups") === exactDups)
+  }
+
+  test("substringDedup: a planted shared run is covered, the rest is not") {
+    import spark.implicits._
+    val l = Dedup.SubstrL
+    val shared = (1 to l).map(i => s"s$i").mkString(" ")
+    val uniq = (id: Int) => (1 to 5).map(i => s"u${id}_$i").mkString(" ")
+    val df = Seq(
+      (1L, s"${uniq(1)} $shared"),
+      (2L, s"$shared ${uniq(2)}"),
+      (3L, uniq(3) + " " + uniq(30) + " " + uniq(31))).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_covered") === l.toLong)
+    assert(got(1L).getAs[Long]("n_tokens") === l + 5L)
+    assert(got(2L).getAs[Long]("n_covered") === l.toLong)
+    assert(got(3L).getAs[Long]("n_covered") === 0L)
+  }
+
   test("mixWeights: capped-proportional shares sum to ~1e6") {
     import spark.implicits._
     val df = ((1 to 40).map(i => (i.toLong, "en", "web", "a b c")) ++
