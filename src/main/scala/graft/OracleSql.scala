@@ -20,6 +20,37 @@ object OracleSql {
   /** SQL string literal escape for generated VALUES clauses. */
   private def esc(s: String) = "'" + s.replace("'", "''") + "'"
 
+  /** PQ codebook as a VALUES relation pqcb(m, k, cv) — the literals
+    * come from Similarity.pqCodebook itself (Double.toString
+    * round-trips exactly), so the two engines share one codebook. */
+  private lazy val pqCbValues: String = {
+    import graft.operators.Similarity._
+    (0 until PqM).flatMap(m => (0 until PqK).map(k =>
+      s"($m, $k, ${planeLit(pqCodebook(m)(k))})")).mkString(",\n")
+  }
+
+  /** Left-associated squared subvector distance (same fold order as
+    * the Column tree, so the doubles are bit-identical) over v/cv. */
+  private lazy val pqSubDistSql: String =
+    (1 to graft.operators.Similarity.PqSubDim)
+      .map(i => s"(v[m * ${graft.operators.Similarity.PqSubDim} + $i] - cv[$i]) * " +
+        s"(v[m * ${graft.operators.Similarity.PqSubDim} + $i] - cv[$i])")
+      .mkString(" + ")
+
+  /** Shared PQ CTE chain: pqe (vectors as DOUBLE[]), pqcb (codebook),
+    * pqd (per-(vec, m, k) e9 distances), pqbest (rn=1 ⇒ the code). */
+  private lazy val PqCodesCtes: String =
+    s"""pqe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |pqcb(m, k, cv) AS (VALUES
+       |$pqCbValues),
+       |pqd AS (SELECT vec_id, m, k,
+       |    CAST(ROUND(($pqSubDistSql) * 1e9) AS BIGINT) AS d9
+       |  FROM pqe, pqcb),
+       |pqbest AS (SELECT vec_id, m, k, d9,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d9, k) AS rn
+       |  FROM pqd)""".stripMargin
+
   /** MinHash dedup CTE chain — the SQL twin of operators.Dedup
     * (shingle → portable hash → 64 universal-hash minhashes → 16-band
     * LSH buckets → bounded pair generation → exact Jaccard). The
@@ -1405,6 +1436,31 @@ object OracleSql {
          |  AND a.vec_id < b.vec_id
          |WHERE CAST(ROUND(list_cosine_similarity(a.v, b.v) * 1000000)
          |  AS BIGINT) >= ${graft.operators.Similarity.SemTauE6}""".stripMargin,
+
+    "pq_encode" -> s"""WITH $PqCodesCtes
+      |SELECT vec_id,
+      |  ${(0 until graft.operators.Similarity.PqM).map(m =>
+           s"CAST(MAX(CASE WHEN m = $m THEN k END) AS BIGINT) AS c$m")
+           .mkString(", ")},
+      |  CAST(SUM(d9) AS BIGINT) // 1000 AS err_e6
+      |FROM pqbest WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+
+    "pq_search" -> s"""WITH $PqCodesCtes,
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM pqe WHERE vec_id < 8),
+      |lut AS (SELECT q_id, m, k,
+      |    CAST(ROUND(($pqSubDistSql) * 1e9) AS BIGINT) AS d9
+      |  FROM (SELECT q_id, qv AS v FROM q), pqcb),
+      |score AS (SELECT l.q_id, b.vec_id, CAST(SUM(l.d9) AS BIGINT)
+      |    AS dist_e9
+      |  FROM pqbest b JOIN lut l ON l.m = b.m AND l.k = b.k
+      |  WHERE b.rn = 1 AND b.vec_id >= 8
+      |  GROUP BY 1, 2),
+      |r AS (SELECT q_id, vec_id, dist_e9,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist_e9, vec_id)
+      |      AS rn
+      |  FROM score)
+      |SELECT q_id, vec_id AS cand_id, CAST(rn AS BIGINT) AS rank, dist_e9
+      |FROM r WHERE rn <= ${graft.operators.Similarity.TopK}""".stripMargin,
 
     "ann_topk" ->
       """WITH q AS (

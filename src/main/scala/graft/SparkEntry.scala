@@ -185,7 +185,11 @@ object SparkEntry {
     "dataset_card"        -> ((s, dir) =>
       TextAnalysis.datasetCard(Tables.documents(s, dir))),
     "substring_dedup"     -> ((s, dir) =>
-      Dedup.substringDedup(Tables.documents(s, dir)))
+      Dedup.substringDedup(Tables.documents(s, dir))),
+    "pq_encode"           -> ((s, dir) =>
+      Similarity.pqEncode(Tables.embeddings(s, dir))),
+    "pq_search"           -> ((s, dir) =>
+      Similarity.pqSearch(Tables.embeddings(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

@@ -165,7 +165,217 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: for each of the codebook's M
+  * subspaces, the index of the nearest centroid (squared distance
+  * rounded to integer e9 BEFORE the argmin, ties to the smaller code —
+  * the rounding makes every downstream comparison integer arithmetic,
+  * bit-identical in the SQL oracle) plus the summed quantization error.
+  * Returns array<long> of length M+1: [c0..c(M-1), err_e9].
+  *
+  * One codegen'd loop nest over a referenced double[][][] — the
+  * unrolled Column-tree form of the same computation generated ~1 MB of
+  * Janino source and paid ~3s of compilation on EVERY fresh plan
+  * (expression ids differ per plan, so the codegen cache can't hit).
+  */
+case class PqCodes(child: Expression, codebook: Array[Array[Array[Double]]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "pq_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.check(prettyName, Seq(child.dataType))
+
+  @transient private lazy val m = codebook.length
+  @transient private lazy val k = codebook(0).length
+  @transient private lazy val s = codebook(0)(0).length
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() < m * s) return null
+    var i = 0
+    while (i < m * s) { if (v.isNullAt(i)) return null; i += 1 }
+    val res = new Array[Long](m + 1)
+    var err = 0L
+    var mi = 0
+    while (mi < m) {
+      var best = Long.MaxValue
+      var bk = 0L
+      var ki = 0
+      while (ki < k) {
+        val c = codebook(mi)(ki)
+        var acc = 0.0
+        var d = 0
+        while (d < s) {
+          val x = v.getFloat(mi * s + d).toDouble - c(d)
+          acc += x * x
+          d += 1
+        }
+        val d9 = math.round(acc * 1e9)
+        if (d9 < best) { best = d9; bk = ki.toLong }
+        ki += 1
+      }
+      res(mi) = bk
+      err += best
+      mi += 1
+    }
+    res(m) = err
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebook", codebook, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val res = ctx.freshName("res")
+      val err = ctx.freshName("err")
+      val mi = ctx.freshName("mi")
+      val ki = ctx.freshName("ki")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val d9 = ctx.freshName("d9")
+      val best = ctx.freshName("best")
+      val bk = ctx.freshName("bk")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      s"""
+         |if ($v.numElements() < ${m * s}) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < ${m * s}; $i++) {
+         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; }
+         |}
+         |if (!${ev.isNull}) {
+         |  long[] $res = new long[${m + 1}];
+         |  long $err = 0L;
+         |  for (int $mi = 0; $mi < $m; $mi++) {
+         |    long $best = Long.MAX_VALUE; long $bk = 0L;
+         |    for (int $ki = 0; $ki < $k; $ki++) {
+         |      double[] $c = $cb[$mi][$ki];
+         |      double $acc = 0.0;
+         |      for (int $d = 0; $d < $s; $d++) {
+         |        double $x = (double) $v.getFloat($mi * $s + $d) - $c[$d];
+         |        $acc += $x * $x;
+         |      }
+         |      long $d9 = java.lang.Math.round($acc * 1.0E9);
+         |      if ($d9 < $best) { $best = $d9; $bk = (long) $ki; }
+         |    }
+         |    $res[$mi] = $bk;
+         |    $err += $best;
+         |  }
+         |  $res[$m] = $err;
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($res);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The ADC lookup table for one query vector: squared e9-rounded
+  * distance from each subvector to EVERY codebook entry, flattened as
+  * array<long> of length M·K (entry m·K + k) — the per-query table a
+  * PQ scan sums candidate codes against. Same arithmetic as
+  * [[PqCodes]], same rounding contract. */
+case class PqLut(child: Expression, codebook: Array[Array[Array[Double]]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "pq_lut"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.check(prettyName, Seq(child.dataType))
+
+  @transient private lazy val m = codebook.length
+  @transient private lazy val k = codebook(0).length
+  @transient private lazy val s = codebook(0)(0).length
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() < m * s) return null
+    var i = 0
+    while (i < m * s) { if (v.isNullAt(i)) return null; i += 1 }
+    val res = new Array[Long](m * k)
+    var mi = 0
+    while (mi < m) {
+      var ki = 0
+      while (ki < k) {
+        val c = codebook(mi)(ki)
+        var acc = 0.0
+        var d = 0
+        while (d < s) {
+          val x = v.getFloat(mi * s + d).toDouble - c(d)
+          acc += x * x
+          d += 1
+        }
+        res(mi * k + ki) = math.round(acc * 1e9)
+        ki += 1
+      }
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebook", codebook, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val res = ctx.freshName("res")
+      val mi = ctx.freshName("mi")
+      val ki = ctx.freshName("ki")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      s"""
+         |if ($v.numElements() < ${m * s}) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < ${m * s}; $i++) {
+         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; }
+         |}
+         |if (!${ev.isNull}) {
+         |  long[] $res = new long[${m * k}];
+         |  for (int $mi = 0; $mi < $m; $mi++) {
+         |    for (int $ki = 0; $ki < $k; $ki++) {
+         |      double[] $c = $cb[$mi][$ki];
+         |      double $acc = 0.0;
+         |      for (int $d = 0; $d < $s; $d++) {
+         |        double $x = (double) $v.getFloat($mi * $s + $d) - $c[$d];
+         |        $acc += $x * $x;
+         |      }
+         |      $res[$mi * $k + $ki] = java.lang.Math.round($acc * 1.0E9);
+         |    }
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($res);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
+  /** Column API: PQ codes + error, array<long> [c0..c(M-1), err_e9]. */
+  def pqCodes(v: Column, codebook: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(PqCodes(GraftBridge.expression(v), codebook))
+
+  /** Column API: PQ ADC lookup table, array<long> of M·K e9 distances. */
+  def pqLut(v: Column, codebook: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(PqLut(GraftBridge.expression(v), codebook))
+
   /** Column API: cosine similarity of two array<float> columns. */
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(

@@ -187,6 +187,80 @@ object Similarity {
         array_max(col("q")).as("q_max"),
         col("n_clipped"))
 
+  // --- product quantization ------------------------------------------------
+
+  /** PQ geometry: M subspaces × SubDim dims, K centroids per subspace
+    * (8-bit-per-subspace codes → a 64-dim float vector compresses
+    * 32×, which is what makes a 100 TB vector corpus scannable). */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqK = 16
+
+  /** Deterministic PQ codebook [m][k][subdim], same splitmix LCG as
+    * the hyperplanes but seeded differently (π fraction — a public
+    * nothing-up-my-sleeve constant). A production build would k-means
+    * per subspace; fixed literals keep the oracle deterministic, and
+    * the plan shape is identical either way. */
+  lazy val pqCodebook: Array[Array[Array[Double]]] = {
+    var state = 0x243F6A8885A308D3L
+    def next(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.fill(PqM, PqK, PqSubDim)(
+      (next() >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0)
+  }
+
+  /** PQ encoding: each vector's M subvectors map to their nearest
+    * codebook centroid (distances rounded to integer e9 BEFORE the
+    * argmin, ties → smaller code) via the single codegen'd
+    * [[graft.functions.PqCodes]] loop — no join at all: the codebook
+    * lives in the instruction stream, the scan is shuffle-free and
+    * embarrassingly parallel. err_e6 is the total quantization error,
+    * summed as integers. (An unrolled Column-tree form of this paid
+    * ~3s of Janino compilation per fresh plan — see PqCodes.) */
+  def pqEncode(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.pqCodes(col("embedding"), pqCodebook)
+          .as("pq"))
+      .select(
+        col("vec_id") +:
+          (0 until PqM).map(m => col("pq").getItem(m).as(s"c$m")) :+
+          col("pq").getItem(PqM).as("err_e9"): _*)
+      .withColumn("err_e6", expr("err_e9 div 1000"))
+      .drop("err_e9")
+
+  /** PQ asymmetric-distance search (ADC): queries stay full-precision,
+    * candidates are their 8-code rows, and each query precomputes a
+    * 128-entry lookup table of subspace distances — scoring a
+    * candidate is then 8 integer table lookups + adds. This is the
+    * payoff of PQ at 100 TB: the scan touches only the code columns
+    * (32× smaller than the vectors) and a broadcast LUT; exact
+    * re-ranking of the short list would read full vectors for top-k
+    * ids only. */
+  def pqSearch(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val q = queries(embeddings).select(col("q_id"),
+      graft.functions.VectorFunctions.pqLut(col("q_vec"), pqCodebook)
+        .as("lut"))
+    val codes = pqEncode(embeddings)
+      .where(col("vec_id") >= QueryCount)
+    val distE9 = (0 until PqM).map(m =>
+      element_at(col("lut"), (col(s"c$m") + lit(m * PqK + 1)).cast("int")))
+      .reduce(_ + _)
+    codes
+      .join(broadcast(q))
+      .withColumn("dist_e9", distE9)
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("dist_e9"), col("vec_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("cand_id"), col("rank"),
+        col("dist_e9"))
+  }
+
   /** Cosine threshold (e6) for [[semanticDedup]] — calibrated to the
     * test corpus's cosine distribution (max pairwise ≈ 0.51): pairs
     * above it are the distribution's extreme tail. */

@@ -636,6 +636,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(3L).getAs[Long]("n_covered") === 0L)
   }
 
+  test("pqEncode: codes are nearest codebook entries, error reconciles") {
+    val rows = Similarity.pqEncode(embs).collect()
+    val vecs = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(rows.length === vecs.size)
+    rows.take(20).foreach { r =>
+      val v = vecs(r.getAs[Long]("vec_id"))
+      var errE9 = 0L
+      for (m <- 0 until Similarity.PqM) {
+        val dists = (0 until Similarity.PqK).map { k =>
+          val d2 = (0 until Similarity.PqSubDim).map { d =>
+            val x = v(m * Similarity.PqSubDim + d).toDouble -
+              Similarity.pqCodebook(m)(k)(d)
+            x * x
+          }.sum
+          math.round(d2 * 1e9) -> k.toLong
+        }
+        val (bd, bk) = dists.min
+        assert(r.getAs[Long](s"c$m") === bk)
+        errE9 += bd
+      }
+      assert(r.getAs[Long]("err_e6") === errE9 / 1000)
+    }
+  }
+
+  test("pqSearch: ADC distances reconcile with LUT sums; ranks dense per query") {
+    val res = Similarity.pqSearch(embs).collect()
+    val byQ = res.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size === Similarity.QueryCount)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted ===
+        (1L to Similarity.TopK.toLong).toArray)
+      // ranks follow ascending approximate distance
+      assert(rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("dist_e9"))
+        .sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
   test("mixWeights: capped-proportional shares sum to ~1e6") {
     import spark.implicits._
     val df = ((1 to 40).map(i => (i.toLong, "en", "web", "a b c")) ++

@@ -25,7 +25,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("narrow projections are shuffle-free") {
     for (q <- Seq("changelog_normalize", "quality_filter", "doc_fingerprint",
-      "multimodal_features", "multimodal_resize", "doc_chunk")) {
+      "multimodal_features", "multimodal_resize", "doc_chunk",
+      "pq_encode")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q has a shuffle:\n$p")
     }
@@ -61,10 +62,11 @@ class PlanSpec extends AnyFunSuite {
   test("nested-loop joins only where a tiny broadcast side is intended") {
     // mix_weights / dist_drift cross-join a broadcast 1-row total
     // semantic_dedup inherits ivf_assign's 16-row broadcast centroid
-    // cross join
+    // cross join; pq_search broadcasts the 8-query LUT like ann_topk
     val allowed = Set("ann_topk", "ann_ivf", "clean_retention",
       "heartbeat_state", "status_rollup", "ivf_assign", "ivf_train",
-      "log_compact", "mix_weights", "dist_drift", "semantic_dedup")
+      "log_compact", "mix_weights", "dist_drift", "semantic_dedup",
+      "pq_search")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
