@@ -37,6 +37,14 @@ object OracleSql {
         s"(v[m * ${graft.operators.Similarity.PqSubDim} + $i] - cv[$i])")
       .mkString(" + ")
 
+  /** Left-associated exact squared-L2 sum over qv/cv (64 dims) — the
+    * ground-truth metric of pq_recall, same fold order as the Column
+    * tree's zip_with/aggregate. */
+  private lazy val l2SumSql: String =
+    (1 to graft.operators.Similarity.Dim)
+      .map(i => s"(qv[$i] - cv[$i]) * (qv[$i] - cv[$i])")
+      .mkString(" + ")
+
   /** Shared PQ CTE chain: pqe (vectors as DOUBLE[]), pqcb (codebook),
     * pqd (per-(vec, m, k) e9 distances), pqbest (rn=1 ⇒ the code). */
   private lazy val PqCodesCtes: String =
@@ -511,6 +519,32 @@ object OracleSql {
          |  FROM cl)
          |SELECT op, value_cents AS median_low_cents, CAST(cnt AS BIGINT) AS n
          |FROM r WHERE rn = (cnt + 1) // 2""".stripMargin,
+
+    "value_quantiles" -> {
+      val pcts = graft.operators.Ledger.QuantilePcts.mkString("[", ", ", "]")
+      s"""WITH $CL,
+         |a AS (SELECT op, value_cents, COUNT(*) AS c FROM cl GROUP BY 1, 2),
+         |r AS (SELECT op, value_cents,
+         |    CAST(SUM(c) OVER (PARTITION BY op ORDER BY value_cents)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(c) OVER (PARTITION BY op) AS BIGINT) AS cnt FROM a),
+         |x AS (SELECT op, value_cents, cum, cnt, CAST(p.pct AS BIGINT) AS pct
+         |  FROM r, UNNEST($pcts) AS p(pct))
+         |SELECT op, pct, MIN(value_cents) AS q_cents,
+         |  CAST(MAX(cnt) AS BIGINT) AS n
+         |FROM x WHERE cum >= (cnt * pct + 99) // 100
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    "key_skew_report" ->
+      s"""WITH $CL,
+         |c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_changes
+         |  FROM cl GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_changes) AS BIGINT) AS total FROM c)
+         |SELECT user_id, n_changes, (n_changes * 1000000) // total
+         |  AS share_ppm
+         |FROM c, t ORDER BY n_changes DESC, user_id
+         |LIMIT ${graft.operators.Ledger.SkewTopK}""".stripMargin,
 
     "queue_depth" ->
       s"""WITH $CL
@@ -1461,6 +1495,57 @@ object OracleSql {
       |  FROM score)
       |SELECT q_id, vec_id AS cand_id, CAST(rn AS BIGINT) AS rank, dist_e9
       |FROM r WHERE rn <= ${graft.operators.Similarity.TopK}""".stripMargin,
+
+    "tfidf_topk" ->
+      s"""WITH tf AS (SELECT doc_id, t.t AS token,
+         |    CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)
+         |  GROUP BY 1, 2),
+         |idf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY 1),
+         |r AS (SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+         |    (tf.tf * 1000000) // idf.df AS tfidf_ppm
+         |  FROM tf JOIN idf USING (token)),
+         |k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf_ppm DESC, token) AS rank FROM r)
+         |SELECT doc_id, token, tf, df, tfidf_ppm, CAST(rank AS BIGINT)
+         |  AS rank
+         |FROM k WHERE rank <= ${graft.operators.TextAnalysis.TfidfTopN}""".stripMargin,
+
+    "pq_recall" -> {
+      val k = graft.operators.Similarity.TopK
+      s"""WITH $PqCodesCtes,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM pqe WHERE vec_id < 8),
+         |cand AS (SELECT vec_id AS cand_id, v AS cv FROM pqe
+         |  WHERE vec_id >= 8),
+         |ts AS (SELECT q_id, cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY CAST(ROUND(($l2SumSql) * 1e9) AS BIGINT), cand_id)
+         |      AS rn
+         |  FROM q, cand),
+         |truth AS (SELECT q_id, cand_id FROM ts WHERE rn <= $k),
+         |lut AS (SELECT q_id, m, k,
+         |    CAST(ROUND(($pqSubDistSql) * 1e9) AS BIGINT) AS d9
+         |  FROM (SELECT q_id, qv AS v FROM q), pqcb),
+         |score AS (SELECT l.q_id, b.vec_id, CAST(SUM(l.d9) AS BIGINT)
+         |    AS dist_e9
+         |  FROM pqbest b JOIN lut l ON l.m = b.m AND l.k = b.k
+         |  WHERE b.rn = 1 AND b.vec_id >= 8
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist_e9, vec_id)
+         |      AS rn
+         |  FROM score),
+         |approx AS (SELECT q_id, vec_id AS cand_id FROM pr WHERE rn <= $k),
+         |hits AS (SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM truth t JOIN approx a
+         |    ON t.q_id = a.q_id AND t.cand_id = a.cand_id
+         |  GROUP BY 1)
+         |SELECT b.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |  (COALESCE(h.n_hits, 0) * 1000) // $k AS recall_milli
+         |FROM (SELECT DISTINCT q_id FROM truth) b
+         |LEFT JOIN hits h USING (q_id)""".stripMargin
+    },
 
     "ann_topk" ->
       """WITH q AS (

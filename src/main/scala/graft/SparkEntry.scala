@@ -189,7 +189,13 @@ object SparkEntry {
     "pq_encode"           -> ((s, dir) =>
       Similarity.pqEncode(Tables.embeddings(s, dir))),
     "pq_search"           -> ((s, dir) =>
-      Similarity.pqSearch(Tables.embeddings(s, dir)))
+      Similarity.pqSearch(Tables.embeddings(s, dir))),
+    "pq_recall"           -> ((s, dir) =>
+      Similarity.pqRecall(Tables.embeddings(s, dir))),
+    "tfidf_topk"          -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
+    "value_quantiles"     -> ((s, dir) => Ledger.valueQuantiles(cl(s, dir))),
+    "key_skew_report"     -> ((s, dir) => Ledger.keySkewReport(cl(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

@@ -279,6 +279,52 @@ object Ledger {
         col("cnt").as("n"))
   }
 
+  /** Quantile points (percent) reported by [[valueQuantiles]]. */
+  val QuantilePcts: Seq[Long] = Seq(25L, 50L, 75L, 90L)
+
+  /** Exact multi-point order statistics per op class — [[valueMedian]]
+    * generalized to a quantile vector (the latency/value dashboard
+    * form). Same aggregate-below-window scale shape: the raw log
+    * collapses to (op, value_cents) counts BEFORE any window; the
+    * quantile targets explode against that small distinct-value
+    * relation only. Lower quantile at 1-based rank ⌈n·p/100⌉ (p=50
+    * reproduces the lower median). */
+  def valueQuantiles(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy("op").orderBy("value_cents")
+    val cw = Window.partitionBy("op")
+    changelog
+      .groupBy("op", "value_cents")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("cnt", sum("c").over(cw))
+      .select(col("op"), col("value_cents"), col("cum"), col("cnt"),
+        explode(array(QuantilePcts.map(lit): _*)).as("pct"))
+      .where(col("cum") >= expr("(cnt * pct + 99) div 100"))
+      .groupBy("op", "pct")
+      .agg(min("value_cents").as("q_cents"), max("cnt").as("n"))
+  }
+
+  /** Rows reported by [[keySkewReport]]. */
+  val SkewTopK = 20
+
+  /** Hot-key diagnosis — the operational query run BEFORE choosing a
+    * skew strategy (salting, AQE skew-join thresholds): the top sync
+    * keys by change count and their corpus share in ppm. Map-side-
+    * combined count, 1-row broadcast total, TakeOrdered top-k — the
+    * report itself never materializes the full key distribution on one
+    * node. */
+  def keySkewReport(changelog: DataFrame): DataFrame = {
+    val counts = changelog.groupBy("user_id")
+      .agg(count(lit(1)).as("n_changes"))
+    val tot = counts.agg(sum("n_changes").cast("long").as("total"))
+    counts
+      .crossJoin(broadcast(tot))
+      .select(col("user_id"), col("n_changes"),
+        expr("(n_changes * 1000000) div total").as("share_ppm"))
+      .orderBy(col("n_changes").desc, col("user_id"))
+      .limit(SkewTopK)
+  }
+
   /** Sketch-based cardinality per db: HLL++ (approx_count_distinct,
     * Spark's built-in sketch — preference order (a): compose built-ins
     * before writing a custom TypedImperativeAggregate) alongside the

@@ -261,6 +261,52 @@ object Similarity {
         col("dist_e9"))
   }
 
+  /** Exact squared L2 distance (e9-rounded, same contract as the PQ
+    * distances) between the broadcast query vector and a candidate —
+    * index-order left fold, bit-identical to the oracle's
+    * left-associated sum. */
+  private def l2DistE9(a: Column, b: Column): Column = {
+    val d2 = aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    round(d2 * 1e9).cast("long")
+  }
+
+  /** ANN recall evaluation: PQ-ADC results measured against the EXACT
+    * L2 top-k ground truth (the metric PQ approximates — a cosine
+    * truth would conflate metric mismatch with codebook loss) — the
+    * index-quality gate run before trusting an approximate index at
+    * scale, recall@k in milli. The truth side is the (tiny) query
+    * set's top-k only, so the final join is k·|Q| against k·|Q| rows.
+    *
+    * On THIS corpus the measured recall is honestly low: the vectors
+    * are i.i.d. random (distances concentrate, so the true top-k is
+    * barely separated from rank 100) and the codebook is untrained —
+    * which is precisely what a recall gate exists to catch. A
+    * production index k-means-trains the codebook per subspace; the
+    * plan shape here is identical either way. */
+  def pqRecall(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val truth = candidates(embeddings)
+      .join(broadcast(queries(embeddings)))
+      .withColumn("d2_e9", l2DistE9(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("d2_e9"), col("cand_id"))))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("cand_id"))
+    val hits = truth
+      .join(pqSearch(embeddings, k).select(col("q_id"), col("cand_id")),
+        Seq("q_id", "cand_id"), "left_semi")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_hits"))
+    truth.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        expr(s"(n_hits * 1000) div $k").as("recall_milli"))
+  }
+
   /** Cosine threshold (e6) for [[semanticDedup]] — calibrated to the
     * test corpus's cosine distribution (max pairwise ≈ 0.51): pairs
     * above it are the distribution's extreme tail. */

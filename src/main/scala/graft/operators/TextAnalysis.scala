@@ -728,6 +728,33 @@ object TextAnalysis {
         (col("score_milli") > ClassifierThreshold).cast("string"))
   }
 
+  // --- TF-IDF keywords -----------------------------------------------------
+
+  /** Keywords per document reported by [[tfidfTopK]]. */
+  val TfidfTopN = 3
+
+  /** Per-document keyword extraction by integer TF-IDF (tf·1e6 //
+    * document frequency — the log-free monotone equivalent for
+    * ranking): the top-N most distinctive tokens of every document,
+    * the feature a topic tagger or near-dup explainer reads. The
+    * document-frequency relation is vocabulary-sized (AQE broadcasts
+    * it onto the per-doc term counts); ranking windows partition by
+    * doc_id — corpus-parallel. */
+  def tfidfTopK(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val tf = documents
+      .select(col("doc_id"), explode(tokensCol).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(df, "token")
+      .withColumn("tfidf_ppm", expr("(tf * 1000000) div df"))
+      .withColumn("rank", row_number().over(W.partitionBy("doc_id")
+        .orderBy(col("tfidf_ppm").desc, col("token"))).cast("long"))
+      .where(col("rank") <= TfidfTopN)
+      .select("doc_id", "token", "tf", "df", "tfidf_ppm", "rank")
+  }
+
   // --- dataset card --------------------------------------------------------
 
   /** One-row dataset datasheet — the corpus-level manifest a dataset

@@ -674,6 +674,31 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidfTopK: distinctive tokens outrank common ones") {
+    import spark.implicits._
+    // 'rare' appears only in doc 1; 'common' in all docs
+    val df = ((1L, "rare common common") +:
+      (2 to 10).map(i => (i.toLong, "common common filler")))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopK(df)
+      .where(col("doc_id") === 1L).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(top.head.getAs[String]("token") === "rare")
+    assert(top.head.getAs[Long]("df") === 1L)
+    assert(top.head.getAs[Long]("tfidf_ppm") === 1000000L)
+  }
+
+  test("pqRecall: hits are the intersection of ADC and exact-L2 top-k") {
+    val got = Similarity.pqRecall(embs).collect()
+    assert(got.length === Similarity.QueryCount)
+    got.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0L && h <= Similarity.TopK.toLong)
+      assert(r.getAs[Long]("recall_milli") ===
+        h * 1000L / Similarity.TopK)
+    }
+  }
+
   test("mixWeights: capped-proportional shares sum to ~1e6") {
     import spark.implicits._
     val df = ((1 to 40).map(i => (i.toLong, "en", "web", "a b c")) ++

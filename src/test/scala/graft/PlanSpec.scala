@@ -66,7 +66,7 @@ class PlanSpec extends AnyFunSuite {
     val allowed = Set("ann_topk", "ann_ivf", "clean_retention",
       "heartbeat_state", "status_rollup", "ivf_assign", "ivf_train",
       "log_compact", "mix_weights", "dist_drift", "semantic_dedup",
-      "pq_search")
+      "pq_search", "pq_recall", "key_skew_report")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
@@ -101,17 +101,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("salt"), p)
   }
 
-  test("value_median: the window consumes the (op, value) AGGREGATE, " +
-    "never raw changelog rows on 3 reducers") {
-    val qe = SparkEntry.queries("value_median")(spark, Sf).queryExecution
-    val optimized = qe.optimizedPlan
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    val windows = optimized.collect { case w: LWindow => w }
-    assert(windows.nonEmpty, optimized.toString)
-    // every window in the plan must sit above the pre-aggregation
-    windows.foreach { w =>
-      assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
-        s"window over raw rows:\n$optimized")
+  test("value_median/value_quantiles: the window consumes the (op, value) " +
+    "AGGREGATE, never raw changelog rows on 3 reducers") {
+    for (q <- Seq("value_median", "value_quantiles")) {
+      val qe = SparkEntry.queries(q)(spark, Sf).queryExecution
+      val optimized = qe.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+      val windows = optimized.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, optimized.toString)
+      // every window in the plan must sit above the pre-aggregation
+      windows.foreach { w =>
+        assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"$q: window over raw rows:\n$optimized")
+      }
     }
+  }
+
+  test("key_skew_report: top-k is TakeOrdered, never a global sort") {
+    assert(plan("key_skew_report").contains("TakeOrderedAndProject"))
   }
 }
