@@ -195,7 +195,8 @@ object SparkEntry {
     "tfidf_topk"          -> ((s, dir) =>
       TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
     "value_quantiles"     -> ((s, dir) => Ledger.valueQuantiles(cl(s, dir))),
-    "key_skew_report"     -> ((s, dir) => Ledger.keySkewReport(cl(s, dir)))
+    "key_skew_report"     -> ((s, dir) => Ledger.keySkewReport(cl(s, dir))),
+    "sync_lag"            -> ((s, dir) => Ledger.syncLag(cl(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

@@ -304,6 +304,32 @@ object Ledger {
       .agg(min("value_cents").as("q_cents"), max("cnt").as("n"))
   }
 
+  /** Per-source-db replication lag — the dashboard number a sync
+    * operator actually watches (reference: the SyncState/monitor
+    * endpoints expose counts; the lag VIEW derives from the same
+    * ledger): time since the latest applied (polled, OK) change, age
+    * of the oldest unapplied change, and the unapplied backlog, all
+    * against the changelog's own high watermark (1-row broadcast, the
+    * status_rollup shape — never a single-partition window). */
+  def syncLag(changelog: DataFrame): DataFrame = {
+    val applied = ChangeLog.polledCol && statusCol === "OK"
+    val perDb = changelog
+      .groupBy(dbCol.as("db"))
+      .agg(
+        max(when(applied, col("ems"))).as("applied_ems"),
+        min(when(!applied, col("ems"))).as("oldest_pending_ems"),
+        count(when(!applied, 1)).as("n_unapplied"))
+    val now = changelog.agg(max("ems").as("now_ems"))
+    perDb
+      .crossJoin(broadcast(now))
+      .select(col("db"),
+        expr("(now_ems - coalesce(applied_ems, 0)) div 1000")
+          .as("apply_lag_s"),
+        expr("(now_ems - coalesce(oldest_pending_ems, now_ems)) div 1000")
+          .as("oldest_pending_age_s"),
+        col("n_unapplied"))
+  }
+
   /** Rows reported by [[keySkewReport]]. */
   val SkewTopK = 20
 
