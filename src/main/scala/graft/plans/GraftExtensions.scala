@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HyperplaneBucket, Md5Long}
+import graft.functions.{CosineSimilarity, HyperplaneBucket, Md5Long, PqCodes, PqLut}
 import graft.operators.Similarity
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -31,6 +31,12 @@ object GraftExtensions {
   val md5LongBuilder: Seq[Expression] => Expression =
     arity("md5_long60", 1)(c => Md5Long(c.head))
 
+  val pqCodesBuilder: Seq[Expression] => Expression =
+    arity("pq_codes", 1)(c => PqCodes(c.head, Similarity.pqCodebook))
+
+  val pqLutBuilder: Seq[Expression] => Expression =
+    arity("pq_lut", 1)(c => PqLut(c.head, Similarity.pqCodebook))
+
   /** Register the same functions on an already-built session (temp
     * functions — handy in notebooks/tests where the builder is gone). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -40,6 +46,10 @@ object GraftExtensions {
       "lsh_bucket", bucketBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_long60", md5LongBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_codes", pqCodesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_lut", pqLutBuilder, "built-in")
   }
 }
 
@@ -57,5 +67,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("md5_long60"),
       new ExpressionInfo(classOf[Md5Long].getName, "md5_long60"),
       GraftExtensions.md5LongBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_codes"),
+      new ExpressionInfo(classOf[PqCodes].getName, "pq_codes"),
+      GraftExtensions.pqCodesBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_lut"),
+      new ExpressionInfo(classOf[PqLut].getName, "pq_lut"),
+      GraftExtensions.pqLutBuilder))
   }
 }

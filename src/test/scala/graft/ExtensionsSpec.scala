@@ -26,6 +26,42 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     val h = spark.sql("SELECT md5_long60('abc') AS h").collect().head.getLong(0)
     assert(h === graft.functions.PortableHash.md5Long("abc"))
+    // pq_codes / pq_lut registered and shape-correct through SQL
+    val pq = spark.sql(
+      "SELECT pq_codes(embedding) AS c, pq_lut(embedding) AS l FROM emb_t")
+      .collect()
+    pq.foreach { r =>
+      val c = r.getSeq[Long](0)
+      assert(c.length === graft.operators.Similarity.PqM + 1)
+      assert(c.init.forall(k => k >= 0 &&
+        k < graft.operators.Similarity.PqK))
+      assert(r.getSeq[Long](1).length ===
+        graft.operators.Similarity.PqM * graft.operators.Similarity.PqK)
+    }
+  }
+
+  test("PqCodes interpreted eval matches the codegen'd dataframe result") {
+    import graft.operators.Similarity
+    val rows = Tables.embeddings(spark, TestSpark.Sf).limit(10)
+      .select("vec_id", "embedding").collect()
+    val viaDf = Similarity.pqEncode(Tables.embeddings(spark, TestSpark.Sf)
+      .limit(10)).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    rows.foreach { r =>
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(r.getSeq[Float](1).toArray)
+      val got = graft.functions.PqCodes(
+        org.apache.spark.sql.catalyst.expressions.Literal(arr,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        Similarity.pqCodebook)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray()
+      val want = viaDf(r.getLong(0))
+      (0 until Similarity.PqM).foreach(m =>
+        assert(got(m) === want.getAs[Long](s"c$m")))
+      assert(got(Similarity.PqM) / 1000 === want.getAs[Long]("err_e6"))
+    }
   }
 
   test("jdbc sync SQL generation matches the reference's upsert/delete/poll shapes") {
