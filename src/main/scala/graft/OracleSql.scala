@@ -1565,6 +1565,79 @@ object OracleSql {
          |LEFT JOIN hits h USING (q_id)""".stripMargin
     },
 
+    "ivf_recall" -> {
+      val k = graft.operators.Similarity.TopK
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+         |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+         |truth AS (SELECT q_id, cand_id FROM (
+         |  SELECT q_id, cand.vec_id AS cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY list_cosine_similarity(qv, v) DESC, cand.vec_id)
+         |      AS rn
+         |  FROM q, cand) t WHERE rn <= $k),
+         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+         |  WHERE vec_id BETWEEN 8 AND 23),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT cand.vec_id, cent.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+         |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id)
+         |        AS rn
+         |    FROM cand, cent) t WHERE rn = 1),
+         |probes AS (
+         |  SELECT q_id, centroid_id FROM (
+         |    SELECT q_id, centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY list_cosine_similarity(qv, cv) DESC, centroid_id)
+         |        AS rn
+         |    FROM q, cent) t WHERE rn <= 4),
+         |probed AS (SELECT p.q_id, a.vec_id
+         |  FROM probes p JOIN assign a USING (centroid_id)),
+         |approx AS (SELECT q_id, vec_id AS cand_id FROM (
+         |  SELECT pr.q_id, pr.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY pr.q_id
+         |      ORDER BY list_cosine_similarity(q.qv, c.v) DESC, pr.vec_id)
+         |      AS rn
+         |  FROM probed pr JOIN q ON pr.q_id = q.q_id
+         |  JOIN cand c ON pr.vec_id = c.vec_id) t WHERE rn <= $k),
+         |hits AS (SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM truth t JOIN approx a
+         |    ON t.q_id = a.q_id AND t.cand_id = a.cand_id
+         |  GROUP BY 1)
+         |SELECT b.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |  (COALESCE(h.n_hits, 0) * 1000) // $k AS recall_milli
+         |FROM (SELECT DISTINCT q_id FROM truth) b
+         |LEFT JOIN hits h USING (q_id)""".stripMargin
+    },
+
+    "shard_balance" -> {
+      val n = TextAnalysis.OutShards
+      s"""WITH s AS (SELECT
+         |    ${sqlPhash("concat('shard:', CAST(doc_id AS VARCHAR))")} % $n
+         |      AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents),
+         |p AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(toks) AS BIGINT) AS n_tokens FROM s GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM p)
+         |SELECT shard, n_docs, n_tokens,
+         |  (n_tokens * 1000000) // total_tokens - ${1000000L / n} AS dev_ppm
+         |FROM p, t""".stripMargin
+    },
+
+    "backfill_plan" -> {
+      val b = graft.operators.Snapshot.BackfillBatch
+      s"""SELECT CAST(c_custkey % ${graft.operators.Snapshot.ReadPartitions}
+         |    AS BIGINT) AS pid,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  (CAST(COUNT(*) AS BIGINT) + ${b - 1}) // $b AS n_batches,
+         |  CAST(MIN(c_custkey) AS BIGINT) AS key_lo,
+         |  CAST(MAX(c_custkey) AS BIGINT) AS key_hi
+         |FROM customer GROUP BY 1""".stripMargin
+    },
+
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -196,7 +196,13 @@ object SparkEntry {
       TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
     "value_quantiles"     -> ((s, dir) => Ledger.valueQuantiles(cl(s, dir))),
     "key_skew_report"     -> ((s, dir) => Ledger.keySkewReport(cl(s, dir))),
-    "sync_lag"            -> ((s, dir) => Ledger.syncLag(cl(s, dir)))
+    "sync_lag"            -> ((s, dir) => Ledger.syncLag(cl(s, dir))),
+    "ivf_recall"          -> ((s, dir) =>
+      Similarity.ivfRecall(Tables.embeddings(s, dir))),
+    "shard_balance"       -> ((s, dir) =>
+      TextAnalysis.shardBalance(Tables.documents(s, dir))),
+    "backfill_plan"       -> ((s, dir) =>
+      Snapshot.backfillPlan(Tables.customer(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

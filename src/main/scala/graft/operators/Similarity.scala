@@ -307,6 +307,25 @@ object Similarity {
         expr(s"(n_hits * 1000) div $k").as("recall_milli"))
   }
 
+  /** Recall gate for the IVF index: ann_ivf's probed top-k measured
+    * against the exact cosine brute-force truth (both rank by cosine,
+    * so this isolates the cost of probing NumProbes of NumCentroids
+    * lists — the recall/fan-out dial a production index tunes).
+    * Same k·|Q| join shape as [[pqRecall]]. */
+  def ivfRecall(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val truth = bruteTopK(embeddings, k).select(col("q_id"), col("cand_id"))
+    val hits = truth
+      .join(ivfTopK(embeddings, k).select(col("q_id"), col("cand_id")),
+        Seq("q_id", "cand_id"), "left_semi")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_hits"))
+    truth.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        expr(s"(n_hits * 1000) div $k").as("recall_milli"))
+  }
+
   /** Cosine threshold (e6) for [[semanticDedup]] — calibrated to the
     * test corpus's cosine distribution (max pairwise ≈ 0.51): pairs
     * above it are the distribution's extreme tail. */

@@ -72,6 +72,26 @@ object Snapshot {
     * ReadPartitions ranges with the stride arithmetic a JDBC partitioned
     * reader uses; emits the per-partition predicate strings. The bounds
     * are a 1-row aggregate — no data moves. */
+  /** Rows per backfill batch for [[backfillPlan]]. */
+  val BackfillBatch = 200L
+
+  /** Backfill chunking plan — how a large initial sync actually ships:
+    * per hash partition, the row count, the number of BackfillBatch-
+    * sized chunks (the reference applies bounded batches, never one
+    * giant transaction), and the key bounds a worker would page
+    * through. One map-side-combined aggregate over the snapshot. */
+  def backfillPlan(customer: DataFrame): DataFrame =
+    customer
+      .select(pmod(col("c_custkey"), lit(ReadPartitions)).as("pid"),
+        col("c_custkey").cast("long").as("key"))
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n_rows"),
+        min("key").as("key_lo"), max("key").as("key_hi"))
+      .select(col("pid"), col("n_rows"),
+        expr(s"(n_rows + ${BackfillBatch - 1}) div $BackfillBatch")
+          .as("n_batches"),
+        col("key_lo"), col("key_hi"))
+
   def sourcePartitionPlan(customer: DataFrame): DataFrame = {
     val bounds = customer.agg(
       min(col("c_custkey")).cast("long").as("lo"),

@@ -784,6 +784,33 @@ object TextAnalysis {
           .as("n_pii_docs"),
         expr("sum(toks) div count(1)").as("mean_doc_tokens"))
 
+  // --- output sharding -----------------------------------------------------
+
+  /** Output shard count for [[shardBalance]]. */
+  val OutShards = 16L
+
+  /** Output-shard balance report — the write-side twin of
+    * epoch_shuffle: documents hash-assign to OutShards output files
+    * (WebDataset/parquet-shard style), and the report says how even
+    * the split came out (docs, tokens, deviation from the ideal share
+    * in ppm). Hash assignment is what scales — a size-balanced greedy
+    * packer would serialize on a global sort; the report is the check
+    * that hashing was balanced ENOUGH. One aggregate + a 1-row
+    * broadcast total. */
+  def shardBalance(documents: DataFrame): DataFrame = {
+    val shard = pmod(graft.functions.PortableHash.phash(
+      concat(lit("shard:"), col("doc_id").cast("string"))), lit(OutShards))
+    val per = documents
+      .select(shard.as("shard"), size(tokensCol).cast("long").as("toks"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").cast("long").as("total_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        (expr("(n_tokens * 1000000) div total_tokens") -
+          lit(1000000L / OutShards)).as("dev_ppm"))
+  }
+
   // --- training-mixture weights ------------------------------------------
 
   /** Per-group cap for mixture weighting: groups contribute

@@ -699,6 +699,24 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfRecall beats pqRecall on this corpus (probing loses less than " +
+    "an untrained codebook)") {
+    val ivf = Similarity.ivfRecall(embs).collect()
+      .map(_.getAs[Long]("n_hits")).sum
+    val pq = Similarity.pqRecall(embs).collect()
+      .map(_.getAs[Long]("n_hits")).sum
+    assert(ivf >= pq)
+    assert(ivf > 0L)
+  }
+
+  test("shardBalance: totals reconcile and deviations sum to ~0") {
+    val rows = TextAnalysis.shardBalance(docs).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val dev = rows.map(_.getAs[Long]("dev_ppm")).sum
+    // integer-div truncation leaves at most ~1 ppm per shard
+    assert(math.abs(dev) <= TextAnalysis.OutShards * 2)
+  }
+
   test("mixWeights: capped-proportional shares sum to ~1e6") {
     import spark.implicits._
     val df = ((1 to 40).map(i => (i.toLong, "en", "web", "a b c")) ++
