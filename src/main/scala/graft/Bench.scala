@@ -59,7 +59,10 @@ object Bench {
     // 3-decimal (ms) precision: full-precision doubles made the line
     // overflow the driver's stdout tail window, so it recorded
     // parsed:null — keep the whole line comfortably under ~2.5 KB
-    def ms(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale (de_DE …) would
+    // format 34.123 as "34,123" and corrupt the JSON line
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = timings.map { case (k, v) => s"${q(k)}:${ms(v)}" }
       .mkString("{", ",", "}")
     val fs = failed.map(q).mkString("[", ",", "]")

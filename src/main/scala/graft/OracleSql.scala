@@ -543,12 +543,14 @@ object OracleSql {
          |      THEN ems END) AS applied_ems,
          |    MIN(CASE WHEN NOT (event_id % 7 = 0 AND status = 'OK')
          |      THEN ems END) AS oldest_pending_ems,
+         |    MIN(ems) AS first_ems,
          |    CAST(COUNT(CASE WHEN NOT (event_id % 7 = 0 AND status = 'OK')
          |      THEN 1 END) AS BIGINT) AS n_unapplied
          |  FROM a GROUP BY 1),
          |n AS (SELECT MAX(ems) AS now_ems FROM cl)
          |SELECT db,
-         |  (now_ems - COALESCE(applied_ems, 0)) // 1000 AS apply_lag_s,
+         |  (now_ems - COALESCE(applied_ems, first_ems)) // 1000
+         |    AS apply_lag_s,
          |  (now_ems - COALESCE(oldest_pending_ems, now_ems)) // 1000
          |    AS oldest_pending_age_s,
          |  n_unapplied

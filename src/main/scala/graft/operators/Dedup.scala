@@ -269,7 +269,11 @@ object Dedup {
         .select(explode(array(col("a"), col("b"))).as("a"))
         .select(col("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint()
+      // lazy: materializes on the FIRST action and truncates lineage
+      // for the rounds; an eager checkpoint would run the whole
+      // minhash+verify chain at query-CONSTRUCTION time, which every
+      // plan-only consumer (PlanAudit, PlanSpec) would pay too
+      .localCheckpoint(false)
     val init = edges.select(col("a").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))

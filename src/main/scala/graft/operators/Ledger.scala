@@ -318,12 +318,16 @@ object Ledger {
       .agg(
         max(when(applied, col("ems"))).as("applied_ems"),
         min(when(!applied, col("ems"))).as("oldest_pending_ems"),
+        min("ems").as("first_ems"),
         count(when(!applied, 1)).as("n_unapplied"))
     val now = changelog.agg(max("ems").as("now_ems"))
     perDb
       .crossJoin(broadcast(now))
+      // a db that never applied anything lags since its FIRST change,
+      // not since the epoch (a 55-year sentinel is a useless dashboard
+      // number)
       .select(col("db"),
-        expr("(now_ems - coalesce(applied_ems, 0)) div 1000")
+        expr("(now_ems - coalesce(applied_ems, first_ems)) div 1000")
           .as("apply_lag_s"),
         expr("(now_ems - coalesce(oldest_pending_ems, now_ems)) div 1000")
           .as("oldest_pending_age_s"),

@@ -30,21 +30,26 @@ object Similarity {
   /** Vector dimensionality of the test embeddings. */
   val Dim = 64
 
-  /** Deterministic pseudo-random hyperplanes (splitmix64-style LCG —
-    * public-domain constants), values in [-1, 1). */
-  lazy val hyperplanes: Array[Array[Double]] = {
-    var state = 0x9E3779B97F4A7C15L
-    def next(): Long = {
+  /** splitmix64 stream (public-domain constants) mapped to doubles in
+    * [-1, 1) via the 53-bit mantissa — the ONE deterministic generator
+    * behind both the LSH hyperplanes and the PQ codebook (a seed apart),
+    * so the mapping can't drift between them. */
+  private def splitmixDoubles(seed: Long): Iterator[Double] = {
+    var state = seed
+    Iterator.continually {
       state += 0x9E3779B97F4A7C15L
       var z = state
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
+      z ^= (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
-    Array.fill(Planes) {
-      // 53-bit mantissa / 2^53 → [0,1), then map to [-1,1)
-      Array.fill(Dim)((next() >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0)
-    }
+  }
+
+  /** Deterministic pseudo-random hyperplanes, values in [-1, 1). */
+  lazy val hyperplanes: Array[Array[Double]] = {
+    val s = splitmixDoubles(0x9E3779B97F4A7C15L)
+    Array.fill(Planes)(Array.fill(Dim)(s.next()))
   }
 
   /** Sign-pattern LSH bucket id of an embedding column (codegen'd
@@ -202,16 +207,8 @@ object Similarity {
     * per subspace; fixed literals keep the oracle deterministic, and
     * the plan shape is identical either way. */
   lazy val pqCodebook: Array[Array[Array[Double]]] = {
-    var state = 0x243F6A8885A308D3L
-    def next(): Long = {
-      state += 0x9E3779B97F4A7C15L
-      var z = state
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    Array.fill(PqM, PqK, PqSubDim)(
-      (next() >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0)
+    val s = splitmixDoubles(0x243F6A8885A308D3L)
+    Array.fill(PqM, PqK, PqSubDim)(s.next())
   }
 
   /** PQ encoding: each vector's M subvectors map to their nearest
@@ -295,9 +292,18 @@ object Similarity {
         .orderBy(col("d2_e9"), col("cand_id"))))
       .where(col("rank") <= k)
       .select(col("q_id"), col("cand_id"))
+    recallAtK(truth,
+      pqSearch(embeddings, k).select(col("q_id"), col("cand_id")), k)
+  }
+
+  /** recall@k of an approximate result against a ground-truth top-k:
+    * the k·|Q| truth rows semi-join the approximate rows, and every
+    * query reports its hit count even at zero — the shared scaffold
+    * of [[ivfRecall]] and [[pqRecall]]. */
+  private def recallAtK(truth: DataFrame, approx: DataFrame,
+                        k: Int): DataFrame = {
     val hits = truth
-      .join(pqSearch(embeddings, k).select(col("q_id"), col("cand_id")),
-        Seq("q_id", "cand_id"), "left_semi")
+      .join(approx, Seq("q_id", "cand_id"), "left_semi")
       .groupBy("q_id")
       .agg(count(lit(1)).as("n_hits"))
     truth.select("q_id").distinct()
@@ -310,21 +316,11 @@ object Similarity {
   /** Recall gate for the IVF index: ann_ivf's probed top-k measured
     * against the exact cosine brute-force truth (both rank by cosine,
     * so this isolates the cost of probing NumProbes of NumCentroids
-    * lists — the recall/fan-out dial a production index tunes).
-    * Same k·|Q| join shape as [[pqRecall]]. */
-  def ivfRecall(embeddings: DataFrame, k: Int = TopK): DataFrame = {
-    val truth = bruteTopK(embeddings, k).select(col("q_id"), col("cand_id"))
-    val hits = truth
-      .join(ivfTopK(embeddings, k).select(col("q_id"), col("cand_id")),
-        Seq("q_id", "cand_id"), "left_semi")
-      .groupBy("q_id")
-      .agg(count(lit(1)).as("n_hits"))
-    truth.select("q_id").distinct()
-      .join(hits, Seq("q_id"), "left")
-      .na.fill(0L, Seq("n_hits"))
-      .select(col("q_id"), col("n_hits"),
-        expr(s"(n_hits * 1000) div $k").as("recall_milli"))
-  }
+    * lists — the recall/fan-out dial a production index tunes). */
+  def ivfRecall(embeddings: DataFrame, k: Int = TopK): DataFrame =
+    recallAtK(
+      bruteTopK(embeddings, k).select(col("q_id"), col("cand_id")),
+      ivfTopK(embeddings, k).select(col("q_id"), col("cand_id")), k)
 
   /** Cosine threshold (e6) for [[semanticDedup]] — calibrated to the
     * test corpus's cosine distribution (max pairwise ≈ 0.51): pairs

@@ -68,10 +68,6 @@ object Snapshot {
       .where(col("change_type") =!= "NONE")
   }
 
-  /** Partitioned bulk-read plan: split [min(key), max(key)] into
-    * ReadPartitions ranges with the stride arithmetic a JDBC partitioned
-    * reader uses; emits the per-partition predicate strings. The bounds
-    * are a 1-row aggregate — no data moves. */
   /** Rows per backfill batch for [[backfillPlan]]. */
   val BackfillBatch = 200L
 
@@ -92,6 +88,10 @@ object Snapshot {
           .as("n_batches"),
         col("key_lo"), col("key_hi"))
 
+  /** Partitioned bulk-read plan: split [min(key), max(key)] into
+    * ReadPartitions ranges with the stride arithmetic a JDBC partitioned
+    * reader uses; emits the per-partition predicate strings. The bounds
+    * are a 1-row aggregate — no data moves. */
   def sourcePartitionPlan(customer: DataFrame): DataFrame = {
     val bounds = customer.agg(
       min(col("c_custkey")).cast("long").as("lo"),
