@@ -717,6 +717,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(dev) <= TextAnalysis.OutShards * 2)
   }
 
+  test("mass-duplicate bucket degrades to star pairs — O(B), never O(B²)") {
+    import spark.implicits._
+    // 500 identical docs land in ONE bucket per band: all-pairs would
+    // be 500·499/2 ≈ 125k rows on one reducer; the star cap keeps the
+    // candidate set linear (keeper ↔ member) and dedup still removes
+    // every copy transitively through the keeper
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = (1 to 500).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    assert(Dedup.minhashCandidates(df).count() === 499L)
+    val dups = Dedup.minhashDedup(df).collect()
+    assert(dups.length === 499L)
+    assert(dups.forall(_.getAs[Long]("keeper_doc_id") === 1L))
+    assert(dups.forall(_.getAs[Long]("j_milli") === 1000L))
+  }
+
   test("mixWeights: capped-proportional shares sum to ~1e6") {
     import spark.implicits._
     val df = ((1 to 40).map(i => (i.toLong, "en", "web", "a b c")) ++
