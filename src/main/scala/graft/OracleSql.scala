@@ -1614,6 +1614,20 @@ object OracleSql {
          |LEFT JOIN hits h USING (q_id)""".stripMargin
     },
 
+    "ingest_parity" ->
+      """WITH k AS (SELECT lang,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |  FROM documents
+        |  WHERE length(text) BETWEEN 50 AND 2000
+        |    AND len(string_split(text, ' ')) >= 10
+        |    AND (len(regexp_extract_all(text, '[.,!?;:]')) * 1000)
+        |      // greatest(length(text), 1) <= 100)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_emitted,
+        |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_suppressed
+        |FROM k GROUP BY lang""".stripMargin,
+
     "shard_balance" -> {
       val n = TextAnalysis.OutShards
       s"""WITH s AS (SELECT

@@ -202,7 +202,9 @@ object SparkEntry {
     "shard_balance"       -> ((s, dir) =>
       TextAnalysis.shardBalance(Tables.documents(s, dir))),
     "backfill_plan"       -> ((s, dir) =>
-      Snapshot.backfillPlan(Tables.customer(s, dir)))
+      Snapshot.backfillPlan(Tables.customer(s, dir))),
+    "ingest_parity"       -> ((s, dir) =>
+      TextAnalysis.ingestParity(Tables.documents(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

@@ -170,7 +170,9 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
   * rounded to integer e9 BEFORE the argmin, ties to the smaller code —
   * the rounding makes every downstream comparison integer arithmetic,
   * bit-identical in the SQL oracle) plus the summed quantization error.
-  * Returns array<long> of length M+1: [c0..c(M-1), err_e9].
+  * Returns array<long> of length M+1: [c0..c(M-1), err_e9]. A null or
+  * NaN element yields a null result (Math.round(NaN)=0 would otherwise
+  * silently encode a NaN vector as a perfect-distance code 0).
   *
   * One codegen'd loop nest over a referenced double[][][] — the
   * unrolled Column-tree form of the same computation generated ~1 MB of
@@ -199,7 +201,10 @@ case class PqCodes(child: Expression, codebook: Array[Array[Array[Double]]])
     val v = input.asInstanceOf[ArrayData]
     if (v.numElements() < m * s) return null
     var i = 0
-    while (i < m * s) { if (v.isNullAt(i)) return null; i += 1 }
+    while (i < m * s) {
+      if (v.isNullAt(i) || java.lang.Float.isNaN(v.getFloat(i))) return null
+      i += 1
+    }
     val res = new Array[Long](m + 1)
     var err = 0L
     var mi = 0
@@ -246,7 +251,9 @@ case class PqCodes(child: Expression, codebook: Array[Array[Array[Double]]])
       s"""
          |if ($v.numElements() < ${m * s}) { ${ev.isNull} = true; }
          |for (int $i = 0; !${ev.isNull} && $i < ${m * s}; $i++) {
-         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; }
+         |  if ($v.isNullAt($i) || java.lang.Float.isNaN($v.getFloat($i))) {
+         |    ${ev.isNull} = true;
+         |  }
          |}
          |if (!${ev.isNull}) {
          |  long[] $res = new long[${m + 1}];
@@ -305,7 +312,10 @@ case class PqLut(child: Expression, codebook: Array[Array[Array[Double]]])
     val v = input.asInstanceOf[ArrayData]
     if (v.numElements() < m * s) return null
     var i = 0
-    while (i < m * s) { if (v.isNullAt(i)) return null; i += 1 }
+    while (i < m * s) {
+      if (v.isNullAt(i) || java.lang.Float.isNaN(v.getFloat(i))) return null
+      i += 1
+    }
     val res = new Array[Long](m * k)
     var mi = 0
     while (mi < m) {
@@ -341,7 +351,9 @@ case class PqLut(child: Expression, codebook: Array[Array[Array[Double]]])
       s"""
          |if ($v.numElements() < ${m * s}) { ${ev.isNull} = true; }
          |for (int $i = 0; !${ev.isNull} && $i < ${m * s}; $i++) {
-         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; }
+         |  if ($v.isNullAt($i) || java.lang.Float.isNaN($v.getFloat($i))) {
+         |    ${ev.isNull} = true;
+         |  }
          |}
          |if (!${ev.isNull}) {
          |  long[] $res = new long[${m * k}];

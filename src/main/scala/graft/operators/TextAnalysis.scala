@@ -784,6 +784,25 @@ object TextAnalysis {
           .as("n_pii_docs"),
         expr("sum(toks) div count(1)").as("mean_doc_tokens"))
 
+  // --- streaming-ingest parity ---------------------------------------------
+
+  /** Batch twin of streaming.CdcStream.ingestDocuments — the oracle-
+    * checked anchor for the streaming lane: the same quality gate
+    * (shared keepCol) and the same normalized-md5 fingerprint dedup
+    * key, rolled up per language as (docs admitted by the gate,
+    * distinct fingerprints = docs the stream would emit, copies the
+    * stream's dropDuplicatesWithinWatermark would suppress). The
+    * streaming spec proves arrival-order behavior; this query pins the
+    * SET semantics cross-engine. */
+  def ingestParity(documents: DataFrame): DataFrame =
+    documents
+      .where(keepCol)
+      .select(col("lang"), md5(normCol.cast("binary")).as("fp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        countDistinct("fp").as("n_emitted"))
+      .withColumn("n_suppressed", col("n_kept") - col("n_emitted"))
+
   // --- output sharding -----------------------------------------------------
 
   /** Output shard count for [[shardBalance]]. */

@@ -40,6 +40,20 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("PqCodes/PqLut yield null on NaN elements (Math.round(NaN)=0 would " +
+    "silently encode a perfect-distance code)") {
+    import graft.operators.Similarity
+    val nan = Array.fill(Similarity.Dim)(Float.NaN)
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(nan)
+    val litE = org.apache.spark.sql.catalyst.expressions.Literal(arr,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    assert(graft.functions.PqCodes(litE, Similarity.pqCodebook)
+      .eval(null) === null)
+    assert(graft.functions.PqLut(litE, Similarity.pqCodebook)
+      .eval(null) === null)
+  }
+
   test("PqCodes interpreted eval matches the codegen'd dataframe result") {
     import graft.operators.Similarity
     val rows = Tables.embeddings(spark, TestSpark.Sf).limit(10)
