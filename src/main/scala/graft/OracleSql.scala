@@ -1614,6 +1614,43 @@ object OracleSql {
          |LEFT JOIN hits h USING (q_id)""".stripMargin
     },
 
+    "pmi_pairs" ->
+      s"""WITH uni AS (SELECT t.t AS t, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni),
+         |tk AS (SELECT string_split(text, ' ') AS tk FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |p AS (SELECT tk[u.i+1] AS w1, tk[u.i+2] AS w2,
+         |    CAST(COUNT(*) AS BIGINT) AS c12
+         |  FROM tk, UNNEST(generate_series(0, len(tk)-2)) AS u(i)
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= ${TextAnalysis.PmiMinCount})
+         |SELECT w1, w2, c12,
+         |  ((c12 * 1000000) // u1.c) * n_tok // u2.c AS lift_ppm
+         |FROM p JOIN uni u1 ON p.w1 = u1.t JOIN uni u2 ON p.w2 = u2.t, tot
+         |ORDER BY lift_ppm DESC, w1, w2
+         |LIMIT ${TextAnalysis.PmiTopK}""".stripMargin,
+
+    "bpe_apply" ->
+      s"""WITH v AS (SELECT t.t AS t, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)
+         |  GROUP BY 1),
+         |top AS (SELECT substr(t, u.i, 2) AS pair,
+         |    CAST(SUM(tf) AS BIGINT) AS pair_n
+         |  FROM v, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+         |  WHERE len(t) >= 2
+         |  GROUP BY 1 ORDER BY pair_n DESC, pair LIMIT 1),
+         |r AS (SELECT pair, pair_n, tf,
+         |    CAST(len(t) AS BIGINT) AS len_before,
+         |    CAST(len(replace(t, pair, '_')) AS BIGINT) AS len_after
+         |  FROM v, top)
+         |SELECT pair, pair_n,
+         |  CAST(SUM(CASE WHEN len_after < len_before THEN tf ELSE 0 END)
+         |    AS BIGINT) AS tokens_affected,
+         |  CAST(SUM(tf * len_before) AS BIGINT) AS chars_before,
+         |  CAST(SUM(tf * len_after) AS BIGINT) AS chars_after
+         |FROM r GROUP BY 1, 2""".stripMargin,
+
     "ingest_parity" ->
       """WITH k AS (SELECT lang,
         |    md5(trim(regexp_replace(regexp_replace(lower(text),

@@ -204,7 +204,11 @@ object SparkEntry {
     "backfill_plan"       -> ((s, dir) =>
       Snapshot.backfillPlan(Tables.customer(s, dir))),
     "ingest_parity"       -> ((s, dir) =>
-      TextAnalysis.ingestParity(Tables.documents(s, dir)))
+      TextAnalysis.ingestParity(Tables.documents(s, dir))),
+    "pmi_pairs"           -> ((s, dir) =>
+      TextAnalysis.pmiPairs(Tables.documents(s, dir))),
+    "bpe_apply"           -> ((s, dir) =>
+      TextAnalysis.bpeApplyStep(Tables.documents(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

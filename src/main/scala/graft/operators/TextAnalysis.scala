@@ -689,6 +689,69 @@ object TextAnalysis {
         min("p_ppm").as("min_p_ppm"))
   }
 
+  // --- collocation mining --------------------------------------------------
+
+  /** Minimum pair count and report size for [[pmiPairs]]. */
+  val PmiMinCount = 5L
+  val PmiTopK = 20
+
+  /** Collocation mining: the token pairs most over-represented vs
+    * independence (an integer lift score — the PMI ranking without the
+    * cross-engine log), the signal a tokenizer or phrase-table build
+    * reads. lift_ppm = (c₁₂·1e6 ÷ c₁)·N ÷ c₂ — divisions interleaved
+    * so intermediates stay inside int64 at any corpus size; both
+    * engines compute the identical truncation order. Count relations
+    * are vocabulary-sized; top-k is a TakeOrdered. */
+  def pmiPairs(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), tokensCol.as("tk"))
+    val uni = documents.select(explode(tokensCol).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").cast("long").as("n_tok"))
+    val pairs = toks
+      .where(size(col("tk")) >= 2)
+      .select(explode(expr("transform(sequence(0, size(tk)-2), " +
+        "i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= PmiMinCount)
+    pairs
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("((c12 * 1000000) div c1) * n_tok div c2").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
+  // --- BPE merge application -----------------------------------------------
+
+  /** One full BPE trainer iteration: find the most frequent adjacent
+    * character pair ([[bpeMergeStep]]'s head) and APPLY the merge to
+    * the vocabulary, reporting the corpus-level compression it buys
+    * (the number the trainer uses to decide when merges stop paying).
+    * The merge target arrives as a broadcast 1-row relation — never a
+    * collected driver value — so the whole iteration is one plan.
+    * Replacement is left-to-right non-overlapping in both engines. */
+  def bpeApplyStep(documents: DataFrame): DataFrame = {
+    val top = bpeMergeStep(documents).limit(1)
+      .select(col("pair"), col("n").as("pair_n"))
+    val vocab = documents.select(explode(tokensCol).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("tf"))
+    vocab
+      .crossJoin(broadcast(top))
+      .select(col("pair"), col("pair_n"), col("tf"),
+        length(col("t")).cast("long").as("len_before"),
+        length(replace(col("t"), col("pair"), lit("_"))).cast("long")
+          .as("len_after"))
+      .groupBy("pair", "pair_n")
+      .agg(
+        sum(when(col("len_after") < col("len_before"), col("tf"))
+          .otherwise(0L)).cast("long").as("tokens_affected"),
+        sum(col("tf") * col("len_before")).cast("long").as("chars_before"),
+        sum(col("tf") * col("len_after")).cast("long").as("chars_after"))
+  }
+
   // --- linear quality classifier -------------------------------------------
 
   /** Bag-of-words weights (milli) for [[qualityClassify]] — the

@@ -717,6 +717,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(dev) <= TextAnalysis.OutShards * 2)
   }
 
+  test("pmiPairs: a planted exclusive pair tops the lift ranking") {
+    import spark.implicits._
+    // 'aa bb' always co-occur (exclusively); 'xx yy zz' mix freely
+    val df = ((1 to 10).map(i => (i.toLong, "aa bb xx yy")) ++
+      (11 to 20).map(i => (i.toLong, "xx zz yy xx"))).toDF("doc_id", "text")
+    val top = TextAnalysis.pmiPairs(df).collect()
+    val head = top.head
+    assert((head.getAs[String]("w1"), head.getAs[String]("w2")) ===
+      ("aa", "bb"))
+    // exclusive pair: c12=10, c1=10, c2=10, N=80 → lift 8e6
+    assert(head.getAs[Long]("lift_ppm") === 8000000L)
+  }
+
+  test("bpeApplyStep: compression reconciles with the top pair's mass") {
+    val r = TextAnalysis.bpeApplyStep(docs).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("tokens_affected") > 0L)
+    // each replaced occurrence saves exactly one character
+    assert(row.getAs[Long]("chars_after") < row.getAs[Long]("chars_before"))
+    val saved = row.getAs[Long]("chars_before") - row.getAs[Long]("chars_after")
+    // saved chars ≤ the pair's counted mass (overlaps reduce it)
+    assert(saved <= row.getAs[Long]("pair_n"))
+  }
+
   test("mass-duplicate bucket degrades to star pairs — O(B), never O(B²)") {
     import spark.implicits._
     // 500 identical docs land in ONE bucket per band: all-pairs would

@@ -67,7 +67,7 @@ class PlanSpec extends AnyFunSuite {
       "heartbeat_state", "status_rollup", "ivf_assign", "ivf_train",
       "log_compact", "mix_weights", "dist_drift", "semantic_dedup",
       "pq_search", "pq_recall", "key_skew_report", "sync_lag",
-      "ivf_recall", "shard_balance")
+      "ivf_recall", "shard_balance", "pmi_pairs", "bpe_apply")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
