@@ -133,6 +133,28 @@ object InvariantProps extends Properties("graft.invariants") {
         md5Long(s"split:$docId") == md5Long(s"split:$docId")
     }
 
+  property("portable hash permutations stay in [0, P) with no long overflow") =
+    forAll(Gen.choose(0L, Long.MaxValue), Gen.choose(0, 63)) { (h, seed) =>
+      import graft.functions.PortableHash.{A, B, P}
+      val hm = (h % P + P) % P
+      // the Column tree computes hm * A(seed) + B(seed): prove the
+      // intermediate fits a signed long for ANY reduced input
+      val prod = BigInt(hm) * A(seed) + B(seed)
+      val perm = (hm * A(seed) + B(seed)) % P
+      prod <= BigInt(Long.MaxValue) && perm >= 0 && perm < P
+    }
+
+  property("band key fold stays in [0, BandQ) for any in-range minhashes") =
+    forAll(Gen.listOfN(4, Gen.choose(0L, graft.functions.PortableHash.P - 1))) {
+      ms =>
+        import graft.functions.PortableHash.{BandQ, BandR}
+        val k = ms.tail.foldLeft(ms.head % BandQ)((acc, m) =>
+          (acc * BandR + m) % BandQ)
+        val maxInter = BigInt(BandQ - 1) * BandR +
+          (graft.functions.PortableHash.P - 1)
+        k >= 0 && k < BandQ && maxInter <= BigInt(Long.MaxValue)
+    }
+
   property("partition plan covers [lo, hi] exactly, ranges disjoint & adjacent") =
     forAll(Gen.choose(0L, 1000L), Gen.choose(1L, 100000L)) { (lo, span) =>
       val hi = lo + span
