@@ -56,14 +56,18 @@ object Bench {
       }
     }
     import JsonOut.q
-    // 3-decimal (ms) precision: full-precision doubles made the line
-    // overflow the driver's stdout tail window, so it recorded
-    // parsed:null — keep the whole line comfortably under ~2.5 KB
+    // Bounded precision: full-precision doubles made the line overflow
+    // the driver's stdout tail window (~2.9 KB observed in round 3 —
+    // the head of the JSON was cut and it recorded parsed:null). At
+    // 100+ queries even 3 decimals is borderline, so per-query values
+    // use 2 decimals (run-to-run noise is ±4% anyway); the total keeps 3.
     // Locale.ROOT: a comma-decimal default locale (de_DE …) would
     // format 34.123 as "34,123" and corrupt the JSON line
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = timings.map { case (k, v) => s"${q(k)}:${ms(v)}" }
+    def cs(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = timings.map { case (k, v) => s"${q(k)}:${cs(v)}" }
       .mkString("{", ",", "}")
     val fs = failed.map(q).mkString("[", ",", "]")
     val total = timings.values.sum

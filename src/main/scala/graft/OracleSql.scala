@@ -1691,6 +1691,80 @@ object OracleSql {
          |FROM customer GROUP BY 1""".stripMargin
     },
 
+    "apply_batch_plan" -> {
+      val b = graft.operators.ChangeLog.ApplyBatchRows
+      s"""WITH $CL,
+         |polled AS (SELECT event_id FROM cl WHERE event_id % 7 = 0),
+         |pb AS (SELECT * FROM cl
+         |  WHERE NOT EXISTS (SELECT 1 FROM polled p
+         |                    WHERE p.event_id = cl.event_id)
+         |  ORDER BY event_id LIMIT ${graft.operators.ChangeLog.BatchSize}),
+         |rb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY part
+         |    ORDER BY ems, event_id) AS rn FROM pb)
+         |SELECT part, (rn - 1) // $b AS batch_idx,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MIN(event_id) AS first_event_id,
+         |  MAX(event_id) AS last_event_id,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+         |  CAST(SUM(value_cents) AS BIGINT) AS sum_cents
+         |FROM rb GROUP BY 1, 2""".stripMargin
+    },
+
+    "props_census" ->
+      """WITH m AS (SELECT event_type, u.m AS m
+        |  FROM events, UNNEST(regexp_extract_all(props,
+        |    '"([A-Za-z0-9_]+)"\s*:\s*([^,}]+)', 0)) AS u(m)),
+        |p AS (SELECT event_type,
+        |    regexp_extract(m, '"([A-Za-z0-9_]+)"', 1) AS key,
+        |    trim(regexp_extract(m, ':\s*(.+)$', 1)) AS vs
+        |  FROM m),
+        |nm AS (SELECT event_type, key,
+        |    CASE WHEN regexp_matches(vs, '^-?[0-9]+$')
+        |      THEN CAST(vs AS BIGINT) END AS num
+        |  FROM p)
+        |SELECT event_type, key, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(num) AS BIGINT) AS n_numeric,
+        |  CAST(COALESCE(SUM(num), 0) AS BIGINT) AS sum_num,
+        |  MIN(num) AS min_num, MAX(num) AS max_num
+        |FROM nm GROUP BY 1, 2""".stripMargin,
+
+    "funnel_conversion" ->
+      """WITH s AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type='signup' THEN epoch_ns(ts) END)
+        |      AS t_signup,
+        |    MIN(CASE WHEN event_type='click' THEN epoch_ns(ts) END)
+        |      AS t_click,
+        |    MIN(CASE WHEN event_type='purchase' THEN epoch_ns(ts) END)
+        |      AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+        |  CAST(COUNT(CASE WHEN t_click > t_signup THEN 1 END) AS BIGINT)
+        |    AS n_signup_click,
+        |  CAST(COUNT(CASE WHEN t_purchase > t_click
+        |    AND t_click > t_signup THEN 1 END) AS BIGINT) AS n_full_funnel
+        |FROM s""".stripMargin,
+
+    "retention_cohorts" -> {
+      val w = graft.operators.Analytics.WeekNs
+      s"""WITH uw AS (SELECT DISTINCT user_id,
+         |    epoch_ns(ts) // $w AS week FROM events),
+         |ch AS (SELECT user_id, MIN(week) AS cohort_week
+         |  FROM uw GROUP BY 1)
+         |SELECT ch.cohort_week, uw.week - ch.cohort_week AS age_weeks,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users
+         |FROM uw JOIN ch USING (user_id) GROUP BY 1, 2""".stripMargin
+    },
+
+    "value_histogram" ->
+      s"""WITH $CL
+         |SELECT op,
+         |  CASE WHEN value_cents > 0
+         |    THEN CAST(length(format('{:b}', value_cents)) AS BIGINT)
+         |    ELSE 0 END AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(value_cents) AS BIGINT) AS sum_cents
+         |FROM cl GROUP BY 1, 2""".stripMargin,
+
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

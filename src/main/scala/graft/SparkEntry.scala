@@ -208,7 +208,17 @@ object SparkEntry {
     "pmi_pairs"           -> ((s, dir) =>
       TextAnalysis.pmiPairs(Tables.documents(s, dir))),
     "bpe_apply"           -> ((s, dir) =>
-      TextAnalysis.bpeApplyStep(Tables.documents(s, dir)))
+      TextAnalysis.bpeApplyStep(Tables.documents(s, dir))),
+    "apply_batch_plan"    -> ((s, dir) =>
+      ChangeLog.applyBatchPlan(cl(s, dir))),
+    "props_census"        -> ((s, dir) =>
+      ChangeLog.propsCensus(Tables.events(s, dir))),
+    "funnel_conversion"   -> ((s, dir) =>
+      Analytics.funnelConversion(Tables.events(s, dir))),
+    "retention_cohorts"   -> ((s, dir) =>
+      Analytics.retentionCohorts(Tables.events(s, dir))),
+    "value_histogram"     -> ((s, dir) =>
+      Analytics.valueHistogram(cl(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

@@ -69,4 +69,64 @@ object Analytics {
         col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_items"))
+
+  /** Staged funnel conversion over the raw event stream
+    * (signup → first click after signup → first purchase after that
+    * click): ONE user-keyed aggregate computes all three stage
+    * timestamps as conditional mins (map-side combined — the shuffle
+    * carries ≤3 longs per user, not the events), then a single global
+    * aggregate counts the stage survivors. Exact ns timestamps so
+    * stage ordering never ties apart across engines. */
+  def funnelConversion(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts_ns"))).as("t_signup"),
+        min(when(col("event_type") === "click", col("ts_ns"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts_ns")))
+          .as("t_purchase"))
+      .agg(
+        count(col("t_signup")).as("n_signup"),
+        count(when(col("t_click") > col("t_signup"), 1)).as("n_signup_click"),
+        count(when(col("t_purchase") > col("t_click")
+          && col("t_click") > col("t_signup"), 1)).as("n_full_funnel"))
+
+  /** Nanoseconds per (7-day) cohort week. */
+  val WeekNs = 604800000000000L
+
+  /** Weekly retention cohorts: cohort = a user's first active week,
+    * age = weeks since cohort; cell = active users. The (user, week)
+    * activity relation is distinct'd FIRST (one shuffle that collapses
+    * all of a user-week's events to one row), the per-user cohort min
+    * reuses the same user-keyed exchange, and the final cell aggregate
+    * runs over user-weeks (≤ 52·|users| rows/year), never raw events. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    // integer div: ns-since-epoch overflows double's exact range, so
+    // never `/` (same rule as Tables.events)
+    val userWeeks = events
+      .select(col("user_id"), expr(s"ts_ns div ${WeekNs}L").as("week"))
+      .distinct()
+    val cohorts = userWeeks.groupBy("user_id")
+      .agg(min("week").as("cohort_week"))
+    userWeeks.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Power-of-two value histogram per op class: bucket = bit length of
+    * the cents amount (length of its base-2 rendering — portable:
+    * Spark `bin` / DuckDB `format('{:b}')`), so the whole histogram is
+    * one map-side-combined aggregate on a ≤3×64-key space. The
+    * log-scale view a sync-monitor dashboard wants from a money column
+    * without a fixed bucket list. */
+  def valueHistogram(changelog: DataFrame): DataFrame =
+    changelog
+      .select(col("op"),
+        when(col("value_cents") > 0,
+          length(bin(col("value_cents"))).cast("long"))
+          .otherwise(lit(0L)).as("bucket"),
+        col("value_cents"))
+      .groupBy("op", "bucket")
+      .agg(count(lit(1)).as("n"), sum("value_cents").as("sum_cents"))
 }

@@ -105,6 +105,59 @@ object ChangeLog {
         count(when(!captured, 1)).as("n_suppressed"))
   }
 
+  /** Rows per applied sub-batch within one poll cycle — mirrors the
+    * reference's bounded batched apply (`sync/DataSyncer.scala` applies
+    * a polled batch in per-partition slices). */
+  val ApplyBatchRows = 50L
+
+  /** Batched-apply plan for ONE poll cycle: the polled batch (bounded
+    * by `batch`, so the per-partition windows below order a
+    * config-bounded relation — never unbounded history) is split into
+    * id-ordered sub-batches of ApplyBatchRows per partition worker,
+    * and each sub-batch is summarized (rows, key span, id span). This
+    * is the apply schedule a partition worker executes in order.
+    * Reference: `sync/DataSyncer.scala:70-133` batched apply,
+    * `dbopt/PgOperation.scala:49-82` per-batch statements. */
+  def applyBatchPlan(changelog: DataFrame,
+                     batch: Int = BatchSize): DataFrame =
+    pollBatch(changelog, batch)
+      .withColumn("batch_idx",
+        expr(s"(row_number() OVER (PARTITION BY part ORDER BY ems, event_id)"
+          + s" - 1) div ${ApplyBatchRows}L"))
+      .groupBy("part", "batch_idx")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("event_id").as("first_event_id"),
+        max("event_id").as("last_event_id"),
+        countDistinct("user_id").as("n_keys"),
+        sum("value_cents").as("sum_cents"))
+
+  /** JSON-payload census — the schema-drift monitor for the trigger-
+    * written `data` column (reference: the JSON row payload of
+    * `sync/SyncDataModel.scala`; a drifting upstream schema shows up
+    * here before it breaks apply). Pairs are pulled with a portable
+    * regex (no JSON engine dependence), so both engines agree on
+    * malformed fragments too: per (event_type, key) — occurrences,
+    * how many values are integral, and their min/max/sum. */
+  def propsCensus(events: DataFrame): DataFrame = {
+    val pair = "\"([A-Za-z0-9_]+)\"\\s*:\\s*([^,}]+)"
+    events
+      .select(col("event_type"),
+        explode(regexp_extract_all(col("props"), lit(pair), lit(0))).as("m"))
+      .select(col("event_type"),
+        regexp_extract(col("m"), "\"([A-Za-z0-9_]+)\"", 1).as("key"),
+        trim(regexp_extract(col("m"), ":\\s*(.+)$", 1)).as("vs"))
+      .withColumn("num",
+        when(col("vs").rlike("^-?[0-9]+$"), col("vs").cast("long")))
+      .groupBy("event_type", "key")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("num")).as("n_numeric"),
+        coalesce(sum("num"), lit(0L)).as("sum_num"),
+        min("num").as("min_num"),
+        max("num").as("max_num"))
+  }
+
   /** Multi-target routing: one change row fans out to each configured
     * target db (reference: trigger loop over regexp_split targetDb).
     * Routing table is a deterministic function of the key here.

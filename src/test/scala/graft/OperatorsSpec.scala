@@ -204,4 +204,68 @@ class OperatorsSpec extends AnyFunSuite {
     for (bad <- Seq("a;drop table x", "a b", "1abc", "", "x--", "a.b"))
       intercept[IllegalArgumentException](JdbcSync.ident(bad))
   }
+
+  test("apply_batch_plan covers the polled batch in bounded ordered slices") {
+    val plan = ChangeLog.applyBatchPlan(cl).collect()
+    val polled = ChangeLog.pollBatch(cl).count()
+    assert(plan.map(_.getAs[Long]("n_rows")).sum === polled)
+    plan.foreach { r =>
+      assert(r.getAs[Long]("n_rows") <= ChangeLog.ApplyBatchRows)
+      assert(r.getAs[Long]("first_event_id") <= r.getAs[Long]("last_event_id"))
+    }
+    // within a partition, batch id spans never interleave (ordered apply):
+    // a later batch's first id ordering key comes after the previous one's
+    plan.groupBy(_.getAs[Long]("part")).foreach { case (_, rows) =>
+      val byIdx = rows.sortBy(_.getAs[Long]("batch_idx"))
+      assert(byIdx.map(_.getAs[Long]("batch_idx")).toSeq ===
+        byIdx.indices.map(_.toLong))
+    }
+  }
+
+  test("props_census sees every payload pair exactly once") {
+    val ev = Tables.events(spark, TestSpark.Sf)
+    val census = ChangeLog.propsCensus(ev).collect()
+    assert(census.map(_.getAs[Long]("n")).sum === ev.count()) // 1 pair/row
+    census.foreach { r =>
+      assert(r.getAs[Long]("n_numeric") <= r.getAs[Long]("n"))
+      assert(r.getAs[Long]("min_num") <= r.getAs[Long]("max_num"))
+    }
+  }
+
+  test("funnel stages are monotonically non-increasing") {
+    val f = Analytics.funnelConversion(Tables.events(spark, TestSpark.Sf))
+      .collect().head
+    assert(f.getAs[Long]("n_signup") >= f.getAs[Long]("n_signup_click"))
+    assert(f.getAs[Long]("n_signup_click") >= f.getAs[Long]("n_full_funnel"))
+    assert(f.getAs[Long]("n_signup") > 0)
+  }
+
+  test("retention cohorts conserve the distinct user-week universe and " +
+    "age 0 holds every cohort member") {
+    val ev = Tables.events(spark, TestSpark.Sf)
+    val rc = Analytics.retentionCohorts(ev).collect()
+    val userWeeks = ev.select(col("user_id"),
+      expr(s"ts_ns div ${Analytics.WeekNs}L")).distinct().count()
+    assert(rc.map(_.getAs[Long]("n_users")).sum === userWeeks)
+    // age-0 cell of each cohort = cohort size = all its users are active
+    // in their own first week by definition
+    val users = ev.select("user_id").distinct().count()
+    assert(rc.filter(_.getAs[Long]("age_weeks") == 0L)
+      .map(_.getAs[Long]("n_users")).sum === users)
+    rc.foreach(r => assert(r.getAs[Long]("age_weeks") >= 0L))
+  }
+
+  test("value_histogram buckets are exact bit lengths and conserve mass") {
+    val vh = Analytics.valueHistogram(cl).collect()
+    assert(vh.map(_.getAs[Long]("n")).sum === cl.count())
+    vh.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      if (b > 0) {
+        // all values in bucket b lie in [2^(b-1), 2^b)
+        val lo = 1L << (b - 1)
+        assert(r.getAs[Long]("sum_cents") >= lo * r.getAs[Long]("n"))
+        assert(r.getAs[Long]("sum_cents") < 2 * lo * r.getAs[Long]("n"))
+      }
+    }
+  }
 }
