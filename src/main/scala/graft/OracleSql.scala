@@ -1765,6 +1765,90 @@ object OracleSql {
          |  CAST(SUM(value_cents) AS BIGINT) AS sum_cents
          |FROM cl GROUP BY 1, 2""".stripMargin,
 
+    "minhash_est_error" -> {
+      val agree = (0 until Dedup.NumHashes)
+        .map(s => s"(CASE WHEN a.m$s = b.m$s THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $MinhashCtes,
+         |est AS (SELECT j.doc_a, j.doc_b, j.j_milli,
+         |    CAST($agree AS BIGINT) AS n_agree
+         |  FROM jac j
+         |  JOIN sigs a ON a.doc_id = j.doc_a
+         |  JOIN sigs b ON b.doc_id = j.doc_b)
+         |SELECT doc_a, doc_b, n_agree,
+         |  (n_agree * 1000) // ${Dedup.NumHashes} AS est_milli, j_milli,
+         |  abs((n_agree * 1000) // ${Dedup.NumHashes} - j_milli) AS err_milli
+         |FROM est""".stripMargin
+    },
+
+    "dedup_agreement" ->
+      s"""WITH $MinhashCtes, $SimhashCtes,
+         |mh AS (SELECT doc_a, doc_b FROM jac
+         |  WHERE j_milli >= ${Dedup.JaccardMilli}),
+         |sp AS (SELECT DISTINCT doc_a, doc_b FROM spairs
+         |  WHERE bit_count(xor(sa, sb)) <= ${Dedup.MaxHamming}),
+         |u AS (SELECT COALESCE(mh.doc_a, sp.doc_a) AS doc_a,
+         |    COALESCE(mh.doc_b, sp.doc_b) AS doc_b,
+         |    (mh.doc_a IS NOT NULL) AS in_mh, (sp.doc_a IS NOT NULL) AS in_sp
+         |  FROM mh FULL OUTER JOIN sp
+         |    ON mh.doc_a = sp.doc_a AND mh.doc_b = sp.doc_b)
+         |SELECT CAST(COUNT(CASE WHEN in_mh THEN 1 END) AS BIGINT) AS n_minhash,
+         |  CAST(COUNT(CASE WHEN in_sp THEN 1 END) AS BIGINT) AS n_simhash,
+         |  CAST(COUNT(CASE WHEN in_mh AND in_sp THEN 1 END) AS BIGINT)
+         |    AS n_both,
+         |  CAST(COUNT(*) AS BIGINT) AS n_union
+         |FROM u""".stripMargin,
+
+    "doclen_histogram" ->
+      """WITH t AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN ntok > 0
+        |    THEN CAST(length(format('{:b}', ntok)) AS BIGINT)
+        |    ELSE 0 END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS sum_tokens
+        |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "ngram_novelty" -> {
+      val k = TextAnalysis.WinnowK
+      s"""WITH nt AS (SELECT lang,
+         |    ${sqlPhash("'split:' || doc_id")} % 100 AS bucket,
+         |    string_split(text, ' ') AS tk
+         |  FROM documents),
+         |ng AS (SELECT lang,
+         |    CASE WHEN bucket < 98 THEN 'train' ELSE 'held' END AS split,
+         |    ${sqlPhash("gg.g")} AS h
+         |  FROM nt, UNNEST(list_transform(generate_series(0, len(tk)-$k),
+         |    i -> array_to_string(tk[i+1:i+$k], ' '))) AS gg(g)
+         |  WHERE len(tk) >= $k),
+         |ntr AS (SELECT DISTINCT lang, h FROM ng WHERE split = 'train'),
+         |nhd AS (SELECT DISTINCT lang, h FROM ng WHERE split = 'held'),
+         |nv AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_novel FROM nhd
+         |  WHERE NOT EXISTS (SELECT 1 FROM ntr
+         |    WHERE ntr.lang = nhd.lang AND ntr.h = nhd.h)
+         |  GROUP BY 1),
+         |hg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_held_grams
+         |  FROM nhd GROUP BY 1)
+         |SELECT hg.lang, hg.n_held_grams,
+         |  CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+         |  (CAST(COALESCE(nv.n_novel, 0) AS BIGINT) * 1000000)
+         |    // hg.n_held_grams AS novel_ppm
+         |FROM hg LEFT JOIN nv USING (lang)""".stripMargin
+    },
+
+    "embed_norm_stats" ->
+      """WITH s AS (SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(list_sum(list_transform(embedding,
+        |      x -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e6)
+        |        AS BIGINT))) AS BIGINT) AS sq_e6
+        |  FROM embeddings)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  MIN(sq_e6) AS min_sq_e6, MAX(sq_e6) AS max_sq_e6,
+        |  CAST(SUM(sq_e6) AS BIGINT) AS sum_sq_e6
+        |FROM s GROUP BY 1""".stripMargin,
+
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -218,7 +218,17 @@ object SparkEntry {
     "retention_cohorts"   -> ((s, dir) =>
       Analytics.retentionCohorts(Tables.events(s, dir))),
     "value_histogram"     -> ((s, dir) =>
-      Analytics.valueHistogram(cl(s, dir)))
+      Analytics.valueHistogram(cl(s, dir))),
+    "minhash_est_error"   -> ((s, dir) =>
+      Dedup.minhashEstError(Tables.documents(s, dir))),
+    "dedup_agreement"     -> ((s, dir) =>
+      Dedup.dedupMethodAgreement(Tables.documents(s, dir))),
+    "doclen_histogram"    -> ((s, dir) =>
+      TextAnalysis.docLenHistogram(Tables.documents(s, dir))),
+    "ngram_novelty"       -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, dir))),
+    "embed_norm_stats"    -> ((s, dir) =>
+      Similarity.embedNormStats(Tables.embeddings(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

@@ -337,6 +337,58 @@ object Dedup {
         expr("(n_covered * 1000) div n_tokens").as("covered_milli"))
   }
 
+  /** MinHash estimation-quality gate: the signature-agreement estimate
+    * of Jaccard (matching minhashes / 64 — the statistic LSH banding
+    * actually thresholds on) vs the exact n-gram Jaccard, per candidate
+    * pair, with the absolute error in milli. This is the report that
+    * justifies (or indicts) NumHashes/Bands for a corpus. Scale shape:
+    * the doc-keyed signature relation is joined to both pair sides —
+    * at 100 TB signatures are a staged table of 65 longs per doc
+    * (~1000× smaller than the text), so the two joins touch the narrow
+    * relation and the candidate pairs, never the corpus. */
+  def minhashEstError(documents: DataFrame): DataFrame = {
+    val sh = shingleHashes(documents)
+    val sigs = signaturesFromHashes(sh)
+    val pairs = candidatesFromSignatures(sigs)
+    val exact = pairs
+      .join(pairIntersections(pairs, sh, "doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("c"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(c * 1000) div (na + nb - c)").as("j_milli"))
+    val agree = (0 until NumHashes)
+      .map(s => when(col(s"sa.m$s") === col(s"sb.m$s"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    exact
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), agree.as("n_agree"), col("j_milli"))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        expr(s"(n_agree * 1000) div $NumHashes").as("est_milli"),
+        col("j_milli"))
+      .withColumn("err_milli", abs(col("est_milli") - col("j_milli")))
+  }
+
+  /** Method-agreement report: MinHash+Jaccard-verified near-dup pairs
+    * vs SimHash pairs, as one full-outer overlap count — the eval a
+    * pipeline owner reads before trusting either family alone. Both
+    * pair sets are canonical (doc_a < doc_b by construction), so the
+    * overlap join is exact. */
+  def dedupMethodAgreement(documents: DataFrame): DataFrame = {
+    val mh = minhashDedup(documents)
+      .select(col("keeper_doc_id").as("doc_a"), col("dup_doc_id").as("doc_b"),
+        lit(1L).as("in_minhash"))
+    val sh = simhashDedup(documents)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_simhash"))
+    mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        count(col("in_minhash")).as("n_minhash"),
+        count(col("in_simhash")).as("n_simhash"),
+        count(when(col("in_minhash").isNotNull
+          && col("in_simhash").isNotNull, 1)).as("n_both"),
+        count(lit(1)).as("n_union"))
+  }
+
   /** 60-bit SimHash per doc: explode tokens, hash once, then 60
     * codegen'd ±1 sums (one per bit) reassembled into the fingerprint. */
   def simhashes(documents: DataFrame): DataFrame = {

@@ -192,6 +192,26 @@ object Similarity {
         array_max(col("q")).as("q_max"),
         col("n_clipped"))
 
+  /** Embedding-norm QA per label class: squared L2 norm with each
+    * element's square rounded to integer e6 FIRST (so the 64-term sum
+    * is associative integer arithmetic — order-independent across
+    * partitions and engines, where a double sum is neither), then
+    * count/min/max/sum per label. The drift/outlier screen an
+    * embedding pipeline runs before trusting ANN distances: a label
+    * whose norm band shifts signals a bad encoder batch. Shuffle-free
+    * until the final ≤|labels|-key aggregate. */
+  def embedNormStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label").cast("long").as("label"),
+        expr("aggregate(transform(embedding, " +
+          "x -> cast(round(cast(x as double) * cast(x as double) * 1000000d) " +
+          "as bigint)), cast(0 as bigint), (a, v) -> a + v)").as("sq_e6"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("sq_e6").as("min_sq_e6"),
+        max("sq_e6").as("max_sq_e6"),
+        sum("sq_e6").as("sum_sq_e6"))
+
   // --- product quantization ------------------------------------------------
 
   /** PQ geometry: M subspaces × SubDim dims, K centroids per subspace

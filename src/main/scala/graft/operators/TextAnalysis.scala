@@ -482,6 +482,54 @@ object TextAnalysis {
         expr("sum_distinct div n_docs").as("mean_distinct_milli"),
         expr("sum_top2 div n_docs").as("mean_top2_milli"))
 
+  /** Token-length histogram per language on a log2 scale: bucket = bit
+    * length of the token count (portable: Spark `bin` length / DuckDB
+    * `format('{:b}')` length), so the corpus length profile — the
+    * first chart of any dataset datasheet — is ONE map-side-combined
+    * aggregate over a (langs × ~20-bucket) key space with no fixed
+    * bucket-edge list to maintain. */
+  def docLenHistogram(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), size(tokensCol).cast("long").as("ntok"))
+      .select(col("lang"),
+        when(col("ntok") > 0, length(bin(col("ntok"))).cast("long"))
+          .otherwise(lit(0L)).as("bucket"),
+        col("ntok"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("sum_tokens"))
+
+  /** Held-out n-gram novelty — the generalization twin of the
+    * contamination check: what fraction of the val/test shards'
+    * distinct k-grams never occur in the train shard (per language)?
+    * Low novelty means the held-out sets leak training text and
+    * eval scores will be inflated. Uses the SAME hash split as
+    * splitAssign (so this gate audits the actual split) and the
+    * portable k-gram hash. Scale shape: one narrow gram explode,
+    * two (lang, hash)-keyed distincts, and an anti-join that reuses
+    * the same key partitioning — never doc×doc, never a gram list in
+    * memory. */
+  def ngramNovelty(documents: DataFrame, k: Int = WinnowK): DataFrame = {
+    val toks = documents
+      .select(col("lang"), splitCol.as("split"), tokensCol.as("tk"))
+      .where(size(col("tk")) >= k)
+    val grams = toks.select(col("lang"), col("split"),
+      explode(expr(s"transform(sequence(0, size(tk)-$k), " +
+        s"i -> concat_ws(' ', slice(tk, i+1, $k)))")).as("g"))
+      .select(col("lang"), col("split"),
+        graft.functions.PortableHash.phash(col("g")).as("h"))
+    val train = grams.where(col("split") === "train")
+      .select("lang", "h").distinct()
+    val held = grams.where(col("split") =!= "train")
+      .select("lang", "h").distinct()
+    val novel = held.join(train, Seq("lang", "h"), "left_anti")
+      .groupBy("lang").agg(count(lit(1)).as("n_novel"))
+    held.groupBy("lang").agg(count(lit(1)).as("n_held_grams"))
+      .join(novel, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_novel"))
+      .select(col("lang"), col("n_held_grams"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_held_grams").as("novel_ppm"))
+  }
+
   // --- corpus-level repeated-span removal (C4-style) -----------------------
 
   /** Span width (tokens) for [[spanDedup]] — the "three-sentence span"

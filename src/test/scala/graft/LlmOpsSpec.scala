@@ -774,4 +774,68 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(de.getAs[Long]("share_ppm") === 250000L)
     assert(got.values.map(_.getAs[Long]("share_ppm")).sum === 1000000L)
   }
+
+  test("minhash_est_error: identical docs estimate 1000, disjoint docs 0") {
+    import spark.implicits._
+    val same = "a b c d e f g h i j"
+    val other = "q r s t u v w x y z"
+    val df = Seq((1L, same), (2L, same), (3L, other), (4L, other))
+      .toDF("doc_id", "text")
+    val rows = Dedup.minhashEstError(df).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // identical shingle sets agree on every permutation min — and the
+      // exact Jaccard is 1000, so the estimator error is exactly 0
+      assert(r.getAs[Long]("n_agree") === Dedup.NumHashes.toLong)
+      assert(r.getAs[Long]("est_milli") === 1000L)
+      assert(r.getAs[Long]("j_milli") === 1000L)
+      assert(r.getAs[Long]("err_milli") === 0L)
+    }
+  }
+
+  test("dedup_agreement: union = minhash + simhash - both") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val r = Dedup.dedupMethodAgreement(docs).collect().head
+    assert(r.getAs[Long]("n_union") ===
+      r.getAs[Long]("n_minhash") + r.getAs[Long]("n_simhash")
+        - r.getAs[Long]("n_both"))
+    assert(r.getAs[Long]("n_both") <= r.getAs[Long]("n_minhash"))
+    assert(r.getAs[Long]("n_both") <= r.getAs[Long]("n_simhash"))
+  }
+
+  test("doclen_histogram conserves docs and tokens") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val h = TextAnalysis.docLenHistogram(docs).collect()
+    assert(h.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val totTok = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .collect().head.getLong(0)
+    assert(h.map(_.getAs[Long]("sum_tokens")).sum === totTok)
+  }
+
+  test("ngram_novelty is 0 when held-out text duplicates train text") {
+    import spark.implicits._
+    // doc_ids chosen so the split hash puts clones on both sides: every
+    // doc shares one text, so any held-out gram also exists in train
+    val text = (1 to 12).map(i => s"t$i").mkString(" ")
+    val df = (1L to 400L).map(i => (i, "en", text))
+      .toDF("doc_id", "lang", "text")
+    val rows = TextAnalysis.ngramNovelty(df).collect()
+    // with 400 docs the 98/1/1 hash split leaves a nonempty held side
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_novel") === 0L)
+      assert(r.getAs[Long]("novel_ppm") === 0L)
+    }
+  }
+
+  test("embed_norm_stats: per-label bounds bracket the sums") {
+    val e = Tables.embeddings(spark, TestSpark.Sf)
+    val st = Similarity.embedNormStats(e).collect()
+    assert(st.map(_.getAs[Long]("n_vecs")).sum === e.count())
+    st.foreach { r =>
+      val n = r.getAs[Long]("n_vecs")
+      assert(r.getAs[Long]("sum_sq_e6") >= n * r.getAs[Long]("min_sq_e6"))
+      assert(r.getAs[Long]("sum_sq_e6") <= n * r.getAs[Long]("max_sq_e6"))
+    }
+  }
 }
