@@ -1849,6 +1849,139 @@ object OracleSql {
         |  CAST(SUM(sq_e6) AS BIGINT) AS sum_sq_e6
         |FROM s GROUP BY 1""".stripMargin,
 
+    "checksum_compare" -> {
+      val b = graft.operators.Snapshot.ChecksumBuckets
+      s"""WITH cs AS (SELECT c_custkey AS k,
+         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+         |  FROM customer),
+         |csrc AS (SELECT k % $b AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS n_src,
+         |    CAST(bit_xor(${sqlPhash("k || ':' || cents")}) AS BIGINT)
+         |      AS x_src
+         |  FROM cs GROUP BY 1),
+         |ct AS (
+         |  SELECT k AS tk, cents + CASE WHEN k % 10 = 0 THEN 100 ELSE 0 END
+         |    AS tc FROM cs WHERE k % 13 <> 0
+         |  UNION ALL
+         |  SELECT k + 1000000, cents FROM cs WHERE k % 17 = 0),
+         |ctgt AS (SELECT tk % $b AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS n_tgt,
+         |    CAST(bit_xor(${sqlPhash("tk || ':' || tc")}) AS BIGINT) AS x_tgt
+         |  FROM ct GROUP BY 1)
+         |SELECT COALESCE(csrc.bucket, ctgt.bucket) AS bucket,
+         |  COALESCE(n_src, 0) AS n_src, COALESCE(x_src, 0) AS x_src,
+         |  COALESCE(n_tgt, 0) AS n_tgt, COALESCE(x_tgt, 0) AS x_tgt,
+         |  CASE WHEN COALESCE(n_src, 0) = COALESCE(n_tgt, 0)
+         |    AND COALESCE(x_src, 0) = COALESCE(x_tgt, 0)
+         |    THEN 'MATCH' ELSE 'DIVERGED' END AS verdict
+         |FROM csrc FULL OUTER JOIN ctgt ON csrc.bucket = ctgt.bucket""".stripMargin
+    },
+
+    "fk_integrity" ->
+      """WITH oc AS (SELECT o_custkey AS k, COUNT(*) AS n
+        |  FROM orders GROUP BY 1),
+        |cp AS (SELECT DISTINCT c_custkey AS k FROM customer),
+        |lo AS (SELECT l_orderkey AS k, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |op AS (SELECT DISTINCT o_orderkey AS k FROM orders)
+        |SELECT 'orders->customer' AS relation,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_child_rows,
+        |  (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM oc
+        |    WHERE NOT EXISTS (SELECT 1 FROM cp WHERE cp.k = oc.k))
+        |    AS n_orphan_rows,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cp) AS n_parents,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cp
+        |    WHERE NOT EXISTS (SELECT 1 FROM oc WHERE oc.k = cp.k))
+        |    AS n_childless_parents
+        |UNION ALL
+        |SELECT 'lineitem->orders',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM lo
+        |    WHERE NOT EXISTS (SELECT 1 FROM op WHERE op.k = lo.k)),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM op),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM op
+        |    WHERE NOT EXISTS (SELECT 1 FROM lo WHERE lo.k = op.k))""".stripMargin,
+
+    "kmeans_shift" ->
+      """WITH ve AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS v6
+        |  FROM embeddings WHERE vec_id >= 8),
+        |kc0 AS (SELECT vec_id - 8 AS centroid_id, v6 AS c6 FROM ve
+        |  WHERE vec_id BETWEEN 8 AND 23),
+        |kd1 AS (SELECT ve.vec_id, kc0.centroid_id,
+        |    list_sum(list_transform(generate_series(1, len(ve.v6)),
+        |      i -> (ve.v6[i] - kc0.c6[i]) * (ve.v6[i] - kc0.c6[i]))) AS d12
+        |  FROM ve, kc0),
+        |ka1 AS (SELECT vec_id, centroid_id FROM (SELECT vec_id, centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d12, centroid_id)
+        |      AS rn FROM kd1) t WHERE rn = 1),
+        |km1 AS (SELECT t.centroid_id, CAST(d.i AS BIGINT) - 1 AS dim,
+        |    CAST(SUM(t.v6[d.i]) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT ka1.centroid_id, ve.v6 FROM ka1
+        |        JOIN ve USING (vec_id)) t,
+        |    UNNEST(generate_series(1, len(t.v6))) AS d(i)
+        |  GROUP BY 1, 2),
+        |kmm1 AS (SELECT centroid_id, dim, (s - s % n) // n AS m_e6, n
+        |  FROM km1),
+        |kc1 AS (SELECT centroid_id, list(m_e6 ORDER BY dim) AS c6
+        |  FROM kmm1 GROUP BY 1),
+        |kd2 AS (SELECT ve.vec_id, kc1.centroid_id,
+        |    list_sum(list_transform(generate_series(1, len(ve.v6)),
+        |      i -> (ve.v6[i] - kc1.c6[i]) * (ve.v6[i] - kc1.c6[i]))) AS d12
+        |  FROM ve, kc1),
+        |ka2 AS (SELECT vec_id, centroid_id FROM (SELECT vec_id, centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d12, centroid_id)
+        |      AS rn FROM kd2) t WHERE rn = 1),
+        |km2 AS (SELECT t.centroid_id, CAST(d.i AS BIGINT) - 1 AS dim,
+        |    CAST(SUM(t.v6[d.i]) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT ka2.centroid_id, ve.v6 FROM ka2
+        |        JOIN ve USING (vec_id)) t,
+        |    UNNEST(generate_series(1, len(t.v6))) AS d(i)
+        |  GROUP BY 1, 2),
+        |kmm2 AS (SELECT centroid_id, dim, (s - s % n) // n AS m_e6, n
+        |  FROM km2),
+        |kf AS (SELECT COALESCE(kmm1.centroid_id, kmm2.centroid_id)
+        |      AS centroid_id,
+        |    kmm1.m_e6 AS m1, kmm2.m_e6 AS m2, kmm1.n AS n1, kmm2.n AS n2
+        |  FROM kmm1 FULL OUTER JOIN kmm2
+        |    ON kmm1.centroid_id = kmm2.centroid_id AND kmm1.dim = kmm2.dim)
+        |SELECT centroid_id,
+        |  CAST(COALESCE(MAX(n1), 0) AS BIGINT) AS n_members_1,
+        |  CAST(COALESCE(MAX(n2), 0) AS BIGINT) AS n_members_2,
+        |  CAST(SUM(ABS(COALESCE(m2, 0) - COALESCE(m1, 0))) AS BIGINT)
+        |    AS shift_e6
+        |FROM kf GROUP BY 1""".stripMargin,
+
+    "cooccur_topk" -> {
+      import graft.operators.TextAnalysis.{CooccurTopK, CooccurWindow}
+      s"""WITH ctk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+         |cpair AS (SELECT tk[a.i] AS w_a, tk[a.i + o.d] AS w_b
+         |  FROM ctk,
+         |    UNNEST(generate_series(1, len(tk))) AS a(i),
+         |    UNNEST(generate_series(1, $CooccurWindow)) AS o(d)
+         |  WHERE a.i + o.d <= len(tk))
+         |SELECT w_a, w_b, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM cpair GROUP BY 1, 2
+         |ORDER BY n DESC, w_a, w_b LIMIT $CooccurTopK""".stripMargin
+    },
+
+    "olap_order_priority" -> {
+      val d = graft.operators.Analytics.LateDays
+      s"""WITH lt AS (SELECT o_orderpriority, COUNT(*) AS n_late
+         |  FROM orders o
+         |  WHERE EXISTS (SELECT 1 FROM lineitem l
+         |    WHERE l.l_orderkey = o.o_orderkey
+         |      AND l.l_shipdate > o.o_orderdate + INTERVAL $d DAY)
+         |  GROUP BY 1)
+         |SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(COALESCE(MAX(lt.n_late), 0) AS BIGINT) AS n_late
+         |FROM orders o LEFT JOIN lt USING (o_orderpriority)
+         |GROUP BY 1""".stripMargin
+    },
+
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

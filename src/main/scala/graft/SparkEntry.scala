@@ -228,7 +228,18 @@ object SparkEntry {
     "ngram_novelty"       -> ((s, dir) =>
       TextAnalysis.ngramNovelty(Tables.documents(s, dir))),
     "embed_norm_stats"    -> ((s, dir) =>
-      Similarity.embedNormStats(Tables.embeddings(s, dir)))
+      Similarity.embedNormStats(Tables.embeddings(s, dir))),
+    "checksum_compare"    -> ((s, dir) =>
+      Snapshot.checksumCompare(Tables.customer(s, dir))),
+    "fk_integrity"        -> ((s, dir) =>
+      Snapshot.fkIntegrity(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    "kmeans_shift"        -> ((s, dir) =>
+      Similarity.kmeansShift(Tables.embeddings(s, dir))),
+    "cooccur_topk"        -> ((s, dir) =>
+      TextAnalysis.cooccurTopK(Tables.documents(s, dir))),
+    "olap_order_priority" -> ((s, dir) =>
+      Analytics.orderPriority(Tables.orders(s, dir), Tables.lineitem(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

@@ -70,6 +70,30 @@ object Analytics {
       .groupBy("n_name")
       .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_items"))
 
+  /** Late-shipment threshold for [[orderPriority]]. */
+  val LateDays = 60
+
+  /** Order-priority service report (the TPC-H Q4 shape on this star
+    * schema): per priority class, total orders and orders with at
+    * least one line item shipped more than LateDays after the order
+    * date. The existence test is a left-semi join on the order key
+    * (never an aggregate-then-distinct over the fact table); timestamp
+    * arithmetic is exact ms on both engines. */
+  def orderPriority(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val late = orders
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate")
+          + expr(s"INTERVAL $LateDays DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late"))
+    orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .join(late, Seq("o_orderpriority"), "left")
+      .na.fill(0L, Seq("n_late"))
+  }
+
   /** Staged funnel conversion over the raw event stream
     * (signup → first click after signup → first purchase after that
     * click): ONE user-keyed aggregate computes all three stage

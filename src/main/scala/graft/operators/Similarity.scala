@@ -192,6 +192,70 @@ object Similarity {
         array_max(col("q")).as("q_max"),
         col("n_clipped"))
 
+  /** e6-quantized coordinate vectors (vec_id, v6: array<bigint>) — the
+    * exact-integer representation [[kmeansShift]] clusters in. */
+  private def vecsE6(embeddings: DataFrame): DataFrame =
+    candidates(embeddings).select(col("cand_id").as("vec_id"),
+      expr("transform(c_vec, x -> cast(round(cast(x as double) * 1000000d) " +
+        "as bigint))").as("v6"))
+
+  /** Nearest centroid by exact integer squared-L2 over e6 coordinates
+    * (ties → smaller centroid id). Broadcast centroid arrays; the
+    * shuffle carries one row per vector. */
+  private def assignE6(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.join(broadcast(cents))
+      .withColumn("d12", expr("aggregate(zip_with(v6, c6, " +
+        "(x, m) -> (x - m) * (x - m)), cast(0 as bigint), (a, y) -> a + y)"))
+      .groupBy("vec_id")
+      .agg(min_by(col("centroid_id"),
+        struct(col("d12"), col("centroid_id"))).as("centroid_id"))
+
+  /** Per-(centroid, dim) truncated integer mean of the assigned
+    * vectors' e6 coordinates — exactly one map-side-combined aggregate
+    * (≤ NumCentroids·Dim output rows at any corpus size). */
+  private def meansE6(assigned: DataFrame, vecs: DataFrame): DataFrame =
+    assigned.join(vecs, "vec_id")
+      .select(col("centroid_id"), posexplode(col("v6")).as(Seq("dim", "x_e6")))
+      .groupBy(col("centroid_id"), col("dim").cast("long").as("dim"))
+      .agg(sum("x_e6").as("s"), count(lit(1)).as("n_members"))
+      .select(col("centroid_id"), col("dim"),
+        expr("s div n_members").as("m_e6"), col("n_members"))
+
+  /** (centroid_id, dim, m_e6) relation → broadcastable centroid arrays. */
+  private def centArrE6(means: DataFrame): DataFrame =
+    means.groupBy("centroid_id")
+      .agg(sort_array(collect_list(struct(col("dim"), col("m_e6")))).as("ms"))
+      .select(col("centroid_id"), expr("transform(ms, p -> p.m_e6)").as("c6"))
+
+  /** Two exact Lloyd iterations + the convergence report (per centroid:
+    * member counts after each iteration and the L1 centroid shift in
+    * e6) — the monitor that tells an IVF/k-means training loop when to
+    * stop. EVERYTHING here is integer arithmetic: coordinates quantize
+    * to e6 once, assignment is integer squared-L2 argmin, means are
+    * truncated integer division — so the full two-pass computation is
+    * associative, order-independent, and bit-identical in the SQL
+    * oracle (a double-valued Lloyd step could never hash-match).
+    * Scale shape per iteration: one broadcast of ≤NumCentroids arrays,
+    * one row per vector through the argmin, one (centroid, dim)
+    * aggregate. */
+  def kmeansShift(embeddings: DataFrame): DataFrame = {
+    val vecs = vecsE6(embeddings)
+    val seed = centroids(embeddings).select(col("centroid_id"),
+      expr("transform(cv, x -> cast(round(cast(x as double) * 1000000d) " +
+        "as bigint))").as("c6"))
+    val m1 = meansE6(assignE6(vecs, seed), vecs)
+    val m2 = meansE6(assignE6(vecs, centArrE6(m1)), vecs)
+    m1.select(col("centroid_id"), col("dim"), col("m_e6").as("m1_e6"),
+      col("n_members").as("n1"))
+      .join(m2.select(col("centroid_id"), col("dim"), col("m_e6").as("m2_e6"),
+        col("n_members").as("n2")), Seq("centroid_id", "dim"), "full_outer")
+      .groupBy("centroid_id")
+      .agg(max("n1").as("n_members_1"), max("n2").as("n_members_2"),
+        sum(abs(coalesce(col("m2_e6"), lit(0L))
+          - coalesce(col("m1_e6"), lit(0L)))).as("shift_e6"))
+      .na.fill(0L, Seq("n_members_1", "n_members_2"))
+  }
+
   /** Embedding-norm QA per label class: squared L2 norm with each
     * element's square rounded to integer e6 FIRST (so the 64-term sum
     * is associative integer arithmetic — order-independent across

@@ -39,8 +39,25 @@ object Snapshot {
     val src = customer.select(
       col("c_custkey").as("src_key"),
       round(col("c_acctbal") * 100).cast("long").as("src_cents"))
-    // simulated target: keys %13 missing, %10 drifted by +100 cents,
-    // plus orphan keys (key+1000000) for %17.
+    val tgt = simulatedTarget(customer)
+    src
+      .join(tgt, col("src_key") === col("tgt_key"), "full_outer")
+      .select(
+        coalesce(col("src_key"), col("tgt_key")).as("key"),
+        when(col("tgt_key").isNull, lit("INSERT"))
+          .when(col("src_key").isNull, lit("DELETE"))
+          .when(col("src_cents") =!= col("tgt_cents"), lit("UPDATE"))
+          .otherwise(lit("NONE")).as("change_type"),
+        col("src_cents"), col("tgt_cents"))
+      .where(col("change_type") =!= "NONE")
+  }
+
+  /** Deterministic target-drift simulation shared by [[deltaDetect]]
+    * and [[checksumCompare]] (one definition, so the row-level diff and
+    * the bucket-level checksum audit see the SAME divergence): keys
+    * %13 missing, %10 drifted by +100 cents, orphan keys (key+1000000)
+    * for %17. */
+  private def simulatedTarget(customer: DataFrame): DataFrame = {
     val base = customer.select(
       col("c_custkey"),
       round(col("c_acctbal") * 100).cast("long").as("cents"))
@@ -55,17 +72,71 @@ object Snapshot {
       .select(
         (col("c_custkey") + 1000000L).as("tgt_key"),
         col("cents").as("tgt_cents"))
-    val tgt = tgtExisting.unionByName(tgtOrphans)
-    src
-      .join(tgt, col("src_key") === col("tgt_key"), "full_outer")
-      .select(
-        coalesce(col("src_key"), col("tgt_key")).as("key"),
-        when(col("tgt_key").isNull, lit("INSERT"))
-          .when(col("src_key").isNull, lit("DELETE"))
-          .when(col("src_cents") =!= col("tgt_cents"), lit("UPDATE"))
-          .otherwise(lit("NONE")).as("change_type"),
-        col("src_cents"), col("tgt_cents"))
-      .where(col("change_type") =!= "NONE")
+    tgtExisting.unionByName(tgtOrphans)
+  }
+
+  /** Key-range buckets for [[checksumCompare]]. */
+  val ChecksumBuckets = 64L
+
+  /** Bucketed checksum sync validation — how source-vs-target
+    * verification actually runs at 100 TB: neither side ships rows;
+    * each computes, per key bucket, a row count and an XOR fold of a
+    * portable per-row hash (XOR: order-independent, overflow-free,
+    * and any single-row divergence flips it). Only mismatching buckets
+    * would then be re-synced row-level (deltaDetect's job). The
+    * reference's full-resync decision (`monitor/SelfMonitor.scala`
+    * resync path) gets this as its cheap trigger. */
+  def checksumCompare(customer: DataFrame): DataFrame = {
+    import graft.functions.PortableHash.phash
+    def side(df: DataFrame, key: String, cents: String,
+             nCol: String, xCol: String): DataFrame =
+      df.select(pmod(col(key), lit(ChecksumBuckets)).as("bucket"),
+        phash(concat(col(key).cast("string"), lit(":"),
+          col(cents).cast("string"))).as("h"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(nCol), expr("bit_xor(h)").as(xCol))
+    val src = side(customer.select(col("c_custkey"),
+      round(col("c_acctbal") * 100).cast("long").as("cents")),
+      "c_custkey", "cents", "n_src", "x_src")
+    val tgt = side(simulatedTarget(customer),
+      "tgt_key", "tgt_cents", "n_tgt", "x_tgt")
+    src.join(tgt, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_src", "n_tgt", "x_src", "x_tgt"))
+      .withColumn("verdict",
+        when(col("n_src") === col("n_tgt")
+          && col("x_src") === col("x_tgt"), lit("MATCH"))
+          .otherwise(lit("DIVERGED")))
+  }
+
+  /** Referential-integrity audit over the synced star schema — the
+    * post-sync consistency check (did every child row's parent arrive?):
+    * per relation, child rows, orphan child rows (parent key absent),
+    * distinct parents, and childless parents. Child keys are
+    * pre-aggregated per key BEFORE the anti-join, so the join moves
+    * |distinct keys| rows, not |child rows|. */
+  def fkIntegrity(customer: DataFrame, orders: DataFrame,
+                  lineitem: DataFrame): DataFrame = {
+    def audit(rel: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame = {
+      val childKeys = child.groupBy(col(ck).as("k"))
+        .agg(count(lit(1)).as("n"))
+      val parentKeys = parent.select(col(pk).as("k")).distinct()
+      val orphanRows = childKeys.join(parentKeys, Seq("k"), "left_anti")
+        .agg(coalesce(sum("n"), lit(0L)).as("n_orphan_rows"))
+      val childless = parentKeys.join(childKeys, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_childless_parents"))
+      child.agg(count(lit(1)).as("n_child_rows"))
+        .crossJoin(parentKeys.agg(count(lit(1)).as("n_parents")))
+        .crossJoin(orphanRows)
+        .crossJoin(childless)
+        .select(lit(rel).as("relation"), col("n_child_rows"),
+          col("n_orphan_rows"), col("n_parents"),
+          col("n_childless_parents"))
+    }
+    audit("orders->customer", orders, "o_custkey", customer, "c_custkey")
+      .unionByName(
+        audit("lineitem->orders", lineitem, "l_orderkey", orders,
+          "o_orderkey"))
   }
 
   /** Rows per backfill batch for [[backfillPlan]]. */

@@ -530,6 +530,30 @@ object TextAnalysis {
         expr("(n_novel * 1000000) div n_held_grams").as("novel_ppm"))
   }
 
+  /** Skip-gram co-occurrence window (tokens to the right). */
+  val CooccurWindow = 2
+  /** Reported co-occurrence pairs. */
+  val CooccurTopK = 30
+
+  /** Skip-gram co-occurrence counts — the (word, context) statistics a
+    * word2vec/GloVe embedding trainer consumes: every ordered token
+    * pair within CooccurWindow positions, counted corpus-wide, top-K.
+    * Pairs are generated INSIDE each document's token array (a per-row
+    * nested transform — shuffle-free), so the only movement is the
+    * map-side-combined pair count; the token table is never self-
+    * joined. Top-K is TakeOrdered, never a global sort. */
+  def cooccurTopK(documents: DataFrame, k: Int = CooccurTopK): DataFrame =
+    documents.select(tokensCol.as("tk"))
+      .select(explode(expr(
+        s"flatten(transform(tk, (w, i) -> " +
+          s"transform(slice(tk, i + 2, $CooccurWindow), " +
+          s"b -> struct(w as w_a, b as w_b))))")).as("p"))
+      .select(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
+      .groupBy("w_a", "w_b")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w_a"), col("w_b"))
+      .limit(k)
+
   // --- corpus-level repeated-span removal (C4-style) -----------------------
 
   /** Span width (tokens) for [[spanDedup]] — the "three-sentence span"

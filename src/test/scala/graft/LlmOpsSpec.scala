@@ -828,6 +828,26 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans_shift: members conserved across iterations, shift finite") {
+    val e = Tables.embeddings(spark, TestSpark.Sf)
+    val ks = Similarity.kmeansShift(e).collect()
+    assert(ks.length === Similarity.NumCentroids)
+    val nCand = e.where(col("vec_id") >= Similarity.CentroidLo).count()
+    assert(ks.map(_.getAs[Long]("n_members_1")).sum === nCand)
+    assert(ks.map(_.getAs[Long]("n_members_2")).sum === nCand)
+    ks.foreach(r => assert(r.getAs[Long]("shift_e6") >= 0L))
+  }
+
+  test("cooccur_topk counts adjacent and distance-2 pairs per doc") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.cooccurTopK(df, k = 10).collect()
+      .map(r => (r.getAs[String]("w_a"), r.getAs[String]("w_b"))
+        -> r.getAs[Long]("n")).toMap
+    // doc1 pairs: (a,b) (a,c) (b,c); doc2: (a,b)
+    assert(got === Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+  }
+
   test("embed_norm_stats: per-label bounds bracket the sums") {
     val e = Tables.embeddings(spark, TestSpark.Sf)
     val st = Similarity.embedNormStats(e).collect()

@@ -255,6 +255,40 @@ class OperatorsSpec extends AnyFunSuite {
     rc.foreach(r => assert(r.getAs[Long]("age_weeks") >= 0L))
   }
 
+  test("checksum_compare flags exactly the buckets deltaDetect changes") {
+    val cust = Tables.customer(spark, TestSpark.Sf)
+    val cc = Snapshot.checksumCompare(cust).collect()
+    val diverged = cc.filter(_.getAs[String]("verdict") == "DIVERGED")
+      .map(_.getAs[Long]("bucket")).toSet
+    // every bucket containing a row-level delta must be DIVERGED, and
+    // every DIVERGED bucket must contain at least one delta
+    val deltaBuckets = Snapshot.deltaDetect(cust)
+      .select(pmod(col("key"), lit(Snapshot.ChecksumBuckets)).as("b"))
+      .distinct().collect().map(_.getAs[Long]("b")).toSet
+    assert(diverged === deltaBuckets)
+  }
+
+  test("fk_integrity: the generated star schema has no orphans") {
+    val fk = Snapshot.fkIntegrity(Tables.customer(spark, TestSpark.Sf),
+      Tables.orders(spark, TestSpark.Sf), Tables.lineitem(spark, TestSpark.Sf))
+      .collect()
+    assert(fk.length === 2)
+    fk.foreach { r =>
+      assert(r.getAs[Long]("n_orphan_rows") === 0L)
+      assert(r.getAs[Long]("n_child_rows") > 0L)
+      assert(r.getAs[Long]("n_childless_parents") <= r.getAs[Long]("n_parents"))
+    }
+  }
+
+  test("olap_order_priority: late orders are a subset of all orders") {
+    val op = Analytics.orderPriority(Tables.orders(spark, TestSpark.Sf),
+      Tables.lineitem(spark, TestSpark.Sf)).collect()
+    assert(op.length === 5)
+    op.foreach(r =>
+      assert(r.getAs[Long]("n_late") <= r.getAs[Long]("n_orders")))
+    assert(op.map(_.getAs[Long]("n_late")).sum > 0L)
+  }
+
   test("value_histogram buckets are exact bit lengths and conserve mass") {
     val vh = Analytics.valueHistogram(cl).collect()
     assert(vh.map(_.getAs[Long]("n")).sum === cl.count())
