@@ -210,6 +210,22 @@ object OracleSql {
        |  WHERE sbn.n > ${Dedup.MaxQuadraticBucket} AND b.doc_id <> sbn.keeper)""".stripMargin
   }
 
+  /** Connected-components CTE suffix (dup/edges/nodes/lab) over the
+    * MinhashCtes `jac` relation — exact min-reachable labels via a
+    * RECURSIVE CTE; shared by dup_cluster and cluster_size_hist. */
+  private lazy val DupClusterCtes: String =
+    s"""dup AS (SELECT doc_a AS a, doc_b AS b FROM jac
+       |  WHERE j_milli >= ${Dedup.JaccardMilli}),
+       |edges AS (SELECT a, b FROM dup UNION SELECT b, a FROM dup),
+       |nodes AS (SELECT DISTINCT a AS v FROM edges),
+       |lab AS (
+       |  WITH RECURSIVE reach(src, node) AS (
+       |    SELECT v, v FROM nodes
+       |    UNION
+       |    SELECT r.src, g.b FROM reach r JOIN edges g ON g.a = r.node)
+       |  SELECT node AS doc_id, MIN(src) AS cluster_id
+       |  FROM reach GROUP BY node)""".stripMargin
+
   /** Shared normalized-changelog CTE body — the SQL twin of
     * operators.ChangeLog.normalize. */
   val CL: String =
@@ -1202,21 +1218,17 @@ object OracleSql {
     // RECURSIVE makes DuckDB reinterpret every UNION-bearing CTE in
     // the list, corrupting the minhash pair chain (356 vs 25 pairs).
     "dup_cluster" ->
-      s"""WITH $MinhashCtes,
-         |dup AS (SELECT doc_a AS a, doc_b AS b FROM jac
-         |  WHERE j_milli >= ${Dedup.JaccardMilli}),
-         |edges AS (SELECT a, b FROM dup UNION SELECT b, a FROM dup),
-         |nodes AS (SELECT DISTINCT a AS v FROM edges),
-         |lab AS (
-         |  WITH RECURSIVE reach(src, node) AS (
-         |    SELECT v, v FROM nodes
-         |    UNION
-         |    SELECT r.src, g.b FROM reach r JOIN edges g ON g.a = r.node)
-         |  SELECT node AS doc_id, MIN(src) AS cluster_id
-         |  FROM reach GROUP BY node)
+      s"""WITH $MinhashCtes, $DupClusterCtes
          |SELECT doc_id, cluster_id,
          |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
          |FROM lab""".stripMargin,
+
+    "cluster_size_hist" ->
+      s"""WITH $MinhashCtes, $DupClusterCtes,
+         |csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+         |  FROM lab GROUP BY 1)
+         |SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_clusters
+         |FROM csz GROUP BY 1""".stripMargin,
 
     "quality_gopher" ->
       s"""WITH $GopherCtes
@@ -1981,6 +1993,59 @@ object OracleSql {
          |FROM orders o LEFT JOIN lt USING (o_orderpriority)
          |GROUP BY 1""".stripMargin
     },
+
+    "quality_calibration" -> {
+      val cases = TextAnalysis.ClassifierWeights
+        .map { case (w, v) => s"WHEN ${esc(w)} THEN $v" }.mkString(" ")
+      s"""WITH $GopherCtes,
+         |qct AS (SELECT doc_id,
+         |    CAST(CASE t.t $cases ELSE 0 END AS BIGINT) AS w
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)),
+         |qcs AS (SELECT doc_id,
+         |    (${TextAnalysis.ClassifierBias} +
+         |     CAST(SUM(w) AS BIGINT) // COUNT(*) +
+         |     ${TextAnalysis.CalibShiftMilli}) // 100 AS score_bucket
+         |  FROM qct GROUP BY doc_id)
+         |SELECT qcs.score_bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN gq.keep_b THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_gopher_keep,
+         |  (CAST(SUM(CASE WHEN gq.keep_b THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // COUNT(*) AS keep_ppm
+         |FROM qcs JOIN gq ON qcs.doc_id = gq.doc_id
+         |GROUP BY 1""".stripMargin
+    },
+
+    "user_profile" ->
+      s"""WITH $CL,
+         |up AS (SELECT user_id, event_id, ems, op, value_cents,
+         |    ems - LAG(ems, 1) OVER (PARTITION BY user_id
+         |      ORDER BY ems, event_id) AS gap_ms,
+         |    FIRST_VALUE(op) OVER (PARTITION BY user_id
+         |      ORDER BY ems DESC, event_id DESC) AS last_op
+         |  FROM cl)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+         |  MIN(ems) AS first_ms, MAX(ems) AS last_ms,
+         |  CAST(COALESCE(SUM(CASE WHEN op <> 'D' THEN value_cents END), 0)
+         |    AS BIGINT) AS sum_value_cents,
+         |  MAX(last_op) AS last_op
+         |FROM up GROUP BY 1""".stripMargin,
+
+    "arrival_monitor" ->
+      s"""WITH $CL,
+         |am AS (SELECT part, ems,
+         |    LAG(ems, 1) OVER (PARTITION BY user_id ORDER BY event_id)
+         |      AS prev_ems
+         |  FROM cl)
+         |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(CASE WHEN prev_ems > ems THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_inversions,
+         |  CAST(COALESCE(MIN(ems - prev_ems), 0) AS BIGINT) AS min_gap_ms,
+         |  CAST(COALESCE(MAX(ems - prev_ems), 0) AS BIGINT) AS max_gap_ms,
+         |  CAST(COALESCE(SUM(ems - prev_ems) // COUNT(ems - prev_ems), 0)
+         |    AS BIGINT) AS mean_gap_ms
+         |FROM am GROUP BY 1""".stripMargin,
 
     "ann_topk" ->
       """WITH q AS (

@@ -239,7 +239,13 @@ object SparkEntry {
     "cooccur_topk"        -> ((s, dir) =>
       TextAnalysis.cooccurTopK(Tables.documents(s, dir))),
     "olap_order_priority" -> ((s, dir) =>
-      Analytics.orderPriority(Tables.orders(s, dir), Tables.lineitem(s, dir)))
+      Analytics.orderPriority(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "quality_calibration" -> ((s, dir) =>
+      TextAnalysis.qualityCalibration(Tables.documents(s, dir))),
+    "cluster_size_hist"   -> ((s, dir) =>
+      Dedup.clusterSizeHist(Tables.documents(s, dir))),
+    "user_profile"        -> ((s, dir) => Temporal.userProfile(cl(s, dir))),
+    "arrival_monitor"     -> ((s, dir) => Temporal.arrivalMonitor(cl(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

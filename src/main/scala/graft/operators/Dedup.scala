@@ -290,6 +290,16 @@ object Dedup {
       .select(col("doc_id"), col("label").as("cluster_id"), col("n_members"))
   }
 
+  /** Duplicate-cluster size histogram — the skew profile of the dup
+    * graph (is duplication a long tail of pairs or a few mass-copied
+    * templates?), and the direct sizing input for MaxQuadraticBucket.
+    * Two tiny aggregates over [[dupClusters]]' output (clustered docs
+    * only — a vanishing fraction of the corpus). */
+  def clusterSizeHist(documents: DataFrame): DataFrame =
+    dupClusters(documents)
+      .groupBy("cluster_id").agg(max("n_members").as("n_members"))
+      .groupBy("n_members").agg(count(lit(1)).as("n_clusters"))
+
   /** Repeated-substring run length (tokens) for [[substringDedup]]. */
   val SubstrL = 15
 

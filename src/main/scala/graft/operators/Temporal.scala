@@ -43,6 +43,51 @@ object Temporal {
         col("user_id"), col("event_id"), col("prev_event_id"),
         (col("ems") - col("prev_ems")).as("gap_ms"))
 
+  /** Composed per-key profile — the materialized "current user state"
+    * a sync target serves (latest op via max_by, activity counts,
+    * session count from the same lag window as sessionize, value
+    * totals): ONE hash shuffle on the key; the lag window and the
+    * aggregate share the same exchange. The session-count rule is
+    * literally sessionize's session-start predicate, summed. */
+  def userProfile(changelog: DataFrame): DataFrame =
+    changelog
+      .withColumn("gap_ms",
+        col("ems") - lag(col("ems"), 1).over(keyOrder))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("gap_ms").isNull || col("gap_ms") > SessionGapMs, 1L)
+          .otherwise(0L)).as("n_sessions"),
+        min("ems").as("first_ms"),
+        max("ems").as("last_ms"),
+        coalesce(sum(when(col("op") =!= "D", col("value_cents"))), lit(0L))
+          .as("sum_value_cents"),
+        max_by(col("op"), struct(col("ems"), col("event_id"))).as("last_op"))
+
+  /** Inter-arrival cadence + ordering audit per partition worker — the
+    * input to the reference's poll-wait tuning (`sync/DataPoller
+    * .scala:60-74`) and the out-of-order check a watermark choice
+    * rests on: per part, event counts, id-order/time-order inversions
+    * (an inversion means applying in id order would apply out of event
+    * time), and per-key gap stats. The lag window runs per KEY (fine
+    * partitions), never per part — the part-level rollup aggregates
+    * window output. */
+  def arrivalMonitor(changelog: DataFrame): DataFrame = {
+    val idOrder = Window.partitionBy("user_id").orderBy("event_id")
+    changelog
+      .withColumn("prev_ems", lag(col("ems"), 1).over(idOrder))
+      .withColumn("gap_ms", col("ems") - col("prev_ems"))
+      .groupBy("part")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("prev_ems") > col("ems"), 1L).otherwise(0L))
+          .as("n_inversions"),
+        coalesce(min("gap_ms"), lit(0L)).as("min_gap_ms"),
+        coalesce(max("gap_ms"), lit(0L)).as("max_gap_ms"),
+        coalesce(expr("sum(gap_ms) div count(gap_ms)"), lit(0L))
+          .as("mean_gap_ms"))
+  }
+
   /** Sessionization: a gap > SessionGapMs starts a new session; emits
     * per-session bounds and size. Two stacked windows over the same
     * key partitioning — still one shuffle. */

@@ -863,6 +863,30 @@ object TextAnalysis {
         (col("score_milli") > ClassifierThreshold).cast("string"))
   }
 
+  /** Offset that makes calibration buckets non-negative (classifier
+    * scores are bounded below by bias + min weight = -750 milli), so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree. */
+  val CalibShiftMilli = 1000L
+
+  /** Classifier-calibration report: fixed-width 100-milli score
+    * buckets × the Gopher repetition gate's keep rate — the reliability
+    * diagram a pipeline owner reads before trusting the learned gate
+    * to replace the rule-based one. Two doc_id-keyed relations joined
+    * once; fixed-width buckets instead of ntile() because a global
+    * ntile is an unpartitioned window (the single-reducer trap) while
+    * this stays a narrow projection. */
+  def qualityCalibration(documents: DataFrame): DataFrame =
+    qualityClassify(documents)
+      .select(col("doc_id"),
+        expr(s"(score_milli + $CalibShiftMilli) div 100").as("score_bucket"))
+      .join(gopherQuality(documents).select(col("doc_id"), col("keep")),
+        "doc_id")
+      .groupBy("score_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep") === "true", 1L).otherwise(0L)).as("n_gopher_keep"))
+      .select(col("score_bucket"), col("n_docs"), col("n_gopher_keep"),
+        expr("(n_gopher_keep * 1000000) div n_docs").as("keep_ppm"))
+
   // --- TF-IDF keywords -----------------------------------------------------
 
   /** Keywords per document reported by [[tfidfTopK]]. */

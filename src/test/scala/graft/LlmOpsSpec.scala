@@ -848,6 +848,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
   }
 
+  test("quality_calibration conserves docs and bounds keep_ppm") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val cal = TextAnalysis.qualityCalibration(docs).collect()
+    assert(cal.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    cal.foreach { r =>
+      assert(r.getAs[Long]("score_bucket") >= 0L)
+      assert(r.getAs[Long]("n_gopher_keep") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("keep_ppm") <= 1000000L)
+    }
+  }
+
+  test("cluster_size_hist: all clusters have >= 2 members and cover " +
+    "every clustered doc") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val hist = Dedup.clusterSizeHist(docs).collect()
+    hist.foreach(r => assert(r.getAs[Long]("n_members") >= 2L))
+    val docsCovered = hist
+      .map(r => r.getAs[Long]("n_members") * r.getAs[Long]("n_clusters")).sum
+    assert(docsCovered === Dedup.dupClusters(docs).count())
+  }
+
   test("embed_norm_stats: per-label bounds bracket the sums") {
     val e = Tables.embeddings(spark, TestSpark.Sf)
     val st = Similarity.embedNormStats(e).collect()

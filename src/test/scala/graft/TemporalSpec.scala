@@ -45,4 +45,47 @@ class TemporalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expected)
   }
+
+  test("user_profile: session count equals sessionize's sessions per user") {
+    val cl = ChangeLog.normalize(Tables.events(spark, TestSpark.Sf))
+    val prof = Temporal.userProfile(cl).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val sess = Temporal.sessionize(cl).groupBy("user_id")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    assert(prof.keySet === sess.keySet)
+    prof.foreach { case (u, r) =>
+      assert(r.getAs[Long]("n_sessions") === sess(u))
+      assert(r.getAs[Long]("first_ms") <= r.getAs[Long]("last_ms"))
+    }
+    assert(prof.values.map(_.getAs[Long]("n_events")).sum === cl.count())
+  }
+
+  test("arrival_monitor: the generated changelog arrives in order") {
+    val cl = ChangeLog.normalize(Tables.events(spark, TestSpark.Sf))
+    val am = Temporal.arrivalMonitor(cl).collect()
+    assert(am.map(_.getAs[Long]("n_events")).sum === cl.count())
+    am.foreach { r =>
+      // event ids were assigned in event-time order in the generator, so
+      // id-order apply is time-ordered — the monitor must prove that
+      assert(r.getAs[Long]("n_inversions") === 0L)
+      assert(r.getAs[Long]("min_gap_ms") >= 0L)
+      assert(r.getAs[Long]("min_gap_ms") <= r.getAs[Long]("mean_gap_ms"))
+      assert(r.getAs[Long]("mean_gap_ms") <= r.getAs[Long]("max_gap_ms"))
+    }
+  }
+
+  test("arrival_monitor counts a planted inversion") {
+    import spark.implicits._
+    // one key, event 2 carries an EARLIER time than event 1
+    val df = Seq(
+      (1L, 7L, "U", 1000L, 1L, 100L, 7L % 16),
+      (2L, 7L, "U", 500L, 0L, 100L, 7L % 16),
+      (3L, 7L, "U", 2000L, 2L, 100L, 7L % 16))
+      .toDF("event_id", "user_id", "op", "ems", "epoch_s", "value_cents",
+        "part")
+    val r = Temporal.arrivalMonitor(df).collect().head
+    assert(r.getAs[Long]("n_inversions") === 1L)
+    assert(r.getAs[Long]("min_gap_ms") === -500L)
+  }
 }
