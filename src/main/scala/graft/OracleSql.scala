@@ -1895,7 +1895,10 @@ object OracleSql {
         |cp AS (SELECT DISTINCT c_custkey AS k FROM customer),
         |lo AS (SELECT l_orderkey AS k, COUNT(*) AS n
         |  FROM lineitem GROUP BY 1),
-        |op AS (SELECT DISTINCT o_orderkey AS k FROM orders)
+        |op AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+        |cn AS (SELECT c_nationkey AS k, COUNT(*) AS n
+        |  FROM customer GROUP BY 1),
+        |np AS (SELECT DISTINCT n_nationkey AS k FROM nation)
         |SELECT 'orders->customer' AS relation,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_child_rows,
         |  (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM oc
@@ -1912,7 +1915,15 @@ object OracleSql {
         |    WHERE NOT EXISTS (SELECT 1 FROM op WHERE op.k = lo.k)),
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM op),
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM op
-        |    WHERE NOT EXISTS (SELECT 1 FROM lo WHERE lo.k = op.k))""".stripMargin,
+        |    WHERE NOT EXISTS (SELECT 1 FROM lo WHERE lo.k = op.k))
+        |UNION ALL
+        |SELECT 'customer->nation',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+        |  (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM cn
+        |    WHERE NOT EXISTS (SELECT 1 FROM np WHERE np.k = cn.k)),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM np),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM np
+        |    WHERE NOT EXISTS (SELECT 1 FROM cn WHERE cn.k = np.k))""".stripMargin,
 
     "kmeans_shift" ->
       """WITH ve AS (SELECT vec_id,
@@ -2046,6 +2057,67 @@ object OracleSql {
          |  CAST(COALESCE(SUM(ems - prev_ems) // COUNT(ems - prev_ems), 0)
          |    AS BIGINT) AS mean_gap_ms
          |FROM am GROUP BY 1""".stripMargin,
+
+    "olap_promo_revenue" ->
+      """WITH pl AS (SELECT
+        |    CAST(strftime(l_shipdate, '%Y%m') AS BIGINT) AS ship_month,
+        |    CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |      AS rev_c,
+        |    p.p_type
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT ship_month,
+        |  CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN rev_c ELSE 0 END)
+        |    AS BIGINT) AS promo_rev_c,
+        |  CAST(SUM(rev_c) AS BIGINT) AS total_rev_c,
+        |  (CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN rev_c ELSE 0 END)
+        |    AS BIGINT) * 1000000) // CAST(SUM(rev_c) AS BIGINT) AS promo_ppm
+        |FROM pl GROUP BY 1""".stripMargin,
+
+    "load_profile" ->
+      s"""WITH $CL
+         |SELECT (ems // 86400000 + 4) % 7 AS dow,
+         |  (ems // 3600000) % 24 AS hour,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(value_cents) AS BIGINT) AS sum_cents
+         |FROM cl GROUP BY 1, 2""".stripMargin,
+
+    "table_manifest" ->
+      s"""SELECT 'region' AS table_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(bit_xor(${sqlPhash("CAST(r_regionkey AS VARCHAR)")}),
+         |    0) AS BIGINT) AS key_xor FROM region
+         |UNION ALL SELECT 'nation', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(bit_xor(${sqlPhash("CAST(n_nationkey AS VARCHAR)")}),
+         |    0) AS BIGINT) FROM nation
+         |UNION ALL SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(bit_xor(${sqlPhash("CAST(c_custkey AS VARCHAR)")}),
+         |    0) AS BIGINT) FROM customer
+         |UNION ALL SELECT 'supplier', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(bit_xor(${sqlPhash("CAST(s_suppkey AS VARCHAR)")}),
+         |    0) AS BIGINT) FROM supplier
+         |UNION ALL SELECT 'part', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(bit_xor(${sqlPhash("CAST(p_partkey AS VARCHAR)")}),
+         |    0) AS BIGINT) FROM part
+         |UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(bit_xor(${sqlPhash("CAST(o_orderkey AS VARCHAR)")}),
+         |    0) AS BIGINT) FROM orders
+         |UNION ALL SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(bit_xor(${sqlPhash(
+              "l_orderkey || ':' || l_linenumber")}), 0) AS BIGINT)
+         |  FROM lineitem""".stripMargin,
+
+    "modal_align" ->
+      """WITH ma AS (SELECT
+        |    CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL
+        |      THEN 'MATCHED'
+        |      WHEN d.doc_id IS NOT NULL THEN 'DOC_ONLY'
+        |      ELSE 'EMB_ONLY' END AS status,
+        |    COALESCE(d.lang, '-') AS lang,
+        |    COALESCE(CAST(e.label AS BIGINT), -1) AS label
+        |  FROM documents d FULL OUTER JOIN embeddings e
+        |    ON d.doc_id = e.vec_id)
+        |SELECT status, lang, label, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM ma GROUP BY 1, 2, 3""".stripMargin,
 
     "ann_topk" ->
       """WITH q AS (

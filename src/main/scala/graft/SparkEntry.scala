@@ -233,7 +233,7 @@ object SparkEntry {
       Snapshot.checksumCompare(Tables.customer(s, dir))),
     "fk_integrity"        -> ((s, dir) =>
       Snapshot.fkIntegrity(Tables.customer(s, dir), Tables.orders(s, dir),
-        Tables.lineitem(s, dir))),
+        Tables.lineitem(s, dir), Tables.nation(s, dir))),
     "kmeans_shift"        -> ((s, dir) =>
       Similarity.kmeansShift(Tables.embeddings(s, dir))),
     "cooccur_topk"        -> ((s, dir) =>
@@ -245,7 +245,17 @@ object SparkEntry {
     "cluster_size_hist"   -> ((s, dir) =>
       Dedup.clusterSizeHist(Tables.documents(s, dir))),
     "user_profile"        -> ((s, dir) => Temporal.userProfile(cl(s, dir))),
-    "arrival_monitor"     -> ((s, dir) => Temporal.arrivalMonitor(cl(s, dir)))
+    "arrival_monitor"     -> ((s, dir) => Temporal.arrivalMonitor(cl(s, dir))),
+    "olap_promo_revenue"  -> ((s, dir) =>
+      Analytics.promoRevenue(Tables.part(s, dir), Tables.lineitem(s, dir))),
+    "load_profile"        -> ((s, dir) => Analytics.loadProfile(cl(s, dir))),
+    "table_manifest"      -> ((s, dir) =>
+      Snapshot.tableManifest(Tables.region(s, dir), Tables.nation(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir), Tables.part(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "modal_align"         -> ((s, dir) =>
+      Multimodal.modalAlign(Tables.documents(s, dir),
+        Tables.embeddings(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

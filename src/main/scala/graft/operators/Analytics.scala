@@ -70,6 +70,42 @@ object Analytics {
       .groupBy("n_name")
       .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_items"))
 
+  /** Promo-share report (the TPC-H Q14 shape): per ship month, the
+    * revenue fraction from ECONOMY-type parts in ppm. Part dim
+    * broadcast (only p_partkey/p_type read — column pruning reaches
+    * the scan), one fact aggregate on a ≤\|months\| key space. Month
+    * key is integer yyyymm derived in the UTC session on both
+    * engines. */
+  def promoRevenue(part: DataFrame, lineitem: DataFrame,
+                   promoType: String = "ECONOMY"): DataFrame =
+    lineitem
+      .select(col("l_partkey"), col("l_shipdate"), revCents.as("rev_c"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyyMM").cast("long")
+        .as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === promoType, col("rev_c")).otherwise(0L))
+          .as("promo_rev_c"),
+        sum("rev_c").as("total_rev_c"))
+      .select(col("ship_month"), col("promo_rev_c"), col("total_rev_c"),
+        expr("(promo_rev_c * 1000000) div total_rev_c").as("promo_ppm"))
+
+  /** Hour-of-week load profile of the change stream — the input to
+    * poll-interval scheduling (when do changes actually arrive?). Day
+    * and hour come from pure integer arithmetic on epoch ms (1970-01-01
+    * was a Thursday = dow 4), so no calendar/timezone library is in the
+    * result path on either engine. One map-side-combined aggregate on a
+    * 7×24 key space. */
+  def loadProfile(changelog: DataFrame): DataFrame =
+    changelog
+      .select(
+        expr("(ems div 86400000 + 4) % 7").as("dow"),
+        expr("(ems div 3600000) % 24").as("hour"),
+        col("value_cents"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n"), sum("value_cents").as("sum_cents"))
+
   /** Late-shipment threshold for [[orderPriority]]. */
   val LateDays = 60
 

@@ -113,4 +113,24 @@ object Multimodal {
       col("width"),
       col("height"),
       (octet_length(col("payload")) % 256).cast("long").as("fake_brightness"))
+
+  /** Cross-modal alignment audit: the text table vs the embedding
+    * table, full-outer on the shared id — per (status, lang, label)
+    * counts, where status says whether a row has both modalities or is
+    * orphaned on one side. The check every multimodal training join
+    * runs first (a silent inner join would just drop the orphans it
+    * should be reporting). One hash join on the id, then a tiny
+    * aggregate. */
+  def modalAlign(documents: DataFrame, embeddings: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("lang"))
+      .join(embeddings.select(col("vec_id").as("doc_id"),
+        col("label").cast("long").as("label")), Seq("doc_id"), "full_outer")
+      .select(
+        when(col("lang").isNotNull && col("label").isNotNull, "MATCHED")
+          .when(col("lang").isNotNull, "DOC_ONLY")
+          .otherwise("EMB_ONLY").as("status"),
+        coalesce(col("lang"), lit("-")).as("lang"),
+        coalesce(col("label"), lit(-1L)).as("label"))
+      .groupBy("status", "lang", "label")
+      .agg(count(lit(1)).as("n"))
 }

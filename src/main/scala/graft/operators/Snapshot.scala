@@ -115,7 +115,7 @@ object Snapshot {
     * pre-aggregated per key BEFORE the anti-join, so the join moves
     * |distinct keys| rows, not |child rows|. */
   def fkIntegrity(customer: DataFrame, orders: DataFrame,
-                  lineitem: DataFrame): DataFrame = {
+                  lineitem: DataFrame, nation: DataFrame): DataFrame = {
     def audit(rel: String, child: DataFrame, ck: String,
               parent: DataFrame, pk: String): DataFrame = {
       val childKeys = child.groupBy(col(ck).as("k"))
@@ -137,6 +137,36 @@ object Snapshot {
       .unionByName(
         audit("lineitem->orders", lineitem, "l_orderkey", orders,
           "o_orderkey"))
+      .unionByName(
+        audit("customer->nation", customer, "c_nationkey", nation,
+          "n_nationkey"))
+  }
+
+  /** Sync manifest over the whole star schema: per table, row count +
+    * XOR fold of the portable primary-key hash — the one-page
+    * consistency overview two sides exchange before diving into
+    * per-bucket checksums ([[checksumCompare]]) or row diffs
+    * ([[deltaDetect]]). Each table contributes ONE map-side-combined
+    * 1-row aggregate; the union is 7 rows total. */
+  def tableManifest(region: DataFrame, nation: DataFrame,
+                    customer: DataFrame, supplier: DataFrame,
+                    part: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame): DataFrame = {
+    import graft.functions.PortableHash.phash
+    def row(name: String, df: DataFrame, key: org.apache.spark.sql.Column) =
+      df.select(phash(key).as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("key_xor"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          coalesce(col("key_xor"), lit(0L)).as("key_xor"))
+    row("region", region, col("r_regionkey").cast("string"))
+      .unionByName(row("nation", nation, col("n_nationkey").cast("string")))
+      .unionByName(row("customer", customer, col("c_custkey").cast("string")))
+      .unionByName(row("supplier", supplier, col("s_suppkey").cast("string")))
+      .unionByName(row("part", part, col("p_partkey").cast("string")))
+      .unionByName(row("orders", orders, col("o_orderkey").cast("string")))
+      .unionByName(row("lineitem", lineitem,
+        concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))))
   }
 
   /** Rows per backfill batch for [[backfillPlan]]. */

@@ -270,9 +270,10 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("fk_integrity: the generated star schema has no orphans") {
     val fk = Snapshot.fkIntegrity(Tables.customer(spark, TestSpark.Sf),
-      Tables.orders(spark, TestSpark.Sf), Tables.lineitem(spark, TestSpark.Sf))
+      Tables.orders(spark, TestSpark.Sf), Tables.lineitem(spark, TestSpark.Sf),
+      Tables.nation(spark, TestSpark.Sf))
       .collect()
-    assert(fk.length === 2)
+    assert(fk.length === 3)
     fk.foreach { r =>
       assert(r.getAs[Long]("n_orphan_rows") === 0L)
       assert(r.getAs[Long]("n_child_rows") > 0L)
@@ -287,6 +288,56 @@ class OperatorsSpec extends AnyFunSuite {
     op.foreach(r =>
       assert(r.getAs[Long]("n_late") <= r.getAs[Long]("n_orders")))
     assert(op.map(_.getAs[Long]("n_late")).sum > 0L)
+  }
+
+  test("table_manifest covers every star-schema table with live counts") {
+    val m = Snapshot.tableManifest(
+      Tables.region(spark, TestSpark.Sf), Tables.nation(spark, TestSpark.Sf),
+      Tables.customer(spark, TestSpark.Sf),
+      Tables.supplier(spark, TestSpark.Sf), Tables.part(spark, TestSpark.Sf),
+      Tables.orders(spark, TestSpark.Sf), Tables.lineitem(spark, TestSpark.Sf))
+      .collect().map(r => r.getAs[String]("table_name") -> r).toMap
+    assert(m.keySet === Set("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem"))
+    assert(m("customer").getAs[Long]("n_rows")
+      === Tables.customer(spark, TestSpark.Sf).count())
+    // a checksum of a nonempty table is nonzero with overwhelming
+    // probability (60-bit hash xor) — catches a dropped hash column
+    m.values.foreach(r => assert(r.getAs[Long]("key_xor") !== 0L))
+  }
+
+  test("olap_promo_revenue: promo share bounded, totals match lineitem") {
+    val pr = Analytics.promoRevenue(Tables.part(spark, TestSpark.Sf),
+      Tables.lineitem(spark, TestSpark.Sf)).collect()
+    pr.foreach { r =>
+      assert(r.getAs[Long]("promo_rev_c") <= r.getAs[Long]("total_rev_c"))
+      assert(r.getAs[Long]("promo_ppm") <= 1000000L)
+      assert(r.getAs[Long]("ship_month") >= 199501L)
+    }
+  }
+
+  test("load_profile conserves events over the 7x24 grid") {
+    val lp = Analytics.loadProfile(cl).collect()
+    assert(lp.map(_.getAs[Long]("n")).sum === cl.count())
+    lp.foreach { r =>
+      assert(r.getAs[Long]("dow") >= 0L && r.getAs[Long]("dow") <= 6L)
+      assert(r.getAs[Long]("hour") >= 0L && r.getAs[Long]("hour") <= 23L)
+    }
+  }
+
+  test("modal_align: the driver corpus is fully aligned (and the audit " +
+    "sees orphans when planted)") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val embs = Tables.embeddings(spark, TestSpark.Sf)
+    val aligned = Multimodal.modalAlign(docs, embs).collect()
+    assert(aligned.map(_.getAs[String]("status")).toSet === Set("MATCHED"))
+    // plant orphans on both sides
+    val planted = Multimodal.modalAlign(
+      docs.where(col("doc_id") < 400), embs.where(col("vec_id") >= 200))
+      .collect().groupBy(_.getAs[String]("status"))
+    assert(planted("DOC_ONLY").map(_.getAs[Long]("n")).sum === 200L)
+    assert(planted("EMB_ONLY").map(_.getAs[Long]("n")).sum === 100L)
+    assert(planted("MATCHED").map(_.getAs[Long]("n")).sum === 200L)
   }
 
   test("value_histogram buckets are exact bit lengths and conserve mass") {

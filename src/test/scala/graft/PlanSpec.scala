@@ -62,12 +62,16 @@ class PlanSpec extends AnyFunSuite {
   test("nested-loop joins only where a tiny broadcast side is intended") {
     // mix_weights / dist_drift cross-join a broadcast 1-row total
     // semantic_dedup inherits ivf_assign's 16-row broadcast centroid
-    // cross join; pq_search broadcasts the 8-query LUT like ann_topk
+    // cross join; pq_search broadcasts the 8-query LUT like ann_topk;
+    // kmeans_shift fans every vector out over its ≤16 broadcast
+    // centroid arrays (twice — one per Lloyd iteration);
+    // fk_integrity / funnel_conversion chain 1-row summary aggregates
     val allowed = Set("ann_topk", "ann_ivf", "clean_retention",
       "heartbeat_state", "status_rollup", "ivf_assign", "ivf_train",
       "log_compact", "mix_weights", "dist_drift", "semantic_dedup",
       "pq_search", "pq_recall", "key_skew_report", "sync_lag",
-      "ivf_recall", "shard_balance", "pmi_pairs", "bpe_apply")
+      "ivf_recall", "shard_balance", "pmi_pairs", "bpe_apply",
+      "kmeans_shift", "fk_integrity")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
