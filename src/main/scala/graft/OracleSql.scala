@@ -2119,6 +2119,62 @@ object OracleSql {
         |SELECT status, lang, label, CAST(COUNT(*) AS BIGINT) AS n
         |FROM ma GROUP BY 1, 2, 3""".stripMargin,
 
+    "bloom_prune" -> {
+      import graft.operators.Sketches.{BloomBits, BloomHashes, WordBits}
+      val keyE = "CAST(event_id AS VARCHAR)"
+      def posE(s: Int) =
+        s"(${sqlPermute(sqlPhash(keyE), s)}) % $BloomBits"
+      val posList = (0 until BloomHashes).map(posE).mkString(", ")
+      s"""WITH $CL,
+         |bk AS (SELECT event_id FROM cl WHERE event_id % 7 = 0),
+         |bpos AS (SELECT p.p AS pos FROM bk, UNNEST([$posList]) AS p(p)),
+         |bloom AS (SELECT pos // $WordBits AS word,
+         |    CAST(bit_or(1::BIGINT << CAST(pos % $WordBits AS INT))
+         |      AS BIGINT) AS bits
+         |  FROM bpos GROUP BY 1),
+         |probe AS (SELECT event_id, (event_id % 7 = 0) AS actually_polled,
+         |    p.p AS pos
+         |  FROM cl, UNNEST([$posList]) AS p(p)),
+         |hits AS (SELECT event_id, actually_polled,
+         |    COUNT(CASE WHEN bloom.bits IS NOT NULL AND
+         |      (bloom.bits &
+         |        (1::BIGINT << CAST(probe.pos % $WordBits AS INT))) =
+         |      (1::BIGINT << CAST(probe.pos % $WordBits AS INT)) THEN 1 END)
+         |      = $BloomHashes AS maybe
+         |  FROM probe LEFT JOIN bloom
+         |    ON probe.pos // $WordBits = bloom.word
+         |  GROUP BY 1, 2)
+         |SELECT CASE WHEN maybe THEN 'MAYBE_POLLED'
+         |    ELSE 'DEFINITELY_NEW' END AS verdict,
+         |  CAST(actually_polled AS VARCHAR) AS actually_polled,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM hits GROUP BY 1, 2""".stripMargin
+    },
+
+    "cms_error" -> {
+      import graft.operators.Sketches.{CmsDepth, CmsWidth}
+      def colE(s: Int) = s"(${sqlPermute(sqlPhash("t.t"), s)}) % $CmsWidth"
+      def pColE(s: Int) = s"(${sqlPermute(sqlPhash("t"), s)}) % $CmsWidth"
+      val cellRows = (0 until CmsDepth)
+        .map(s => s"SELECT $s AS rw, ${colE(s)} AS cc FROM tokstream t")
+        .mkString(" UNION ALL ")
+      val probeRows = (0 until CmsDepth)
+        .map(s => s"SELECT t, exact_n, $s AS rw, ${pColE(s)} AS cc FROM top")
+        .mkString(" UNION ALL ")
+      s"""WITH tokstream AS (SELECT t.t AS t
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)),
+         |cmscells AS (SELECT rw, cc, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM ($cellRows) u GROUP BY 1, 2),
+         |top AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_n
+         |  FROM tokstream GROUP BY 1
+         |  ORDER BY exact_n DESC, t LIMIT 20),
+         |probes AS ($probeRows)
+         |SELECT p.t, p.exact_n, MIN(c.cnt) AS est_n,
+         |  MIN(c.cnt) - p.exact_n AS overcount
+         |FROM probes p JOIN cmscells c ON p.rw = c.rw AND p.cc = c.cc
+         |GROUP BY 1, 2""".stripMargin
+    },
+
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -255,7 +255,10 @@ object SparkEntry {
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "modal_align"         -> ((s, dir) =>
       Multimodal.modalAlign(Tables.documents(s, dir),
-        Tables.embeddings(s, dir)))
+        Tables.embeddings(s, dir))),
+    "bloom_prune"         -> ((s, dir) => Sketches.bloomPrune(cl(s, dir))),
+    "cms_error"           -> ((s, dir) =>
+      Sketches.cmsError(Tables.documents(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

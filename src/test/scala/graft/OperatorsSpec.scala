@@ -340,6 +340,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(planted("MATCHED").map(_.getAs[Long]("n")).sum === 200L)
   }
 
+  test("bloom_prune: no false negatives, conserves the changelog") {
+    val bp = Sketches.bloomPrune(cl).collect()
+    assert(bp.map(_.getAs[Long]("n")).sum === cl.count())
+    // the one-sided guarantee: an actually-polled key can NEVER be
+    // DEFINITELY_NEW — that would silently re-poll applied changes
+    assert(!bp.exists(r => r.getAs[String]("verdict") == "DEFINITELY_NEW"
+      && r.getAs[String]("actually_polled") == "true"))
+    // and pruning must actually prune: most unpolled rows skip the join
+    val newRows = bp.filter(r =>
+      r.getAs[String]("verdict") == "DEFINITELY_NEW")
+      .map(_.getAs[Long]("n")).sum
+    assert(newRows > cl.count() / 2)
+  }
+
+  test("cms_error: one-sided overcounts, exact counts match token_topk") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val ce = Sketches.cmsError(docs).collect()
+    assert(ce.length === 20)
+    ce.foreach(r => assert(r.getAs[Long]("overcount") >= 0L,
+      s"CMS undercounted ${r.getAs[String]("t")}"))
+    val exactTop = TextAnalysis.tokenTopK(docs).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("n")).toMap
+    ce.foreach { r =>
+      exactTop.get(r.getAs[String]("t"))
+        .foreach(n => assert(r.getAs[Long]("exact_n") === n))
+    }
+  }
+
   test("value_histogram buckets are exact bit lengths and conserve mass") {
     val vh = Analytics.valueHistogram(cl).collect()
     assert(vh.map(_.getAs[Long]("n")).sum === cl.count())
