@@ -2175,6 +2175,35 @@ object OracleSql {
          |GROUP BY 1, 2""".stripMargin
     },
 
+    "olap_rollup" ->
+      """SELECT COALESCE(l_returnflag, '-') AS l_returnflag,
+        |  COALESCE(l_linestatus, '-') AS l_linestatus,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS rev_c,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "olap_moving_revenue" ->
+      """WITH md AS (SELECT epoch_ms(l_shipdate) // 86400000 AS ship_day,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT ship_day, rev_c,
+        |  CAST(SUM(rev_c) OVER (ORDER BY ship_day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS mov7_rev_c
+        |FROM md""".stripMargin,
+
+    "op_mix_pivot" ->
+      s"""WITH $CL
+         |SELECT part,
+         |  CAST(COUNT(CASE WHEN op = 'I' THEN 1 END) AS BIGINT) AS n_insert,
+         |  CAST(COUNT(CASE WHEN op = 'U' THEN 1 END) AS BIGINT) AS n_update,
+         |  CAST(COUNT(CASE WHEN op = 'D' THEN 1 END) AS BIGINT) AS n_delete
+         |FROM cl GROUP BY 1""".stripMargin,
+
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

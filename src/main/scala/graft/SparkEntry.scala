@@ -258,7 +258,12 @@ object SparkEntry {
         Tables.embeddings(s, dir))),
     "bloom_prune"         -> ((s, dir) => Sketches.bloomPrune(cl(s, dir))),
     "cms_error"           -> ((s, dir) =>
-      Sketches.cmsError(Tables.documents(s, dir)))
+      Sketches.cmsError(Tables.documents(s, dir))),
+    "olap_rollup"         -> ((s, dir) =>
+      Analytics.pricingRollup(Tables.lineitem(s, dir))),
+    "olap_moving_revenue" -> ((s, dir) =>
+      Analytics.movingRevenue(Tables.lineitem(s, dir))),
+    "op_mix_pivot"        -> ((s, dir) => Analytics.opMixPivot(cl(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

@@ -106,6 +106,60 @@ object Analytics {
       .groupBy("dow", "hour")
       .agg(count(lit(1)).as("n"), sum("value_cents").as("sum_cents"))
 
+  /** Hierarchical pricing rollup — the ROLLUP/grouping-sets surface of
+    * the engine: revenue at (returnflag, linestatus), per returnflag,
+    * and grand-total grain in ONE pass (Catalyst expands the grouping
+    * sets before the single shuffle; a UNION of three aggregates would
+    * scan the fact table three times). grouping_id disambiguates the
+    * NULL-key rollup rows exactly as in the SQL oracle. */
+  def pricingRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_returnflag"), col("l_linestatus"), revCents.as("rev_c"))
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("rev_c").as("rev_c"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("-")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("-")).as("l_linestatus"),
+        col("rev_c"), col("n"), col("gid"))
+
+  /** 7-day trailing revenue per ship day — the moving-window report
+    * shape. The range-frame window runs over the PRE-AGGREGATED
+    * per-day relation (≤ a few thousand rows at any corpus size — the
+    * aggregate-below-window rule from value_median), never over raw
+    * line items; day is integer epoch-days so the range frame is exact
+    * integer arithmetic on both engines. */
+  def movingRevenue(lineitem: DataFrame): DataFrame = {
+    val daily = lineitem
+      // unix_date over a date cast: l_shipdate reads as TIMESTAMP_NTZ,
+      // which unix_micros rejects; the date path is tz-free on both
+      // engines (the oracle floors epoch ms to days)
+      .select(expr("cast(unix_date(cast(l_shipdate as date)) as bigint)")
+        .as("ship_day"), revCents.as("rev_c"))
+      .groupBy("ship_day")
+      .agg(sum("rev_c").as("rev_c"))
+    // non-foldable constant partition key (see topRevenueOrders): the
+    // per-day relation is tiny, but the window must not plan as the
+    // warned single-partition GLOBAL window over an undefined spec
+    val w = Window.partitionBy(pmod(col("ship_day"), lit(1)))
+      .orderBy("ship_day").rangeBetween(-6, 0)
+    daily
+      .withColumn("mov7_rev_c", sum("rev_c").over(w))
+      .select(col("ship_day"), col("rev_c"), col("mov7_rev_c"))
+  }
+
+  /** Op-mix pivot per partition worker — the wide-format monitoring
+    * view (one column per change op) the pivot API exists for. Fixed
+    * pivot values keep the schema static and the plan a single
+    * aggregate. */
+  def opMixPivot(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy("part")
+      .pivot("op", Seq("I", "U", "D"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("I", "U", "D"))
+      .select(col("part"), col("I").as("n_insert"), col("U").as("n_update"),
+        col("D").as("n_delete"))
+
   /** Late-shipment threshold for [[orderPriority]]. */
   val LateDays = 60
 

@@ -368,6 +368,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("olap_rollup: rollup grains reconcile (leaves sum to flag rows " +
+    "sum to the grand total)") {
+    val li = Tables.lineitem(spark, TestSpark.Sf)
+    val r = Analytics.pricingRollup(li).collect()
+    val byGid = r.groupBy(_.getAs[Long]("gid"))
+    val leaves = byGid(0L).map(_.getAs[Long]("rev_c")).sum
+    val flags = byGid(1L).map(_.getAs[Long]("rev_c")).sum
+    val total = byGid(3L).map(_.getAs[Long]("rev_c")).sum
+    assert(leaves === flags)
+    assert(flags === total)
+    assert(byGid(3L).length === 1)
+  }
+
+  test("olap_moving_revenue: the 7-day window sums exactly") {
+    val mv = Analytics.movingRevenue(Tables.lineitem(spark, TestSpark.Sf))
+      .collect().map(r => r.getAs[Long]("ship_day") ->
+        (r.getAs[Long]("rev_c"), r.getAs[Long]("mov7_rev_c"))).toMap
+    mv.foreach { case (d, (_, mov)) =>
+      val expected = (d - 6 to d).flatMap(mv.get).map(_._1).sum
+      assert(mov === expected, s"day $d")
+    }
+  }
+
+  test("op_mix_pivot: wide counts match the long-format groupBy") {
+    val p = Analytics.opMixPivot(cl).collect()
+    val long = cl.groupBy("part", "op").count().collect()
+      .map(r => (r.getAs[Long]("part"), r.getAs[String]("op"))
+        -> r.getAs[Long]("count")).toMap
+    p.foreach { r =>
+      val part = r.getAs[Long]("part")
+      assert(r.getAs[Long]("n_insert") === long.getOrElse((part, "I"), 0L))
+      assert(r.getAs[Long]("n_update") === long.getOrElse((part, "U"), 0L))
+      assert(r.getAs[Long]("n_delete") === long.getOrElse((part, "D"), 0L))
+    }
+  }
+
   test("value_histogram buckets are exact bit lengths and conserve mass") {
     val vh = Analytics.valueHistogram(cl).collect()
     assert(vh.map(_.getAs[Long]("n")).sum === cl.count())
