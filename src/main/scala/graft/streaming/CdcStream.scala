@@ -136,6 +136,75 @@ object CdcStream {
       .dropDuplicatesWithinWatermark("fp")
   }
 
+  /** A change carrying its event-time column (watermarkable twin of
+    * [[Change]] — ts = timestamp_millis(ems)). */
+  case class ChangeTs(user_id: Long, event_id: Long, ems: Long,
+                      op: String, value_cents: Long,
+                      ts: java.sql.Timestamp)
+
+  /** One closed session — matches Temporal.sessionize's row shape. */
+  case class Session(user_id: Long, session_id: Long, n_events: Long,
+                     start_ms: Long, end_ms: Long, duration_ms: Long)
+
+  /** Open-session state: 1-based session counter + the open window. */
+  case class SessionState(seq: Long, n: Long, startMs: Long, endMs: Long)
+
+  /** Streaming sessionization — the continuous twin of
+    * Temporal.sessionize (same gap rule, same 1-based session ids):
+    * flatMapGroupsWithState keyed on the sync key holds ONE open
+    * session per key; a session closes when a later event arrives past
+    * the gap, or when the event-time WATERMARK passes end+gap (the
+    * EventTimeTimeout — so sessions of idle keys still close, bounded
+    * by event time, not wall clock). Closed sessions stream out
+    * append-only; state per key is four longs regardless of history.
+    * In-batch disorder is absorbed by sorting each micro-batch slice
+    * on the LWW order; cross-batch late events beyond the watermark
+    * are dropped by the watermark contract. */
+  def sessionizeStream(spark: SparkSession,
+                       changes: Dataset[ChangeTs]): Dataset[Session] = {
+    import spark.implicits._
+    val gap = graft.operators.Temporal.SessionGapMs
+    changes
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[ChangeTs], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            // keep the counter in an n=0 "no open session" marker —
+            // removing state here would restart session numbering at 1
+            // for the key's next event and break batch parity. The
+            // marker is 4 longs; a production build would TTL it.
+            state.update(s.copy(n = 0))
+            Iterator.single(
+              Session(uid, s.seq, s.n, s.startMs, s.endMs, s.endMs - s.startMs))
+          } else {
+            val evs = batch.toSeq.sortBy(c => (c.ems, c.event_id))
+            val closed = scala.collection.mutable.ListBuffer.empty[Session]
+            var st = state.getOption
+            evs.foreach { e =>
+              st = st match {
+                case Some(s) if s.n > 0 && e.ems - s.endMs <= gap =>
+                  Some(s.copy(n = s.n + 1, endMs = math.max(s.endMs, e.ems)))
+                case Some(s) =>
+                  if (s.n > 0)
+                    closed += Session(uid, s.seq, s.n, s.startMs, s.endMs,
+                      s.endMs - s.startMs)
+                  Some(SessionState(s.seq + 1, 1, e.ems, e.ems))
+                case None =>
+                  Some(SessionState(1, 1, e.ems, e.ems))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              if (s.n > 0) state.setTimeoutTimestamp(s.endMs + gap)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Adaptive poll backoff — the exact wait-time policy of
     * `/root/reference/.../sync/DataPoller.scala:60-74`: sleep
     * `(batch - polled)/batch · maxPollWait` ms after each poll (full

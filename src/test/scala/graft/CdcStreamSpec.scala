@@ -200,4 +200,56 @@ class CdcStreamSpec extends AnyFunSuite {
       assert(got === expected)
     } finally query.stop()
   }
+
+  test("streaming sessionization closes exactly the batch sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CdcStream.ChangeTs
+
+    val cl = ChangeLog.normalize(Tables.events(spark, TestSpark.Sf))
+    val changes = cl.select("user_id", "event_id", "ems", "op", "value_cents")
+      .withColumn("ts", timestamp_millis(col("ems")))
+      .as[ChangeTs].collect().sortBy(c => (c.ems, c.event_id))
+    // sentinel far past every real session: starts a throwaway session
+    // per key AND advances the watermark so all real sessions close
+    val sentinelMs = changes.map(_.ems).max + 10L * 24 * 3600 * 1000
+    val sentinels = changes.map(_.user_id).distinct.map(u =>
+      ChangeTs(u, 9999999L, sentinelMs, "U", 0L,
+        new java.sql.Timestamp(sentinelMs)))
+
+    val stream = MemoryStream[ChangeTs]
+    val query = graft.streaming.CdcStream
+      .sessionizeStream(spark, stream.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      val (first, second) = changes.splitAt(changes.length / 2)
+      stream.addData(first.toSeq)
+      query.processAllAvailable()
+      stream.addData(second.toSeq)
+      query.processAllAvailable()
+      stream.addData(sentinels.toSeq)
+      query.processAllAvailable()
+      // one more empty pass so the post-sentinel watermark fires timeouts
+      stream.addData(Seq.empty[ChangeTs])
+      query.processAllAvailable()
+
+      val got = spark.table("sessions")
+        .where(col("start_ms") < sentinelMs)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")) ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("start_ms"),
+            r.getAs[Long]("end_ms"), r.getAs[Long]("duration_ms")))
+        .toMap
+      val expected = graft.operators.Temporal.sessionize(cl).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")) ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("start_ms"),
+            r.getAs[Long]("end_ms"), r.getAs[Long]("duration_ms")))
+        .toMap
+      val onlyStream = got.toSet -- expected.toSet
+      val onlyBatch = expected.toSet -- got.toSet
+      assert(got === expected,
+        s"only-stream=${onlyStream.take(5)} only-batch=${onlyBatch.take(5)}")
+    } finally query.stop()
+  }
 }
