@@ -226,6 +226,37 @@ object OracleSql {
        |  SELECT node AS doc_id, MIN(src) AS cluster_id
        |  FROM reach GROUP BY node)""".stripMargin
 
+  /** Bucketed-checksum CTE chain (cs/csrc/ct/ctgt/cver) — the SQL twin
+    * of Snapshot.checksumCompare incl. its target-drift simulation;
+    * shared by checksum_compare and repair_plan. */
+  private lazy val ChecksumCtes: String = {
+    val b = graft.operators.Snapshot.ChecksumBuckets
+    s"""cs AS (SELECT c_custkey AS k,
+       |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+       |  FROM customer),
+       |csrc AS (SELECT k % $b AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS n_src,
+       |    CAST(bit_xor(${sqlPhash("k || ':' || cents")}) AS BIGINT)
+       |      AS x_src
+       |  FROM cs GROUP BY 1),
+       |ct AS (
+       |  SELECT k AS tk, cents + CASE WHEN k % 10 = 0 THEN 100 ELSE 0 END
+       |    AS tc FROM cs WHERE k % 13 <> 0
+       |  UNION ALL
+       |  SELECT k + 1000000, cents FROM cs WHERE k % 17 = 0),
+       |ctgt AS (SELECT tk % $b AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS n_tgt,
+       |    CAST(bit_xor(${sqlPhash("tk || ':' || tc")}) AS BIGINT) AS x_tgt
+       |  FROM ct GROUP BY 1),
+       |cver AS (SELECT COALESCE(csrc.bucket, ctgt.bucket) AS bucket,
+       |  COALESCE(n_src, 0) AS n_src, COALESCE(x_src, 0) AS x_src,
+       |  COALESCE(n_tgt, 0) AS n_tgt, COALESCE(x_tgt, 0) AS x_tgt,
+       |  CASE WHEN COALESCE(n_src, 0) = COALESCE(n_tgt, 0)
+       |    AND COALESCE(x_src, 0) = COALESCE(x_tgt, 0)
+       |    THEN 'MATCH' ELSE 'DIVERGED' END AS verdict
+       |FROM csrc FULL OUTER JOIN ctgt ON csrc.bucket = ctgt.bucket)""".stripMargin
+  }
+
   /** Shared normalized-changelog CTE body — the SQL twin of
     * operators.ChangeLog.normalize. */
   val CL: String =
@@ -1861,32 +1892,23 @@ object OracleSql {
         |  CAST(SUM(sq_e6) AS BIGINT) AS sum_sq_e6
         |FROM s GROUP BY 1""".stripMargin,
 
-    "checksum_compare" -> {
+    "checksum_compare" ->
+      s"""WITH $ChecksumCtes
+         |SELECT * FROM cver""".stripMargin,
+
+    "repair_plan" -> {
       val b = graft.operators.Snapshot.ChecksumBuckets
-      s"""WITH cs AS (SELECT c_custkey AS k,
-         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
-         |  FROM customer),
-         |csrc AS (SELECT k % $b AS bucket,
-         |    CAST(COUNT(*) AS BIGINT) AS n_src,
-         |    CAST(bit_xor(${sqlPhash("k || ':' || cents")}) AS BIGINT)
-         |      AS x_src
-         |  FROM cs GROUP BY 1),
-         |ct AS (
-         |  SELECT k AS tk, cents + CASE WHEN k % 10 = 0 THEN 100 ELSE 0 END
-         |    AS tc FROM cs WHERE k % 13 <> 0
-         |  UNION ALL
-         |  SELECT k + 1000000, cents FROM cs WHERE k % 17 = 0),
-         |ctgt AS (SELECT tk % $b AS bucket,
-         |    CAST(COUNT(*) AS BIGINT) AS n_tgt,
-         |    CAST(bit_xor(${sqlPhash("tk || ':' || tc")}) AS BIGINT) AS x_tgt
-         |  FROM ct GROUP BY 1)
-         |SELECT COALESCE(csrc.bucket, ctgt.bucket) AS bucket,
-         |  COALESCE(n_src, 0) AS n_src, COALESCE(x_src, 0) AS x_src,
-         |  COALESCE(n_tgt, 0) AS n_tgt, COALESCE(x_tgt, 0) AS x_tgt,
-         |  CASE WHEN COALESCE(n_src, 0) = COALESCE(n_tgt, 0)
-         |    AND COALESCE(x_src, 0) = COALESCE(x_tgt, 0)
-         |    THEN 'MATCH' ELSE 'DIVERGED' END AS verdict
-         |FROM csrc FULL OUTER JOIN ctgt ON csrc.bucket = ctgt.bucket""".stripMargin
+      val bb = graft.operators.Snapshot.BackfillBatch
+      s"""WITH $ChecksumCtes,
+         |rdiv AS (SELECT bucket FROM cver WHERE verdict = 'DIVERGED'),
+         |rsrc AS (SELECT c_custkey % $b AS bucket,
+         |    CAST(c_custkey AS BIGINT) AS key
+         |  FROM customer)
+         |SELECT rsrc.bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  (CAST(COUNT(*) AS BIGINT) + ${bb - 1}) // $bb AS n_batches,
+         |  MIN(key) AS key_lo, MAX(key) AS key_hi
+         |FROM rsrc JOIN rdiv ON rsrc.bucket = rdiv.bucket
+         |GROUP BY 1""".stripMargin
     },
 
     "fk_integrity" ->
@@ -2203,6 +2225,17 @@ object OracleSql {
          |  CAST(COUNT(CASE WHEN op = 'U' THEN 1 END) AS BIGINT) AS n_update,
          |  CAST(COUNT(CASE WHEN op = 'D' THEN 1 END) AS BIGINT) AS n_delete
          |FROM cl GROUP BY 1""".stripMargin,
+
+    "dedup_sweep" -> {
+      val taus = graft.operators.Dedup.SweepThresholds.mkString(", ")
+      s"""WITH $MinhashCtes,
+         |sw AS (SELECT j.j_milli, CAST(t.t AS BIGINT) AS tau_milli
+         |  FROM jac j, UNNEST([$taus]) AS t(t))
+         |SELECT tau_milli, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |  CAST(COUNT(CASE WHEN j_milli >= tau_milli THEN 1 END) AS BIGINT)
+         |    AS n_dup_pairs
+         |FROM sw GROUP BY 1""".stripMargin
+    },
 
     "ann_topk" ->
       """WITH q AS (

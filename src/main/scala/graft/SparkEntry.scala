@@ -263,7 +263,11 @@ object SparkEntry {
       Analytics.pricingRollup(Tables.lineitem(s, dir))),
     "olap_moving_revenue" -> ((s, dir) =>
       Analytics.movingRevenue(Tables.lineitem(s, dir))),
-    "op_mix_pivot"        -> ((s, dir) => Analytics.opMixPivot(cl(s, dir)))
+    "op_mix_pivot"        -> ((s, dir) => Analytics.opMixPivot(cl(s, dir))),
+    "repair_plan"         -> ((s, dir) =>
+      Snapshot.repairPlan(Tables.customer(s, dir))),
+    "dedup_sweep"         -> ((s, dir) =>
+      Dedup.dedupSweep(Tables.documents(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

@@ -164,6 +164,22 @@ object Dedup {
       .withColumn("is_dup", (col("j_milli") >= JaccardMilli).cast("string"))
   }
 
+  /** Thresholds swept by [[dedupSweep]] (milli-Jaccard). */
+  val SweepThresholds: Seq[Long] = Seq(400L, 500L, 600L, 700L, 800L, 900L)
+
+  /** Dedup threshold sweep — how many verified duplicate pairs each
+    * candidate Jaccard threshold would confirm, in one pass: the
+    * expensive candidate+verify chain runs ONCE, then each pair row
+    * fans out over the (tiny, literal) threshold list. The tuning
+    * view that picks JaccardMilli for a corpus. */
+  def dedupSweep(documents: DataFrame): DataFrame =
+    ngramJaccard(documents)
+      .select(col("j_milli"),
+        explode(array(SweepThresholds.map(lit): _*)).as("tau_milli"))
+      .groupBy("tau_milli")
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("j_milli") >= col("tau_milli"), 1)).as("n_dup_pairs"))
+
   /** Near-dup pairs confirmed by Jaccard ≥ threshold, keeping the
     * smaller doc_id as canonical. */
   def minhashDedup(documents: DataFrame): DataFrame =

@@ -108,6 +108,29 @@ object Snapshot {
           .otherwise(lit("DIVERGED")))
   }
 
+  /** Anti-entropy repair plan — the step after [[checksumCompare]]:
+    * for every DIVERGED bucket, the bounded re-sync schedule (row
+    * count, BackfillBatch-sized chunk count, key bounds) a repair
+    * worker executes. The diverged bucket list is tiny (≤
+    * ChecksumBuckets rows) and broadcast; only rows in diverged
+    * buckets are counted — matched buckets are never re-read at the
+    * row level. */
+  def repairPlan(customer: DataFrame): DataFrame = {
+    val diverged = checksumCompare(customer)
+      .where(col("verdict") === "DIVERGED").select("bucket")
+    customer
+      .select(pmod(col("c_custkey"), lit(ChecksumBuckets)).as("bucket"),
+        col("c_custkey").cast("long").as("key"))
+      .join(broadcast(diverged), Seq("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("key").as("key_lo"), max("key").as("key_hi"))
+      .select(col("bucket"), col("n_rows"),
+        expr(s"(n_rows + ${BackfillBatch - 1}) div $BackfillBatch")
+          .as("n_batches"),
+        col("key_lo"), col("key_hi"))
+  }
+
   /** Referential-integrity audit over the synced star schema — the
     * post-sync consistency check (did every child row's parent arrive?):
     * per relation, child rows, orphan child rows (parent key absent),

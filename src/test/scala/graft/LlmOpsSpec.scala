@@ -869,6 +869,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(docsCovered === Dedup.dupClusters(docs).count())
   }
 
+  test("dedup_sweep is monotone decreasing in the threshold and agrees " +
+    "with minhashDedup at the operating point") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val sweep = Dedup.dedupSweep(docs).collect()
+      .map(r => r.getAs[Long]("tau_milli") -> r.getAs[Long]("n_dup_pairs"))
+      .sortBy(_._1)
+    sweep.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(a >= b)
+    }
+    val atOp = sweep.toMap.apply(Dedup.JaccardMilli)
+    assert(atOp === Dedup.minhashDedup(docs).count())
+  }
+
   test("embed_norm_stats: per-label bounds bracket the sums") {
     val e = Tables.embeddings(spark, TestSpark.Sf)
     val st = Similarity.embedNormStats(e).collect()

@@ -340,6 +340,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(planted("MATCHED").map(_.getAs[Long]("n")).sum === 200L)
   }
 
+  test("repair_plan covers exactly the diverged buckets with bounded " +
+    "chunks") {
+    val cust = Tables.customer(spark, TestSpark.Sf)
+    val plan = Snapshot.repairPlan(cust).collect()
+    val diverged = Snapshot.checksumCompare(cust)
+      .where(col("verdict") === "DIVERGED")
+      .select("bucket").collect().map(_.getAs[Long]("bucket")).toSet
+    assert(plan.map(_.getAs[Long]("bucket")).toSet === diverged)
+    plan.foreach { r =>
+      val expected = (r.getAs[Long]("n_rows") + Snapshot.BackfillBatch - 1) /
+        Snapshot.BackfillBatch
+      assert(r.getAs[Long]("n_batches") === expected)
+    }
+  }
+
   test("bloom_prune: no false negatives, conserves the changelog") {
     val bp = Sketches.bloomPrune(cl).collect()
     assert(bp.map(_.getAs[Long]("n")).sum === cl.count())
