@@ -155,6 +155,51 @@ object InvariantProps extends Properties("graft.invariants") {
         k >= 0 && k < BandQ && maxInter <= BigInt(Long.MaxValue)
     }
 
+  // --- sketch invariants: pure-Scala mirrors of the exact arithmetic
+  // the Sketches Column trees embed (same md5 base hash, same A/B
+  // permutation constants), so these prove the algorithm, not a copy
+
+  private def sketchPositions(key: String, n: Int, mod: Long): Seq[Long] = {
+    import graft.functions.PortableHash.{md5Long, A, B, P}
+    val hm = md5Long(key) % P
+    (0 until n).map(s => (hm * A(s) + B(s)) % P % mod)
+  }
+
+  property("bloom filter has NO false negatives for any key set") =
+    forAll(Gen.listOf(Gen.choose(0L, 100000L)),
+      Gen.listOf(Gen.choose(0L, 100000L))) { (members, probes) =>
+      import graft.operators.Sketches.{BloomBits, BloomHashes, WordBits}
+      val words = members
+        .flatMap(k => sketchPositions(k.toString, BloomHashes, BloomBits))
+        .groupBy(_ / WordBits)
+        .map { case (w, ps) =>
+          w -> ps.map(p => 1L << (p % WordBits).toInt).reduce(_ | _)
+        }
+      def maybe(k: Long): Boolean =
+        sketchPositions(k.toString, BloomHashes, BloomBits).forall { p =>
+          val mask = 1L << (p % WordBits).toInt
+          (words.getOrElse(p / WordBits, 0L) & mask) == mask
+        }
+      // every member tests positive; every mask is a positive long
+      members.forall(maybe) &&
+        words.values.forall(_ > 0L || words.isEmpty)
+    }
+
+  property("count-min estimate never undercounts any token") =
+    forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "ee", "f0", "g"))) {
+      toks =>
+        import graft.operators.Sketches.{CmsDepth, CmsWidth}
+        val cells = toks
+          .flatMap(t => sketchPositions(t, CmsDepth, CmsWidth).zipWithIndex)
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        val exact = toks.groupBy(identity).map { case (t, v) => t -> v.size }
+        exact.forall { case (t, n) =>
+          val est = sketchPositions(t, CmsDepth, CmsWidth).zipWithIndex
+            .map(cells(_)).min
+          est >= n
+        }
+    }
+
   property("partition plan covers [lo, hi] exactly, ranges disjoint & adjacent") =
     forAll(Gen.choose(0L, 1000L), Gen.choose(1L, 100000L)) { (lo, span) =>
       val hi = lo + span
