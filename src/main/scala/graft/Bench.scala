@@ -56,22 +56,33 @@ object Bench {
       }
     }
     import JsonOut.q
-    // Bounded precision: full-precision doubles made the line overflow
-    // the driver's stdout tail window (~2.9 KB observed in round 3 —
-    // the head of the JSON was cut and it recorded parsed:null). At
-    // 100+ queries even 3 decimals is borderline, so per-query values
-    // use 2 decimals (run-to-run noise is ±4% anyway); the total keeps 3.
     // Locale.ROOT: a comma-decimal default locale (de_DE …) would
     // format 34.123 as "34,123" and corrupt the JSON line
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def cs(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = timings.map { case (k, v) => s"${q(k)}:${cs(v)}" }
-      .mkString("{", ",", "}")
     val fs = failed.map(q).mkString("[", ",", "]")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":${q(sfDir)}}""")
+    // The driver records only the LAST ~2000 chars of stdout and
+    // parses the JSON line out of that tail — a full 130+-query map
+    // (~2.9 KB) overflows it and the line records as unparseable (the
+    // round-3 parsed:null). So the stdout line carries the top
+    // TailTopK slowest queries (the ones per-round perf comparison
+    // actually reads) plus n_queries/other_sec so the total still
+    // reconciles; the COMPLETE per-query map goes to BENCH_LOCAL.json
+    // in the repo, committed every round for machine diffing.
+    val TailTopK = 70
+    val byCost = timings.toSeq.sortBy(-_._2)
+    val fullQs = timings.map { case (k, v) => s"${q(k)}:${cs(v)}" }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullQs,"failed":$fs,"sf":${q(sfDir)}}""")
+    val topQs = byCost.take(TailTopK)
+      .map { case (k, v) => s"${q(k)}:${cs(v)}" }.mkString("{", ",", "}")
+    val otherSec = byCost.drop(TailTopK).map(_._2).sum
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$topQs,"n_queries":${timings.size},"other_sec":${cs(otherSec)},"failed":$fs,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }
