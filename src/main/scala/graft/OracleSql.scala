@@ -2237,6 +2237,38 @@ object OracleSql {
          |FROM sw GROUP BY 1""".stripMargin
     },
 
+    "cross_source_overlap" ->
+      s"""WITH $MinhashCtes,
+         |xsp AS (SELECT doc_a, doc_b FROM jac
+         |  WHERE j_milli >= ${Dedup.JaccardMilli}),
+         |xss AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS source_x,
+         |  greatest(a.source, b.source) AS source_y,
+         |  CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+         |FROM xsp JOIN xss a ON xsp.doc_a = a.doc_id
+         |JOIN xss b ON xsp.doc_b = b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    "forget_audit" -> {
+      val m = graft.operators.Snapshot.ForgetMod
+      s"""WITH $CL,
+         |fc AS (SELECT c_custkey AS k FROM customer
+         |  WHERE c_custkey % $m = 0),
+         |fo AS (SELECT o_orderkey FROM orders
+         |  WHERE EXISTS (SELECT 1 FROM fc WHERE fc.k = orders.o_custkey))
+         |SELECT 'events' AS relation, CAST(COUNT(*) AS BIGINT)
+         |    AS n_rows_to_purge
+         |  FROM cl WHERE EXISTS (SELECT 1 FROM fc WHERE fc.k = cl.user_id)
+         |UNION ALL
+         |SELECT 'customer', CAST(COUNT(*) AS BIGINT) FROM fc
+         |UNION ALL
+         |SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM fo
+         |UNION ALL
+         |SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem
+         |  WHERE EXISTS (SELECT 1 FROM fo
+         |    WHERE fo.o_orderkey = lineitem.l_orderkey)""".stripMargin
+    },
+
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

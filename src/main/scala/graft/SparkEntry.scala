@@ -267,7 +267,12 @@ object SparkEntry {
     "repair_plan"         -> ((s, dir) =>
       Snapshot.repairPlan(Tables.customer(s, dir))),
     "dedup_sweep"         -> ((s, dir) =>
-      Dedup.dedupSweep(Tables.documents(s, dir)))
+      Dedup.dedupSweep(Tables.documents(s, dir))),
+    "cross_source_overlap" -> ((s, dir) =>
+      Dedup.crossSourceOverlap(Tables.documents(s, dir))),
+    "forget_audit"        -> ((s, dir) =>
+      Snapshot.forgetAudit(cl(s, dir), Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

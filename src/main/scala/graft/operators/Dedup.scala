@@ -316,6 +316,25 @@ object Dedup {
       .groupBy("cluster_id").agg(max("n_members").as("n_members"))
       .groupBy("n_members").agg(count(lit(1)).as("n_clusters"))
 
+  /** Cross-source duplication overlap — which sources copy from each
+    * other: every verified near-dup pair mapped to its (unordered)
+    * source pair. The provenance view that decides which feeds to
+    * de-prioritize at crawl time. Two narrow (doc_id, source) joins
+    * against the (small) verified pair set; least/greatest
+    * canonicalizes the pair on both engines. */
+  def crossSourceOverlap(documents: DataFrame): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    minhashDedup(documents)
+      .join(src.select(col("doc_id").as("keeper_doc_id"),
+        col("source").as("source_a")), "keeper_doc_id")
+      .join(src.select(col("doc_id").as("dup_doc_id"),
+        col("source").as("source_b")), "dup_doc_id")
+      .groupBy(
+        least(col("source_a"), col("source_b")).as("source_x"),
+        greatest(col("source_a"), col("source_b")).as("source_y"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
   /** Repeated-substring run length (tokens) for [[substringDedup]]. */
   val SubstrL = 15
 

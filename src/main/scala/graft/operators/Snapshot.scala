@@ -192,6 +192,43 @@ object Snapshot {
           col("l_linenumber").cast("string"))))
   }
 
+  /** Deletion-cohort membership for [[forgetAudit]] — deterministic
+    * stand-in for an erasure-request list. */
+  val ForgetMod = 29L
+
+  /** Right-to-be-forgotten cascade audit: given a deletion cohort of
+    * subject keys, how many rows each relation must purge — the
+    * subject's change events, their customer row, their orders, and
+    * those orders' line items (the FK cascade). The planning query any
+    * sync/warehouse owner runs before executing an erasure batch. The
+    * cohort and the cohort's order-key set are broadcast; the big
+    * relations are each touched once with a semi-join — no cascade
+    * materialization. */
+  def forgetAudit(changelog: DataFrame, customer: DataFrame,
+                  orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cohort = customer
+      .where(pmod(col("c_custkey"), lit(ForgetMod)) === 0)
+      .select(col("c_custkey").as("cohort_key"))
+    val cohortOrders = orders
+      .join(broadcast(cohort), col("o_custkey") === col("cohort_key"))
+      .select(col("o_orderkey"))
+    def counted(rel: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_rows_to_purge"))
+        .select(lit(rel).as("relation"), col("n_rows_to_purge"))
+    counted("events",
+      changelog.join(broadcast(cohort), col("user_id") === col("cohort_key"),
+        "left_semi"))
+      .unionByName(counted("customer",
+        customer.join(broadcast(cohort),
+          col("c_custkey") === col("cohort_key"), "left_semi")))
+      .unionByName(counted("orders",
+        orders.join(broadcast(cohort),
+          col("o_custkey") === col("cohort_key"), "left_semi")))
+      .unionByName(counted("lineitem",
+        lineitem.join(broadcast(cohortOrders),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")))
+  }
+
   /** Rows per backfill batch for [[backfillPlan]]. */
   val BackfillBatch = 200L
 

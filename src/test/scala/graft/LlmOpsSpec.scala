@@ -882,6 +882,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(atOp === Dedup.minhashDedup(docs).count())
   }
 
+  test("cross_source_overlap conserves the verified dup-pair count") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val overlap = Dedup.crossSourceOverlap(docs).collect()
+    assert(overlap.map(_.getAs[Long]("n_dup_pairs")).sum
+      === Dedup.minhashDedup(docs).count())
+    overlap.foreach(r => assert(
+      r.getAs[String]("source_x") <= r.getAs[String]("source_y")))
+  }
+
   test("embed_norm_stats: per-label bounds bracket the sums") {
     val e = Tables.embeddings(spark, TestSpark.Sf)
     val st = Similarity.embedNormStats(e).collect()

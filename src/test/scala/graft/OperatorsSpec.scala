@@ -355,6 +355,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("forget_audit: cascade counts match direct filters") {
+    val cust = Tables.customer(spark, TestSpark.Sf)
+    val ord = Tables.orders(spark, TestSpark.Sf)
+    val li = Tables.lineitem(spark, TestSpark.Sf)
+    val got = Snapshot.forgetAudit(cl, cust, ord, li).collect()
+      .map(r => r.getAs[String]("relation")
+        -> r.getAs[Long]("n_rows_to_purge")).toMap
+    val inCohort = pmod(col("c_custkey"), lit(Snapshot.ForgetMod)) === 0
+    val cohortKeys = cust.where(inCohort)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(got("customer") === cohortKeys.size.toLong)
+    assert(got("events") ===
+      cl.collect().count(r => cohortKeys(r.getAs[Long]("user_id"))))
+    val cohortOrderKeys = ord.collect()
+      .filter(r => cohortKeys(r.getAs[Long]("o_custkey")))
+      .map(_.getAs[Long]("o_orderkey")).toSet
+    assert(got("orders") === cohortOrderKeys.size.toLong)
+    assert(got("lineitem") ===
+      li.select("l_orderkey").collect()
+        .count(r => cohortOrderKeys(r.getLong(0))).toLong)
+  }
+
   test("bloom_prune: no false negatives, conserves the changelog") {
     val bp = Sketches.bloomPrune(cl).collect()
     assert(bp.map(_.getAs[Long]("n")).sum === cl.count())
