@@ -1763,7 +1763,7 @@ object OracleSql {
         |  FROM m),
         |nm AS (SELECT event_type, key,
         |    CASE WHEN regexp_matches(vs, '^-?[0-9]+$')
-        |      THEN CAST(vs AS BIGINT) END AS num
+        |      THEN TRY_CAST(vs AS BIGINT) END AS num
         |  FROM p)
         |SELECT event_type, key, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(COUNT(num) AS BIGINT) AS n_numeric,

@@ -184,13 +184,17 @@ object Analytics {
       .na.fill(0L, Seq("n_late"))
   }
 
-  /** Staged funnel conversion over the raw event stream
-    * (signup → first click after signup → first purchase after that
-    * click): ONE user-keyed aggregate computes all three stage
-    * timestamps as conditional mins (map-side combined — the shuffle
-    * carries ≤3 longs per user, not the events), then a single global
-    * aggregate counts the stage survivors. Exact ns timestamps so
-    * stage ordering never ties apart across engines. */
+  /** Staged funnel conversion over the raw event stream — the STRICT
+    * form: a user advances a stage only when their FIRST-EVER event of
+    * the next type follows the previous stage (first-ever click after
+    * first signup, first-ever purchase after that click). This is the
+    * conservative lower bound of sequenced funnels — a user whose
+    * engagement predates signup does not count as converted by it —
+    * and it is what ONE user-keyed aggregate of conditional mins can
+    * compute exactly (the shuffle carries ≤3 longs per user, not the
+    * events; the any-click-after-signup variant needs a second pass).
+    * Exact ns timestamps so stage ordering never ties apart across
+    * engines. */
   def funnelConversion(events: DataFrame): DataFrame =
     events
       .groupBy("user_id")

@@ -147,8 +147,11 @@ object ChangeLog {
       .select(col("event_type"),
         regexp_extract(col("m"), "\"([A-Za-z0-9_]+)\"", 1).as("key"),
         trim(regexp_extract(col("m"), ":\\s*(.+)$", 1)).as("vs"))
+      // try_cast, not cast: under ANSI mode a drifting payload with an
+      // integral value beyond long range would otherwise KILL the
+      // monitor that exists to report such drift (oracle: TRY_CAST)
       .withColumn("num",
-        when(col("vs").rlike("^-?[0-9]+$"), col("vs").cast("long")))
+        when(col("vs").rlike("^-?[0-9]+$"), expr("try_cast(vs as long)")))
       .groupBy("event_type", "key")
       .agg(
         count(lit(1)).as("n"),

@@ -122,12 +122,15 @@ object Multimodal {
     * should be reporting). One hash join on the id, then a tiny
     * aggregate. */
   def modalAlign(documents: DataFrame, embeddings: DataFrame): DataFrame =
-    documents.select(col("doc_id"), col("lang"))
-      .join(embeddings.select(col("vec_id").as("doc_id"),
-        col("label").cast("long").as("label")), Seq("doc_id"), "full_outer")
+    documents.select(col("doc_id").as("d_id"), col("lang"))
+      .join(embeddings.select(col("vec_id").as("e_id"),
+        col("label").cast("long").as("label")),
+        col("d_id") === col("e_id"), "full_outer")
       .select(
-        when(col("lang").isNotNull && col("label").isNotNull, "MATCHED")
-          .when(col("lang").isNotNull, "DOC_ONLY")
+        // status keys on JOIN-KEY presence, never on payload columns —
+        // a matched row with a NULL lang/label is still MATCHED
+        when(col("d_id").isNotNull && col("e_id").isNotNull, "MATCHED")
+          .when(col("d_id").isNotNull, "DOC_ONLY")
           .otherwise("EMB_ONLY").as("status"),
         coalesce(col("lang"), lit("-")).as("lang"),
         coalesce(col("label"), lit(-1L)).as("label"))

@@ -200,10 +200,12 @@ object Snapshot {
     * subject keys, how many rows each relation must purge — the
     * subject's change events, their customer row, their orders, and
     * those orders' line items (the FK cascade). The planning query any
-    * sync/warehouse owner runs before executing an erasure batch. The
-    * cohort and the cohort's order-key set are broadcast; the big
-    * relations are each touched once with a semi-join — no cascade
-    * materialization. */
+    * sync/warehouse owner runs before executing an erasure batch. Only
+    * the cohort itself (a bounded request list) is broadcast; the
+    * cohort's ORDER-KEY set grows with the orders table, so that
+    * semi-join is left to the planner (hash/AQE) rather than forced
+    * through an unbounded driver broadcast. Each big relation is
+    * touched once — no cascade materialization. */
   def forgetAudit(changelog: DataFrame, customer: DataFrame,
                   orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val cohort = customer
@@ -225,7 +227,7 @@ object Snapshot {
         orders.join(broadcast(cohort),
           col("o_custkey") === col("cohort_key"), "left_semi")))
       .unionByName(counted("lineitem",
-        lineitem.join(broadcast(cohortOrders),
+        lineitem.join(cohortOrders,
           col("l_orderkey") === col("o_orderkey"), "left_semi")))
   }
 

@@ -864,8 +864,13 @@ object TextAnalysis {
   }
 
   /** Offset that makes calibration buckets non-negative (classifier
-    * scores are bounded below by bias + min weight = -750 milli), so
-    * Spark's truncating `div` and DuckDB's flooring `//` agree. */
+    * scores are bounded below by bias + min weight = -750 milli):
+    * with the shift, every score bucket is exactly 100 milli wide —
+    * unshifted, the bucket straddling zero would be 199 milli wide
+    * (integer division collapses (-99..99) onto bucket 0). DuckDB's
+    * `//` truncates toward zero exactly like Spark's `div` (verified:
+    * -7//2 = -3 in both), so this is about bucket geometry, not
+    * cross-engine division semantics. */
   val CalibShiftMilli = 1000L
 
   /** Classifier-calibration report: fixed-width 100-milli score

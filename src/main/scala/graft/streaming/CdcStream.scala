@@ -157,9 +157,14 @@ object CdcStream {
     * EventTimeTimeout — so sessions of idle keys still close, bounded
     * by event time, not wall clock). Closed sessions stream out
     * append-only; state per key is four longs regardless of history.
-    * In-batch disorder is absorbed by sorting each micro-batch slice
-    * on the LWW order; cross-batch late events beyond the watermark
-    * are dropped by the watermark contract. */
+    * Disorder contract: in-batch disorder is fully absorbed (each
+    * micro-batch slice sorts on the LWW order before folding); a
+    * CROSS-batch late event still inside the watermark merges into
+    * the key's open session with correct min/max bounds, but a split
+    * the batch operator would have placed between it and the open
+    * session is not revisited — exact split parity holds for feeds
+    * ordered across batches per key (the spec's replay); beyond the
+    * watermark, events are dropped by the watermark contract. */
   def sessionizeStream(spark: SparkSession,
                        changes: Dataset[ChangeTs]): Dataset[Session] = {
     import spark.implicits._
@@ -186,7 +191,11 @@ object CdcStream {
             evs.foreach { e =>
               st = st match {
                 case Some(s) if s.n > 0 && e.ems - s.endMs <= gap =>
-                  Some(s.copy(n = s.n + 1, endMs = math.max(s.endMs, e.ems)))
+                  // a cross-batch late arrival (negative delta inside
+                  // the watermark) extends the bounds downward too
+                  Some(s.copy(n = s.n + 1,
+                    startMs = math.min(s.startMs, e.ems),
+                    endMs = math.max(s.endMs, e.ems)))
                 case Some(s) =>
                   if (s.n > 0)
                     closed += Session(uid, s.seq, s.n, s.startMs, s.endMs,
@@ -198,7 +207,15 @@ object CdcStream {
             }
             st.foreach { s =>
               state.update(s)
-              if (s.n > 0) state.setTimeoutTimestamp(s.endMs + gap)
+              // clamp to just past the CURRENT watermark: Spark admits
+              // rows against the previous batch's watermark but
+              // validates timeout timestamps against the new one, so
+              // after a large watermark jump an honest endMs+gap can
+              // land in the past and would throw, killing the query —
+              // the clamped session simply times out next batch
+              if (s.n > 0)
+                state.setTimeoutTimestamp(
+                  math.max(s.endMs + gap, state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }

@@ -252,4 +252,39 @@ class CdcStreamSpec extends AnyFunSuite {
         s"only-stream=${onlyStream.take(5)} only-batch=${onlyBatch.take(5)}")
     } finally query.stop()
   }
+
+  test("sessionizeStream survives a watermark jump landing a timeout in " +
+    "the past (clamped, not thrown)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CdcStream.ChangeTs
+    def ch(uid: Long, eid: Long, ems: Long) =
+      ChangeTs(uid, eid, ems, "U", 0L, new java.sql.Timestamp(ems))
+    val t0 = 1700000000000L
+    val jump = t0 + 10L * 24 * 3600 * 1000 // +10 days
+
+    val stream = MemoryStream[ChangeTs]
+    val query = graft.streaming.CdcStream
+      .sessionizeStream(spark, stream.toDS())
+      .writeStream.format("memory").queryName("wm_jump_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(ch(1L, 1L, t0)))
+      query.processAllAvailable()
+      // one batch advances the watermark ~10 days via key 2 AND
+      // delivers a still-admissible event for key 1 whose honest
+      // timeout (ems+gap) is far below the post-jump watermark — the
+      // un-clamped setTimeoutTimestamp path kills the query here
+      stream.addData(Seq(ch(2L, 2L, jump), ch(1L, 2L, t0 + 20L * 60 * 1000)))
+      query.processAllAvailable()
+      stream.addData(Seq.empty[ChangeTs])
+      query.processAllAvailable()
+      assert(query.isActive || query.exception.isEmpty)
+      val u1 = spark.table("wm_jump_sessions")
+        .where(col("user_id") === 1L).collect()
+      assert(u1.length === 1)
+      assert(u1.head.getAs[Long]("n_events") === 2L)
+      assert(u1.head.getAs[Long]("start_ms") === t0)
+    } finally query.stop()
+  }
 }
