@@ -2269,6 +2269,73 @@ object OracleSql {
          |    WHERE fo.o_orderkey = lineitem.l_orderkey)""".stripMargin
     },
 
+    "lsh_band_sweep" -> {
+      import graft.functions.PortableHash.sqlBandKey
+      val configCtes = Dedup.BandSweep.map { case (b, r) =>
+        val arms = (0 until b).map { i =>
+          s"WHEN $i THEN ${sqlBandKey((0 until r).map(j => s"m${i * r + j}"))}"
+        }.mkString(" ")
+        s"""bd$b AS (SELECT doc_id, n, bb.j AS band, CASE bb.j $arms END AS sig
+           |  FROM sigs, UNNEST(generate_series(0, ${b - 1})) AS bb(j)),
+           |bn$b AS (SELECT band, sig, COUNT(*) AS cnt, MIN(doc_id) AS keeper
+           |  FROM bd$b GROUP BY 1, 2 HAVING COUNT(*) > 1),
+           |pr$b AS (
+           |  SELECT a.doc_id AS doc_a, a.n AS na, b.doc_id AS doc_b, b.n AS nb
+           |  FROM bn$b JOIN bd$b a USING (band, sig)
+           |  JOIN bd$b b USING (band, sig)
+           |  WHERE bn$b.cnt <= ${Dedup.MaxQuadraticBucket}
+           |    AND a.doc_id < b.doc_id
+           |  UNION
+           |  SELECT bn$b.keeper, k.n, b.doc_id, b.n
+           |  FROM bn$b JOIN bd$b b USING (band, sig)
+           |  JOIN bd$b k ON k.band = bn$b.band AND k.sig = bn$b.sig
+           |    AND k.doc_id = bn$b.keeper
+           |  WHERE bn$b.cnt > ${Dedup.MaxQuadraticBucket}
+           |    AND b.doc_id <> bn$b.keeper)""".stripMargin
+      }.mkString(",\n")
+      val unioned = Dedup.BandSweep.map { case (b, r) =>
+        s"SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT)" +
+          s" AS rows_per_band, doc_a, na, doc_b, nb FROM pr$b"
+      }.mkString(" UNION ALL ")
+      s"""WITH $ShingleCtes,
+         |sigs AS (SELECT doc_id, $mins, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM sh GROUP BY doc_id),
+         |$configCtes,
+         |allp AS ($unioned),
+         |up AS (SELECT DISTINCT doc_a, na, doc_b, nb FROM allp),
+         |it2 AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+         |  FROM up p
+         |  JOIN sh s1 ON s1.doc_id = p.doc_a
+         |  JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.h = s1.h
+         |  GROUP BY 1, 2),
+         |tr AS (SELECT p.doc_a, p.doc_b FROM up p
+         |  LEFT JOIN it2 ON p.doc_a = it2.doc_a AND p.doc_b = it2.doc_b
+         |  WHERE (COALESCE(it2.c, 0) * 1000)
+         |    // (p.na + p.nb - COALESCE(it2.c, 0)) >= ${Dedup.JaccardMilli})
+         |SELECT allp.bands, allp.rows_per_band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |  CAST(COUNT(tr.doc_a) AS BIGINT) AS n_dups_captured
+         |FROM allp LEFT JOIN tr
+         |  ON allp.doc_a = tr.doc_a AND allp.doc_b = tr.doc_b
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    "conversion_lag" ->
+      """WITH cvs AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) END)
+        |      AS ts_su,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END)
+        |      AS ts_pu
+        |  FROM events GROUP BY 1),
+        |cvl AS (SELECT (ts_pu - ts_su) // 1000000000 AS lag_s
+        |  FROM cvs WHERE ts_pu > ts_su)
+        |SELECT CASE WHEN lag_s > 0
+        |    THEN CAST(length(format('{:b}', lag_s)) AS BIGINT)
+        |    ELSE 0 END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  MIN(lag_s) AS min_lag_s, MAX(lag_s) AS max_lag_s
+        |FROM cvl GROUP BY 1""".stripMargin,
+
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -272,7 +272,11 @@ object SparkEntry {
       Dedup.crossSourceOverlap(Tables.documents(s, dir))),
     "forget_audit"        -> ((s, dir) =>
       Snapshot.forgetAudit(cl(s, dir), Tables.customer(s, dir),
-        Tables.orders(s, dir), Tables.lineitem(s, dir)))
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "lsh_band_sweep"      -> ((s, dir) =>
+      Dedup.lshBandSweep(Tables.documents(s, dir))),
+    "conversion_lag"      -> ((s, dir) =>
+      Analytics.conversionLag(Tables.events(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

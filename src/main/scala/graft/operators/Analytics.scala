@@ -209,6 +209,26 @@ object Analytics {
         count(when(col("t_purchase") > col("t_click")
           && col("t_click") > col("t_signup"), 1)).as("n_full_funnel"))
 
+  /** Signup→purchase conversion-lag histogram (strict funnel users
+    * only): per-user lag in seconds, log2-bucketed — the
+    * time-to-convert distribution behind the funnel counts, on the
+    * same one-aggregate shape (the shuffle carries two longs per
+    * user). */
+  def conversionLag(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts_ns"))).as("ts_su"),
+        min(when(col("event_type") === "purchase", col("ts_ns"))).as("ts_pu"))
+      .where(col("ts_pu") > col("ts_su"))
+      .select(expr("(ts_pu - ts_su) div 1000000000").as("lag_s"))
+      .select(
+        when(col("lag_s") > 0, length(bin(col("lag_s"))).cast("long"))
+          .otherwise(lit(0L)).as("bucket"),
+        col("lag_s"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"),
+        min("lag_s").as("min_lag_s"), max("lag_s").as("max_lag_s"))
+
   /** Nanoseconds per (7-day) cohort week. */
   val WeekNs = 604800000000000L
 

@@ -88,12 +88,62 @@ object Dedup {
     * the single definition of banding, shared by the intra-corpus and
     * incremental candidate generators (and mirrored by the oracle's
     * bandSig CASE), so the fold can't diverge between paths. */
-  private def banded(sigs: DataFrame): DataFrame = {
-    val bandKeys = (0 until Bands).map { b =>
-      bandKey((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")))
+  private def banded(sigs: DataFrame): DataFrame =
+    bandedWith(sigs, Bands, RowsPerBand)
+
+  /** Banding under an explicit (bands × rowsPerBand) geometry —
+    * [[banded]] specialized by the production constants; the band
+    * sweep re-cuts the SAME signatures under alternative geometries. */
+  private def bandedWith(sigs: DataFrame, bands: Int,
+                         rowsPer: Int): DataFrame = {
+    val bandKeys = (0 until bands).map { b =>
+      bandKey((0 until rowsPer).map(r => col(s"m${b * rowsPer + r}")))
     }
     sigs.select(col("doc_id"), col("n"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "sig")))
+  }
+
+  /** Band geometries swept by [[lshBandSweep]]: (bands, rowsPerBand)
+    * cuts of the same 64-hash signature. More bands ⇒ a laxer S-curve
+    * (more candidates, higher recall); fewer ⇒ stricter. */
+  val BandSweep: Seq[(Int, Int)] = Seq((8, 8), (16, 4), (32, 2))
+
+  /** LSH band-geometry sweep — the S-curve tuning report: for each
+    * (bands × rows) cut of the SAME 64-minhash signatures (built
+    * once), the candidate-pair volume and how many TRUE duplicates
+    * (exact Jaccard ≥ threshold over the union of all geometries'
+    * candidates) that geometry captures. This is the recall-vs-cost
+    * dial for choosing Bands before a 100 TB run: candidates scale
+    * the verify stage; missed true dups are unrecoverable. */
+  def lshBandSweep(documents: DataFrame): DataFrame = {
+    val sh = shingleHashes(documents)
+    val sigs = signaturesFromHashes(sh)
+    val perConfig = BandSweep.map { case (b, r) =>
+      bandedWith(sigs, b, r)
+        .groupBy("band", "sig")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n"))))
+          .as("ds"))
+        .where(size(col("ds")) > 1)
+        .select(explode(boundedPairs("ds")).as("p"))
+        .select(col("p.a.doc_id").as("doc_a"), col("p.a.n").as("na"),
+          col("p.b.doc_id").as("doc_b"), col("p.b.n").as("nb"))
+        .distinct()
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("doc_a"), col("na"), col("doc_b"), col("nb"))
+    }
+    val allPairs = perConfig.reduce(_ unionByName _)
+    val union = allPairs.select("doc_a", "na", "doc_b", "nb").distinct()
+    val truth = union
+      .join(pairIntersections(union, sh, "doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("c"))
+      .where(expr("(c * 1000) div (na + nb - c)") >= JaccardMilli)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_dup"))
+    allPairs
+      .join(truth, Seq("doc_a", "doc_b"), "left")
+      .groupBy("bands", "rows_per_band")
+      .agg(count(lit(1)).as("n_candidates"),
+        count(col("is_dup")).as("n_dups_captured"))
   }
 
   /** Candidate pairs from the (doc_id, m0..m63, n) signature relation.

@@ -891,6 +891,28 @@ class LlmOpsSpec extends AnyFunSuite {
       r.getAs[String]("source_x") <= r.getAs[String]("source_y")))
   }
 
+  test("lsh_band_sweep: more bands never loses candidates or captures") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val sweep = Dedup.lshBandSweep(docs).collect()
+      .map(r => r.getAs[Long]("bands") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_dups_captured")))
+      .sortBy(_._1)
+    assert(sweep.map(_._1) === Seq(8L, 16L, 32L))
+    sweep.foreach { case (_, (cand, dup)) => assert(dup <= cand) }
+    // more, narrower bands admit no fewer candidate pairs on this
+    // corpus (a band match under (b, r) implies one under (2b, r/2) —
+    // equal on all r positions ⇒ equal on each half; the star-pair cap
+    // could in principle swap pairs when a bucket's keeper changes,
+    // which the driver corpus's bucket sizes don't trigger)
+    sweep.sliding(2).foreach { case Array((_, (c1, d1)), (_, (c2, d2))) =>
+      assert(c1 <= c2)
+      assert(d1 <= d2)
+    }
+    // the production geometry captures what minhashDedup finds
+    val prod = sweep.toMap.apply(Dedup.Bands.toLong)
+    assert(prod._2 === Dedup.minhashDedup(docs).count())
+  }
+
   test("embed_norm_stats: per-label bounds bracket the sums") {
     val e = Tables.embeddings(spark, TestSpark.Sf)
     val st = Similarity.embedNormStats(e).collect()

@@ -232,6 +232,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("conversion_lag counts exactly the strict-funnel purchase users") {
+    val ev = Tables.events(spark, TestSpark.Sf)
+    val lag = Analytics.conversionLag(ev).collect()
+    lag.foreach { r =>
+      assert(r.getAs[Long]("min_lag_s") <= r.getAs[Long]("max_lag_s"))
+      assert(r.getAs[Long]("min_lag_s") >= 0L)
+    }
+    // user universe: strict signup→purchase users (purchase after the
+    // first signup — the same conditional-min rule, independently)
+    val expected = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts_ns"))).as("s"),
+        min(when(col("event_type") === "purchase", col("ts_ns"))).as("p"))
+      .where(col("p") > col("s")).count()
+    assert(lag.map(_.getAs[Long]("n_users")).sum === expected)
+  }
+
   test("funnel stages are monotonically non-increasing") {
     val f = Analytics.funnelConversion(Tables.events(spark, TestSpark.Sf))
       .collect().head
