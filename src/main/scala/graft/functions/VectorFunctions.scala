@@ -379,6 +379,70 @@ case class PqLut(child: Expression, codebook: Array[Array[Array[Double]]])
     copy(child = newChild)
 }
 
+/** Exact integer squared-L2 distance over two `array<bigint>` columns
+  * (e6-quantized coordinates) — the inner loop of the all-integer
+  * k-means path. A zip_with/aggregate lambda pair computes the same
+  * value interpreted, per row per centroid; this stays inside
+  * whole-stage codegen. Null elements yield null (mirroring
+  * CosineSimilarity); length mismatch uses the common prefix. */
+case class IntL2(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "int_l2"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left.dataType, right.dataType).forall {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> arguments, " +
+        s"got ${left.dataType}, ${right.dataType}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  long $d = $x.getLong($i) - $y.getLong($i);
+         |  $acc += $d * $d;
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API: PQ codes + error, array<long> [c0..c(M-1), err_e9]. */
   def pqCodes(v: Column, codebook: Array[Array[Array[Double]]]): Column =
@@ -387,6 +451,11 @@ object VectorFunctions {
   /** Column API: PQ ADC lookup table, array<long> of M·K e9 distances. */
   def pqLut(v: Column, codebook: Array[Array[Array[Double]]]): Column =
     GraftBridge.column(PqLut(GraftBridge.expression(v), codebook))
+
+  /** Column API: exact integer squared-L2 of two array<bigint> columns. */
+  def intL2(a: Column, b: Column): Column =
+    GraftBridge.column(IntL2(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Column API: cosine similarity of two array<float> columns. */
   def cosineSim(a: Column, b: Column): Column =

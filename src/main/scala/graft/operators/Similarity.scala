@@ -201,11 +201,13 @@ object Similarity {
 
   /** Nearest centroid by exact integer squared-L2 over e6 coordinates
     * (ties → smaller centroid id). Broadcast centroid arrays; the
-    * shuffle carries one row per vector. */
+    * shuffle carries one row per vector. The distance is the codegen'd
+    * IntL2 expression — the interpreted zip_with/aggregate lambda pair
+    * it replaced ran once per (vector × centroid) in the hot loop. */
   private def assignE6(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.join(broadcast(cents))
-      .withColumn("d12", expr("aggregate(zip_with(v6, c6, " +
-        "(x, m) -> (x - m) * (x - m)), cast(0 as bigint), (a, y) -> a + y)"))
+      .withColumn("d12",
+        graft.functions.VectorFunctions.intL2(col("v6"), col("c6")))
       .groupBy("vec_id")
       .agg(min_by(col("centroid_id"),
         struct(col("d12"), col("centroid_id"))).as("centroid_id"))

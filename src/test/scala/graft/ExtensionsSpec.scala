@@ -54,6 +54,23 @@ class ExtensionsSpec extends AnyFunSuite {
       .eval(null) === null)
   }
 
+  test("IntL2 interpreted eval: exact squared distance, null on null " +
+    "element, common-prefix on length mismatch") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def litA(xs: Array[java.lang.Long]) =
+      Literal(ArrayData.toArrayData(xs), ArrayType(LongType))
+    def l2(a: Array[java.lang.Long], b: Array[java.lang.Long]) =
+      graft.functions.IntL2(litA(a), litA(b)).eval(null)
+    assert(l2(Array(3L, -4L, 0L), Array(0L, 0L, 0L)) === 25L)
+    assert(l2(Array(1000000L, 2000000L), Array(-1000000L, 2000000L))
+      === 4000000000000L)
+    assert(l2(Array[java.lang.Long](1L, null), Array(1L, 1L)) === null)
+    // common prefix: the shorter side bounds the loop
+    assert(l2(Array(5L), Array(5L, 100L)) === 0L)
+  }
+
   test("PqCodes interpreted eval matches the codegen'd dataframe result") {
     import graft.operators.Similarity
     val rows = Tables.embeddings(spark, TestSpark.Sf).limit(10)
