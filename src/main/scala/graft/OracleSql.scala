@@ -2336,6 +2336,43 @@ object OracleSql {
         |  MIN(lag_s) AS min_lag_s, MAX(lag_s) AS max_lag_s
         |FROM cvl GROUP BY 1""".stripMargin,
 
+    "session_quantiles" ->
+      s"""WITH $CL,
+         |sg AS (SELECT user_id, event_id, ems,
+         |  ems - LAG(ems, 1) OVER (PARTITION BY user_id
+         |    ORDER BY ems, event_id) AS gap_ms
+         |  FROM cl),
+         |ss AS (SELECT user_id, ems,
+         |  SUM(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000
+         |    THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY ems, event_id) AS session_id
+         |  FROM sg),
+         |sd AS (SELECT MAX(ems) - MIN(ems) AS duration_ms
+         |  FROM ss GROUP BY user_id, session_id),
+         |dc AS (SELECT duration_ms, COUNT(*) AS c FROM sd GROUP BY 1),
+         |cc AS (SELECT duration_ms,
+         |  SUM(c) OVER (ORDER BY duration_ms) AS cum,
+         |  SUM(c) OVER () AS cnt FROM dc)
+         |SELECT CAST(p.p AS BIGINT) AS pct,
+         |  MIN(duration_ms) AS q_ms, CAST(MAX(cnt) AS BIGINT) AS n_sessions
+         |FROM cc, UNNEST([25, 50, 75, 90]) AS p(p)
+         |WHERE cum >= (cnt * p.p + 99) // 100
+         |GROUP BY 1""".stripMargin,
+
+    "active_users" ->
+      s"""WITH $CL,
+         |auw AS (SELECT DISTINCT user_id,
+         |    ems // ${7L * 86400L * 1000L} AS week FROM cl),
+         |wau AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS wau
+         |  FROM auw GROUP BY 1),
+         |rolled AS (SELECT DISTINCT user_id, week + o.d AS week
+         |  FROM auw, UNNEST(generate_series(0, 3)) AS o(d)),
+         |mau AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS mau4
+         |  FROM rolled GROUP BY 1)
+         |SELECT wau.week, wau.wau, mau.mau4,
+         |  (wau.wau * 1000000) // mau.mau4 AS stickiness_ppm
+         |FROM wau JOIN mau USING (week)""".stripMargin,
+
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -276,7 +276,11 @@ object SparkEntry {
     "lsh_band_sweep"      -> ((s, dir) =>
       Dedup.lshBandSweep(Tables.documents(s, dir))),
     "conversion_lag"      -> ((s, dir) =>
-      Analytics.conversionLag(Tables.events(s, dir)))
+      Analytics.conversionLag(Tables.events(s, dir))),
+    "session_quantiles"   -> ((s, dir) =>
+      Temporal.sessionQuantiles(cl(s, dir))),
+    "active_users"        -> ((s, dir) =>
+      Temporal.activeUsersRolling(cl(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

@@ -88,6 +88,55 @@ object Temporal {
           .as("mean_gap_ms"))
   }
 
+  /** Session-duration quantile vector (p25/50/75/90) — the
+    * engagement-dashboard number behind sessionize, in the
+    * aggregate-below-window shape (the valueQuantiles rule): the
+    * cumulative window runs over the DISTINCT-duration count relation,
+    * never raw sessions. Lower quantile at 1-based rank ⌈n·p/100⌉. */
+  def sessionQuantiles(changelog: DataFrame): DataFrame = {
+    val pcts = Seq(25L, 50L, 75L, 90L)
+    // non-foldable constant partition key (the topRevenueOrders trick):
+    // the window runs over the tiny distinct-duration relation, but its
+    // partition spec must stay DEFINED or Spark warns and plans the
+    // single-partition global window
+    val part = pmod(col("duration_ms"), lit(1))
+    val w = Window.partitionBy(part).orderBy("duration_ms")
+    val cw = Window.partitionBy(part)
+    sessionize(changelog)
+      .groupBy("duration_ms")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("cnt", sum("c").over(cw))
+      .select(col("duration_ms"), col("cum"), col("cnt"),
+        explode(array(pcts.map(lit): _*)).as("pct"))
+      .where(col("cum") >= expr("(cnt * pct + 99) div 100"))
+      .groupBy("pct")
+      .agg(min("duration_ms").as("q_ms"), max("cnt").as("n_sessions"))
+  }
+
+  /** Rolling weekly engagement: per observed week, the distinct weekly
+    * actives (WAU), the distinct actives of the trailing 4 weeks
+    * (MAU4), and the stickiness ratio in ppm. Rolling DISTINCT can't
+    * ride a plain window frame, so each (user, week) activity row fans
+    * out to the ≤4 future weeks it keeps the user active in — one
+    * distinct over that bounded fanout IS the rolling distinct count,
+    * computed over the user-week relation (≤52·|users| rows/year),
+    * never raw events. */
+  def activeUsersRolling(changelog: DataFrame): DataFrame = {
+    val week = expr(s"ems div ${7L * 86400L * 1000L}")
+    val userWeeks = changelog
+      .select(col("user_id"), week.as("week")).distinct()
+    val wau = userWeeks.groupBy("week").agg(count(lit(1)).as("wau"))
+    val mau = userWeeks
+      .select(col("user_id"),
+        explode(expr("sequence(week, week + 3)")).as("week"))
+      .distinct()
+      .groupBy("week").agg(count(lit(1)).as("mau4"))
+    wau.join(mau, Seq("week"))
+      .select(col("week"), col("wau"), col("mau4"),
+        expr("(wau * 1000000) div mau4").as("stickiness_ppm"))
+  }
+
   /** Sessionization: a gap > SessionGapMs starts a new session; emits
     * per-session bounds and size. Two stacked windows over the same
     * key partitioning — still one shuffle. */

@@ -75,6 +75,32 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("session_quantiles brackets the session-duration distribution") {
+    val q = Temporal.sessionQuantiles(cl).collect()
+      .map(r => r.getAs[Long]("pct") -> r.getAs[Long]("q_ms")).toMap
+    assert(q.keySet === Set(25L, 50L, 75L, 90L))
+    assert(q(25L) <= q(50L) && q(50L) <= q(75L) && q(75L) <= q(90L))
+    // the reported quantiles are actual durations, and the p90 bounds
+    // at least 90% of sessions from above
+    val durations = Temporal.sessionize(cl).collect()
+      .map(_.getAs[Long]("duration_ms")).sorted
+    assert(q.values.toSet.subsetOf(durations.toSet))
+    assert(durations.count(_ <= q(90L)) * 100 >= durations.length * 90)
+  }
+
+  test("active_users: week-0 stickiness math and WAU<=MAU4") {
+    val au = Temporal.activeUsersRolling(cl).collect()
+      .map(r => r.getAs[Long]("week") -> r).toMap
+    au.values.foreach { r =>
+      assert(r.getAs[Long]("wau") <= r.getAs[Long]("mau4"))
+      assert(r.getAs[Long]("stickiness_ppm") <= 1000000L)
+    }
+    // the first observed week's MAU4 is exactly its WAU (no history)
+    val firstWeek = au.keys.min
+    assert(au(firstWeek).getAs[Long]("wau")
+      === au(firstWeek).getAs[Long]("mau4"))
+  }
+
   test("arrival_monitor counts a planted inversion") {
     import spark.implicits._
     // one key, event 2 carries an EARLIER time than event 1
