@@ -2373,6 +2373,16 @@ object OracleSql {
          |  (wau.wau * 1000000) // mau.mau4 AS stickiness_ppm
          |FROM wau JOIN mau USING (week)""".stripMargin,
 
+    "olap_q6_discount" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * l_discount * 100)
+        |    AS BIGINT)), 0) AS BIGINT) AS discount_rev_c
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -280,7 +280,9 @@ object SparkEntry {
     "session_quantiles"   -> ((s, dir) =>
       Temporal.sessionQuantiles(cl(s, dir))),
     "active_users"        -> ((s, dir) =>
-      Temporal.activeUsersRolling(cl(s, dir)))
+      Temporal.activeUsersRolling(cl(s, dir))),
+    "olap_q6_discount"    -> ((s, dir) =>
+      Analytics.revenueFromDiscount(Tables.lineitem(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

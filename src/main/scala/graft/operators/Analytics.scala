@@ -160,6 +160,25 @@ object Analytics {
       .select(col("part"), col("I").as("n_insert"), col("U").as("n_update"),
         col("D").as("n_delete"))
 
+  /** Forecast-revenue-change query (the TPC-H Q6 shape) — the
+    * pushdown showcase: every predicate (ship-date range, discount
+    * band, quantity cap) is scan-level, so at 100 TB the parquet
+    * reader prunes row groups and pages before a single row reaches
+    * the executor (PlanSpec asserts the filters land in
+    * PushedFilters). Revenue is per-row-rounded to cents before the
+    * sum — a double sum would be order-dependent and never
+    * hash-match. */
+  def revenueFromDiscount(lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .select(round(col("l_extendedprice") * col("l_discount") * 100)
+        .cast("long").as("disc_c"))
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum("disc_c"), lit(0L)).as("discount_rev_c"))
+
   /** Late-shipment threshold for [[orderPriority]]. */
   val LateDays = 60
 

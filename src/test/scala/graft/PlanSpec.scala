@@ -78,6 +78,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("olap_q6_discount pushes every predicate into the parquet scan") {
+    // formatted mode: the plan's plain toString elides the
+    // PushedFilters list beyond a few entries
+    val p = SparkEntry.queries("olap_q6_discount")(spark, Sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters:"), p)
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+      "LessThan(l_quantity"))
+      assert(p.contains(f), s"missing pushed filter $f:\n$p")
+  }
+
   test("range join is an equi-join on (key, band), not a nested loop") {
     val p = plan("range_join_events")
     assert(p.contains("HashJoin"), p)
