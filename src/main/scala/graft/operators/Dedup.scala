@@ -70,18 +70,46 @@ object Dedup {
     * preserved transitively through the keeper. */
   val MaxQuadraticBucket = 64
 
-  /** Bounded within-bucket pair generation over a sorted array column
-    * `arr` of (a,b)-comparable structs/values — all pairs for small
-    * buckets, keeper-star above MaxQuadraticBucket. Shared by the
-    * MinHash and SimHash banding so the pairing policy can't drift. */
-  private def boundedPairs(arr: String) = {
-    val allPairs =
-      s"flatten(transform($arr, (a, i) -> " +
-        s"transform(slice($arr, i + 2, size($arr)), b -> struct(a, b))))"
-    val starPairs =
-      s"transform(slice($arr, 2, size($arr) - 1), b -> struct($arr[0] as a, b))"
-    when(size(col(arr)) <= MaxQuadraticBucket, expr(allPairs))
-      .otherwise(expr(starPairs))
+  /** Mass-duplication-safe within-bucket pair generation, shared by
+    * the MinHash and SimHash banding so the pairing policy can't
+    * drift. Input: one row per bucket member, with bucket-key columns
+    * `keys` and a member struct `m` whose FIRST field is the (unique)
+    * doc id, so `min(m)` is the keeper. Two phases:
+    *
+    *   1. a bucket profile `(count, min)` — map-side-combinable, its
+    *      aggregation state is two scalars, never an array;
+    *   2. buckets ≤ MaxQuadraticBucket take the sorted-array all-pairs
+    *      path (the array is bounded by the constant), larger buckets
+    *      emit (keeper ↔ member) star pairs through a JOIN against the
+    *      profile.
+    *
+    * No reducer ever materializes a bucket-sized array — the previous
+    * single-pass form collected EVERY bucket into `collect_list`
+    * before capping the pair output, so a boilerplate page duplicated
+    * 10⁷× would put a 10⁷-element array on one reducer. Now that
+    * bucket costs O(B) joined rows and O(1) reducer state. Mirrors the
+    * oracle's bn/pairs CTE pair exactly.
+    *
+    * Output: `p` = struct(a, b) with a.doc_id < b.doc_id (all-pairs
+    * branch) or a = keeper ≠ b (star branch). */
+  private def bucketPairs(banded: DataFrame, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val stats = banded.groupBy(kc: _*)
+      .agg(count(lit(1)).as("bn"), min(col("m")).as("keeper"))
+      .where(col("bn") > 1)
+    val small = banded
+      .join(stats.where(col("bn") <= MaxQuadraticBucket).select(kc: _*), keys)
+      .groupBy(kc: _*)
+      .agg(sort_array(collect_list(col("m"))).as("ds"))
+      .select(explode(expr(
+        "flatten(transform(ds, (a, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))")).as("p"))
+    val big = banded
+      .join(stats.where(col("bn") > MaxQuadraticBucket)
+        .select(kc :+ col("keeper"): _*), keys)
+      .where(col("m") =!= col("keeper"))
+      .select(struct(col("keeper").as("a"), col("m").as("b")).as("p"))
+    small.unionByName(big)
   }
 
   /** One (doc_id, n, band, sig) row per LSH band of each signature —
@@ -123,12 +151,9 @@ object Dedup {
     // ~10% faster at sf0.1 and caps the recompute at any corpus size
     val sigs = signaturesFromHashes(sh).localCheckpoint(false)
     val perConfig = BandSweep.map { case (b, r) =>
-      bandedWith(sigs, b, r)
-        .groupBy("band", "sig")
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("n"))))
-          .as("ds"))
-        .where(size(col("ds")) > 1)
-        .select(explode(boundedPairs("ds")).as("p"))
+      bucketPairs(bandedWith(sigs, b, r)
+          .select(col("band"), col("sig"),
+            struct(col("doc_id"), col("n")).as("m")), Seq("band", "sig"))
         .select(col("p.a.doc_id").as("doc_a"), col("p.a.n").as("na"),
           col("p.b.doc_id").as("doc_b"), col("p.b.n").as("nb"))
         .distinct()
@@ -153,13 +178,16 @@ object Dedup {
   /** Candidate pairs from the (doc_id, m0..m63, n) signature relation.
     * Each pair row carries BOTH docs' shingle-set sizes (na/nb ride
     * along through the banding structs), so the Jaccard stage needs no
-    * extra per-doc size joins. */
-  private[operators] def candidatesFromSignatures(sigs: DataFrame): DataFrame = {
-    banded(sigs)
-      .groupBy("band", "sig")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
-      .where(size(col("ds")) > 1)
-      .select(explode(boundedPairs("ds")).as("p"))
+    * extra per-doc size joins. The signature relation is consumed by
+    * both [[bucketPairs]] phases, so it is lazily localCheckpoint'd —
+    * the 64-wide aggregate still runs exactly once per query (the
+    * lshBandSweep precedent). */
+  private[operators] def candidatesFromSignatures(sigs0: DataFrame): DataFrame = {
+    val sigs = sigs0.localCheckpoint(false)
+    bucketPairs(
+      banded(sigs).select(col("band"), col("sig"),
+        struct(col("doc_id"), col("n")).as("m")),
+      Seq("band", "sig"))
       .select(col("p.a.doc_id").as("doc_a"), col("p.a.n").as("na"),
         col("p.b.doc_id").as("doc_b"), col("p.b.n").as("nb"))
       .distinct()
@@ -269,31 +297,39 @@ object Dedup {
   def incrementalDedup(documents: DataFrame): DataFrame = {
     val isBatch = pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0
     val sh = shingleHashes(documents)
-    // ONE signature pass over the whole table; the batch/corpus split
-    // happens inside the bucket aggregate (collect_list drops the
-    // nulls from the CASE), so the expensive shingle+hash+64-min chain
-    // is never run once per side.
+    // ONE signature pass over the whole table (checkpointed — the
+    // bucket profile, corpus side, and batch side all re-read it);
     // is_batch is derivable from doc_id, so the shared banding helper
-    // applies as-is and the flag is re-attached after the explode
-    val bandedAll = banded(signaturesFromHashes(sh))
+    // applies as-is and the flag is re-attached after the explode.
+    val bandedAll = banded(signaturesFromHashes(sh).localCheckpoint(false))
       .withColumn("is_batch", isBatch)
-    val member = struct(col("doc_id"), col("n"))
-    val buckets = bandedAll
+    // Corpus bucket profile — map-side-combinable (count, min), never
+    // an array: a mass-duplicate corpus bucket contributes only its
+    // keeper (one witness suffices to flag duplication), and the
+    // batch×corpus pairing below is a JOIN, so neither side of a
+    // bucket is ever materialized on one reducer.
+    val stats = bandedAll
       .groupBy("band", "sig")
       .agg(
-        sort_array(collect_list(when(!col("is_batch"), member)))
-          .as("corpus"),
-        collect_list(when(col("is_batch"), member)).as("batch"))
-      .where(size(col("batch")) > 0 && size(col("corpus")) > 0)
-      .withColumn("corpus",
-        when(size(col("corpus")) <= MaxQuadraticBucket, col("corpus"))
-          .otherwise(slice(col("corpus"), 1, 1)))
-    val pairs = buckets
-      .select(explode(col("batch")).as("b"), col("corpus"))
-      .select(col("b.doc_id").as("batch_doc_id"), col("b.n").as("nb"),
-        explode(col("corpus")).as("c"))
+        count(when(!col("is_batch"), 1)).as("cn"),
+        min(when(!col("is_batch"), struct(col("doc_id"), col("n"))))
+          .as("keeper"),
+        count(when(col("is_batch"), 1)).as("bn"))
+      .where(col("cn") > 0 && col("bn") > 0)
+    val corpusSide = bandedAll.where(!col("is_batch"))
+      .join(stats.where(col("cn") <= MaxQuadraticBucket)
+        .select("band", "sig"), Seq("band", "sig"))
+      .select(col("band"), col("sig"),
+        col("doc_id").as("corpus_doc_id"), col("n").as("nc"))
+      .unionByName(stats.where(col("cn") > MaxQuadraticBucket)
+        .select(col("band"), col("sig"),
+          col("keeper.doc_id").as("corpus_doc_id"), col("keeper.n").as("nc")))
+    val pairs = bandedAll.where(col("is_batch"))
+      .select(col("band"), col("sig"),
+        col("doc_id").as("batch_doc_id"), col("n").as("nb"))
+      .join(corpusSide, Seq("band", "sig"))
       .select(col("batch_doc_id"), col("nb"),
-        col("c.doc_id").as("corpus_doc_id"), col("c.n").as("nc"))
+        col("corpus_doc_id"), col("nc"))
       .distinct()
     pairs
       .join(pairIntersections(pairs, sh, "batch_doc_id", "corpus_doc_id"),
@@ -512,18 +548,16 @@ object Dedup {
     * same star-pattern cap as MinHash so a mass-duplicate bucket stays
     * linear. */
   def simhashDedup(documents: DataFrame): DataFrame = {
-    val hashed = simhashes(documents)
+    // the 60-aggregate fingerprint build feeds both bucketPairs phases
+    // — checkpoint so it runs once (same rationale as the minhash side)
+    val hashed = simhashes(documents).localCheckpoint(false)
     val bandCols = (0 until SimBands).map(b =>
       shiftright(col("simhash"), b * SimBandBits)
         .bitwiseAND(lit((1L << SimBandBits) - 1)))
-    val banded = hashed.select(col("doc_id"), col("simhash"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "key")))
-    banded
-      .groupBy("band", "key")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
-        .as("ds"))
-      .where(size(col("ds")) > 1)
-      .select(explode(boundedPairs("ds")).as("p"))
+    val bandedFp = hashed.select(
+      posexplode(array(bandCols: _*)).as(Seq("band", "key")),
+      struct(col("doc_id"), col("simhash")).as("m"))
+    bucketPairs(bandedFp, Seq("band", "key"))
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
           .cast("long").as("hamming"))

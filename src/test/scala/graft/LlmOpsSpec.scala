@@ -757,6 +757,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(dups.forall(_.getAs[Long]("j_milli") === 1000L))
   }
 
+  test("scale gate: a 10^5-copy bucket stays linear in rows and reducer " +
+    "state (star candidates via the profile join, no bucket array)") {
+    import spark.implicits._
+    val b = 100000
+    // <3 tokens → one whole-text shingle per doc: the signature build
+    // is trivial, so the stress is purely the 10^5-member bucket every
+    // band produces. The old single-pass shape would collect a
+    // 10^5-element array per band on one reducer; the two-phase shape
+    // joins (keeper, member) rows — nothing here scales past O(B) rows.
+    val df = (1 to b).map(i => (i.toLong, "copy pasta"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashCandidates(df).count() === (b - 1).toLong)
+    val sim = Dedup.simhashDedup(df)
+    assert(sim.count() === (b - 1).toLong)
+  }
+
   test("mixWeights: capped-proportional shares sum to ~1e6") {
     import spark.implicits._
     val df = ((1 to 40).map(i => (i.toLong, "en", "web", "a b c")) ++

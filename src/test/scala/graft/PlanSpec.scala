@@ -138,4 +138,31 @@ class PlanSpec extends AnyFunSuite {
   test("key_skew_report: top-k is TakeOrdered, never a global sort") {
     assert(plan("key_skew_report").contains("TakeOrderedAndProject"))
   }
+
+  test("dedup candidate generation: every bucket collect_list is gated by " +
+    "the (count,min) bucket-profile join — no unguarded bucket arrays") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList}
+    var sawCollect = false
+    for (q <- Seq("dedup_minhash", "dedup_simhash", "lsh_band_sweep",
+      "dedup_incremental")) {
+      val opt = SparkEntry.queries(q)(spark, Sf).queryExecution.optimizedPlan
+      val collectAggs = opt.collect {
+        case a: Aggregate if a.aggregateExpressions.exists(_.exists {
+          case ae: AggregateExpression =>
+            ae.aggregateFunction.isInstanceOf[CollectList]
+          case _ => false
+        }) => a
+      }
+      sawCollect ||= collectAggs.nonEmpty
+      // a collect_list whose subtree has no join would be the old
+      // single-pass shape: every bucket materialized as one array on
+      // one reducer before the pair cap — the 100 TB OOM
+      collectAggs.foreach { a =>
+        assert(a.collectFirst { case j: Join => j }.nonEmpty,
+          s"$q: bucket collect_list not gated by the profile join:\n$a")
+      }
+    }
+    assert(sawCollect, "vacuous: no collect_list aggregate found at all")
+  }
 }
