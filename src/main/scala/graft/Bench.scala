@@ -19,8 +19,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run — local iteration aid
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Codegen/JIT warmup at the smallest SF (when a sibling sf0.001
     // exists): the first execution of a freshly generated whole-stage
     // method costs seconds of C2 compilation that min-of-2 at one SF
@@ -34,26 +38,45 @@ object Bench {
         .map(_.toString)
     }
     warmDir.foreach { wd =>
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      names.foreach { case (_, fn) =>
         try fn(spark, wd).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        // min of 2 runs: first run pays JIT/codegen, min is the stable
-        // figure for plan-quality comparison against the baseline.
-        val runs = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+    // Two INTERLEAVED end-to-end passes, per-query min across passes
+    // (round-4 lesson: 2× back-to-back per query leaves both samples
+    // inside the same multi-minute host-throttling window — ordered_
+    // apply logged 16.08s against a real 0.62s; a window now corrupts
+    // at most one pass of a query and the other pass's min wins).
+    val passes = (1 to 2).map { _ =>
+      val t = scala.collection.mutable.LinkedHashMap[String, Double]()
+      names.foreach { case (name, fn) =>
+        if (!failed.contains(name)) {
+          try {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            t(name) = (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              failed += name
+          }
         }
-        timings(name) = runs.min
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed += name
       }
+      t
+    }
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    names.map(_._1).filterNot(failed.contains).foreach { n =>
+      val samples = passes.flatMap(_.get(n))
+      if (samples.nonEmpty) timings(n) = samples.min
+    }
+    // pass2/pass1 wall totals: ≈1.0 on a quiet host; a throttling
+    // window during either pass pushes it away from 1 — the driver can
+    // flag a polluted artifact instead of recording phantom regressions
+    val noiseRatio = {
+      val t1 = passes(0).values.sum
+      val t2 = passes(1).values.sum
+      if (t1 > 0 && t2 > 0) math.max(t1, t2) / math.min(t1, t2) else 1.0
     }
     import JsonOut.q
     // Locale.ROOT: a comma-decimal default locale (de_DE …) would
@@ -76,13 +99,23 @@ object Bench {
     val byCost = timings.toSeq.sortBy(-_._2)
     val fullQs = timings.map { case (k, v) => s"${q(k)}:${cs(v)}" }
       .mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullQs,"failed":$fs,"sf":${q(sfDir)}}""")
+    // anchor the artifact at the repo root (the dir holding build.sbt
+    // above cwd), not the forked JVM's cwd — a bench launched from
+    // elsewhere must not silently stop updating the committed file
+    val benchLocal = {
+      val cwd = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+      Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        .getOrElse(cwd)
+        .resolve("BENCH_LOCAL.json")
+    }
+    System.err.println(s"[bench] writing full per-query map to $benchLocal")
+    java.nio.file.Files.writeString(benchLocal,
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","noise_ratio":${cs(noiseRatio)},"queries":$fullQs,"failed":$fs,"sf":${q(sfDir)}}""")
     val topQs = byCost.take(TailTopK)
       .map { case (k, v) => s"${q(k)}:${cs(v)}" }.mkString("{", ",", "}")
     val otherSec = byCost.drop(TailTopK).map(_._2).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$topQs,"n_queries":${timings.size},"other_sec":${cs(otherSec)},"failed":$fs,"sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","noise_ratio":${cs(noiseRatio)},"queries":$topQs,"n_queries":${timings.size},"other_sec":${cs(otherSec)},"failed":$fs,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }
