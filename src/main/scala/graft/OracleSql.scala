@@ -347,6 +347,14 @@ object OracleSql {
          |       epoch_s AS last_epoch_s, value_cents AS last_value_cents
          |FROM last WHERE op <> 'D'""".stripMargin,
 
+    // the streaming LWW replay must converge to the batch merge — the
+    // oracle IS cdc_merge's (same projection, same LWW order)
+    "stream_merge_parity" ->
+      s"""WITH $CL, $LAST
+         |SELECT user_id, event_id AS last_event_id, op AS last_op,
+         |       epoch_s AS last_epoch_s, value_cents AS last_value_cents
+         |FROM last WHERE op <> 'D'""".stripMargin,
+
     "cdc_upsert_apply" -> UpsertApplySql,
 
     "pipeline_e2e" -> UpsertApplySql,

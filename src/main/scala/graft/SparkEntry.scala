@@ -83,6 +83,8 @@ object SparkEntry {
       Ledger.pollBackoff(cl(s, dir), sys.batch.toLong, sys.maxPollWait.toLong)
     }),
     "stream_window_agg"   -> ((s, dir) => streamWindowAgg(s, dir)),
+    "stream_merge_parity" -> ((s, dir) =>
+      graft.streaming.CdcStream.mergeParity(s, cl(s, dir))),
     "pipeline_e2e"        -> ((s, dir) => Pipeline.run(s, dir).applied),
     // LLM-data-pipeline operators (SURVEY.md §2 #23-34)
     "dedup_exact"         -> ((s, dir) =>

@@ -243,4 +243,54 @@ object CdcStream {
       .queryName(queryName)
       .outputMode(OutputMode.Update())
       .start()
+
+  private val parityRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming↔batch LWW parity harness (batch-facing): replays the
+    * normalized changelog through [[latestState]] as `nBatches`
+    * micro-batches split on `event_id % nBatches` — an interleave, so
+    * nearly every key's history straddles batch boundaries — and
+    * returns the final keyed state through EXACTLY the cdc_merge
+    * projection (deletes dropped, epoch_s = ems div 1000), so the
+    * batch query's DuckDB oracle pins the continuous path cross-engine.
+    *
+    * This is a harness, not a pipeline operator: the driver-side
+    * collect/addData loop is the micro-batch *source* (the bounded
+    * replay StreamRun stages through files), never a processing step —
+    * the state fold itself runs distributed, keyed on user_id like the
+    * batch merge's shuffle. */
+  def mergeParity(spark: SparkSession, changelog: DataFrame,
+                  nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = changelog
+      .select("user_id", "event_id", "ems", "op", "value_cents")
+      .as[Change].collect()
+    val name = s"merge_parity_${parityRuns.incrementAndGet()}"
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Change]
+    val query = runToMemory(spark, stream.toDS(), name)
+    try {
+      (0 until nBatches).foreach { i =>
+        stream.addData(rows.filter(c =>
+          math.floorMod(c.event_id, nBatches.toLong) == i.toLong).toSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    // Update-mode memory sink appends each batch's emissions — the
+    // final state per key is the LWW max, same struct order as batch
+    val result = spark.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("last_ems"), col("last_event_id"),
+        col("last_op"), col("last_value_cents"))).as("s"))
+      .where(col("s.last_op") =!= "D")
+      .select(col("user_id"),
+        col("s.last_event_id").as("last_event_id"),
+        col("s.last_op").as("last_op"),
+        expr("s.last_ems div 1000").as("last_epoch_s"),
+        col("s.last_value_cents").as("last_value_cents"))
+      .localCheckpoint() // eager: outlive the dropped temp view
+    spark.catalog.dropTempView(name)
+    result
+  }
 }

@@ -54,6 +54,39 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("mergeParity equals the batch cdc_merge on the sf0.001 changelog") {
+    val cl = ChangeLog.normalize(Tables.events(spark, TestSpark.Sf))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))
+    val got = CdcStream.mergeParity(spark, cl).collect().map(key).toSet
+    val want = CdcMerge.merge(cl).collect().map(key).toSet
+    assert(got === want)
+  }
+
+  test("mergeParity folds stale cross-batch deliveries (a key's LATEST " +
+    "change arrives in an earlier micro-batch than its stale history)") {
+    import spark.implicits._
+    // event_id % 3 is the batch split: key 1's true latest (id 3, ems
+    // 400) lands in batch 0, its stale history trickles in over
+    // batches 1-2 and must not regress the state; key 2's latest is a
+    // delete delivered before an older update — it must stay deleted.
+    val cl = Seq(
+      (1L, 3L, 400L, "U", 40L),
+      (1L, 1L, 100L, "I", 10L),
+      (1L, 4L, 200L, "U", 20L),
+      (1L, 5L, 300L, "U", 30L),
+      (2L, 6L, 500L, "D", 0L),
+      (2L, 7L, 400L, "U", 70L)
+    ).toDF("user_id", "event_id", "ems", "op", "value_cents")
+    val got = CdcStream.mergeParity(spark, cl).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("user_id") === 1L)
+    assert(r.getAs[Long]("last_event_id") === 3L)
+    assert(r.getAs[Long]("last_epoch_s") === 0L)
+    assert(r.getAs[Long]("last_value_cents") === 40L)
+  }
+
   test("latestState with a TTL configured starts and merges (bounded wait)") {
     // NOTE: with ProcessingTimeTimeout configured, the engine keeps
     // scheduling timeout-check batches, so processAllAvailable() never
