@@ -2089,19 +2089,19 @@ object OracleSql {
          |FROM am GROUP BY 1""".stripMargin,
 
     "olap_promo_revenue" ->
-      """WITH pl AS (SELECT
-        |    CAST(strftime(l_shipdate, '%Y%m') AS BIGINT) AS ship_month,
-        |    CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
-        |      AS rev_c,
-        |    p.p_type
-        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
-        |SELECT ship_month,
-        |  CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN rev_c ELSE 0 END)
-        |    AS BIGINT) AS promo_rev_c,
-        |  CAST(SUM(rev_c) AS BIGINT) AS total_rev_c,
-        |  (CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN rev_c ELSE 0 END)
-        |    AS BIGINT) * 1000000) // CAST(SUM(rev_c) AS BIGINT) AS promo_ppm
-        |FROM pl GROUP BY 1""".stripMargin,
+      s"""WITH pl AS (SELECT
+         |    CAST(strftime(l_shipdate, '%Y%m') AS BIGINT) AS ship_month,
+         |    CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+         |      AS rev_c,
+         |    p.p_type
+         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+         |SELECT ship_month,
+         |  CAST(SUM(CASE WHEN p_type = '${graft.operators.Analytics.PromoType}' THEN rev_c ELSE 0 END)
+         |    AS BIGINT) AS promo_rev_c,
+         |  CAST(SUM(rev_c) AS BIGINT) AS total_rev_c,
+         |  (CAST(SUM(CASE WHEN p_type = '${graft.operators.Analytics.PromoType}' THEN rev_c ELSE 0 END)
+         |    AS BIGINT) * 1000000) // CAST(SUM(rev_c) AS BIGINT) AS promo_ppm
+         |FROM pl GROUP BY 1""".stripMargin,
 
     "load_profile" ->
       s"""WITH $CL

@@ -76,8 +76,12 @@ object Analytics {
     * the scan), one fact aggregate on a ≤\|months\| key space. Month
     * key is integer yyyymm derived in the UTC session on both
     * engines. */
+  /** Promo part type — shared with the DuckDB oracle (OracleSql
+    * interpolates it), so the two engines cannot silently diverge. */
+  val PromoType = "ECONOMY"
+
   def promoRevenue(part: DataFrame, lineitem: DataFrame,
-                   promoType: String = "ECONOMY"): DataFrame =
+                   promoType: String = PromoType): DataFrame =
     lineitem
       .select(col("l_partkey"), col("l_shipdate"), revCents.as("rev_c"))
       .join(broadcast(part.select(col("p_partkey"), col("p_type"))),

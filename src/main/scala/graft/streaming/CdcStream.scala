@@ -149,6 +149,13 @@ object CdcStream {
   /** Open-session state: 1-based session counter + the open window. */
   case class SessionState(seq: Long, n: Long, startMs: Long, endMs: Long)
 
+  /** Event-time TTL on the closed-session (n=0) counter marker: a key
+    * idle this long past its last session close is fully evicted, so
+    * state stays bounded by ACTIVE key cardinality, not lifetime key
+    * cardinality. A key returning after eviction restarts session
+    * numbering at 1 — the documented trade for bounded state. */
+  val MarkerTtlMs: Long = 7L * 24 * 3600 * 1000
+
   /** Streaming sessionization — the continuous twin of
     * Temporal.sessionize (same gap rule, same 1-based session ids):
     * flatMapGroupsWithState keyed on the sync key holds ONE open
@@ -177,13 +184,22 @@ object CdcStream {
         (uid: Long, batch: Iterator[ChangeTs], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            // keep the counter in an n=0 "no open session" marker —
-            // removing state here would restart session numbering at 1
-            // for the key's next event and break batch parity. The
-            // marker is 4 longs; a production build would TTL it.
-            state.update(s.copy(n = 0))
-            Iterator.single(
-              Session(uid, s.seq, s.n, s.startMs, s.endMs, s.endMs - s.startMs))
+            if (s.n == 0) {
+              // second firing: the n=0 counter marker's TTL expired —
+              // evict. The key's next event restarts numbering at 1.
+              state.remove()
+              Iterator.empty
+            } else {
+              // close the open session but keep the counter in an n=0
+              // "no open session" marker (removing it here would
+              // restart numbering for a promptly-returning key); the
+              // marker itself is TTL'd so long-idle keys don't leak
+              state.update(s.copy(n = 0))
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + MarkerTtlMs)
+              Iterator.single(
+                Session(uid, s.seq, s.n, s.startMs, s.endMs, s.endMs - s.startMs))
+            }
           } else {
             val evs = batch.toSeq.sortBy(c => (c.ems, c.event_id))
             val closed = scala.collection.mutable.ListBuffer.empty[Session]

@@ -286,6 +286,63 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("sessionizeStream marker TTL: a key returning before the TTL keeps " +
+    "its session numbering; one idle past it is evicted and renumbers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CdcStream.ChangeTs
+    def ch(uid: Long, eid: Long, ems: Long) =
+      ChangeTs(uid, eid, ems, "U", 0L, new java.sql.Timestamp(ems))
+    val gap = graft.operators.Temporal.SessionGapMs
+    val hour = 3600L * 1000
+    val day = 24 * hour
+    val t0 = 1700000000000L
+
+    val stream = MemoryStream[ChangeTs]
+    val query = graft.streaming.CdcStream
+      .sessionizeStream(spark, stream.toDS())
+      .writeStream.format("memory").queryName("marker_ttl_sessions")
+      .outputMode("append").start()
+    try {
+      // keys 1 and 4 open sessions; key 9 is the watermark driver
+      stream.addData(Seq(ch(1L, 1L, t0), ch(4L, 1L, t0)))
+      query.processAllAvailable()
+      stream.addData(Seq(ch(9L, 1L, t0 + gap + 3 * hour)))
+      query.processAllAvailable()
+      stream.addData(Seq.empty[ChangeTs]) // fire: close sessions, arm markers
+      query.processAllAvailable()
+      // key 4 returns well BEFORE the marker TTL → must continue as
+      // session 2; key 1 stays idle
+      stream.addData(Seq(ch(4L, 2L, t0 + gap + 4 * hour)))
+      query.processAllAvailable()
+      // watermark sails past both the open session AND the markers'
+      // 7-day TTL → key 1's marker is evicted on its second firing
+      stream.addData(Seq(ch(9L, 2L, t0 + 10 * day)))
+      query.processAllAvailable()
+      stream.addData(Seq.empty[ChangeTs])
+      query.processAllAvailable()
+      // key 1 returns AFTER eviction → numbering restarts at 1
+      stream.addData(Seq(ch(1L, 2L, t0 + 10 * day + hour)))
+      query.processAllAvailable()
+      stream.addData(Seq(ch(9L, 3L, t0 + 30 * day)))
+      query.processAllAvailable()
+      stream.addData(Seq.empty[ChangeTs])
+      query.processAllAvailable()
+
+      def sessions(uid: Long) = spark.table("marker_ttl_sessions")
+        .where(col("user_id") === uid)
+        .collect().map(r =>
+          (r.getAs[Long]("session_id"), r.getAs[Long]("start_ms"))).sorted
+      assert(sessions(4L).map(_._1).toSeq === Seq(1L, 2L))
+      val k1 = sessions(1L)
+      assert(k1.map(_._2).toSeq ===
+        Seq(t0, t0 + 10 * day + hour)) // both sessions closed
+      assert(k1.map(_._1).toSeq === Seq(1L, 1L),
+        "key 1 must renumber from 1 after marker eviction, got " +
+          k1.map(_._1).mkString(","))
+    } finally query.stop()
+  }
+
   test("sessionizeStream survives a watermark jump landing a timeout in " +
     "the past (clamped, not thrown)") {
     import spark.implicits._

@@ -65,7 +65,7 @@ class PlanSpec extends AnyFunSuite {
     // cross join; pq_search broadcasts the 8-query LUT like ann_topk;
     // kmeans_shift fans every vector out over its ≤16 broadcast
     // centroid arrays (twice — one per Lloyd iteration);
-    // fk_integrity / funnel_conversion chain 1-row summary aggregates
+    // fk_integrity chains 1-row summary aggregates
     val allowed = Set("ann_topk", "ann_ivf", "clean_retention",
       "heartbeat_state", "status_rollup", "ivf_assign", "ivf_train",
       "log_compact", "mix_weights", "dist_drift", "semantic_dedup",
