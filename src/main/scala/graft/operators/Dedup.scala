@@ -340,55 +340,94 @@ object Dedup {
       .withColumn("is_dup", (col("j_milli") >= JaccardMilli).cast("string"))
   }
 
-  /** Label-propagation rounds for [[dupClusters]] — covers any
-    * component whose diameter is ≤ this. Near-dup graphs are unions of
-    * near-cliques (every member of a dup cluster shares LSH buckets
-    * with most others), so real diameters are tiny; the verified
-    * cross-engine hash check would catch an undershoot. */
-  val ClusterRounds = 10
+  /** Hard round cap for [[connectedComponents]]. With pointer jumping
+    * the label forest's depth roughly HALVES each round, so 16 rounds
+    * cover diameters ~2^16 — far beyond any real dup graph; the
+    * convergence gate stops real runs after 2-3 rounds. A cap this
+    * high being reached means the gate is broken, so overshooting it
+    * throws instead of returning wrong labels. */
+  val MaxClusterRounds = 16
 
-  /** Connected components over the VERIFIED near-dup pair graph — the
-    * step between pairwise dedup and materialization: every doc gets a
-    * canonical cluster id (the minimum doc_id reachable through dup
-    * pairs), so "keep one per cluster" is well-defined even when
-    * A~B and B~C but A≁C (pairwise keeper choice would keep A and
-    * drop C's witness otherwise).
+  /** Distributed connected components over an undirected pair list
+    * (columns a, b) — min-label propagation with pointer jumping and a
+    * convergence gate, the scale form of the reference's transitive
+    * dup-chain handling.
     *
-    * Distributed form: min-label propagation. Self-loops are added to
-    * the edge relation so each round is ONE join + ONE min-aggregate
-    * referencing the previous labels exactly once — a linear plan
-    * chain, no exponential lineage. The edge list (dup pairs, both
-    * directions) is localCheckpoint'ed once: it is tiny relative to
-    * the corpus (only docs that near-dup something), and the 10
-    * rounds then shuffle just that label relation, never touching the
-    * minhash chain again. At adversarial diameters you'd switch to
-    * large-star/small-star (O(log n) rounds); for near-dup cliques
-    * plain propagation converges in 2-3 rounds.
-    *
-    * Output: (doc_id, cluster_id, n_members) per clustered doc. */
-  def dupClusters(documents: DataFrame): DataFrame = {
-    val pairs = minhashDedup(documents)
-      .select(col("keeper_doc_id").as("a"), col("dup_doc_id").as("b"))
+    * Per round: (1) every node takes the min label over itself and its
+    * neighbors (self-loops folded into the edge list → ONE join + ONE
+    * map-side-combinable min-aggregate); (2) pointer jump — each label
+    * is replaced by ITS label via a self-join on the tiny label
+    * relation, which halves chain depth and makes convergence
+    * O(log diameter) instead of O(diameter); (3) an eager
+    * localCheckpoint truncates lineage so round r+1 reads a
+    * materialized label relation, not an r-deep join tree; (4) a
+    * ONE-ROW sum(label) gate — labels are non-increasing, so an
+    * unchanged sum IS a fixed point — stops the loop at actual
+    * convergence. Near-clique dup graphs stop after 2-3 rounds where
+    * the previous fixed-10-round form always paid 10; a pathological
+    * long chain still finishes in log rounds instead of silently
+    * under-propagating. The loop's driver actions touch only the
+    * label relation (docs that dup something), never the corpus. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .unionByName(pairs
         .select(explode(array(col("a"), col("b"))).as("a"))
         .select(col("a"), col("a").as("b")))
       .distinct()
-      // lazy: materializes on the FIRST action and truncates lineage
-      // for the rounds; an eager checkpoint would run the whole
-      // minhash+verify chain at query-CONSTRUCTION time, which every
-      // plan-only consumer (PlanAudit, PlanSpec) would pay too
+      // lazy: materializes on the loop's first action, truncating the
+      // upstream (minhash+verify) lineage for every later round
       .localCheckpoint(false)
-    val init = edges.select(col("a").as("doc_id"))
+    def labSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0))
+    var lab = edges.select(col("a").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
-    val converged = (1 to ClusterRounds).foldLeft(init) { (lab, _) =>
-      edges
-        .join(lab.select(col("doc_id").as("b"), col("label")), "b")
+      .localCheckpoint()
+    var prev = labSum(lab)
+    var round = 0
+    var done = prev.isEmpty // empty graph: nothing to propagate
+    while (!done) {
+      round += 1
+      if (round > MaxClusterRounds)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $MaxClusterRounds rounds")
+      // pointer jump FIRST, on the checkpointed relation (self-joining
+      // a lazy propagate result would compute it twice): label :=
+      // label's label — every label value is a node id, and self-loops
+      // keep every node present. Identity on round 1 (labels = ids),
+      // so skipped there.
+      val jumped = if (round == 1) lab
+        else lab.select(col("doc_id"), col("label").as("mid"))
+          .join(lab.select(col("doc_id").as("mid"), col("label")), "mid")
+          .select("doc_id", "label")
+      val propagated = edges
+        .join(jumped.select(col("doc_id").as("b"), col("label")), "b")
         .groupBy(col("a").as("doc_id"))
         .agg(min("label").as("label"))
+      lab = propagated.localCheckpoint()
+      // labels are per-node non-increasing through both steps, so an
+      // unchanged 1-row sum means BOTH were the identity — fixed point
+      val cur = labSum(lab)
+      done = cur == prev
+      prev = cur
     }
+    lab
+  }
+
+  /** Connected components over the VERIFIED near-dup pair graph — the
+    * step between pairwise dedup and materialization: every doc gets a
+    * canonical cluster id (the minimum doc_id reachable through dup
+    * pairs), so "keep one per cluster" is well-defined even when
+    * A~B and B~C but A≁C (pairwise keeper choice would keep A and
+    * drop C's witness otherwise). Labels come from
+    * [[connectedComponents]] (gated pointer-jumping propagation).
+    *
+    * Output: (doc_id, cluster_id, n_members) per clustered doc. */
+  def dupClusters(documents: DataFrame): DataFrame = {
+    val converged = connectedComponents(minhashDedup(documents)
+      .select(col("keeper_doc_id").as("a"), col("dup_doc_id").as("b")))
     val sized = converged
       .groupBy("label").agg(count(lit(1)).as("n_members"))
     converged

@@ -391,6 +391,23 @@ class LlmOpsSpec extends AnyFunSuite {
       50L -> (50L, 2L), 51L -> (50L, 2L)))
   }
 
+  test("connectedComponents converges on a 200-long chain (diameter far " +
+    "past any fixed small round count) and on disjoint components") {
+    import spark.implicits._
+    // a path graph 0-1-2-…-200: plain min-label propagation moves the
+    // min ONE hop per round, so a fixed 10-round fold would leave most
+    // of the chain mislabeled; pointer jumping + the convergence gate
+    // must label every node 0 within the round cap
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val extra = Seq((1000L, 2000L), (2000L, 3000L)) // separate component
+    val labels = Dedup
+      .connectedComponents((chain ++ extra).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 204)
+    (0L to 200L).foreach(i => assert(labels(i) === 0L, s"node $i"))
+    Seq(1000L, 2000L, 3000L).foreach(i => assert(labels(i) === 1000L))
+  }
+
   test("gopherQuality flags repetition and keeps diverse in-band docs") {
     import spark.implicits._
     val diverse = (1 to 30).map(i => f"w$i%02d").mkString(" ") // 30 × len-3
