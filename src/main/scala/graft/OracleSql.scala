@@ -45,6 +45,58 @@ object OracleSql {
       .map(i => s"(qv[$i] - cv[$i]) * (qv[$i] - cv[$i])")
       .mkString(" + ")
 
+  /** Trained-PQ CTE chain — the SQL twin of Similarity.pqTrain's
+    * integer Lloyd rounds (Forgy seeds from vec_ids CentroidLo..+15,
+    * e6 coordinates, truncated integer means, empty codewords keep
+    * position). Ends at pt_r{Iters} (m, k, dim, c6_e6, n_members) and
+    * pt_c{Iters} (m, k, c6 list). */
+  private lazy val PqTrainCtes: String = {
+    import graft.operators.Similarity._
+    val sd = PqSubDim
+    val intL2 = (a: String, b: String) =>
+      s"list_sum(list_transform(generate_series(1, $sd), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val rounds = (1 to PqTrainIters).map { r =>
+      val prev = s"pt_c${r - 1}"
+      s"""pt_d$r AS (SELECT s.vec_id, s.m, c.k,
+         |    ${intL2("s.sv6", "c.c6")} AS d12
+         |  FROM pt_sub s JOIN $prev c ON s.m = c.m),
+         |pt_a$r AS (SELECT vec_id, m, k FROM (SELECT vec_id, m, k,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d12, k)
+         |      AS rn FROM pt_d$r) t WHERE rn = 1),
+         |pt_m$r AS (SELECT a.m, a.k, CAST(d.i AS BIGINT) - 1 AS dim,
+         |    CAST(SUM(s.sv6[d.i]) AS BIGINT) AS s6,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM pt_a$r a JOIN pt_sub s
+         |      ON a.vec_id = s.vec_id AND a.m = s.m,
+         |    UNNEST(generate_series(1, $sd)) AS d(i)
+         |  GROUP BY 1, 2, 3),
+         |pt_g$r AS (SELECT c.m, c.k, CAST(d.i AS BIGINT) - 1 AS dim,
+         |    c.c6[d.i] AS old6
+         |  FROM $prev c, UNNEST(generate_series(1, $sd)) AS d(i)),
+         |pt_r$r AS (SELECT g.m, g.k, g.dim,
+         |    CAST(COALESCE((mm.s6 - mm.s6 % mm.n) // mm.n, g.old6)
+         |      AS BIGINT) AS c6_e6,
+         |    CAST(COALESCE(mm.n, 0) AS BIGINT) AS n_members
+         |  FROM pt_g$r g LEFT JOIN pt_m$r mm
+         |    ON mm.m = g.m AND mm.k = g.k AND mm.dim = g.dim),
+         |pt_c$r AS (SELECT m, k, list(c6_e6 ORDER BY dim) AS c6
+         |  FROM pt_r$r GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""pt_v6 AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS v6
+       |  FROM embeddings),
+       |pt_sub AS (SELECT vec_id, CAST(sm.m AS BIGINT) AS m,
+       |    list_transform(generate_series(1, $sd),
+       |      i -> v6[sm.m * $sd + i]) AS sv6
+       |  FROM pt_v6, UNNEST(generate_series(0, ${PqM - 1})) AS sm(m)
+       |  WHERE vec_id >= $QueryCount),
+       |pt_c0 AS (SELECT m, vec_id - $CentroidLo AS k, sv6 AS c6
+       |  FROM pt_sub
+       |  WHERE vec_id BETWEEN $CentroidLo AND ${CentroidLo + PqK - 1}),
+       |$rounds""".stripMargin
+  }
+
   /** Shared PQ CTE chain: pqe (vectors as DOUBLE[]), pqcb (codebook),
     * pqd (per-(vec, m, k) e9 distances), pqbest (rn=1 ⇒ the code). */
   private lazy val PqCodesCtes: String =
@@ -1616,6 +1668,60 @@ object OracleSql {
          |  (COALESCE(h.n_hits, 0) * 1000) // $k AS recall_milli
          |FROM (SELECT DISTINCT q_id FROM truth) b
          |LEFT JOIN hits h USING (q_id)""".stripMargin
+    },
+
+    "pq_train" -> {
+      val iters = graft.operators.Similarity.PqTrainIters
+      s"""WITH $PqTrainCtes
+         |SELECT m, k, dim, c6_e6, n_members FROM pt_r$iters""".stripMargin
+    },
+
+    "pq_recall_trained" -> {
+      import graft.operators.Similarity.{PqSubDim, PqTrainIters, QueryCount, TopK}
+      val k = TopK
+      val fin = s"pt_c$PqTrainIters"
+      val adc = s"list_sum(list_transform(generate_series(1, $PqSubDim), " +
+        s"i -> (q.qv6[i] - c.c6[i]) * (q.qv6[i] - c.c6[i])))"
+      val enc = s"list_sum(list_transform(generate_series(1, $PqSubDim), " +
+        s"i -> (s.sv6[i] - c.c6[i]) * (s.sv6[i] - c.c6[i])))"
+      s"""WITH $PqTrainCtes,
+         |pt_de AS (SELECT s.vec_id, s.m, c.k, $enc AS d12
+         |  FROM pt_sub s JOIN $fin c ON s.m = c.m),
+         |pt_codes AS (SELECT vec_id, m, k FROM (SELECT vec_id, m, k,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d12, k)
+         |      AS rn FROM pt_de) t WHERE rn = 1),
+         |pt_qs AS (SELECT vec_id AS q_id, CAST(sm.m AS BIGINT) AS m,
+         |    list_transform(generate_series(1, $PqSubDim),
+         |      i -> v6[sm.m * $PqSubDim + i]) AS qv6
+         |  FROM pt_v6, UNNEST(generate_series(0,
+         |    ${graft.operators.Similarity.PqM - 1})) AS sm(m)
+         |  WHERE vec_id < $QueryCount),
+         |pt_sc AS (SELECT q.q_id, a.vec_id, CAST(SUM($adc) AS BIGINT)
+         |    AS dist
+         |  FROM pt_codes a JOIN $fin c ON a.m = c.m AND a.k = c.k
+         |    JOIN pt_qs q ON q.m = a.m
+         |  GROUP BY 1, 2),
+         |pt_ap AS (SELECT q_id, vec_id AS cand_id FROM (SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id)
+         |      AS rn FROM pt_sc) t WHERE rn <= $k),
+         |pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |pt_tq AS (SELECT vec_id AS q_id, v AS qv FROM pe
+         |  WHERE vec_id < $QueryCount),
+         |pt_tc AS (SELECT vec_id AS cand_id, v AS cv FROM pe
+         |  WHERE vec_id >= $QueryCount),
+         |pt_tr AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY CAST(ROUND(($l2SumSql) * 1e9) AS BIGINT), cand_id)
+         |      AS rn FROM pt_tq, pt_tc) t WHERE rn <= $k),
+         |pt_h AS (SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM pt_tr t JOIN pt_ap a
+         |    ON t.q_id = a.q_id AND t.cand_id = a.cand_id
+         |  GROUP BY 1)
+         |SELECT b.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |  (COALESCE(h.n_hits, 0) * 1000) // $k AS recall_milli
+         |FROM (SELECT DISTINCT q_id FROM pt_tr) b
+         |LEFT JOIN pt_h h USING (q_id)""".stripMargin
     },
 
     "ivf_recall" -> {

@@ -194,6 +194,10 @@ object SparkEntry {
       Similarity.pqSearch(Tables.embeddings(s, dir))),
     "pq_recall"           -> ((s, dir) =>
       Similarity.pqRecall(Tables.embeddings(s, dir))),
+    "pq_train"            -> ((s, dir) =>
+      Similarity.pqTrain(Tables.embeddings(s, dir))),
+    "pq_recall_trained"   -> ((s, dir) =>
+      Similarity.pqRecallTrained(Tables.embeddings(s, dir))),
     "tfidf_topk"          -> ((s, dir) =>
       TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
     "value_quantiles"     -> ((s, dir) => Ledger.valueQuantiles(cl(s, dir))),

@@ -370,17 +370,21 @@ object Similarity {
     * which is precisely what a recall gate exists to catch. A
     * production index k-means-trains the codebook per subspace; the
     * plan shape here is identical either way. */
-  def pqRecall(embeddings: DataFrame, k: Int = TopK): DataFrame = {
-    val truth = candidates(embeddings)
+  def pqRecall(embeddings: DataFrame, k: Int = TopK): DataFrame =
+    recallAtK(l2Truth(embeddings, k),
+      pqSearch(embeddings, k).select(col("q_id"), col("cand_id")), k)
+
+  /** Exact L2 top-k ground truth per query — shared by [[pqRecall]]
+    * and [[pqRecallTrained]] so both gates measure against the same
+    * metric. */
+  private def l2Truth(embeddings: DataFrame, k: Int): DataFrame =
+    candidates(embeddings)
       .join(broadcast(queries(embeddings)))
       .withColumn("d2_e9", l2DistE9(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(Window.partitionBy("q_id")
         .orderBy(col("d2_e9"), col("cand_id"))))
       .where(col("rank") <= k)
       .select(col("q_id"), col("cand_id"))
-    recallAtK(truth,
-      pqSearch(embeddings, k).select(col("q_id"), col("cand_id")), k)
-  }
 
   /** recall@k of an approximate result against a ground-truth top-k:
     * the k·|Q| truth rows semi-join the approximate rows, and every
@@ -407,6 +411,130 @@ object Similarity {
     recallAtK(
       bruteTopK(embeddings, k).select(col("q_id"), col("cand_id")),
       ivfTopK(embeddings, k).select(col("q_id"), col("cand_id")), k)
+
+  // --- trained product quantization ----------------------------------------
+
+  /** Lloyd rounds for [[pqTrain]]. Two fixed rounds (not
+    * convergence-gated) so the DuckDB oracle can mirror the training
+    * as straight-line CTEs — the cross-engine-verifiable form. */
+  val PqTrainIters = 2
+
+  /** Split an (id, v6) e6-integer vector relation into per-subspace
+    * rows (id, m, sv6[PqSubDim]). */
+  private def subspaced(v6rel: DataFrame, idCol: String): DataFrame =
+    v6rel
+      .select(col(idCol), expr(
+        s"explode(transform(sequence(0, ${PqM - 1}), " +
+          s"m -> struct(cast(m as bigint) as m, " +
+          s"slice(v6, m * $PqSubDim + 1, $PqSubDim) as sv6)))").as("s"))
+      .select(col(idCol), col("s.m").as("m"), col("s.sv6").as("sv6"))
+
+  /** Forgy seeding, same convention as the IVF [[centroids]]: subspace
+    * m's seed k is vector (CentroidLo + k)'s m-th subvector — data
+    * rows both engines can pick without any literal exchange. */
+  private def pqSeedCb(sub: DataFrame): DataFrame =
+    sub.where(col("vec_id").between(CentroidLo, CentroidLo + PqK - 1))
+      .select(col("m"), (col("vec_id") - CentroidLo).as("k"),
+        col("sv6").as("c6"))
+
+  /** One exact integer Lloyd round per subspace: assign every (vector,
+    * subspace) row to its nearest codeword by codegen'd integer
+    * squared-L2 (ties → smaller k), then recompute each codeword as
+    * the truncated integer mean of its members. Empty codewords keep
+    * their previous position with n_members = 0. Output: (m, k, dim,
+    * c6_e6, n_members) — ≤ PqM·PqK·PqSubDim = 1024 rows at any corpus
+    * size; the aggregate is map-side combinable. */
+  private def pqLloydStep(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val assigned = sub.join(broadcast(cb), "m")
+      .withColumn("d12",
+        graft.functions.VectorFunctions.intL2(col("sv6"), col("c6")))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("k"), struct(col("d12"), col("k"))).as("k"))
+    val means = assigned.join(sub, Seq("vec_id", "m"))
+      .select(col("m"), col("k"), posexplode(col("sv6")).as(Seq("dim", "x6")))
+      .groupBy(col("m"), col("k"), col("dim").cast("long").as("dim"))
+      .agg(sum("x6").as("s"), count(lit(1)).as("n"))
+      // truncated toward zero (Spark div); the oracle's (s - s%n) // n
+      // form matches for negative sums
+      .select(col("m"), col("k"), col("dim"),
+        expr("s div n").as("mean6"), col("n"))
+    cb.select(col("m"), col("k"), posexplode(col("c6")).as(Seq("dim", "old6")))
+      .withColumn("dim", col("dim").cast("long"))
+      .join(means, Seq("m", "k", "dim"), "left")
+      .select(col("m"), col("k"), col("dim"),
+        coalesce(col("mean6"), col("old6")).as("c6_e6"),
+        coalesce(col("n"), lit(0L)).as("n_members"))
+  }
+
+  /** (m, k, dim, c6_e6, n_members) rows → (m, k, c6 array) codebook. */
+  private def cbArrays(rel: DataFrame): DataFrame =
+    rel.groupBy("m", "k")
+      .agg(sort_array(collect_list(struct(col("dim"), col("c6_e6"))))
+        .as("ps"))
+      .select(col("m"), col("k"), expr("transform(ps, p -> p.c6_e6)").as("c6"))
+
+  /** Trained-codebook relation + the staged subvector relation it was
+    * trained on. The subvector staging is localCheckpoint'd lazily
+    * (each Lloyd round reads it twice; at 100 TB a production build
+    * trains on a staged SAMPLE — the iteration shape is the same). */
+  private def pqTrained(embeddings: DataFrame): (DataFrame, DataFrame) = {
+    val sub = subspaced(vecsE6(embeddings), "vec_id").localCheckpoint(false)
+    var rel: DataFrame = null
+    var cb = pqSeedCb(sub)
+    (1 to PqTrainIters).foreach { _ =>
+      rel = pqLloydStep(sub, cb).localCheckpoint(false)
+      cb = cbArrays(rel)
+    }
+    (rel, sub)
+  }
+
+  /** PQ codebook TRAINING — the step [[pqCodebook]]'s fixed literals
+    * declare out of scope: PqTrainIters integer-exact per-subspace
+    * Lloyd rounds over the candidate corpus, Forgy-seeded from the
+    * same vec_id range as the IVF centroids. Everything is e6-integer
+    * arithmetic (associative, order-independent), so the full trained
+    * codebook hash-matches a serial SQL engine bit-for-bit — which is
+    * also WHY the trained path is relational: a data-dependent
+    * codebook can't be interpolated into static oracle SQL as double
+    * literals, so cross-engine verification demands the integer
+    * relation form. The codegen'd instruction-stream path (PqCodes/
+    * PqLut) remains the 100 TB scan shape, demonstrated by
+    * pq_encode/pq_search with the frozen codebook. */
+  def pqTrain(embeddings: DataFrame): DataFrame = pqTrained(embeddings)._1
+
+  /** Recall gate for TRAINED PQ — [[pqRecall]]'s twin with the
+    * [[pqTrain]] codebook instead of the untrained literals, measured
+    * against the same exact-L2 truth. Encoding assigns each (vector,
+    * subspace) row under the FINAL codebook (broadcast, 128 rows);
+    * ADC distances are exact integer sums over subspaces, so the
+    * whole query — training included — is oracle-checkable. Run next
+    * to pq_recall, this IS the codebook-training recall lift. */
+  def pqRecallTrained(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val (rel, sub) = pqTrained(embeddings)
+    val cb = cbArrays(rel)
+    val codes = sub.join(broadcast(cb), "m")
+      .withColumn("d12",
+        graft.functions.VectorFunctions.intL2(col("sv6"), col("c6")))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("k"), struct(col("d12"), col("k"))).as("k"))
+    val qsub = subspaced(
+      queries(embeddings).select(col("q_id"),
+        expr("transform(q_vec, x -> cast(round(cast(x as double) * " +
+          "1000000d) as bigint))").as("v6")), "q_id")
+      .withColumnRenamed("sv6", "qv6")
+    val approx = codes
+      .join(broadcast(cb), Seq("m", "k"))
+      .join(broadcast(qsub), Seq("m"))
+      .withColumn("d12",
+        graft.functions.VectorFunctions.intL2(col("qv6"), col("c6")))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("d12").as("dist_e12"))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("dist_e12"), col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+    recallAtK(l2Truth(embeddings, k), approx, k)
+  }
 
   /** Cosine threshold (e6) for [[semanticDedup]] — calibrated to the
     * test corpus's cosine distribution (max pairwise ≈ 0.51): pairs

@@ -69,7 +69,8 @@ class PlanSpec extends AnyFunSuite {
     val allowed = Set("ann_topk", "ann_ivf", "clean_retention",
       "heartbeat_state", "status_rollup", "ivf_assign", "ivf_train",
       "log_compact", "mix_weights", "dist_drift", "semantic_dedup",
-      "pq_search", "pq_recall", "key_skew_report", "sync_lag",
+      "pq_search", "pq_recall", "pq_recall_trained", "key_skew_report",
+      "sync_lag",
       "ivf_recall", "shard_balance", "pmi_pairs", "bpe_apply",
       "kmeans_shift", "fk_integrity")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
