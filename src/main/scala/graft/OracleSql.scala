@@ -524,6 +524,35 @@ object OracleSql {
          |  CASE WHEN now_s - last_hb_s <= 21600 THEN 'GREEN' ELSE 'RED' END AS hb_status
          |FROM lastper, clock""".stripMargin,
 
+    "component_lifecycle" -> {
+      import graft.operators.Ledger.{HeartbeatIntervalS => HI,
+        MaxComponentRestarts => MR, RestartBackoffS => RB}
+      s"""WITH $CL,
+         |hb AS (SELECT 'db' || (user_id % 3) AS db,
+         |    'worker-' || part AS component, epoch_s,
+         |    epoch_s - LAG(epoch_s) OVER (
+         |      PARTITION BY user_id % 3, part
+         |      ORDER BY epoch_s, event_id) AS gap_s
+         |  FROM cl),
+         |lc AS (SELECT db, component,
+         |    CAST(COUNT(*) AS BIGINT) AS n_heartbeats,
+         |    CAST(COUNT(CASE WHEN gap_s // $HI >= 2 AND gap_s // $HI < 5
+         |      THEN 1 END) AS BIGINT) AS n_yellow_gaps,
+         |    CAST(COUNT(CASE WHEN gap_s // $HI >= 5 THEN 1 END) AS BIGINT)
+         |      AS n_restarts,
+         |    MAX(epoch_s) AS last_hb_s
+         |  FROM hb GROUP BY 1, 2),
+         |clock AS (SELECT MAX(epoch_s) AS now_s FROM cl)
+         |SELECT db, component, n_heartbeats, n_yellow_gaps, n_restarts,
+         |  last_hb_s, (now_s - last_hb_s) // $HI AS now_lost,
+         |  CASE WHEN n_restarts > $MR THEN 'GIVEN_UP'
+         |       WHEN (now_s - last_hb_s) // $HI < 2 THEN 'GREEN'
+         |       WHEN (now_s - last_hb_s) // $HI < 5 THEN 'YELLOW'
+         |       ELSE 'RED' END AS state,
+         |  $RB * (1::BIGINT << LEAST(n_restarts, 6)) AS backoff_s
+         |FROM lc, clock""".stripMargin
+    },
+
     "clean_retention" ->
       s"""WITH $CL,
          |wm AS (SELECT MAX(epoch_s) AS max_s FROM cl)

@@ -41,6 +41,8 @@ object SparkEntry {
     "error_retry"         -> ((s, dir) => Ledger.errorRetry(cl(s, dir))),
     "blocked_chain"       -> ((s, dir) => Ledger.blockedChain(cl(s, dir))),
     "heartbeat_state"     -> ((s, dir) => Ledger.heartbeatState(cl(s, dir))),
+    "component_lifecycle" -> ((s, dir) =>
+      Ledger.componentLifecycle(cl(s, dir))),
     "clean_retention"     -> ((s, dir) => Ledger.cleanRetention(cl(s, dir))),
     "queue_depth"         -> ((s, dir) => Ledger.queueDepth(cl(s, dir))),
     "approx_distinct"     -> ((s, dir) => Ledger.approxDistinct(cl(s, dir))),

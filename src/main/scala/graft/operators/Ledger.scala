@@ -186,6 +186,73 @@ object Ledger {
           .otherwise(lit("RED")).as("hb_status"))
   }
 
+  /** Monitor-tick heartbeat interval (seconds) for
+    * [[componentLifecycle]] — the unit `ComponentManager.heartbeatLost`
+    * divides by. */
+  val HeartbeatIntervalS = 7200L
+
+  /** Supervisor give-up bound for [[componentLifecycle]]. The
+    * reference relaunches UNBOUNDEDLY (`DbSyncLauncher.scala:30-40`
+    * loops while restartFlag); an operator running this at scale wants
+    * a cap, so components restarted more than this are parked. */
+  val MaxComponentRestarts = 3L
+
+  /** Base restart backoff (seconds), doubled per restart (capped at
+    * 2^6×). */
+  val RestartBackoffS = 60L
+
+  /** Restart-action lifecycle per component — the deterministic replay
+    * of `monitor/SelfMonitor.scala:46-68` (rule match → ActionHandler)
+    * + `monitor/RestartActionHandler.scala` (restart flag) +
+    * `sync/ComponentManager.scala:58-66` (status = lost-interval
+    * multiples: GREEN < 2, YELLOW < 5, RED ≥ 5) over event time:
+    *
+    * A component's heartbeats are its changes' epoch_s. Every gap
+    * between consecutive heartbeats is scored lost = gap div
+    * HeartbeatIntervalS; a RED gap (lost ≥ 5) is one fired restart
+    * (the monitor crosses the rule threshold once per outage, then the
+    * relaunch resets the component). n_restarts past
+    * MaxComponentRestarts parks the component (state GIVEN_UP — the
+    * bound the reference's infinite relaunch loop lacks); otherwise
+    * the state is the CURRENT staleness vs the corpus clock, scored
+    * with the same thresholds. backoff_s doubles per restart
+    * (exponential supervisor backoff, capped at 2^6×).
+    *
+    * One key-shuffle on (db, component): the lag window and the
+    * aggregate share the partitioning; the clock is a broadcast 1-row
+    * aggregate. */
+  def componentLifecycle(changelog: DataFrame): DataFrame = {
+    val comp = concat(lit("worker-"), col("part").cast("string"))
+    val w = Window.partitionBy("db", "component")
+      .orderBy(col("epoch_s"), col("event_id"))
+    val lost = changelog
+      .select(dbCol.as("db"), comp.as("component"),
+        col("epoch_s"), col("event_id"))
+      .withColumn("gap_s", col("epoch_s") - lag("epoch_s", 1).over(w))
+      .withColumn("lost", expr(s"gap_s div $HeartbeatIntervalS"))
+    val clock = changelog.agg(max("epoch_s").as("now_s"))
+    lost
+      .groupBy("db", "component")
+      .agg(
+        count(lit(1)).as("n_heartbeats"),
+        count(when(col("lost") >= 2 && col("lost") < 5, 1))
+          .as("n_yellow_gaps"),
+        count(when(col("lost") >= 5, 1)).as("n_restarts"),
+        max("epoch_s").as("last_hb_s"))
+      .join(broadcast(clock))
+      .select(col("db"), col("component"), col("n_heartbeats"),
+        col("n_yellow_gaps"), col("n_restarts"), col("last_hb_s"),
+        expr(s"(now_s - last_hb_s) div $HeartbeatIntervalS").as("now_lost"),
+        when(col("n_restarts") > MaxComponentRestarts, lit("GIVEN_UP"))
+          .when(expr(s"(now_s - last_hb_s) div $HeartbeatIntervalS") < 2,
+            lit("GREEN"))
+          .when(expr(s"(now_s - last_hb_s) div $HeartbeatIntervalS") < 5,
+            lit("YELLOW"))
+          .otherwise(lit("RED")).as("state"),
+        expr(s"$RestartBackoffS * shiftleft(1L, " +
+          s"cast(least(n_restarts, 6) as int))").as("backoff_s"))
+  }
+
   /** Retention cleanup accounting: rows older than (max ts - KeepHours)
     * are cleaned, the rest kept — per (part, op). Mirrors cleanSysTable.
     * The watermark is a broadcast 1-row aggregate; the "delete" is an

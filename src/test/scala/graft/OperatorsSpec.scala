@@ -50,6 +50,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("component_lifecycle: a planted outage pattern yields the exact " +
+    "restart counts, give-up state and doubled backoff") {
+    import spark.implicits._
+    // one component per user_id%3 × part; user 1/part 1: 5 RED gaps
+    // (> MaxComponentRestarts → GIVEN_UP); user 2/part 2: one yellow
+    // gap + one red, recent heartbeat → GREEN with backoff 2×
+    val hi = Ledger.HeartbeatIntervalS
+    val base = 1000000L
+    val u1 = (0 to 5).map(i => (1L, 100L + i, base + i * 6 * hi))
+    val u2 = (Seq(base, base + 3 * hi, base + 9 * hi) ++
+      (10 to 30).map(base + _ * hi))
+      .zipWithIndex.map { case (s, i) => (2L, 200L + i, s) }
+    val df = (u1 ++ u2).toDF("user_id", "event_id", "epoch_s")
+      .withColumn("part", col("user_id"))
+      .withColumn("ems", col("epoch_s") * 1000)
+    val got = Ledger.componentLifecycle(df).collect()
+      .map(r => r.getAs[String]("component") -> r).toMap
+    val w1 = got("worker-1")
+    assert(w1.getAs[Long]("n_restarts") === 5L)
+    assert(w1.getAs[String]("state") === "GIVEN_UP")
+    assert(w1.getAs[Long]("backoff_s") ===
+      Ledger.RestartBackoffS * 32L)
+    val w2 = got("worker-2")
+    assert(w2.getAs[Long]("n_yellow_gaps") === 1L)
+    assert(w2.getAs[Long]("n_restarts") === 1L)
+    assert(w2.getAs[String]("state") === "GREEN")
+    assert(w2.getAs[Long]("backoff_s") === Ledger.RestartBackoffS * 2L)
+  }
+
   test("route_fanout conserves and amplifies rows per routing table") {
     val n = ChangeLog.routeFanout(cl).agg(sum("n")).collect().head.getLong(0)
     val expected = cl.select(
@@ -179,6 +208,12 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r._7.isEmpty)
       assert(r._8.startsWith("DROP TRIGGER IF EXISTS"))
       assert(r._8.contains("JSON_OBJECT"))
+      // complete DDL: every declared column enumerated, no /* */
+      // elision markers left in the emitted statement
+      assert(!r._8.contains("/*"), r._8)
+      val payload = if (r._5 == "D") "OLD" else "NEW"
+      SyncConfigs.TableColumns(r._4).foreach(c =>
+        assert(r._8.contains(s"'$c', $payload.$c"), s"missing $c in ${r._8}"))
     }
   }
 
