@@ -101,6 +101,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.getOrElse("DELETE", 0L) === deletes)
   }
 
+  test("scale gate: a 30x hot key does not blow up the LWW merge " +
+    "(map-side combine absorbs the skew; wall-time ratio bounded)") {
+    import spark.implicits._
+    // uniform: 200k rows over 2000 keys; skewed: same volume but one
+    // key holds 30% of all rows. The merge is max-of-struct with
+    // partial aggregation, so the hot key's rows combine map-side and
+    // one reducer never sees them all — the wall-time ratio must stay
+    // near 1, where a sort- or collect-based merge would scale with
+    // the hot key's row count.
+    val n = 200000
+    def mk(key: Int => Long) = (1 to n).map { i =>
+      (key(i), i.toLong, 1000000L + i, if (i % 7 == 0) "D" else "U",
+        i.toLong)
+    }.toDF("user_id", "event_id", "ems", "op", "value_cents")
+      .withColumn("epoch_s", expr("ems div 1000"))
+      .withColumn("k", lit(0L))
+      .withColumn("part", pmod(col("user_id"), lit(16L)))
+      .repartition(8).localCheckpoint() // materialize: time the merge only
+    val uniform = mk(i => (i % 2000).toLong)
+    val skewed = mk(i => if (i % 10 < 3) 0L else (i % 2000).toLong)
+    def time(df: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      CdcMerge.merge(df).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    time(uniform); time(skewed) // warm codegen
+    val tu = math.min(time(uniform), time(uniform))
+    val ts = math.min(time(skewed), time(skewed))
+    val ratio = ts / tu
+    info(f"uniform=$tu%.2fs skewed=$ts%.2fs ratio=$ratio%.2f")
+    assert(ratio < 3.0, f"hot-key merge ratio $ratio%.2f (tu=$tu%.2fs ts=$ts%.2fs)")
+    // and the results agree on the shared key space row count
+    assert(CdcMerge.merge(skewed).count() > 0)
+  }
+
   test("source_partition_plan covers [lo, hi] with disjoint ranges") {
     val customer = Tables.customer(spark, TestSpark.Sf)
     val plan = Snapshot.sourcePartitionPlan(customer).orderBy("pid").collect()

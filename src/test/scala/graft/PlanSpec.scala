@@ -67,7 +67,8 @@ class PlanSpec extends AnyFunSuite {
     // centroid arrays (twice — one per Lloyd iteration);
     // fk_integrity chains 1-row summary aggregates
     val allowed = Set("ann_topk", "ann_ivf", "clean_retention",
-      "heartbeat_state", "status_rollup", "ivf_assign", "ivf_train",
+      "heartbeat_state", "component_lifecycle", "status_rollup",
+      "ivf_assign", "ivf_train",
       "log_compact", "mix_weights", "dist_drift", "semantic_dedup",
       "pq_search", "pq_recall", "pq_recall_trained", "key_skew_report",
       "sync_lag",
