@@ -408,6 +408,36 @@ class LlmOpsSpec extends AnyFunSuite {
     Seq(1000L, 2000L, 3000L).foreach(i => assert(labels(i) === 1000L))
   }
 
+  test("connectedComponents matches a driver-side union-find on seeded " +
+    "random graphs (differential check of the gated loop)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xC0FFEE)
+    (1 to 4).foreach { trial =>
+      val nodes = 20 + rnd.nextInt(20)
+      val edges = (1 to (nodes + rnd.nextInt(nodes)))
+        .map(_ => (rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find ground truth
+      val parent = Array.tabulate(nodes)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inGraph = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = inGraph.map(n => n ->
+        inGraph.filter(m => find(m.toInt) == find(n.toInt)).min).toMap
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial $trial: nodes=$nodes edges=$edges")
+    }
+  }
+
   test("gopherQuality flags repetition and keeps diverse in-band docs") {
     import spark.implicits._
     val diverse = (1 to 30).map(i => f"w$i%02d").mkString(" ") // 30 × len-3
