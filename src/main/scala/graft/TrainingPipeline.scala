@@ -30,7 +30,9 @@ object TrainingPipeline {
     val quality = documents.where(TextAnalysis.keepCol)
     val canonical = TextAnalysis.dedupExact(quality)
       .select(col("keeper_doc_id").as("doc_id"))
-    val uniq = quality.join(canonical, Seq("doc_id"))
+    // lazy checkpoint: consumed by BOTH the minhash chain and the final
+    // anti-join — staging runs the gate + exact-dedup join once
+    val uniq = quality.join(canonical, Seq("doc_id")).localCheckpoint(false)
     val dupIds = Dedup.minhashDedup(uniq)
       .select(col("dup_doc_id").as("doc_id")).distinct()
     uniq.join(dupIds, Seq("doc_id"), "left_anti")
