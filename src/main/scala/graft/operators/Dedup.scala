@@ -530,7 +530,10 @@ object Dedup {
     * relation and the candidate pairs, never the corpus. */
   def minhashEstError(documents: DataFrame): DataFrame = {
     val sh = shingleHashes(documents)
-    val sigs = signaturesFromHashes(sh)
+    // staged once: candidate generation reads it (via its own wrap) and
+    // the sa/sb per-side joins read it again — unstaged, the 64-wide
+    // aggregate would run three times
+    val sigs = signaturesFromHashes(sh).localCheckpoint(false)
     val pairs = candidatesFromSignatures(sigs)
     val exact = pairs
       .join(pairIntersections(pairs, sh, "doc_a", "doc_b"),
