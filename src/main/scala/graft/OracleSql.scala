@@ -1699,6 +1699,24 @@ object OracleSql {
          |LEFT JOIN hits h USING (q_id)""".stripMargin
     },
 
+    "ann_hard_negatives" -> {
+      import graft.operators.Similarity.{QueryCount, TopK}
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    CAST(label AS BIGINT) AS label FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e
+         |  WHERE vec_id < $QueryCount),
+         |c AS (SELECT vec_id AS cand_id, v AS cv, label AS c_label FROM e
+         |  WHERE vec_id >= $QueryCount),
+         |s AS (SELECT q_id, q_label, cand_id, c_label,
+         |    list_cosine_similarity(qv, cv) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY list_cosine_similarity(qv, cv) DESC, cand_id) AS rn
+         |  FROM q, c WHERE c_label <> q_label)
+         |SELECT q_id, q_label, cand_id, c_label, CAST(rn AS BIGINT) AS rank,
+         |  CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_e6
+         |FROM s WHERE rn <= $TopK""".stripMargin
+    },
+
     "pq_train" -> {
       val iters = graft.operators.Similarity.PqTrainIters
       s"""WITH $PqTrainCtes

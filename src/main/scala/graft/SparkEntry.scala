@@ -198,6 +198,8 @@ object SparkEntry {
       Similarity.pqRecall(Tables.embeddings(s, dir))),
     "pq_train"            -> ((s, dir) =>
       Similarity.pqTrain(Tables.embeddings(s, dir))),
+    "ann_hard_negatives"  -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir))),
     "pq_recall_trained"   -> ((s, dir) =>
       Similarity.pqRecallTrained(Tables.embeddings(s, dir))),
     "tfidf_topk"          -> ((s, dir) =>

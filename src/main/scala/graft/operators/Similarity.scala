@@ -95,6 +95,34 @@ object Similarity {
         round(col("sim") * 1000000).cast("long").as("sim_e6"))
   }
 
+  /** Hard-negative mining for embedding-model training (the DPR/
+    * Contriever negative-selection step of a training-data build): per
+    * query, the top-k most-similar candidates whose LABEL differs from
+    * the query's — similar enough to be confusable, labeled
+    * differently, so they are the informative negatives a contrastive
+    * batch wants. Same broadcast-query + codegen'd-cosine shape as
+    * [[bruteTopK]]; the label inequality rides the same pass, no extra
+    * join. At scale the exact pass is the calibration baseline — the
+    * production path swaps in the IVF/LSH candidate generation
+    * exactly as ann_topk → ann_lsh. */
+  def hardNegatives(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val q = embeddings.where(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").cast("long").as("q_label"))
+    val c = embeddings.where(col("vec_id") >= QueryCount)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_vec"),
+        col("label").cast("long").as("c_label"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("cand_id"))
+    c.join(broadcast(q))
+      .where(col("c_label") =!= col("q_label"))
+      .withColumn("sim", cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("cand_id"), col("c_label"),
+        col("rank"), round(col("sim") * 1000000).cast("long").as("sim_e6"))
+  }
+
   /** IVF index parameters: 16 fixed centroids (vec_ids 8..23, disjoint
     * from the query set), 4 probed lists per query. */
   val CentroidLo = 8L

@@ -56,6 +56,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lsh.forall(_.getAs[Long]("cand_id") >= Similarity.QueryCount))
   }
 
+  test("hardNegatives: top-k other-label candidates, verified against a " +
+    "driver-side exhaustive ranking") {
+    val got = Similarity.hardNegatives(embs, k = 5).collect()
+    val labels = embs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    got.foreach { r =>
+      assert(r.getAs[Long]("q_label") === labels(r.getAs[Long]("q_id")))
+      assert(r.getAs[Long]("c_label") === labels(r.getAs[Long]("cand_id")))
+      assert(r.getAs[Long]("q_label") !== r.getAs[Long]("c_label"))
+    }
+    // exhaustive check for query 0: the chosen negatives ARE the
+    // most-similar other-label candidates in exact cosine order
+    val brute = Similarity.bruteTopK(embs, k = 1000).collect()
+      .filter(_.getAs[Long]("q_id") == 0L)
+      .sortBy(_.getAs[Long]("rank"))
+      .map(_.getAs[Long]("cand_id"))
+      .filter(c => labels(c) != labels(0L))
+      .take(5)
+    val q0 = got.filter(_.getAs[Long]("q_id") == 0L)
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("cand_id"))
+    assert(q0.toSeq === brute.toSeq)
+  }
+
   test("ivfAssign: exactly one centroid list per candidate vector") {
     val assign = Similarity.ivfAssign(embs)
     assert(assign.count() ===

@@ -66,7 +66,8 @@ class PlanSpec extends AnyFunSuite {
     // kmeans_shift fans every vector out over its ≤16 broadcast
     // centroid arrays (twice — one per Lloyd iteration);
     // fk_integrity chains 1-row summary aggregates
-    val allowed = Set("ann_topk", "ann_ivf", "clean_retention",
+    val allowed = Set("ann_topk", "ann_ivf", "ann_hard_negatives",
+      "clean_retention",
       "heartbeat_state", "component_lifecycle", "status_rollup",
       "ivf_assign", "ivf_train",
       "log_compact", "mix_weights", "dist_drift", "semantic_dedup",
