@@ -72,10 +72,13 @@ object Bench {
     }
     // pass2/pass1 wall totals: ≈1.0 on a quiet host; a throttling
     // window during either pass pushes it away from 1 — the driver can
-    // flag a polluted artifact instead of recording phantom regressions
+    // flag a polluted artifact instead of recording phantom regressions.
+    // Sum over the key INTERSECTION: a query that failed in exactly one
+    // pass must not skew the ratio on a quiet host.
     val noiseRatio = {
-      val t1 = passes(0).values.sum
-      val t2 = passes(1).values.sum
+      val common = passes(0).keySet & passes(1).keySet
+      val t1 = common.toSeq.map(passes(0)).sum
+      val t2 = common.toSeq.map(passes(1)).sum
       if (t1 > 0 && t2 > 0) math.max(t1, t2) / math.min(t1, t2) else 1.0
     }
     import JsonOut.q

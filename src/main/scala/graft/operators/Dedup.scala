@@ -190,8 +190,14 @@ object Dedup {
     * both [[bucketPairs]] phases, so it is lazily localCheckpoint'd —
     * the 64-wide aggregate still runs exactly once per query (the
     * lshBandSweep precedent). */
-  private[operators] def candidatesFromSignatures(sigs0: DataFrame): DataFrame = {
-    val sigs = sigs0.localCheckpoint(false)
+  private[operators] def candidatesFromSignatures(sigs0: DataFrame): DataFrame =
+    candidatesFromStaged(sigs0.localCheckpoint(false))
+
+  /** [[candidatesFromSignatures]] for an ALREADY-staged signature
+    * relation — callers that also consume the signatures themselves
+    * (minhashEstError's per-side joins) stage once and pass it here,
+    * avoiding a second checkpoint copy of the widest relation. */
+  private def candidatesFromStaged(sigs: DataFrame): DataFrame = {
     bucketPairs(
       banded(sigs).select(col("band"), col("sig"),
         struct(col("doc_id"), col("n")).as("m")),
@@ -530,11 +536,11 @@ object Dedup {
     * relation and the candidate pairs, never the corpus. */
   def minhashEstError(documents: DataFrame): DataFrame = {
     val sh = shingleHashes(documents)
-    // staged once: candidate generation reads it (via its own wrap) and
-    // the sa/sb per-side joins read it again — unstaged, the 64-wide
-    // aggregate would run three times
+    // staged once: candidate generation and the sa/sb per-side joins
+    // all read the same copy — unstaged, the 64-wide aggregate would
+    // run three times
     val sigs = signaturesFromHashes(sh).localCheckpoint(false)
-    val pairs = candidatesFromSignatures(sigs)
+    val pairs = candidatesFromStaged(sigs)
     val exact = pairs
       .join(pairIntersections(pairs, sh, "doc_a", "doc_b"),
         Seq("doc_a", "doc_b"), "left")

@@ -59,11 +59,13 @@ object Similarity {
 
   private def queries(embeddings: DataFrame): DataFrame =
     embeddings.where(col("vec_id") < QueryCount)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").cast("long").as("q_label"))
 
   private def candidates(embeddings: DataFrame): DataFrame =
     embeddings.where(col("vec_id") >= QueryCount)
-      .select(col("vec_id").as("cand_id"), col("embedding").as("c_vec"))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_vec"),
+        col("label").cast("long").as("c_label"))
 
   /** Exact top-k: broadcast-nested-loop against the tiny query set,
     * rank per query. Output (q_id, cand_id, rank) — rank-only so the
@@ -106,15 +108,10 @@ object Similarity {
     * production path swaps in the IVF/LSH candidate generation
     * exactly as ann_topk → ann_lsh. */
   def hardNegatives(embeddings: DataFrame, k: Int = TopK): DataFrame = {
-    val q = embeddings.where(col("vec_id") < QueryCount)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        col("label").cast("long").as("q_label"))
-    val c = embeddings.where(col("vec_id") >= QueryCount)
-      .select(col("vec_id").as("cand_id"), col("embedding").as("c_vec"),
-        col("label").cast("long").as("c_label"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("cand_id"))
-    c.join(broadcast(q))
+    candidates(embeddings)
+      .join(broadcast(queries(embeddings)))
       .where(col("c_label") =!= col("q_label"))
       .withColumn("sim", cosineSim(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w).cast("long"))
