@@ -332,6 +332,24 @@ object OracleSql {
       |                             ORDER BY ems DESC, event_id DESC) = 1
       |)""".stripMargin
 
+  /** Batch sessionization SQL — shared verbatim by `sessionize` and
+    * the streaming replay `stream_sessionize_parity`, so the two
+    * engines AND the two execution modes pin one definition. */
+  val SessionizeSql: String =
+    s"""WITH $CL,
+       |g AS (SELECT user_id, event_id, ems,
+       |  ems - LAG(ems, 1) OVER (PARTITION BY user_id ORDER BY ems, event_id) AS gap_ms
+       |  FROM cl),
+       |s AS (SELECT user_id, ems,
+       |  SUM(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ems, event_id) AS session_id
+       |  FROM g)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  MIN(ems) AS start_ms, MAX(ems) AS end_ms,
+       |  MAX(ems) - MIN(ems) AS duration_ms
+       |FROM s GROUP BY 1, 2""".stripMargin
+
   /** Ack-status CTE (twin of Ledger.statusCol) — shared by sync_state,
     * monitor_alerts and status_rollup so the rules can't drift apart. */
   val STATUS: String =
@@ -581,20 +599,11 @@ object OracleSql {
          |SELECT user_id, event_id, prev_event_id, ems - prev_ems AS gap_ms
          |FROM g WHERE prev_ems IS NOT NULL""".stripMargin,
 
-    "sessionize" ->
-      s"""WITH $CL,
-         |g AS (SELECT user_id, event_id, ems,
-         |  ems - LAG(ems, 1) OVER (PARTITION BY user_id ORDER BY ems, event_id) AS gap_ms
-         |  FROM cl),
-         |s AS (SELECT user_id, ems,
-         |  SUM(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END)
-         |    OVER (PARTITION BY user_id ORDER BY ems, event_id) AS session_id
-         |  FROM g)
-         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-         |  CAST(COUNT(*) AS BIGINT) AS n_events,
-         |  MIN(ems) AS start_ms, MAX(ems) AS end_ms,
-         |  MAX(ems) - MIN(ems) AS duration_ms
-         |FROM s GROUP BY 1, 2""".stripMargin,
+    "sessionize" -> SessionizeSql,
+
+    // the streaming sessionizer's ordered replay must close exactly
+    // the batch sessions — the oracle IS sessionize's
+    "stream_sessionize_parity" -> SessionizeSql,
 
     "asof_enrich" ->
       s"""WITH $CL,

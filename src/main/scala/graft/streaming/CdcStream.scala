@@ -275,6 +275,51 @@ object CdcStream {
     * replay StreamRun stages through files), never a processing step —
     * the state fold itself runs distributed, keyed on user_id like the
     * batch merge's shuffle. */
+  /** Streaming↔batch sessionization parity harness — [[mergeParity]]'s
+    * twin for [[sessionizeStream]]: replays the changelog as `nBatches`
+    * CONTIGUOUS event-time chunks (the sessionizer's cross-batch
+    * contract is exact parity for per-key-ordered feeds), then a
+    * far-future sentinel event per key plus one empty batch so the
+    * watermark closes every real session; emits exactly the batch
+    * `sessionize` row shape, pinned by the same oracle SQL. */
+  def sessionizeParity(spark: SparkSession, changelog: DataFrame,
+                       nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = changelog
+      .select(col("user_id"), col("event_id"), col("ems"), col("op"),
+        col("value_cents"), timestamp_millis(col("ems")).as("ts"))
+      .as[ChangeTs].collect().sortBy(c => (c.ems, c.event_id))
+    val sentinelMs = rows.map(_.ems).max + 10L * 24 * 3600 * 1000
+    val sentinels = rows.map(_.user_id).distinct.map(u =>
+      ChangeTs(u, 9999999L, sentinelMs, "U", 0L,
+        new java.sql.Timestamp(sentinelMs)))
+    val name = s"sess_parity_${parityRuns.incrementAndGet()}"
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ChangeTs]
+    val query = sessionizeStream(spark, stream.toDS()).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val chunk = math.max(1, math.ceil(rows.length.toDouble / nBatches).toInt)
+      rows.grouped(chunk).foreach { b =>
+        stream.addData(b.toSeq)
+        query.processAllAvailable()
+      }
+      stream.addData(sentinels.toSeq)
+      query.processAllAvailable()
+      stream.addData(Seq.empty[ChangeTs]) // post-sentinel watermark pass
+      query.processAllAvailable()
+    } finally query.stop()
+    val result = spark.table(name)
+      .where(col("start_ms") < sentinelMs) // drop the sentinel sessions
+      .select("user_id", "session_id", "n_events", "start_ms", "end_ms",
+        "duration_ms")
+      .localCheckpoint() // eager: outlive the dropped temp view
+    spark.catalog.dropTempView(name)
+    result
+  }
+
   def mergeParity(spark: SparkSession, changelog: DataFrame,
                   nBatches: Int = 3): DataFrame = {
     import spark.implicits._

@@ -87,6 +87,20 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(r.getAs[Long]("last_value_cents") === 40L)
   }
 
+  test("sessionizeParity equals the batch sessionize on the sf0.001 " +
+    "changelog") {
+    val cl = ChangeLog.normalize(Tables.events(spark, TestSpark.Sf))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val got = CdcStream.sessionizeParity(spark, cl).collect().map(key).toMap
+    val want = graft.operators.Temporal.sessionize(cl)
+      .select("user_id", "session_id", "n_events", "start_ms", "end_ms",
+        "duration_ms")
+      .collect().map(key).toMap
+    assert(got === want)
+  }
+
   test("latestState with a TTL configured starts and merges (bounded wait)") {
     // NOTE: with ProcessingTimeTimeout configured, the engine keeps
     // scheduling timeout-check batches, so processAllAvailable() never
