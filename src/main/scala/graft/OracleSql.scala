@@ -605,6 +605,11 @@ object OracleSql {
     // the batch sessions — the oracle IS sessionize's
     "stream_sessionize_parity" -> SessionizeSql,
 
+    // two full at-least-once delivery passes must survive as each
+    // event exactly once — a leaked duplicate or dropped first
+    // delivery both hash-fail against the plain id set
+    "stream_dedup_parity" -> "SELECT event_id FROM events",
+
     "asof_enrich" ->
       s"""WITH $CL,
          |op AS (

@@ -89,6 +89,8 @@ object SparkEntry {
       graft.streaming.CdcStream.mergeParity(s, cl(s, dir))),
     "stream_sessionize_parity" -> ((s, dir) =>
       graft.streaming.CdcStream.sessionizeParity(s, cl(s, dir))),
+    "stream_dedup_parity" -> ((s, dir) =>
+      graft.streaming.CdcStream.dedupParity(s, Tables.events(s, dir))),
     "pipeline_e2e"        -> ((s, dir) => Pipeline.run(s, dir).applied),
     // LLM-data-pipeline operators (SURVEY.md §2 #23-34)
     "dedup_exact"         -> ((s, dir) =>

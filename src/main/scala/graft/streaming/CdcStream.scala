@@ -320,6 +320,38 @@ object CdcStream {
     result
   }
 
+  /** Exactly-once parity harness for [[dedupDeliveries]]: every event
+    * is delivered TWICE (two full at-least-once passes in separate
+    * micro-batches); the surviving stream must be each event exactly
+    * once — second copies inside the watermark horizon are deduped by
+    * state, those behind the watermark are dropped as late, and either
+    * way the output hash-equals the oracle's plain `SELECT event_id`.
+    * Catches both failure modes (a dropped first delivery or a leaked
+    * duplicate) cross-engine. */
+  def dedupParity(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events.select(col("event_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)].collect()
+    val name = s"dedup_parity_${parityRuns.incrementAndGet()}"
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val query = dedupDeliveries(stream.toDS().toDF("event_id", "ts"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      (1 to 2).foreach { _ =>
+        stream.addData(rows.toSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val result = spark.table(name)
+      .select(col("event_id"))
+      .localCheckpoint() // eager: outlive the dropped temp view
+    spark.catalog.dropTempView(name)
+    result
+  }
+
   def mergeParity(spark: SparkSession, changelog: DataFrame,
                   nBatches: Int = 3): DataFrame = {
     import spark.implicits._
