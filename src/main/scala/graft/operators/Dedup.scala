@@ -362,6 +362,11 @@ object Dedup {
     * throws instead of returning wrong labels. */
   val MaxClusterRounds = 16
 
+  /** Rounds the LAST [[connectedComponents]] call executed (including
+    * the fixed-point-confirming one) — test observability for the
+    * early-stop gate; not part of any operator result. */
+  @volatile private[graft] var lastClusterRounds: Int = 0
+
   /** Distributed connected components over an undirected pair list
     * (columns a, b) — min-label propagation with pointer jumping and a
     * convergence gate, the scale form of the reference's transitive
@@ -427,6 +432,7 @@ object Dedup {
       done = cur == prev
       prev = cur
     }
+    lastClusterRounds = round
     lab
   }
 

@@ -431,6 +431,24 @@ class LlmOpsSpec extends AnyFunSuite {
     Seq(1000L, 2000L, 3000L).foreach(i => assert(labels(i) === 1000L))
   }
 
+  test("connectedComponents stops early on a near-clique graph (the " +
+    "early-stop gate, not the 16-round cap, bounds real dup graphs)") {
+    import spark.implicits._
+    // a 40-member mass-dup star + a clique-ish triangle: plain
+    // propagation converges in 1-2 rounds; the gate must stop within
+    // 3 (propagate, confirm, at most one jump round) — the old fixed
+    // form always paid 10
+    val star = (2L to 40L).map(i => (1L, i))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val labels = Dedup.connectedComponents((star ++ tri).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 43)
+    assert((1L to 40L).forall(labels(_) == 1L))
+    assert(Seq(100L, 101L, 102L).forall(labels(_) == 100L))
+    assert(Dedup.lastClusterRounds <= 3,
+      s"gate ran ${Dedup.lastClusterRounds} rounds on a near-clique graph")
+  }
+
   test("connectedComponents matches a driver-side union-find on seeded " +
     "random graphs (differential check of the gated loop)") {
     import spark.implicits._
