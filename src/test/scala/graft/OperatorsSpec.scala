@@ -11,6 +11,14 @@ class OperatorsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private lazy val cl = ChangeLog.normalize(Tables.events(spark, TestSpark.Sf)).cache()
 
+  test("every registered query has a DuckDB oracle (the 100% oracle " +
+    "rate is a contract, not a coincidence)") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(noOracle.isEmpty, s"queries without an oracle: $noOracle")
+    assert(orphaned.isEmpty, s"oracles without a query: $orphaned")
+  }
+
   test("sync_state counts partition the polled/unpolled universe") {
     val st = Ledger.syncState(cl).collect()
     val total = st.map(r => r.getAs[Long]("pending") + r.getAs[Long]("blocked")
