@@ -262,26 +262,17 @@ object CdcStream {
 
   private val parityRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Streaming↔batch LWW parity harness (batch-facing): replays the
-    * normalized changelog through [[latestState]] as `nBatches`
-    * micro-batches split on `event_id % nBatches` — an interleave, so
-    * nearly every key's history straddles batch boundaries — and
-    * returns the final keyed state through EXACTLY the cdc_merge
-    * projection (deletes dropped, epoch_s = ems div 1000), so the
-    * batch query's DuckDB oracle pins the continuous path cross-engine.
-    *
-    * This is a harness, not a pipeline operator: the driver-side
-    * collect/addData loop is the micro-batch *source* (the bounded
-    * replay StreamRun stages through files), never a processing step —
-    * the state fold itself runs distributed, keyed on user_id like the
-    * batch merge's shuffle. */
   /** Streaming↔batch sessionization parity harness — [[mergeParity]]'s
     * twin for [[sessionizeStream]]: replays the changelog as `nBatches`
     * CONTIGUOUS event-time chunks (the sessionizer's cross-batch
     * contract is exact parity for per-key-ordered feeds), then a
-    * far-future sentinel event per key plus one empty batch so the
-    * watermark closes every real session; emits exactly the batch
-    * `sessionize` row shape, pinned by the same oracle SQL. */
+    * far-future sentinel event per key — the sentinel's arrival closes
+    * every key's open real session through the DATA path in that same
+    * batch (no timeout needed); the sentinel's own 1-event session
+    * never closes (its timeout sits past the final watermark) so only
+    * real sessions reach the sink, with the start_ms filter as an
+    * explicit guard. Emits exactly the batch `sessionize` row shape,
+    * pinned by the same oracle SQL. */
   def sessionizeParity(spark: SparkSession, changelog: DataFrame,
                        nBatches: Int = 3): DataFrame = {
     import spark.implicits._
@@ -290,6 +281,11 @@ object CdcStream {
       .select(col("user_id"), col("event_id"), col("ems"), col("op"),
         col("value_cents"), timestamp_millis(col("ems")).as("ts"))
       .as[ChangeTs].collect().sortBy(c => (c.ems, c.event_id))
+    if (rows.isEmpty) // empty feed: empty sessions, don't throw on max
+      return changelog.sparkSession.emptyDataFrame
+        .select(lit(0L).as("user_id"), lit(0L).as("session_id"),
+          lit(0L).as("n_events"), lit(0L).as("start_ms"),
+          lit(0L).as("end_ms"), lit(0L).as("duration_ms"))
     val sentinelMs = rows.map(_.ems).max + 10L * 24 * 3600 * 1000
     val sentinels = rows.map(_.user_id).distinct.map(u =>
       ChangeTs(u, 9999999L, sentinelMs, "U", 0L,
@@ -308,11 +304,9 @@ object CdcStream {
       }
       stream.addData(sentinels.toSeq)
       query.processAllAvailable()
-      stream.addData(Seq.empty[ChangeTs]) // post-sentinel watermark pass
-      query.processAllAvailable()
     } finally query.stop()
     val result = spark.table(name)
-      .where(col("start_ms") < sentinelMs) // drop the sentinel sessions
+      .where(col("start_ms") < sentinelMs) // guard: sentinel sessions
       .select("user_id", "session_id", "n_events", "start_ms", "end_ms",
         "duration_ms")
       .localCheckpoint() // eager: outlive the dropped temp view
@@ -352,6 +346,19 @@ object CdcStream {
     result
   }
 
+  /** Streaming↔batch LWW parity harness (batch-facing): replays the
+    * normalized changelog through [[latestState]] as `nBatches`
+    * micro-batches split on `event_id % nBatches` — an interleave, so
+    * nearly every key's history straddles batch boundaries — and
+    * returns the final keyed state through EXACTLY the cdc_merge
+    * projection (deletes dropped, epoch_s = ems div 1000), so the
+    * batch query's DuckDB oracle pins the continuous path cross-engine.
+    *
+    * This is a harness, not a pipeline operator: the driver-side
+    * collect/addData loop is the micro-batch *source* (the bounded
+    * replay StreamRun stages through files), never a processing step —
+    * the state fold itself runs distributed, keyed on user_id like the
+    * batch merge's shuffle. */
   def mergeParity(spark: SparkSession, changelog: DataFrame,
                   nBatches: Int = 3): DataFrame = {
     import spark.implicits._

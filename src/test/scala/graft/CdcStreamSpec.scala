@@ -101,6 +101,16 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("dedupParity: two at-least-once delivery passes survive as each " +
+    "event exactly once") {
+    val ev = Tables.events(spark, TestSpark.Sf).select("event_id", "ts")
+    val got = CdcStream.dedupParity(spark, ev).collect()
+      .map(_.getLong(0)).sorted
+    val want = ev.select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.length === want.length) // no leaked duplicate
+    assert(got.sameElements(want))     // no dropped delivery
+  }
+
   test("latestState with a TTL configured starts and merges (bounded wait)") {
     // NOTE: with ProcessingTimeTimeout configured, the engine keeps
     // scheduling timeout-check batches, so processAllAvailable() never

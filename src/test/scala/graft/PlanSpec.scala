@@ -11,8 +11,16 @@ class PlanSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val Sf = TestSpark.Sf
 
+  // memoized: the registry-wide tests (no-cartesian, nested-loop) both
+  // walk every query, and the parity-harness queries EXECUTE their
+  // bounded streaming replay at construction — caching the plan string
+  // runs each construction once per suite instead of once per test
+  private val planCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+    planCache.getOrElseUpdate(name,
+      SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString)
 
   private def countOf(p: String, marker: String): Int =
     marker.r.findAllIn(p).length
