@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   * super-linear ratio flags a plan whose cost is NOT linear in rows —
   * exactly the regression class the sf-bound bench can't see.
   *
-  * Usage: runMain graft.ScaleProbe [sfDir] [k] [workDir]
+  * Usage: runMain graft.ScaleProbe [sfDir] [k] [workDir] [partitions]
   * Prints one JSON line: per-op seconds at 1× and k×, and the ratio.
+  * `partitions` defaults to SPARK_GRAFT_CPUS — pass k·cpus to model a
+  * cluster whose partition count scales with the data (the SURVEY §5
+  * contract), vs the default which deliberately holds partitions fixed
+  * and exposes spill.
   */
 object ScaleProbe {
   private def time(f: => Unit): Double = {
@@ -26,16 +30,20 @@ object ScaleProbe {
   }
 
   /** k structure-preserving copies of documents: doc_id offset by
-    * copy·10⁹; a copy tag token appended so 3-gram shingle sets differ
-    * across copies (no cross-copy near-dups — the dup DENSITY stays
-    * that of the base corpus while volume scales k×). */
+    * copy·10⁹; EVERY token carries a copy suffix, so the copies'
+    * shingle sets are fully disjoint (cross-copy Jaccard = 0) and the
+    * dup DENSITY stays exactly that of the base corpus while volume
+    * scales k×. (A first cut appended one tag token per doc — that
+    * left ~96% shingle overlap across copies, silently turning the
+    * whole corpus into k-wide near-dup groups and inflating candidate
+    * pairs k² — measured as a phantom 1.4× super-linearity.) */
   def amplifyDocuments(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
         explode(expr(s"sequence(0, ${k - 1})")).as("cp"))
       .select(
         (col("doc_id") + col("cp").cast("long") * 1000000000L).as("doc_id"),
-        concat(col("text"), lit(" zcopytag"), col("cp").cast("string"))
-          .as("text"),
+        expr("array_join(transform(split(text, ' '), " +
+          "t -> concat(t, '_', cast(cp as string))), ' ')").as("text"),
         col("lang"), col("source"))
 
   /** k copies of events: event_id/user_id offset per copy (key space
@@ -58,9 +66,10 @@ object ScaleProbe {
     val k = args.lift(1).map(_.toInt).getOrElse(10)
     val workDir = args.lift(2).getOrElse("/tmp/graft_scaleprobe")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val partitions = args.lift(3).getOrElse(cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
