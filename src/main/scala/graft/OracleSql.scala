@@ -332,6 +332,19 @@ object OracleSql {
       |                             ORDER BY ems DESC, event_id DESC) = 1
       |)""".stripMargin
 
+  /** Hourly windowed-aggregate SQL — shared verbatim by
+    * `stream_window_agg` and the streaming replay
+    * `stream_window_parity`. */
+  val WindowAggSql: String =
+    """WITH e AS (
+      |  SELECT epoch_ms(ts) AS ems, event_type,
+      |         CAST(ROUND(value*100) AS BIGINT) AS value_cents
+      |  FROM events)
+      |SELECT (ems - ems % 3600000) // 1000 AS hour_s, event_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(value_cents) AS BIGINT) AS sum_cents
+      |FROM e GROUP BY 1, 2""".stripMargin
+
   /** Batch sessionization SQL — shared verbatim by `sessionize` and
     * the streaming replay `stream_sessionize_parity`, so the two
     * engines AND the two execution modes pin one definition. */
@@ -947,15 +960,11 @@ object OracleSql {
          |SELECT table_name, origin_db, dest_db, hops, path FROM paths""".stripMargin
     },
 
-    "stream_window_agg" ->
-      """WITH e AS (
-        |  SELECT epoch_ms(ts) AS ems, event_type,
-        |         CAST(ROUND(value*100) AS BIGINT) AS value_cents
-        |  FROM events)
-        |SELECT (ems - ems % 3600000) // 1000 AS hour_s, event_type,
-        |       CAST(COUNT(*) AS BIGINT) AS n,
-        |       CAST(SUM(value_cents) AS BIGINT) AS sum_cents
-        |FROM e GROUP BY 1, 2""".stripMargin,
+    "stream_window_agg" -> WindowAggSql,
+
+    // the Complete-mode streaming replay's final state must equal the
+    // batch windowed aggregate — the oracle IS stream_window_agg's
+    "stream_window_parity" -> WindowAggSql,
 
     // the composed corpus build: quality gate → exact dedup → near-dup
     // removal → stratified sample → (lang, split) manifest. Rebuilt

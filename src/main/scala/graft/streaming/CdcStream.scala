@@ -346,6 +346,38 @@ object CdcStream {
     result
   }
 
+  /** Streaming↔batch windowed-aggregation parity harness: replays the
+    * events through [[windowedThroughput]] as `nBatches` arbitrary
+    * micro-batches in Complete output mode (state is never evicted, so
+    * late chunks still land in their window) — the final sink table IS
+    * the full windowed aggregate and must hash-equal the batch
+    * `stream_window_agg` oracle. */
+  def windowParity(spark: SparkSession, events: DataFrame,
+                   nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events.select(col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+    val name = s"win_parity_${parityRuns.incrementAndGet()}"
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Long)]
+    val query = windowedThroughput(
+        stream.toDS().toDF("ts", "event_type", "value_cents"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val chunk = math.max(1, math.ceil(rows.length.toDouble / nBatches).toInt)
+      rows.grouped(chunk).foreach { b =>
+        stream.addData(b.toSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val result = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    result
+  }
+
   /** Streaming↔batch LWW parity harness (batch-facing): replays the
     * normalized changelog through [[latestState]] as `nBatches`
     * micro-batches split on `event_id % nBatches` — an interleave, so
