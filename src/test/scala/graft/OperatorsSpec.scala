@@ -11,6 +11,10 @@ class OperatorsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private lazy val cl = ChangeLog.normalize(Tables.events(spark, TestSpark.Sf)).cache()
 
+  test("the flagship entry returns rows (the driver's smoke check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every registered query has a DuckDB oracle (the 100% oracle " +
     "rate is a contract, not a coincidence)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
