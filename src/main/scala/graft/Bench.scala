@@ -81,13 +81,11 @@ object Bench {
       val t2 = common.toSeq.map(passes(1)).sum
       if (t1 > 0 && t2 > 0) math.max(t1, t2) / math.min(t1, t2) else 1.0
     }
-    import JsonOut.q
-    // Locale.ROOT: a comma-decimal default locale (de_DE …) would
-    // format 34.123 as "34,123" and corrupt the JSON line
+    import JsonOut.{cs, q}
+    // Locale.ROOT (see JsonOut.cs): a comma-decimal default locale
+    // would corrupt the JSON line
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def cs(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val fs = failed.map(q).mkString("[", ",", "]")
     val total = timings.values.sum
     // The driver records only the LAST ~2000 chars of stdout and

@@ -15,4 +15,10 @@ object JsonOut {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   } + "\""
+
+  /** Locale.ROOT 2-decimal seconds formatter shared by the Bench and
+    * ScaleProbe JSON lines: a comma-decimal default locale (de_DE …)
+    * would format 34.123 as "34,123" and corrupt the line. */
+  def cs(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 }

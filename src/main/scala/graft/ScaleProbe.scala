@@ -4,10 +4,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-headroom probe: amplifies the test corpus k× with
-  * STRUCTURE-PRESERVING copies (ids offset per copy; document texts get
-  * a copy-specific token so shingle sets differ and no cross-copy
-  * duplicates appear; event keys/ids offset so key cardinality scales
-  * with volume) and times representative operators at 1× and k×.
+  * STRUCTURE-PRESERVING copies (ids offset per copy; document tokens
+  * carry a copy suffix so the copies' shingle sets are fully disjoint;
+  * event keys/ids offset so key cardinality scales with volume) and
+  * times representative operators at 1× and k×.
+  *
+  * BOTH sides go through the same amplification (the 1× side is
+  * `amplify(…, 1)`), so per-row transformations — the copy suffix adds
+  * bytes to every token — hit numerator and denominator identically
+  * and the ratio isolates row-count scaling. (A first cut timed raw
+  * docs as the baseline; the suffix inflation alone read as a phantom
+  * ~1.2× super-linearity.)
   *
   * This is the "would the plan survive a 10× scale-up" experiment run
   * as a reproducible main instead of an ad-hoc commit note: a healthy
@@ -23,6 +30,10 @@ import org.apache.spark.sql.functions._
   * and exposes spill.
   */
 object ScaleProbe {
+  /** Copy-id offset: base ids must stay strictly below this or copies
+    * collide (asserted in main before amplifying). */
+  val CopyOffset = 1000000000L
+
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime()
     f
@@ -30,40 +41,40 @@ object ScaleProbe {
   }
 
   /** k structure-preserving copies of documents: doc_id offset by
-    * copy·10⁹; EVERY token carries a copy suffix, so the copies'
+    * copy·CopyOffset; EVERY token carries a copy suffix, so the copies'
     * shingle sets are fully disjoint (cross-copy Jaccard = 0) and the
     * dup DENSITY stays exactly that of the base corpus while volume
-    * scales k×. (A first cut appended one tag token per doc — that
-    * left ~96% shingle overlap across copies, silently turning the
-    * whole corpus into k-wide near-dup groups and inflating candidate
-    * pairs k² — measured as a phantom 1.4× super-linearity.) */
+    * scales k×. (Appending ONE tag token per doc instead would leave
+    * ~96% shingle overlap across copies, silently turning the corpus
+    * into k-wide near-dup groups and inflating candidate pairs k².) */
   def amplifyDocuments(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
         explode(expr(s"sequence(0, ${k - 1})")).as("cp"))
       .select(
-        (col("doc_id") + col("cp").cast("long") * 1000000000L).as("doc_id"),
+        (col("doc_id") + col("cp").cast("long") * CopyOffset).as("doc_id"),
         expr("array_join(transform(split(text, ' '), " +
           "t -> concat(t, '_', cast(cp as string))), ' ')").as("text"),
         col("lang"), col("source"))
 
-  /** k copies of events: event_id/user_id offset per copy (key space
-    * scales with volume, per-key history length is preserved), ems
-    * jittered by the copy index so no two copies collide on the LWW
-    * order. */
+  /** k copies of events: event_id/user_id offset per copy — key
+    * cardinality scales with volume while each key's history (and its
+    * LWW/session structure) is an exact replica of the base key's.
+    * Copies never interact: their key spaces are disjoint, so
+    * identical timestamps across copies are harmless. */
   def amplifyEvents(events: DataFrame, k: Int): DataFrame =
     events.withColumn("cp", explode(expr(s"sequence(0, ${k - 1})")))
       .select(
-        (col("event_id") + col("cp").cast("long") * 1000000000L)
+        (col("event_id") + col("cp").cast("long") * CopyOffset)
           .as("event_id"),
-        (col("user_id") + col("cp").cast("long") * 1000000000L)
+        (col("user_id") + col("cp").cast("long") * CopyOffset)
           .as("user_id"),
         col("event_type"), col("value"), col("props"),
-        (col("ts_ns") + col("cp").cast("long")).as("ts_ns"),
-        col("ts"))
+        col("ts_ns"), col("ts"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
+    require(k >= 2, s"k must be >= 2 (got $k): a 1x/1x ratio is meaningless")
     val workDir = args.lift(2).getOrElse("/tmp/graft_scaleprobe")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val partitions = args.lift(3).getOrElse(cpus)
@@ -75,15 +86,25 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // materialize both scales to parquet so the probe times the
-    // operators, not the amplification
-    val docs1 = Tables.documents(spark, sfDir)
-    amplifyDocuments(docs1, k).write.mode("overwrite")
-      .parquet(s"$workDir/documents_x$k")
-    val ev1 = Tables.events(spark, sfDir)
-    amplifyEvents(ev1, k).write.mode("overwrite")
-      .parquet(s"$workDir/events_x$k")
+    val docs0 = Tables.documents(spark, sfDir)
+    val ev0 = Tables.events(spark, sfDir)
+    val maxId = docs0.agg(max("doc_id")).collect()(0).getLong(0)
+      .max(ev0.agg(greatest(max("event_id"), max("user_id")))
+        .collect()(0).getLong(0))
+    require(maxId < CopyOffset,
+      s"base ids reach $maxId >= $CopyOffset: copies would collide")
+
+    // materialize BOTH scales to parquet (1x through the same
+    // amplification) so the probe times the operators alone
+    for ((n, df) <- Seq("1" -> amplifyDocuments(docs0, 1),
+      k.toString -> amplifyDocuments(docs0, k)))
+      df.write.mode("overwrite").parquet(s"$workDir/documents_x$n")
+    for ((n, df) <- Seq("1" -> amplifyEvents(ev0, 1),
+      k.toString -> amplifyEvents(ev0, k)))
+      df.write.mode("overwrite").parquet(s"$workDir/events_x$n")
+    val docs1 = spark.read.parquet(s"$workDir/documents_x1")
     val docsK = spark.read.parquet(s"$workDir/documents_x$k")
+    val ev1 = spark.read.parquet(s"$workDir/events_x1")
     val evK = spark.read.parquet(s"$workDir/events_x$k")
     def clOf(ev: DataFrame) = graft.operators.ChangeLog.normalize(ev)
 
@@ -110,9 +131,7 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save(),
         (ev1, evK)))
 
-    import JsonOut.q
-    def cs(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    import JsonOut.{cs, q}
     val results = ops.map { case (name, f, (base, big)) =>
       f(base) // warm codegen/JIT on the small side
       val t1 = time(f(base))

@@ -262,6 +262,36 @@ object CdcStream {
 
   private val parityRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Shared replay scaffolding for the parity harnesses: feed the
+    * micro-batches through `pipe` into a uniquely-named memory sink,
+    * drain each batch, and return the sink contents eagerly
+    * checkpointed (so they outlive the dropped temp view). The
+    * driver-side batches are the micro-batch SOURCE of a bounded
+    * replay, never a processing step — the piped computation runs
+    * distributed. */
+  private def replay[T](spark: SparkSession, batches: Seq[Seq[T]],
+      mode: OutputMode)(pipe: Dataset[T] => DataFrame)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val name = s"parity_${parityRuns.incrementAndGet()}"
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
+    val query = pipe(stream.toDS()).writeStream.format("memory")
+      .queryName(name).outputMode(mode).start()
+    try batches.foreach { b =>
+      stream.addData(b)
+      query.processAllAvailable()
+    } finally query.stop()
+    val result = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    result
+  }
+
+  /** `rows` split into ≤ n contiguous chunks. */
+  private def chunked[T](rows: Array[T], n: Int): Seq[Seq[T]] =
+    rows.grouped(math.max(1,
+      math.ceil(rows.length.toDouble / n).toInt)).map(_.toSeq).toSeq
+
   /** Streaming↔batch sessionization parity harness — [[mergeParity]]'s
     * twin for [[sessionizeStream]]: replays the changelog as `nBatches`
     * CONTIGUOUS event-time chunks (the sessionizer's cross-batch
@@ -289,29 +319,12 @@ object CdcStream {
     val sentinelMs = rows.map(_.ems).max + 10L * 24 * 3600 * 1000
     val sentinels = rows.map(_.user_id).distinct.map(u =>
       ChangeTs(u, 9999999L, sentinelMs, "U", 0L,
-        new java.sql.Timestamp(sentinelMs)))
-    val name = s"sess_parity_${parityRuns.incrementAndGet()}"
-    val stream =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ChangeTs]
-    val query = sessionizeStream(spark, stream.toDS()).writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      val chunk = math.max(1, math.ceil(rows.length.toDouble / nBatches).toInt)
-      rows.grouped(chunk).foreach { b =>
-        stream.addData(b.toSeq)
-        query.processAllAvailable()
-      }
-      stream.addData(sentinels.toSeq)
-      query.processAllAvailable()
-    } finally query.stop()
-    val result = spark.table(name)
+        new java.sql.Timestamp(sentinelMs))).toSeq
+    replay(spark, chunked(rows, nBatches) :+ sentinels,
+        OutputMode.Append())(ds => sessionizeStream(spark, ds).toDF())
       .where(col("start_ms") < sentinelMs) // guard: sentinel sessions
       .select("user_id", "session_id", "n_events", "start_ms", "end_ms",
         "duration_ms")
-      .localCheckpoint() // eager: outlive the dropped temp view
-    spark.catalog.dropTempView(name)
-    result
   }
 
   /** Exactly-once parity harness for [[dedupDeliveries]]: every event
@@ -326,24 +339,10 @@ object CdcStream {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = events.select(col("event_id"), col("ts"))
-      .as[(Long, java.sql.Timestamp)].collect()
-    val name = s"dedup_parity_${parityRuns.incrementAndGet()}"
-    val stream = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, java.sql.Timestamp)]
-    val query = dedupDeliveries(stream.toDS().toDF("event_id", "ts"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      (1 to 2).foreach { _ =>
-        stream.addData(rows.toSeq)
-        query.processAllAvailable()
-      }
-    } finally query.stop()
-    val result = spark.table(name)
+      .as[(Long, java.sql.Timestamp)].collect().toSeq
+    replay(spark, Seq(rows, rows), OutputMode.Append())(
+        ds => dedupDeliveries(ds.toDF("event_id", "ts")))
       .select(col("event_id"))
-      .localCheckpoint() // eager: outlive the dropped temp view
-    spark.catalog.dropTempView(name)
-    result
   }
 
   /** Streaming↔batch windowed-aggregation parity harness: replays the
@@ -359,23 +358,8 @@ object CdcStream {
     val rows = events.select(col("ts"), col("event_type"),
         round(col("value") * 100).cast("long").as("value_cents"))
       .as[(java.sql.Timestamp, String, Long)].collect()
-    val name = s"win_parity_${parityRuns.incrementAndGet()}"
-    val stream = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(java.sql.Timestamp, String, Long)]
-    val query = windowedThroughput(
-        stream.toDS().toDF("ts", "event_type", "value_cents"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete()).start()
-    try {
-      val chunk = math.max(1, math.ceil(rows.length.toDouble / nBatches).toInt)
-      rows.grouped(chunk).foreach { b =>
-        stream.addData(b.toSeq)
-        query.processAllAvailable()
-      }
-    } finally query.stop()
-    val result = spark.table(name).localCheckpoint()
-    spark.catalog.dropTempView(name)
-    result
+    replay(spark, chunked(rows, nBatches), OutputMode.Complete())(
+      ds => windowedThroughput(ds.toDF("ts", "event_type", "value_cents")))
   }
 
   /** Streaming↔batch LWW parity harness (batch-facing): replays the
@@ -398,20 +382,12 @@ object CdcStream {
     val rows = changelog
       .select("user_id", "event_id", "ems", "op", "value_cents")
       .as[Change].collect()
-    val name = s"merge_parity_${parityRuns.incrementAndGet()}"
-    val stream =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Change]
-    val query = runToMemory(spark, stream.toDS(), name)
-    try {
-      (0 until nBatches).foreach { i =>
-        stream.addData(rows.filter(c =>
-          math.floorMod(c.event_id, nBatches.toLong) == i.toLong).toSeq)
-        query.processAllAvailable()
-      }
-    } finally query.stop()
+    val batches = (0 until nBatches).map(i => rows.filter(c =>
+      math.floorMod(c.event_id, nBatches.toLong) == i.toLong).toSeq)
     // Update-mode memory sink appends each batch's emissions — the
     // final state per key is the LWW max, same struct order as batch
-    val result = spark.table(name)
+    replay(spark, batches, OutputMode.Update())(
+        ds => latestState(spark, ds).toDF())
       .groupBy("user_id")
       .agg(max(struct(col("last_ems"), col("last_event_id"),
         col("last_op"), col("last_value_cents"))).as("s"))
@@ -421,8 +397,5 @@ object CdcStream {
         col("s.last_op").as("last_op"),
         expr("s.last_ems div 1000").as("last_epoch_s"),
         col("s.last_value_cents").as("last_value_cents"))
-      .localCheckpoint() // eager: outlive the dropped temp view
-    spark.catalog.dropTempView(name)
-    result
   }
 }

@@ -101,6 +101,23 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("windowParity equals the batch hourly aggregate on the sf0.001 " +
+    "events") {
+    val ev = Tables.events(spark, TestSpark.Sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))
+    val got = CdcStream.windowParity(spark, ev).collect().map(key).toMap
+    val want = ev
+      .select(col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value_cents").as("sum_cents"))
+      .select(unix_timestamp(col("window.start")).as("hour_s"),
+        col("event_type"), col("n"), col("sum_cents"))
+      .collect().map(key).toMap
+    assert(got === want)
+  }
+
   test("dedupParity: two at-least-once delivery passes survive as each " +
     "event exactly once") {
     val ev = Tables.events(spark, TestSpark.Sf).select("event_id", "ts")
