@@ -19,7 +19,19 @@ case class SysConfig(partition: Int, batch: Int, maxRetry: Int,
 case class DbConfig(name: String, `type`: String, sysSchema: String)
 case class SyncConfig(sourceDb: String, targetDb: String,
                       sourceSchema: String, sourceTable: String,
-                      sourceKeys: String)
+                      sourceKeys: String,
+                      insertCondition: String = null,
+                      updateCondition: String = null,
+                      deleteCondition: String = null) {
+  /** Capture condition for one op code, defaulting to the always-true
+    * guard when the config leaves the slot empty (the reference's
+    * `insertCondition == null → "1=1"` rule, PgOperation.scala:142). */
+  def conditionFor(opCode: String): String = Option(opCode match {
+    case "I" => insertCondition
+    case "U" => updateCondition
+    case _   => deleteCondition
+  }).getOrElse("1=1")
+}
 case class RootConfig(sys: SysConfig, dbs: List[DbConfig],
                       sync: List[SyncConfig])
 
@@ -39,9 +51,9 @@ object SyncConfigs {
       |  - {name: db2, type: greenplum, sysSchema: dbsync}
       |sync:
       |  - {sourceDb: db0, targetDb: "db1,db2", sourceSchema: public, sourceTable: customer, sourceKeys: c_custkey}
-      |  - {sourceDb: db0, targetDb: db1, sourceSchema: public, sourceTable: orders, sourceKeys: o_orderkey}
+      |  - {sourceDb: db0, targetDb: db1, sourceSchema: public, sourceTable: orders, sourceKeys: o_orderkey, updateCondition: "NEW.o_orderstatus <> OLD.o_orderstatus"}
       |  - {sourceDb: db1, targetDb: db2, sourceSchema: public, sourceTable: orders, sourceKeys: o_orderkey}
-      |  - {sourceDb: db1, targetDb: db2, sourceSchema: public, sourceTable: lineitem, sourceKeys: "l_orderkey,l_linenumber"}
+      |  - {sourceDb: db1, targetDb: db2, sourceSchema: public, sourceTable: lineitem, sourceKeys: "l_orderkey,l_linenumber", insertCondition: "NEW.l_quantity > 0"}
       |""".stripMargin
 
   private lazy val mapper: ObjectMapper = {
@@ -103,6 +115,10 @@ object SyncConfigs {
     * same mechanism). */
   def sysTableDdl(sysSchema: String, dialect: String): Seq[String] =
     if (dialect == "greenplum")
+      // When every column is a key there is nothing to update; the
+      // function probes existence instead so the conditional INSERT at
+      // the bottom stays correct. (Kept out of the DDL text itself so
+      // emitted statements carry no comment markers at all.)
       sysTableDdl(sysSchema) :+
         """CREATE OR REPLACE FUNCTION public.gp_upsert(
           |  nsp name, tbl name, keys text[], content json)
@@ -121,8 +137,6 @@ object SyncConfigs {
           |    ivals := ivals || format(', %L', v);
           |  END LOOP;
           |  IF upd = '' THEN
-          |    -- every column is a key: nothing to update, just probe
-          |    -- existence so the conditional INSERT below stays correct
           |    EXECUTE format('SELECT count(*) FROM %I.%I WHERE true', nsp, tbl)
           |      || cond INTO n;
           |  ELSE
@@ -203,14 +217,35 @@ object SyncConfigs {
             s"DROP TRIGGER IF EXISTS ${sc.sourceSchema}.$trigger; " +
               s"CREATE TRIGGER ${sc.sourceSchema}.$trigger AFTER $action ON " +
               s"${sc.sourceSchema}.${sc.sourceTable} FOR EACH ROW BEGIN " +
-              s"IF 1=1 THEN $inserts; END IF; END")
-        case _ => // postgresql + greenplum share the pg trigger shape
+              s"IF ${sc.conditionFor(opCode)} THEN $inserts; END IF; END")
+        case _ =>
+          // postgresql + greenplum share the pg trigger shape: a full
+          // `CREATE OR REPLACE FUNCTION … RETURNS trigger LANGUAGE
+          // plpgsql` body (reference template: dbopt/PgOperation
+          // .scala:114-140) with the per-op capture condition folded
+          // into its IF guard (condition slot, PgOperation.scala:142).
+          // Fan-out is unrolled at install time — one INSERT per
+          // configured target — instead of the reference's runtime
+          // string split; DDL regenerates on config change anyway (the
+          // version hash in desiredCatalogRows forces a REBUILD).
           val f = s"sync_${sc.sourceTable}_$opName"
+          val inserts = sc.targetDb.split(",").map(_.trim).map(t =>
+            s"INSERT INTO dbsync.sync_data (source_db, target_db, " +
+              s"schema_name, table_name, operation, data) VALUES " +
+              s"('${sc.sourceDb}', '$t', '${sc.sourceSchema}', " +
+              s"'${sc.sourceTable}', '$opCode', row_to_json($payload));")
+            .mkString(" ")
           (f,
-            s"CREATE TRIGGER $trigger AFTER $action ON " +
-              s"${sc.sourceSchema}.${sc.sourceTable} FOR EACH ROW EXECUTE " +
-              s"$f() -- writes (sourceDb=${sc.sourceDb}, op=$opCode, " +
-              s"data=row_to_json($payload)) to dbsync.sync_data for targets ${sc.targetDb}")
+            s"DROP TRIGGER IF EXISTS $trigger ON " +
+              s"${sc.sourceSchema}.${sc.sourceTable}; " +
+              s"DROP FUNCTION IF EXISTS ${sc.sourceSchema}.$f() CASCADE; " +
+              s"CREATE OR REPLACE FUNCTION ${sc.sourceSchema}.$f() " +
+              s"RETURNS trigger LANGUAGE plpgsql AS $$fn$$ BEGIN " +
+              s"IF ${sc.conditionFor(opCode)} THEN $inserts END IF; " +
+              s"RETURN NULL; END $$fn$$; " +
+              s"CREATE TRIGGER $trigger AFTER $action ON " +
+              s"${sc.sourceSchema}.${sc.sourceTable} FOR EACH ROW " +
+              s"EXECUTE PROCEDURE ${sc.sourceSchema}.$f()")
       }
       (sc.sourceDb, dialect, sc.sourceSchema, sc.sourceTable, opCode, trigger,
         fn, ddl)

@@ -246,22 +246,52 @@ class OperatorsSpec extends AnyFunSuite {
     val rows = SyncConfigs.triggerSpecRows()
     assert(rows.length === 12)
     val byDialect = rows.groupBy(_._2)
-    // db0 (postgresql) entries carry a trigger function + row_to_json
+    // Every emitted statement — any dialect, plus the sys bootstrap —
+    // is complete executable DDL: no `--` / `/* */` elision markers.
+    val allDdl = rows.map(_._8) ++
+      SyncConfigs.sysTableDdl("dbsync", "greenplum") ++
+      SyncConfigs.sysTableDdl("dbsync", "mysql")
+    allDdl.foreach { d =>
+      assert(!d.contains("--") && !d.contains("/*"), d)
+    }
+    // db0 (postgresql) entries carry a full trigger FUNCTION body:
+    // create+drop pair, plpgsql signature, row_to_json payload, one
+    // unrolled INSERT per fan-out target, trigger wired to the function
     byDialect("postgresql").foreach { r =>
-      assert(r._7.nonEmpty && r._8.contains("row_to_json"))
+      assert(r._7.nonEmpty)
+      assert(r._8.contains(
+        s"CREATE OR REPLACE FUNCTION ${r._3}.${r._7}() RETURNS trigger " +
+          "LANGUAGE plpgsql"), r._8)
+      assert(r._8.contains(s"DROP FUNCTION IF EXISTS ${r._3}.${r._7}() CASCADE"))
+      assert(r._8.contains("EXECUTE PROCEDURE " + r._3 + "." + r._7 + "()"))
+      val payload = if (r._5 == "D") "OLD" else "NEW"
+      assert(r._8.contains(s"row_to_json($payload)"), r._8)
+      // the function BODY (between the dollar-quote tags) is non-empty
+      // and carries the capture-condition guard + the fan-out inserts
+      val body = r._8.split("""\$fn\$""")(1)
+      assert(body.trim.nonEmpty && body.contains("IF ") &&
+        body.contains("INSERT INTO dbsync.sync_data"), r._8)
     }
     // db1 (mysql) entries: no function, DROP-first, inline JSON_OBJECT
     byDialect("mysql").foreach { r =>
       assert(r._7.isEmpty)
       assert(r._8.startsWith("DROP TRIGGER IF EXISTS"))
       assert(r._8.contains("JSON_OBJECT"))
-      // complete DDL: every declared column enumerated, no /* */
-      // elision markers left in the emitted statement
-      assert(!r._8.contains("/*"), r._8)
       val payload = if (r._5 == "D") "OLD" else "NEW"
       SyncConfigs.TableColumns(r._4).foreach(c =>
         assert(r._8.contains(s"'$c', $payload.$c"), s"missing $c in ${r._8}"))
     }
+    // per-op capture conditions from the config land in the IF guard of
+    // exactly their (table, op) row; every other row keeps the
+    // always-true default
+    val orderUpd = rows.find(r =>
+      r._1 == "db0" && r._4 == "orders" && r._5 == "U").get
+    assert(orderUpd._8.contains(
+      "IF NEW.o_orderstatus <> OLD.o_orderstatus THEN"), orderUpd._8)
+    val liIns = rows.find(r =>
+      r._1 == "db1" && r._4 == "lineitem" && r._5 == "I").get
+    assert(liIns._8.contains("IF NEW.l_quantity > 0 THEN"), liIns._8)
+    assert(rows.count(_._8.contains("IF 1=1 THEN")) === 10)
   }
 
   test("sync_reconcile emits every action class and nothing for matched " +
