@@ -262,35 +262,63 @@ object CdcStream {
 
   private val parityRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Shared replay scaffolding for the parity harnesses: feed the
-    * micro-batches through `pipe` into a uniquely-named memory sink,
-    * drain each batch, and return the sink contents eagerly
-    * checkpointed (so they outlive the dropped temp view). The
-    * driver-side batches are the micro-batch SOURCE of a bounded
-    * replay, never a processing step — the piped computation runs
-    * distributed. */
-  private def replay[T](spark: SparkSession, batches: Seq[Seq[T]],
-      mode: OutputMode)(pipe: Dataset[T] => DataFrame)(
-      implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  /** Shared replay scaffolding for the parity harnesses: stage each
+    * micro-batch to its own parquet file and feed them IN ORDER through
+    * the file-stream source (the same lane the production StreamRun
+    * uses) into `pipe` and a uniquely-named memory sink, then return
+    * the sink contents eagerly checkpointed (so they outlive the
+    * dropped temp view).
+    *
+    * The batches stay DataFrames end to end — chunking, staging and the
+    * piped computation all run distributed; nothing ever collects a
+    * relation to the driver, so the verification lane scales with the
+    * corpus like the operators it checks. `maxFilesPerTrigger=1` plus a
+    * drain per dropped file pins the one-file-per-micro-batch replay
+    * order. */
+  private def replayStaged(spark: SparkSession, batches: Seq[DataFrame],
+      mode: OutputMode)(pipe: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Path}
+    require(batches.nonEmpty, "replay needs at least one batch")
     val name = s"parity_${parityRuns.incrementAndGet()}"
-    val stream =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
-    val query = pipe(stream.toDS()).writeStream.format("memory")
+    val root = Files.createTempDirectory(s"graft_$name")
+    val inDir = Files.createDirectories(root.resolve("in"))
+    val staged: Seq[Path] = batches.zipWithIndex.map { case (b, i) =>
+      val d = root.resolve(s"stage_$i")
+      b.coalesce(1).write.mode("overwrite").parquet(d.toString)
+      import scala.jdk.CollectionConverters._
+      Files.list(d).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no staged part file under $d"))
+    }
+    val stream = spark.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val query = pipe(stream).writeStream.format("memory")
       .queryName(name).outputMode(mode).start()
-    try batches.foreach { b =>
-      stream.addData(b)
+    try staged.zipWithIndex.foreach { case (part, i) =>
+      Files.move(part, inDir.resolve(f"batch_$i%05d.parquet"))
       query.processAllAvailable()
     } finally query.stop()
     val result = spark.table(name).localCheckpoint()
     spark.catalog.dropTempView(name)
+    // best-effort cleanup of the staged inputs
+    import scala.jdk.CollectionConverters._
+    Files.walk(root).iterator().asScala.toSeq.reverse
+      .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
     result
   }
 
-  /** `rows` split into ≤ n contiguous chunks. */
-  private def chunked[T](rows: Array[T], n: Int): Seq[Seq[T]] =
-    rows.grouped(math.max(1,
-      math.ceil(rows.length.toDouble / n).toInt)).map(_.toSeq).toSeq
+  /** `df` split into n contiguous ranges of the (long) column `c`
+    * spanning [lo, hi] — batch boundaries computed from a 2-value
+    * aggregate, never from collected rows. */
+  private def rangeSlices(df: DataFrame, c: String, lo: Long, hi: Long,
+                          n: Int): Seq[DataFrame] = {
+    val span = hi - lo + 1
+    (0 until n).map { i =>
+      val a = lo + span * i / n
+      val b = if (i == n - 1) hi + 1 else lo + span * (i + 1) / n
+      df.where(col(c) >= a && col(c) < b)
+    }
+  }
 
   /** Streaming↔batch sessionization parity harness — [[mergeParity]]'s
     * twin for [[sessionizeStream]]: replays the changelog as `nBatches`
@@ -306,22 +334,30 @@ object CdcStream {
   def sessionizeParity(spark: SparkSession, changelog: DataFrame,
                        nBatches: Int = 3): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = changelog
+    val src = changelog
       .select(col("user_id"), col("event_id"), col("ems"), col("op"),
         col("value_cents"), timestamp_millis(col("ems")).as("ts"))
-      .as[ChangeTs].collect().sortBy(c => (c.ems, c.event_id))
-    if (rows.isEmpty) // empty feed: empty sessions, don't throw on max
+    val bounds = src.agg(min("ems"), max("ems"), max("event_id")).collect()(0)
+    if (bounds.isNullAt(0)) // empty feed: empty sessions, don't throw on max
       return changelog.sparkSession.emptyDataFrame
         .select(lit(0L).as("user_id"), lit(0L).as("session_id"),
           lit(0L).as("n_events"), lit(0L).as("start_ms"),
           lit(0L).as("end_ms"), lit(0L).as("duration_ms"))
-    val sentinelMs = rows.map(_.ems).max + 10L * 24 * 3600 * 1000
-    val sentinels = rows.map(_.user_id).distinct.map(u =>
-      ChangeTs(u, 9999999L, sentinelMs, "U", 0L,
-        new java.sql.Timestamp(sentinelMs))).toSeq
-    replay(spark, chunked(rows, nBatches) :+ sentinels,
-        OutputMode.Append())(ds => sessionizeStream(spark, ds).toDF())
+    val sentinelMs = bounds.getLong(1) + 10L * 24 * 3600 * 1000
+    // sentinel id = one past the observed max, like sentinelMs is
+    // derived from the observed max ems — no magic constant a larger
+    // changelog's real event_ids could share
+    val sentinelId = bounds.getLong(2) + 1L
+    val sentinels = src.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(sentinelId).as("event_id"),
+        lit(sentinelMs).as("ems"), lit("U").as("op"),
+        lit(0L).as("value_cents"),
+        timestamp_millis(lit(sentinelMs)).as("ts"))
+    replayStaged(spark,
+        rangeSlices(src, "ems", bounds.getLong(0), bounds.getLong(1),
+          nBatches) :+ sentinels,
+        OutputMode.Append())(
+        df => sessionizeStream(spark, df.as[ChangeTs]).toDF())
       .where(col("start_ms") < sentinelMs) // guard: sentinel sessions
       .select("user_id", "session_id", "n_events", "start_ms", "end_ms",
         "duration_ms")
@@ -336,12 +372,8 @@ object CdcStream {
     * Catches both failure modes (a dropped first delivery or a leaked
     * duplicate) cross-engine. */
   def dedupParity(spark: SparkSession, events: DataFrame): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = events.select(col("event_id"), col("ts"))
-      .as[(Long, java.sql.Timestamp)].collect().toSeq
-    replay(spark, Seq(rows, rows), OutputMode.Append())(
-        ds => dedupDeliveries(ds.toDF("event_id", "ts")))
+    val src = events.select(col("event_id"), col("ts"))
+    replayStaged(spark, Seq(src, src), OutputMode.Append())(dedupDeliveries)
       .select(col("event_id"))
   }
 
@@ -353,13 +385,16 @@ object CdcStream {
     * `stream_window_agg` oracle. */
   def windowParity(spark: SparkSession, events: DataFrame,
                    nBatches: Int = 3): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = events.select(col("ts"), col("event_type"),
-        round(col("value") * 100).cast("long").as("value_cents"))
-      .as[(java.sql.Timestamp, String, Long)].collect()
-    replay(spark, chunked(rows, nBatches), OutputMode.Complete())(
-      ds => windowedThroughput(ds.toDF("ts", "event_type", "value_cents")))
+    val src = events.select(col("ts"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      unix_millis(col("ts")).as("ems"))
+    val bounds = src.agg(min("ems"), max("ems")).collect()(0)
+    val slices =
+      if (bounds.isNullAt(0)) Seq(src) // one empty batch, empty windows
+      else rangeSlices(src, "ems", bounds.getLong(0), bounds.getLong(1),
+        nBatches)
+    replayStaged(spark, slices.map(_.drop("ems")), OutputMode.Complete())(
+      windowedThroughput)
   }
 
   /** Streaming↔batch LWW parity harness (batch-facing): replays the
@@ -370,24 +405,22 @@ object CdcStream {
     * projection (deletes dropped, epoch_s = ems div 1000), so the
     * batch query's DuckDB oracle pins the continuous path cross-engine.
     *
-    * This is a harness, not a pipeline operator: the driver-side
-    * collect/addData loop is the micro-batch *source* (the bounded
-    * replay StreamRun stages through files), never a processing step —
-    * the state fold itself runs distributed, keyed on user_id like the
-    * batch merge's shuffle. */
+    * This is a harness, not a pipeline operator — but it scales like
+    * one: batches are DataFrame slices staged to parquet and consumed
+    * through the file-stream source (StreamRun's lane); the state fold
+    * runs distributed, keyed on user_id like the batch merge's
+    * shuffle, and nothing collects the relation to the driver. */
   def mergeParity(spark: SparkSession, changelog: DataFrame,
                   nBatches: Int = 3): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = changelog
+    val src = changelog
       .select("user_id", "event_id", "ems", "op", "value_cents")
-      .as[Change].collect()
-    val batches = (0 until nBatches).map(i => rows.filter(c =>
-      math.floorMod(c.event_id, nBatches.toLong) == i.toLong).toSeq)
+    val batches = (0 until nBatches).map(i =>
+      src.where(pmod(col("event_id"), lit(nBatches.toLong)) === i.toLong))
     // Update-mode memory sink appends each batch's emissions — the
     // final state per key is the LWW max, same struct order as batch
-    replay(spark, batches, OutputMode.Update())(
-        ds => latestState(spark, ds).toDF())
+    replayStaged(spark, batches, OutputMode.Update())(
+        df => latestState(spark, df.as[Change]).toDF())
       .groupBy("user_id")
       .agg(max(struct(col("last_ems"), col("last_event_id"),
         col("last_op"), col("last_value_cents"))).as("s"))
