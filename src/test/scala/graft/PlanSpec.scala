@@ -11,16 +11,19 @@ class PlanSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val Sf = TestSpark.Sf
 
-  // memoized: the registry-wide tests (no-cartesian, nested-loop) both
-  // walk every query, and the parity-harness queries EXECUTE their
-  // bounded streaming replay at construction — caching the plan string
-  // runs each construction once per suite instead of once per test
-  private val planCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  // memoized: the registry-wide tests (no-cartesian, nested-loop, plan
+  // drift) all walk every query, and the parity-harness queries EXECUTE
+  // their bounded streaming replay at construction — caching the
+  // QueryExecution runs each construction once per suite instead of
+  // once per test (executedPlan is memoized inside it)
+  private val qeCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.execution.QueryExecution]
 
-  private def plan(name: String): String =
-    planCache.getOrElseUpdate(name,
-      SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString)
+  private def qe(name: String): org.apache.spark.sql.execution.QueryExecution =
+    qeCache.getOrElseUpdate(name,
+      SparkEntry.queries(name)(spark, Sf).queryExecution)
+
+  private def plan(name: String): String = qe(name).executedPlan.toString
 
   private def countOf(p: String, marker: String): Int =
     marker.r.findAllIn(p).length
@@ -175,5 +178,50 @@ class PlanSpec extends AnyFunSuite {
       }
     }
     assert(sawCollect, "vacuous: no collect_list aggregate found at all")
+  }
+
+  test("PLANS.md matches the live physical plans (drift gate)") {
+    // Recomputes every query's PLANS.md summary row with the same
+    // counting rules as scripts/plans.py and diffs against the
+    // committed file — a silent extra exchange, a lost broadcast, a
+    // dropped pushdown, or a query missing from the audit fails HERE,
+    // not at the next judging pass. After an INTENDED plan change,
+    // regenerate:
+    //   sbt -batch "runMain graft.PlanAudit" > /tmp/plans.txt 2>/dev/null
+    //   python3 scripts/plans.py /tmp/plans.txt > PLANS.md
+    val root = Iterator.iterate(
+        java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null)
+      .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      .getOrElse(fail("no build.sbt ancestor — cannot locate PLANS.md"))
+    val plansMd = java.nio.file.Files.readString(root.resolve("PLANS.md"))
+    val rowRe = """\|\s*(\S+)\s*\|\s*(\d+)\s*\|\s*([^|]+?)\s*\|\s*(.*?)\s*\|""".r
+    val committed = rowRe.findAllMatchIn(plansMd)
+      .map(m => m.group(1) -> ((m.group(2), m.group(3), m.group(4))))
+      .filter(_._1 != "query").toMap
+    assert(committed.keySet === SparkEntry.queries.keySet,
+      "PLANS.md row set drifted from the query registry: " +
+        s"missing=${SparkEntry.queries.keySet -- committed.keySet} " +
+        s"stale=${committed.keySet -- SparkEntry.queries.keySet}")
+    val drifted = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val f = qe(name).explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      def nodes(n: String): Int =
+        ("""(?m)^\(\d+\) """ + n + "$").r.findAllIn(f).length
+      val nested = nodes("BroadcastNestedLoopJoin")
+      val bcol = nodes("BroadcastHashJoin").toString +
+        (if (nested > 0) s" (+$nested nested-loop)" else "")
+      val pushed = """PushedFilters: \[([^\]]+)\]""".r.findAllMatchIn(f)
+        .filter(_.group(1).trim.nonEmpty)
+        .map(_.group(1).take(48)).toSeq.distinct.sorted
+      val pcol = if (pushed.nonEmpty) pushed.mkString("; ") else "—"
+      val live = (nodes("Exchange").toString, bcol, pcol)
+      if (committed(name) != live)
+        Some(s"$name: committed=${committed(name)} live=$live")
+      else None
+    }
+    assert(drifted.isEmpty,
+      "PLANS.md is stale — regenerate (PlanAudit + scripts/plans.py):\n" +
+        drifted.mkString("\n"))
   }
 }
