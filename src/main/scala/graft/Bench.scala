@@ -100,13 +100,16 @@ object Bench {
     val byCost = timings.toSeq.sortBy(-_._2)
     val fullQs = timings.map { case (k, v) => s"${q(k)}:${cs(v)}" }
       .mkString("{", ",", "}")
-    // anchor the artifact at the repo root (the dir holding build.sbt
-    // above cwd), not the forked JVM's cwd — a bench launched from
-    // elsewhere must not silently stop updating the committed file
+    // anchor the artifact at the repo root: SPARK_GRAFT_REPO_ROOT when
+    // set (a bench launched from inside some OTHER sbt project must not
+    // silently write to that project's root), else the nearest ancestor
+    // of the forked JVM's cwd holding a build.sbt
     val benchLocal = {
       val cwd = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
-      Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
-        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      sys.env.get("SPARK_GRAFT_REPO_ROOT")
+        .map(java.nio.file.Paths.get(_).toAbsolutePath)
+        .orElse(Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt"))))
         .getOrElse(cwd)
         .resolve("BENCH_LOCAL.json")
     }
