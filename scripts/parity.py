@@ -15,7 +15,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                         na_position="first")
     return df
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, json_out=None):
+    import time
+    t_start = time.time()
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in TABLES:
@@ -23,12 +25,21 @@ def main(outdir, sfdir):
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     n_pass = n_fail = 0
+    report = {}
+
+    def record(name, *, rows=None, schema=None, values=None,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {"rows_match": rows, "schema_match": schema,
+                        "hash_match": values, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
+
     for name in sorted(oracle):
         sql = oracle[name]
         res_dir = os.path.join(outdir, name)
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark result at {res_dir}")
+            record(name, err=f"no spark result at {res_dir}")
             n_fail += 1
             continue
         try:
@@ -37,15 +48,20 @@ def main(outdir, sfdir):
             duck_df = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
+            record(name, err=f"{type(e).__name__}: {e}")
             n_fail += 1
             continue
         s, d = canon(spark_df), canon(duck_df)
         if list(s.columns) != list(d.columns):
             print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
+            record(name, rows=len(s) == len(d), schema=False,
+                   spark_rows=len(s), oracle_rows=len(d))
             n_fail += 1
             continue
         if len(s) != len(d):
             print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
+            record(name, rows=False, schema=True,
+                   spark_rows=len(s), oracle_rows=len(d))
             n_fail += 1
             continue
         # compare as strings to sidestep dtype differences (int32 vs int64)
@@ -59,6 +75,8 @@ def main(outdir, sfdir):
             # dtypes aid
             print(f"   dtypes spark={dict(spark_df.dtypes.astype(str))}")
             print(f"   dtypes duck ={dict(duck_df.dtypes.astype(str))}")
+            record(name, rows=True, schema=True, values=False,
+                   spark_rows=len(s), oracle_rows=len(d))
             n_fail += 1
             continue
         # strict dtype note (schema check may be stricter in driver)
@@ -69,9 +87,19 @@ def main(outdir, sfdir):
             diffs = {k: (dt_s[k], dt_d[k]) for k in dt_s if dt_s[k] != dt_d[k]}
             note = f"  [dtype diff: {diffs}]"
         print(f"PASS {name} ({len(s)} rows){note}")
+        record(name, rows=True, schema=True, values=True,
+               spark_rows=len(s), oracle_rows=len(d))
         n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    if json_out:
+        meta = {"_meta": {"n_pass": n_pass, "n_fail": n_fail,
+                          "outdir": outdir, "sfdir": sfdir,
+                          "compare_sec": round(time.time() - t_start, 1)}}
+        with open(json_out, "w") as f:
+            json.dump({**meta, **report}, f, indent=2, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

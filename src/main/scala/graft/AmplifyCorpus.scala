@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Materializes an amplified COPY of a test sf directory so the full
+  * DuckDB parity gate can run ABOVE the largest generated sf — the
+  * end-to-end correctness-at-volume lane (ScaleProbe measures wall-time
+  * ratios only; this one feeds `graft.Verify` + `scripts/parity.py` the
+  * same way the driver does, just on k× data).
+  *
+  * Layout contract: `documents.parquet` / `events.parquet` are written
+  * as SINGLE parquet files (DuckDB's `FROM '<path>'` view in parity.py
+  * reads a plain file, not a Spark part-directory); every other table
+  * is symlinked from the base directory unchanged.
+  *
+  * Amplification is ScaleProbe's structure-preserving, copy-disjoint
+  * transform (ids offset per copy; doc tokens carry a copy suffix so
+  * cross-copy Jaccard = 0 and dup DENSITY matches the base corpus).
+  * `n_chars` is recomputed from the suffixed text so the column stays
+  * consistent with `text` at every k. Events keep µs-timestamp `ts`
+  * (parquet TIMESTAMP; both engines read the identical file, so parity
+  * is exact by construction).
+  *
+  * Usage: runMain graft.AmplifyCorpus [baseSfDir] [outDir] [k]
+  */
+object AmplifyCorpus {
+  val LinkedTables: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "embeddings")
+
+  /** Writes df as ONE parquet file at exactly `target` (not a Spark
+    * part-directory): stage to a sibling temp dir, move the single
+    * part file into place. */
+  def writeSingleFile(df: DataFrame, target: String): Unit = {
+    val stage = target + ".stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = Files.list(Paths.get(stage)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $stage"))
+    Files.deleteIfExists(Paths.get(target))
+    Files.move(part, Paths.get(target))
+    // drop the now-empty stage dir (best effort: _SUCCESS etc.)
+    Files.list(Paths.get(stage)).iterator().asScala.foreach(Files.delete)
+    Files.delete(Paths.get(stage))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_amp")
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    Files.createDirectories(Paths.get(outDir))
+    val docs0 = Tables.documents(spark, sfDir)
+    val ev0 = Tables.events(spark, sfDir)
+    ScaleProbe.requireIdHeadroom(docs0, ev0)
+
+    val docs = ScaleProbe.amplifyDocuments(docs0, k)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    writeSingleFile(docs, s"$outDir/documents.parquet")
+    val ev = ScaleProbe.amplifyEvents(ev0, k)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    writeSingleFile(ev, s"$outDir/events.parquet")
+
+    for (t <- LinkedTables) {
+      val dst = Paths.get(outDir, s"$t.parquet")
+      Files.deleteIfExists(dst)
+      Files.createSymbolicLink(dst,
+        Paths.get(sfDir, s"$t.parquet").toAbsolutePath)
+    }
+
+    val nd = spark.read.parquet(s"$outDir/documents.parquet").count()
+    val ne = spark.read.parquet(s"$outDir/events.parquet").count()
+    println(s"""{"metric":"amplify","k":$k,"base":"$sfDir","out":"$outDir",""" +
+      s""""documents":$nd,"events":$ne}""")
+    spark.stop()
+  }
+}

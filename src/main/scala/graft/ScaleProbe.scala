@@ -40,6 +40,25 @@ object ScaleProbe {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Asserts copies cannot collide: max base id across documents +
+    * events stays below CopyOffset. Reads each aggregate as nullable so
+    * an EMPTY input fails with an explicit message instead of an NPE
+    * before the headroom guard can report anything. */
+  def requireIdHeadroom(docs: DataFrame, events: DataFrame): Unit = {
+    def maxOf(df: DataFrame, what: String,
+              c: org.apache.spark.sql.Column): Long = {
+      val row = df.agg(c.cast("long")).collect()(0)
+      require(!row.isNullAt(0),
+        s"$what table is empty: cannot derive the id headroom for " +
+          "copy-disjoint amplification")
+      row.getLong(0)
+    }
+    val maxId = maxOf(docs, "documents", max("doc_id"))
+      .max(maxOf(events, "events", greatest(max("event_id"), max("user_id"))))
+    require(maxId < CopyOffset,
+      s"base ids reach $maxId >= $CopyOffset: copies would collide")
+  }
+
   /** k structure-preserving copies of documents: doc_id offset by
     * copy·CopyOffset; EVERY token carries a copy suffix, so the copies'
     * shingle sets are fully disjoint (cross-copy Jaccard = 0) and the
@@ -88,11 +107,7 @@ object ScaleProbe {
 
     val docs0 = Tables.documents(spark, sfDir)
     val ev0 = Tables.events(spark, sfDir)
-    val maxId = docs0.agg(max("doc_id")).collect()(0).getLong(0)
-      .max(ev0.agg(greatest(max("event_id"), max("user_id")))
-        .collect()(0).getLong(0))
-    require(maxId < CopyOffset,
-      s"base ids reach $maxId >= $CopyOffset: copies would collide")
+    requireIdHeadroom(docs0, ev0)
 
     // materialize BOTH scales to parquet (1x through the same
     // amplification) so the probe times the operators alone
