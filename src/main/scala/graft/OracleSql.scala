@@ -1794,6 +1794,61 @@ object OracleSql {
          |LEFT JOIN pt_h h USING (q_id)""".stripMargin
     },
 
+    "pq_recall_curve" -> {
+      import graft.operators.Similarity.{PqSubDim, PqTrainIters, QueryCount, TopK}
+      val k = TopK
+      val adc = s"list_sum(list_transform(generate_series(1, $PqSubDim), " +
+        s"i -> (q.qv6[i] - c.c6[i]) * (q.qv6[i] - c.c6[i])))"
+      val enc = s"list_sum(list_transform(generate_series(1, $PqSubDim), " +
+        s"i -> (s.sv6[i] - c.c6[i]) * (s.sv6[i] - c.c6[i])))"
+      val perIter = (0 to PqTrainIters).map { i =>
+        s"""pc_de$i AS (SELECT s.vec_id, s.m, c.k, $enc AS d12
+           |  FROM pt_sub s JOIN pt_c$i c ON s.m = c.m),
+           |pc_codes$i AS (SELECT vec_id, m, k FROM (SELECT vec_id, m, k,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d12, k)
+           |      AS rn FROM pc_de$i) t WHERE rn = 1),
+           |pc_sc$i AS (SELECT q.q_id, a.vec_id, CAST(SUM($adc) AS BIGINT)
+           |    AS dist
+           |  FROM pc_codes$i a JOIN pt_c$i c ON a.m = c.m AND a.k = c.k
+           |    JOIN pt_qs q ON q.m = a.m
+           |  GROUP BY 1, 2),
+           |pc_ap$i AS (SELECT q_id, vec_id AS cand_id FROM (SELECT q_id,
+           |    vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY dist, vec_id) AS rn FROM pc_sc$i) t
+           |  WHERE rn <= $k),
+           |pc_h$i AS (SELECT CAST($i AS BIGINT) AS iters,
+           |    CAST(COUNT(*) AS BIGINT) AS sum_hits
+           |  FROM pt_tr t JOIN pc_ap$i a
+           |    ON t.q_id = a.q_id AND t.cand_id = a.cand_id)""".stripMargin
+      }.mkString(",\n")
+      val union = (0 to PqTrainIters)
+        .map(i => s"SELECT iters, sum_hits FROM pc_h$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $PqTrainCtes,
+         |pt_qs AS (SELECT vec_id AS q_id, CAST(sm.m AS BIGINT) AS m,
+         |    list_transform(generate_series(1, $PqSubDim),
+         |      i -> v6[sm.m * $PqSubDim + i]) AS qv6
+         |  FROM pt_v6, UNNEST(generate_series(0,
+         |    ${graft.operators.Similarity.PqM - 1})) AS sm(m)
+         |  WHERE vec_id < $QueryCount),
+         |pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |pt_tq AS (SELECT vec_id AS q_id, v AS qv FROM pe
+         |  WHERE vec_id < $QueryCount),
+         |pt_tc AS (SELECT vec_id AS cand_id, v AS cv FROM pe
+         |  WHERE vec_id >= $QueryCount),
+         |pt_tr AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY CAST(ROUND(($l2SumSql) * 1e9) AS BIGINT), cand_id)
+         |      AS rn FROM pt_tq, pt_tc) t WHERE rn <= $k),
+         |$perIter
+         |SELECT u.iters, u.sum_hits,
+         |  (u.sum_hits * 1000) //
+         |    ((SELECT COUNT(DISTINCT q_id) FROM pt_tr) * $k)
+         |    AS mean_recall_milli
+         |FROM ($union) u""".stripMargin
+    },
+
     "ivf_recall" -> {
       val k = graft.operators.Similarity.TopK
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -208,6 +208,8 @@ object SparkEntry {
       Similarity.hardNegatives(Tables.embeddings(s, dir))),
     "pq_recall_trained"   -> ((s, dir) =>
       Similarity.pqRecallTrained(Tables.embeddings(s, dir))),
+    "pq_recall_curve"     -> ((s, dir) =>
+      Similarity.pqRecallCurve(Tables.embeddings(s, dir))),
     "tfidf_topk"          -> ((s, dir) =>
       TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
     "value_quantiles"     -> ((s, dir) => Ledger.valueQuantiles(cl(s, dir))),

@@ -439,10 +439,13 @@ object Similarity {
 
   // --- trained product quantization ----------------------------------------
 
-  /** Lloyd rounds for [[pqTrain]]. Two fixed rounds (not
+  /** Lloyd rounds for [[pqTrain]]. Fixed rounds (not
     * convergence-gated) so the DuckDB oracle can mirror the training
-    * as straight-line CTEs — the cross-engine-verifiable form. */
-  val PqTrainIters = 2
+    * as straight-line CTEs — the cross-engine-verifiable form. Four
+    * rounds: the recall curve ([[pqRecallCurve]]) shows the lift has
+    * flattened by then at this corpus, so more straight-line rounds
+    * would pad the oracle chain without measurable index quality. */
+  val PqTrainIters = 4
 
   /** Split an (id, v6) e6-integer vector relation into per-subspace
     * rows (id, m, sv6[PqSubDim]). */
@@ -503,14 +506,22 @@ object Similarity {
     * (each Lloyd round reads it twice; at 100 TB a production build
     * trains on a staged SAMPLE — the iteration shape is the same). */
   private def pqTrained(embeddings: DataFrame): (DataFrame, DataFrame) = {
+    val (rels, sub) = pqTrainedStages(embeddings)
+    (rels.last, sub)
+  }
+
+  /** Every Lloyd round's (m,k,dim,…) relation, in training order, plus
+    * the staged subvector relation — the recall-curve entry point. */
+  private def pqTrainedStages(embeddings: DataFrame): (Seq[DataFrame], DataFrame) = {
     val sub = subspaced(vecsE6(embeddings), "vec_id").localCheckpoint(false)
-    var rel: DataFrame = null
+    val rels = Seq.newBuilder[DataFrame]
     var cb = pqSeedCb(sub)
     (1 to PqTrainIters).foreach { _ =>
-      rel = pqLloydStep(sub, cb).localCheckpoint(false)
+      val rel = pqLloydStep(sub, cb).localCheckpoint(false)
+      rels += rel
       cb = cbArrays(rel)
     }
-    (rel, sub)
+    (rels.result(), sub)
   }
 
   /** PQ codebook TRAINING — the step [[pqCodebook]]'s fixed literals
@@ -536,7 +547,16 @@ object Similarity {
     * to pq_recall, this IS the codebook-training recall lift. */
   def pqRecallTrained(embeddings: DataFrame, k: Int = TopK): DataFrame = {
     val (rel, sub) = pqTrained(embeddings)
-    val cb = cbArrays(rel)
+    recallAtK(l2Truth(embeddings, k),
+      pqAdcTopK(cbArrays(rel), sub, embeddings, k), k)
+  }
+
+  /** ADC top-k under a given trained codebook: encode every (vector,
+    * subspace) row to its nearest codeword, score queries through the
+    * codebook (exact integer sums), rank. Shared by the final recall
+    * gate and the per-iteration curve. */
+  private def pqAdcTopK(cb: DataFrame, sub: DataFrame,
+                        embeddings: DataFrame, k: Int): DataFrame = {
     val codes = sub.join(broadcast(cb), "m")
       .withColumn("d12",
         graft.functions.VectorFunctions.intL2(col("sv6"), col("c6")))
@@ -547,7 +567,7 @@ object Similarity {
         expr("transform(q_vec, x -> cast(round(cast(x as double) * " +
           "1000000d) as bigint))").as("v6")), "q_id")
       .withColumnRenamed("sv6", "qv6")
-    val approx = codes
+    codes
       .join(broadcast(cb), Seq("m", "k"))
       .join(broadcast(qsub), Seq("m"))
       .withColumn("d12",
@@ -558,7 +578,30 @@ object Similarity {
         .orderBy(col("dist_e12"), col("vec_id"))))
       .where(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("cand_id"))
-    recallAtK(l2Truth(embeddings, k), approx, k)
+  }
+
+  /** Recall-vs-training-iterations curve: the [[pqRecallTrained]] gate
+    * evaluated under EVERY intermediate codebook — iters=0 is the raw
+    * Forgy seed, iters=i the codebook after i Lloyd rounds — so the
+    * marginal recall of each round is a committed, oracle-checked
+    * number rather than a tuning anecdote. All-integer: mean recall is
+    * (total hits · 1000) div (n_queries · k). Each iteration's ADC
+    * pass reuses the one staged subvector relation; the curve costs
+    * PqTrainIters+1 broadcast joins over it, no extra corpus scans. */
+  def pqRecallCurve(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val (rels, sub) = pqTrainedStages(embeddings)
+    val cbs = pqSeedCb(sub) +: rels.map(cbArrays)
+    val truth = l2Truth(embeddings, k).localCheckpoint(false)
+    val nq = truth.select("q_id").distinct()
+      .agg(count(lit(1)).as("n_q"))
+    cbs.zipWithIndex.map { case (cb, i) =>
+      recallAtK(truth, pqAdcTopK(cb, sub, embeddings, k), k)
+        .agg(sum("n_hits").as("sum_hits"))
+        .select(lit(i.toLong).as("iters"), col("sum_hits"))
+    }.reduce(_.unionByName(_))
+      .join(broadcast(nq))
+      .select(col("iters"), col("sum_hits"),
+        expr(s"(sum_hits * 1000) div (n_q * ${k}L)").as("mean_recall_milli"))
   }
 
   /** Cosine threshold (e6) for [[semanticDedup]] — calibrated to the

@@ -813,11 +813,29 @@ class LlmOpsSpec extends AnyFunSuite {
     val trained = Similarity.pqRecallTrained(embs).collect()
       .map(_.getAs[Long]("recall_milli"))
     assert(trained.length === Similarity.QueryCount)
-    // measured at sf0.001: 25 vs 287 mean milli — gate well inside that
+    // measured at sf0.001: 25 untrained vs 237 trained mean milli
+    // (4 Lloyd rounds) — gate well inside that
     assert(trained.sum > untrained.sum,
       s"no lift: trained=${trained.toSeq} untrained=${untrained.toSeq}")
     assert(trained.sum / trained.length >= 150L,
       s"trained recall too low: ${trained.toSeq}")
+  }
+
+  test("pqRecallCurve: one row per codebook stage, final row equals the " +
+    "trained gate, training lifts over the Forgy seed") {
+    val curve = Similarity.pqRecallCurve(embs).collect()
+      .sortBy(_.getAs[Long]("iters"))
+    assert(curve.map(_.getAs[Long]("iters")).toSeq ===
+      (0L to Similarity.PqTrainIters.toLong))
+    val trained = Similarity.pqRecallTrained(embs).collect()
+      .map(_.getAs[Long]("n_hits")).sum
+    assert(curve.last.getAs[Long]("sum_hits") === trained,
+      "curve's final stage disagrees with pq_recall_trained")
+    // the trained end of the curve must beat the untrained seed
+    assert(curve.last.getAs[Long]("mean_recall_milli") >
+      curve.head.getAs[Long]("mean_recall_milli") ||
+      curve.last.getAs[Long]("sum_hits") > curve.head.getAs[Long]("sum_hits"),
+      curve.mkString(", "))
   }
 
   test("shardBalance: totals reconcile and deviations sum to ~0") {

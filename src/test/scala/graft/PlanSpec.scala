@@ -82,7 +82,8 @@ class PlanSpec extends AnyFunSuite {
       "heartbeat_state", "component_lifecycle", "status_rollup",
       "ivf_assign", "ivf_train",
       "log_compact", "mix_weights", "dist_drift", "semantic_dedup",
-      "pq_search", "pq_recall", "pq_recall_trained", "key_skew_report",
+      "pq_search", "pq_recall", "pq_recall_trained", "pq_recall_curve",
+      "key_skew_report",
       "sync_lag",
       "ivf_recall", "shard_balance", "pmi_pairs", "bpe_apply",
       "kmeans_shift", "fk_integrity")
