@@ -121,40 +121,42 @@ object ScaleProbe {
     val docsK = spark.read.parquet(s"$workDir/documents_x$k")
     val ev1 = spark.read.parquet(s"$workDir/events_x1")
     val evK = spark.read.parquet(s"$workDir/events_x$k")
-    def clOf(ev: DataFrame) = graft.operators.ChangeLog.normalize(ev)
-
-    import graft.operators.{CdcMerge, Dedup, Temporal, TextAnalysis}
-    val ops: Seq[(String, DataFrame => Unit, (DataFrame, DataFrame))] = Seq(
-      ("dedup_minhash",
-        (d: DataFrame) => Dedup.minhashDedup(d)
-          .write.format("noop").mode("overwrite").save(),
-        (docs1, docsK)),
-      ("dup_cluster",
-        (d: DataFrame) => Dedup.dupClusters(d)
-          .write.format("noop").mode("overwrite").save(),
-        (docs1, docsK)),
-      ("dedup_exact",
-        (d: DataFrame) => TextAnalysis.dedupExact(d)
-          .write.format("noop").mode("overwrite").save(),
-        (docs1, docsK)),
-      ("cdc_merge",
-        (e: DataFrame) => CdcMerge.merge(clOf(e))
-          .write.format("noop").mode("overwrite").save(),
-        (ev1, evK)),
-      ("sessionize",
-        (e: DataFrame) => Temporal.sessionize(clOf(e))
-          .write.format("noop").mode("overwrite").save(),
-        (ev1, evK)))
 
     import JsonOut.{cs, q}
-    val results = ops.map { case (name, f, (base, big)) =>
-      f(base) // warm codegen/JIT on the small side
-      val t1 = time(f(base))
-      val tk = time(f(big))
-      s"${q(name)}:{\"x1\":${cs(t1)},\"x$k\":${cs(tk)}," +
-        s"\"ratio\":${cs(tk / t1)}}"
+    val results = probeOps(docs1, ev1).zip(probeOps(docsK, evK)).map {
+      case ((name, base), (_, big)) =>
+        base() // warm codegen/JIT on the small side
+        val t1 = time(base())
+        val tk = time(big())
+        s"${q(name)}:{\"x1\":${cs(t1)},\"x$k\":${cs(tk)}," +
+          s"\"ratio\":${cs(tk / t1)}}"
     }
     println(s"""{"metric":"scaleprobe","k":$k,"sf":${q(sfDir)},"ops":{${results.mkString(",")}}}""")
     spark.stop()
+  }
+
+  /** The probed operator suite over one (documents, events) pair —
+    * shared by [[main]] (manual 10-30× probe) and the CI scale gate
+    * (ScaleGateSpec), so an operator added here is gated everywhere.
+    * Covers the bench's top-cost family: the full minhash/LSH chain
+    * and its composed consumers, the substring/span deduppers, and
+    * the event-side merge/sessionize lanes. */
+  def probeOps(docs: DataFrame, ev: DataFrame): Seq[(String, () => Unit)] = {
+    import graft.operators.{CdcMerge, Dedup, Temporal, TextAnalysis}
+    def sink(df: => DataFrame): () => Unit =
+      () => df.write.format("noop").mode("overwrite").save()
+    lazy val cl = graft.operators.ChangeLog.normalize(ev)
+    Seq(
+      "dedup_minhash" -> sink(Dedup.minhashDedup(docs)),
+      "dup_cluster" -> sink(Dedup.dupClusters(docs)),
+      "dedup_exact" -> sink(TextAnalysis.dedupExact(docs)),
+      "lsh_band_sweep" -> sink(Dedup.lshBandSweep(docs)),
+      "dedup_incremental" -> sink(Dedup.incrementalDedup(docs)),
+      "minhash_est_error" -> sink(Dedup.minhashEstError(docs)),
+      "substring_dedup" -> sink(Dedup.substringDedup(docs)),
+      "dedup_agreement" -> sink(Dedup.dedupMethodAgreement(docs)),
+      "span_dedup" -> sink(TextAnalysis.spanDedup(docs)),
+      "cdc_merge" -> sink(CdcMerge.merge(cl)),
+      "sessionize" -> sink(Temporal.sessionize(cl)))
   }
 }
