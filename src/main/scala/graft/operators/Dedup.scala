@@ -250,7 +250,19 @@ object Dedup {
     * recompute). j_milli = ⌊1000·J⌋. */
   def ngramJaccard(documents: DataFrame): DataFrame = {
     val sh = shingleHashes(documents)
-    val pairs = candidatesFromSignatures(signaturesFromHashes(sh))
+    ngramJaccardFrom(sh, signaturesFromHashes(sh).localCheckpoint(false))
+  }
+
+  /** [[ngramJaccard]] over an ALREADY-staged shingle-hash table and
+    * signature relation — the session-scoped staged shape
+    * ([[graft.Staged]]): a pipeline that stages the two relations once
+    * feeds every dedup-family consumer from the same copies instead of
+    * re-running the corpus scan + 64-wide aggregate per query. `sigs`
+    * must be materialization-safe to re-read (checkpointed/staged);
+    * results are identical to the standalone form. */
+  private[graft] def ngramJaccardFrom(sh: DataFrame,
+                                      sigs: DataFrame): DataFrame = {
+    val pairs = candidatesFromStaged(sigs)
     pairs
       .join(pairIntersections(pairs, sh, "doc_a", "doc_b"),
         Seq("doc_a", "doc_b"), "left")
@@ -269,7 +281,12 @@ object Dedup {
     * fans out over the (tiny, literal) threshold list. The tuning
     * view that picks JaccardMilli for a corpus. */
   def dedupSweep(documents: DataFrame): DataFrame =
-    ngramJaccard(documents)
+    dedupSweepFrom(ngramJaccard(documents))
+
+  /** [[dedupSweep]] over an already-verified pair relation (the
+    * [[ngramJaccard]] output shape) — staged-reuse entry point. */
+  private[graft] def dedupSweepFrom(verified: DataFrame): DataFrame =
+    verified
       .select(col("j_milli"),
         explode(array(SweepThresholds.map(lit): _*)).as("tau_milli"))
       .groupBy("tau_milli")
@@ -279,7 +296,12 @@ object Dedup {
   /** Near-dup pairs confirmed by Jaccard ≥ threshold, keeping the
     * smaller doc_id as canonical. */
   def minhashDedup(documents: DataFrame): DataFrame =
-    ngramJaccard(documents)
+    minhashDedupFrom(ngramJaccard(documents))
+
+  /** [[minhashDedup]] over an already-verified pair relation (the
+    * [[ngramJaccard]] output shape) — staged-reuse entry point. */
+  private[graft] def minhashDedupFrom(verified: DataFrame): DataFrame =
+    verified
       .where(col("j_milli") >= JaccardMilli)
       .select(col("doc_a").as("keeper_doc_id"), col("doc_b").as("dup_doc_id"),
         col("j_milli"))
@@ -288,8 +310,13 @@ object Dedup {
     * near-duplicates (anti-join on the dup ids — the incremental
     * delete shape, same as retention cleanup). */
   def dedupApply(documents: DataFrame): DataFrame =
+    dedupApply(documents, minhashDedup(documents))
+
+  /** [[dedupApply]] against an already-computed dup-pair relation (the
+    * [[minhashDedup]] output shape) — staged-reuse entry point. */
+  def dedupApply(documents: DataFrame, dups: DataFrame): DataFrame =
     documents
-      .join(minhashDedup(documents)
+      .join(dups
         .select(col("dup_doc_id").as("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
 
