@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet-backed table loaders (TESTDATA.md tables). Single place that
   * touches storage so column pruning / filter pushdown stay auditable:
@@ -27,16 +27,28 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NTZ-encoded ts is interpreted through the session tz when cast to
+    // TIMESTAMP_LTZ below; pin UTC so ts_ns is identical under any caller
+    // session (all graft mains already set this — this covers external ones).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, sfDir, "events")
     val base = Seq(col("event_id"), col("user_id"), col("event_type"),
       col("value"), col("props"))
-    if (raw.schema("ts").dataType == LongType)
-      // integer div: ns values overflow double's exact range, so no `/`
-      raw.select(base :+ col("ts").as("ts_ns")
-        :+ timestamp_micros(expr("ts div 1000")).as("ts"): _*)
-    else
-      raw.select(base :+ (unix_micros(col("ts")) * 1000L).as("ts_ns")
-        :+ col("ts"): _*)
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer div: ns values overflow double's exact range, so no `/`
+        raw.select(base :+ col("ts").as("ts_ns")
+          :+ timestamp_micros(expr("ts div 1000")).as("ts"): _*)
+      case TimestampNTZType =>
+        // unix_micros accepts only TIMESTAMP_LTZ; the session tz is pinned
+        // UTC (GraftSession), so the NTZ→LTZ cast is value-preserving.
+        val ltz = col("ts").cast(TimestampType)
+        raw.select(base :+ (unix_micros(ltz) * 1000L).as("ts_ns")
+          :+ ltz.as("ts"): _*)
+      case _ =>
+        raw.select(base :+ (unix_micros(col("ts")) * 1000L).as("ts_ns")
+          :+ col("ts"): _*)
+    }
   }
   def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")

@@ -8,7 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * plans so a regression fails the suite, not just the plan audit.
   */
 class PlanSpec extends AnyFunSuite {
-  private lazy val spark = TestSpark.spark
+  private lazy val spark = {
+    val s = TestSpark.spark
+    // Other suites cache whole tables (e.g. LlmOpsSpec caches documents);
+    // the shared-session cache manager would then substitute
+    // InMemoryRelation into these plans and erase PushedFilters — audit
+    // the storage plans, not peer suites' caches.
+    s.catalog.clearCache()
+    s
+  }
   private val Sf = TestSpark.Sf
 
   // memoized: the registry-wide tests (no-cartesian, nested-loop, plan
