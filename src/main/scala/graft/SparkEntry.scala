@@ -140,16 +140,15 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, dir))),
     "dedup_embedding"     -> ((s, dir) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, dir))),
-    "dedup_minhash"       -> ((s, dir) =>
-      Dedup.minhashDedup(Tables.documents(s, dir))),
-    "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(Tables.documents(s, dir))),
-    "dedup_simhash"       -> ((s, dir) =>
-      Dedup.simhashDedup(Tables.documents(s, dir))),
+    "dedup_minhash"       -> ((s, dir) => Staged.dedup(s, dir).dups),
+    "dedup_ngram_jaccard" -> ((s, dir) => Staged.dedup(s, dir).verified),
+    "dedup_simhash"       -> ((s, dir) => Staged.dedup(s, dir).simPairs),
     "dedup_apply"         -> ((s, dir) =>
-      Dedup.dedupApply(Tables.documents(s, dir))),
-    "dedup_incremental"   -> ((s, dir) =>
-      Dedup.incrementalDedup(Tables.documents(s, dir))),
+      Dedup.dedupApply(Tables.documents(s, dir), Staged.dedup(s, dir).dups)),
+    "dedup_incremental"   -> ((s, dir) => {
+      val st = Staged.dedup(s, dir)
+      Dedup.incrementalDedupFrom(st.sh, st.sigs)
+    }),
     "ivf_train"           -> ((s, dir) =>
       Similarity.ivfTrainStep(Tables.embeddings(s, dir))),
     "quality_filter"      -> ((s, dir) =>
@@ -161,7 +160,7 @@ object SparkEntry {
     "training_pipeline"   -> ((s, dir) =>
       TrainingPipeline.run(Tables.documents(s, dir))),
     "dup_cluster"         -> ((s, dir) =>
-      Dedup.dupClusters(Tables.documents(s, dir))),
+      Dedup.dupClustersFrom(Staged.dedup(s, dir).dups)),
     "quality_gopher"      -> ((s, dir) =>
       TextAnalysis.gopherQuality(Tables.documents(s, dir))),
     "doc_rarity"          -> ((s, dir) =>
@@ -237,10 +236,14 @@ object SparkEntry {
       Analytics.retentionCohorts(Tables.events(s, dir))),
     "value_histogram"     -> ((s, dir) =>
       Analytics.valueHistogram(cl(s, dir))),
-    "minhash_est_error"   -> ((s, dir) =>
-      Dedup.minhashEstError(Tables.documents(s, dir))),
-    "dedup_agreement"     -> ((s, dir) =>
-      Dedup.dedupMethodAgreement(Tables.documents(s, dir))),
+    "minhash_est_error"   -> ((s, dir) => {
+      val st = Staged.dedup(s, dir)
+      Dedup.minhashEstErrorFrom(st.sh, st.sigs)
+    }),
+    "dedup_agreement"     -> ((s, dir) => {
+      val st = Staged.dedup(s, dir)
+      Dedup.dedupMethodAgreementFrom(st.dups, st.simPairs)
+    }),
     "doclen_histogram"    -> ((s, dir) =>
       TextAnalysis.docLenHistogram(Tables.documents(s, dir))),
     "ngram_novelty"       -> ((s, dir) =>
@@ -260,8 +263,8 @@ object SparkEntry {
       Analytics.orderPriority(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "quality_calibration" -> ((s, dir) =>
       TextAnalysis.qualityCalibration(Tables.documents(s, dir))),
-    "cluster_size_hist"   -> ((s, dir) =>
-      Dedup.clusterSizeHist(Tables.documents(s, dir))),
+    "cluster_size_hist"   -> ((s, dir) => Dedup.clusterSizeHistFrom(
+      Dedup.dupClustersFrom(Staged.dedup(s, dir).dups))),
     "user_profile"        -> ((s, dir) => Temporal.userProfile(cl(s, dir))),
     "arrival_monitor"     -> ((s, dir) => Temporal.arrivalMonitor(cl(s, dir))),
     "olap_promo_revenue"  -> ((s, dir) =>
@@ -285,14 +288,16 @@ object SparkEntry {
     "repair_plan"         -> ((s, dir) =>
       Snapshot.repairPlan(Tables.customer(s, dir))),
     "dedup_sweep"         -> ((s, dir) =>
-      Dedup.dedupSweep(Tables.documents(s, dir))),
-    "cross_source_overlap" -> ((s, dir) =>
-      Dedup.crossSourceOverlap(Tables.documents(s, dir))),
+      Dedup.dedupSweepFrom(Staged.dedup(s, dir).verified)),
+    "cross_source_overlap" -> ((s, dir) => Dedup.crossSourceOverlapFrom(
+      Tables.documents(s, dir), Staged.dedup(s, dir).dups)),
     "forget_audit"        -> ((s, dir) =>
       Snapshot.forgetAudit(cl(s, dir), Tables.customer(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
-    "lsh_band_sweep"      -> ((s, dir) =>
-      Dedup.lshBandSweep(Tables.documents(s, dir))),
+    "lsh_band_sweep"      -> ((s, dir) => {
+      val st = Staged.dedup(s, dir)
+      Dedup.lshBandSweepFrom(st.sh, st.sigs)
+    }),
     "conversion_lag"      -> ((s, dir) =>
       Analytics.conversionLag(Tables.events(s, dir))),
     "session_quantiles"   -> ((s, dir) =>

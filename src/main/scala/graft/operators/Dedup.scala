@@ -152,7 +152,13 @@ object Dedup {
     // a checkpoint a net loss), the sweep consumes the 64-wide
     // signature aggregate THREE times — materializing it once measured
     // ~10% faster at sf0.1 and caps the recompute at any corpus size
-    val sigs = signaturesFromHashes(sh).localCheckpoint(false)
+    lshBandSweepFrom(sh, signaturesFromHashes(sh).localCheckpoint(false))
+  }
+
+  /** [[lshBandSweep]] over already-staged shingle-hash and signature
+    * relations ([[graft.Staged]] feeds both). */
+  private[graft] def lshBandSweepFrom(sh: DataFrame,
+                                      sigs: DataFrame): DataFrame = {
     // ONE pair-generation pass over all geometries: the geometry id
     // joins the bucket key, so profile/join/distinct run once over the
     // union of banded rows instead of once per geometry (3× fewer
@@ -190,7 +196,7 @@ object Dedup {
     * both [[bucketPairs]] phases, so it is lazily localCheckpoint'd —
     * the 64-wide aggregate still runs exactly once per query (the
     * lshBandSweep precedent). */
-  private[operators] def candidatesFromSignatures(sigs0: DataFrame): DataFrame =
+  private[graft] def candidatesFromSignatures(sigs0: DataFrame): DataFrame =
     candidatesFromStaged(sigs0.localCheckpoint(false))
 
   /** [[candidatesFromSignatures]] for an ALREADY-staged signature
@@ -213,7 +219,7 @@ object Dedup {
     * functions) plus the shingle-set size n, all from ONE aggregate.
     * `h % P` is hoisted into the projection so each row pays ONE
     * 64-bit mod, not one per seed (same values — (h%P)%P = h%P). */
-  private def signaturesFromHashes(sh: DataFrame): DataFrame = {
+  private[graft] def signaturesFromHashes(sh: DataFrame): DataFrame = {
     val reduced = sh.select(col("doc_id"),
       (col("h") % graft.functions.PortableHash.P).as("hm"))
     val aggs = (0 until NumHashes).map(s =>
@@ -336,13 +342,20 @@ object Dedup {
     * mass-duplicate bucket stays linear). Output: one row per verified
     * (batch doc, corpus witness) pair with exact Jaccard. */
   def incrementalDedup(documents: DataFrame): DataFrame = {
-    val isBatch = pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0
     val sh = shingleHashes(documents)
     // ONE signature pass over the whole table (checkpointed — the
-    // bucket profile, corpus side, and batch side all re-read it);
+    // bucket profile, corpus side, and batch side all re-read it)
+    incrementalDedupFrom(sh, signaturesFromHashes(sh).localCheckpoint(false))
+  }
+
+  /** [[incrementalDedup]] over already-staged shingle-hash and
+    * signature relations ([[graft.Staged]]). */
+  private[graft] def incrementalDedupFrom(sh: DataFrame,
+                                          sigs: DataFrame): DataFrame = {
+    val isBatch = pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0
     // is_batch is derivable from doc_id, so the shared banding helper
     // applies as-is and the flag is re-attached after the explode.
-    val bandedAll = banded(signaturesFromHashes(sh).localCheckpoint(false))
+    val bandedAll = banded(sigs)
       .withColumn("is_batch", isBatch)
     // Corpus bucket profile — map-side-combinable (count, min), never
     // an array: a mass-duplicate corpus bucket contributes only its
@@ -389,11 +402,6 @@ object Dedup {
     * throws instead of returning wrong labels. */
   val MaxClusterRounds = 16
 
-  /** Rounds the LAST [[connectedComponents]] call executed (including
-    * the fixed-point-confirming one) — test observability for the
-    * early-stop gate; not part of any operator result. */
-  @volatile private[graft] var lastClusterRounds: Int = 0
-
   /** Distributed connected components over an undirected pair list
     * (columns a, b) — min-label propagation with pointer jumping and a
     * convergence gate, the scale form of the reference's transitive
@@ -413,8 +421,21 @@ object Dedup {
     * the previous fixed-10-round form always paid 10; a pathological
     * long chain still finishes in log rounds instead of silently
     * under-propagating. The loop's driver actions touch only the
-    * label relation (docs that dup something), never the corpus. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+    * label relation (docs that dup something), never the corpus.
+    *
+    * NOTE: unlike every other operator here, this EXECUTES the gated
+    * loop at CALL time (each round's convergence check is a 1-row
+    * driver action) — the returned DataFrame is the final materialized
+    * label relation, not a lazy plan. Callers composing it into a
+    * larger lazy pipeline pay the loop when they call, not when they
+    * run the result. */
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds the
+    * convergence gate executed (including the fixed-point-confirming
+    * one) — the early-stop observability the tests assert on. */
+  def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .unionByName(pairs
@@ -459,8 +480,7 @@ object Dedup {
       done = cur == prev
       prev = cur
     }
-    lastClusterRounds = round
-    lab
+    (lab, round)
   }
 
   /** Connected components over the VERIFIED near-dup pair graph — the
@@ -472,8 +492,15 @@ object Dedup {
     * [[connectedComponents]] (gated pointer-jumping propagation).
     *
     * Output: (doc_id, cluster_id, n_members) per clustered doc. */
-  def dupClusters(documents: DataFrame): DataFrame = {
-    val converged = connectedComponents(minhashDedup(documents)
+  def dupClusters(documents: DataFrame): DataFrame =
+    dupClustersFrom(minhashDedup(documents))
+
+  /** [[dupClusters]] over an already-computed dup-pair relation (the
+    * [[minhashDedup]] output shape) — staged-reuse entry point
+    * ([[graft.Staged]]). NOTE: executes the gated component loop at
+    * CALL time (see [[connectedComponents]]). */
+  private[graft] def dupClustersFrom(dups: DataFrame): DataFrame = {
+    val converged = connectedComponents(dups
       .select(col("keeper_doc_id").as("a"), col("dup_doc_id").as("b")))
     val sized = converged
       .groupBy("label").agg(count(lit(1)).as("n_members"))
@@ -488,7 +515,12 @@ object Dedup {
     * Two tiny aggregates over [[dupClusters]]' output (clustered docs
     * only — a vanishing fraction of the corpus). */
   def clusterSizeHist(documents: DataFrame): DataFrame =
-    dupClusters(documents)
+    clusterSizeHistFrom(dupClusters(documents))
+
+  /** [[clusterSizeHist]] over an already-computed cluster relation (the
+    * [[dupClusters]] output shape) — staged-reuse entry point. */
+  private[graft] def clusterSizeHistFrom(clusters: DataFrame): DataFrame =
+    clusters
       .groupBy("cluster_id").agg(max("n_members").as("n_members"))
       .groupBy("n_members").agg(count(lit(1)).as("n_clusters"))
 
@@ -498,9 +530,15 @@ object Dedup {
     * de-prioritize at crawl time. Two narrow (doc_id, source) joins
     * against the (small) verified pair set; least/greatest
     * canonicalizes the pair on both engines. */
-  def crossSourceOverlap(documents: DataFrame): DataFrame = {
+  def crossSourceOverlap(documents: DataFrame): DataFrame =
+    crossSourceOverlapFrom(documents, minhashDedup(documents))
+
+  /** [[crossSourceOverlap]] against an already-computed dup-pair
+    * relation — staged-reuse entry point ([[graft.Staged]]). */
+  private[graft] def crossSourceOverlapFrom(documents: DataFrame,
+                                            dups: DataFrame): DataFrame = {
     val src = documents.select(col("doc_id"), col("source"))
-    minhashDedup(documents)
+    dups
       .join(src.select(col("doc_id").as("keeper_doc_id"),
         col("source").as("source_a")), "keeper_doc_id")
       .join(src.select(col("doc_id").as("dup_doc_id"),
@@ -572,7 +610,13 @@ object Dedup {
     // staged once: candidate generation and the sa/sb per-side joins
     // all read the same copy — unstaged, the 64-wide aggregate would
     // run three times
-    val sigs = signaturesFromHashes(sh).localCheckpoint(false)
+    minhashEstErrorFrom(sh, signaturesFromHashes(sh).localCheckpoint(false))
+  }
+
+  /** [[minhashEstError]] over already-staged shingle-hash and
+    * signature relations ([[graft.Staged]]). */
+  private[graft] def minhashEstErrorFrom(sh: DataFrame,
+                                         sigs: DataFrame): DataFrame = {
     val pairs = candidatesFromStaged(sigs)
     val exact = pairs
       .join(pairIntersections(pairs, sh, "doc_a", "doc_b"),
@@ -598,11 +642,18 @@ object Dedup {
     * pipeline owner reads before trusting either family alone. Both
     * pair sets are canonical (doc_a < doc_b by construction), so the
     * overlap join is exact. */
-  def dedupMethodAgreement(documents: DataFrame): DataFrame = {
-    val mh = minhashDedup(documents)
+  def dedupMethodAgreement(documents: DataFrame): DataFrame =
+    dedupMethodAgreementFrom(minhashDedup(documents), simhashDedup(documents))
+
+  /** [[dedupMethodAgreement]] over already-computed MinHash dup pairs
+    * ([[minhashDedup]] shape) and SimHash pairs ([[simhashDedup]]
+    * shape) — staged-reuse entry point ([[graft.Staged]]). */
+  private[graft] def dedupMethodAgreementFrom(mhPairs: DataFrame,
+                                              simPairs: DataFrame): DataFrame = {
+    val mh = mhPairs
       .select(col("keeper_doc_id").as("doc_a"), col("dup_doc_id").as("doc_b"),
         lit(1L).as("in_minhash"))
-    val sh = simhashDedup(documents)
+    val sh = simPairs
       .select(col("doc_a"), col("doc_b"), lit(1L).as("in_simhash"))
     mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
       .agg(

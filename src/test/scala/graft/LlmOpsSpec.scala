@@ -440,13 +440,15 @@ class LlmOpsSpec extends AnyFunSuite {
     // form always paid 10
     val star = (2L to 40L).map(i => (1L, i))
     val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
-    val labels = Dedup.connectedComponents((star ++ tri).toDF("a", "b"))
+    val (labDf, rounds) = Dedup
+      .connectedComponentsWithRounds((star ++ tri).toDF("a", "b"))
+    val labels = labDf
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size === 43)
     assert((1L to 40L).forall(labels(_) == 1L))
     assert(Seq(100L, 101L, 102L).forall(labels(_) == 100L))
-    assert(Dedup.lastClusterRounds <= 3,
-      s"gate ran ${Dedup.lastClusterRounds} rounds on a near-clique graph")
+    assert(rounds <= 3,
+      s"gate ran $rounds rounds on a near-clique graph")
   }
 
   test("connectedComponents matches a driver-side union-find on seeded " +

@@ -166,10 +166,19 @@ class PlanSpec extends AnyFunSuite {
     "the (count,min) bucket-profile join — no unguarded bucket arrays") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList}
+    // the registry routes these through graft.Staged, whose checkpoint
+    // boundary hides the candidate build from the query's own plan —
+    // audit the standalone operator constructions, which are the same
+    // chains the staged relations materialize
+    val docs = Tables.documents(spark, Sf)
+    val standalone = Map(
+      "dedup_minhash" -> (() => graft.operators.Dedup.minhashDedup(docs)),
+      "dedup_simhash" -> (() => graft.operators.Dedup.simhashDedup(docs)),
+      "lsh_band_sweep" -> (() => graft.operators.Dedup.lshBandSweep(docs)),
+      "dedup_incremental" -> (() => graft.operators.Dedup.incrementalDedup(docs)))
     var sawCollect = false
-    for (q <- Seq("dedup_minhash", "dedup_simhash", "lsh_band_sweep",
-      "dedup_incremental")) {
-      val opt = SparkEntry.queries(q)(spark, Sf).queryExecution.optimizedPlan
+    for ((q, build) <- standalone) {
+      val opt = build().queryExecution.optimizedPlan
       val collectAggs = opt.collect {
         case a: Aggregate if a.aggregateExpressions.exists(_.exists {
           case ae: AggregateExpression =>
