@@ -27,10 +27,6 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // NTZ-encoded ts is interpreted through the session tz when cast to
-    // TIMESTAMP_LTZ below; pin UTC so ts_ns is identical under any caller
-    // session (all graft mains already set this — this covers external ones).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, sfDir, "events")
     val base = Seq(col("event_id"), col("user_id"), col("event_type"),
       col("value"), col("props"))
@@ -40,11 +36,15 @@ object Tables {
         raw.select(base :+ col("ts").as("ts_ns")
           :+ timestamp_micros(expr("ts div 1000")).as("ts"): _*)
       case TimestampNTZType =>
-        // unix_micros accepts only TIMESTAMP_LTZ; the session tz is pinned
-        // UTC (GraftSession), so the NTZ→LTZ cast is value-preserving.
-        val ltz = col("ts").cast(TimestampType)
-        raw.select(base :+ (unix_micros(ltz) * 1000L).as("ts_ns")
-          :+ ltz.as("ts"): _*)
+        // NTZ wall time IS UTC in the testdata. An NTZ→LTZ cast would
+        // read the SESSION tz (and mutating the session conf here would
+        // silently change every other query of an external caller), so
+        // convert with tz-free local arithmetic instead: µs since the
+        // NTZ epoch literal — identical under any session time zone.
+        val us = expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        raw.select(base :+ (us * 1000L).as("ts_ns")
+          :+ timestamp_micros(us).as("ts"): _*)
       case _ =>
         raw.select(base :+ (unix_micros(col("ts")) * 1000L).as("ts_ns")
           :+ col("ts"): _*)

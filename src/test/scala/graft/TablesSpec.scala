@@ -82,6 +82,26 @@ class TablesSpec extends AnyFunSuite {
       org.apache.spark.sql.types.TimestampType)
   }
 
+  test("NTZ decode is session-timezone independent (no session conf mutation)") {
+    val (_, _, ntzDir) = writeVariants()
+    val sf = java.nio.file.Files.createTempDirectory("graft-sf-tz").toString
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(ntzDir), java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // a caller session NOT pinned to UTC: the decode (and the collect,
+      // which is when the lazy cast actually evaluates) must still see
+      // UTC-epoch micros, and the loader must not touch the conf.
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val got = Tables.events(spark, sf)
+        .select($"event_id", $"ts_ns").orderBy($"event_id")
+        .collect().map(_.getLong(1)).toSeq
+      assert(got === nsValues.map(v => v / 1000L * 1000L))
+      assert(spark.conf.get("spark.sql.session.timeZone") ===
+        "America/Los_Angeles")
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+  }
+
   test("real testdata events loads and ts_ns is non-null, monotone-compatible with ts") {
     val ev = Tables.events(spark, TestSpark.Sf)
     val bad = ev.select(
