@@ -106,11 +106,11 @@ object SparkEntry {
     "doc_fingerprint"     -> ((s, dir) =>
       TextAnalysis.docFingerprint(Tables.documents(s, dir))),
     "doc_winnow"          -> ((s, dir) =>
-      TextAnalysis.winnowStats(Tables.documents(s, dir))),
+      TextAnalysis.winnowStatsFrom(Staged.tokens(s, dir).winnow)),
     "contamination_check" -> ((s, dir) =>
-      TextAnalysis.contaminationCheck(Tables.documents(s, dir))),
+      TextAnalysis.contaminationCheckFrom(Staged.tokens(s, dir).winnow)),
     "token_topk"          -> ((s, dir) =>
-      TextAnalysis.tokenTopK(Tables.documents(s, dir))),
+      TextAnalysis.tokenTopKFrom(Staged.tokens(s, dir).freq)),
     "pii_scrub"           -> ((s, dir) =>
       TextAnalysis.piiScrub(Tables.documents(s, dir))),
     "multimodal_features" -> ((s, dir) =>
@@ -161,10 +161,11 @@ object SparkEntry {
       TrainingPipeline.run(Tables.documents(s, dir))),
     "dup_cluster"         -> ((s, dir) =>
       Dedup.dupClustersFrom(Staged.dedup(s, dir).dups)),
-    "quality_gopher"      -> ((s, dir) =>
-      TextAnalysis.gopherQuality(Tables.documents(s, dir))),
-    "doc_rarity"          -> ((s, dir) =>
-      TextAnalysis.docRarity(Tables.documents(s, dir))),
+    "quality_gopher"      -> ((s, dir) => Staged.tokens(s, dir).gopher),
+    "doc_rarity"          -> ((s, dir) => {
+      val st = Staged.tokens(s, dir)
+      TextAnalysis.docRarityFrom(st.tokens, st.freq)
+    }),
     "mix_weights"         -> ((s, dir) =>
       TextAnalysis.mixWeights(Tables.documents(s, dir))),
     "doc_chunk"           -> ((s, dir) =>
@@ -172,25 +173,29 @@ object SparkEntry {
     "pack_sequences"      -> ((s, dir) =>
       TextAnalysis.packSequences(Tables.documents(s, dir))),
     "dist_drift"          -> ((s, dir) =>
-      TextAnalysis.distDrift(Tables.documents(s, dir))),
+      TextAnalysis.distDriftFrom(Staged.tokens(s, dir).tokens)),
     "source_rollup"       -> ((s, dir) =>
-      TextAnalysis.sourceRollup(Tables.documents(s, dir))),
+      TextAnalysis.sourceRollupFrom(Tables.documents(s, dir),
+        Staged.tokens(s, dir).gopher)),
     "span_dedup"          -> ((s, dir) =>
       TextAnalysis.spanDedup(Tables.documents(s, dir))),
     "bpe_merge"           -> ((s, dir) =>
-      TextAnalysis.bpeMergeStep(Tables.documents(s, dir))),
+      TextAnalysis.bpeMergeStepFrom(Staged.tokens(s, dir).freq)),
     "token_budget"        -> ((s, dir) =>
-      TextAnalysis.tokenBudget(Tables.documents(s, dir))),
+      TextAnalysis.tokenBudgetFrom(Tables.documents(s, dir),
+        Staged.tokens(s, dir).gopher)),
     "epoch_shuffle"       -> ((s, dir) =>
       TextAnalysis.epochShuffle(Tables.documents(s, dir))),
-    "vocab_coverage"      -> ((s, dir) =>
-      TextAnalysis.vocabCoverage(Tables.documents(s, dir))),
+    "vocab_coverage"      -> ((s, dir) => {
+      val st = Staged.tokens(s, dir)
+      TextAnalysis.vocabCoverageFrom(st.tokens, st.freq)
+    }),
     "semantic_dedup"      -> ((s, dir) =>
       Similarity.semanticDedup(Tables.embeddings(s, dir))),
     "ngram_lm_score"      -> ((s, dir) =>
-      TextAnalysis.ngramLmScore(Tables.documents(s, dir))),
+      TextAnalysis.ngramLmScoreFrom(Staged.tokens(s, dir).skipgrams)),
     "quality_classify"    -> ((s, dir) =>
-      TextAnalysis.qualityClassify(Tables.documents(s, dir))),
+      TextAnalysis.qualityClassifyFrom(Staged.tokens(s, dir).tokens)),
     "dataset_card"        -> ((s, dir) =>
       TextAnalysis.datasetCard(Tables.documents(s, dir))),
     "substring_dedup"     -> ((s, dir) =>
@@ -210,7 +215,7 @@ object SparkEntry {
     "pq_recall_curve"     -> ((s, dir) =>
       Similarity.pqRecallCurve(Tables.embeddings(s, dir))),
     "tfidf_topk"          -> ((s, dir) =>
-      TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
+      TextAnalysis.tfidfTopKFrom(Staged.tokens(s, dir).tokens)),
     "value_quantiles"     -> ((s, dir) => Ledger.valueQuantiles(cl(s, dir))),
     "key_skew_report"     -> ((s, dir) => Ledger.keySkewReport(cl(s, dir))),
     "sync_lag"            -> ((s, dir) => Ledger.syncLag(cl(s, dir))),
@@ -222,10 +227,12 @@ object SparkEntry {
       Snapshot.backfillPlan(Tables.customer(s, dir))),
     "ingest_parity"       -> ((s, dir) =>
       TextAnalysis.ingestParity(Tables.documents(s, dir))),
-    "pmi_pairs"           -> ((s, dir) =>
-      TextAnalysis.pmiPairs(Tables.documents(s, dir))),
+    "pmi_pairs"           -> ((s, dir) => {
+      val st = Staged.tokens(s, dir)
+      TextAnalysis.pmiPairsFrom(st.skipgrams, st.freq)
+    }),
     "bpe_apply"           -> ((s, dir) =>
-      TextAnalysis.bpeApplyStep(Tables.documents(s, dir))),
+      TextAnalysis.bpeApplyStepFrom(Staged.tokens(s, dir).freq)),
     "apply_batch_plan"    -> ((s, dir) =>
       ChangeLog.applyBatchPlan(cl(s, dir))),
     "props_census"        -> ((s, dir) =>
@@ -258,11 +265,14 @@ object SparkEntry {
     "kmeans_shift"        -> ((s, dir) =>
       Similarity.kmeansShift(Tables.embeddings(s, dir))),
     "cooccur_topk"        -> ((s, dir) =>
-      TextAnalysis.cooccurTopK(Tables.documents(s, dir))),
+      TextAnalysis.cooccurTopKFrom(Staged.tokens(s, dir).skipgrams)),
     "olap_order_priority" -> ((s, dir) =>
       Analytics.orderPriority(Tables.orders(s, dir), Tables.lineitem(s, dir))),
-    "quality_calibration" -> ((s, dir) =>
-      TextAnalysis.qualityCalibration(Tables.documents(s, dir))),
+    "quality_calibration" -> ((s, dir) => {
+      val st = Staged.tokens(s, dir)
+      TextAnalysis.qualityCalibrationFrom(
+        TextAnalysis.qualityClassifyFrom(st.tokens), st.gopher)
+    }),
     "cluster_size_hist"   -> ((s, dir) => Dedup.clusterSizeHistFrom(
       Dedup.dupClustersFrom(Staged.dedup(s, dir).dups))),
     "user_profile"        -> ((s, dir) => Temporal.userProfile(cl(s, dir))),

@@ -4,18 +4,29 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 
-/** Session-scoped staged relations for the dedup family — the
-  * production shape of "the signature table is a staged table"
-  * (Dedup scaladoc): the corpus scan, the shingle explode, the 64-wide
-  * minhash aggregate, the LSH candidate+verify chain, and the SimHash
-  * fingerprint pass each run ONCE per (session, corpus dir), and every
-  * composed consumer (sweep, apply, clusters, overlap, agreement,
-  * estimator gate, band sweep, incremental) reads the same staged
-  * copies. At 100 TB this is the difference between one corpus
-  * shuffle feeding ten reports and ten corpus shuffles; locally it
-  * removes the rebuilt chain from ~10 of the bench's dedup queries.
+/** Session-scoped staged relations — the production shape of "the
+  * signature table is a staged table" (Dedup scaladoc), applied to the
+  * two families whose queries share expensive corpus passes:
+  *
+  *  - [[dedup]]: the corpus scan, the shingle explode, the 64-wide
+  *    minhash aggregate, the LSH candidate+verify chain, and the
+  *    SimHash fingerprint pass run ONCE per (session, corpus dir);
+  *    every composed consumer (sweep, apply, clusters, overlap,
+  *    agreement, estimator gate, band sweep, incremental) reads the
+  *    same staged copies.
+  *  - [[tokens]]: the (doc_id, token) corpus tokenization, the
+  *    vocabulary-sized frequency table, the skip-gram relation, the
+  *    gopher-quality verdicts, and the winnow fingerprints run ONCE
+  *    and feed the whole token family (top-k, BPE merge/apply, vocab
+  *    coverage, PMI, co-occurrence, rarity, drift, LM scoring, TF-IDF,
+  *    classifier+calibration, rollup, budget, winnow stats,
+  *    contamination).
+  *
+  * At 100 TB this is the difference between one corpus shuffle feeding
+  * ten reports and ten corpus shuffles; locally it removes the rebuilt
+  * chains from ~25 of the bench's queries.
   *
   * Staging is lazy (`localCheckpoint(eager = false)`): nothing runs at
   * lookup; the first ACTION on any consumer materializes the staged
@@ -24,11 +35,18 @@ import graft.operators.Dedup
   * operator forms — the staged relations are the very intermediates
   * those forms build internally, so the DuckDB oracles are unchanged.
   *
+  * Cluster caveat: localCheckpoint is NOT fault-tolerant — its blocks
+  * live in executor storage, so losing an executor after
+  * materialization breaks every later consumer of the staged relations
+  * for the rest of the session. On a long-lived multi-tenant cluster,
+  * swap in reliable `checkpoint()` (HDFS/object-store backed) at the
+  * same call sites; the plan shape and the consumers are unchanged.
+  *
   * Keyed by (session, dir): a new session or a different corpus path
   * stages fresh; re-writing parquet UNDER an already-staged dir within
   * one session serves stale data (same contract as any staged table —
-  * call [[invalidate]] after in-place rewrites, as the amplified-corpus
-  * parity lane's fresh-JVM runs do implicitly).
+  * call [[invalidate]] after in-place rewrites; AmplifyCorpus does so
+  * in its write path).
   */
 object Staged {
 
@@ -41,7 +59,17 @@ object Staged {
     def dups: DataFrame = Dedup.minhashDedupFrom(verified)
   }
 
+  /** The staged token-family relations of one (session, corpus) pair:
+    * the (doc_id, lang, source, token) explode, the (token, tf)
+    * frequency table, the (doc_id, w1, w2, d) skip-grams, the
+    * gopher-quality verdicts, and the (doc_id, source, fp) winnow
+    * fingerprints. */
+  final case class TokenRels(tokens: DataFrame, freq: DataFrame,
+                             skipgrams: DataFrame, gopher: DataFrame,
+                             winnow: DataFrame)
+
   private val cache = TrieMap.empty[(SparkSession, String), DedupRels]
+  private val tokenCache = TrieMap.empty[(SparkSession, String), TokenRels]
 
   /** The staged dedup relations for the documents table under `sfDir`,
     * built on first request per (session, dir). */
@@ -55,8 +83,22 @@ object Staged {
       DedupRels(sh, sigs, verified, simPairs)
     })
 
+  /** The staged token-family relations for the documents table under
+    * `sfDir`, built on first request per (session, dir). */
+  def tokens(spark: SparkSession, sfDir: String): TokenRels =
+    tokenCache.getOrElseUpdate((spark, sfDir), {
+      val docs = Tables.documents(spark, sfDir)
+      val toks = TextAnalysis.tokensRel(docs).localCheckpoint(false)
+      val freq = TextAnalysis.tokenFreqFrom(toks).localCheckpoint(false)
+      val skip = TextAnalysis.skipgramsRel(docs).localCheckpoint(false)
+      val gopher = TextAnalysis.gopherQualityFrom(docs, toks)
+        .localCheckpoint(false)
+      val winnow = TextAnalysis.winnowSelectedSrc(docs).localCheckpoint(false)
+      TokenRels(toks, freq, skip, gopher, winnow)
+    })
+
   /** Drop all staged entries (block-manager copies are reclaimed by the
     * context cleaner once unreferenced). For in-place corpus rewrites
     * within a session — tests and the amplify lane. */
-  def invalidate(): Unit = cache.clear()
+  def invalidate(): Unit = { cache.clear(); tokenCache.clear() }
 }

@@ -19,6 +19,46 @@ object TextAnalysis {
   /** Whitespace tokens (corpus is single-space joined). */
   val tokensCol: Column = split(col("text"), " ")
 
+  // --- staged token relations ---------------------------------------------
+  // The token-explode family (top-k, BPE, vocab, PMI, co-occurrence,
+  // rarity, drift, LM scoring, TF-IDF, classifier) all start from the
+  // same corpus tokenization. graft.Staged materializes these relations
+  // once per (session, corpus) and the `*From` entry points below
+  // consume the staged copies — at 100 TB that is ONE corpus
+  // tokenization feeding ten reports instead of ten tokenizations.
+  // Results are identical to the standalone forms by construction: the
+  // staged relations are the exact intermediates those forms build.
+
+  /** The canonical (doc_id, lang, source, token) corpus tokenization —
+    * the one explode the staged token family shares. Carries only the
+    * id columns the input actually has, so the standalone operator
+    * forms keep working on minimal (doc_id, text) relations. */
+  def tokensRel(documents: DataFrame): DataFrame = {
+    val ids = Seq("doc_id", "lang", "source")
+      .filter(documents.columns.contains).map(col)
+    documents.select(ids :+ explode(tokensCol).as("token"): _*)
+  }
+
+  /** Vocabulary-sized corpus token frequency (token, tf) — sublinear in
+    * corpus size, so every consumer treats it as broadcastable. */
+  def tokenFreqFrom(tokens: DataFrame): DataFrame =
+    tokens.groupBy("token").agg(count(lit(1)).as("tf"))
+
+  /** (doc_id, w1, w2, d) ordered skip-gram pairs within
+    * [[CooccurWindow]] positions; d = token distance (1..window).
+    * Distance-1 rows ARE the bigram relation (LM scoring, PMI); the
+    * full set is the co-occurrence relation. Generated inside each
+    * document's token array — shuffle-free narrow explode. */
+  def skipgramsRel(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), tokensCol.as("tk"))
+      .select(col("doc_id"), explode(expr(
+        s"flatten(transform(tk, (w, i) -> " +
+          s"transform(slice(tk, i + 2, $CooccurWindow), " +
+          s"(b, j) -> struct(w as w1, b as w2, " +
+          s"cast(j + 1 as bigint) as d))))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
+        col("p.d").as("d"))
+
   /** Per-language quality stats: doc count, chars, tokens, stopwords,
     * punctuation — all bigint. */
   def textStats(documents: DataFrame): DataFrame =
@@ -123,10 +163,12 @@ object TextAnalysis {
     * token). One shuffle with map-side combine; the top-k is a
     * TakeOrdered, not a full sort. */
   def tokenTopK(documents: DataFrame, k: Int = 20): DataFrame =
-    documents
-      .select(explode(tokensCol).as("token"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("n"))
+    tokenTopKFrom(tokenFreqFrom(tokensRel(documents)), k)
+
+  /** [[tokenTopK]] over a staged (token, tf) frequency relation. */
+  def tokenTopKFrom(freq: DataFrame, k: Int = 20): DataFrame =
+    freq
+      .select(col("token"), col("tf").as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
@@ -171,17 +213,29 @@ object TextAnalysis {
   /** One (doc_id, fp) row per DISTINCT selected winnow fingerprint —
     * the exploded relation winnowFingerprints aggregates and the
     * contamination check joins on. */
-  def winnowSelected(documents: DataFrame): DataFrame = {
+  def winnowSelected(documents: DataFrame): DataFrame =
+    // source is functionally determined by doc_id, so projecting it
+    // away off the staged relation introduces no duplicates
+    winnowSelectedSrc(documents).select("doc_id", "fp")
+
+  /** [[winnowSelected]] carrying the source column — the staged form
+    * (graft.Staged), so one winnowing pass can feed both the
+    * fingerprint stats and the train/eval contamination split. */
+  def winnowSelectedSrc(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
-    val toks = documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // source rides along when present (the staged/contamination form);
+    // minimal (doc_id, text) relations winnow without it
+    val ids = Seq("doc_id", "source")
+      .filter(documents.columns.contains).map(col)
+    val toks = documents.select(ids :+ split(col("text"), " ").as("toks"): _*)
     val kgrams = toks
       .where(size(col("toks")) >= WinnowK)
-      .select(col("doc_id"), posexplode(expr(
+      .select(ids :+ posexplode(expr(
         s"transform(sequence(0, size(toks)-$WinnowK), " +
           s"i -> concat_ws(' ', slice(toks, i+1, $WinnowK)))"))
-        .as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"),
-        graft.functions.PortableHash.phash(col("g")).as("h"))
+        .as(Seq("pos", "g")): _*)
+      .select(ids :+ col("pos") :+
+        graft.functions.PortableHash.phash(col("g")).as("h"): _*)
     val win = W.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(0, WinnowW - 1)
     kgrams
@@ -191,12 +245,16 @@ object TextAnalysis {
       // still sees its full w-wide frame; docs with fewer than w
       // k-grams keep their single truncated window (pos 0)
       .where(col("pos") <= greatest(col("n_kgrams") - WinnowW, lit(0L)))
-      .select("doc_id", "fp")
+      .select(ids :+ col("fp"): _*)
       .distinct()
   }
 
   def winnowFingerprints(documents: DataFrame): DataFrame =
-    winnowSelected(documents)
+    winnowFingerprintsFrom(winnowSelectedSrc(documents))
+
+  /** [[winnowFingerprints]] over a staged winnow relation. */
+  def winnowFingerprintsFrom(winnow: DataFrame): DataFrame =
+    winnow
       .groupBy("doc_id")
       .agg(collect_set("fp").as("fps"))
       .select(col("doc_id"), col("fps"),
@@ -214,9 +272,17 @@ object TextAnalysis {
     * relation at scale (broadcastable for real benchmark suites); no
     * doc×doc comparison anywhere. */
   def contaminationCheck(documents: DataFrame,
-                         evalSource: String = EvalSource): DataFrame = {
-    val trainFps = winnowSelected(documents.where(col("source") =!= evalSource))
-    val evalFps = winnowSelected(documents.where(col("source") === evalSource))
+                         evalSource: String = EvalSource): DataFrame =
+    contaminationCheckFrom(winnowSelectedSrc(documents), evalSource)
+
+  /** [[contaminationCheck]] over a staged winnow relation — winnowing
+    * is per-document, so filtering by source AFTER the staged pass is
+    * exactly the standalone filter-then-winnow form. */
+  def contaminationCheckFrom(winnow: DataFrame,
+                             evalSource: String = EvalSource): DataFrame = {
+    val trainFps = winnow.where(col("source") =!= evalSource)
+      .select("doc_id", "fp")
+    val evalFps = winnow.where(col("source") === evalSource)
       .select(col("fp"), col("doc_id").as("eval_doc_id"))
     trainFps
       .join(evalFps, "fp")
@@ -228,7 +294,11 @@ object TextAnalysis {
   /** Query-shaped winnowing summary (fingerprint arrays are not
     * hash-stable across engines, so expose scalar stats). */
   def winnowStats(documents: DataFrame): DataFrame =
-    winnowFingerprints(documents).select(
+    winnowStatsFrom(winnowSelectedSrc(documents))
+
+  /** [[winnowStats]] over a staged winnow relation. */
+  def winnowStatsFrom(winnow: DataFrame): DataFrame =
+    winnowFingerprintsFrom(winnow).select(
       col("doc_id"), col("n_fps"),
       array_min(col("fps")).as("min_fp"),
       array_max(col("fps")).as("max_fp"))
@@ -311,10 +381,15 @@ object TextAnalysis {
     * map-side — no operator here sees more than the per-doc token
     * explode, so the shape holds at corpus scale. Ratios are integer
     * milli (hash-stable across engines). */
-  def gopherQuality(documents: DataFrame): DataFrame = {
+  def gopherQuality(documents: DataFrame): DataFrame =
+    gopherQualityFrom(documents, tokensRel(documents))
+
+  /** [[gopherQuality]] with the per-token stats read from a staged
+    * token relation (the 2-gram pass still needs the token arrays). */
+  def gopherQualityFrom(documents: DataFrame, tokens: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"), tokensCol.as("tk"))
-    val tokStats = toks
-      .select(col("doc_id"), explode(col("tk")).as("t"))
+    val tokStats = tokens
+      .select(col("doc_id"), col("token").as("t"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct(col("t")).as("n_distinct"),
@@ -358,11 +433,15 @@ object TextAnalysis {
     * vocab grows sublinearly in corpus size), so the only full shuffle
     * is the doc_id re-aggregation. */
   def docRarity(documents: DataFrame): DataFrame = {
-    val toks = documents
-      .select(col("doc_id"), explode(tokensCol).as("t"))
-    val freq = toks.groupBy("t").agg(count(lit(1)).as("tf"))
-    toks
-      .join(freq, "t")
+    val t = tokensRel(documents)
+    docRarityFrom(t, tokenFreqFrom(t))
+  }
+
+  /** [[docRarity]] over staged token + frequency relations. */
+  def docRarityFrom(tokens: DataFrame, freq: DataFrame): DataFrame =
+    tokens
+      .select(col("doc_id"), col("token"))
+      .join(freq, "token")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum("tf").cast("long").as("sum_tf"),
@@ -370,7 +449,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         expr("(sum_tf * 1000) div n_tokens").as("mean_tf_milli"),
         col("min_tf"))
-  }
 
   // --- chunking & packing --------------------------------------------------
 
@@ -444,8 +522,13 @@ object TextAnalysis {
     * full-outer align, 1-row broadcast totals, TakeOrdered top-k —
     * nothing here scales with corpus size except the explode. */
   def distDrift(documents: DataFrame,
-                evalSource: String = EvalSource): DataFrame = {
-    val toks = documents.select(col("source"), explode(tokensCol).as("token"))
+                evalSource: String = EvalSource): DataFrame =
+    distDriftFrom(tokensRel(documents), evalSource)
+
+  /** [[distDrift]] over a staged token relation. */
+  def distDriftFrom(tokens: DataFrame,
+                    evalSource: String = EvalSource): DataFrame = {
+    val toks = tokens.select(col("source"), col("token"))
     val tr = toks.where(col("source") =!= evalSource)
       .groupBy("token").agg(count(lit(1)).as("c_train"))
     val ev = toks.where(col("source") === evalSource)
@@ -469,7 +552,11 @@ object TextAnalysis {
     * Integer means (sum div count); one join of two doc_id-keyed
     * relations and one source-keyed aggregate. */
   def sourceRollup(documents: DataFrame): DataFrame =
-    gopherQuality(documents)
+    sourceRollupFrom(documents, gopherQuality(documents))
+
+  /** [[sourceRollup]] over a staged gopher-quality relation. */
+  def sourceRollupFrom(documents: DataFrame, gopher: DataFrame): DataFrame =
+    gopher
       .join(documents.select(col("doc_id"), col("source")), "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -543,12 +630,12 @@ object TextAnalysis {
     * map-side-combined pair count; the token table is never self-
     * joined. Top-K is TakeOrdered, never a global sort. */
   def cooccurTopK(documents: DataFrame, k: Int = CooccurTopK): DataFrame =
-    documents.select(tokensCol.as("tk"))
-      .select(explode(expr(
-        s"flatten(transform(tk, (w, i) -> " +
-          s"transform(slice(tk, i + 2, $CooccurWindow), " +
-          s"b -> struct(w as w_a, b as w_b))))")).as("p"))
-      .select(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
+    cooccurTopKFrom(skipgramsRel(documents), k)
+
+  /** [[cooccurTopK]] over a staged skip-gram relation. */
+  def cooccurTopKFrom(skipgrams: DataFrame, k: Int = CooccurTopK): DataFrame =
+    skipgrams
+      .select(col("w1").as("w_a"), col("w2").as("w_b"))
       .groupBy("w_a", "w_b")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w_a"), col("w_b"))
@@ -619,9 +706,12 @@ object TextAnalysis {
     * weighted by token counts, never over the raw token stream. Top-k
     * via TakeOrdered (orderBy+limit), ties broken by pair. */
   def bpeMergeStep(documents: DataFrame): DataFrame =
-    documents
-      .select(explode(tokensCol).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("tf"))
+    bpeMergeStepFrom(tokenFreqFrom(tokensRel(documents)))
+
+  /** [[bpeMergeStep]] over a staged (token, tf) frequency relation. */
+  def bpeMergeStepFrom(freq: DataFrame): DataFrame =
+    freq
+      .select(col("token").as("t"), col("tf"))
       .where(length(col("t")) >= 2)
       .select(col("tf"), explode(expr(
         "transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))"))
@@ -648,9 +738,13 @@ object TextAnalysis {
     * language) and only the within-bucket residual ordering windows
     * over docs — partitioned by (lang, quality), thousands of
     * independent partitions. */
-  def tokenBudget(documents: DataFrame): DataFrame = {
+  def tokenBudget(documents: DataFrame): DataFrame =
+    tokenBudgetFrom(documents, gopherQuality(documents))
+
+  /** [[tokenBudget]] over a staged gopher-quality relation. */
+  def tokenBudgetFrom(documents: DataFrame, gopher: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
-    val docs = gopherQuality(documents)
+    val docs = gopher
       .select(col("doc_id"), col("n_tokens"),
         col("distinct_milli").as("quality_milli"))
       .join(documents.select(col("doc_id"), col("lang")), "doc_id")
@@ -715,10 +809,16 @@ object TextAnalysis {
     * relative to the corpus); coverage is one left join + one per-lang
     * aggregate over the token explode. */
   def vocabCoverage(documents: DataFrame): DataFrame = {
-    val toks = documents.select(col("lang"), explode(tokensCol).as("t"))
-    val vocab = toks.groupBy("t").agg(count(lit(1)).as("tf"))
-      .orderBy(col("tf").desc, col("t")).limit(VocabK)
-      .select(col("t"), lit(1L).as("in_vocab"))
+    val t = tokensRel(documents)
+    vocabCoverageFrom(t, tokenFreqFrom(t))
+  }
+
+  /** [[vocabCoverage]] over staged token + frequency relations. */
+  def vocabCoverageFrom(tokens: DataFrame, freq: DataFrame): DataFrame = {
+    val toks = tokens.select(col("lang"), col("token").as("t"))
+    val vocab = freq
+      .orderBy(col("tf").desc, col("token")).limit(VocabK)
+      .select(col("token").as("t"), lit(1L).as("in_vocab"))
     toks
       .join(broadcast(vocab), Seq("t"), "left")
       .groupBy("lang")
@@ -741,14 +841,14 @@ object TextAnalysis {
     * vocabulary²-sized (sublinear in corpus), AQE broadcasts them back
     * onto the bigram explode, and the only corpus-sized shuffle is the
     * final doc_id aggregate. */
-  def ngramLmScore(documents: DataFrame): DataFrame = {
-    val bigrams = documents
-      .select(col("doc_id"), tokensCol.as("tk"))
-      .where(size(col("tk")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(tk)-2), " +
-          "i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+  def ngramLmScore(documents: DataFrame): DataFrame =
+    ngramLmScoreFrom(skipgramsRel(documents))
+
+  /** [[ngramLmScore]] over a staged skip-gram relation (the d=1 rows
+    * are exactly the adjacent-bigram relation). */
+  def ngramLmScoreFrom(skipgrams: DataFrame): DataFrame = {
+    val bigrams = skipgrams.where(col("d") === 1)
+      .select(col("doc_id"), col("w1"), col("w2"))
     val pairCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val prefixCounts = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
     bigrams
@@ -775,15 +875,15 @@ object TextAnalysis {
     * engines compute the identical truncation order. Count relations
     * are vocabulary-sized; top-k is a TakeOrdered. */
   def pmiPairs(documents: DataFrame): DataFrame = {
-    val toks = documents.select(col("doc_id"), tokensCol.as("tk"))
-    val uni = documents.select(explode(tokensCol).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("c"))
+    val t = tokensRel(documents)
+    pmiPairsFrom(skipgramsRel(documents), tokenFreqFrom(t))
+  }
+
+  /** [[pmiPairs]] over staged skip-gram + frequency relations. */
+  def pmiPairsFrom(skipgrams: DataFrame, freq: DataFrame): DataFrame = {
+    val uni = freq.select(col("token").as("t"), col("tf").as("c"))
     val tot = uni.agg(sum("c").cast("long").as("n_tok"))
-    val pairs = toks
-      .where(size(col("tk")) >= 2)
-      .select(explode(expr("transform(sequence(0, size(tk)-2), " +
-        "i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairs = skipgrams.where(col("d") === 1)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .where(col("c12") >= PmiMinCount)
     pairs
@@ -805,11 +905,14 @@ object TextAnalysis {
     * The merge target arrives as a broadcast 1-row relation — never a
     * collected driver value — so the whole iteration is one plan.
     * Replacement is left-to-right non-overlapping in both engines. */
-  def bpeApplyStep(documents: DataFrame): DataFrame = {
-    val top = bpeMergeStep(documents).limit(1)
+  def bpeApplyStep(documents: DataFrame): DataFrame =
+    bpeApplyStepFrom(tokenFreqFrom(tokensRel(documents)))
+
+  /** [[bpeApplyStep]] over a staged (token, tf) frequency relation. */
+  def bpeApplyStepFrom(freq: DataFrame): DataFrame = {
+    val top = bpeMergeStepFrom(freq).limit(1)
       .select(col("pair"), col("n").as("pair_n"))
-    val vocab = documents.select(explode(tokensCol).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("tf"))
+    val vocab = freq.select(col("token").as("t"), col("tf"))
     vocab
       .crossJoin(broadcast(top))
       .select(col("pair"), col("pair_n"), col("tf"),
@@ -848,12 +951,16 @@ object TextAnalysis {
     * of every production quality classifier (fastText, logistic
     * regression on bag-of-words). One token explode, one broadcast
     * join against the (tiny) weight table, one doc aggregate. */
-  def qualityClassify(documents: DataFrame): DataFrame = {
+  def qualityClassify(documents: DataFrame): DataFrame =
+    qualityClassifyFrom(tokensRel(documents))
+
+  /** [[qualityClassify]] over a staged token relation. */
+  def qualityClassifyFrom(tokens: DataFrame): DataFrame = {
     val weights = ClassifierWeights.foldLeft(lit(0L)) {
       case (acc, (w, v)) => when(col("t") === w, lit(v)).otherwise(acc)
     }
-    documents
-      .select(col("doc_id"), explode(tokensCol).as("t"))
+    tokens
+      .select(col("doc_id"), col("token").as("t"))
       .select(col("doc_id"), weights.as("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -881,10 +988,16 @@ object TextAnalysis {
     * ntile is an unpartitioned window (the single-reducer trap) while
     * this stays a narrow projection. */
   def qualityCalibration(documents: DataFrame): DataFrame =
-    qualityClassify(documents)
+    qualityCalibrationFrom(qualityClassify(documents),
+      gopherQuality(documents))
+
+  /** [[qualityCalibration]] over staged classifier + gopher relations. */
+  def qualityCalibrationFrom(classified: DataFrame,
+                             gopher: DataFrame): DataFrame =
+    classified
       .select(col("doc_id"),
         expr(s"(score_milli + $CalibShiftMilli) div 100").as("score_bucket"))
-      .join(gopherQuality(documents).select(col("doc_id"), col("keep")),
+      .join(gopher.select(col("doc_id"), col("keep")),
         "doc_id")
       .groupBy("score_bucket")
       .agg(count(lit(1)).as("n_docs"),
@@ -904,10 +1017,13 @@ object TextAnalysis {
     * document-frequency relation is vocabulary-sized (AQE broadcasts
     * it onto the per-doc term counts); ranking windows partition by
     * doc_id — corpus-parallel. */
-  def tfidfTopK(documents: DataFrame): DataFrame = {
+  def tfidfTopK(documents: DataFrame): DataFrame =
+    tfidfTopKFrom(tokensRel(documents))
+
+  /** [[tfidfTopK]] over a staged token relation. */
+  def tfidfTopKFrom(tokens: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
-    val tf = documents
-      .select(col("doc_id"), explode(tokensCol).as("token"))
+    val tf = tokens
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))

@@ -198,6 +198,45 @@ class PlanSpec extends AnyFunSuite {
     assert(sawCollect, "vacuous: no collect_list aggregate found at all")
   }
 
+  test("staged build chains: no cartesians, no unpartitioned windows — " +
+    "these are the plans that actually execute at materialization") {
+    // the checkpoint boundary hides these chains from the registry-wide
+    // audits above, so pin them directly: every relation graft.Staged
+    // materializes (dedup family + token family) must keep the bucketed
+    // / doc-partitioned shape it was designed with
+    val docs = Tables.documents(spark, Sf)
+    val toks = graft.operators.TextAnalysis.tokensRel(docs)
+    val builds = Map(
+      "staged.sh" -> (() => graft.operators.Dedup.shingleHashes(docs)),
+      "staged.sigs" -> (() => graft.operators.Dedup.signaturesFromHashes(
+        graft.operators.Dedup.shingleHashes(docs))),
+      "staged.verified" -> (() => {
+        val sh = graft.operators.Dedup.shingleHashes(docs)
+        graft.operators.Dedup.ngramJaccardFrom(sh,
+          graft.operators.Dedup.signaturesFromHashes(sh))
+      }),
+      "staged.simPairs" -> (() => graft.operators.Dedup.simhashDedup(docs)),
+      "staged.tokens" -> (() => toks),
+      "staged.freq" -> (() => graft.operators.TextAnalysis.tokenFreqFrom(toks)),
+      "staged.skipgrams" -> (() => graft.operators.TextAnalysis.skipgramsRel(docs)),
+      "staged.gopher" -> (() =>
+        graft.operators.TextAnalysis.gopherQualityFrom(docs, toks)),
+      "staged.winnow" -> (() =>
+        graft.operators.TextAnalysis.winnowSelectedSrc(docs)))
+    for ((name, build) <- builds) {
+      val pe = build().queryExecution.executedPlan
+      val p = pe.toString
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name has a nested-loop join:\n$p")
+      val windows = pe.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$name has an unpartitioned (single-reducer) window:\n$w"))
+    }
+  }
+
   test("PLANS.md matches the live physical plans (drift gate)") {
     // Recomputes every query's PLANS.md summary row with the same
     // counting rules as scripts/plans.py and diffs against the
