@@ -1896,6 +1896,61 @@ object OracleSql {
          |LEFT JOIN hits h USING (q_id)""".stripMargin
     },
 
+    "ivf_recall_curve" -> {
+      val k = graft.operators.Similarity.TopK
+      val ps = graft.operators.Similarity.IvfProbeCounts
+      val perP = ps.map { p =>
+        s"""ap$p AS (SELECT q_id, vec_id AS cand_id FROM (
+           |  SELECT pr.q_id, pr.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY pr.q_id
+           |      ORDER BY list_cosine_similarity(q.qv, c.v) DESC, pr.vec_id)
+           |      AS rn
+           |  FROM (SELECT p.q_id, a.vec_id
+           |        FROM probes p JOIN assign a USING (centroid_id)
+           |        WHERE p.rn <= $p) pr
+           |  JOIN q ON pr.q_id = q.q_id
+           |  JOIN cand c ON pr.vec_id = c.vec_id) t WHERE rn <= $k),
+           |h$p AS (SELECT CAST($p AS BIGINT) AS probes,
+           |    CAST(COUNT(*) AS BIGINT) AS sum_hits
+           |  FROM truth t JOIN ap$p a
+           |    ON t.q_id = a.q_id AND t.cand_id = a.cand_id)""".stripMargin
+      }.mkString(",\n")
+      val union = ps.map(p => s"SELECT probes, sum_hits FROM h$p")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+         |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+         |truth AS (SELECT q_id, cand_id FROM (
+         |  SELECT q_id, cand.vec_id AS cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY list_cosine_similarity(qv, v) DESC, cand.vec_id)
+         |      AS rn
+         |  FROM q, cand) t WHERE rn <= $k),
+         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+         |  WHERE vec_id BETWEEN 8 AND 23),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT cand.vec_id, cent.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+         |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id)
+         |        AS rn
+         |    FROM cand, cent) t WHERE rn = 1),
+         |probes AS (
+         |  SELECT q_id, centroid_id, rn FROM (
+         |    SELECT q_id, centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY list_cosine_similarity(qv, cv) DESC, centroid_id)
+         |        AS rn
+         |    FROM q, cent) t),
+         |$perP
+         |SELECT u.probes, u.sum_hits,
+         |  (u.sum_hits * 1000) //
+         |    ((SELECT COUNT(DISTINCT q_id) FROM truth) * $k)
+         |    AS mean_recall_milli
+         |FROM ($union) u""".stripMargin
+    },
+
     "pmi_pairs" ->
       s"""WITH uni AS (SELECT t.t AS t, CAST(COUNT(*) AS BIGINT) AS c
          |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)

@@ -221,6 +221,8 @@ object SparkEntry {
     "sync_lag"            -> ((s, dir) => Ledger.syncLag(cl(s, dir))),
     "ivf_recall"          -> ((s, dir) =>
       Similarity.ivfRecall(Tables.embeddings(s, dir))),
+    "ivf_recall_curve"    -> ((s, dir) =>
+      Similarity.ivfRecallCurve(Tables.embeddings(s, dir))),
     "shard_balance"       -> ((s, dir) =>
       TextAnalysis.shardBalance(Tables.documents(s, dir))),
     "backfill_plan"       -> ((s, dir) =>

@@ -152,17 +152,25 @@ object Similarity {
     * the probe join shuffles on centroid_id (≤ NumCentroids keys ×
     * balanced lists) and candidate vectors stream through the codegen'd
     * cosine once. */
-  def ivfTopK(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+  def ivfTopK(embeddings: DataFrame, k: Int = TopK,
+              numProbes: Int = NumProbes): DataFrame =
+    ivfTopKFrom(ivfAssign(embeddings), embeddings, k, numProbes)
+
+  /** [[ivfTopK]] over a pre-built (staged) list assignment — the
+    * probe-count sweep evaluates 5 probe settings against ONE
+    * assignment pass. */
+  def ivfTopKFrom(assign: DataFrame, embeddings: DataFrame,
+                  k: Int = TopK, numProbes: Int = NumProbes): DataFrame = {
     val cents = broadcast(centroids(embeddings))
     val q = queries(embeddings)
     val probes = q.join(cents)
       .withColumn("sim", cosineSim(col("q_vec"), col("cv")))
       .withColumn("rn", row_number().over(Window.partitionBy("q_id")
         .orderBy(col("sim").desc, col("centroid_id"))))
-      .where(col("rn") <= NumProbes)
+      .where(col("rn") <= numProbes)
       .select("q_id", "centroid_id")
     val probed = probes
-      .join(ivfAssign(embeddings), Seq("centroid_id"))
+      .join(assign, Seq("centroid_id"))
       .select("q_id", "vec_id")
     probed
       .join(candidates(embeddings).withColumnRenamed("cand_id", "vec_id"), "vec_id")
@@ -436,6 +444,34 @@ object Similarity {
     recallAtK(
       bruteTopK(embeddings, k).select(col("q_id"), col("cand_id")),
       ivfTopK(embeddings, k).select(col("q_id"), col("cand_id")), k)
+
+  /** Probe counts evaluated by [[ivfRecallCurve]]. */
+  val IvfProbeCounts: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** Recall-vs-probe-count curve for the IVF index — [[ivfRecall]]
+    * evaluated at every probe setting in [[IvfProbeCounts]], so the
+    * recall/fan-out dial has measured positions instead of a 10-60%
+    * anecdote. The exact truth and the list assignment are staged once
+    * (localCheckpoint); each probe setting re-ranks only the probed
+    * candidates. probes=NumCentroids would be exhaustive cosine search
+    * — recall 1000 by construction — so the curve's top end sanity-
+    * checks itself. */
+  def ivfRecallCurve(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val assign = ivfAssign(embeddings).localCheckpoint(false)
+    val truth = bruteTopK(embeddings, k)
+      .select(col("q_id"), col("cand_id")).localCheckpoint(false)
+    val nq = truth.select("q_id").distinct().agg(count(lit(1)).as("n_q"))
+    IvfProbeCounts.map { p =>
+      recallAtK(truth,
+        ivfTopKFrom(assign, embeddings, k, p)
+          .select(col("q_id"), col("cand_id")), k)
+        .agg(sum("n_hits").cast("long").as("sum_hits"))
+        .select(lit(p.toLong).as("probes"), col("sum_hits"))
+    }.reduce(_.unionByName(_))
+      .join(broadcast(nq))
+      .select(col("probes"), col("sum_hits"),
+        expr(s"(sum_hits * 1000) div (n_q * ${k}L)").as("mean_recall_milli"))
+  }
 
   // --- trained product quantization ----------------------------------------
 

@@ -93,7 +93,8 @@ class PlanSpec extends AnyFunSuite {
       "pq_search", "pq_recall", "pq_recall_trained", "pq_recall_curve",
       "key_skew_report",
       "sync_lag",
-      "ivf_recall", "shard_balance", "pmi_pairs", "bpe_apply",
+      "ivf_recall", "ivf_recall_curve", "shard_balance", "pmi_pairs",
+      "bpe_apply",
       "kmeans_shift", "fk_integrity")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
