@@ -46,20 +46,14 @@ object AmplifyCorpus {
     Files.delete(Paths.get(stage))
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val outDir = args.lift(1).getOrElse("/tmp/graft_amp")
-    val k = args.lift(2).map(_.toInt).getOrElse(10)
+  /** Amplifies `sfDir` k× into `outDir` (documents/events rewritten,
+    * other tables symlinked) and returns (n_documents, n_events) of the
+    * written copy. Invalidates [[Staged]] afterwards: `outDir` may have
+    * been staged by this session before an in-place re-amplify, and the
+    * staged relations would otherwise serve the pre-rewrite corpus. */
+  def amplify(spark: SparkSession, sfDir: String, outDir: String,
+              k: Int): (Long, Long) = {
     require(k >= 2, s"k must be >= 2 (got $k)")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
     Files.createDirectories(Paths.get(outDir))
     val docs0 = Tables.documents(spark, sfDir)
     val ev0 = Tables.events(spark, sfDir)
@@ -78,9 +72,25 @@ object AmplifyCorpus {
       Files.createSymbolicLink(dst,
         Paths.get(sfDir, s"$t.parquet").toAbsolutePath)
     }
+    Staged.invalidate()
+    (spark.read.parquet(s"$outDir/documents.parquet").count(),
+      spark.read.parquet(s"$outDir/events.parquet").count())
+  }
 
-    val nd = spark.read.parquet(s"$outDir/documents.parquet").count()
-    val ne = spark.read.parquet(s"$outDir/events.parquet").count()
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_amp")
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (nd, ne) = amplify(spark, sfDir, outDir, k)
     println(s"""{"metric":"amplify","k":$k,"base":"$sfDir","out":"$outDir",""" +
       s""""documents":$nd,"events":$ne}""")
     spark.stop()

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the [[Staged]] invalidation contract at the one call site that
+  * rewrites parquet in-place within a session: [[AmplifyCorpus.amplify]]
+  * over an output dir that may already be staged. Without the
+  * `Staged.invalidate()` in the write path, the second stage lookup
+  * below would serve the k=2 corpus (localCheckpoint blocks outlive the
+  * files they were built from) and the distinct-doc count would not
+  * move — i.e. the amplify lane's parity run would silently verify
+  * stale data unless launched in a fresh JVM.
+  */
+class StagedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("in-place re-amplify invalidates staged relations (no fresh JVM)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-amp").toString
+    val base = TestSpark.Sf
+
+    AmplifyCorpus.amplify(spark, base, out, 2)
+    val docs2 = Staged.tokens(spark, out).tokens
+      .select("doc_id").distinct().count()
+    val sh2 = Staged.dedup(spark, out).sh.count()
+
+    // in-place rewrite of the SAME dir at a larger k
+    AmplifyCorpus.amplify(spark, base, out, 3)
+    val docs3 = Staged.tokens(spark, out).tokens
+      .select("doc_id").distinct().count()
+    val sh3 = Staged.dedup(spark, out).sh.count()
+
+    assert(docs2 % 2 == 0 && docs3 == docs2 / 2 * 3,
+      s"staged tokens served stale corpus: k=2 docs=$docs2, k=3 docs=$docs3")
+    assert(sh3 > sh2,
+      s"staged shingle relation served stale corpus: k=2 sh=$sh2, k=3 sh=$sh3")
+  }
+}
