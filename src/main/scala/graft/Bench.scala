@@ -43,6 +43,23 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    // Force-materialize the staged relations BEFORE pass 1 and report
+    // the cost as staged_sec: otherwise pass 1's first staged consumer
+    // silently pays the one-time materialization, min-of-2 discards
+    // that sample, and the pass1/pass2 asymmetry pushes noise_ratio
+    // above 1.0 even on a quiet host — the noise instrument ends up
+    // measuring the cache instead of the machine. With staging paid up
+    // front, min-of-2 compares two steady-state passes and the total
+    // still carries the true cold-start cost (total + staged_sec).
+    val stagedSec = {
+      val t0 = System.nanoTime()
+      val d = Staged.dedup(spark, sfDir)
+      val t = Staged.tokens(spark, sfDir)
+      Seq(d.sh, d.sigs, d.verified, d.simPairs,
+        t.tokens, t.freq, t.skipgrams, t.gopher, t.winnow)
+        .foreach(_.count())
+      (System.nanoTime() - t0) / 1e9
+    }
     // Two INTERLEAVED end-to-end passes, per-query min across passes
     // (round-4 lesson: 2× back-to-back per query leaves both samples
     // inside the same multi-minute host-throttling window — ordered_
@@ -115,11 +132,11 @@ object Bench {
     }
     System.err.println(s"[bench] writing full per-query map to $benchLocal")
     java.nio.file.Files.writeString(benchLocal,
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","noise_ratio":${cs(noiseRatio)},"queries":$fullQs,"failed":$fs,"sf":${q(sfDir)}}""")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","staged_sec":${ms(stagedSec)},"noise_ratio":${cs(noiseRatio)},"queries":$fullQs,"failed":$fs,"sf":${q(sfDir)}}""")
     val topQs = byCost.take(TailTopK)
       .map { case (k, v) => s"${q(k)}:${cs(v)}" }.mkString("{", ",", "}")
     val otherSec = byCost.drop(TailTopK).map(_._2).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","noise_ratio":${cs(noiseRatio)},"queries":$topQs,"n_queries":${timings.size},"other_sec":${cs(otherSec)},"failed":$fs,"sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","staged_sec":${ms(stagedSec)},"noise_ratio":${cs(noiseRatio)},"queries":$topQs,"n_queries":${timings.size},"other_sec":${cs(otherSec)},"failed":$fs,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }
