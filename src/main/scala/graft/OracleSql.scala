@@ -53,36 +53,7 @@ object OracleSql {
   private lazy val PqTrainCtes: String = {
     import graft.operators.Similarity._
     val sd = PqSubDim
-    val intL2 = (a: String, b: String) =>
-      s"list_sum(list_transform(generate_series(1, $sd), " +
-        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
-    val rounds = (1 to PqTrainIters).map { r =>
-      val prev = s"pt_c${r - 1}"
-      s"""pt_d$r AS (SELECT s.vec_id, s.m, c.k,
-         |    ${intL2("s.sv6", "c.c6")} AS d12
-         |  FROM pt_sub s JOIN $prev c ON s.m = c.m),
-         |pt_a$r AS (SELECT vec_id, m, k FROM (SELECT vec_id, m, k,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d12, k)
-         |      AS rn FROM pt_d$r) t WHERE rn = 1),
-         |pt_m$r AS (SELECT a.m, a.k, CAST(d.i AS BIGINT) - 1 AS dim,
-         |    CAST(SUM(s.sv6[d.i]) AS BIGINT) AS s6,
-         |    CAST(COUNT(*) AS BIGINT) AS n
-         |  FROM pt_a$r a JOIN pt_sub s
-         |      ON a.vec_id = s.vec_id AND a.m = s.m,
-         |    UNNEST(generate_series(1, $sd)) AS d(i)
-         |  GROUP BY 1, 2, 3),
-         |pt_g$r AS (SELECT c.m, c.k, CAST(d.i AS BIGINT) - 1 AS dim,
-         |    c.c6[d.i] AS old6
-         |  FROM $prev c, UNNEST(generate_series(1, $sd)) AS d(i)),
-         |pt_r$r AS (SELECT g.m, g.k, g.dim,
-         |    CAST(COALESCE((mm.s6 - mm.s6 % mm.n) // mm.n, g.old6)
-         |      AS BIGINT) AS c6_e6,
-         |    CAST(COALESCE(mm.n, 0) AS BIGINT) AS n_members
-         |  FROM pt_g$r g LEFT JOIN pt_m$r mm
-         |    ON mm.m = g.m AND mm.k = g.k AND mm.dim = g.dim),
-         |pt_c$r AS (SELECT m, k, list(c6_e6 ORDER BY dim) AS c6
-         |  FROM pt_r$r GROUP BY 1, 2)""".stripMargin
-    }.mkString(",\n")
+    val rounds = lloydRoundsSql("pt")
     s"""pt_v6 AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
        |    x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS v6
        |  FROM embeddings),
@@ -95,6 +66,46 @@ object OracleSql {
        |  FROM pt_sub
        |  WHERE vec_id BETWEEN $CentroidLo AND ${CentroidLo + PqK - 1}),
        |$rounds""".stripMargin
+  }
+
+  /** [[graft.operators.Similarity.PqTrainIters]] Lloyd-round CTEs over
+    * `${p}_sub` (vec_id, m, sv6), seeded from `${p}_c0` (m, k, c6) —
+    * ends at `${p}_r{Iters}` (m, k, dim, c6_e6, n_members) and
+    * `${p}_c{Iters}` (m, k, c6 list). Shared by the raw-vector chain
+    * (prefix pt) and the residual chain (prefix rr). */
+  private def lloydRoundsSql(p: String): String = {
+    import graft.operators.Similarity._
+    val sd = PqSubDim
+    val intL2 = (a: String, b: String) =>
+      s"list_sum(list_transform(generate_series(1, $sd), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    (1 to PqTrainIters).map { r =>
+      val prev = s"${p}_c${r - 1}"
+      s"""${p}_d$r AS (SELECT s.vec_id, s.m, c.k,
+         |    ${intL2("s.sv6", "c.c6")} AS d12
+         |  FROM ${p}_sub s JOIN $prev c ON s.m = c.m),
+         |${p}_a$r AS (SELECT vec_id, m, k FROM (SELECT vec_id, m, k,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d12, k)
+         |      AS rn FROM ${p}_d$r) t WHERE rn = 1),
+         |${p}_m$r AS (SELECT a.m, a.k, CAST(d.i AS BIGINT) - 1 AS dim,
+         |    CAST(SUM(s.sv6[d.i]) AS BIGINT) AS s6,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM ${p}_a$r a JOIN ${p}_sub s
+         |      ON a.vec_id = s.vec_id AND a.m = s.m,
+         |    UNNEST(generate_series(1, $sd)) AS d(i)
+         |  GROUP BY 1, 2, 3),
+         |${p}_g$r AS (SELECT c.m, c.k, CAST(d.i AS BIGINT) - 1 AS dim,
+         |    c.c6[d.i] AS old6
+         |  FROM $prev c, UNNEST(generate_series(1, $sd)) AS d(i)),
+         |${p}_r$r AS (SELECT g.m, g.k, g.dim,
+         |    CAST(COALESCE((mm.s6 - mm.s6 % mm.n) // mm.n, g.old6)
+         |      AS BIGINT) AS c6_e6,
+         |    CAST(COALESCE(mm.n, 0) AS BIGINT) AS n_members
+         |  FROM ${p}_g$r g LEFT JOIN ${p}_m$r mm
+         |    ON mm.m = g.m AND mm.k = g.k AND mm.dim = g.dim),
+         |${p}_c$r AS (SELECT m, k, list(c6_e6 ORDER BY dim) AS c6
+         |  FROM ${p}_r$r GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
   }
 
   /** Shared PQ CTE chain: pqe (vectors as DOUBLE[]), pqcb (codebook),
@@ -1847,6 +1858,189 @@ object OracleSql {
          |    ((SELECT COUNT(DISTINCT q_id) FROM pt_tr) * $k)
          |    AS mean_recall_milli
          |FROM ($union) u""".stripMargin
+    },
+
+    "pq_rerank_curve" -> {
+      import graft.operators.Similarity.{PqSubDim, PqTrainIters, QueryCount, RerankRs, TopK}
+      val k = TopK
+      val fin = s"pt_c$PqTrainIters"
+      val adc = s"list_sum(list_transform(generate_series(1, $PqSubDim), " +
+        s"i -> (q.qv6[i] - c.c6[i]) * (q.qv6[i] - c.c6[i])))"
+      val enc = s"list_sum(list_transform(generate_series(1, $PqSubDim), " +
+        s"i -> (s.sv6[i] - c.c6[i]) * (s.sv6[i] - c.c6[i])))"
+      val perR = RerankRs.map { r =>
+        s"""re$r AS (SELECT q_id, cand_id FROM (
+           |  SELECT s.q_id, s.vec_id AS cand_id,
+           |    ROW_NUMBER() OVER (PARTITION BY s.q_id
+           |      ORDER BY CAST(ROUND(($l2SumSql) * 1e9) AS BIGINT), s.vec_id)
+           |      AS rk
+           |  FROM (SELECT q_id, vec_id FROM pt_rn WHERE rn <= $r) s
+           |  JOIN pt_tq q ON q.q_id = s.q_id
+           |  JOIN pt_tc c ON c.cand_id = s.vec_id) t WHERE rk <= $k),
+           |rh$r AS (SELECT CAST($r AS BIGINT) AS rerank_r,
+           |    CAST(COUNT(*) AS BIGINT) AS sum_hits
+           |  FROM pt_tr t JOIN re$r a
+           |    ON t.q_id = a.q_id AND t.cand_id = a.cand_id)""".stripMargin
+      }.mkString(",\n")
+      val union = RerankRs.map(r => s"SELECT rerank_r, sum_hits FROM rh$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $PqTrainCtes,
+         |pt_de AS (SELECT s.vec_id, s.m, c.k, $enc AS d12
+         |  FROM pt_sub s JOIN $fin c ON s.m = c.m),
+         |pt_codes AS (SELECT vec_id, m, k FROM (SELECT vec_id, m, k,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d12, k)
+         |      AS rn FROM pt_de) t WHERE rn = 1),
+         |pt_qs AS (SELECT vec_id AS q_id, CAST(sm.m AS BIGINT) AS m,
+         |    list_transform(generate_series(1, $PqSubDim),
+         |      i -> v6[sm.m * $PqSubDim + i]) AS qv6
+         |  FROM pt_v6, UNNEST(generate_series(0,
+         |    ${graft.operators.Similarity.PqM - 1})) AS sm(m)
+         |  WHERE vec_id < $QueryCount),
+         |pt_sc AS (SELECT q.q_id, a.vec_id, CAST(SUM($adc) AS BIGINT)
+         |    AS dist
+         |  FROM pt_codes a JOIN $fin c ON a.m = c.m AND a.k = c.k
+         |    JOIN pt_qs q ON q.m = a.m
+         |  GROUP BY 1, 2),
+         |pt_rn AS (SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id)
+         |      AS rn FROM pt_sc),
+         |pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |pt_tq AS (SELECT vec_id AS q_id, v AS qv FROM pe
+         |  WHERE vec_id < $QueryCount),
+         |pt_tc AS (SELECT vec_id AS cand_id, v AS cv FROM pe
+         |  WHERE vec_id >= $QueryCount),
+         |pt_tr AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY CAST(ROUND(($l2SumSql) * 1e9) AS BIGINT), cand_id)
+         |      AS rn FROM pt_tq, pt_tc) t WHERE rn <= $k),
+         |$perR
+         |SELECT u.rerank_r, u.sum_hits,
+         |  (u.sum_hits * 1000) //
+         |    ((SELECT COUNT(DISTINCT q_id) FROM pt_tr) * $k)
+         |    AS mean_recall_milli
+         |FROM ($union) u""".stripMargin
+    },
+
+    "pq_recall_residual" -> {
+      import graft.operators.Similarity.{Dim, IvfTrainRounds, PqK, PqM,
+        PqSubDim, PqTrainIters, QueryCount, ResidualSeedLo, TopK}
+      val k = TopK
+      val sd = PqSubDim
+      val fin = s"rr_c$PqTrainIters"
+      val seedHi = ResidualSeedLo + PqK - 1
+      val intL2d = (a: String, b: String) =>
+        s"list_sum(list_transform(generate_series(1, $Dim), " +
+          s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+      val intL2s = (a: String, b: String) =>
+        s"list_sum(list_transform(generate_series(1, $sd), " +
+          s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+      // IvfTrainRounds coarse-quantizer Lloyd rounds (64-dim, keep-old-
+      // on-empty) — the SQL twin of Similarity.ivfTrainedCentsE6
+      val kmRounds = (1 to IvfTrainRounds).map { r =>
+        val prev = s"rc${r - 1}"
+        s"""rkd$r AS (SELECT v.vec_id, c.centroid_id,
+           |    ${intL2d("v.v6", "c.c6")} AS d12
+           |  FROM rve v, $prev c),
+           |rka$r AS (SELECT vec_id, centroid_id FROM (
+           |  SELECT vec_id, centroid_id,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id
+           |      ORDER BY d12, centroid_id) AS rn FROM rkd$r) t
+           |  WHERE rn = 1),
+           |rkm$r AS (SELECT t.centroid_id, CAST(d.i AS BIGINT) - 1 AS dim,
+           |    CAST(SUM(t.v6[d.i]) AS BIGINT) AS s,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM (SELECT a.centroid_id, v.v6 FROM rka$r a
+           |        JOIN rve v USING (vec_id)) t,
+           |    UNNEST(generate_series(1, $Dim)) AS d(i)
+           |  GROUP BY 1, 2),
+           |rkg$r AS (SELECT c.centroid_id, CAST(d.i AS BIGINT) - 1 AS dim,
+           |    c.c6[d.i] AS old6
+           |  FROM $prev c, UNNEST(generate_series(1, $Dim)) AS d(i)),
+           |rc$r AS (SELECT g.centroid_id,
+           |    list(CAST(COALESCE((m.s - m.s % m.n) // m.n, g.old6)
+           |      AS BIGINT) ORDER BY g.dim) AS c6
+           |  FROM rkg$r g LEFT JOIN rkm$r m
+           |    ON m.centroid_id = g.centroid_id AND m.dim = g.dim
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val cfin = s"rc$IvfTrainRounds"
+      s"""WITH rv6 AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS v6
+         |  FROM embeddings),
+         |rve AS (SELECT vec_id, v6 FROM rv6 WHERE vec_id >= $QueryCount),
+         |rc0 AS (SELECT vec_id - ${graft.operators.Similarity.CentroidLo}
+         |      AS centroid_id, v6 AS c6
+         |  FROM rv6 WHERE vec_id BETWEEN
+         |    ${graft.operators.Similarity.CentroidLo} AND
+         |    ${graft.operators.Similarity.CentroidLo +
+                graft.operators.Similarity.NumCentroids - 1}),
+         |$kmRounds,
+         |rassign AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${intL2d("v.v6", "c.c6")}, c.centroid_id) AS rn
+         |  FROM rve v, $cfin c) t WHERE rn = 1),
+         |rres AS (SELECT a.vec_id,
+         |    list_transform(generate_series(1, $Dim),
+         |      i -> v.v6[i] - c.c6[i]) AS v6
+         |  FROM rassign a JOIN rve v USING (vec_id)
+         |    JOIN $cfin c USING (centroid_id)),
+         |rr_sub AS (SELECT vec_id, CAST(sm.m AS BIGINT) AS m,
+         |    list_transform(generate_series(1, $sd),
+         |      i -> v6[sm.m * $sd + i]) AS sv6
+         |  FROM rres, UNNEST(generate_series(0, ${PqM - 1})) AS sm(m)),
+         |rr_c0 AS (SELECT m, vec_id - $ResidualSeedLo AS k, sv6 AS c6
+         |  FROM rr_sub
+         |  WHERE vec_id BETWEEN $ResidualSeedLo AND $seedHi),
+         |${lloydRoundsSql("rr")},
+         |rde AS (SELECT s.vec_id, s.m, c.k,
+         |    ${intL2s("s.sv6", "c.c6")} AS d12
+         |  FROM rr_sub s JOIN $fin c ON s.m = c.m),
+         |rcodes AS (SELECT vec_id, m, k FROM (SELECT vec_id, m, k,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d12, k)
+         |      AS rn FROM rde) t WHERE rn = 1),
+         |rqs AS (SELECT vec_id AS q_id, CAST(sm.m AS BIGINT) AS m,
+         |    list_transform(generate_series(1, $sd),
+         |      i -> v6[sm.m * $sd + i]) AS qv6
+         |  FROM rv6, UNNEST(generate_series(0, ${PqM - 1})) AS sm(m)
+         |  WHERE vec_id < $QueryCount),
+         |rcs AS (SELECT centroid_id, CAST(sm.m AS BIGINT) AS m,
+         |    list_transform(generate_series(1, $sd),
+         |      i -> c6[sm.m * $sd + i]) AS cs6
+         |  FROM $cfin, UNNEST(generate_series(0, ${PqM - 1})) AS sm(m)),
+         |rqres AS (SELECT q.q_id, c.centroid_id, q.m,
+         |    list_transform(generate_series(1, $sd),
+         |      i -> q.qv6[i] - c.cs6[i]) AS qr6
+         |  FROM rqs q JOIN rcs c ON q.m = c.m),
+         |rsc AS (SELECT r.q_id, a.vec_id,
+         |    CAST(SUM(${intL2s("r.qr6", "c.c6")}) AS BIGINT) AS dist
+         |  FROM rcodes a JOIN rassign s ON a.vec_id = s.vec_id
+         |    JOIN $fin c ON a.m = c.m AND a.k = c.k
+         |    JOIN rqres r ON r.centroid_id = s.centroid_id AND r.m = a.m
+         |  GROUP BY 1, 2),
+         |rap AS (SELECT q_id, vec_id AS cand_id FROM (SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id)
+         |      AS rn FROM rsc) t WHERE rn <= $k),
+         |pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |rtq AS (SELECT vec_id AS q_id, v AS qv FROM pe
+         |  WHERE vec_id < $QueryCount),
+         |rtc AS (SELECT vec_id AS cand_id, v AS cv FROM pe
+         |  WHERE vec_id >= $QueryCount),
+         |rtr AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY CAST(ROUND(($l2SumSql) * 1e9) AS BIGINT), cand_id)
+         |      AS rn FROM rtq, rtc) t WHERE rn <= $k),
+         |rh AS (SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM rtr t JOIN rap a
+         |    ON t.q_id = a.q_id AND t.cand_id = a.cand_id
+         |  GROUP BY 1)
+         |SELECT b.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |  (COALESCE(h.n_hits, 0) * 1000) // $k AS recall_milli
+         |FROM (SELECT DISTINCT q_id FROM rtr) b
+         |LEFT JOIN rh h USING (q_id)""".stripMargin
     },
 
     "ivf_recall" -> {

@@ -214,6 +214,10 @@ object SparkEntry {
       Similarity.pqRecallTrained(Tables.embeddings(s, dir))),
     "pq_recall_curve"     -> ((s, dir) =>
       Similarity.pqRecallCurve(Tables.embeddings(s, dir))),
+    "pq_recall_residual"  -> ((s, dir) =>
+      Similarity.pqRecallResidual(Tables.embeddings(s, dir))),
+    "pq_rerank_curve"     -> ((s, dir) =>
+      Similarity.pqRerankCurve(Tables.embeddings(s, dir))),
     "tfidf_topk"          -> ((s, dir) =>
       TextAnalysis.tfidfTopKFrom(Staged.tokens(s, dir).tokens)),
     "value_quantiles"     -> ((s, dir) => Ledger.valueQuantiles(cl(s, dir))),

@@ -550,14 +550,21 @@ object Similarity {
     * the staged subvector relation — the recall-curve entry point. */
   private def pqTrainedStages(embeddings: DataFrame): (Seq[DataFrame], DataFrame) = {
     val sub = subspaced(vecsE6(embeddings), "vec_id").localCheckpoint(false)
+    (lloydChain(sub, pqSeedCb(sub)), sub)
+  }
+
+  /** [[PqTrainIters]] Lloyd rounds from `seed` over any (vec_id, m,
+    * sv6) subvector relation — shared by the raw-vector trainer and the
+    * residual trainer. */
+  private def lloydChain(sub: DataFrame, seed: DataFrame): Seq[DataFrame] = {
     val rels = Seq.newBuilder[DataFrame]
-    var cb = pqSeedCb(sub)
+    var cb = seed
     (1 to PqTrainIters).foreach { _ =>
       val rel = pqLloydStep(sub, cb).localCheckpoint(false)
       rels += rel
       cb = cbArrays(rel)
     }
-    (rels.result(), sub)
+    rels.result()
   }
 
   /** PQ codebook TRAINING — the step [[pqCodebook]]'s fixed literals
@@ -592,7 +599,16 @@ object Similarity {
     * codebook (exact integer sums), rank. Shared by the final recall
     * gate and the per-iteration curve. */
   private def pqAdcTopK(cb: DataFrame, sub: DataFrame,
-                        embeddings: DataFrame, k: Int): DataFrame = {
+                        embeddings: DataFrame, k: Int): DataFrame =
+    pqAdcScored(cb, sub, embeddings)
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+
+  /** The full ADC ranking (q_id, vec_id, dist_e12, rank) under a
+    * trained codebook — [[pqAdcTopK]] filtered at k, and the shortlist
+    * source of the re-rank curve. */
+  private def pqAdcScored(cb: DataFrame, sub: DataFrame,
+                          embeddings: DataFrame): DataFrame = {
     val codes = sub.join(broadcast(cb), "m")
       .withColumn("d12",
         graft.functions.VectorFunctions.intL2(col("sv6"), col("c6")))
@@ -612,8 +628,6 @@ object Similarity {
       .agg(sum("d12").as("dist_e12"))
       .withColumn("rank", row_number().over(Window.partitionBy("q_id")
         .orderBy(col("dist_e12"), col("vec_id"))))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("vec_id").as("cand_id"))
   }
 
   /** Recall-vs-training-iterations curve: the [[pqRecallTrained]] gate
@@ -637,6 +651,164 @@ object Similarity {
     }.reduce(_.unionByName(_))
       .join(broadcast(nq))
       .select(col("iters"), col("sum_hits"),
+        expr(s"(sum_hits * 1000) div (n_q * ${k}L)").as("mean_recall_milli"))
+  }
+
+  // --- residual IVF-PQ and ADC re-ranking ----------------------------------
+
+  /** Forgy-seed range for the RESIDUAL codebook: the IVF seed vectors'
+    * own residuals are (near-)zero — each seeds a list it then sits at
+    * the center of — so seeding the residual trainer from vec_ids
+    * [[CentroidLo]]..+15 would start 16 degenerate codewords. Residual
+    * seeding starts right above the centroid range instead. */
+  val ResidualSeedLo: Long = CentroidLo + NumCentroids
+
+  /** Lloyd rounds for the coarse (IVF) quantizer inside the residual
+    * path — matches [[kmeansShift]]'s two audited iterations. */
+  val IvfTrainRounds = 2
+
+  /** The seed centroids in e6-integer coordinates. */
+  private def seedCentsE6(embeddings: DataFrame): DataFrame =
+    centroids(embeddings).select(col("centroid_id"),
+      expr("transform(cv, x -> cast(round(cast(x as double) * 1000000d) " +
+        "as bigint))").as("c6"))
+
+  /** [[IvfTrainRounds]] integer Lloyd rounds over the candidate corpus
+    * — the trained coarse quantizer the residuals subtract. Empty lists
+    * keep their previous position (same rule as [[pqLloydStep]], so the
+    * chain is total even on tiny corpora). */
+  private def ivfTrainedCentsE6(vecs: DataFrame,
+                                embeddings: DataFrame): DataFrame = {
+    var cents = seedCentsE6(embeddings)
+    (1 to IvfTrainRounds).foreach { _ =>
+      val means = meansE6(assignE6(vecs, cents), vecs)
+      cents = cents
+        .select(col("centroid_id"), posexplode(col("c6")).as(Seq("dim", "old6")))
+        .withColumn("dim", col("dim").cast("long"))
+        .join(means.select("centroid_id", "dim", "m_e6"),
+          Seq("centroid_id", "dim"), "left")
+        .groupBy("centroid_id")
+        .agg(sort_array(collect_list(struct(col("dim"),
+          coalesce(col("m_e6"), col("old6")).as("c6v")))).as("ps"))
+        .select(col("centroid_id"), expr("transform(ps, p -> p.c6v)").as("c6"))
+    }
+    cents
+  }
+
+  /** Residual IVF-PQ recall gate — the textbook IVFADC composition
+    * (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", reference lib/index documentation): train the coarse
+    * quantizer ([[IvfTrainRounds]] Lloyd rounds), assign every
+    * candidate to its nearest list, PQ-train on the RESIDUALS
+    * (vector − list centroid), and ADC-score each candidate in its own
+    * list's residual frame — the query side subtracts the candidate's
+    * centroid before the table lookup, so the approximation error is
+    * only the PQ quantization of the residual. All integer-e6
+    * arithmetic end to end; oracle-checkable like the plain trainer.
+    *
+    * Honest finding on THIS corpus: the committed recall is BELOW the
+    * plain trained codebook's (see pq_recall_trained) — the test
+    * embeddings are unit-norm and isotropic, so the nearest of 16
+    * trained centroids has norm ≈ 0.33 and the residuals carry ≈ 95%
+    * of the original variance PLUS the list-boundary discontinuity.
+    * Residual encoding pays exactly when data is clustered (within-
+    * list variance ≪ global variance); a gate that shows WHEN the
+    * composition helps is the point of committing the measurement.
+    * The recall lift that does transfer to isotropic corpora is the
+    * ADC shortlist + exact re-rank — [[pqRerankCurve]].
+    *
+    * Scale shape: centroid training is one broadcast argmin + one
+    * (centroid, dim) aggregate per round; assignment/encoding stream
+    * one row per (vector[, subspace]) through broadcast joins; the
+    * query-side residual LUT is |Q|·NumCentroids·PqM rows (tiny,
+    * broadcast). No stage reads more than the candidate relation. */
+  def pqRecallResidual(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val vecs = vecsE6(embeddings)
+    val cents = ivfTrainedCentsE6(vecs, embeddings).localCheckpoint(false)
+    val assigned = assignE6(vecs, cents).localCheckpoint(false)
+    val rsub = subspaced(
+      assigned.join(vecs, "vec_id")
+        .join(broadcast(cents), "centroid_id")
+        .select(col("vec_id"),
+          zip_with(col("v6"), col("c6"), (x, y) => x - y).as("v6")),
+      "vec_id").localCheckpoint(false)
+    val seed = rsub
+      .where(col("vec_id").between(ResidualSeedLo, ResidualSeedLo + PqK - 1))
+      .select(col("m"), (col("vec_id") - ResidualSeedLo).as("k"),
+        col("sv6").as("c6"))
+    val cb = cbArrays(lloydChain(rsub, seed).last)
+    val codes = rsub.join(broadcast(cb), "m")
+      .withColumn("d12",
+        graft.functions.VectorFunctions.intL2(col("sv6"), col("c6")))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("k"), struct(col("d12"), col("k"))).as("k"))
+    val qsub = subspaced(
+      queries(embeddings).select(col("q_id"),
+        expr("transform(q_vec, x -> cast(round(cast(x as double) * " +
+          "1000000d) as bigint))").as("v6")), "q_id")
+      .withColumnRenamed("sv6", "qv6")
+    val csub = subspaced(cents.select(col("centroid_id"), col("c6").as("v6")),
+      "centroid_id").withColumnRenamed("sv6", "csv6")
+    // query residual per (query, list): |Q|·NumCentroids·PqM rows
+    val qres = qsub.join(csub, "m")
+      .select(col("q_id"), col("centroid_id"), col("m"),
+        zip_with(col("qv6"), col("csv6"), (x, y) => x - y).as("qr6"))
+    val approx = codes.join(assigned, "vec_id")
+      .join(broadcast(cb), Seq("m", "k"))
+      .join(broadcast(qres), Seq("centroid_id", "m"))
+      .withColumn("d12",
+        graft.functions.VectorFunctions.intL2(col("qr6"), col("c6")))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("d12").as("dist_e12"))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("dist_e12"), col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+    recallAtK(l2Truth(embeddings, k), approx, k)
+  }
+
+  /** Shortlist sizes evaluated by [[pqRerankCurve]]. R = TopK re-ranks
+    * the ADC top-k itself — same SET as pq_recall_trained, so the
+    * curve's bottom anchor must equal that gate's mean recall. */
+  val RerankRs: Seq[Int] = Seq(10, 20, 40, 80)
+
+  /** Recall-vs-shortlist-size curve for ADC + exact re-ranking — the
+    * production IVF-PQ accuracy knob: the compressed-domain ADC scan
+    * ranks everything, the top R candidates per query are re-scored
+    * with exact L2 over their FULL vectors, and the re-ranked top-k is
+    * measured against the exact truth. This is the recall lift that
+    * works regardless of corpus geometry (measured here: 325 → 612 →
+    * 775 milli at R = 10 → 40 → 80), where residual encoding
+    * ([[pqRecallResidual]]) pays only on clustered data.
+    *
+    * Scale shape: ONE ADC ranking pass (staged localCheckpoint) feeds
+    * every R; the exact re-rank reads full vectors for only R·|Q| ids
+    * per setting — at 100 TB that is the difference between scanning
+    * 32×-compressed codes plus R full-vector lookups and scanning raw
+    * vectors at all. */
+  def pqRerankCurve(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val (rels, sub) = pqTrainedStages(embeddings)
+    val scored = pqAdcScored(cbArrays(rels.last), sub, embeddings)
+      .localCheckpoint(false)
+    val truth = l2Truth(embeddings, k).localCheckpoint(false)
+    val nq = truth.select("q_id").distinct().agg(count(lit(1)).as("n_q"))
+    val cand = candidates(embeddings).withColumnRenamed("cand_id", "vec_id")
+    val q = queries(embeddings)
+    RerankRs.map { r =>
+      val exact = scored.where(col("rank") <= r).select("q_id", "vec_id")
+        .join(cand, "vec_id")
+        .join(broadcast(q), "q_id")
+        .withColumn("d2_e9", l2DistE9(col("q_vec"), col("c_vec")))
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("d2_e9"), col("vec_id"))))
+        .where(col("rk") <= k)
+        .select(col("q_id"), col("vec_id").as("cand_id"))
+      recallAtK(truth, exact, k)
+        .agg(sum("n_hits").cast("long").as("sum_hits"))
+        .select(lit(r.toLong).as("rerank_r"), col("sum_hits"))
+    }.reduce(_.unionByName(_))
+      .join(broadcast(nq))
+      .select(col("rerank_r"), col("sum_hits"),
         expr(s"(sum_hits * 1000) div (n_q * ${k}L)").as("mean_recall_milli"))
   }
 

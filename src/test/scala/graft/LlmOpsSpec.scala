@@ -840,6 +840,33 @@ class LlmOpsSpec extends AnyFunSuite {
       curve.mkString(", "))
   }
 
+  test("pqRerankCurve: R=TopK row equals the trained gate (re-ranking " +
+    "the ADC top-k reorders, never changes, the set) and recall is " +
+    "monotone in R") {
+    val curve = Similarity.pqRerankCurve(embs).collect()
+      .sortBy(_.getAs[Long]("rerank_r"))
+    assert(curve.map(_.getAs[Long]("rerank_r")).toSeq ===
+      Similarity.RerankRs.map(_.toLong))
+    val trained = Similarity.pqRecallTrained(embs).collect()
+      .map(_.getAs[Long]("n_hits")).sum
+    assert(curve.head.getAs[Long]("sum_hits") === trained,
+      "R=TopK anchor disagrees with pq_recall_trained")
+    val hits = curve.map(_.getAs[Long]("sum_hits")).toSeq
+    assert(hits === hits.sorted, s"recall not monotone in R: $hits")
+    // a genuinely widened shortlist must help on this corpus
+    assert(hits.last > hits.head, s"no re-rank lift: $hits")
+  }
+
+  test("pqRecallResidual: per-query recall shape, hits bounded by k") {
+    val got = Similarity.pqRecallResidual(embs).collect()
+    assert(got.length === Similarity.QueryCount)
+    got.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0L && h <= Similarity.TopK.toLong)
+      assert(r.getAs[Long]("recall_milli") === h * 1000L / Similarity.TopK)
+    }
+  }
+
   test("shardBalance: totals reconcile and deviations sum to ~0") {
     val rows = TextAnalysis.shardBalance(docs).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())

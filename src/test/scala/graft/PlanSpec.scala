@@ -91,6 +91,9 @@ class PlanSpec extends AnyFunSuite {
       "ivf_assign", "ivf_train",
       "log_compact", "mix_weights", "dist_drift", "semantic_dedup",
       "pq_search", "pq_recall", "pq_recall_trained", "pq_recall_curve",
+      // residual/rerank gates: ≤16-row broadcast centroid fan-outs in
+      // the coarse-quantizer rounds + the 8-query broadcast truth join
+      "pq_recall_residual", "pq_rerank_curve",
       "key_skew_report",
       "sync_lag",
       "ivf_recall", "ivf_recall_curve", "shard_balance", "pmi_pairs",
