@@ -20,6 +20,17 @@ object InvariantProps extends Properties("graft.invariants") {
     cents <- Gen.choose(-10000L, 10000L)
   } yield Change(uid, eid, ems, op, cents)
 
+  /** Changelog lists with the event_id uniqueness invariant the real log
+    * carries (event_id is a unique sequence number). ems ties stay frequent —
+    * that's the tie-break under test — but a duplicated (ems, event_id) pair
+    * is unrepresentable upstream, and without uniqueness LWW is genuinely
+    * order-dependent for any engine.
+    */
+  private val genChanges: Gen[List[Change]] =
+    Gen.listOf(genChange).map(_.zipWithIndex.map { case (c, i) =>
+      c.copy(event_id = c.event_id * 2048 + i)
+    })
+
   private def later(a: Change, b: Change): Change =
     if (b.ems > a.ems || (b.ems == a.ems && b.event_id > a.event_id)) b else a
 
@@ -29,14 +40,14 @@ object InvariantProps extends Properties("graft.invariants") {
       .foldLeft(Map.empty[Long, Change])((m, c) => m.updated(c.user_id, c))
 
   property("LWW fold order-independence (batch argmax == ordered replay)") =
-    forAll(Gen.listOf(genChange)) { changes =>
+    forAll(genChanges) { changes =>
       val folded = changes.groupBy(_.user_id)
         .map { case (k, cs) => k -> cs.reduce(later) }
       folded == replay(changes)
     }
 
   property("LWW partial aggregation: any split merges to the same state") =
-    forAll(Gen.listOf(genChange), Gen.choose(0, 100)) { (changes, cut) =>
+    forAll(genChanges, Gen.choose(0, 100)) { (changes, cut) =>
       val (a, b) = changes.splitAt(cut % (changes.length + 1))
       def fold(cs: List[Change]) =
         cs.groupBy(_.user_id).map { case (k, v) => k -> v.reduce(later) }
@@ -46,7 +57,7 @@ object InvariantProps extends Properties("graft.invariants") {
     }
 
   property("streaming KeyState fold equals batch fold") =
-    forAll(Gen.listOf(genChange)) { changes =>
+    forAll(genChanges) { changes =>
       // micro-batch the stream arbitrarily (size 3) and fold like
       // CdcStream.latestState does
       val streamed = changes.grouped(3).foldLeft(Map.empty[Long, KeyState]) {
