@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# Amplified-parity lane: the full correctness gate ABOVE the largest
+# generated sf, as ONE command.
+#
+#   scripts/amp_parity.sh [baseSfDir] [k] [workDir]
+#
+# defaults: baseSfDir=/root/testdata/sf0.01  k=10  workDir=/tmp/graft_amp10
+#
+# 1. graft.AmplifyCorpus rewrites documents/events k-wide (structure-
+#    preserving, copy-disjoint; other tables symlinked),
+# 2. graft.Verify dumps the parity subset below on the amplified dir,
+# 3. scripts/parity.py hash-compares every result against DuckDB running
+#    the same oracle SQL on the same amplified parquet,
+# and the JSON verdict lands in CORRECTNESS_AMP.json at the repo root.
+#
+# The subset = every operator family whose cost grows with corpus volume:
+# the dedup chain end-to-end, the CDC merge/apply pair, sessionization,
+# and the five streaming parity harnesses (file-sourced, so they replay
+# the amplified events/documents through real micro-batches).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+BASE="${1:-/root/testdata/sf0.01}"
+K="${2:-10}"
+WORK="${3:-/tmp/graft_amp10}"
+OUT="$WORK.out"
+
+SUBSET="cdc_merge,cdc_upsert_apply,changelog_normalize,cluster_size_hist,\
+cross_source_overlap,dedup_agreement,dedup_apply,dedup_exact,\
+dedup_incremental,dedup_minhash,dedup_ngram_jaccard,dedup_simhash,\
+dedup_sweep,dup_cluster,lsh_band_sweep,minhash_est_error,\
+session_quantiles,sessionize,span_dedup,substring_dedup,\
+stream_window_agg,stream_merge_parity,stream_sessionize_parity,\
+stream_dedup_parity,stream_window_parity,ingest_parity"
+
+echo "== amplify $BASE x$K -> $WORK"
+sbt -batch "runMain graft.AmplifyCorpus $BASE $WORK $K"
+echo "== verify subset -> $OUT"
+rm -rf "$OUT"
+sbt -batch "runMain graft.Verify $WORK $OUT $SUBSET"
+echo "== DuckDB parity -> CORRECTNESS_AMP.json"
+python3 scripts/parity.py "$OUT" "$WORK" CORRECTNESS_AMP.json

@@ -404,6 +404,39 @@ object OracleSql {
       |  FROM r, UNNEST(string_split(r.tgts, ',')) AS t(target_db)
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** Component-lifecycle CTE chain (twin of Ledger.componentLifecycle)
+    * — shared by component_lifecycle and endpoint_status so the
+    * supervisor rules can't drift apart. Defines hb/lc/clock/lcf;
+    * `clock` is the corpus clock (also used by endpoint_status's
+    * rollup branch). */
+  val LIFECYCLE: String = {
+    import graft.operators.Ledger.{HeartbeatIntervalS => HI,
+      MaxComponentRestarts => MR, RestartBackoffS => RB}
+    s"""hb AS (SELECT 'db' || (user_id % 3) AS db,
+       |    'worker-' || part AS component, epoch_s,
+       |    epoch_s - LAG(epoch_s) OVER (
+       |      PARTITION BY user_id % 3, part
+       |      ORDER BY epoch_s, event_id) AS gap_s
+       |  FROM cl),
+       |lc AS (SELECT db, component,
+       |    CAST(COUNT(*) AS BIGINT) AS n_heartbeats,
+       |    CAST(COUNT(CASE WHEN gap_s // $HI >= 2 AND gap_s // $HI < 5
+       |      THEN 1 END) AS BIGINT) AS n_yellow_gaps,
+       |    CAST(COUNT(CASE WHEN gap_s // $HI >= 5 THEN 1 END) AS BIGINT)
+       |      AS n_restarts,
+       |    MAX(epoch_s) AS last_hb_s
+       |  FROM hb GROUP BY 1, 2),
+       |clock AS (SELECT MAX(epoch_s) AS now_s FROM cl),
+       |lcf AS (SELECT db, component, n_heartbeats, n_yellow_gaps,
+       |    n_restarts, last_hb_s, (now_s - last_hb_s) // $HI AS now_lost,
+       |    CASE WHEN n_restarts > $MR THEN 'GIVEN_UP'
+       |         WHEN (now_s - last_hb_s) // $HI < 2 THEN 'GREEN'
+       |         WHEN (now_s - last_hb_s) // $HI < 5 THEN 'YELLOW'
+       |         ELSE 'RED' END AS state,
+       |    $RB * (1::BIGINT << LEAST(n_restarts, 6)) AS backoff_s
+       |  FROM lc, clock)""".stripMargin
+  }
+
   /** Shared by cdc_upsert_apply and pipeline_e2e (the pipeline's
     * applied output IS the upsert apply — one definition, two gates). */
   private val UpsertApplySql: String =
@@ -566,33 +599,71 @@ object OracleSql {
          |  CASE WHEN now_s - last_hb_s <= 21600 THEN 'GREEN' ELSE 'RED' END AS hb_status
          |FROM lastper, clock""".stripMargin,
 
-    "component_lifecycle" -> {
-      import graft.operators.Ledger.{HeartbeatIntervalS => HI,
-        MaxComponentRestarts => MR, RestartBackoffS => RB}
-      s"""WITH $CL,
-         |hb AS (SELECT 'db' || (user_id % 3) AS db,
-         |    'worker-' || part AS component, epoch_s,
-         |    epoch_s - LAG(epoch_s) OVER (
-         |      PARTITION BY user_id % 3, part
-         |      ORDER BY epoch_s, event_id) AS gap_s
-         |  FROM cl),
-         |lc AS (SELECT db, component,
-         |    CAST(COUNT(*) AS BIGINT) AS n_heartbeats,
-         |    CAST(COUNT(CASE WHEN gap_s // $HI >= 2 AND gap_s // $HI < 5
-         |      THEN 1 END) AS BIGINT) AS n_yellow_gaps,
-         |    CAST(COUNT(CASE WHEN gap_s // $HI >= 5 THEN 1 END) AS BIGINT)
-         |      AS n_restarts,
-         |    MAX(epoch_s) AS last_hb_s
-         |  FROM hb GROUP BY 1, 2),
-         |clock AS (SELECT MAX(epoch_s) AS now_s FROM cl)
+    "component_lifecycle" ->
+      s"""WITH $CL, $LIFECYCLE
          |SELECT db, component, n_heartbeats, n_yellow_gaps, n_restarts,
-         |  last_hb_s, (now_s - last_hb_s) // $HI AS now_lost,
-         |  CASE WHEN n_restarts > $MR THEN 'GIVEN_UP'
-         |       WHEN (now_s - last_hb_s) // $HI < 2 THEN 'GREEN'
-         |       WHEN (now_s - last_hb_s) // $HI < 5 THEN 'YELLOW'
-         |       ELSE 'RED' END AS state,
-         |  $RB * (1::BIGINT << LEAST(n_restarts, 6)) AS backoff_s
-         |FROM lc, clock""".stripMargin
+         |  last_hb_s, now_lost, state, backoff_s
+         |FROM lcf""".stripMargin,
+
+    "endpoint_status" -> {
+      val dsValues = graft.config.SyncConfigs.datasourceStatusRows()
+        .map { case (db, t, url, sch, ns, nt) =>
+          s"(${esc(db)}, ${esc(t)}, ${esc(url)}, ${esc(sch)}, " +
+            s"CAST($ns AS BIGINT), CAST($nt AS BIGINT))"
+        }.mkString(",\n  ")
+      s"""WITH $CL, $STATUS, $ST, $LIFECYCLE,
+         |up AS (SELECT MAX(epoch_s) - MIN(epoch_s) AS uptime_s FROM cl),
+         |lastper AS (
+         |  SELECT 'db' || (user_id % 3) AS db, 'worker-' || part AS component,
+         |         MAX(epoch_s) AS last_hb_s
+         |  FROM cl GROUP BY 1, 2),
+         |worst AS (
+         |  SELECT CAST(MAX(CASE WHEN now_s - last_hb_s <= 21600
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS any_red
+         |  FROM lastper, clock),
+         |tot AS (SELECT CAST(SUM(pending) AS BIGINT) AS pending,
+         |    CAST(SUM(blocked) AS BIGINT) AS blocked,
+         |    CAST(SUM(error) AS BIGINT) AS error,
+         |    CAST(SUM(success) AS BIGINT) AS success
+         |  FROM st)
+         |SELECT '/status/sync' AS endpoint, db AS name,
+         |  '{"name":"' || db ||
+         |  '","pending":' || CAST(pending AS VARCHAR) ||
+         |  ',"blocked":' || CAST(blocked AS VARCHAR) ||
+         |  ',"error":' || CAST(error AS VARCHAR) ||
+         |  ',"success":' || CAST(success AS VARCHAR) ||
+         |  ',"others":0}' AS body
+         |FROM st
+         |UNION ALL
+         |SELECT '/status/sys', 'sys',
+         |  '{"uptime":' || CAST(uptime_s AS VARCHAR) ||
+         |  ',"running":true,"componentStatus":"' ||
+         |  CASE WHEN any_red = 1 THEN 'RED' ELSE 'GREEN' END ||
+         |  '","syncStatus":{"pending":' || CAST(pending AS VARCHAR) ||
+         |  ',"blocked":' || CAST(blocked AS VARCHAR) ||
+         |  ',"error":' || CAST(error AS VARCHAR) ||
+         |  ',"success":' || CAST(success AS VARCHAR) ||
+         |  '},"restartReason":""}'
+         |FROM tot, worst, up
+         |UNION ALL
+         |SELECT '/status/component', db || '/' || component,
+         |  '{"state":"' || state ||
+         |  '","restarts":' || CAST(n_restarts AS VARCHAR) ||
+         |  ',"lastHeartbeat":' || CAST(last_hb_s AS VARCHAR) ||
+         |  ',"backoffSeconds":' || CAST(backoff_s AS VARCHAR) || '}'
+         |FROM lcf
+         |UNION ALL
+         |SELECT '/status/datasource', db,
+         |  '{"name":"' || db ||
+         |  '","type":"' || db_type ||
+         |  '","url":"' || jdbc_url ||
+         |  '","sysSchema":"' || sys_schema ||
+         |  '","sourceRoutes":' || CAST(n_source_routes AS VARCHAR) ||
+         |  ',"targetRoutes":' || CAST(n_target_routes AS VARCHAR) || '}'
+         |FROM (VALUES
+         |  $dsValues
+         |) AS t(db, db_type, jdbc_url, sys_schema,
+         |       n_source_routes, n_target_routes)""".stripMargin
     },
 
     "clean_retention" ->

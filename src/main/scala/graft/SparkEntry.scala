@@ -49,6 +49,7 @@ object SparkEntry {
     "log_compact"         -> ((s, dir) => Ledger.logCompact(cl(s, dir))),
     "value_median"        -> ((s, dir) => Ledger.valueMedian(cl(s, dir))),
     "status_rollup"       -> ((s, dir) => Ledger.statusRollup(cl(s, dir))),
+    "endpoint_status"     -> ((s, dir) => Endpoints.statusJson(s, cl(s, dir))),
     "scd2_history"        -> ((s, dir) => Temporal.scd2History(cl(s, dir))),
     "event_gaps"          -> ((s, dir) => Temporal.eventGaps(cl(s, dir))),
     "sessionize"          -> ((s, dir) => Temporal.sessionize(cl(s, dir))),

@@ -91,6 +91,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(w2.getAs[Long]("backoff_s") === Ledger.RestartBackoffS * 2L)
   }
 
+  test("endpoint_status: the four REST surfaces render valid JSON whose " +
+    "numbers are the underlying aggregates") {
+    val rows = Endpoints.statusJson(spark, cl).collect()
+    val byEp = rows.groupBy(_.getAs[String]("endpoint"))
+    assert(byEp.keySet === Set("/status/sys", "/status/sync",
+      "/status/component", "/status/datasource"))
+    assert(byEp("/status/sys").length === 1)
+    assert(byEp("/status/sync").length ===
+      Ledger.syncState(cl).count())
+    assert(byEp("/status/component").length ===
+      Ledger.componentLifecycle(cl).count())
+    assert(byEp("/status/datasource").length ===
+      SyncConfigs.datasourceStatusRows().length)
+    // every body is parseable JSON (jackson, same as the reference's
+    // serializer) and /status/sync bodies carry the SyncState fields
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    rows.foreach(r => om.readTree(r.getAs[String]("body")))
+    val pending = byEp("/status/sync")
+      .map(r => om.readTree(r.getAs[String]("body")).get("pending").asLong)
+      .sum
+    val expected = Ledger.syncState(cl)
+      .agg(sum("pending")).collect().head.getLong(0)
+    assert(pending === expected)
+  }
+
   test("route_fanout conserves and amplifies rows per routing table") {
     val n = ChangeLog.routeFanout(cl).agg(sum("n")).collect().head.getLong(0)
     val expected = cl.select(
