@@ -32,8 +32,12 @@ object Endpoints {
 
   /** All four GET status responses: (endpoint, name, body). */
   def statusJson(spark: SparkSession, changelog: DataFrame): DataFrame = {
+    // one sync-state pass feeds BOTH /status/sync and the /status/sys
+    // totals — the rollup is an agg over the per-db rows, not a rescan
+    val st = Ledger.syncState(changelog)
+
     // /status/sync — one SyncState per source db, jackson field order
-    val sync = Ledger.syncState(changelog).select(
+    val sync = st.select(
       lit("/status/sync").as("endpoint"),
       col("db").as("name"),
       concat(
@@ -49,7 +53,15 @@ object Endpoints {
     // syncStatus the cross-db totals; restartReason empty (no restart)
     val up = changelog.agg(
       (max("epoch_s") - min("epoch_s")).as("uptime_s"))
-    val sys = Ledger.statusRollup(changelog).join(broadcast(up)).select(
+    val totals = st.agg(
+      sum("pending").as("pending"), sum("blocked").as("blocked"),
+      sum("error").as("error"), sum("success").as("success"))
+    val worst = Ledger.heartbeatState(changelog).agg(
+      max(when(col("hb_status") === "RED", 1L).otherwise(0L)).as("any_red"))
+    val sys = totals.join(broadcast(worst)).join(broadcast(up))
+      .withColumn("overall",
+        when(col("any_red") === 1L, lit("RED")).otherwise(lit("GREEN")))
+      .select(
       lit("/status/sys").as("endpoint"),
       lit("sys").as("name"),
       concat(

@@ -98,7 +98,10 @@ class PlanSpec extends AnyFunSuite {
       "sync_lag",
       "ivf_recall", "ivf_recall_curve", "shard_balance", "pmi_pairs",
       "bpe_apply",
-      "kmeans_shift", "fk_integrity")
+      "kmeans_shift", "fk_integrity",
+      // endpoint_status composes status_rollup's 1-row aggregates plus
+      // its own broadcast 1-row uptime join — O(1)-row sides only
+      "endpoint_status")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
