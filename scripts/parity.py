@@ -20,6 +20,12 @@ def main(outdir, sfdir, json_out=None):
     t_start = time.time()
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     con = duckdb.connect()
+    # bound DuckDB and give it somewhere to spill: the heavy iterated
+    # oracles (pq_train's 4 Lloyd rounds) otherwise die with a transient
+    # "bad allocation" when another JVM holds most of the host's RAM —
+    # observed as a 1-in-4 pq_train flake on an otherwise green registry
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    con.sql("SET memory_limit='16GB'")
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
         if os.path.exists(p):
@@ -45,7 +51,10 @@ def main(outdir, sfdir, json_out=None):
         try:
             spark_df = pd.concat([pd.read_parquet(f) for f in files],
                                  ignore_index=True)
-            duck_df = con.sql(sql).df()
+            try:
+                duck_df = con.sql(sql).df()
+            except duckdb.OutOfMemoryException:
+                duck_df = con.sql(sql).df()  # one retry after spill settles
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             record(name, err=f"{type(e).__name__}: {e}")

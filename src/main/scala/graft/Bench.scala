@@ -55,8 +55,10 @@ object Bench {
       val t0 = System.nanoTime()
       val d = Staged.dedup(spark, sfDir)
       val t = Staged.tokens(spark, sfDir)
-      Seq(d.sh, d.sigs, d.verified, d.simPairs,
-        t.tokens, t.freq, t.skipgrams, t.gopher, t.winnow)
+      val a = Staged.ann(spark, sfDir)
+      (Seq(d.sh, d.sigs, d.verified, d.simPairs,
+        t.tokens, t.freq, t.skipgrams, t.gopher, t.winnow,
+        a.sub, a.l2truth, a.cosTruth, a.assign) ++ a.chain)
         .foreach(_.count())
       (System.nanoTime() - t0) / 1e9
     }

@@ -129,16 +129,15 @@ object SparkEntry {
       Multimodal.resizeMeta(
         Multimodal.mediaTable(Tables.documents(s, dir)))
         .select("doc_id", "width", "height", "out_width", "out_height")),
-    "ann_topk"            -> ((s, dir) =>
-      Similarity.bruteTopK(Tables.embeddings(s, dir))),
+    "ann_topk"            -> ((s, dir) => Staged.ann(s, dir).cosTruth),
     "ann_lsh"             -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir))),
     "embed_quantize"      -> ((s, dir) =>
       Similarity.quantizeStats(Tables.embeddings(s, dir))),
-    "ivf_assign"          -> ((s, dir) =>
-      Similarity.ivfAssign(Tables.embeddings(s, dir))),
+    "ivf_assign"          -> ((s, dir) => Staged.ann(s, dir).assign),
     "ann_ivf"             -> ((s, dir) =>
-      Similarity.ivfTopK(Tables.embeddings(s, dir))),
+      Similarity.ivfTopKFrom(Staged.ann(s, dir).assign,
+        Tables.embeddings(s, dir))),
     "dedup_embedding"     -> ((s, dir) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, dir))),
     "dedup_minhash"       -> ((s, dir) => Staged.dedup(s, dir).dups),
@@ -192,7 +191,8 @@ object SparkEntry {
       TextAnalysis.vocabCoverageFrom(st.tokens, st.freq)
     }),
     "semantic_dedup"      -> ((s, dir) =>
-      Similarity.semanticDedup(Tables.embeddings(s, dir))),
+      Similarity.semanticDedupFrom(Staged.ann(s, dir).assign,
+        Tables.embeddings(s, dir))),
     "ngram_lm_score"      -> ((s, dir) =>
       TextAnalysis.ngramLmScoreFrom(Staged.tokens(s, dir).skipgrams)),
     "quality_classify"    -> ((s, dir) =>
@@ -206,28 +206,44 @@ object SparkEntry {
     "pq_search"           -> ((s, dir) =>
       Similarity.pqSearch(Tables.embeddings(s, dir))),
     "pq_recall"           -> ((s, dir) =>
-      Similarity.pqRecall(Tables.embeddings(s, dir))),
+      Similarity.pqRecallFrom(Staged.ann(s, dir).l2truth,
+        Tables.embeddings(s, dir))),
     "pq_train"            -> ((s, dir) =>
-      Similarity.pqTrain(Tables.embeddings(s, dir))),
+      Similarity.pqTrainFrom(Staged.ann(s, dir).chain)),
     "ann_hard_negatives"  -> ((s, dir) =>
       Similarity.hardNegatives(Tables.embeddings(s, dir))),
-    "pq_recall_trained"   -> ((s, dir) =>
-      Similarity.pqRecallTrained(Tables.embeddings(s, dir))),
-    "pq_recall_curve"     -> ((s, dir) =>
-      Similarity.pqRecallCurve(Tables.embeddings(s, dir))),
+    "pq_recall_trained"   -> ((s, dir) => {
+      val a = Staged.ann(s, dir)
+      Similarity.pqRecallTrainedFrom(a.chain, a.sub, a.l2truth,
+        Tables.embeddings(s, dir))
+    }),
+    "pq_recall_curve"     -> ((s, dir) => {
+      val a = Staged.ann(s, dir)
+      Similarity.pqRecallCurveFrom(a.chain, a.sub, a.l2truth,
+        Tables.embeddings(s, dir))
+    }),
     "pq_recall_residual"  -> ((s, dir) =>
       Similarity.pqRecallResidual(Tables.embeddings(s, dir))),
-    "pq_rerank_curve"     -> ((s, dir) =>
-      Similarity.pqRerankCurve(Tables.embeddings(s, dir))),
+    "pq_rerank_curve"     -> ((s, dir) => {
+      val a = Staged.ann(s, dir)
+      Similarity.pqRerankCurveFrom(a.chain, a.sub, a.l2truth,
+        Tables.embeddings(s, dir))
+    }),
     "tfidf_topk"          -> ((s, dir) =>
       TextAnalysis.tfidfTopKFrom(Staged.tokens(s, dir).tokens)),
     "value_quantiles"     -> ((s, dir) => Ledger.valueQuantiles(cl(s, dir))),
     "key_skew_report"     -> ((s, dir) => Ledger.keySkewReport(cl(s, dir))),
     "sync_lag"            -> ((s, dir) => Ledger.syncLag(cl(s, dir))),
-    "ivf_recall"          -> ((s, dir) =>
-      Similarity.ivfRecall(Tables.embeddings(s, dir))),
-    "ivf_recall_curve"    -> ((s, dir) =>
-      Similarity.ivfRecallCurve(Tables.embeddings(s, dir))),
+    "ivf_recall"          -> ((s, dir) => {
+      val a = Staged.ann(s, dir)
+      Similarity.ivfRecallFrom(a.cosTruth, a.assign,
+        Tables.embeddings(s, dir))
+    }),
+    "ivf_recall_curve"    -> ((s, dir) => {
+      val a = Staged.ann(s, dir)
+      Similarity.ivfRecallCurveFrom(a.cosTruth, a.assign,
+        Tables.embeddings(s, dir))
+    }),
     "shard_balance"       -> ((s, dir) =>
       TextAnalysis.shardBalance(Tables.documents(s, dir))),
     "backfill_plan"       -> ((s, dir) =>

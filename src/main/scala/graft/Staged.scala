@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 /** Session-scoped staged relations — the production shape of "the
   * signature table is a staged table" (Dedup scaladoc), applied to the
@@ -23,6 +23,11 @@ import graft.operators.{Dedup, TextAnalysis}
   *    coverage, PMI, co-occurrence, rarity, drift, LM scoring, TF-IDF,
   *    classifier+calibration, rollup, budget, winnow stats,
   *    contamination).
+  *  - [[ann]]: the subvector explode, the PQ Lloyd training chain,
+  *    the exact L2/cosine ground truths and the IVF list assignment
+  *    run ONCE and feed the index-eval family (pq_train, the four
+  *    pq recall gates/curves, ivf_recall + its probe curve, ann_topk,
+  *    ann_ivf, ivf_assign, semantic_dedup).
   *
   * At 100 TB this is the difference between one corpus shuffle feeding
   * ten reports and ten corpus shuffles; locally it removes the rebuilt
@@ -68,8 +73,19 @@ object Staged {
                              skipgrams: DataFrame, gopher: DataFrame,
                              winnow: DataFrame)
 
+  /** The staged ANN/index-eval relations of one (session, corpus):
+    * the (vec_id, m, sv6) subvector explode, the Lloyd training chain
+    * over it (element i = codebook after i+1 rounds; each round is
+    * checkpointed by the chain builder itself), the exact-L2 and
+    * exact-cosine ground truths, and the IVF list assignment. One
+    * trainer + one truth pass feed the whole recall-gate family. */
+  final case class AnnRels(sub: DataFrame, chain: Seq[DataFrame],
+                           l2truth: DataFrame, cosTruth: DataFrame,
+                           assign: DataFrame)
+
   private val cache = TrieMap.empty[(SparkSession, String), DedupRels]
   private val tokenCache = TrieMap.empty[(SparkSession, String), TokenRels]
+  private val annCache = TrieMap.empty[(SparkSession, String), AnnRels]
 
   /** The staged dedup relations for the documents table under `sfDir`,
     * built on first request per (session, dir). */
@@ -97,8 +113,23 @@ object Staged {
       TokenRels(toks, freq, skip, gopher, winnow)
     })
 
+  /** The staged ANN relations for the embeddings table under `sfDir`,
+    * built on first request per (session, dir). */
+  def ann(spark: SparkSession, sfDir: String): AnnRels =
+    annCache.getOrElseUpdate((spark, sfDir), {
+      val emb = Tables.embeddings(spark, sfDir)
+      val sub = Similarity.annSubvectors(emb).localCheckpoint(false)
+      val chain = Similarity.annLloydChain(sub) // rounds self-checkpoint
+      val l2truth = Similarity.annL2Truth(emb).localCheckpoint(false)
+      val cosTruth = Similarity.bruteTopK(emb).localCheckpoint(false)
+      val assign = Similarity.ivfAssign(emb).localCheckpoint(false)
+      AnnRels(sub, chain, l2truth, cosTruth, assign)
+    })
+
   /** Drop all staged entries (block-manager copies are reclaimed by the
     * context cleaner once unreferenced). For in-place corpus rewrites
     * within a session — tests and the amplify lane. */
-  def invalidate(): Unit = { cache.clear(); tokenCache.clear() }
+  def invalidate(): Unit = {
+    cache.clear(); tokenCache.clear(); annCache.clear()
+  }
 }

@@ -404,7 +404,12 @@ object Similarity {
     * production index k-means-trains the codebook per subspace; the
     * plan shape here is identical either way. */
   def pqRecall(embeddings: DataFrame, k: Int = TopK): DataFrame =
-    recallAtK(l2Truth(embeddings, k),
+    pqRecallFrom(l2Truth(embeddings, k), embeddings, k)
+
+  /** [[pqRecall]] over a staged exact-L2 truth. */
+  def pqRecallFrom(truth: DataFrame, embeddings: DataFrame,
+                   k: Int = TopK): DataFrame =
+    recallAtK(truth,
       pqSearch(embeddings, k).select(col("q_id"), col("cand_id")), k)
 
   /** Exact L2 top-k ground truth per query — shared by [[pqRecall]]
@@ -441,9 +446,17 @@ object Similarity {
     * so this isolates the cost of probing NumProbes of NumCentroids
     * lists — the recall/fan-out dial a production index tunes). */
   def ivfRecall(embeddings: DataFrame, k: Int = TopK): DataFrame =
+    ivfRecallFrom(bruteTopK(embeddings, k), ivfAssign(embeddings),
+      embeddings, k)
+
+  /** [[ivfRecall]] over a staged cosine truth + staged list
+    * assignment. */
+  def ivfRecallFrom(cosTruth: DataFrame, assign: DataFrame,
+                    embeddings: DataFrame, k: Int = TopK): DataFrame =
     recallAtK(
-      bruteTopK(embeddings, k).select(col("q_id"), col("cand_id")),
-      ivfTopK(embeddings, k).select(col("q_id"), col("cand_id")), k)
+      cosTruth.select(col("q_id"), col("cand_id")),
+      ivfTopKFrom(assign, embeddings, k)
+        .select(col("q_id"), col("cand_id")), k)
 
   /** Probe counts evaluated by [[ivfRecallCurve]]. */
   val IvfProbeCounts: Seq[Int] = Seq(1, 2, 4, 8, 16)
@@ -456,10 +469,16 @@ object Similarity {
     * candidates. probes=NumCentroids would be exhaustive cosine search
     * — recall 1000 by construction — so the curve's top end sanity-
     * checks itself. */
-  def ivfRecallCurve(embeddings: DataFrame, k: Int = TopK): DataFrame = {
-    val assign = ivfAssign(embeddings).localCheckpoint(false)
-    val truth = bruteTopK(embeddings, k)
-      .select(col("q_id"), col("cand_id")).localCheckpoint(false)
+  def ivfRecallCurve(embeddings: DataFrame, k: Int = TopK): DataFrame =
+    ivfRecallCurveFrom(
+      bruteTopK(embeddings, k).localCheckpoint(false),
+      ivfAssign(embeddings).localCheckpoint(false), embeddings, k)
+
+  /** [[ivfRecallCurve]] over a staged cosine truth + staged list
+    * assignment. */
+  def ivfRecallCurveFrom(cosTruth: DataFrame, assign: DataFrame,
+                         embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val truth = cosTruth.select(col("q_id"), col("cand_id"))
     val nq = truth.select("q_id").distinct().agg(count(lit(1)).as("n_q"))
     IvfProbeCounts.map { p =>
       recallAtK(truth,
@@ -537,6 +556,29 @@ object Similarity {
         .as("ps"))
       .select(col("m"), col("k"), expr("transform(ps, p -> p.c6_e6)").as("c6"))
 
+  // --- staged-relation entry points ([[graft.Staged.ann]]) -----------------
+  // The recall/training family shares three expensive corpus passes:
+  // the subvector explode, the Lloyd training chain over it, and the
+  // exact ground truths. These builders expose them so the staging
+  // layer materializes each ONCE per (session, corpus) and the *From
+  // query forms below ride the staged copies — at 100 TB that is one
+  // trainer and one truth pass feeding the whole index-eval suite.
+
+  /** The (vec_id, m, sv6) subvector relation every PQ trainer and ADC
+    * pass reads. */
+  def annSubvectors(embeddings: DataFrame): DataFrame =
+    subspaced(vecsE6(embeddings), "vec_id")
+
+  /** The full [[PqTrainIters]]-round Lloyd chain over a (staged)
+    * subvector relation, Forgy-seeded — element i is the codebook
+    * relation after i+1 rounds; `.last` is the trained codebook. */
+  def annLloydChain(sub: DataFrame): Seq[DataFrame] =
+    lloydChain(sub, pqSeedCb(sub))
+
+  /** Exact L2 top-[[TopK]] ground truth (q_id, cand_id). */
+  def annL2Truth(embeddings: DataFrame): DataFrame =
+    l2Truth(embeddings, TopK)
+
   /** Trained-codebook relation + the staged subvector relation it was
     * trained on. The subvector staging is localCheckpoint'd lazily
     * (each Lloyd round reads it twice; at 100 TB a production build
@@ -581,6 +623,10 @@ object Similarity {
     * pq_encode/pq_search with the frozen codebook. */
   def pqTrain(embeddings: DataFrame): DataFrame = pqTrained(embeddings)._1
 
+  /** [[pqTrain]] over a staged Lloyd chain: the trained codebook IS
+    * the chain's last round. */
+  def pqTrainFrom(chain: Seq[DataFrame]): DataFrame = chain.last
+
   /** Recall gate for TRAINED PQ — [[pqRecall]]'s twin with the
     * [[pqTrain]] codebook instead of the untrained literals, measured
     * against the same exact-L2 truth. Encoding assigns each (vector,
@@ -589,10 +635,15 @@ object Similarity {
     * whole query — training included — is oracle-checkable. Run next
     * to pq_recall, this IS the codebook-training recall lift. */
   def pqRecallTrained(embeddings: DataFrame, k: Int = TopK): DataFrame = {
-    val (rel, sub) = pqTrained(embeddings)
-    recallAtK(l2Truth(embeddings, k),
-      pqAdcTopK(cbArrays(rel), sub, embeddings, k), k)
+    val (rels, sub) = pqTrainedStages(embeddings)
+    pqRecallTrainedFrom(rels, sub, l2Truth(embeddings, k), embeddings, k)
   }
+
+  /** [[pqRecallTrained]] over staged chain/subvectors/truth. */
+  def pqRecallTrainedFrom(chain: Seq[DataFrame], sub: DataFrame,
+                          truth: DataFrame, embeddings: DataFrame,
+                          k: Int = TopK): DataFrame =
+    recallAtK(truth, pqAdcTopK(cbArrays(chain.last), sub, embeddings, k), k)
 
   /** ADC top-k under a given trained codebook: encode every (vector,
     * subspace) row to its nearest codeword, score queries through the
@@ -640,8 +691,15 @@ object Similarity {
     * PqTrainIters+1 broadcast joins over it, no extra corpus scans. */
   def pqRecallCurve(embeddings: DataFrame, k: Int = TopK): DataFrame = {
     val (rels, sub) = pqTrainedStages(embeddings)
+    pqRecallCurveFrom(rels, sub,
+      l2Truth(embeddings, k).localCheckpoint(false), embeddings, k)
+  }
+
+  /** [[pqRecallCurve]] over staged chain/subvectors/truth. */
+  def pqRecallCurveFrom(rels: Seq[DataFrame], sub: DataFrame,
+                        truth: DataFrame, embeddings: DataFrame,
+                        k: Int = TopK): DataFrame = {
     val cbs = pqSeedCb(sub) +: rels.map(cbArrays)
-    val truth = l2Truth(embeddings, k).localCheckpoint(false)
     val nq = truth.select("q_id").distinct()
       .agg(count(lit(1)).as("n_q"))
     cbs.zipWithIndex.map { case (cb, i) =>
@@ -788,9 +846,16 @@ object Similarity {
     * vectors at all. */
   def pqRerankCurve(embeddings: DataFrame, k: Int = TopK): DataFrame = {
     val (rels, sub) = pqTrainedStages(embeddings)
+    pqRerankCurveFrom(rels, sub,
+      l2Truth(embeddings, k).localCheckpoint(false), embeddings, k)
+  }
+
+  /** [[pqRerankCurve]] over staged chain/subvectors/truth. */
+  def pqRerankCurveFrom(rels: Seq[DataFrame], sub: DataFrame,
+                        truth: DataFrame, embeddings: DataFrame,
+                        k: Int = TopK): DataFrame = {
     val scored = pqAdcScored(cbArrays(rels.last), sub, embeddings)
       .localCheckpoint(false)
-    val truth = l2Truth(embeddings, k).localCheckpoint(false)
     val nq = truth.select("q_id").distinct().agg(count(lit(1)).as("n_q"))
     val cand = candidates(embeddings).withColumnRenamed("cand_id", "vec_id")
     val q = queries(embeddings)
@@ -827,8 +892,13 @@ object Similarity {
     * stay bounded; here k is the fixed test-index size that ann_ivf
     * already uses. */
   def semanticDedup(embeddings: DataFrame,
-                    tauE6: Long = SemTauE6): DataFrame = {
-    val listed = ivfAssign(embeddings)
+                    tauE6: Long = SemTauE6): DataFrame =
+    semanticDedupFrom(ivfAssign(embeddings), embeddings, tauE6)
+
+  /** [[semanticDedup]] over a staged list assignment. */
+  def semanticDedupFrom(assign: DataFrame, embeddings: DataFrame,
+                        tauE6: Long = SemTauE6): DataFrame = {
+    val listed = assign
       .join(candidates(embeddings).withColumnRenamed("cand_id", "vec_id"),
         "vec_id")
     val a = listed.select(col("centroid_id"), col("vec_id").as("keep_vec_id"),

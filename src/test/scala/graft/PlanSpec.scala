@@ -230,12 +230,28 @@ class PlanSpec extends AnyFunSuite {
         graft.operators.TextAnalysis.gopherQualityFrom(docs, toks)),
       "staged.winnow" -> (() =>
         graft.operators.TextAnalysis.winnowSelectedSrc(docs)))
-    for ((name, build) <- builds) {
+    // the ann family's staged builds: sub/chain hold the strict
+    // no-nested-loop bar; the ground truths and the list assignment
+    // are the DECLARED broadcast-tiny-side patterns (8 queries / 16
+    // centroids), the same allowance as ann_topk/ivf_assign above —
+    // but still no cartesian and no unpartitioned window
+    val emb = Tables.embeddings(spark, Sf)
+    val annSub = graft.operators.Similarity.annSubvectors(emb)
+    val annBuilds = Map(
+      "staged.annSub" -> (() => annSub),
+      "staged.annChain" -> (() =>
+        graft.operators.Similarity.annLloydChain(annSub).last))
+    val annTruths = Map(
+      "staged.l2truth" -> (() => graft.operators.Similarity.annL2Truth(emb)),
+      "staged.cosTruth" -> (() => graft.operators.Similarity.bruteTopK(emb)),
+      "staged.assign" -> (() => graft.operators.Similarity.ivfAssign(emb)))
+    for ((name, build) <- builds ++ annBuilds ++ annTruths) {
       val pe = build().queryExecution.executedPlan
       val p = pe.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
-      assert(!p.contains("BroadcastNestedLoopJoin"),
-        s"$name has a nested-loop join:\n$p")
+      if (!annTruths.contains(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name has a nested-loop join:\n$p")
       val windows = pe.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
