@@ -663,7 +663,10 @@ object OracleSql {
          |FROM (VALUES
          |  $dsValues
          |) AS t(db, db_type, jdbc_url, sys_schema,
-         |       n_source_routes, n_target_routes)""".stripMargin
+         |       n_source_routes, n_target_routes)
+         |UNION ALL
+         |SELECT '/config', 'config',
+         |  ${esc(graft.config.SyncConfigs.configEndpointJson())}""".stripMargin
     },
 
     "clean_retention" ->

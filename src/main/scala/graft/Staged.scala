@@ -87,10 +87,33 @@ object Staged {
   private val tokenCache = TrieMap.empty[(SparkSession, String), TokenRels]
   private val annCache = TrieMap.empty[(SparkSession, String), AnnRels]
 
+  /** Sessions whose application-end listener is installed. The caches
+    * key by session object, which would otherwise strongly retain the
+    * session and its checkpointed blocks for process lifetime in a
+    * long-lived multi-session JVM — evict a session's entries when its
+    * context ends. */
+  private val hooked = TrieMap.empty[SparkSession, Unit]
+
+  private def hookEviction(spark: SparkSession): Unit =
+    hooked.getOrElseUpdate(spark, {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = {
+            cache.filterInPlace { case ((s, _), _) => s ne spark }
+            tokenCache.filterInPlace { case ((s, _), _) => s ne spark }
+            annCache.filterInPlace { case ((s, _), _) => s ne spark }
+            hooked.remove(spark)
+          }
+        })
+    })
+
   /** The staged dedup relations for the documents table under `sfDir`,
     * built on first request per (session, dir). */
   def dedup(spark: SparkSession, sfDir: String): DedupRels =
     cache.getOrElseUpdate((spark, sfDir), {
+      hookEviction(spark)
       val docs = Tables.documents(spark, sfDir)
       val sh = Dedup.shingleHashes(docs).localCheckpoint(false)
       val sigs = Dedup.signaturesFromHashes(sh).localCheckpoint(false)
@@ -103,6 +126,7 @@ object Staged {
     * `sfDir`, built on first request per (session, dir). */
   def tokens(spark: SparkSession, sfDir: String): TokenRels =
     tokenCache.getOrElseUpdate((spark, sfDir), {
+      hookEviction(spark)
       val docs = Tables.documents(spark, sfDir)
       val toks = TextAnalysis.tokensRel(docs).localCheckpoint(false)
       val freq = TextAnalysis.tokenFreqFrom(toks).localCheckpoint(false)
@@ -117,6 +141,7 @@ object Staged {
     * built on first request per (session, dir). */
   def ann(spark: SparkSession, sfDir: String): AnnRels =
     annCache.getOrElseUpdate((spark, sfDir), {
+      hookEviction(spark)
       val emb = Tables.embeddings(spark, sfDir)
       val sub = Similarity.annSubvectors(emb).localCheckpoint(false)
       val chain = Similarity.annLloydChain(sub) // rounds self-checkpoint

@@ -315,6 +315,41 @@ object SyncConfigs {
       "sys_schema", "n_source_routes", "n_target_routes")
   }
 
+  /** The GET /config response body (`monitor/Endpoints.scala:82-92`):
+    * the full parsed configuration as JSON — sys, db (the reference
+    * scrubs each db's password before serializing; our model carries
+    * none, same net shape), sync. Pure function of the YAML, rendered
+    * with deterministic field order so the Spark literal and the
+    * oracle literal are one string. Per-op capture conditions are
+    * emitted only when the entry sets them (jackson omits our model's
+    * null defaults the same way a scrubbed map drops keys). */
+  def configEndpointJson(yaml: String = DemoYaml): String = {
+    val cfg = parse(yaml)
+    def q(s: String) = "\"" + s + "\""
+    val sys = s"""{"partition":${cfg.sys.partition},"batch":${cfg.sys.batch},""" +
+      s""""maxRetry":${cfg.sys.maxRetry},""" +
+      s""""dataKeepHours":${cfg.sys.dataKeepHours},""" +
+      s""""maxPollWait":${cfg.sys.maxPollWait}}"""
+    val dbs = cfg.dbs.map(d =>
+      s"""{"name":${q(d.name)},"type":${q(d.`type`)},""" +
+        s""""sysSchema":${q(d.sysSchema)}}""").mkString("[", ",", "]")
+    val sync = cfg.sync.map { sc =>
+      val conds = Seq(
+        Option(sc.insertCondition).map(c => s""""insertCondition":${q(c)}"""),
+        Option(sc.updateCondition).map(c => s""""updateCondition":${q(c)}"""),
+        Option(sc.deleteCondition).map(c => s""""deleteCondition":${q(c)}""")
+      ).flatten
+      (Seq(
+        s""""sourceDb":${q(sc.sourceDb)}""",
+        s""""targetDb":${q(sc.targetDb)}""",
+        s""""sourceSchema":${q(sc.sourceSchema)}""",
+        s""""sourceTable":${q(sc.sourceTable)}""",
+        s""""sourceKeys":${q(sc.sourceKeys)}""") ++ conds)
+        .mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    s"""{"sys":$sys,"db":$dbs,"sync":$sync}"""
+  }
+
   // --- index + trigger reconciliation ------------------------------------
 
   /** One desired catalog object: triggers carry a version hash of their

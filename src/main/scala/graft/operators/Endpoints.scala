@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.config.SyncConfigs
 
 /** The reference's REST monitoring surface as one relation — the
-  * query-shaped form of `monitor/Endpoints.scala:28-75` (GET
-  * /status/sys, /status/sync, /status/component, /status/datasource).
+  * query-shaped form of `monitor/Endpoints.scala:28-92` (GET
+  * /status/sys, /status/sync, /status/component, /status/datasource,
+  * /config).
   *
   * Each endpoint's response body is rendered as the reference's exact
   * JSON shape (`SyncState(name, pending, blocked, error, success,
@@ -30,7 +31,7 @@ object Endpoints {
 
   private def num(c: Column): Column = c.cast("string")
 
-  /** All four GET status responses: (endpoint, name, body). */
+  /** The five GET responses: (endpoint, name, body). */
   def statusJson(spark: SparkSession, changelog: DataFrame): DataFrame = {
     // one sync-state pass feeds BOTH /status/sync and the /status/sys
     // totals — the rollup is an agg over the per-db rows, not a rescan
@@ -99,6 +100,17 @@ object Endpoints {
         lit(",\"targetRoutes\":"), num(col("n_target_routes")),
         lit("}")).as("body"))
 
+    // /config — the full parsed configuration (passwords scrubbed in
+    // the reference; our model carries none). A 1-row literal: the
+    // body is a pure function of the YAML, shared verbatim with the
+    // oracle via SyncConfigs.configEndpointJson.
+    val cfgRow = {
+      import spark.implicits._
+      Seq(("/config", "config", SyncConfigs.configEndpointJson()))
+        .toDF("endpoint", "name", "body")
+    }
+
     sync.unionByName(sys).unionByName(comp).unionByName(ds)
+      .unionByName(cfgRow)
   }
 }

@@ -91,13 +91,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(w2.getAs[Long]("backoff_s") === Ledger.RestartBackoffS * 2L)
   }
 
-  test("endpoint_status: the four REST surfaces render valid JSON whose " +
+  test("endpoint_status: the REST surfaces render valid JSON whose " +
     "numbers are the underlying aggregates") {
     val rows = Endpoints.statusJson(spark, cl).collect()
     val byEp = rows.groupBy(_.getAs[String]("endpoint"))
     assert(byEp.keySet === Set("/status/sys", "/status/sync",
-      "/status/component", "/status/datasource"))
+      "/status/component", "/status/datasource", "/config"))
     assert(byEp("/status/sys").length === 1)
+    assert(byEp("/config").length === 1)
     assert(byEp("/status/sync").length ===
       Ledger.syncState(cl).count())
     assert(byEp("/status/component").length ===
