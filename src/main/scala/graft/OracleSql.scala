@@ -15,7 +15,7 @@ object OracleSql {
       s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
   import graft.functions.PortableHash.{sqlPermute, sqlPhash}
-  import graft.operators.{Dedup, TextAnalysis}
+  import graft.operators.{Curation, Dedup, Temporal, TextAnalysis}
 
   /** SQL string literal escape for generated VALUES clauses. */
   private def esc(s: String) = "'" + s.replace("'", "''") + "'"
@@ -2958,6 +2958,118 @@ object OracleSql {
         |      ORDER BY list_cosine_similarity(qv, cv) DESC, cand_id) AS rn
         |  FROM q, c)
         |SELECT q_id, cand_id, CAST(rn AS BIGINT) AS rank
-        |FROM s WHERE rn <= 10""".stripMargin
+        |FROM s WHERE rn <= 10""".stripMargin,
+
+    "domain_caps" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ${sqlPhash("'cap:' || doc_id")} AS pri
+         |  FROM documents),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY pri, doc_id) AS rk FROM r)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN rk <= ${Curation.DomainCap} THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN rk > ${Curation.DomainCap} THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped,
+         |  CAST(COALESCE(SUM(CASE WHEN rk <= ${Curation.DomainCap}
+         |    THEN n_tokens END), 0) AS BIGINT) AS kept_tokens,
+         |  CAST(COALESCE(SUM(CASE WHEN rk <= ${Curation.DomainCap}
+         |    THEN doc_id END), 0) AS BIGINT) AS kept_id_sum
+         |FROM rk GROUP BY 1""".stripMargin,
+
+    "ccnet_buckets" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, tk[u.i+1] AS w1, tk[u.i+2] AS w2
+        |  FROM tk, UNNEST(generate_series(0, len(tk)-2)) AS u(i)),
+        |pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        |  FROM bg GROUP BY 1, 2),
+        |uc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        |  FROM bg GROUP BY 1),
+        |p AS (SELECT bg.doc_id, (pc.c2 * 1000000) // uc.c1 AS p_ppm
+        |  FROM bg JOIN pc USING (w1, w2) JOIN uc USING (w1)),
+        |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(p_ppm) AS BIGINT) // COUNT(*) AS mean_p_ppm
+        |  FROM p GROUP BY doc_id),
+        |s AS (SELECT sc.*, d.lang FROM sc JOIN documents d USING (doc_id)),
+        |dist AS (SELECT lang, mean_p_ppm, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM s GROUP BY 1, 2),
+        |cum AS (SELECT lang, mean_p_ppm,
+        |    SUM(cnt) OVER (PARTITION BY lang ORDER BY mean_p_ppm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crank
+        |  FROM dist),
+        |tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM s GROUP BY 1),
+        |th AS (SELECT lang,
+        |    MIN(CASE WHEN crank * 3 >= n THEN mean_p_ppm END) AS t33,
+        |    MIN(CASE WHEN crank * 3 >= 2 * n THEN mean_p_ppm END) AS t67
+        |  FROM cum JOIN tot USING (lang) GROUP BY 1),
+        |b AS (SELECT s.lang, n_bigrams, mean_p_ppm,
+        |    CASE WHEN mean_p_ppm < t33 THEN 'tail'
+        |         WHEN mean_p_ppm < t67 THEN 'middle'
+        |         ELSE 'head' END AS bucket
+        |  FROM s JOIN th USING (lang))
+        |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+        |  MIN(mean_p_ppm) AS min_p_ppm, MAX(mean_p_ppm) AS max_p_ppm
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "dsir_weights" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         |bg AS (SELECT doc_id, tk[u.i+1] AS w1, tk[u.i+2] AS w2
+         |  FROM tk, UNNEST(generate_series(0, len(tk)-2)) AS u(i)),
+         |f AS (SELECT bg.doc_id,
+         |    ${sqlPhash("'dsir:' || w1 || ' ' || w2")}
+         |      % ${Curation.DsirBuckets} AS f, d.source
+         |  FROM bg JOIN documents d USING (doc_id)),
+         |raw AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS cr
+         |  FROM f GROUP BY 1),
+         |tgt AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS ct
+         |  FROM f WHERE source = '${TextAnalysis.EvalSource}' GROUP BY 1),
+         |r0 AS (SELECT raw.f, cr, COALESCE(ct, 0) AS ct
+         |  FROM raw LEFT JOIN tgt USING (f)),
+         |tots AS (SELECT CAST(SUM(cr) AS BIGINT) AS tot_r,
+         |    CAST(SUM(ct) AS BIGINT) AS tot_t FROM r0),
+         |rt AS (SELECT f,
+         |    ((ct + 1) * 1000000 // (cr + 1)) *
+         |    ((tot_r + ${Curation.DsirBuckets}) * 1000
+         |      // (tot_t + ${Curation.DsirBuckets})) // 1000 AS r_ppm
+         |  FROM r0, tots)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(r_ppm - 1000000) AS BIGINT) AS net_ppm,
+         |  CAST(SUM(r_ppm) AS BIGINT) // COUNT(*) AS mean_r_ppm
+         |FROM f JOIN rt USING (f) GROUP BY 1""".stripMargin,
+
+    "token_fertility" ->
+      """WITH t AS (SELECT d.lang, d.source, t.t
+        |  FROM documents d, UNNEST(string_split(text, ' ')) AS t(t)),
+        |tok AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(DISTINCT t) AS BIGINT) AS n_types
+        |  FROM t GROUP BY 1, 2),
+        |dc AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, source, n_docs, n_tokens, n_types,
+        |  (sum_chars * 1000) // n_tokens AS chars_per_token_milli,
+        |  (n_types * 1000) // n_tokens AS ttr_milli,
+        |  n_tokens // n_docs AS tokens_per_doc
+        |FROM dc JOIN tok USING (lang, source)""".stripMargin,
+
+    "late_data_audit" ->
+      s"""WITH $CL,
+         |w AS (SELECT part, ems,
+         |    MAX(ems) OVER (PARTITION BY part ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+         |  FROM cl)
+         |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(CASE WHEN ems < wm THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_late,
+         |  CAST(SUM(CASE WHEN ems < wm - ${Temporal.AllowedLatenessMs}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(COALESCE(MAX(CASE WHEN ems < wm THEN wm - ems END), 0)
+         |    AS BIGINT) AS max_lateness_ms
+         |FROM w GROUP BY 1""".stripMargin
   )
 }

@@ -338,7 +338,19 @@ object SparkEntry {
     "active_users"        -> ((s, dir) =>
       Temporal.activeUsersRolling(cl(s, dir))),
     "olap_q6_discount"    -> ((s, dir) =>
-      Analytics.revenueFromDiscount(Tables.lineitem(s, dir)))
+      Analytics.revenueFromDiscount(Tables.lineitem(s, dir))),
+    "domain_caps"         -> ((s, dir) =>
+      Curation.domainCaps(Tables.documents(s, dir))),
+    "ccnet_buckets"       -> ((s, dir) =>
+      Curation.ccnetBucketsFrom(Tables.documents(s, dir),
+        Staged.tokens(s, dir).skipgrams)),
+    "dsir_weights"        -> ((s, dir) =>
+      Curation.dsirWeightsFrom(Tables.documents(s, dir),
+        Staged.tokens(s, dir).skipgrams)),
+    "token_fertility"     -> ((s, dir) =>
+      Curation.tokenFertilityFrom(Tables.documents(s, dir),
+        Staged.tokens(s, dir).tokens)),
+    "late_data_audit"     -> ((s, dir) => Temporal.lateDataAudit(cl(s, dir)))
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

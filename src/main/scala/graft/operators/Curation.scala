@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Web-curation / data-selection operators — the corpus-shaping steps a
+  * large-scale pretraining pipeline runs between raw ingestion and
+  * training-mix assembly, complementing the quality/dedup family in
+  * [[TextAnalysis]]:
+  *
+  *  - [[domainCaps]]: per-source document quotas (the FineWeb-style
+  *    "no domain may dominate the mix" rule), decided by a
+  *    deterministic hash priority so the kept set is reproducible and
+  *    auditable, never rand().
+  *  - [[ccnetBuckets]]: CCNet-style head/middle/tail partitioning of
+  *    each language by LM score (the bigram-LM surrogate from
+  *    [[TextAnalysis.ngramLmScoreFrom]]) — the standard
+  *    quality-stratification step before mixing.
+  *  - [[dsirWeights]]: data selection via importance resampling
+  *    (Xie et al. 2023) — per-document importance of the raw corpus
+  *    against a target domain, from hashed bigram features, in the
+  *    integer-exact surrogate form the cross-engine oracle can verify.
+  *  - [[tokenFertility]]: tokenizer QA per (lang, source) — chars per
+  *    token and type-token ratio, the fertility numbers a tokenizer
+  *    rollout is judged by.
+  *
+  * Scale notes: every operator here is one corpus pass plus
+  * vocabulary/bucket-sized side relations that broadcast. domainCaps
+  * windows per source (domains are the natural fine partition key of a
+  * web corpus; a pathological mega-domain is bounded by the cap itself —
+  * rows past the cap only feed counts, which AQE's skew split handles).
+  * All arithmetic is integer-exact with documented int64 bounds, like
+  * the rest of the repo, so the DuckDB oracle verifies values, not
+  * just shapes.
+  */
+object Curation {
+
+  // --- per-domain quota capping -------------------------------------------
+
+  /** Maximum documents kept per source (the FineWeb-style domain cap). */
+  val DomainCap = 20L
+
+  /** Deterministic per-doc keep priority: lower hash wins. Salted with
+    * "cap:" so it is independent of the sample/split hashes. */
+  private val capPriority: Column =
+    PortableHash.phash(concat(lit("cap:"), col("doc_id").cast("string")))
+
+  /** Per-source quota cap: rank docs inside each source by hash
+    * priority, keep the first [[DomainCap]], report the decision as a
+    * per-source rollup whose `kept_id_sum` checksums the exact kept
+    * set (so the oracle verifies the decision, not just the counts).
+    * One window per source partition + one aggregate — the window's
+    * partition key IS the shuffle key, and no reducer ever holds more
+    * than one source's docs. */
+  def domainCaps(documents: DataFrame, cap: Long = DomainCap): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokensCol).cast("long").as("n_tokens"),
+        capPriority.as("pri"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") > cap, 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(col("rk") <= cap, col("n_tokens"))), lit(0L))
+          .cast("long").as("kept_tokens"),
+        coalesce(sum(when(col("rk") <= cap, col("doc_id"))), lit(0L))
+          .cast("long").as("kept_id_sum"))
+  }
+
+  // --- CCNet head/middle/tail quality buckets ------------------------------
+
+  /** CCNet-style per-language quality stratification: score each doc
+    * with the bigram-LM surrogate (high mean bigram probability =
+    * fluent = "head"), cut each language at its exact tertiles, and
+    * roll up (lang, bucket) populations. The tertile thresholds come
+    * from the aggregate-below-window shape (the valueQuantiles rule):
+    * the cumulative window runs over the DISTINCT-score count relation
+    * (≤ one row per distinct score), never over raw docs, and the
+    * resulting ≤ |langs| threshold rows broadcast back onto the scored
+    * corpus. Lower tertile at 1-based rank ⌈n/3⌉ (crank·3 ≥ n). */
+  def ccnetBuckets(documents: DataFrame): DataFrame =
+    ccnetBucketsFrom(documents, TextAnalysis.skipgramsRel(documents))
+
+  /** [[ccnetBuckets]] over a staged skip-gram relation. */
+  def ccnetBucketsFrom(documents: DataFrame, skipgrams: DataFrame): DataFrame = {
+    val scored = TextAnalysis.ngramLmScoreFrom(skipgrams)
+      .select(col("doc_id"), col("n_bigrams"), col("mean_p_ppm"))
+    val s = scored.join(documents.select("doc_id", "lang"), "doc_id")
+    val dist = s.groupBy("lang", "mean_p_ppm").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy("mean_p_ppm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dist.withColumn("crank", sum("cnt").over(w))
+    val tot = s.groupBy("lang").agg(count(lit(1)).as("n"))
+    val th = cum.join(tot, "lang")
+      .groupBy("lang")
+      .agg(min(when(col("crank") * 3 >= col("n"), col("mean_p_ppm")))
+          .as("t33"),
+        min(when(col("crank") * 3 >= col("n") * 2, col("mean_p_ppm")))
+          .as("t67"))
+    s.join(broadcast(th), "lang")
+      .select(col("lang"), col("n_bigrams"), col("mean_p_ppm"),
+        when(col("mean_p_ppm") < col("t33"), lit("tail"))
+          .when(col("mean_p_ppm") < col("t67"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").cast("long").as("sum_bigrams"),
+        min("mean_p_ppm").as("min_p_ppm"),
+        max("mean_p_ppm").as("max_p_ppm"))
+  }
+
+  // --- DSIR importance weights ---------------------------------------------
+
+  /** Hashed-feature space size for [[dsirWeights]]. */
+  val DsirBuckets = 1024L
+
+  /** DSIR importance scoring: hash each adjacent bigram into
+    * [[DsirBuckets]] buckets, estimate the target-vs-raw frequency
+    * ratio per bucket (Laplace-smoothed), and score each document by
+    * the net over-representation of its bigrams in the target domain.
+    * This is the integer-exact surrogate of DSIR's log importance
+    * weight Σ_f n_f·log(p_target(f)/p_raw(f)): per occurrence we add
+    * `r_ppm − 1e6` where r_ppm is the smoothed ratio in ppm — the
+    * first-order (log(1+x) ≈ x) form, monotone in the same ranking and
+    * bit-identical across engines.
+    *
+    * Int64 bounds: target ⊆ raw ⇒ ct ≤ cr ⇒ ratio1_ppm ≤ 1e6;
+    * scale_milli = (tot_r+B)·1000 ÷ (tot_t+B) stays < 2⁶³ up to
+    * ~10¹⁵ raw bigrams, and ratio1_ppm·scale_milli < 2⁶³ while the
+    * target holds ≥ ~10⁻⁹ of the corpus — far past 100 TB for any
+    * real target mix.
+    *
+    * Scale shape: one bigram pass; the per-feature ratio table is
+    * [[DsirBuckets]] rows and broadcasts; totals are a 1-row broadcast. */
+  def dsirWeights(documents: DataFrame): DataFrame =
+    dsirWeightsFrom(documents, TextAnalysis.skipgramsRel(documents))
+
+  /** [[dsirWeights]] over a staged skip-gram relation. */
+  def dsirWeightsFrom(documents: DataFrame, skipgrams: DataFrame,
+                      targetSource: String = TextAnalysis.EvalSource)
+  : DataFrame = {
+    val feats = skipgrams.where(col("d") === 1)
+      .select(col("doc_id"),
+        pmod(PortableHash.phash(
+          concat(lit("dsir:"), col("w1"), lit(" "), col("w2"))),
+          lit(DsirBuckets)).as("f"))
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+    val raw = feats.groupBy("f").agg(count(lit(1)).as("cr"))
+    val tgt = feats.where(col("source") === targetSource)
+      .groupBy("f").agg(count(lit(1)).as("ct"))
+    val ratio = raw.join(tgt, Seq("f"), "left")
+      .select(col("f"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val tots = ratio.agg(sum("cr").cast("long").as("tot_r"),
+      sum("ct").cast("long").as("tot_t"))
+    val rtab = ratio.crossJoin(broadcast(tots))
+      .select(col("f"), expr(
+        s"""((ct + 1) * 1000000 div (cr + 1)) *
+           |((tot_r + $DsirBuckets) * 1000 div (tot_t + $DsirBuckets))
+           |div 1000""".stripMargin).as("r_ppm"))
+    feats
+      .join(broadcast(rtab), "f")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("r_ppm") - 1000000L).cast("long").as("net_ppm"),
+        expr("sum(r_ppm) div count(1)").as("mean_r_ppm"))
+  }
+
+  // --- tokenizer fertility QA ----------------------------------------------
+
+  /** Tokenizer fertility / diversity QA per (lang, source): characters
+    * per token (the fertility number a tokenizer rollout is judged
+    * by), type-token ratio (vocabulary diversity), and tokens per doc.
+    * Two aggregates — one over the token explode, one over the doc
+    * relation — joined on the tiny (lang, source) grid. */
+  def tokenFertility(documents: DataFrame): DataFrame =
+    tokenFertilityFrom(documents, TextAnalysis.tokensRel(documents))
+
+  /** [[tokenFertility]] over a staged token relation. */
+  def tokenFertilityFrom(documents: DataFrame, tokens: DataFrame): DataFrame = {
+    val tok = tokens.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("token")).as("n_types"))
+    val docs = documents.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("sum_chars"))
+    docs.join(tok, Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("n_types"),
+        expr("(sum_chars * 1000) div n_tokens").as("chars_per_token_milli"),
+        expr("(n_types * 1000) div n_tokens").as("ttr_milli"),
+        expr("n_tokens div n_docs").as("tokens_per_doc"))
+  }
+}

@@ -137,6 +137,34 @@ object Temporal {
         expr("(wau * 1000000) div mau4").as("stickiness_ppm"))
   }
 
+  /** Allowed lateness for [[lateDataAudit]] — the watermark delay a
+    * streaming deployment of this changelog would configure. */
+  val AllowedLatenessMs = 5000L
+
+  /** Watermark / late-data accounting — the batch audit that sizes a
+    * streaming watermark: replay each partition worker's arrival order
+    * (event_id is the arrival sequence, as in arrivalMonitor), track
+    * the running max event-time seen BEFORE each arrival (exactly the
+    * per-partition watermark Spark's streaming engine maintains), and
+    * count the events that arrive late and the events a watermark with
+    * [[AllowedLatenessMs]] of slack would drop. `max_lateness_ms` is
+    * the number that picks the delay; `n_dropped` is the cost of the
+    * chosen one. Per-part ordered scan — the same single shuffle the
+    * streaming job itself would do, no global ordering anywhere. */
+  def lateDataAudit(changelog: DataFrame): DataFrame = {
+    val wPrev = Window.partitionBy("part").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    changelog
+      .withColumn("wm", max("ems").over(wPrev))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("ems") < col("wm"), 1L).otherwise(0L)).as("n_late"),
+        sum(when(col("ems") < col("wm") - AllowedLatenessMs, 1L)
+          .otherwise(0L)).as("n_dropped"),
+        coalesce(max(when(col("ems") < col("wm"), col("wm") - col("ems"))),
+          lit(0L)).as("max_lateness_ms"))
+  }
+
   /** Sessionization: a gap > SessionGapMs starts a new session; emits
     * per-session bounds and size. Two stacked windows over the same
     * key partitioning — still one shuffle. */

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ChangeLog, Curation, Temporal, TextAnalysis}
+
+/** Semantic invariants of the web-curation / data-selection family —
+  * the properties the DuckDB oracle's value-hash can't state directly
+  * (cap arithmetic, bucket partitioning, DSIR's target preference,
+  * watermark monotonicity). */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs = Tables.documents(spark, TestSpark.Sf).cache()
+  private lazy val cl =
+    ChangeLog.normalize(Tables.events(spark, TestSpark.Sf)).cache()
+
+  test("domain_caps: kept <= cap per source, kept+dropped = docs, " +
+    "checksum matches an independent recount") {
+    val caps = Curation.domainCaps(docs).collect()
+    assert(caps.nonEmpty)
+    caps.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= Curation.DomainCap)
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ===
+        r.getAs[Long]("n_docs"))
+    }
+    // recount one source's kept set by brute force on the same hash
+    val src = caps.head.getAs[String]("source")
+    val ids = docs.where(col("source") === src).select("doc_id")
+      .collect().map(_.getLong(0))
+    val kept = ids
+      .sortBy(id => (graft.functions.PortableHash.md5Long(s"cap:$id"), id))
+      .take(Curation.DomainCap.toInt)
+    assert(caps.find(_.getAs[String]("source") == src).get
+      .getAs[Long]("kept_id_sum") === kept.sum)
+  }
+
+  test("ccnet_buckets: buckets partition each language's scored docs " +
+    "and score ranges are ordered tail < middle <= head") {
+    val b = Curation.ccnetBuckets(docs).collect()
+    val scored = TextAnalysis.ngramLmScore(docs).count()
+    assert(b.map(_.getAs[Long]("n_docs")).sum === scored)
+    b.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val m = rows.map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("min_p_ppm"), r.getAs[Long]("max_p_ppm"))).toMap
+      for (t <- m.get("tail"); mid <- m.get("middle"))
+        assert(t._2 < mid._1 || t._2 <= mid._2)
+      for (mid <- m.get("middle"); h <- m.get("head"))
+        assert(mid._2 <= h._2)
+      // a language never loses docs to an unnamed bucket
+      assert(rows.map(_.getAs[String]("bucket")).toSet
+        .subsetOf(Set("head", "middle", "tail")))
+    }
+  }
+
+  test("dsir_weights: the target source scores higher than the rest " +
+    "(importance weights point at the target domain)") {
+    val w = Curation.dsirWeights(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("source") === TextAnalysis.EvalSource as "is_target",
+        col("net_ppm"))
+      .groupBy("is_target")
+      .agg(avg("net_ppm").as("mean_net"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(w(true) > w(false),
+      s"target mean ${w(true)} should exceed non-target ${w(false)}")
+  }
+
+  test("token_fertility: ttr <= 1000 milli and token arithmetic is " +
+    "consistent with the corpus") {
+    val f = Curation.tokenFertility(docs).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      assert(r.getAs[Long]("ttr_milli") <= 1000L)
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("chars_per_token_milli") >= 1000L) // spaces ride along
+    }
+    val total = f.map(_.getAs[Long]("n_tokens")).sum
+    val expected = docs.select(sum(size(TextAnalysis.tokensCol)))
+      .collect().head.getLong(0)
+    assert(total === expected)
+  }
+
+  test("late_data_audit: dropped <= late <= events, and a replayed " +
+    "watermark reproduces the late count") {
+    val a = Temporal.lateDataAudit(cl).collect()
+    assert(a.map(_.getAs[Long]("n_events")).sum === cl.count())
+    a.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_late"))
+      assert(r.getAs[Long]("n_late") <= r.getAs[Long]("n_events"))
+    }
+    // brute-force replay of one partition's arrival order
+    val part = a.head.getAs[Long]("part")
+    val rows = cl.where(col("part") === part)
+      .select("event_id", "ems").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var wm = Long.MinValue
+    var late = 0L
+    rows.foreach { case (_, ems) =>
+      if (wm != Long.MinValue && ems < wm) late += 1
+      wm = math.max(wm, ems)
+    }
+    assert(a.find(_.getAs[Long]("part") == part).get
+      .getAs[Long]("n_late") === late)
+  }
+}

@@ -98,6 +98,8 @@ class PlanSpec extends AnyFunSuite {
       "sync_lag",
       "ivf_recall", "ivf_recall_curve", "shard_balance", "pmi_pairs",
       "bpe_apply",
+      // dsir_weights cross-joins the broadcast 1-row bigram totals
+      "dsir_weights",
       "kmeans_shift", "fk_integrity",
       // endpoint_status composes status_rollup's 1-row aggregates plus
       // its own broadcast 1-row uptime join — O(1)-row sides only
