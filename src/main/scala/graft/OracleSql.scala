@@ -1282,6 +1282,41 @@ object OracleSql {
         |  FROM probed pr JOIN q ON pr.q_id = q.q_id
         |  JOIN cand c ON pr.vec_id = c.vec_id) t WHERE rn <= 10""".stripMargin,
 
+    // per-IVF-list composition report; assign CTE is the ivf_assign
+    // twin verbatim; ties break (count DESC, value DESC) on both sides
+    "topic_clusters" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+        |         WHERE vec_id BETWEEN 8 AND 23),
+        |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+        |assign AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT cand.vec_id, cent.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+        |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
+        |    FROM cand, cent) t WHERE rn = 1),
+        |d AS (SELECT a.centroid_id, doc.doc_id, doc.lang, doc.text
+        |  FROM assign a JOIN documents doc ON a.vec_id = doc.doc_id),
+        |dagg AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |  FROM d GROUP BY 1),
+        |lc AS (SELECT centroid_id, lang, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2),
+        |lt AS (SELECT centroid_id, lang AS top_lang, c AS top_lang_n
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY centroid_id
+        |    ORDER BY c DESC, lang DESC) AS rn FROM lc) WHERE rn = 1),
+        |tok AS (SELECT centroid_id, t.t AS token
+        |  FROM d, UNNEST(string_split(text, ' ')) AS t(t)),
+        |tc AS (SELECT centroid_id, token, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |tt AS (SELECT centroid_id, token AS top_token, c AS top_token_n
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY centroid_id
+        |    ORDER BY c DESC, token DESC) AS rn FROM tc) WHERE rn = 1)
+        |SELECT dagg.centroid_id, n_docs, n_langs, top_lang, top_lang_n,
+        |  top_token, top_token_n, id_sum
+        |FROM dagg JOIN lt USING (centroid_id) JOIN tt USING (centroid_id)""".stripMargin,
+
     "ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
@@ -1457,6 +1492,28 @@ object OracleSql {
          |  FROM lab GROUP BY 1)
          |SELECT n_members, CAST(COUNT(*) AS BIGINT) AS n_clusters
          |FROM csz GROUP BY 1""".stripMargin,
+
+    // representative = argmax (distinct_milli, lowest doc_id) inside
+    // each connected component; dropped_* checksums pin the exact
+    // decision set cross-engine
+    "cluster_representative" ->
+      s"""WITH $MinhashCtes, $DupClusterCtes, $GopherCtes,
+         |cr AS (SELECT lab.cluster_id, lab.doc_id,
+         |    gq.distinct_milli, gq.n_tokens,
+         |    ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+         |      ORDER BY gq.distinct_milli DESC, lab.doc_id ASC) AS rk
+         |  FROM lab JOIN gq ON lab.doc_id = gq.doc_id)
+         |SELECT cluster_id,
+         |  CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+         |    AS rep_doc_id,
+         |  CAST(MAX(CASE WHEN rk = 1 THEN distinct_milli END) AS BIGINT)
+         |    AS rep_distinct_milli,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(doc_id) - MAX(CASE WHEN rk = 1 THEN doc_id END)
+         |    AS BIGINT) AS dropped_id_sum,
+         |  CAST(SUM(n_tokens) - MAX(CASE WHEN rk = 1 THEN n_tokens END)
+         |    AS BIGINT) AS dropped_tokens
+         |FROM cr GROUP BY cluster_id""".stripMargin,
 
     "quality_gopher" ->
       s"""WITH $GopherCtes
@@ -1664,6 +1721,60 @@ object OracleSql {
          |    CAST(SUM(w) AS BIGINT) // COUNT(*)) >
          |    ${TextAnalysis.ClassifierThreshold} AS VARCHAR) AS keep
          |FROM t GROUP BY doc_id""".stripMargin
+    },
+
+    // agreement matrix of the four quality gates; base relation = gq
+    // (all tokenized docs), signals outside their domain default false
+    "quality_ensemble" -> {
+      val cases = TextAnalysis.ClassifierWeights
+        .map { case (w, v) => s"WHEN ${esc(w)} THEN $v" }.mkString(" ")
+      s"""WITH $GopherCtes,
+         |qct AS (SELECT doc_id,
+         |    CAST(CASE t.t $cases ELSE 0 END AS BIGINT) AS w
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)),
+         |clf AS (SELECT doc_id,
+         |    (${TextAnalysis.ClassifierBias} +
+         |      CAST(SUM(w) AS BIGINT) // COUNT(*)) >
+         |      ${TextAnalysis.ClassifierThreshold} AS keep_clf
+         |  FROM qct GROUP BY doc_id),
+         |ltk AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         |lbg AS (SELECT doc_id, tk[u.i+1] AS w1, tk[u.i+2] AS w2
+         |  FROM ltk, UNNEST(generate_series(0, len(tk)-2)) AS u(i)),
+         |lpc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+         |  FROM lbg GROUP BY 1, 2),
+         |luc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+         |  FROM lbg GROUP BY 1),
+         |lp AS (SELECT lbg.doc_id, (lpc.c2 * 1000000) // luc.c1 AS p_ppm
+         |  FROM lbg JOIN lpc USING (w1, w2) JOIN luc USING (w1)),
+         |lmk AS (SELECT doc_id,
+         |    (CAST(SUM(p_ppm) AS BIGINT) // COUNT(*)) >=
+         |      ${TextAnalysis.LmKeepPpm} AS keep_lm
+         |  FROM lp GROUP BY doc_id),
+         |rtk AS (SELECT doc_id, t.t
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)),
+         |rfq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM rtk GROUP BY t),
+         |rar AS (SELECT doc_id,
+         |    ((CAST(SUM(tf) AS BIGINT) * 1000) // COUNT(*)) <=
+         |      ${TextAnalysis.RareMaxMilli} AS keep_rare
+         |  FROM rtk JOIN rfq USING (t) GROUP BY doc_id),
+         |j AS (SELECT gq.doc_id, gq.keep_b AS keep_gopher,
+         |    COALESCE(clf.keep_clf, FALSE) AS keep_clf,
+         |    COALESCE(lmk.keep_lm, FALSE) AS keep_lm,
+         |    COALESCE(rar.keep_rare, FALSE) AS keep_rare
+         |  FROM gq LEFT JOIN clf USING (doc_id)
+         |    LEFT JOIN lmk USING (doc_id) LEFT JOIN rar USING (doc_id))
+         |SELECT CAST(keep_gopher AS VARCHAR) AS keep_gopher,
+         |  CAST(keep_clf AS VARCHAR) AS keep_clf,
+         |  CAST(keep_lm AS VARCHAR) AS keep_lm,
+         |  CAST(keep_rare AS VARCHAR) AS keep_rare,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+         |  CAST((CAST(keep_gopher AS INT) + CAST(keep_clf AS INT) +
+         |    CAST(keep_lm AS INT) + CAST(keep_rare AS INT)) >= 3 AS VARCHAR)
+         |    AS ensemble_keep
+         |FROM j GROUP BY keep_gopher, keep_clf, keep_lm, keep_rare""".stripMargin
     },
 
     "dataset_card" ->

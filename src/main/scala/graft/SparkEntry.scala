@@ -350,7 +350,21 @@ object SparkEntry {
     "token_fertility"     -> ((s, dir) =>
       Curation.tokenFertilityFrom(Tables.documents(s, dir),
         Staged.tokens(s, dir).tokens)),
-    "late_data_audit"     -> ((s, dir) => Temporal.lateDataAudit(cl(s, dir)))
+    "late_data_audit"     -> ((s, dir) => Temporal.lateDataAudit(cl(s, dir))),
+    "cluster_representative" -> ((s, dir) =>
+      Dedup.clusterRepresentativesFrom(
+        Dedup.dupClustersFrom(Staged.dedup(s, dir).dups),
+        Staged.tokens(s, dir).gopher)),
+    "topic_clusters"      -> ((s, dir) =>
+      Similarity.topicClustersFrom(Staged.ann(s, dir).assign,
+        Tables.documents(s, dir), Staged.tokens(s, dir).tokens)),
+    "quality_ensemble"    -> ((s, dir) => {
+      val st = Staged.tokens(s, dir)
+      TextAnalysis.qualityEnsembleFrom(st.gopher,
+        TextAnalysis.qualityClassifyFrom(st.tokens),
+        TextAnalysis.ngramLmScoreFrom(st.skipgrams),
+        TextAnalysis.docRarityFrom(st.tokens, st.freq))
+    })
   )
 
   /** Tumbling 1-hour window × event_type throughput — the batch twin of

@@ -509,6 +509,48 @@ object Dedup {
       .select(col("doc_id"), col("label").as("cluster_id"), col("n_members"))
   }
 
+  /** Canonical-representative selection per near-dup cluster — the
+    * decision step between clustering and materialization. dedupApply's
+    * "keep the minimum doc_id" rule is arbitrary; a production pipeline
+    * keeps the BEST member of each cluster. Here: highest Gopher
+    * distinct-token ratio (the boilerplate-resistance signal), lowest
+    * doc_id as the deterministic tiebreak, with the dropped side
+    * checksummed (id-sum + token mass) so the oracle verifies the exact
+    * decision set, not just counts.
+    *
+    * Shape: one equi-join of the (tiny) cluster relation against the
+    * per-doc quality aggregate, then a single per-cluster aggregate —
+    * the argmax is a struct max, so there is no window and no
+    * per-cluster array; a mass-copied template cluster costs one
+    * combiner-friendly max, not a sort. */
+  def clusterRepresentatives(documents: DataFrame): DataFrame =
+    clusterRepresentativesFrom(dupClusters(documents),
+      TextAnalysis.gopherQuality(documents))
+
+  /** [[clusterRepresentatives]] over already-computed cluster + gopher
+    * relations — staged-reuse entry point ([[graft.Staged]]). */
+  private[graft] def clusterRepresentativesFrom(clusters: DataFrame,
+                                                gopher: DataFrame): DataFrame =
+    clusters
+      .join(gopher.select(col("doc_id"), col("distinct_milli"),
+        col("n_tokens")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        // argmax by (quality, lowest-id tiebreak); payload fields ride
+        // in the struct AFTER the ordering fields they are determined by
+        max(struct(col("distinct_milli"), (-col("doc_id")).as("nid"),
+          col("doc_id").as("rep_id"),
+          col("n_tokens").as("rep_toks"))).as("rep"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_tokens")).as("tok_sum"))
+      .select(col("cluster_id"),
+        col("rep.rep_id").as("rep_doc_id"),
+        col("rep.distinct_milli").as("rep_distinct_milli"),
+        col("n_members"),
+        (col("id_sum") - col("rep.rep_id")).as("dropped_id_sum"),
+        (col("tok_sum") - col("rep.rep_toks")).as("dropped_tokens"))
+
   /** Duplicate-cluster size histogram — the skew profile of the dup
     * graph (is duplication a long tail of pairs or a few mass-copied
     * templates?), and the direct sizing input for MaxQuadraticBucket.

@@ -913,6 +913,52 @@ object Similarity {
       .select("centroid_id", "keep_vec_id", "dup_vec_id", "sim_e6")
   }
 
+  /** Per-cluster topic summary — what each IVF list actually CONTAINS,
+    * the report a curation team reads after clustering a corpus:
+    * population, language spread, the dominant language and the
+    * dominant token of every list (embedding vec_id doubles as doc_id,
+    * the corpus linkage modal_align audits). Ties break by count DESC
+    * then value DESC on both engines.
+    *
+    * Shape: the doc-level join is narrow (id, lang) × assignment; the
+    * token pass pre-aggregates (centroid, token) counts map-side
+    * before the argmax, and the argmax itself is a struct max — no
+    * window, no per-cluster array, so a mega-cluster costs a combiner
+    * max, not a sort. Cluster count is NumCentroids, so every
+    * aggregate output here is index-sized, not corpus-sized. */
+  def topicClustersFrom(assign: DataFrame, documents: DataFrame,
+                        tokens: DataFrame): DataFrame = {
+    val byDoc = assign.select(col("vec_id").as("doc_id"), col("centroid_id"))
+    val d = byDoc.join(documents.select(col("doc_id"), col("lang")), "doc_id")
+    val docAgg = d.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        sum("doc_id").as("id_sum"))
+    val langTop = d.groupBy("centroid_id", "lang")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("centroid_id")
+      .agg(max(struct(col("c"), col("lang"))).as("m"))
+      .select(col("centroid_id"), col("m.lang").as("top_lang"),
+        col("m.c").as("top_lang_n"))
+    val tokTop = byDoc
+      .join(tokens.select(col("doc_id"), col("token")), "doc_id")
+      .groupBy("centroid_id", "token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("centroid_id")
+      .agg(max(struct(col("c"), col("token"))).as("m"))
+      .select(col("centroid_id"), col("m.token").as("top_token"),
+        col("m.c").as("top_token_n"))
+    docAgg.join(langTop, "centroid_id").join(tokTop, "centroid_id")
+      .select("centroid_id", "n_docs", "n_langs", "top_lang", "top_lang_n",
+        "top_token", "top_token_n", "id_sum")
+  }
+
+  /** [[topicClustersFrom]] built standalone (assignment + tokenization
+    * computed inline). */
+  def topicClusters(embeddings: DataFrame, documents: DataFrame): DataFrame =
+    topicClustersFrom(ivfAssign(embeddings), documents,
+      TextAnalysis.tokensRel(documents))
+
   /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ τ.
     * No all-pairs: the bucket id is the join key. */
   def embeddingNearDup(embeddings: DataFrame, tauE6: Long = 950000L): DataFrame = {

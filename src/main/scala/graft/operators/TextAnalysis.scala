@@ -1005,6 +1005,63 @@ object TextAnalysis {
       .select(col("score_bucket"), col("n_docs"), col("n_gopher_keep"),
         expr("(n_gopher_keep * 1000000) div n_docs").as("keep_ppm"))
 
+  /** Ensemble gate thresholds: LM fluency keeps docs at-or-above the
+    * corpus-median mean bigram probability; rarity keeps docs at-or-
+    * below the corpus-median mean token frequency (i.e. the less
+    * boilerplate-like half). Both chosen to SPLIT the driver corpus so
+    * the agreement matrix is populated, not degenerate. */
+  val LmKeepPpm = 34500L
+  val RareMaxMilli = 905000L
+
+  /** Quality-signal ensemble — the agreement matrix across the four
+    * independent gates this engine computes (Gopher repetition rules,
+    * the linear fastText-style classifier, bigram-LM fluency, corpus
+    * rarity), plus the majority-vote verdict. This is the analysis
+    * that decides WHICH single gate a pipeline can trust alone and
+    * where they disagree; emitting one row per signal COMBINATION
+    * (16 max) with an id-sum checksum pins every per-doc decision
+    * cross-engine without a corpus-sized output.
+    *
+    * Shape: four doc_id-keyed aggregates, three doc_id equi-joins
+    * (co-partitioned after the first shuffle), then a 16-group
+    * aggregate — nothing here outgrows the corpus scan. */
+  def qualityEnsemble(documents: DataFrame): DataFrame = {
+    val t = tokensRel(documents)
+    qualityEnsembleFrom(gopherQualityFrom(documents, t),
+      qualityClassifyFrom(t), ngramLmScoreFrom(skipgramsRel(documents)),
+      docRarityFrom(t, tokenFreqFrom(t)))
+  }
+
+  /** [[qualityEnsemble]] over staged signal relations
+    * ([[graft.Staged]]). Docs outside a signal's domain (e.g. the
+    * 1-token doc that has no bigram) default to keep=false there. */
+  def qualityEnsembleFrom(gopher: DataFrame, classified: DataFrame,
+                          lm: DataFrame, rarity: DataFrame): DataFrame = {
+    val g = gopher.select(col("doc_id"),
+      (col("keep") === "true").as("keep_gopher"))
+    val c = classified.select(col("doc_id"),
+      (col("keep") === "true").as("keep_clf"))
+    val l = lm.select(col("doc_id"),
+      (col("mean_p_ppm") >= LmKeepPpm).as("keep_lm"))
+    val r = rarity.select(col("doc_id"),
+      (col("mean_tf_milli") <= RareMaxMilli).as("keep_rare"))
+    val votes = Seq("keep_gopher", "keep_clf", "keep_lm", "keep_rare")
+      .map(n => col(n).cast("long")).reduce(_ + _)
+    g.join(c, Seq("doc_id"), "left")
+      .join(l, Seq("doc_id"), "left")
+      .join(r, Seq("doc_id"), "left")
+      .na.fill(false)
+      .groupBy("keep_gopher", "keep_clf", "keep_lm", "keep_rare")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+      .select(
+        col("keep_gopher").cast("string").as("keep_gopher"),
+        col("keep_clf").cast("string").as("keep_clf"),
+        col("keep_lm").cast("string").as("keep_lm"),
+        col("keep_rare").cast("string").as("keep_rare"),
+        col("n_docs"), col("id_sum"),
+        (votes >= 3).cast("string").as("ensemble_keep"))
+  }
+
   // --- TF-IDF keywords -----------------------------------------------------
 
   /** Keywords per document reported by [[tfidfTopK]]. */

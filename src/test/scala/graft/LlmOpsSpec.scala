@@ -1087,6 +1087,62 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(prod._2 === Dedup.minhashDedup(docs).count())
   }
 
+  test("cluster_representative: one rep per cluster, rep maximizes " +
+    "quality, dropped checksum = cluster total minus rep") {
+    val clusters = Dedup.dupClusters(docs)
+    val gopher = TextAnalysis.gopherQuality(docs)
+    val reps = Dedup.clusterRepresentativesFrom(clusters, gopher)
+    assert(reps.count() ===
+      clusters.select("cluster_id").distinct().count())
+    val byDoc = clusters.join(gopher.select("doc_id", "distinct_milli",
+      "n_tokens"), "doc_id").collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+    reps.collect().foreach { r =>
+      val members = byDoc(r.getAs[Long]("cluster_id"))
+      val best = members.maxBy(m =>
+        (m.getAs[Long]("distinct_milli"), -m.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("rep_doc_id") === best.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_members") === members.length)
+      assert(r.getAs[Long]("dropped_id_sum") ===
+        members.map(_.getAs[Long]("doc_id")).sum -
+          best.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("dropped_tokens") ===
+        members.map(_.getAs[Long]("n_tokens")).sum -
+          best.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("topic_clusters: populations cover the assignment, top counts " +
+    "bounded by population") {
+    val assign = Similarity.ivfAssign(embs)
+    val tc = Similarity.topicClustersFrom(assign, docs,
+      TextAnalysis.tokensRel(docs)).collect()
+    // every doc in the assignment that exists in documents is counted
+    val assigned = assign.join(
+      docs.select(col("doc_id").as("vec_id")), "vec_id").count()
+    assert(tc.map(_.getAs[Long]("n_docs")).sum === assigned)
+    tc.foreach { r =>
+      assert(r.getAs[Long]("top_lang_n") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("top_lang_n") >= 1L)
+      assert(r.getAs[Long]("n_langs") >= 1L)
+      assert(r.getAs[Long]("top_token_n") >= 1L)
+    }
+  }
+
+  test("quality_ensemble: 16-way matrix conserves docs, ensemble_keep " +
+    "is the majority vote of the row's flags") {
+    val rows = TextAnalysis.qualityEnsemble(docs).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    assert(rows.length <= 16)
+    rows.foreach { r =>
+      val votes = Seq("keep_gopher", "keep_clf", "keep_lm", "keep_rare")
+        .count(c => r.getAs[String](c) == "true")
+      assert(r.getAs[String]("ensemble_keep") === (votes >= 3).toString)
+    }
+    // the gates must actually split the corpus (non-degenerate matrix)
+    assert(rows.length >= 4, s"only ${rows.length} combinations populated")
+  }
+
   test("embed_norm_stats: per-label bounds bracket the sums") {
     val e = Tables.embeddings(spark, TestSpark.Sf)
     val st = Similarity.embedNormStats(e).collect()
