@@ -1051,6 +1051,34 @@ object OracleSql {
     // batch windowed aggregate — the oracle IS stream_window_agg's
     "stream_window_parity" -> WindowAggSql,
 
+    // SQL replay of the watermark recurrence: batch = event-time range
+    // (+1 for 1-in-10 hash stragglers), wm(b) = max ems of prior
+    // batches - 5000, keep iff the 1-minute window end is still ahead
+    // of wm at arrival — must hash-match Spark's Append-mode drops
+    "stream_late_parity" ->
+      s"""WITH e AS (SELECT epoch_ms(ts) AS ems, event_type,
+         |    CAST(ROUND(value * 100) AS BIGINT) AS value_cents, event_id
+         |  FROM events),
+         |bb AS (SELECT MIN(ems) AS lo, MAX(ems) AS hi,
+         |    MAX(ems) - MIN(ems) + 1 AS span FROM e),
+         |a AS (SELECT e.*,
+         |    (CASE WHEN ems >= lo + (span * 3) // 4 THEN 3
+         |          WHEN ems >= lo + (span * 2) // 4 THEN 2
+         |          WHEN ems >= lo + span // 4 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN ${sqlPhash("'late:' || event_id")} % 10 = 0
+         |        THEN 1 ELSE 0 END) AS b
+         |  FROM e, bb),
+         |bmax AS (SELECT b, MAX(ems) AS bm FROM a GROUP BY b),
+         |wm AS (SELECT b, MAX(bm) OVER (ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 5000 AS w
+         |  FROM bmax),
+         |surv AS (SELECT a.* FROM a JOIN wm USING (b)
+         |  WHERE w IS NULL OR ((ems // 60000) + 1) * 60000 > w)
+         |SELECT (ems // 60000) * 60 AS win_s, event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(value_cents) AS BIGINT) AS sum_cents
+         |FROM surv GROUP BY 1, 2""".stripMargin,
+
     // the composed corpus build: quality gate → exact dedup → near-dup
     // removal → stratified sample → (lang, split) manifest. Rebuilt
     // stage by stage in SQL over the same hash constants; the minhash

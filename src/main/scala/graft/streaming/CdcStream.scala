@@ -397,6 +397,60 @@ object CdcStream {
       windowedThroughput)
   }
 
+  /** Allowed lateness and straggler share (1-in-10 by portable hash)
+    * for [[lateParity]]. */
+  val LateDelayMs = 5000L
+  val LateStragglerMod = 10L
+
+  /** Streaming↔batch WATERMARK parity harness — pins Spark's
+    * late-data-drop semantics cross-engine, the one streaming behavior
+    * the batch late_data_audit sizes but cannot itself verify. The
+    * events table arrives ts-ordered, so lateness is modeled
+    * explicitly: the corpus replays as `nBatches` contiguous
+    * event-time ranges, but a deterministic 1-in-10 of events
+    * (portable hash, never rand()) STRAGGLE — they arrive one
+    * micro-batch after their range. The watermarked 1-minute windowed
+    * aggregate in Append mode must then drop exactly the stragglers
+    * whose window closed before their arrival watermark (wm = max
+    * event time seen in prior batches − [[LateDelayMs]]) and keep the
+    * rest — both the drop and the keep path are exercised. A
+    * far-future sentinel event closes every real window (its own
+    * window is filtered by start time). The DuckDB oracle replays the
+    * same batch assignment + watermark recurrence in SQL and must
+    * hash-match the surviving aggregate exactly. */
+  def lateParity(spark: SparkSession, events: DataFrame,
+                 nBatches: Int = 4): DataFrame = {
+    val src = events.select(col("ts"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      col("event_id"), unix_millis(col("ts")).as("ems"))
+    val b0 = src.agg(min("ems"), max("ems")).collect()(0)
+    if (b0.isNullAt(0)) // empty feed: empty windows
+      return spark.emptyDataFrame.select(lit(0L).as("win_s"),
+        lit("").as("event_type"), lit(0L).as("n"), lit(0L).as("sum_cents"))
+    val lo = b0.getLong(0); val hi = b0.getLong(1); val span = hi - lo + 1
+    val rangeIdx = (1 until nBatches).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ems") >= lit(lo + span * i / nBatches), lit(i)).otherwise(acc)
+    }
+    val straggles = pmod(graft.functions.PortableHash.phash(
+      concat(lit("late:"), col("event_id").cast("string"))),
+      lit(LateStragglerMod)) === 0L
+    val withB = src.withColumn("b",
+      rangeIdx + when(straggles, lit(1)).otherwise(lit(0)))
+    val sentinelMs = hi + 10L * 24 * 3600 * 1000
+    val sentinel = spark.range(1).select(
+      timestamp_millis(lit(sentinelMs)).as("ts"),
+      lit("zz_sentinel").as("event_type"), lit(0L).as("value_cents"))
+    val batches = (0 to nBatches).map(i =>
+      withB.where(col("b") === i).select("ts", "event_type", "value_cents"))
+    replayStaged(spark, batches :+ sentinel, OutputMode.Append()) { df =>
+      df.withWatermark("ts", s"${LateDelayMs / 1000} seconds")
+        .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value_cents").as("sum_cents"))
+        .select(unix_timestamp(col("window.start")).as("win_s"),
+          col("event_type"), col("n"), col("sum_cents"))
+    }.where(col("win_s") * 1000 <= hi)
+  }
+
   /** Streaming↔batch LWW parity harness (batch-facing): replays the
     * normalized changelog through [[latestState]] as `nBatches`
     * micro-batches split on `event_id % nBatches` — an interleave, so

@@ -118,6 +118,50 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("lateParity: drops exactly the stragglers behind the watermark, " +
+    "keeps the rest (batch replay twin, sf0.001 events)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PortableHash
+    val ev = Tables.events(spark, TestSpark.Sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))
+    val got = CdcStream.lateParity(spark, ev).collect().map(key).toMap
+    // batch twin of the replay model: batch = event-time range (+1 for
+    // hash stragglers), wm(b) = max prior-batch ems - delay, keep iff
+    // the 1-minute window end is still ahead of wm
+    val src = ev.select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      unix_millis(col("ts")).as("ems"))
+    val b0 = src.agg(min("ems"), max("ems")).collect()(0)
+    val lo = b0.getLong(0); val hi = b0.getLong(1); val span = hi - lo + 1
+    val n = 4
+    val rangeIdx = (1 until n).foldLeft(lit(0)) { (acc, i) =>
+      when(col("ems") >= lit(lo + span * i / n), lit(i)).otherwise(acc)
+    }
+    val straggles = pmod(PortableHash.phash(
+      concat(lit("late:"), col("event_id").cast("string"))),
+      lit(CdcStream.LateStragglerMod)) === 0L
+    val withB = src.withColumn("b",
+      rangeIdx + when(straggles, lit(1)).otherwise(lit(0)))
+    val wm = withB.groupBy("b").agg(max("ems").as("bm"))
+      .withColumn("w", max("bm").over(Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)) -
+        CdcStream.LateDelayMs)
+    val want = withB.join(wm.select("b", "w"), "b")
+      .where(col("w").isNull ||
+        expr("(ems div 60000 + 1) * 60000") > col("w"))
+      .groupBy(expr("(ems div 60000) * 60").as("win_s"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value_cents").as("sum_cents"))
+      .collect().map(key).toMap
+    assert(got === want)
+    // non-vacuous: the model must exercise BOTH paths
+    val total = src.count()
+    val kept = got.values.map(_._1).sum
+    val nStragglers = src.where(straggles).count()
+    assert(kept < total, "no late event was dropped")
+    assert(total - kept < nStragglers, "no straggler survived")
+  }
+
   test("dedupParity: two at-least-once delivery passes survive as each " +
     "event exactly once") {
     val ev = Tables.events(spark, TestSpark.Sf).select("event_id", "ts")
