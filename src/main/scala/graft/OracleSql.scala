@@ -15,7 +15,7 @@ object OracleSql {
       s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
   import graft.functions.PortableHash.{sqlPermute, sqlPhash}
-  import graft.operators.{Curation, Dedup, Temporal, TextAnalysis}
+  import graft.operators.{Analytics, Curation, Dedup, Temporal, TextAnalysis}
 
   /** SQL string literal escape for generated VALUES clauses. */
   private def esc(s: String) = "'" + s.replace("'", "''") + "'"
@@ -878,6 +878,30 @@ object OracleSql {
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |GROUP BY 1""".stripMargin,
+
+    "olap_top_supplier" ->
+      s"""WITH rev AS (SELECT l_suppkey,
+         |    CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100)
+         |      AS BIGINT)) AS BIGINT) AS total_rev_c
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '${Analytics.TopSupplierStart}'
+         |    AND l_shipdate < TIMESTAMP '${Analytics.TopSupplierEndEx}'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_rev_c
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)""".stripMargin,
+
+    "olap_large_orders" ->
+      s"""WITH big AS (SELECT l_orderkey,
+         |    CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         |      AS sum_qty_c
+         |  FROM lineitem GROUP BY 1
+         |  HAVING sum_qty_c > ${Analytics.LargeOrderMinQtyC})
+         |SELECT c_custkey, c_name, o_orderkey,
+         |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_price_c,
+         |  sum_qty_c
+         |FROM big JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     "initial_sync" ->
       """SELECT c_custkey, c_name, n_name, r_name, c_mktsegment,

@@ -341,6 +341,12 @@ object SparkEntry {
       Temporal.activeUsersRolling(cl(s, dir))),
     "olap_q6_discount"    -> ((s, dir) =>
       Analytics.revenueFromDiscount(Tables.lineitem(s, dir))),
+    "olap_top_supplier"   -> ((s, dir) =>
+      Analytics.topSupplier(Tables.supplier(s, dir),
+        Tables.lineitem(s, dir))),
+    "olap_large_orders"   -> ((s, dir) =>
+      Analytics.largeOrders(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
     "domain_caps"         -> ((s, dir) =>
       Curation.domainCaps(Tables.documents(s, dir))),
     "ccnet_buckets"       -> ((s, dir) =>

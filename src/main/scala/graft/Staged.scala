@@ -43,9 +43,12 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   * Cluster caveat: localCheckpoint is NOT fault-tolerant — its blocks
   * live in executor storage, so losing an executor after
   * materialization breaks every later consumer of the staged relations
-  * for the rest of the session. On a long-lived multi-tenant cluster,
-  * swap in reliable `checkpoint()` (HDFS/object-store backed) at the
-  * same call sites; the plan shape and the consumers are unchanged.
+  * for the rest of the session. For long-lived multi-tenant cluster
+  * deployments set `spark.graft.staged.reliable=true` (and a
+  * `SparkContext.setCheckpointDir` on HDFS/object store): every staged
+  * relation then uses reliable `checkpoint()` at the same call sites —
+  * the plan shape and the consumers are unchanged, executor loss costs
+  * a re-read instead of the session.
   *
   * Keyed by (session, dir): a new session or a different corpus path
   * stages fresh; re-writing parquet UNDER an already-staged dir within
@@ -94,6 +97,19 @@ object Staged {
     * context ends. */
   private val hooked = TrieMap.empty[SparkSession, Unit]
 
+  /** Conf key selecting reliable (fault-tolerant) staging. */
+  val ReliableKey = "spark.graft.staged.reliable"
+
+  /** Stage `df` with the session-configured durability: reliable
+    * `checkpoint()` when [[ReliableKey]] is true (blocks land in the
+    * context's checkpoint dir and survive executor loss), else
+    * `localCheckpoint()` (executor storage — fastest, single-tenant).
+    * Both lazy: first action materializes. */
+  private def stage(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption(ReliableKey).contains("true"))
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
+
   private def hookEviction(spark: SparkSession): Unit =
     hooked.getOrElseUpdate(spark, {
       spark.sparkContext.addSparkListener(
@@ -115,10 +131,10 @@ object Staged {
     cache.getOrElseUpdate((spark, sfDir), {
       hookEviction(spark)
       val docs = Tables.documents(spark, sfDir)
-      val sh = Dedup.shingleHashes(docs).localCheckpoint(false)
-      val sigs = Dedup.signaturesFromHashes(sh).localCheckpoint(false)
-      val verified = Dedup.ngramJaccardFrom(sh, sigs).localCheckpoint(false)
-      val simPairs = Dedup.simhashDedup(docs).localCheckpoint(false)
+      val sh = stage(Dedup.shingleHashes(docs))
+      val sigs = stage(Dedup.signaturesFromHashes(sh))
+      val verified = stage(Dedup.ngramJaccardFrom(sh, sigs))
+      val simPairs = stage(Dedup.simhashDedup(docs))
       DedupRels(sh, sigs, verified, simPairs)
     })
 
@@ -128,12 +144,11 @@ object Staged {
     tokenCache.getOrElseUpdate((spark, sfDir), {
       hookEviction(spark)
       val docs = Tables.documents(spark, sfDir)
-      val toks = TextAnalysis.tokensRel(docs).localCheckpoint(false)
-      val freq = TextAnalysis.tokenFreqFrom(toks).localCheckpoint(false)
-      val skip = TextAnalysis.skipgramsRel(docs).localCheckpoint(false)
-      val gopher = TextAnalysis.gopherQualityFrom(docs, toks)
-        .localCheckpoint(false)
-      val winnow = TextAnalysis.winnowSelectedSrc(docs).localCheckpoint(false)
+      val toks = stage(TextAnalysis.tokensRel(docs))
+      val freq = stage(TextAnalysis.tokenFreqFrom(toks))
+      val skip = stage(TextAnalysis.skipgramsRel(docs))
+      val gopher = stage(TextAnalysis.gopherQualityFrom(docs, toks))
+      val winnow = stage(TextAnalysis.winnowSelectedSrc(docs))
       TokenRels(toks, freq, skip, gopher, winnow)
     })
 
@@ -143,11 +158,11 @@ object Staged {
     annCache.getOrElseUpdate((spark, sfDir), {
       hookEviction(spark)
       val emb = Tables.embeddings(spark, sfDir)
-      val sub = Similarity.annSubvectors(emb).localCheckpoint(false)
+      val sub = stage(Similarity.annSubvectors(emb))
       val chain = Similarity.annLloydChain(sub) // rounds self-checkpoint
-      val l2truth = Similarity.annL2Truth(emb).localCheckpoint(false)
-      val cosTruth = Similarity.bruteTopK(emb).localCheckpoint(false)
-      val assign = Similarity.ivfAssign(emb).localCheckpoint(false)
+      val l2truth = stage(Similarity.annL2Truth(emb))
+      val cosTruth = stage(Similarity.bruteTopK(emb))
+      val assign = stage(Similarity.ivfAssign(emb))
       AnnRels(sub, chain, l2truth, cosTruth, assign)
     })
 

@@ -290,4 +290,57 @@ object Analytics {
         col("value_cents"))
       .groupBy("op", "bucket")
       .agg(count(lit(1)).as("n"), sum("value_cents").as("sum_cents"))
+
+  /** Reporting quarter for [[topSupplier]] (TPC-H Q15's 3-month scan). */
+  val TopSupplierStart = "1996-01-01"
+  val TopSupplierEndEx = "1996-04-01"
+
+  /** Top-supplier report (the TPC-H Q15 shape): revenue per supplier
+    * over one shipdate quarter, return every supplier tied at the
+    * maximum. The quarter filter pushes to the scan; the per-supplier
+    * aggregate is one map-side-combined shuffle; the max is a 1-row
+    * broadcast crossed back (never a global sort or an unpartitioned
+    * window), and the supplier dim broadcasts onto the ≤handful of
+    * winners. */
+  def topSupplier(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val rev = lineitem
+      .where(col("l_shipdate") >= lit(TopSupplierStart).cast("timestamp_ntz")
+        && col("l_shipdate") < lit(TopSupplierEndEx).cast("timestamp_ntz"))
+      .select(col("l_suppkey"), revCents.as("rev_c"))
+      .groupBy("l_suppkey")
+      .agg(sum("rev_c").as("total_rev_c"))
+    val mx = rev.agg(max("total_rev_c").as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .where(col("total_rev_c") === col("mx"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
+  }
+
+  /** Minimum order quantity (cents of units) for [[largeOrders]]. */
+  val LargeOrderMinQtyC = 25000L
+
+  /** Large-volume-customer report (the TPC-H Q18 shape): orders whose
+    * total line quantity exceeds the threshold, with their customer.
+    * The HAVING filter runs on the per-order aggregate BEFORE any dim
+    * join, so the order/customer joins see only the ~1% survivors
+    * (AQE broadcasts them at runtime); quantity is exact integer
+    * cents on both engines. */
+  def largeOrders(customer: DataFrame, orders: DataFrame,
+                  lineitem: DataFrame): DataFrame = {
+    val big = lineitem
+      .select(col("l_orderkey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"))
+      .groupBy("l_orderkey")
+      .agg(sum("qty_c").as("sum_qty_c"))
+      .where(col("sum_qty_c") > LargeOrderMinQtyC)
+    big
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("total_price_c")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("total_price_c"), col("sum_qty_c"))
+  }
 }

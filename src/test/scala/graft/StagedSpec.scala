@@ -34,4 +34,25 @@ class StagedSpec extends AnyFunSuite {
     assert(sh3 > sh2,
       s"staged shingle relation served stale corpus: k=2 sh=$sh2, k=3 sh=$sh3")
   }
+
+  test("reliable staging (spark.graft.staged.reliable) writes to the " +
+    "checkpoint dir and returns identical relations") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val before = Staged.tokens(spark, TestSpark.Sf).freq.count()
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    spark.conf.set(Staged.ReliableKey, "true")
+    try {
+      Staged.invalidate() // force a rebuild through the reliable path
+      val freq = Staged.tokens(spark, TestSpark.Sf).freq
+      assert(freq.count() === before) // same relation either way
+      // materialization must have landed in the reliable checkpoint dir
+      val files = java.nio.file.Files.walk(ckpt).iterator()
+      var n = 0
+      while (files.hasNext) { files.next(); n += 1 }
+      assert(n > 1, s"no reliable checkpoint data under $ckpt")
+    } finally {
+      spark.conf.set(Staged.ReliableKey, "false")
+      Staged.invalidate() // don't leak reliable relations to other suites
+    }
+  }
 }
