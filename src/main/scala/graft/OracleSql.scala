@@ -15,7 +15,7 @@ object OracleSql {
       s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
   import graft.functions.PortableHash.{sqlPermute, sqlPhash}
-  import graft.operators.{Analytics, Curation, Dedup, Temporal, TextAnalysis}
+  import graft.operators.{Analytics, Curation, Dedup, Similarity, Temporal, TextAnalysis}
 
   /** SQL string literal escape for generated VALUES clauses. */
   private def esc(s: String) = "'" + s.replace("'", "''") + "'"
@@ -1333,6 +1333,47 @@ object OracleSql {
         |      ORDER BY list_cosine_similarity(q.qv, c.v) DESC, pr.vec_id) AS rn
         |  FROM probed pr JOIN q ON pr.q_id = q.q_id
         |  JOIN cand c ON pr.vec_id = c.vec_id) t WHERE rn <= 10""".stripMargin,
+
+    // incremental maintenance: 1-in-8 hash "delta" vectors assigned to
+    // the existing lists; per-list growth + centroid-staleness drift
+    "ivf_incremental" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+         |         WHERE vec_id BETWEEN 8 AND 23),
+         |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT cand.vec_id, cent.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+         |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
+         |    FROM cand, cent) t WHERE rn = 1),
+         |s AS (SELECT a.centroid_id,
+         |    CAST(ROUND(list_cosine_similarity(c.v, ct.cv) * 1000000)
+         |      AS BIGINT) AS sim_e6,
+         |    (${sqlPhash("'delta:' || a.vec_id")} %
+         |      ${Similarity.DeltaMod} = 0) AS is_delta
+         |  FROM assign a JOIN cand c ON a.vec_id = c.vec_id
+         |    JOIN cent ct USING (centroid_id)),
+         |g AS (SELECT centroid_id,
+         |    CAST(SUM(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_base,
+         |    CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_new,
+         |    CAST(COALESCE(SUM(CASE WHEN NOT is_delta THEN sim_e6 END), 0)
+         |      AS BIGINT) AS sb,
+         |    CAST(COALESCE(SUM(CASE WHEN is_delta THEN sim_e6 END), 0)
+         |      AS BIGINT) AS sn
+         |  FROM s GROUP BY 1)
+         |SELECT centroid_id, n_base, n_new,
+         |  sb // greatest(n_base, 1) AS mean_sim_base_e6,
+         |  sn // greatest(n_new, 1) AS mean_sim_new_e6,
+         |  (n_new * 1000000) // greatest(n_base, 1) AS growth_ppm,
+         |  CAST((n_new * 1000000) // greatest(n_base, 1) >
+         |      ${Similarity.RebalancePpm}
+         |    OR sn // greatest(n_new, 1) <
+         |      sb // greatest(n_base, 1) - ${Similarity.SimDriftE6}
+         |    AS VARCHAR) AS rebalance
+         |FROM g""".stripMargin,
 
     // per-IVF-list composition report; assign CTE is the ivf_assign
     // twin verbatim; ties break (count DESC, value DESC) on both sides

@@ -153,6 +153,9 @@ object SparkEntry {
     }),
     "ivf_train"           -> ((s, dir) =>
       Similarity.ivfTrainStep(Tables.embeddings(s, dir))),
+    "ivf_incremental"     -> ((s, dir) =>
+      Similarity.ivfIncrementalFrom(Staged.ann(s, dir).assign,
+        Tables.embeddings(s, dir))),
     "quality_filter"      -> ((s, dir) =>
       TextAnalysis.qualityFilter(Tables.documents(s, dir))),
     "corpus_sample"       -> ((s, dir) =>

@@ -206,6 +206,62 @@ object Similarity {
         expr("sum_e6 div n_members").as("mean_e6"),
         col("n_members"))
 
+  /** 1-in-8 of candidate vectors model the post-build "arriving" delta
+    * for [[ivfIncremental]]; lists growing more than 20% or whose new
+    * members sit 0.01 cosine farther from the centroid than the base
+    * members are flagged for rebalance. */
+  val DeltaMod = 8L
+  val RebalancePpm = 200000L
+  val SimDriftE6 = 10000L
+
+  /** Incremental IVF maintenance report — the ANN twin of
+    * dedup_incremental: vectors arriving AFTER the index build are
+    * assigned to the existing lists (no retrain — the production fast
+    * path for streaming ingest), and the report gives the per-list
+    * numbers that decide when the fast path stops being safe: base
+    * vs new population, growth, and the centroid-staleness drift
+    * (mean cosine of new members vs base members — new data farther
+    * from the centroids than old data means the coarse quantizer no
+    * longer represents the distribution). The delta set is a
+    * deterministic 1-in-8 by portable hash, never rand().
+    *
+    * Shape: one assignment join (16-row centroid table broadcast),
+    * one map-side-combined per-list aggregate — index-sized output. */
+  def ivfIncremental(embeddings: DataFrame): DataFrame =
+    ivfIncrementalFrom(ivfAssign(embeddings), embeddings)
+
+  /** [[ivfIncremental]] over a staged list assignment. */
+  def ivfIncrementalFrom(assign: DataFrame,
+                         embeddings: DataFrame): DataFrame = {
+    val isDelta = pmod(graft.functions.PortableHash.phash(
+      concat(lit("delta:"), col("vec_id").cast("string"))),
+      lit(DeltaMod)) === 0L
+    assign
+      .join(candidates(embeddings).withColumnRenamed("cand_id", "vec_id"),
+        "vec_id")
+      .join(broadcast(centroids(embeddings)), "centroid_id")
+      .withColumn("sim_e6",
+        round(cosineSim(col("c_vec"), col("cv")) * 1000000).cast("long"))
+      .withColumn("is_delta", isDelta)
+      .groupBy("centroid_id")
+      .agg(
+        sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_new"),
+        coalesce(sum(when(!col("is_delta"), col("sim_e6"))), lit(0L))
+          .as("sb"),
+        coalesce(sum(when(col("is_delta"), col("sim_e6"))), lit(0L))
+          .as("sn"))
+      .select(col("centroid_id"), col("n_base"), col("n_new"),
+        expr("sb div greatest(n_base, 1L)").as("mean_sim_base_e6"),
+        expr("sn div greatest(n_new, 1L)").as("mean_sim_new_e6"),
+        expr("(n_new * 1000000L) div greatest(n_base, 1L)")
+          .as("growth_ppm"))
+      .withColumn("rebalance",
+        (col("growth_ppm") > RebalancePpm ||
+          col("mean_sim_new_e6") <
+            col("mean_sim_base_e6") - SimDriftE6).cast("string"))
+  }
+
   /** Int8 quantization summary per vector: clip to [-1,1], scale by
     * 127, round — the storage-compression step (4× smaller than f32)
     * a 100 TB vector corpus ships with. Surfaced as hash-stable

@@ -1143,6 +1143,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.length >= 4, s"only ${rows.length} combinations populated")
   }
 
+  test("ivf_incremental: base+new covers every assigned vector, delta " +
+    "is the hash-selected 1-in-8, growth consistent") {
+    import graft.functions.PortableHash
+    val rows = Similarity.ivfIncremental(embs).collect()
+    val assigned = Similarity.ivfAssign(embs).count()
+    assert(rows.map(r => r.getAs[Long]("n_base") + r.getAs[Long]("n_new"))
+      .sum === assigned)
+    val expectedDelta = Similarity.ivfAssign(embs)
+      .where(pmod(PortableHash.phash(concat(lit("delta:"),
+        col("vec_id").cast("string"))), lit(Similarity.DeltaMod)) === 0L)
+      .count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum === expectedDelta)
+    rows.foreach { r =>
+      val (b, n) = (r.getAs[Long]("n_base"), r.getAs[Long]("n_new"))
+      assert(r.getAs[Long]("growth_ppm") ===
+        n * 1000000L / math.max(b, 1L))
+      assert(Set("true", "false").contains(r.getAs[String]("rebalance")))
+    }
+  }
+
   test("embed_norm_stats: per-label bounds bracket the sums") {
     val e = Tables.embeddings(spark, TestSpark.Sf)
     val st = Similarity.embedNormStats(e).collect()
