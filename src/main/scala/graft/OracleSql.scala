@@ -1334,6 +1334,38 @@ object OracleSql {
         |  FROM probed pr JOIN q ON pr.q_id = q.q_id
         |  JOIN cand c ON pr.vec_id = c.vec_id) t WHERE rn <= 10""".stripMargin,
 
+    // one-row index datasheet: populations, list geometry, storage
+    // ladder; assign CTE is the ivf_assign twin verbatim
+    "ann_index_card" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+         |         WHERE vec_id BETWEEN 8 AND 23),
+         |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT cand.vec_id, cent.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+         |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
+         |    FROM cand, cent) t WHERE rn = 1),
+         |ls AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM assign GROUP BY 1),
+         |l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lists,
+         |    CAST(MIN(sz) AS BIGINT) AS min_list,
+         |    CAST(MAX(sz) AS BIGINT) AS max_list,
+         |    CAST(SUM(sz) AS BIGINT) AS n_vectors FROM ls),
+         |d AS (SELECT CAST(MAX(len(embedding)) AS BIGINT) AS dim
+         |  FROM embeddings),
+         |q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+         |  FROM embeddings WHERE vec_id < 8)
+         |SELECT n_vectors, n_queries, dim, n_lists, min_list, max_list,
+         |  n_vectors // n_lists AS mean_list,
+         |  (max_list * 1000000) // greatest(n_vectors // n_lists, 1)
+         |    AS skew_ppm,
+         |  dim * 4 AS f32_bytes, dim AS int8_bytes,
+         |  CAST(${Similarity.PqM} AS BIGINT) AS pq_bytes,
+         |  (dim * 4000000) // ${Similarity.PqM} AS pq_ratio_ppm
+         |FROM l, d, q""".stripMargin,
+
     // incremental maintenance: 1-in-8 hash "delta" vectors assigned to
     // the existing lists; per-list growth + centroid-staleness drift
     "ivf_incremental" ->

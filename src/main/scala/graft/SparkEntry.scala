@@ -156,6 +156,9 @@ object SparkEntry {
     "ivf_incremental"     -> ((s, dir) =>
       Similarity.ivfIncrementalFrom(Staged.ann(s, dir).assign,
         Tables.embeddings(s, dir))),
+    "ann_index_card"      -> ((s, dir) =>
+      Similarity.annIndexCardFrom(Staged.ann(s, dir).assign,
+        Tables.embeddings(s, dir))),
     "quality_filter"      -> ((s, dir) =>
       TextAnalysis.qualityFilter(Tables.documents(s, dir))),
     "corpus_sample"       -> ((s, dir) =>

@@ -262,6 +262,40 @@ object Similarity {
             col("mean_sim_base_e6") - SimDriftE6).cast("string"))
   }
 
+  /** Index datasheet — the one-row manifest a deployed ANN index ships
+    * with (dataset_card's twin for the vector side): corpus and query
+    * populations, list-geometry stats of the coarse quantizer
+    * (min/mean/max/skew — the numbers that predict probe cost and
+    * stragglers), and the storage ladder (f32 → int8 → PQ codes) with
+    * the PQ compression ratio. Two tiny aggregates + two 1-row
+    * broadcast crosses — nothing corpus-sized leaves the executors. */
+  def annIndexCardFrom(assign: DataFrame,
+                       embeddings: DataFrame): DataFrame = {
+    val dims = embeddings
+      .agg(max(size(col("embedding"))).cast("long").as("dim"))
+    val nq = embeddings.where(col("vec_id") < CentroidLo)
+      .agg(count(lit(1)).as("n_queries"))
+    assign.groupBy("centroid_id").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_lists"), min("sz").as("min_list"),
+        max("sz").as("max_list"), sum("sz").as("n_vectors"))
+      .crossJoin(broadcast(dims))
+      .crossJoin(broadcast(nq))
+      .select(
+        col("n_vectors"), col("n_queries"), col("dim"), col("n_lists"),
+        col("min_list"), col("max_list"),
+        expr("n_vectors div n_lists").as("mean_list"),
+        expr("(max_list * 1000000L) div greatest(n_vectors div n_lists, 1L)")
+          .as("skew_ppm"),
+        (col("dim") * 4).as("f32_bytes"),
+        col("dim").as("int8_bytes"),
+        lit(PqM.toLong).as("pq_bytes"),
+        expr(s"(dim * 4000000L) div $PqM").as("pq_ratio_ppm"))
+  }
+
+  /** [[annIndexCardFrom]] built standalone. */
+  def annIndexCard(embeddings: DataFrame): DataFrame =
+    annIndexCardFrom(ivfAssign(embeddings), embeddings)
+
   /** Int8 quantization summary per vector: clip to [-1,1], scale by
     * 127, round — the storage-compression step (4× smaller than f32)
     * a 100 TB vector corpus ships with. Surfaced as hash-stable

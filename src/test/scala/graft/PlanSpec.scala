@@ -103,7 +103,11 @@ class PlanSpec extends AnyFunSuite {
       "kmeans_shift", "fk_integrity",
       // endpoint_status composes status_rollup's 1-row aggregates plus
       // its own broadcast 1-row uptime join — O(1)-row sides only
-      "endpoint_status")
+      "endpoint_status",
+      // ann_index_card crosses two broadcast 1-row aggregates (dim,
+      // n_queries) onto the 1-row list-geometry aggregate;
+      // olap_top_supplier crosses the broadcast 1-row max back
+      "ann_index_card", "olap_top_supplier")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
@@ -121,6 +125,16 @@ class PlanSpec extends AnyFunSuite {
       "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
       "LessThan(l_quantity"))
       assert(p.contains(f), s"missing pushed filter $f:\n$p")
+  }
+
+  test("olap_top_supplier pushes the quarter bounds into the scan and " +
+    "takes the max from a 1-row broadcast, not a sort") {
+    val p = SparkEntry.queries("olap_top_supplier")(spark, Sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate"))
+      assert(p.contains(f), s"missing pushed filter $f:\n$p")
+    assert(!p.contains("SortExec"), s"global sort in top-supplier:\n$p")
   }
 
   test("range join is an equi-join on (key, band), not a nested loop") {
