@@ -719,6 +719,30 @@ object OracleSql {
          |FROM cl ASOF LEFT JOIN op
          |  ON cl.user_id = op.o_custkey AND cl.ems >= op.t""".stripMargin,
 
+    // PIT semantics: latest change at-or-before each end-of-day probe,
+    // deduped to the max event_id per (user, ems); a 'D' there =
+    // validity gap (DELETED), no prior change at all = NONE
+    "pit_snapshot" ->
+      s"""WITH $CL,
+         |vs AS (SELECT user_id, ems, MAX(event_id) AS event_id,
+         |    arg_max(op, event_id) AS op,
+         |    arg_max(value_cents, event_id) AS value_cents
+         |  FROM cl GROUP BY 1, 2),
+         |d AS (SELECT DISTINCT ems // 86400000 AS day FROM cl),
+         |u AS (SELECT DISTINCT user_id FROM cl),
+         |f AS (SELECT u.user_id, d.day,
+         |    (d.day + 1) * 86400000 - 1 AS t FROM u, d)
+         |SELECT f.user_id, f.day,
+         |  CASE WHEN vs.op IS NOT NULL AND vs.op <> 'D'
+         |    THEN vs.event_id END AS v_event_id,
+         |  CASE WHEN vs.op IS NOT NULL AND vs.op <> 'D'
+         |    THEN vs.value_cents END AS v_value_cents,
+         |  CASE WHEN vs.op IS NULL THEN 'NONE'
+         |       WHEN vs.op = 'D' THEN 'DELETED'
+         |       ELSE 'LIVE' END AS version_state
+         |FROM f ASOF LEFT JOIN vs
+         |  ON f.user_id = vs.user_id AND f.t >= vs.ems""".stripMargin,
+
     "range_join_events" ->
       s"""WITH $CL
          |SELECT o.o_orderkey, CAST(COUNT(cl.event_id) AS BIGINT) AS n_events_7d

@@ -55,6 +55,7 @@ object SparkEntry {
     "sessionize"          -> ((s, dir) => Temporal.sessionize(cl(s, dir))),
     "asof_enrich"         -> ((s, dir) =>
       Joins.asofEnrich(cl(s, dir), Tables.orders(s, dir))),
+    "pit_snapshot"        -> ((s, dir) => Joins.pitSnapshot(cl(s, dir))),
     "range_join_events"   -> ((s, dir) =>
       Joins.rangeJoinEvents(cl(s, dir), Tables.orders(s, dir))),
     "skew_salted_join"    -> ((s, dir) =>

@@ -62,6 +62,55 @@ object Joins {
         col("last_order_cents"))
   }
 
+  /** One day in ms — the [[pitSnapshot]] probe cadence. */
+  val DayMs = 86400000L
+
+  /** Point-in-time daily snapshots — the temporal (SCD-2) join a
+    * feature store runs to build leakage-free training tables: for
+    * every (user, end-of-day) probe, the dimension VERSION that was
+    * valid at that instant, where "valid" honors delete tombstones (a
+    * plain as-of join would leak the pre-delete version into the gap
+    * between a delete and the next insert — here that gap reports
+    * DELETED; a user not yet seen reports NONE).
+    *
+    * Same scale shape as [[asofEnrich]]: tag both sides, ONE hash
+    * shuffle on the key, a running `last` of the version struct over
+    * (t, side, event_id) — no inequality join, no per-row probe. The
+    * probe grid is |users| × |days| — exactly the snapshot table being
+    * produced, with the day list broadcast. Version rows carry
+    * op/id/cents as one struct so the carried fields can never come
+    * from different rows. */
+  def pitSnapshot(changelog: DataFrame): DataFrame = {
+    val vStruct = "struct<op:string,event_id:bigint,value_cents:bigint>"
+    val days = changelog.select(expr(s"ems div $DayMs").as("day")).distinct()
+    val facts = changelog.select(col("user_id")).distinct()
+      .crossJoin(broadcast(days))
+      .select(col("user_id").as("key"),
+        ((col("day") + 1) * DayMs - 1).as("t"), // end-of-day probe
+        col("day"),
+        lit(null).cast(vStruct).as("v"),
+        lit(1).as("side"))
+    val versions = changelog.select(
+      col("user_id").as("key"), col("ems").as("t"),
+      lit(null).cast("long").as("day"),
+      struct(col("op"), col("event_id"), col("value_cents")).as("v"),
+      lit(0).as("side"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("t"), col("side"), col("v.event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versions.unionByName(facts)
+      .withColumn("lv", last(col("v"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("key").as("user_id"), col("day"),
+        when(col("lv").isNotNull && col("lv.op") =!= "D",
+          col("lv.event_id")).as("v_event_id"),
+        when(col("lv").isNotNull && col("lv.op") =!= "D",
+          col("lv.value_cents")).as("v_value_cents"),
+        when(col("lv").isNull, "NONE")
+          .when(col("lv.op") === "D", "DELETED")
+          .otherwise("LIVE").as("version_state"))
+  }
+
   /** Bucketed range join: events within [order time, order time + 7d)
     * per customer, counted per order. The order side explodes into its
     * covered day-bands (7 for band-aligned order dates, 8 in the

@@ -66,4 +66,36 @@ class JoinsSpec extends AnyFunSuite {
       }.toMap
     assert(got === brute)
   }
+
+  test("pitSnapshot: full users x days grid; every probe's state and " +
+    "version match a brute per-probe scan incl. delete gaps") {
+    val got = Joins.pitSnapshot(cl).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val rows = cl.select("user_id", "ems", "event_id", "op", "value_cents")
+      .collect()
+    val days = rows.map(_.getLong(1) / Joins.DayMs).distinct
+    val users = rows.map(_.getLong(0)).distinct
+    assert(got.size === days.length * users.length)
+    var (live, deleted, none) = (0, 0, 0)
+    for (u <- users; d <- days) {
+      val t = (d + 1) * Joins.DayMs - 1
+      val prior = rows.filter(r => r.getLong(0) == u && r.getLong(1) <= t)
+      val r = got((u, d))
+      if (prior.isEmpty) {
+        assert(r.getAs[String]("version_state") === "NONE"); none += 1
+      } else {
+        val last = prior.maxBy(p => (p.getLong(1), p.getLong(2)))
+        if (last.getString(3) == "D") {
+          assert(r.getAs[String]("version_state") === "DELETED")
+          deleted += 1
+        } else {
+          assert(r.getAs[String]("version_state") === "LIVE")
+          assert(r.getAs[Long]("v_event_id") === last.getLong(2))
+          assert(r.getAs[Long]("v_value_cents") === last.getLong(4))
+          live += 1
+        }
+      }
+    }
+    assert(live > 0 && deleted > 0, s"degenerate mix: $live/$deleted/$none")
+  }
 }

@@ -107,7 +107,10 @@ class PlanSpec extends AnyFunSuite {
       // ann_index_card crosses two broadcast 1-row aggregates (dim,
       // n_queries) onto the 1-row list-geometry aggregate;
       // olap_top_supplier crosses the broadcast 1-row max back
-      "ann_index_card", "olap_top_supplier")
+      "ann_index_card", "olap_top_supplier",
+      // pit_snapshot builds its probe grid as users × broadcast(days)
+      // — the day list is calendar-bounded
+      "pit_snapshot")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
