@@ -1187,6 +1187,48 @@ object OracleSql {
          |  CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM b GROUP BY 1, 2""".stripMargin,
 
+    "k_anonymity" ->
+      s"""WITH t AS (SELECT lang, source, doc_id,
+         |    CASE WHEN len(string_split(text, ' ')) > 0
+         |      THEN CAST(length(format('{:b}',
+         |        len(string_split(text, ' ')))) AS BIGINT)
+         |      ELSE 0 END AS len_bucket
+         |  FROM documents)
+         |SELECT lang, source, len_bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(COUNT(*) < ${TextAnalysis.KAnonThreshold} AS VARCHAR)
+         |    AS at_risk
+         |FROM t GROUP BY 1, 2, 3""".stripMargin,
+
+    "split_audit" ->
+      s"""WITH $GopherCtes,
+         |sd AS (SELECT doc_id, lang,
+         |    CASE WHEN ${sqlPhash("'split:' || doc_id")} % 100 < 98
+         |      THEN 'train'
+         |      WHEN ${sqlPhash("'split:' || doc_id")} % 100 < 99
+         |      THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |a AS (SELECT sd.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(gq.n_tokens) AS BIGINT) AS sum_tokens,
+         |    CAST(SUM(gq.distinct_milli) AS BIGINT) // COUNT(*)
+         |      AS mean_distinct_milli,
+         |    (CAST(SUM(CASE WHEN gq.keep_b THEN 1 ELSE 0 END) AS BIGINT)
+         |      * 1000000) // COUNT(*) AS keep_ppm
+         |  FROM sd JOIN gq ON sd.doc_id = gq.doc_id GROUP BY 1),
+         |lc AS (SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM sd GROUP BY 1, 2),
+         |lt AS (SELECT split, lang AS top_lang,
+         |    (c * 1000000) //
+         |      CAST(SUM(c) OVER (PARTITION BY split) AS BIGINT)
+         |      AS top_lang_ppm,
+         |    ROW_NUMBER() OVER (PARTITION BY split
+         |      ORDER BY c DESC, lang DESC) AS rn
+         |  FROM lc)
+         |SELECT a.split, n_docs, sum_tokens, mean_distinct_milli, keep_ppm,
+         |  top_lang, top_lang_ppm
+         |FROM a JOIN lt ON a.split = lt.split AND lt.rn = 1""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash,
         |       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,

@@ -373,6 +373,11 @@ object SparkEntry {
     "topic_clusters"      -> ((s, dir) =>
       Similarity.topicClustersFrom(Staged.ann(s, dir).assign,
         Tables.documents(s, dir), Staged.tokens(s, dir).tokens)),
+    "k_anonymity"         -> ((s, dir) =>
+      TextAnalysis.kAnonymity(Tables.documents(s, dir))),
+    "split_audit"         -> ((s, dir) =>
+      TextAnalysis.splitAuditFrom(Tables.documents(s, dir),
+        Staged.tokens(s, dir).gopher)),
     "quality_ensemble"    -> ((s, dir) => {
       val st = Staged.tokens(s, dir)
       TextAnalysis.qualityEnsembleFrom(st.gopher,

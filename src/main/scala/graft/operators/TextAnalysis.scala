@@ -1062,6 +1062,61 @@ object TextAnalysis {
         (votes >= 3).cast("string").as("ensemble_keep"))
   }
 
+  /** Minimum quasi-identifier group size before [[kAnonymity]] flags
+    * re-identification risk. */
+  val KAnonThreshold = 5L
+
+  /** k-anonymity audit over the release quasi-identifiers — the
+    * governance check a dataset release runs before publishing
+    * per-document metadata: every (lang, source, log2-length-bucket)
+    * combination's population, with groups below [[KAnonThreshold]]
+    * flagged (a document alone in its metadata cell is re-identifiable
+    * from the metadata alone). One map-side-combined aggregate over a
+    * narrow projection; the output is grid-sized. The id-sum checksums
+    * membership so the oracle pins exactly which docs are at risk. */
+  def kAnonymity(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), col("source"),
+        when(size(tokensCol) > 0,
+          length(bin(size(tokensCol).cast("long"))).cast("long"))
+          .otherwise(lit(0L)).as("len_bucket"),
+        col("doc_id"))
+      .groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+      .withColumn("at_risk", (col("n_docs") < KAnonThreshold).cast("string"))
+
+  /** Train/val/test stratification audit — does the hash split produce
+    * statistically comparable shards? Per split: population, token
+    * mass, mean Gopher distinct ratio, rule-gate keep rate, and the
+    * dominant language with its share. Split-level drift here means
+    * eval scores will not transfer (the split-balance twin of
+    * dist_drift). Shape: one doc_id equi-join onto the per-doc quality
+    * aggregate, two 3-group aggregates. */
+  def splitAudit(documents: DataFrame): DataFrame =
+    splitAuditFrom(documents, gopherQuality(documents))
+
+  /** [[splitAudit]] over a staged gopher relation. */
+  def splitAuditFrom(documents: DataFrame, gopher: DataFrame): DataFrame = {
+    val d = documents.select(col("doc_id"), col("lang"),
+      splitCol.as("split"))
+    val agg = d
+      .join(gopher.select("doc_id", "n_tokens", "distinct_milli", "keep"),
+        "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        expr("sum(distinct_milli) div count(1)").as("mean_distinct_milli"),
+        expr("(sum(case when keep = 'true' then 1 else 0 end) * 1000000)" +
+          " div count(1)").as("keep_ppm"))
+    val langTop = d.groupBy("split", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("split")
+      .agg(max(struct(col("c"), col("lang"))).as("m"),
+        sum("c").as("n_all"))
+      .select(col("split"), col("m.lang").as("top_lang"),
+        expr("(m.c * 1000000) div n_all").as("top_lang_ppm"))
+    agg.join(langTop, "split")
+  }
+
   // --- TF-IDF keywords -----------------------------------------------------
 
   /** Keywords per document reported by [[tfidfTopK]]. */

@@ -1163,6 +1163,37 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k_anonymity: covers the corpus, flags exactly the sub-threshold " +
+    "groups") {
+    val rows = TextAnalysis.kAnonymity(docs).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[String]("at_risk") ===
+        (r.getAs[Long]("n_docs") < TextAnalysis.KAnonThreshold).toString)
+    }
+    assert(rows.exists(_.getAs[String]("at_risk") == "true"))
+    assert(rows.exists(_.getAs[String]("at_risk") == "false"))
+  }
+
+  test("split_audit: shards cover the corpus, shares bounded, splits " +
+    "named") {
+    val rows = TextAnalysis.splitAudit(docs).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    assert(rows.map(_.getAs[String]("split")).toSet
+      .subsetOf(Set("train", "val", "test")))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("keep_ppm") >= 0L &&
+        r.getAs[Long]("keep_ppm") <= 1000000L)
+      assert(r.getAs[Long]("top_lang_ppm") >= 0L &&
+        r.getAs[Long]("top_lang_ppm") <= 1000000L)
+    }
+    // train must dominate under the 98/1/1 hash split
+    val byName = rows.map(r => r.getAs[String]("split") ->
+      r.getAs[Long]("n_docs")).toMap
+    assert(byName("train") > byName.getOrElse("val", 0L) &&
+      byName("train") > byName.getOrElse("test", 0L))
+  }
+
   test("embed_norm_stats: per-label bounds bracket the sums") {
     val e = Tables.embeddings(spark, TestSpark.Sf)
     val st = Similarity.embedNormStats(e).collect()
