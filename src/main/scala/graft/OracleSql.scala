@@ -219,6 +219,52 @@ object OracleSql {
        |        AND ${TextAnalysis.MaxMeanLenMilli}) AS keep_b
        |  FROM gqr)""".stripMargin
 
+  /** Quality-gate signal CTE chain (classifier / LM fluency / rarity
+    * flags left-joined onto the Gopher relation `gq` — requires
+    * GopherCtes in scope); ends in `j(doc_id, keep_gopher, keep_clf,
+    * keep_lm, keep_rare)`. Shared by quality_ensemble and the composed
+    * curation_pipeline. */
+  private lazy val EnsembleCtes: String = {
+    val cases = TextAnalysis.ClassifierWeights
+      .map { case (w, v) => s"WHEN ${esc(w)} THEN $v" }.mkString(" ")
+    s"""qct AS (SELECT doc_id,
+       |    CAST(CASE t.t $cases ELSE 0 END AS BIGINT) AS w
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)),
+       |clf AS (SELECT doc_id,
+       |    (${TextAnalysis.ClassifierBias} +
+       |      CAST(SUM(w) AS BIGINT) // COUNT(*)) >
+       |      ${TextAnalysis.ClassifierThreshold} AS keep_clf
+       |  FROM qct GROUP BY doc_id),
+       |ltk AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       |lbg AS (SELECT doc_id, tk[u.i+1] AS w1, tk[u.i+2] AS w2
+       |  FROM ltk, UNNEST(generate_series(0, len(tk)-2)) AS u(i)),
+       |lpc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+       |  FROM lbg GROUP BY 1, 2),
+       |luc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+       |  FROM lbg GROUP BY 1),
+       |lp AS (SELECT lbg.doc_id, (lpc.c2 * 1000000) // luc.c1 AS p_ppm
+       |  FROM lbg JOIN lpc USING (w1, w2) JOIN luc USING (w1)),
+       |lmk AS (SELECT doc_id,
+       |    (CAST(SUM(p_ppm) AS BIGINT) // COUNT(*)) >=
+       |      ${TextAnalysis.LmKeepPpm} AS keep_lm
+       |  FROM lp GROUP BY doc_id),
+       |rtk AS (SELECT doc_id, t.t
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)),
+       |rfq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM rtk GROUP BY t),
+       |rar AS (SELECT doc_id,
+       |    ((CAST(SUM(tf) AS BIGINT) * 1000) // COUNT(*)) <=
+       |      ${TextAnalysis.RareMaxMilli} AS keep_rare
+       |  FROM rtk JOIN rfq USING (t) GROUP BY doc_id),
+       |j AS (SELECT gq.doc_id, gq.keep_b AS keep_gopher,
+       |    COALESCE(clf.keep_clf, FALSE) AS keep_clf,
+       |    COALESCE(lmk.keep_lm, FALSE) AS keep_lm,
+       |    COALESCE(rar.keep_rare, FALSE) AS keep_rare
+       |  FROM gq LEFT JOIN clf USING (doc_id)
+       |    LEFT JOIN lmk USING (doc_id) LEFT JOIN rar USING (doc_id))""".stripMargin
+  }
+
   /** Winnowing CTE chain over `src` with CTE names prefixed by `p`
     * (`{p}tok/{p}kg/{p}w/{p}sel` — prefixing lets two chains coexist
     * in one query, as the contamination check needs). The selected
@@ -1916,46 +1962,8 @@ object OracleSql {
 
     // agreement matrix of the four quality gates; base relation = gq
     // (all tokenized docs), signals outside their domain default false
-    "quality_ensemble" -> {
-      val cases = TextAnalysis.ClassifierWeights
-        .map { case (w, v) => s"WHEN ${esc(w)} THEN $v" }.mkString(" ")
-      s"""WITH $GopherCtes,
-         |qct AS (SELECT doc_id,
-         |    CAST(CASE t.t $cases ELSE 0 END AS BIGINT) AS w
-         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)),
-         |clf AS (SELECT doc_id,
-         |    (${TextAnalysis.ClassifierBias} +
-         |      CAST(SUM(w) AS BIGINT) // COUNT(*)) >
-         |      ${TextAnalysis.ClassifierThreshold} AS keep_clf
-         |  FROM qct GROUP BY doc_id),
-         |ltk AS (SELECT doc_id, string_split(text, ' ') AS tk
-         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
-         |lbg AS (SELECT doc_id, tk[u.i+1] AS w1, tk[u.i+2] AS w2
-         |  FROM ltk, UNNEST(generate_series(0, len(tk)-2)) AS u(i)),
-         |lpc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
-         |  FROM lbg GROUP BY 1, 2),
-         |luc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
-         |  FROM lbg GROUP BY 1),
-         |lp AS (SELECT lbg.doc_id, (lpc.c2 * 1000000) // luc.c1 AS p_ppm
-         |  FROM lbg JOIN lpc USING (w1, w2) JOIN luc USING (w1)),
-         |lmk AS (SELECT doc_id,
-         |    (CAST(SUM(p_ppm) AS BIGINT) // COUNT(*)) >=
-         |      ${TextAnalysis.LmKeepPpm} AS keep_lm
-         |  FROM lp GROUP BY doc_id),
-         |rtk AS (SELECT doc_id, t.t
-         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)),
-         |rfq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS tf
-         |  FROM rtk GROUP BY t),
-         |rar AS (SELECT doc_id,
-         |    ((CAST(SUM(tf) AS BIGINT) * 1000) // COUNT(*)) <=
-         |      ${TextAnalysis.RareMaxMilli} AS keep_rare
-         |  FROM rtk JOIN rfq USING (t) GROUP BY doc_id),
-         |j AS (SELECT gq.doc_id, gq.keep_b AS keep_gopher,
-         |    COALESCE(clf.keep_clf, FALSE) AS keep_clf,
-         |    COALESCE(lmk.keep_lm, FALSE) AS keep_lm,
-         |    COALESCE(rar.keep_rare, FALSE) AS keep_rare
-         |  FROM gq LEFT JOIN clf USING (doc_id)
-         |    LEFT JOIN lmk USING (doc_id) LEFT JOIN rar USING (doc_id))
+    "quality_ensemble" ->
+      s"""WITH $GopherCtes, $EnsembleCtes
          |SELECT CAST(keep_gopher AS VARCHAR) AS keep_gopher,
          |  CAST(keep_clf AS VARCHAR) AS keep_clf,
          |  CAST(keep_lm AS VARCHAR) AS keep_lm,
@@ -1965,8 +1973,52 @@ object OracleSql {
          |  CAST((CAST(keep_gopher AS INT) + CAST(keep_clf AS INT) +
          |    CAST(keep_lm AS INT) + CAST(keep_rare AS INT)) >= 3 AS VARCHAR)
          |    AS ensemble_keep
-         |FROM j GROUP BY keep_gopher, keep_clf, keep_lm, keep_rare""".stripMargin
-    },
+         |FROM j GROUP BY keep_gopher, keep_clf, keep_lm, keep_rare""".stripMargin,
+
+    // composed curation funnel: ensemble gate -> representative-keeping
+    // near-dup removal -> per-source hash cap; per-source rollup with
+    // final id-sum so the end-to-end decision set is pinned
+    "curation_pipeline" ->
+      s"""WITH $MinhashCtes, $DupClusterCtes, $GopherCtes, $EnsembleCtes,
+         |sig AS (SELECT doc_id,
+         |    (CAST(keep_gopher AS INT) + CAST(keep_clf AS INT) +
+         |     CAST(keep_lm AS INT) + CAST(keep_rare AS INT)) >= 3 AS keep_q
+         |  FROM j),
+         |crep AS (SELECT cluster_id, doc_id AS rep_doc_id FROM (
+         |  SELECT lab.cluster_id, lab.doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+         |      ORDER BY gq.distinct_milli DESC, lab.doc_id ASC) AS rk
+         |  FROM lab JOIN gq ON lab.doc_id = gq.doc_id) WHERE rk = 1),
+         |cl2 AS (SELECT lab.doc_id,
+         |    lab.doc_id = crep.rep_doc_id AS is_rep
+         |  FROM lab JOIN crep USING (cluster_id)),
+         |st AS (SELECT d.doc_id, d.source, gq.n_tokens, sig.keep_q,
+         |    (sig.keep_q AND COALESCE(cl2.is_rep, TRUE)) AS keep_dedup
+         |  FROM documents d JOIN sig ON d.doc_id = sig.doc_id
+         |    JOIN gq ON d.doc_id = gq.doc_id
+         |    LEFT JOIN cl2 ON d.doc_id = cl2.doc_id),
+         |sv AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY ${sqlPhash("'cap:' || doc_id")}, doc_id) AS rk
+         |  FROM st WHERE keep_dedup),
+         |fin AS (SELECT source,
+         |    CAST(SUM(CASE WHEN rk <= ${Curation.PipelineCap}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+         |    CAST(COALESCE(SUM(CASE WHEN rk <= ${Curation.PipelineCap}
+         |      THEN n_tokens END), 0) AS BIGINT) AS final_tokens,
+         |    CAST(COALESCE(SUM(CASE WHEN rk <= ${Curation.PipelineCap}
+         |      THEN doc_id END), 0) AS BIGINT) AS final_id_sum
+         |  FROM sv GROUP BY 1),
+         |sa AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_input,
+         |    CAST(SUM(CASE WHEN keep_q THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_quality,
+         |    CAST(SUM(CASE WHEN keep_dedup THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dedup
+         |  FROM st GROUP BY 1)
+         |SELECT sa.source, n_input, n_quality, n_dedup,
+         |  COALESCE(n_final, 0) AS n_final,
+         |  COALESCE(final_tokens, 0) AS final_tokens,
+         |  COALESCE(final_id_sum, 0) AS final_id_sum
+         |FROM sa LEFT JOIN fin ON sa.source = fin.source""".stripMargin,
 
     "dataset_card" ->
       s"""WITH d AS (SELECT lang, source, md5(text) AS th,

@@ -373,6 +373,15 @@ object SparkEntry {
     "topic_clusters"      -> ((s, dir) =>
       Similarity.topicClustersFrom(Staged.ann(s, dir).assign,
         Tables.documents(s, dir), Staged.tokens(s, dir).tokens)),
+    "curation_pipeline"   -> ((s, dir) => {
+      val st = Staged.tokens(s, dir)
+      Curation.curationPipelineFrom(Tables.documents(s, dir),
+        TextAnalysis.qualitySignalsFrom(st.gopher,
+          TextAnalysis.qualityClassifyFrom(st.tokens),
+          TextAnalysis.ngramLmScoreFrom(st.skipgrams),
+          TextAnalysis.docRarityFrom(st.tokens, st.freq)),
+        Dedup.dupClustersFrom(Staged.dedup(s, dir).dups), st.gopher)
+    }),
     "k_anonymity"         -> ((s, dir) =>
       TextAnalysis.kAnonymity(Tables.documents(s, dir))),
     "split_audit"         -> ((s, dir) =>

@@ -195,4 +195,67 @@ object Curation {
         expr("(n_types * 1000) div n_tokens").as("ttr_milli"),
         expr("n_tokens div n_docs").as("tokens_per_doc"))
   }
+
+  // --- composed curation pipeline -----------------------------------------
+
+  /** Composed web-curation pipeline — the second flagship composition
+    * (training_pipeline's curation twin), chaining this round's
+    * decision operators in production order over ONE corpus pass per
+    * family:
+    *
+    *  1. ENSEMBLE quality gate: majority of the four independent
+    *     signals (Gopher rules, classifier, LM fluency, rarity).
+    *  2. Near-dup removal that keeps each cluster's BEST-quality
+    *     member (cluster_representative's rule), not the min-id.
+    *  3. Per-source domain cap (deterministic hash priority) over the
+    *     survivors.
+    *
+    * Output: per-source funnel rollup — population after every stage,
+    * final token mass, and a final id-sum checksum, so the oracle
+    * verifies the exact end-to-end decision set. Each stage consumes
+    * the staged relations; the pipeline itself adds only doc_id
+    * equi-joins and one per-source window over the capped survivors. */
+  /** Per-source cap for the composed pipeline — tighter than
+    * [[DomainCap]] so the cap stage BINDS at every test scale (the
+    * upstream gates already thin each source below DomainCap). */
+  val PipelineCap = 8L
+
+  def curationPipelineFrom(documents: DataFrame, signals: DataFrame,
+                           clusters: DataFrame, gopher: DataFrame,
+                           cap: Long = PipelineCap): DataFrame = {
+    val q = signals.select(col("doc_id"),
+      (TextAnalysis.ensembleVotes >= 3).as("keep_q"))
+    val rep = clusters
+      .join(gopher.select(col("doc_id"), col("distinct_milli")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(max(struct(col("distinct_milli"), (-col("doc_id")).as("nid"),
+        col("doc_id").as("rep_id"))).as("rep"))
+      .select(col("cluster_id"), col("rep.rep_id").as("rep_doc_id"))
+    val clustered = clusters.select("doc_id", "cluster_id")
+      .join(rep, "cluster_id")
+      .select(col("doc_id"),
+        (col("doc_id") === col("rep_doc_id")).as("is_rep"))
+    val staged = documents.select(col("doc_id"), col("source"))
+      .join(q, "doc_id")
+      .join(gopher.select(col("doc_id"), col("n_tokens")), "doc_id")
+      .join(clustered, Seq("doc_id"), "left")
+      .withColumn("keep_dedup",
+        col("keep_q") && coalesce(col("is_rep"), lit(true)))
+    val surv = staged.where(col("keep_dedup"))
+      .withColumn("pri", capPriority)
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("pri"), col("doc_id"))).cast("long"))
+    val fin = surv.groupBy("source").agg(
+      sum(when(col("rk") <= cap, 1L).otherwise(0L)).as("n_final"),
+      coalesce(sum(when(col("rk") <= cap, col("n_tokens"))), lit(0L))
+        .cast("long").as("final_tokens"),
+      coalesce(sum(when(col("rk") <= cap, col("doc_id"))), lit(0L))
+        .cast("long").as("final_id_sum"))
+    staged.groupBy("source").agg(
+        count(lit(1)).as("n_input"),
+        sum(col("keep_q").cast("long")).as("n_quality"),
+        sum(col("keep_dedup").cast("long")).as("n_dedup"))
+      .join(fin, Seq("source"), "left")
+      .na.fill(0L, Seq("n_final", "final_tokens", "final_id_sum"))
+  }
 }

@@ -1032,11 +1032,13 @@ object TextAnalysis {
       docRarityFrom(t, tokenFreqFrom(t)))
   }
 
-  /** [[qualityEnsemble]] over staged signal relations
-    * ([[graft.Staged]]). Docs outside a signal's domain (e.g. the
-    * 1-token doc that has no bigram) default to keep=false there. */
-  def qualityEnsembleFrom(gopher: DataFrame, classified: DataFrame,
-                          lm: DataFrame, rarity: DataFrame): DataFrame = {
+  /** Per-doc boolean gate signals (doc_id, keep_gopher, keep_clf,
+    * keep_lm, keep_rare) — the shared first stage of
+    * [[qualityEnsembleFrom]] and the composed curation pipeline. Docs
+    * outside a signal's domain (e.g. the 1-token doc that has no
+    * bigram) default to keep=false there. */
+  def qualitySignalsFrom(gopher: DataFrame, classified: DataFrame,
+                         lm: DataFrame, rarity: DataFrame): DataFrame = {
     val g = gopher.select(col("doc_id"),
       (col("keep") === "true").as("keep_gopher"))
     val c = classified.select(col("doc_id"),
@@ -1045,12 +1047,22 @@ object TextAnalysis {
       (col("mean_p_ppm") >= LmKeepPpm).as("keep_lm"))
     val r = rarity.select(col("doc_id"),
       (col("mean_tf_milli") <= RareMaxMilli).as("keep_rare"))
-    val votes = Seq("keep_gopher", "keep_clf", "keep_lm", "keep_rare")
-      .map(n => col(n).cast("long")).reduce(_ + _)
     g.join(c, Seq("doc_id"), "left")
       .join(l, Seq("doc_id"), "left")
       .join(r, Seq("doc_id"), "left")
       .na.fill(false)
+  }
+
+  /** Majority-vote column over [[qualitySignalsFrom]]'s flags. */
+  val ensembleVotes: Column =
+    Seq("keep_gopher", "keep_clf", "keep_lm", "keep_rare")
+      .map(n => col(n).cast("long")).reduce(_ + _)
+
+  /** [[qualityEnsemble]] over staged signal relations
+    * ([[graft.Staged]]). */
+  def qualityEnsembleFrom(gopher: DataFrame, classified: DataFrame,
+                          lm: DataFrame, rarity: DataFrame): DataFrame =
+    qualitySignalsFrom(gopher, classified, lm, rarity)
       .groupBy("keep_gopher", "keep_clf", "keep_lm", "keep_rare")
       .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
       .select(
@@ -1059,8 +1071,7 @@ object TextAnalysis {
         col("keep_lm").cast("string").as("keep_lm"),
         col("keep_rare").cast("string").as("keep_rare"),
         col("n_docs"), col("id_sum"),
-        (votes >= 3).cast("string").as("ensemble_keep"))
-  }
+        (ensembleVotes >= 3).cast("string").as("ensemble_keep"))
 
   /** Minimum quasi-identifier group size before [[kAnonymity]] flags
     * re-identification risk. */

@@ -103,4 +103,37 @@ class CurationSpec extends AnyFunSuite {
     assert(a.find(_.getAs[Long]("part") == part).get
       .getAs[Long]("n_late") === late)
   }
+
+  test("curation_pipeline: per-source funnel is monotone, cap binds, " +
+    "quality stage equals the standalone ensemble verdicts") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val t = TextAnalysis.tokensRel(docs)
+    val signals = TextAnalysis.qualitySignalsFrom(
+      TextAnalysis.gopherQualityFrom(docs, t),
+      TextAnalysis.qualityClassifyFrom(t),
+      TextAnalysis.ngramLmScoreFrom(TextAnalysis.skipgramsRel(docs)),
+      TextAnalysis.docRarityFrom(t, TextAnalysis.tokenFreqFrom(t)))
+    val rows = Curation.curationPipelineFrom(docs, signals,
+      Dedup.dupClusters(docs), TextAnalysis.gopherQuality(docs)).collect()
+    assert(rows.map(_.getAs[Long]("n_input")).sum === docs.count())
+    rows.foreach { r =>
+      val (i, q, d, f) = (r.getAs[Long]("n_input"),
+        r.getAs[Long]("n_quality"), r.getAs[Long]("n_dedup"),
+        r.getAs[Long]("n_final"))
+      assert(i >= q && q >= d && d >= f, r.toString)
+      assert(f <= Curation.PipelineCap)
+    }
+    // quality stage must equal the standalone majority-vote count
+    val wantQ = signals
+      .withColumn("keep_q", TextAnalysis.ensembleVotes >= 3)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(sum(col("keep_q").cast("long")).as("q")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_quality") ===
+        wantQ(r.getAs[String]("source")))
+    }
+  }
 }
