@@ -973,6 +973,34 @@ object OracleSql {
          |FROM big JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
+    // one SELECT per (table, column) — exact NDV so the profile is
+    // hash-verifiable; generated from the same column lists Spark scans
+    "catalog_stats" -> {
+      val tables = Seq(
+        "region" -> Seq("r_regionkey", "r_name"),
+        "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+        "customer" -> Seq("c_custkey", "c_name", "c_nationkey",
+          "c_acctbal", "c_mktsegment"),
+        "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey",
+          "s_acctbal"),
+        "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type",
+          "p_size", "p_retailprice"),
+        "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority"),
+        "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
+      tables.flatMap { case (t, cols) => cols.map { c =>
+        s"""SELECT '$t' AS table_name,
+           |  CAST((SELECT COUNT(*) FROM $t) AS BIGINT) AS n_rows,
+           |  '$c' AS column_name,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(COALESCE(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END),
+           |    0) AS BIGINT) AS n_null
+           |FROM $t""".stripMargin
+      } }.mkString("\nUNION ALL\n")
+    },
+
     "initial_sync" ->
       """SELECT c_custkey, c_name, n_name, r_name, c_mktsegment,
         |       CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents

@@ -316,6 +316,15 @@ object SparkEntry {
       Snapshot.tableManifest(Tables.region(s, dir), Tables.nation(s, dir),
         Tables.customer(s, dir), Tables.supplier(s, dir), Tables.part(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "catalog_stats"       -> ((s, dir) =>
+      Snapshot.catalogStats(Seq(
+        "region" -> Tables.region(s, dir),
+        "nation" -> Tables.nation(s, dir),
+        "customer" -> Tables.customer(s, dir),
+        "supplier" -> Tables.supplier(s, dir),
+        "part" -> Tables.part(s, dir),
+        "orders" -> Tables.orders(s, dir),
+        "lineitem" -> Tables.lineitem(s, dir)))),
     "modal_align"         -> ((s, dir) =>
       Multimodal.modalAlign(Tables.documents(s, dir),
         Tables.embeddings(s, dir))),

@@ -192,6 +192,32 @@ object Snapshot {
           col("l_linenumber").cast("string"))))
   }
 
+  /** ANALYZE-style catalog statistics over the star schema — the
+    * per-column numbers a cost-based optimizer's cardinality estimates
+    * feed on (and the profile a sync target publishes next to its data):
+    * one row per (table, column) with row count, EXACT distinct count,
+    * and null count. Exact NDV (not a sketch) keeps the report
+    * hash-verifiable cross-engine; each table is ONE aggregate pass —
+    * Spark plans the multi-distinct via Expand, so a table with k
+    * columns costs one k-way multiplied scan, not k scans. */
+  def catalogStats(tables: Seq[(String, DataFrame)]): DataFrame = {
+    def one(name: String, df: DataFrame): DataFrame = {
+      val cols = df.columns
+      val aggs = cols.flatMap(c => Seq(
+        countDistinct(col(c)).as(s"ndv_$c"),
+        coalesce(sum(col(c).isNull.cast("long")), lit(0L))
+          .as(s"null_$c")))
+      val stackArgs = cols
+        .map(c => s"'$c', ndv_$c, null_$c").mkString(", ")
+      df.agg(count(lit(1)).as("n_rows"),
+          aggs.toIndexedSeq: _*)
+        .select(lit(name).as("table_name"), col("n_rows"),
+          expr(s"stack(${cols.length}, $stackArgs)" +
+            " as (column_name, n_distinct, n_null)"))
+    }
+    tables.map { case (n, df) => one(n, df) }.reduce(_ unionByName _)
+  }
+
   /** Deletion-cohort membership for [[forgetAudit]] — deterministic
     * stand-in for an erasure-request list. */
   val ForgetMod = 29L

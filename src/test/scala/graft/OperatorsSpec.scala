@@ -608,4 +608,18 @@ class OperatorsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("catalog_stats: one row per column, NDV bounded by rows, a key " +
+    "column has NDV == rows") {
+    val t = Seq("nation" -> Tables.nation(spark, TestSpark.Sf),
+      "customer" -> Tables.customer(spark, TestSpark.Sf))
+    val rows = graft.operators.Snapshot.catalogStats(t).collect()
+    assert(rows.length === 3 + 5) // nation + customer column counts
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("n_null") >= 0L)
+    }
+    val ck = rows.find(_.getAs[String]("column_name") == "c_custkey").get
+    assert(ck.getAs[Long]("n_distinct") === ck.getAs[Long]("n_rows"))
+  }
 }
