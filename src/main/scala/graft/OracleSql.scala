@@ -1195,8 +1195,8 @@ object OracleSql {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 5000 AS w
          |  FROM bmax),
          |surv AS (SELECT a.* FROM a JOIN wm USING (b)
-         |  WHERE w IS NULL OR ((ems // 60000) + 1) * 60000 > w)
-         |SELECT (ems // 60000) * 60 AS win_s, event_type,
+         |  WHERE w IS NULL OR ((ems // 300000) + 1) * 300000 > w)
+         |SELECT (ems // 300000) * 300 AS win_s, event_type,
          |  CAST(COUNT(*) AS BIGINT) AS n,
          |  CAST(SUM(value_cents) AS BIGINT) AS sum_cents
          |FROM surv GROUP BY 1, 2""".stripMargin,

@@ -397,9 +397,13 @@ object CdcStream {
       windowedThroughput)
   }
 
-  /** Allowed lateness and straggler share (1-in-10 by portable hash)
-    * for [[lateParity]]. */
+  /** Allowed lateness, window width and straggler share (1-in-10 by
+    * portable hash) for [[lateParity]]. The 5-minute window bounds the
+    * sentinel flush (span/5min windows, not span/1min) without losing
+    * either semantic path — stragglers jump a whole range, so nearly
+    * all still land behind the watermark. */
   val LateDelayMs = 5000L
+  val LateWindowMs = 300000L
   val LateStragglerMod = 10L
 
   /** Streaming↔batch WATERMARK parity harness — pins Spark's
@@ -409,7 +413,7 @@ object CdcStream {
     * explicitly: the corpus replays as `nBatches` contiguous
     * event-time ranges, but a deterministic 1-in-10 of events
     * (portable hash, never rand()) STRAGGLE — they arrive one
-    * micro-batch after their range. The watermarked 1-minute windowed
+    * micro-batch after their range. The watermarked 5-minute windowed
     * aggregate in Append mode must then drop exactly the stragglers
     * whose window closed before their arrival watermark (wm = max
     * event time seen in prior batches − [[LateDelayMs]]) and keep the
@@ -444,7 +448,8 @@ object CdcStream {
       withB.where(col("b") === i).select("ts", "event_type", "value_cents"))
     replayStaged(spark, batches :+ sentinel, OutputMode.Append()) { df =>
       df.withWatermark("ts", s"${LateDelayMs / 1000} seconds")
-        .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+        .groupBy(window(col("ts"), s"${LateWindowMs / 1000} seconds"),
+          col("event_type"))
         .agg(count(lit(1)).as("n"), sum("value_cents").as("sum_cents"))
         .select(unix_timestamp(col("window.start")).as("win_s"),
           col("event_type"), col("n"), col("sum_cents"))

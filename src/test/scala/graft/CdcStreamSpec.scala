@@ -128,7 +128,7 @@ class CdcStreamSpec extends AnyFunSuite {
     val got = CdcStream.lateParity(spark, ev).collect().map(key).toMap
     // batch twin of the replay model: batch = event-time range (+1 for
     // hash stragglers), wm(b) = max prior-batch ems - delay, keep iff
-    // the 1-minute window end is still ahead of wm
+    // the 5-minute window end is still ahead of wm
     val src = ev.select(col("event_id"), col("event_type"),
       round(col("value") * 100).cast("long").as("value_cents"),
       unix_millis(col("ts")).as("ems"))
@@ -149,8 +149,8 @@ class CdcStreamSpec extends AnyFunSuite {
         CdcStream.LateDelayMs)
     val want = withB.join(wm.select("b", "w"), "b")
       .where(col("w").isNull ||
-        expr("(ems div 60000 + 1) * 60000") > col("w"))
-      .groupBy(expr("(ems div 60000) * 60").as("win_s"), col("event_type"))
+        expr("(ems div 300000 + 1) * 300000") > col("w"))
+      .groupBy(expr("(ems div 300000) * 300").as("win_s"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value_cents").as("sum_cents"))
       .collect().map(key).toMap
     assert(got === want)
