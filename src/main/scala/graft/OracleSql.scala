@@ -961,6 +961,21 @@ object OracleSql {
          |FROM rev JOIN supplier ON l_suppkey = s_suppkey
          |WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)""".stripMargin,
 
+    "olap_returned_top" ->
+      s"""WITH r AS (SELECT o.o_custkey,
+         |    CAST(SUM(CAST(ROUND(l.l_extendedprice*(1.0-l.l_discount)*100)
+         |      AS BIGINT)) AS BIGINT) AS lost_rev_c,
+         |    CAST(COUNT(*) AS BIGINT) AS n_items
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE l.l_returnflag = 'R' GROUP BY 1)
+         |SELECT c_custkey, c_name, n_name, lost_rev_c, n_items,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY lost_rev_c DESC, c_custkey)
+         |    AS BIGINT) AS rank
+         |FROM r JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY lost_rev_c DESC, c_custkey
+         |LIMIT ${Analytics.ReturnedTopK}""".stripMargin,
+
     "olap_large_orders" ->
       s"""WITH big AS (SELECT l_orderkey,
          |    CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)

@@ -363,6 +363,9 @@ object SparkEntry {
     "olap_large_orders"   -> ((s, dir) =>
       Analytics.largeOrders(Tables.customer(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
+    "olap_returned_top"   -> ((s, dir) =>
+      Analytics.returnedTop(Tables.customer(s, dir), Tables.nation(s, dir),
+        Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "domain_caps"         -> ((s, dir) =>
       Curation.domainCaps(Tables.documents(s, dir))),
     "ccnet_buckets"       -> ((s, dir) =>

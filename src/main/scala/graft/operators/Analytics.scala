@@ -317,6 +317,39 @@ object Analytics {
       .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
   }
 
+  /** Top-k for [[returnedTop]] (TPC-H Q10's report size). */
+  val ReturnedTopK = 20
+
+  /** Returned-item revenue report (the TPC-H Q10 shape): customers who
+    * returned goods ranked by the revenue lost, top
+    * [[ReturnedTopK]]. The returnflag filter pushes to the lineitem
+    * scan; per-customer revenue is one map-side-combined shuffle; the
+    * top-k is TakeOrderedAndProject (per-partition heaps, merged once
+    * — never a global sort); customer/nation dims broadcast onto the
+    * k-row result. Rank re-derived by a window whose partition key is
+    * a non-foldable constant, same as topRevenueOrders. */
+  def returnedTop(customer: DataFrame, nation: DataFrame,
+                  lineitem: DataFrame, orders: DataFrame,
+                  k: Int = ReturnedTopK): DataFrame = {
+    val w = Window.partitionBy(pmod(col("c_custkey"), lit(1)))
+      .orderBy(col("lost_rev_c").desc, col("c_custkey"))
+    lineitem.where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revCents.as("rev_c"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("rev_c").as("lost_rev_c"), count(lit(1)).as("n_items"))
+      .join(broadcast(customer.select("c_custkey", "c_name",
+        "c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("lost_rev_c").desc, col("c_custkey"))
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("c_custkey", "c_name", "n_name", "lost_rev_c", "n_items",
+        "rank")
+  }
+
   /** Minimum order quantity (cents of units) for [[largeOrders]]. */
   val LargeOrderMinQtyC = 25000L
 
