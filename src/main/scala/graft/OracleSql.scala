@@ -528,6 +528,49 @@ object OracleSql {
          |       epoch_s AS last_epoch_s, value_cents AS last_value_cents
          |FROM last WHERE op <> 'D'""".stripMargin,
 
+    // snapshot@T + catch-up(>T) must equal continuous LWW — one
+    // verdict row; cut T = ems-range midpoint, LWW order (ems, event_id)
+    "handoff_audit" ->
+      s"""WITH $CL,
+         |bb AS (SELECT (MIN(ems) + MAX(ems)) // 2 AS t FROM cl),
+         |snap AS (
+         |  SELECT cl.* FROM cl, bb WHERE ems <= t
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+         |                             ORDER BY ems DESC, event_id DESC) = 1),
+         |uni AS (SELECT * FROM snap
+         |  UNION ALL SELECT cl.* FROM cl, bb WHERE ems > t),
+         |hlast AS (
+         |  SELECT * FROM uni
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+         |                             ORDER BY ems DESC, event_id DESC) = 1),
+         |h AS (SELECT user_id, event_id, op, epoch_s, value_cents
+         |  FROM hlast WHERE op <> 'D'),
+         |flast AS (
+         |  SELECT * FROM cl
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+         |                             ORDER BY ems DESC, event_id DESC) = 1),
+         |f AS (SELECT user_id, event_id, op, epoch_s, value_cents
+         |  FROM flast WHERE op <> 'D'),
+         |j AS (SELECT
+         |    f.user_id IS NOT NULL AS in_f, h.user_id IS NOT NULL AS in_h,
+         |    (f.event_id = h.event_id AND f.op = h.op
+         |      AND f.epoch_s = h.epoch_s
+         |      AND f.value_cents = h.value_cents) AS same
+         |  FROM f FULL OUTER JOIN h ON f.user_id = h.user_id)
+         |SELECT (SELECT t FROM bb) AS cut_ems,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(CASE WHEN in_f AND in_h AND same THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_match,
+         |  CAST(SUM(CASE WHEN in_f AND NOT in_h THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_only_full,
+         |  CAST(SUM(CASE WHEN in_h AND NOT in_f THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_only_handoff,
+         |  CAST(SUM(CASE WHEN in_f AND in_h AND NOT same THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_differ,
+         |  CASE WHEN SUM(CASE WHEN in_f AND in_h AND same THEN 1 ELSE 0 END)
+         |    = COUNT(*) THEN 'CONSISTENT' ELSE 'DIVERGED' END AS verdict
+         |FROM j""".stripMargin,
+
     "cdc_upsert_apply" -> UpsertApplySql,
 
     "pipeline_e2e" -> UpsertApplySql,

@@ -74,6 +74,7 @@ object SparkEntry {
         Tables.region(s, dir))),
     "delta_detect"        -> ((s, dir) =>
       Snapshot.deltaDetect(Tables.customer(s, dir))),
+    "handoff_audit"       -> ((s, dir) => Snapshot.handoffAudit(cl(s, dir))),
     "source_partition_plan" -> ((s, dir) =>
       Snapshot.sourcePartitionPlan(Tables.customer(s, dir))),
     "config_matrix"       -> ((s, _) => SyncConfigs.configMatrix(s)),

@@ -192,6 +192,50 @@ object Snapshot {
           col("l_linenumber").cast("string"))))
   }
 
+  /** Snapshot→changelog handoff audit — the consistency contract at
+    * the heart of any CDC sync (the reference's initial-full-sync +
+    * incremental-catch-up path): a full snapshot taken at a cut T,
+    * then incremental LWW apply of everything after T, must land in
+    * EXACTLY the state continuous sync produces. T = midpoint of the
+    * observed ems range (deterministic, data-derived). The snapshot
+    * state re-enters the merge as pseudo-changes — all post-T changes
+    * outrank it in (ems, event_id), so the union-merge IS the catch-up
+    * apply. Emits ONE verdict row: key counts on both paths, matched /
+    * one-sided / differing keys (all-match expected), and the cut.
+    * Shape: three key-partitioned aggregates + one full-outer join on
+    * the key — every step map-side-combined, nothing driver-side but
+    * the 2-value bounds row. */
+  def handoffAudit(changelog: DataFrame): DataFrame = {
+    val cols = Seq("event_id", "user_id", "op", "ems", "epoch_s",
+      "value_cents", "k", "part")
+    val b = changelog.agg(min("ems"), max("ems")).collect()(0)
+    val t = if (b.isNullAt(0)) 0L else (b.getLong(0) + b.getLong(1)) / 2
+    val snap = CdcMerge.lastPerKey(changelog.where(col("ems") <= t))
+      .select(cols.map(col): _*)
+    val handoff = CdcMerge.merge(
+      snap.unionByName(changelog.where(col("ems") > t)
+        .select(cols.map(col): _*)))
+    val st = struct(col("last_event_id"), col("last_op"),
+      col("last_epoch_s"), col("last_value_cents"))
+    val a = CdcMerge.merge(changelog)
+      .select(col("user_id"), st.as("sa"))
+    val h = handoff.select(col("user_id"), st.as("sb"))
+    a.join(h, Seq("user_id"), "full_outer")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("sa").isNotNull && col("sb").isNotNull &&
+          col("sa") === col("sb"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("sa").isNotNull && col("sb").isNull, 1L)
+          .otherwise(0L)).as("n_only_full"),
+        sum(when(col("sb").isNotNull && col("sa").isNull, 1L)
+          .otherwise(0L)).as("n_only_handoff"),
+        sum(when(col("sa").isNotNull && col("sb").isNotNull &&
+          !(col("sa") === col("sb")), 1L).otherwise(0L)).as("n_differ"))
+      .select(lit(t).as("cut_ems"), col("n_keys"), col("n_match"),
+        col("n_only_full"), col("n_only_handoff"), col("n_differ"),
+        when(col("n_match") === col("n_keys"), "CONSISTENT")
+          .otherwise("DIVERGED").as("verdict"))
+  }
+
   /** ANALYZE-style catalog statistics over the star schema — the
     * per-column numbers a cost-based optimizer's cardinality estimates
     * feed on (and the profile a sync target publishes next to its data):

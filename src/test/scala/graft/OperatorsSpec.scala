@@ -609,6 +609,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("handoff_audit: consistent on the corpus AND on the tombstone " +
+    "edge (delete before the cut, with and without later changes)") {
+    import spark.implicits._
+    val cl = ChangeLog.normalize(Tables.events(spark, TestSpark.Sf))
+    val real = graft.operators.Snapshot.handoffAudit(cl).collect()(0)
+    assert(real.getAs[String]("verdict") === "CONSISTENT")
+    assert(real.getAs[Long]("n_keys") > 0L)
+    // ems range 0..100 -> cut at 50; user 1: deleted pre-cut, updated
+    // post-cut (must resurrect); user 2: deleted pre-cut, silent after
+    // (must stay absent); user 3: only post-cut (insert during catch-up)
+    val tiny = Seq(
+      (1L, 1L, "I", 10L, 0L, 100L, 5L, 0L),
+      (2L, 1L, "D", 20L, 0L, 0L, 5L, 1L),
+      (3L, 2L, "D", 30L, 0L, 0L, 5L, 2L),
+      (4L, 1L, "U", 60L, 0L, 200L, 5L, 1L),
+      (5L, 3L, "I", 100L, 0L, 300L, 5L, 0L)
+    ).toDF("event_id", "user_id", "op", "ems", "epoch_s", "value_cents",
+      "k", "part")
+    val r = graft.operators.Snapshot.handoffAudit(tiny).collect()(0)
+    assert(r.getAs[String]("verdict") === "CONSISTENT")
+    assert(r.getAs[Long]("cut_ems") === 55L)
+    assert(r.getAs[Long]("n_keys") === 2L) // users 1 and 3; 2 stays gone
+    assert(r.getAs[Long]("n_match") === 2L)
+  }
+
   test("catalog_stats: one row per column, NDV bounded by rows, a key " +
     "column has NDV == rows") {
     val t = Seq("nation" -> Tables.nation(spark, TestSpark.Sf),
