@@ -1889,6 +1889,37 @@ object OracleSql {
          |  (end_off - n_tokens) % ${TextAnalysis.SeqLen} AS bin_offset
          |FROM w""".stripMargin,
 
+    // one cumulative-offset window shared by every candidate length;
+    // padding = only the last bin per (lang, source) stream is partial
+    "pack_efficiency" -> {
+      val lens = TextAnalysis.PackLens.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |o AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY lang, source
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS end_off FROM t),
+         |x AS (SELECT o.*, l.seq_len,
+         |    end_off // l.seq_len - (end_off - n_tokens) // l.seq_len
+         |      AS crossings
+         |  FROM o, UNNEST([${lens}]) AS l(seq_len)),
+         |g AS (SELECT lang, source, seq_len,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(MAX(end_off) AS BIGINT) AS group_tokens,
+         |    CAST(SUM(crossings) AS BIGINT) AS crossings
+         |  FROM x GROUP BY 1, 2, 3),
+         |s AS (SELECT seq_len, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |    CAST(SUM(group_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(SUM((group_tokens + seq_len - 1) // seq_len) AS BIGINT)
+         |      AS n_bins,
+         |    CAST(SUM(crossings) AS BIGINT) AS n_crossings
+         |  FROM g GROUP BY 1)
+         |SELECT CAST(seq_len AS BIGINT) AS seq_len, n_docs, total_tokens,
+         |  n_bins, n_crossings,
+         |  ((n_bins * seq_len - total_tokens) * 1000000)
+         |    // (n_bins * seq_len) AS padding_ppm
+         |FROM s""".stripMargin
+    },
+
     "dist_drift" ->
       s"""WITH toks AS (SELECT source, t.t AS token
          |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)),

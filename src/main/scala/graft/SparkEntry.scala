@@ -182,6 +182,8 @@ object SparkEntry {
       TextAnalysis.docChunks(Tables.documents(s, dir))),
     "pack_sequences"      -> ((s, dir) =>
       TextAnalysis.packSequences(Tables.documents(s, dir))),
+    "pack_efficiency"     -> ((s, dir) =>
+      TextAnalysis.packEfficiency(Tables.documents(s, dir))),
     "dist_drift"          -> ((s, dir) =>
       TextAnalysis.distDriftFrom(Staged.tokens(s, dir).tokens)),
     "source_rollup"       -> ((s, dir) =>

@@ -508,6 +508,44 @@ object TextAnalysis {
         expr(s"(end_off - n_tokens) % $SeqLen").as("bin_offset"))
   }
 
+  /** Candidate context lengths for [[packEfficiency]]. */
+  val PackLens = Seq(512L, 1024L, 2048L, 4096L)
+
+  /** Packing-efficiency curve — the report that picks a training
+    * context length: for each candidate seq-len, the bin count the
+    * greedy concatenating packer ([[packSequences]]' rule) produces,
+    * the padding waste (only the last bin of each (lang, source)
+    * stream is partial), and the number of document boundary
+    * crossings (docs split across bins — the attention-mask /
+    * cross-doc-leak cost of longer contexts). ONE cumulative-offset
+    * window pass is shared by every candidate length; the 4-row
+    * length table broadcasts onto it. Output is |PackLens| rows. */
+  def packEfficiency(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "source").orderBy("doc_id")
+    val offs = documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("end_off", sum("n_tokens").over(w))
+    val lens = offs.sparkSession.createDataFrame(
+      PackLens.map(Tuple1(_))).toDF("seq_len")
+    offs.crossJoin(broadcast(lens))
+      .withColumn("crossings",
+        expr("end_off div seq_len - (end_off - n_tokens) div seq_len"))
+      .groupBy("lang", "source", "seq_len")
+      .agg(count(lit(1)).as("n_docs"), max("end_off").as("group_tokens"),
+        sum("crossings").as("crossings"))
+      .groupBy("seq_len")
+      .agg(sum("n_docs").as("n_docs"),
+        sum("group_tokens").as("total_tokens"),
+        sum(expr("(group_tokens + seq_len - 1) div seq_len")).as("n_bins"),
+        sum("crossings").as("n_crossings"))
+      .select(col("seq_len"), col("n_docs"), col("total_tokens"),
+        col("n_bins"), col("n_crossings"),
+        expr("((n_bins * seq_len - total_tokens) * 1000000)" +
+          " div (n_bins * seq_len)").as("padding_ppm"))
+  }
+
   // --- train/eval distribution drift ---------------------------------------
 
   /** Top-k drifted tokens reported by [[distDrift]]. */

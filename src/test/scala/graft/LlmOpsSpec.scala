@@ -1194,6 +1194,26 @@ class LlmOpsSpec extends AnyFunSuite {
       byName("train") > byName.getOrElse("test", 0L))
   }
 
+  test("pack_efficiency: conserves tokens, bins/crossings monotone " +
+    "nonincreasing in seq_len, padding bounded") {
+    val rows = TextAnalysis.packEfficiency(docs).collect()
+      .sortBy(_.getAs[Long]("seq_len"))
+    assert(rows.map(_.getAs[Long]("seq_len")) ===
+      TextAnalysis.PackLens.toArray)
+    val total = rows.head.getAs[Long]("total_tokens")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_tokens") === total) // L-independent
+      assert(r.getAs[Long]("padding_ppm") >= 0L &&
+        r.getAs[Long]("padding_ppm") < 1000000L)
+      assert(r.getAs[Long]("n_bins") * r.getAs[Long]("seq_len") >= total)
+    }
+    // doubling the context can only merge bins and remove boundaries
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_bins") <= a.getAs[Long]("n_bins"))
+      assert(b.getAs[Long]("n_crossings") <= a.getAs[Long]("n_crossings"))
+    }
+  }
+
   test("embed_norm_stats: per-label bounds bracket the sums") {
     val e = Tables.embeddings(spark, TestSpark.Sf)
     val st = Similarity.embedNormStats(e).collect()

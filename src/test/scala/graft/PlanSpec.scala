@@ -110,7 +110,10 @@ class PlanSpec extends AnyFunSuite {
       "ann_index_card", "olap_top_supplier",
       // pit_snapshot builds its probe grid as users × broadcast(days)
       // — the day list is calendar-bounded
-      "pit_snapshot")
+      "pit_snapshot",
+      // pack_efficiency fans the offsets over the broadcast 4-row
+      // candidate-length table
+      "pack_efficiency")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
