@@ -2804,6 +2804,19 @@ object OracleSql {
         |  MIN(num) AS min_num, MAX(num) AS max_num
         |FROM nm GROUP BY 1, 2""".stripMargin,
 
+    "attribution_last_touch" ->
+      """WITH a AS (SELECT user_id, event_id, event_type,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT COALESCE(touch, 'none') AS touch_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(value_cents) AS BIGINT) AS revenue_cents
+        |FROM a WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
     "funnel_conversion" ->
       """WITH s AS (SELECT user_id,
         |    MIN(CASE WHEN event_type='signup' THEN epoch_ns(ts) END)

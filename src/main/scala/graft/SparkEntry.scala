@@ -274,6 +274,8 @@ object SparkEntry {
       ChangeLog.propsCensus(Tables.events(s, dir))),
     "funnel_conversion"   -> ((s, dir) =>
       Analytics.funnelConversion(Tables.events(s, dir))),
+    "attribution_last_touch" -> ((s, dir) =>
+      Analytics.attributionLastTouch(Tables.events(s, dir))),
     "retention_cohorts"   -> ((s, dir) =>
       Analytics.retentionCohorts(Tables.events(s, dir))),
     "value_histogram"     -> ((s, dir) =>

@@ -317,6 +317,30 @@ object Analytics {
       .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
   }
 
+  /** Last-touch revenue attribution — the product-analytics staple
+    * funnel_conversion doesn't cover: every purchase is credited to
+    * the user's LAST preceding non-purchase event type ('none' when
+    * the purchase is the user's first event). One per-user window over
+    * (ts, event_id) arrival order with an ignore-nulls running last —
+    * the same single key shuffle as sessionize; the rollup is a
+    * ≤|event types|+1 aggregate. */
+  def attributionLastTouch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum("value_cents").as("revenue_cents"))
+  }
+
   /** Top-k for [[returnedTop]] (TPC-H Q10's report size). */
   val ReturnedTopK = 20
 

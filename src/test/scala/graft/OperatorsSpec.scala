@@ -609,6 +609,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution_last_touch: credits every purchase exactly once; a " +
+    "first-event purchase lands in 'none'") {
+    import spark.implicits._
+    val ev = Tables.events(spark, TestSpark.Sf)
+    val rows = Analytics.attributionLastTouch(ev).collect()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum ===
+      ev.where(col("event_type") === "purchase").count())
+    assert(!rows.map(_.getAs[String]("touch_type")).contains("purchase"))
+    // constructed: user 1 purchase-first -> none; second purchase after
+    // a click -> click; user 2 view then purchase -> view
+    val tiny = Seq(
+      (1L, 1L, "purchase", 10.0, "2024-01-01 00:00:01"),
+      (2L, 1L, "click", 0.0, "2024-01-01 00:00:02"),
+      (3L, 1L, "purchase", 20.0, "2024-01-01 00:00:03"),
+      (4L, 2L, "view", 0.0, "2024-01-01 00:00:04"),
+      (5L, 2L, "purchase", 30.0, "2024-01-01 00:00:05")
+    ).toDF("event_id", "user_id", "event_type", "value", "tss")
+      .withColumn("ts", col("tss").cast("timestamp"))
+      .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    val m = Analytics.attributionLastTouch(tiny).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m === Map("none" -> (1L, 1000L), "click" -> (1L, 2000L),
+      "view" -> (1L, 3000L)))
+  }
+
   test("handoff_audit: consistent on the corpus AND on the tombstone " +
     "edge (delete before the cut, with and without later changes)") {
     import spark.implicits._
