@@ -2804,6 +2804,32 @@ object OracleSql {
         |  MIN(num) AS min_num, MAX(num) AS max_num
         |FROM nm GROUP BY 1, 2""".stripMargin,
 
+    // dense hour grid (silent hours = 0), trailing-24h window over the
+    // count relation, integer cross-product thresholds
+    "arrival_anomaly" ->
+      s"""WITH $CL,
+         |hc AS (SELECT ems // 3600000 AS h, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM cl GROUP BY 1),
+         |bb AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hc),
+         |g AS (SELECT gs.h FROM bb, UNNEST(generate_series(lo, hi))
+         |  AS gs(h)),
+         |d AS (SELECT g.h, COALESCE(hc.n, 0) AS n
+         |  FROM g LEFT JOIN hc USING (h)),
+         |wn AS (SELECT h, n,
+         |    CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS trail_n,
+         |    CAST(COUNT(*) OVER w AS BIGINT) AS trail_cnt
+         |  FROM d WINDOW w AS (ORDER BY h
+         |    ROWS BETWEEN ${Temporal.AnomalyTrailHours} PRECEDING
+         |    AND 1 PRECEDING))
+         |SELECT CAST(h AS BIGINT) AS h, n, trail_n,
+         |  CASE WHEN trail_cnt < ${Temporal.AnomalyTrailHours} THEN 'WARMUP'
+         |       WHEN n * ${Temporal.AnomalyTrailHours} > trail_n * 2
+         |         THEN 'SPIKE'
+         |       WHEN n * ${Temporal.AnomalyTrailHours} * 2 < trail_n
+         |         THEN 'QUIET'
+         |       ELSE 'NORMAL' END AS status
+         |FROM wn""".stripMargin,
+
     "attribution_last_touch" ->
       """WITH a AS (SELECT user_id, event_id, event_type,
         |    CAST(ROUND(value * 100) AS BIGINT) AS value_cents,

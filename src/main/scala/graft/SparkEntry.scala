@@ -314,6 +314,7 @@ object SparkEntry {
       Dedup.dupClustersFrom(Staged.dedup(s, dir).dups))),
     "user_profile"        -> ((s, dir) => Temporal.userProfile(cl(s, dir))),
     "arrival_monitor"     -> ((s, dir) => Temporal.arrivalMonitor(cl(s, dir))),
+    "arrival_anomaly"     -> ((s, dir) => Temporal.arrivalAnomaly(cl(s, dir))),
     "olap_promo_revenue"  -> ((s, dir) =>
       Analytics.promoRevenue(Tables.part(s, dir), Tables.lineitem(s, dir))),
     "load_profile"        -> ((s, dir) => Analytics.loadProfile(cl(s, dir))),

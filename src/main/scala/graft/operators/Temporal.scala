@@ -88,6 +88,39 @@ object Temporal {
           .as("mean_gap_ms"))
   }
 
+  /** Trailing-baseline width (hours) for [[arrivalAnomaly]]. */
+  val AnomalyTrailHours = 24
+
+  /** Arrival-rate anomaly detection — the load monitor the reference's
+    * SelfMonitor alert rules point at: hourly event counts against a
+    * trailing 24-hour baseline, flagging hours at >2× (SPIKE) or <½
+    * (QUIET) of the trailing mean; the first day is WARMUP. The hour
+    * grid is DENSE (silent hours count as 0 — an outage IS the quiet
+    * case that must fire) via a calendar-bounded sequence explode.
+    * Aggregate-below-window: the window runs over the |hours| count
+    * relation, never raw events; the series is calendar-bounded (87k
+    * rows per decade), so its single partition is a bounded time
+    * series, keyed by a non-foldable constant like the other bounded
+    * windows in this repo. All comparisons are integer cross-products
+    * (n·24 vs 2·Σ) — no division, no floats. */
+  def arrivalAnomaly(changelog: DataFrame): DataFrame = {
+    val counts = changelog.select(expr("ems div 3600000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+    val grid = counts.agg(min("h").as("lo"), max("h").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("h"))
+    val dense = grid.join(counts, Seq("h"), "left").na.fill(0L, Seq("n"))
+    val w = Window.partitionBy(pmod(col("h"), lit(1))).orderBy("h")
+      .rowsBetween(-AnomalyTrailHours, -1)
+    dense
+      .withColumn("trail_n", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("trail_cnt", count(lit(1)).over(w))
+      .select(col("h"), col("n"), col("trail_n"),
+        when(col("trail_cnt") < AnomalyTrailHours, "WARMUP")
+          .when(col("n") * AnomalyTrailHours > col("trail_n") * 2, "SPIKE")
+          .when(col("n") * AnomalyTrailHours * 2 < col("trail_n"), "QUIET")
+          .otherwise("NORMAL").as("status"))
+  }
+
   /** Session-duration quantile vector (p25/50/75/90) — the
     * engagement-dashboard number behind sessionize, in the
     * aggregate-below-window shape (the valueQuantiles rule): the

@@ -114,4 +114,24 @@ class TemporalSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_inversions") === 1L)
     assert(r.getAs[Long]("min_gap_ms") === -500L)
   }
+
+  test("arrival_anomaly: dense calendar grid, status matches the " +
+    "integer thresholds row by row") {
+    val rows = Temporal.arrivalAnomaly(cl).collect().sortBy(_.getLong(0))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(0) === a.getLong(0) + 1) // no calendar gaps
+    }
+    val t = Temporal.AnomalyTrailHours
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (n, trail) = (r.getAs[Long]("n"), r.getAs[Long]("trail_n"))
+      val want =
+        if (i < t) "WARMUP"
+        else if (n * t > trail * 2) "SPIKE"
+        else if (n * t * 2 < trail) "QUIET"
+        else "NORMAL"
+      assert(r.getAs[String]("status") === want, s"hour index $i")
+    }
+    val states = rows.map(_.getAs[String]("status")).toSet
+    assert(states.contains("WARMUP") && states.contains("NORMAL"))
+  }
 }
