@@ -389,6 +389,22 @@ object OracleSql {
       |                             ORDER BY ems DESC, event_id DESC) = 1
       |)""".stripMargin
 
+  /** Last-touch attribution SQL — shared verbatim by
+    * `attribution_last_touch` and the streaming replay
+    * `stream_attribution_parity`. */
+  val AttributionSql: String =
+    """WITH a AS (SELECT user_id, event_id, event_type,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT COALESCE(touch, 'none') AS touch_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(value_cents) AS BIGINT) AS revenue_cents
+        |FROM a WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
+
   /** Hourly windowed-aggregate SQL — shared verbatim by
     * `stream_window_agg` and the streaming replay
     * `stream_window_parity`. */
@@ -2830,18 +2846,9 @@ object OracleSql {
          |       ELSE 'NORMAL' END AS status
          |FROM wn""".stripMargin,
 
-    "attribution_last_touch" ->
-      """WITH a AS (SELECT user_id, event_id, event_type,
-        |    CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
-        |    last_value(CASE WHEN event_type <> 'purchase'
-        |        THEN event_type END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
-        |  FROM events)
-        |SELECT COALESCE(touch, 'none') AS touch_type,
-        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
-        |  CAST(SUM(value_cents) AS BIGINT) AS revenue_cents
-        |FROM a WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    "attribution_last_touch" -> AttributionSql,
+
+    "stream_attribution_parity" -> AttributionSql,
 
     "funnel_conversion" ->
       """WITH s AS (SELECT user_id,

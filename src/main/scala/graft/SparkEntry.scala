@@ -98,6 +98,8 @@ object SparkEntry {
       graft.streaming.CdcStream.windowParity(s, Tables.events(s, dir))),
     "stream_late_parity"  -> ((s, dir) =>
       graft.streaming.CdcStream.lateParity(s, Tables.events(s, dir))),
+    "stream_attribution_parity" -> ((s, dir) =>
+      graft.streaming.CdcStream.attributionParity(s, Tables.events(s, dir))),
     "pipeline_e2e"        -> ((s, dir) => Pipeline.run(s, dir).applied),
     // LLM-data-pipeline operators (SURVEY.md §2 #23-34)
     "dedup_exact"         -> ((s, dir) =>

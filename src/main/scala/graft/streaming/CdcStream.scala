@@ -238,6 +238,72 @@ object CdcStream {
       }
   }
 
+  /** A raw product event (attribution input; ts = event time). */
+  case class RawEvent(user_id: Long, event_id: Long, ems: Long,
+                      event_type: String, value_cents: Long,
+                      ts: java.sql.Timestamp)
+
+  /** One attributed purchase. */
+  case class Attribution(user_id: Long, event_id: Long,
+                         touch_type: String, value_cents: Long)
+
+  /** Per-key attribution state: the last non-purchase event type. */
+  case class TouchState(touch: String)
+
+  /** Continuous last-touch attribution — the streaming twin of
+    * Analytics.attributionLastTouch: per-key state holds the last
+    * non-purchase event type; each arriving purchase is emitted
+    * credited to it ('none' before any touch). State is ONE string per
+    * key regardless of history length — the streaming-friendly shape
+    * of the batch window. Within a micro-batch the group's slice is
+    * sorted by (ems, event_id); cross-batch order is the feed's
+    * responsibility (the parity harness replays contiguous event-time
+    * slices, which preserve per-key order). */
+  def attributionStream(spark: SparkSession,
+                        evs: Dataset[RawEvent]): Dataset[Attribution] = {
+    import spark.implicits._
+    evs
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[RawEvent],
+         state: GroupState[TouchState]) =>
+          val out = scala.collection.mutable.ListBuffer.empty[Attribution]
+          var touch = state.getOption.map(_.touch)
+          batch.toSeq.sortBy(e => (e.ems, e.event_id)).foreach { e =>
+            if (e.event_type == "purchase")
+              out += Attribution(uid, e.event_id,
+                touch.getOrElse("none"), e.value_cents)
+            else touch = Some(e.event_type)
+          }
+          touch.foreach(t => state.update(TouchState(t)))
+          out.iterator
+      }
+  }
+
+  /** Streaming↔batch attribution parity: replay the raw events as
+    * contiguous event-time micro-batches through
+    * [[attributionStream]]; the rolled-up credit per touch type must
+    * hash-equal the batch attribution_last_touch oracle. */
+  def attributionParity(spark: SparkSession, events: DataFrame,
+                        nBatches: Int = 3): DataFrame = {
+    val src = events.select(col("user_id"), col("event_id"),
+      unix_millis(col("ts")).as("ems"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value_cents"), col("ts"))
+    val bounds = src.agg(min("ems"), max("ems")).collect()(0)
+    val slices =
+      if (bounds.isNullAt(0)) Seq(src)
+      else rangeSlices(src, "ems", bounds.getLong(0), bounds.getLong(1),
+        nBatches)
+    import spark.implicits._
+    replayStaged(spark, slices, OutputMode.Append())(
+        df => attributionStream(spark, df.as[RawEvent]).toDF())
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum("value_cents").as("revenue_cents"))
+  }
+
   /** Adaptive poll backoff — the exact wait-time policy of
     * `/root/reference/.../sync/DataPoller.scala:60-74`: sleep
     * `(batch - polled)/batch · maxPollWait` ms after each poll (full

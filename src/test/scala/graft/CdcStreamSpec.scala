@@ -162,6 +162,19 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(total - kept < nStragglers, "no straggler survived")
   }
 
+  test("attributionParity equals the batch last-touch attribution, " +
+    "including cross-batch state carry") {
+    val ev = Tables.events(spark, TestSpark.Sf)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getString(0) -> (r.getLong(1), r.getLong(2))
+    val got = CdcStream.attributionParity(spark, ev).collect()
+      .map(key).toMap
+    val want = graft.operators.Analytics.attributionLastTouch(ev)
+      .collect().map(key).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("dedupParity: two at-least-once delivery passes survive as each " +
     "event exactly once") {
     val ev = Tables.events(spark, TestSpark.Sf).select("event_id", "ts")
