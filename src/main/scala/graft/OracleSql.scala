@@ -793,6 +793,35 @@ object OracleSql {
          |  CASE WHEN valid_to_ms IS NULL THEN 'true' ELSE 'false' END AS is_current
          |FROM h WHERE op <> 'D'""".stripMargin,
 
+    // gaps-and-islands: island id = difference of two row_numbers over
+    // the same key partition; periods chain via LEAD on island starts
+    "tier_history" ->
+      s"""WITH $CL,
+         |b AS (SELECT user_id, event_id, ems,
+         |    CASE WHEN value_cents > 0
+         |      THEN CAST(length(format('{:b}', value_cents)) AS BIGINT)
+         |      ELSE 0 END AS tier
+         |  FROM cl WHERE op <> 'D'),
+         |i AS (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY ems, event_id)
+         |    - ROW_NUMBER() OVER (PARTITION BY user_id, tier
+         |      ORDER BY ems, event_id) AS island
+         |  FROM b),
+         |p AS (SELECT user_id, tier, island,
+         |    CAST(COUNT(*) AS BIGINT) AS n_changes,
+         |    MIN(ems) AS valid_from_ms,
+         |    MAX(event_id) AS last_event_id
+         |  FROM i GROUP BY 1, 2, 3)
+         |SELECT user_id, tier, valid_from_ms,
+         |  LEAD(valid_from_ms) OVER (PARTITION BY user_id
+         |    ORDER BY valid_from_ms, last_event_id) AS valid_to_ms,
+         |  n_changes, last_event_id,
+         |  CASE WHEN LEAD(valid_from_ms) OVER (PARTITION BY user_id
+         |    ORDER BY valid_from_ms, last_event_id) IS NULL
+         |    THEN 'true' ELSE 'false' END AS is_current
+         |FROM p""".stripMargin,
+
     "event_gaps" ->
       s"""WITH $CL,
          |g AS (SELECT user_id, event_id, ems,

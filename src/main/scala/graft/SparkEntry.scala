@@ -51,6 +51,7 @@ object SparkEntry {
     "status_rollup"       -> ((s, dir) => Ledger.statusRollup(cl(s, dir))),
     "endpoint_status"     -> ((s, dir) => Endpoints.statusJson(s, cl(s, dir))),
     "scd2_history"        -> ((s, dir) => Temporal.scd2History(cl(s, dir))),
+    "tier_history"        -> ((s, dir) => Temporal.tierHistory(cl(s, dir))),
     "event_gaps"          -> ((s, dir) => Temporal.eventGaps(cl(s, dir))),
     "sessionize"          -> ((s, dir) => Temporal.sessionize(cl(s, dir))),
     "asof_enrich"         -> ((s, dir) =>

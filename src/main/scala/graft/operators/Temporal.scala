@@ -88,6 +88,43 @@ object Temporal {
           .as("mean_gap_ms"))
   }
 
+  /** Tier-transition history — attribute-level SCD-2 via the classic
+    * gaps-and-islands shape (the one SQL pattern the inventory lacked):
+    * each user's value TIER (log2 bucket of value_cents, the
+    * value_histogram convention) changes far less often than the value
+    * itself, so consecutive same-tier changes collapse into one
+    * validity period with a change count — the "customer tier history"
+    * a warehouse serves instead of the raw change log. Islands come
+    * from the difference of two row_numbers over the SAME key
+    * partition (one extra sort key, zero extra shuffles); periods then
+    * take their valid_to from the next island's start via one more
+    * window on the same partitioning — still ONE hash shuffle total. */
+  def tierHistory(changelog: DataFrame): DataFrame = {
+    val tier = when(col("value_cents") > 0,
+      length(bin(col("value_cents"))).cast("long")).otherwise(lit(0L))
+    val wAll = Window.partitionBy("user_id").orderBy("ems", "event_id")
+    val wTier = Window.partitionBy("user_id", "tier")
+      .orderBy("ems", "event_id")
+    val islands = changelog
+      .where(col("op") =!= "D")
+      .withColumn("tier", tier)
+      .withColumn("island",
+        row_number().over(wAll) - row_number().over(wTier))
+    val periods = islands
+      .groupBy("user_id", "tier", "island")
+      .agg(count(lit(1)).as("n_changes"),
+        min("ems").as("valid_from_ms"),
+        max("event_id").as("last_event_id"))
+    val wNext = Window.partitionBy("user_id")
+      .orderBy("valid_from_ms", "last_event_id")
+    periods
+      .withColumn("valid_to_ms", lead("valid_from_ms", 1).over(wNext))
+      .select(col("user_id"), col("tier"), col("valid_from_ms"),
+        col("valid_to_ms"), col("n_changes"), col("last_event_id"),
+        when(col("valid_to_ms").isNull, "true").otherwise("false")
+          .as("is_current"))
+  }
+
   /** Trailing-baseline width (hours) for [[arrivalAnomaly]]. */
   val AnomalyTrailHours = 24
 

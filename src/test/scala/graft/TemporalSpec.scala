@@ -115,6 +115,28 @@ class TemporalSpec extends AnyFunSuite {
     assert(r.getAs[Long]("min_gap_ms") === -500L)
   }
 
+  test("tier_history: conserves changes, adjacent periods differ in " +
+    "tier, intervals chain exactly") {
+    val rows = Temporal.tierHistory(cl).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    val nonD = cl.where(col("op") =!= "D").count()
+    assert(rows.values.flatten.map(_.getAs[Long]("n_changes")).sum === nonD)
+    rows.foreach { case (_, ps) =>
+      val sorted = ps.sortBy(_.getAs[Long]("valid_from_ms"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // no two adjacent periods share a tier (compaction is maximal)
+          assert(a.getAs[Long]("tier") !== b.getAs[Long]("tier"))
+          // intervals chain: this period ends where the next begins
+          assert(a.getAs[Long]("valid_to_ms") ===
+            b.getAs[Long]("valid_from_ms"))
+        case _ => ()
+      }
+      assert(sorted.last.getAs[String]("is_current") === "true")
+      assert(sorted.init.forall(_.getAs[String]("is_current") == "false"))
+    }
+  }
+
   test("arrival_anomaly: dense calendar grid, status matches the " +
     "integer thresholds row by row") {
     val rows = Temporal.arrivalAnomaly(cl).collect().sortBy(_.getLong(0))
