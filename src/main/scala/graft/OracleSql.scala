@@ -1049,6 +1049,21 @@ object OracleSql {
          |FROM rev JOIN supplier ON l_suppkey = s_suppkey
          |WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)""".stripMargin,
 
+    "olap_trade_matrix" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(SUM(CAST(ROUND(l.l_extendedprice*(1.0-l.l_discount)*100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     "olap_returned_top" ->
       s"""WITH r AS (SELECT o.o_custkey,
          |    CAST(SUM(CAST(ROUND(l.l_extendedprice*(1.0-l.l_discount)*100)

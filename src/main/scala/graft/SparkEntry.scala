@@ -375,6 +375,10 @@ object SparkEntry {
     "olap_returned_top"   -> ((s, dir) =>
       Analytics.returnedTop(Tables.customer(s, dir), Tables.nation(s, dir),
         Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    "olap_trade_matrix"   -> ((s, dir) =>
+      Analytics.tradeMatrix(Tables.supplier(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
     "domain_caps"         -> ((s, dir) =>
       Curation.domainCaps(Tables.documents(s, dir))),
     "ccnet_buckets"       -> ((s, dir) =>

@@ -317,6 +317,35 @@ object Analytics {
       .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
   }
 
+  /** Cross-border trade matrix (the TPC-H Q7 shape): revenue shipped
+    * between DIFFERENT supplier and customer nations, per year — the
+    * two-dimensional dim × dim rollup. The nation and supplier dims
+    * broadcast; the two fact-side joins (lineitem→orders on the order
+    * key, then →customer on the customer key) shuffle on their keys
+    * and AQE picks broadcast when the filtered sides fit; the
+    * same-nation filter drops before aggregation. */
+  def tradeMatrix(supplier: DataFrame, customer: DataFrame,
+                  nation: DataFrame, orders: DataFrame,
+                  lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), revCents.as("rev_c"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "ship_year")
+      .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_items"))
+
   /** Last-touch revenue attribution — the product-analytics staple
     * funnel_conversion doesn't cover: every purchase is credited to
     * the user's LAST preceding non-purchase event type ('none' when
