@@ -3506,6 +3506,43 @@ object OracleSql {
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
 
+    // int8 symmetric-dot top-k vs exact cosine truth; the int8 ranking
+    // is integer arithmetic end-to-end (bit-identical cross-engine)
+    "sq_recall" -> {
+      val k = graft.operators.Similarity.TopK
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |i8 AS (SELECT vec_id, list_transform(v,
+         |    x -> CAST(ROUND(GREATEST(LEAST(x, 1.0), -1.0) * 127)
+         |      AS BIGINT)) AS qv FROM e),
+         |q AS (SELECT vec_id AS q_id, qv FROM i8 WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cand_id, qv AS cv FROM i8
+         |  WHERE vec_id >= 8),
+         |approx AS (SELECT q_id, cand_id FROM (
+         |  SELECT q.q_id, c.cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |      ORDER BY list_sum(list_transform(
+         |        list_zip(q.qv, c.cv), p -> p[1] * p[2])) DESC,
+         |        c.cand_id) AS rn
+         |  FROM q, c) t WHERE rn <= $k),
+         |tq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+         |tc AS (SELECT vec_id AS cand_id, v AS cv FROM e
+         |  WHERE vec_id >= 8),
+         |truth AS (SELECT q_id, cand_id FROM (
+         |  SELECT tq.q_id, tc.cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY tq.q_id
+         |      ORDER BY list_cosine_similarity(qv, cv) DESC, cand_id)
+         |      AS rn
+         |  FROM tq, tc) t WHERE rn <= $k),
+         |h AS (SELECT truth.q_id, CAST(COUNT(approx.cand_id) AS BIGINT)
+         |    AS n_hits
+         |  FROM truth LEFT JOIN approx
+         |    ON truth.q_id = approx.q_id AND truth.cand_id = approx.cand_id
+         |  GROUP BY 1)
+         |SELECT q_id, n_hits, (n_hits * 1000) // $k AS recall_milli
+         |FROM h""".stripMargin
+    },
+
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -249,6 +249,9 @@ object SparkEntry {
     "value_quantiles"     -> ((s, dir) => Ledger.valueQuantiles(cl(s, dir))),
     "key_skew_report"     -> ((s, dir) => Ledger.keySkewReport(cl(s, dir))),
     "sync_lag"            -> ((s, dir) => Ledger.syncLag(cl(s, dir))),
+    "sq_recall"           -> ((s, dir) =>
+      Similarity.sqRecallFrom(Staged.ann(s, dir).cosTruth,
+        Tables.embeddings(s, dir))),
     "ivf_recall"          -> ((s, dir) => {
       val a = Staged.ann(s, dir)
       Similarity.ivfRecallFrom(a.cosTruth, a.assign,

@@ -531,6 +531,41 @@ object Similarity {
         expr(s"(n_hits * 1000) div $k").as("recall_milli"))
   }
 
+  /** Int8 quantization column (the [[quantizeStats]] codec): clip to
+    * [-1, 1], scale by 127, round — per coordinate. */
+  private def int8Expr(c: String): String =
+    s"transform($c, x -> cast(round(" +
+      "greatest(least(cast(x as double), 1.0d), -1.0d) * 127) as bigint))"
+
+  /** Recall of symmetric int8 scalar-quantized search against the
+    * exact cosine truth — the MIDDLE rung of the storage ladder
+    * [[annIndexCardFrom]] prices (f32 = 1000 milli by definition, int8
+    * here, PQ in the pq_recall gates): both sides quantize with the
+    * [[quantizeStats]] codec and rank by the int8×int8 dot product,
+    * which is INTEGER arithmetic end-to-end — unlike the float cosine,
+    * this ranking is bit-identical across engines by construction.
+    * Same shape as ann_topk: 8-query broadcast, per-query top-k, then
+    * the shared recall scaffold. */
+  def sqRecallFrom(cosTruth: DataFrame, embeddings: DataFrame,
+                   k: Int = TopK): DataFrame = {
+    val q = queries(embeddings)
+      .select(col("q_id"), expr(int8Expr("q_vec")).as("qq"))
+    val approx = candidates(embeddings)
+      .select(col("cand_id"), expr(int8Expr("c_vec")).as("qc"))
+      .join(broadcast(q))
+      .withColumn("dot", expr("aggregate(zip_with(qq, qc, (a, b) -> a * b)" +
+        ", cast(0 as bigint), (s, v) -> s + v)"))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("dot").desc, col("cand_id"))))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("cand_id"))
+    recallAtK(cosTruth, approx, k)
+  }
+
+  /** [[sqRecallFrom]] built standalone. */
+  def sqRecall(embeddings: DataFrame, k: Int = TopK): DataFrame =
+    sqRecallFrom(bruteTopK(embeddings, k), embeddings, k)
+
   /** Recall gate for the IVF index: ann_ivf's probed top-k measured
     * against the exact cosine brute-force truth (both rank by cosine,
     * so this isolates the cost of probing NumProbes of NumCentroids

@@ -1214,6 +1214,20 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sq_recall: every query reports, recall bounded, int8 beats the " +
+    "trained-PQ gate (finer codes, better recall)") {
+    val r = Similarity.sqRecall(embs).collect()
+    assert(r.length === 8)
+    r.foreach { x =>
+      assert(x.getAs[Long]("recall_milli") >= 0L &&
+        x.getAs[Long]("recall_milli") <= 1000L)
+      assert(x.getAs[Long]("n_hits") <= Similarity.TopK.toLong)
+    }
+    // 64 bytes/vec must not recall WORSE than 8 bytes/vec on average
+    val sqMean = r.map(_.getAs[Long]("recall_milli")).sum / r.length
+    assert(sqMean >= 500L, s"int8 mean recall $sqMean implausibly low")
+  }
+
   test("embed_norm_stats: per-label bounds bracket the sums") {
     val e = Tables.embeddings(spark, TestSpark.Sf)
     val st = Similarity.embedNormStats(e).collect()
