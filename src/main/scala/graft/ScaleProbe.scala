@@ -157,6 +157,23 @@ object ScaleProbe {
       "dedup_agreement" -> sink(Dedup.dedupMethodAgreement(docs)),
       "span_dedup" -> sink(TextAnalysis.spanDedup(docs)),
       "cdc_merge" -> sink(CdcMerge.merge(cl)),
-      "sessionize" -> sink(Temporal.sessionize(cl)))
+      "sessionize" -> sink(Temporal.sessionize(cl)),
+      // round-8 additions: the composed curation funnel (rides the
+      // same minhash chain plus per-source windows), the user×day
+      // point-in-time grid, the 4-signal ensemble, and the
+      // gaps-and-islands tier history
+      "quality_ensemble" -> sink(TextAnalysis.qualityEnsemble(docs)),
+      "curation_pipeline" -> sink {
+        val t = TextAnalysis.tokensRel(docs)
+        graft.operators.Curation.curationPipelineFrom(docs,
+          TextAnalysis.qualitySignalsFrom(
+            TextAnalysis.gopherQualityFrom(docs, t),
+            TextAnalysis.qualityClassifyFrom(t),
+            TextAnalysis.ngramLmScoreFrom(TextAnalysis.skipgramsRel(docs)),
+            TextAnalysis.docRarityFrom(t, TextAnalysis.tokenFreqFrom(t))),
+          Dedup.dupClusters(docs), TextAnalysis.gopherQuality(docs))
+      },
+      "pit_snapshot" -> sink(graft.operators.Joins.pitSnapshot(cl)),
+      "tier_history" -> sink(Temporal.tierHistory(cl)))
   }
 }
