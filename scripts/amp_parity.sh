@@ -31,7 +31,8 @@ dedup_incremental,dedup_minhash,dedup_ngram_jaccard,dedup_simhash,\
 dedup_sweep,dup_cluster,lsh_band_sweep,minhash_est_error,\
 session_quantiles,sessionize,span_dedup,substring_dedup,\
 stream_window_agg,stream_merge_parity,stream_sessionize_parity,\
-stream_dedup_parity,stream_window_parity,stream_late_parity,ingest_parity"
+stream_dedup_parity,stream_window_parity,stream_late_parity,\
+stream_tier_parity,tier_history,ingest_parity"
 
 echo "== amplify $BASE x$K -> $WORK"
 sbt -batch "runMain graft.AmplifyCorpus $BASE $WORK $K"

@@ -405,6 +405,35 @@ object OracleSql {
         |  CAST(SUM(value_cents) AS BIGINT) AS revenue_cents
         |FROM a WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
 
+  /** Gaps-and-islands tier-history SQL — shared verbatim by
+    * `tier_history` and the streaming replay `stream_tier_parity`. */
+  val TierHistorySql: String =
+    s"""WITH $CL,
+         |b AS (SELECT user_id, event_id, ems,
+         |    CASE WHEN value_cents > 0
+         |      THEN CAST(length(format('{:b}', value_cents)) AS BIGINT)
+         |      ELSE 0 END AS tier
+         |  FROM cl WHERE op <> 'D'),
+         |i AS (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY ems, event_id)
+         |    - ROW_NUMBER() OVER (PARTITION BY user_id, tier
+         |      ORDER BY ems, event_id) AS island
+         |  FROM b),
+         |p AS (SELECT user_id, tier, island,
+         |    CAST(COUNT(*) AS BIGINT) AS n_changes,
+         |    MIN(ems) AS valid_from_ms,
+         |    MAX(event_id) AS last_event_id
+         |  FROM i GROUP BY 1, 2, 3)
+         |SELECT user_id, tier, valid_from_ms,
+         |  LEAD(valid_from_ms) OVER (PARTITION BY user_id
+         |    ORDER BY valid_from_ms, last_event_id) AS valid_to_ms,
+         |  n_changes, last_event_id,
+         |  CASE WHEN LEAD(valid_from_ms) OVER (PARTITION BY user_id
+         |    ORDER BY valid_from_ms, last_event_id) IS NULL
+         |    THEN 'true' ELSE 'false' END AS is_current
+         |FROM p""".stripMargin
+
   /** Hourly windowed-aggregate SQL — shared verbatim by
     * `stream_window_agg` and the streaming replay
     * `stream_window_parity`. */
@@ -795,32 +824,9 @@ object OracleSql {
 
     // gaps-and-islands: island id = difference of two row_numbers over
     // the same key partition; periods chain via LEAD on island starts
-    "tier_history" ->
-      s"""WITH $CL,
-         |b AS (SELECT user_id, event_id, ems,
-         |    CASE WHEN value_cents > 0
-         |      THEN CAST(length(format('{:b}', value_cents)) AS BIGINT)
-         |      ELSE 0 END AS tier
-         |  FROM cl WHERE op <> 'D'),
-         |i AS (SELECT *,
-         |    ROW_NUMBER() OVER (PARTITION BY user_id
-         |      ORDER BY ems, event_id)
-         |    - ROW_NUMBER() OVER (PARTITION BY user_id, tier
-         |      ORDER BY ems, event_id) AS island
-         |  FROM b),
-         |p AS (SELECT user_id, tier, island,
-         |    CAST(COUNT(*) AS BIGINT) AS n_changes,
-         |    MIN(ems) AS valid_from_ms,
-         |    MAX(event_id) AS last_event_id
-         |  FROM i GROUP BY 1, 2, 3)
-         |SELECT user_id, tier, valid_from_ms,
-         |  LEAD(valid_from_ms) OVER (PARTITION BY user_id
-         |    ORDER BY valid_from_ms, last_event_id) AS valid_to_ms,
-         |  n_changes, last_event_id,
-         |  CASE WHEN LEAD(valid_from_ms) OVER (PARTITION BY user_id
-         |    ORDER BY valid_from_ms, last_event_id) IS NULL
-         |    THEN 'true' ELSE 'false' END AS is_current
-         |FROM p""".stripMargin,
+    "tier_history" -> TierHistorySql,
+
+    "stream_tier_parity" -> TierHistorySql,
 
     "event_gaps" ->
       s"""WITH $CL,

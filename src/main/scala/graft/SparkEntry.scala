@@ -101,6 +101,8 @@ object SparkEntry {
       graft.streaming.CdcStream.lateParity(s, Tables.events(s, dir))),
     "stream_attribution_parity" -> ((s, dir) =>
       graft.streaming.CdcStream.attributionParity(s, Tables.events(s, dir))),
+    "stream_tier_parity"  -> ((s, dir) =>
+      graft.streaming.CdcStream.tierParity(s, cl(s, dir))),
     "pipeline_e2e"        -> ((s, dir) => Pipeline.run(s, dir).applied),
     // LLM-data-pipeline operators (SURVEY.md §2 #23-34)
     "dedup_exact"         -> ((s, dir) =>

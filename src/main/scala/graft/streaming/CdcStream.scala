@@ -238,6 +238,98 @@ object CdcStream {
       }
   }
 
+  /** One closed (or final open) tier period — matches
+    * Temporal.tierHistory's row shape. */
+  case class TierPeriod(user_id: Long, tier: Long, valid_from_ms: Long,
+                        valid_to_ms: Option[Long], n_changes: Long,
+                        last_event_id: Long, is_current: String)
+
+  /** Open tier-period state; tier = -1 after the close marker. */
+  case class TierState(tier: Long, from: Long, n: Long, lastId: Long)
+
+  /** Continuous gaps-and-islands — the streaming twin of
+    * Temporal.tierHistory: per-key state holds the OPEN tier period;
+    * an arriving change in a different tier closes it (valid_to = the
+    * new period's start, exactly the batch LEAD), a same-tier change
+    * extends it. A close marker (op == "Z") flushes the final period
+    * as is_current. State is one 4-field struct per key regardless of
+    * history length. Feed must be per-key ordered across batches (the
+    * parity harness replays contiguous event-time slices); within a
+    * batch the group's slice is sorted by (ems, event_id). */
+  def tierStream(spark: SparkSession,
+                 changes: Dataset[ChangeTs]): Dataset[TierPeriod] = {
+    import spark.implicits._
+    def tierOf(vc: Long): Long =
+      if (vc > 0) 64L - java.lang.Long.numberOfLeadingZeros(vc) else 0L
+    changes
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TierState, TierPeriod](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[ChangeTs],
+         state: GroupState[TierState]) =>
+          val out = scala.collection.mutable.ListBuffer.empty[TierPeriod]
+          var st = state.getOption
+          batch.toSeq.sortBy(e => (e.ems, e.event_id)).foreach { e =>
+            if (e.op == "Z") { // close marker: flush the open period
+              st.filter(_.tier >= 0).foreach { s =>
+                out += TierPeriod(uid, s.tier, s.from, None, s.n,
+                  s.lastId, "true")
+              }
+              st = Some(TierState(-1L, e.ems, 0L, e.event_id))
+            } else {
+              val t = tierOf(e.value_cents)
+              st = st match {
+                case Some(s) if s.tier == t =>
+                  Some(s.copy(n = s.n + 1,
+                    lastId = math.max(s.lastId, e.event_id)))
+                case Some(s) =>
+                  if (s.tier >= 0)
+                    out += TierPeriod(uid, s.tier, s.from, Some(e.ems),
+                      s.n, s.lastId, "false")
+                  Some(TierState(t, e.ems, 1L, e.event_id))
+                case None => Some(TierState(t, e.ems, 1L, e.event_id))
+              }
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Streaming↔batch gaps-and-islands parity: the non-delete changelog
+    * replays as contiguous event-time micro-batches through
+    * [[tierStream]], then one close-marker batch per key flushes the
+    * open periods — the result must hash-equal the batch tier_history
+    * oracle verbatim. */
+  def tierParity(spark: SparkSession, changelog: DataFrame,
+                 nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val src = changelog.where(col("op") =!= "D")
+      .select(col("user_id"), col("event_id"), col("ems"), col("op"),
+        col("value_cents"), timestamp_millis(col("ems")).as("ts"))
+    val bounds = src.agg(min("ems"), max("ems"), max("event_id")).collect()(0)
+    if (bounds.isNullAt(0))
+      return spark.emptyDataFrame.select(lit(0L).as("user_id"),
+        lit(0L).as("tier"), lit(0L).as("valid_from_ms"),
+        lit(0L).as("valid_to_ms"), lit(0L).as("n_changes"),
+        lit(0L).as("last_event_id"), lit("").as("is_current"))
+    val sentinelMs = bounds.getLong(1) + 10L * 24 * 3600 * 1000
+    val sentinelId = bounds.getLong(2) + 1L
+    val sentinels = src.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(sentinelId).as("event_id"),
+        lit(sentinelMs).as("ems"), lit("Z").as("op"),
+        lit(0L).as("value_cents"),
+        timestamp_millis(lit(sentinelMs)).as("ts"))
+    replayStaged(spark,
+        rangeSlices(src, "ems", bounds.getLong(0), bounds.getLong(1),
+          nBatches) :+ sentinels,
+        OutputMode.Append())(
+        df => tierStream(spark, df.as[ChangeTs]).toDF())
+      .select("user_id", "tier", "valid_from_ms", "valid_to_ms",
+        "n_changes", "last_event_id", "is_current")
+  }
+
   /** A raw product event (attribution input; ts = event time). */
   case class RawEvent(user_id: Long, event_id: Long, ems: Long,
                       event_type: String, value_cents: Long,

@@ -175,6 +175,22 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("tierParity equals the batch gaps-and-islands tier history, " +
+    "including periods spanning micro-batch boundaries") {
+    val cl = ChangeLog.normalize(Tables.events(spark, TestSpark.Sf))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(2)) -> // (user, valid_from)
+        (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getString(6))
+    val got = CdcStream.tierParity(spark, cl).collect().map(key).toMap
+    val want = graft.operators.Temporal.tierHistory(cl)
+      .select("user_id", "tier", "valid_from_ms", "valid_to_ms",
+        "n_changes", "last_event_id", "is_current")
+      .collect().map(key).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("dedupParity: two at-least-once delivery passes survive as each " +
     "event exactly once") {
     val ev = Tables.events(spark, TestSpark.Sf).select("event_id", "ts")
