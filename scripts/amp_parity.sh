@@ -15,8 +15,10 @@
 #
 # The subset = every operator family whose cost grows with corpus volume:
 # the dedup chain end-to-end, the CDC merge/apply pair, sessionization,
-# and the five streaming parity harnesses (file-sourced, so they replay
-# the amplified events/documents through real micro-batches).
+# the streaming parity harnesses (file-sourced, so they replay the
+# amplified events/documents through real micro-batches), and the
+# vector family (embeddings amplified copy-disjoint: fixed 8-query /
+# 16-seed prefix, 10x candidate+training corpus, scaled label space).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -32,7 +34,8 @@ dedup_sweep,dup_cluster,lsh_band_sweep,minhash_est_error,\
 session_quantiles,sessionize,span_dedup,substring_dedup,\
 stream_window_agg,stream_merge_parity,stream_sessionize_parity,\
 stream_dedup_parity,stream_window_parity,stream_late_parity,\
-stream_tier_parity,tier_history,ingest_parity"
+stream_tier_parity,tier_history,ingest_parity,\
+ann_topk,ivf_train,pq_train,pq_recall_trained,sq_recall"
 
 echo "== amplify $BASE x$K -> $WORK"
 sbt -batch "runMain graft.AmplifyCorpus $BASE $WORK $K"

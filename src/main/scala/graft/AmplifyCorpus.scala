@@ -11,10 +11,11 @@ import scala.jdk.CollectionConverters._
   * ratios only; this one feeds `graft.Verify` + `scripts/parity.py` the
   * same way the driver does, just on k× data).
   *
-  * Layout contract: `documents.parquet` / `events.parquet` are written
-  * as SINGLE parquet files (DuckDB's `FROM '<path>'` view in parity.py
-  * reads a plain file, not a Spark part-directory); every other table
-  * is symlinked from the base directory unchanged.
+  * Layout contract: `documents.parquet` / `events.parquet` /
+  * `embeddings.parquet` are written as SINGLE parquet files (DuckDB's
+  * `FROM '<path>'` view in parity.py reads a plain file, not a Spark
+  * part-directory); every other table is symlinked from the base
+  * directory unchanged.
   *
   * Amplification is ScaleProbe's structure-preserving, copy-disjoint
   * transform (ids offset per copy; doc tokens carry a copy suffix so
@@ -28,7 +29,7 @@ import scala.jdk.CollectionConverters._
   */
 object AmplifyCorpus {
   val LinkedTables: Seq[String] = Seq("region", "nation", "customer",
-    "supplier", "part", "orders", "lineitem", "embeddings")
+    "supplier", "part", "orders", "lineitem")
 
   /** Writes df as ONE parquet file at exactly `target` (not a Spark
     * part-directory): stage to a sibling temp dir, move the single
@@ -65,6 +66,13 @@ object AmplifyCorpus {
     val ev = ScaleProbe.amplifyEvents(ev0, k)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     writeSingleFile(ev, s"$outDir/events.parquet")
+    val emb0 = Tables.embeddings(spark, sfDir)
+    val maxVec = emb0.agg(max("vec_id").cast("long")).collect()(0).getLong(0)
+    require(maxVec < ScaleProbe.CopyOffset,
+      s"embeddings ids reach $maxVec >= ${ScaleProbe.CopyOffset}: " +
+        "copies would collide")
+    writeSingleFile(ScaleProbe.amplifyEmbeddings(emb0, k),
+      s"$outDir/embeddings.parquet")
 
     for (t <- LinkedTables) {
       val dst = Paths.get(outDir, s"$t.parquet")

@@ -75,6 +75,30 @@ object ScaleProbe {
           "t -> concat(t, '_', cast(cp as string))), ' ')").as("text"),
         col("lang"), col("source"))
 
+  /** k structure-preserving copies of embeddings: vec_id offset by
+    * copy·CopyOffset (the 8-query / 16-seed prefix stays copy-0-only,
+    * so the recall gates' query set is fixed while the CANDIDATE and
+    * TRAINING corpus scales k×); label cardinality scales with volume
+    * (label + copy·(max+1)); and every non-base copy's vector is
+    * deterministically perturbed per element (±1e-3 hash noise, never
+    * rand()) so copies are geometry-preserving but never exact
+    * duplicates — exact k-wide duplicate vectors would make every
+    * top-k a tie pile-up instead of a scaled corpus. Parity needs no
+    * cross-engine twin of any of this: the amplified parquet FILE is
+    * written once and read by both engines. */
+  def amplifyEmbeddings(emb: DataFrame, k: Int): DataFrame = {
+    val maxLabel = emb.agg(max("label")).collect()(0).getInt(0)
+    emb.withColumn("cp", explode(expr(s"sequence(0, ${k - 1})")))
+      .select(
+        (col("vec_id") + col("cp").cast("long") * CopyOffset).as("vec_id"),
+        expr(s"""CASE WHEN cp = 0 THEN embedding ELSE
+                |  transform(embedding, (x, i) -> CAST(x +
+                |    (pmod(xxhash64(concat('amp:', cp, ':', vec_id, ':', i)),
+                |     2001L) - 1000L) * CAST(1e-6 AS FLOAT) AS FLOAT))
+                |END""".stripMargin).as("embedding"),
+        (col("label") + col("cp") * (maxLabel + 1)).cast("int").as("label"))
+  }
+
   /** k copies of events: event_id/user_id offset per copy — key
     * cardinality scales with volume while each key's history (and its
     * LWW/session structure) is an exact replica of the base key's.

@@ -15,6 +15,15 @@ object SparkEntry {
   private def cl(s: SparkSession, dir: String): DataFrame =
     ChangeLog.normalize(Tables.events(s, dir))
 
+  /** The catalog passes' (table, columns) inputs — driven by the SAME
+    * [[Snapshot.CatalogColumns]] grid the DuckDB oracles are generated
+    * from, so neither side can drift alone. */
+  private def catalogGrid(s: SparkSession, dir: String)
+  : Seq[(String, DataFrame)] =
+    Snapshot.CatalogColumns.map { case (t, cols) =>
+      t -> Tables.table(s, dir, t).select(cols.map(col): _*)
+    }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     CdcMerge.merge(cl(spark, "/root/testdata/sf0.001"))
@@ -331,14 +340,9 @@ object SparkEntry {
         Tables.customer(s, dir), Tables.supplier(s, dir), Tables.part(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "catalog_stats"       -> ((s, dir) =>
-      Snapshot.catalogStats(Seq(
-        "region" -> Tables.region(s, dir),
-        "nation" -> Tables.nation(s, dir),
-        "customer" -> Tables.customer(s, dir),
-        "supplier" -> Tables.supplier(s, dir),
-        "part" -> Tables.part(s, dir),
-        "orders" -> Tables.orders(s, dir),
-        "lineitem" -> Tables.lineitem(s, dir)))),
+      Snapshot.catalogStats(catalogGrid(s, dir))),
+    "catalog_stats_sketch" -> ((s, dir) =>
+      Snapshot.catalogStatsSketchGate(catalogGrid(s, dir))),
     "modal_align"         -> ((s, dir) =>
       Multimodal.modalAlign(Tables.documents(s, dir),
         Tables.embeddings(s, dir))),

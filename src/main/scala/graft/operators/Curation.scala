@@ -198,6 +198,11 @@ object Curation {
 
   // --- composed curation pipeline -----------------------------------------
 
+  /** Per-source cap for the composed pipeline — tighter than
+    * [[DomainCap]] so the cap stage BINDS at every test scale (the
+    * upstream gates already thin each source below DomainCap). */
+  val PipelineCap = 8L
+
   /** Composed web-curation pipeline — the second flagship composition
     * (training_pipeline's curation twin), chaining this round's
     * decision operators in production order over ONE corpus pass per
@@ -215,11 +220,6 @@ object Curation {
     * verifies the exact end-to-end decision set. Each stage consumes
     * the staged relations; the pipeline itself adds only doc_id
     * equi-joins and one per-source window over the capped survivors. */
-  /** Per-source cap for the composed pipeline — tighter than
-    * [[DomainCap]] so the cap stage BINDS at every test scale (the
-    * upstream gates already thin each source below DomainCap). */
-  val PipelineCap = 8L
-
   def curationPipelineFrom(documents: DataFrame, signals: DataFrame,
                            clusters: DataFrame, gopher: DataFrame,
                            cap: Long = PipelineCap): DataFrame = {

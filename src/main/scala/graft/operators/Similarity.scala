@@ -214,6 +214,15 @@ object Similarity {
   val RebalancePpm = 200000L
   val SimDriftE6 = 10000L
 
+  /** The deterministic arriving-delta membership rule over `vec_id` —
+    * shared by the batch [[ivfIncremental]] report and the streaming
+    * ingest monitor (CdcStream.ivfIngestMonitor), so the streamed
+    * arrival feed and the report's delta flag cannot drift apart. */
+  def isDeltaCol: org.apache.spark.sql.Column =
+    pmod(graft.functions.PortableHash.phash(
+      concat(lit("delta:"), col("vec_id").cast("string"))),
+      lit(DeltaMod)) === 0L
+
   /** Incremental IVF maintenance report — the ANN twin of
     * dedup_incremental: vectors arriving AFTER the index build are
     * assigned to the existing lists (no retrain — the production fast
@@ -233,9 +242,7 @@ object Similarity {
   /** [[ivfIncremental]] over a staged list assignment. */
   def ivfIncrementalFrom(assign: DataFrame,
                          embeddings: DataFrame): DataFrame = {
-    val isDelta = pmod(graft.functions.PortableHash.phash(
-      concat(lit("delta:"), col("vec_id").cast("string"))),
-      lit(DeltaMod)) === 0L
+    val isDelta = isDeltaCol
     assign
       .join(candidates(embeddings).withColumnRenamed("cand_id", "vec_id"),
         "vec_id")

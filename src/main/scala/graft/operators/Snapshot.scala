@@ -236,19 +236,68 @@ object Snapshot {
           .otherwise("DIVERGED").as("verdict"))
   }
 
+  /** The audited (table, columns) grid of the catalog passes — ONE
+    * shared constant feeding both the Spark aggregations
+    * ([[catalogStats]] / [[catalogStatsSketchGate]] registry entries)
+    * and the DuckDB oracle generator, so a testdata schema evolution
+    * cannot silently desynchronize the two sides. */
+  val CatalogColumns: Seq[(String, Seq[String])] = Seq(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey",
+      "c_acctbal", "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey",
+      "s_acctbal"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type",
+      "p_size", "p_retailprice"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
+
   /** ANALYZE-style catalog statistics over the star schema — the
     * per-column numbers a cost-based optimizer's cardinality estimates
     * feed on (and the profile a sync target publishes next to its data):
     * one row per (table, column) with row count, EXACT distinct count,
     * and null count. Exact NDV (not a sketch) keeps the report
-    * hash-verifiable cross-engine; each table is ONE aggregate pass —
-    * Spark plans the multi-distinct via Expand, so a table with k
-    * columns costs one k-way multiplied scan, not k scans. */
+    * hash-verifiable cross-engine. Each column is its own single-column
+    * aggregate pass: parquet column pruning makes each pass read ~1/k
+    * of the table's bytes (k passes ≈ one full-table read in total),
+    * the single distinct aggregate plans as a two-phase partial dedup
+    * (shuffle ≈ the column's NDV), and no pass pays the k-way
+    * row-multiplied Expand shuffle the one-aggregate multi-distinct
+    * form costs on a wide fact table — the shape that died first in
+    * the 100x plan audit. For the sketch-NDV pass a 100 TB catalog
+    * crawl should actually run on, see [[catalogStatsSketch]]. */
   def catalogStats(tables: Seq[(String, DataFrame)]): DataFrame = {
+    def one(name: String, df: DataFrame): DataFrame =
+      df.columns.toSeq.map { c =>
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(c)).as("n_distinct"),
+            coalesce(sum(col(c).isNull.cast("long")), lit(0L))
+              .as("n_null"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            lit(c).as("column_name"), col("n_distinct"), col("n_null"))
+      }.reduce(_ unionByName _)
+    tables.map { case (n, df) => one(n, df) }.reduce(_ unionByName _)
+  }
+
+  /** Relative standard deviation of the catalog sketch NDV (HLL++). */
+  val CatalogRsd = 0.02
+
+  /** The scale-default catalog pass: sketch NDV
+    * (`approx_count_distinct`, rsd=[[CatalogRsd]]) for every column in
+    * ONE ordinary aggregate per table — HLL is a regular (non-distinct)
+    * aggregate, so the multi-column pass needs no Expand and no
+    * per-column rescans: one map-side-combined scan per table, merge
+    * buffers of a few KB per column. This is the pass a 100 TB catalog
+    * crawl runs; [[catalogStats]] (exact) is the oracle-gate twin. */
+  def catalogStatsSketch(tables: Seq[(String, DataFrame)]): DataFrame = {
     def one(name: String, df: DataFrame): DataFrame = {
       val cols = df.columns
       val aggs = cols.flatMap(c => Seq(
-        countDistinct(col(c)).as(s"ndv_$c"),
+        approx_count_distinct(col(c), rsd = CatalogRsd).as(s"ndv_$c"),
         coalesce(sum(col(c).isNull.cast("long")), lit(0L))
           .as(s"null_$c")))
       val stackArgs = cols
@@ -257,8 +306,32 @@ object Snapshot {
           aggs.toIndexedSeq: _*)
         .select(lit(name).as("table_name"), col("n_rows"),
           expr(s"stack(${cols.length}, $stackArgs)" +
-            " as (column_name, n_distinct, n_null)"))
+            " as (column_name, n_distinct_approx, n_null)"))
     }
+    tables.map { case (n, df) => one(n, df) }.reduce(_ unionByName _)
+  }
+
+  /** Oracle-checkable gate over the sketch pass — the error-band form
+    * of `approx_distinct`: the sketch value itself has no cross-engine
+    * twin, so each (table, column) row carries the EXACT NDV plus an
+    * integer-arithmetic verdict that the sketch landed within 5%
+    * (|approx−exact|·20 ≤ exact, well outside rsd=0.02's range); the
+    * DuckDB oracle recomputes the exact side and pins the verdict to
+    * 'true'. Exact and sketch are computed in the SAME single-column
+    * aggregate per pass (one distinct aggregate per Aggregate — still
+    * no Expand), so the gate prices like [[catalogStats]], not like
+    * both passes. */
+  def catalogStatsSketchGate(tables: Seq[(String, DataFrame)]): DataFrame = {
+    def one(name: String, df: DataFrame): DataFrame =
+      df.columns.toSeq.map { c =>
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(c)).as("n_distinct"),
+            approx_count_distinct(col(c), rsd = CatalogRsd).as("approx"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            lit(c).as("column_name"), col("n_distinct"),
+            (abs(col("approx") - col("n_distinct")) * 20L <=
+              col("n_distinct")).cast("string").as("approx_within_5pct"))
+      }.reduce(_ unionByName _)
     tables.map { case (n, df) => one(n, df) }.reduce(_ unionByName _)
   }
 
@@ -270,31 +343,33 @@ object Snapshot {
     * subject keys, how many rows each relation must purge — the
     * subject's change events, their customer row, their orders, and
     * those orders' line items (the FK cascade). The planning query any
-    * sync/warehouse owner runs before executing an erasure batch. Only
-    * the cohort itself (a bounded request list) is broadcast; the
-    * cohort's ORDER-KEY set grows with the orders table, so that
-    * semi-join is left to the planner (hash/AQE) rather than forced
-    * through an unbounded driver broadcast. Each big relation is
-    * touched once — no cascade materialization. */
+    * sync/warehouse owner runs before executing an erasure batch. No
+    * join strategy is forced: the cohort is carved out of the customer
+    * dimension itself (1/ForgetMod of it), so it GROWS with the
+    * customer table — the planner (AQE) broadcasts it only while its
+    * runtime size is genuinely under the broadcast threshold and falls
+    * back to a shuffled semi-join beyond that, which is the shape that
+    * survives a 100x customer dimension. Each big relation is touched
+    * once — no cascade materialization. */
   def forgetAudit(changelog: DataFrame, customer: DataFrame,
                   orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val cohort = customer
       .where(pmod(col("c_custkey"), lit(ForgetMod)) === 0)
       .select(col("c_custkey").as("cohort_key"))
     val cohortOrders = orders
-      .join(broadcast(cohort), col("o_custkey") === col("cohort_key"))
+      .join(cohort, col("o_custkey") === col("cohort_key"))
       .select(col("o_orderkey"))
     def counted(rel: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_rows_to_purge"))
         .select(lit(rel).as("relation"), col("n_rows_to_purge"))
     counted("events",
-      changelog.join(broadcast(cohort), col("user_id") === col("cohort_key"),
+      changelog.join(cohort, col("user_id") === col("cohort_key"),
         "left_semi"))
       .unionByName(counted("customer",
-        customer.join(broadcast(cohort),
+        customer.join(cohort,
           col("c_custkey") === col("cohort_key"), "left_semi")))
       .unionByName(counted("orders",
-        orders.join(broadcast(cohort),
+        orders.join(cohort,
           col("o_custkey") === col("cohort_key"), "left_semi")))
       .unionByName(counted("lineitem",
         lineitem.join(cohortOrders,

@@ -136,6 +136,73 @@ object CdcStream {
       .dropDuplicatesWithinWatermark("fp")
   }
 
+  /** Streaming vector ingest → index-maintenance trigger — closes the
+    * loop between the streaming lane and the vector index. The
+    * embeddings table splits by the SAME deterministic delta rule as
+    * the batch report (Similarity.isDeltaCol): the non-delta majority
+    * plus the coarse-quantizer seeds are the BASE the index was built
+    * on; the delta vectors replay as `nBatches` vec_id-contiguous
+    * micro-batches through a real file-source stream. A foreachBatch
+    * hook lands each arriving batch append-only (the production fast
+    * path — assignment needs no retrain), then emits the
+    * [[graft.operators.Similarity.ivfIncremental]] report over
+    * base∪arrived: its `rebalance` flags are the retrain trigger, and
+    * the per-batch report rows (tagged `batch_id`) are the trigger
+    * HISTORY an operator inspects. After the final batch the corpus is
+    * exactly the full embeddings table, so the last report equals the
+    * batch `ivf_incremental` oracle verbatim — the anchor
+    * CdcStreamSpec pins. */
+  def ivfIngestMonitor(spark: SparkSession, embeddings: DataFrame,
+                       nBatches: Int = 3): DataFrame = {
+    import java.nio.file.{Files, Path}
+    import graft.operators.Similarity
+    require(nBatches >= 1, s"nBatches must be >= 1 (got $nBatches)")
+    val seedHi = Similarity.CentroidLo + Similarity.NumCentroids - 1
+    val isSeed = col("vec_id").between(Similarity.CentroidLo, seedHi)
+    val base = embeddings.where(!Similarity.isDeltaCol || isSeed)
+    val deltas = embeddings.where(Similarity.isDeltaCol && !isSeed)
+    val b = deltas.agg(min("vec_id"), max("vec_id")).collect()(0)
+    val arrivals =
+      if (b.isNullAt(0)) Seq(deltas)
+      else rangeSlices(deltas, "vec_id", b.getLong(0), b.getLong(1),
+        nBatches)
+    val name = s"ivfmon_${parityRuns.incrementAndGet()}"
+    val root = Files.createTempDirectory(s"graft_$name")
+    val inDir = Files.createDirectories(root.resolve("in"))
+    val landed = root.resolve("landed").toString
+    // seed the landing zone with an empty slice so it is readable
+    // before the first arrival
+    deltas.limit(0).write.mode("overwrite").parquet(landed)
+    val staged: Seq[Path] = arrivals.zipWithIndex.map { case (a, i) =>
+      val d = root.resolve(s"stage_$i")
+      a.coalesce(1).write.mode("overwrite").parquet(d.toString)
+      import scala.jdk.CollectionConverters._
+      Files.list(d).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no staged part file under $d"))
+    }
+    val stream = spark.readStream.schema(embeddings.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val query = stream.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(landed); ()
+      }.start()
+    val reports =
+      try staged.zipWithIndex.map { case (part, i) =>
+        Files.move(part, inDir.resolve(f"batch_$i%05d.parquet"))
+        query.processAllAvailable()
+        val corpus = base.unionByName(spark.read.parquet(landed))
+        Similarity.ivfIncremental(corpus)
+          .withColumn("batch_id", lit(i.toLong))
+          .localCheckpoint()
+      } finally query.stop()
+    val res = reports.reduce(_ unionByName _)
+    import scala.jdk.CollectionConverters._
+    Files.walk(root).iterator().asScala.toSeq.reverse
+      .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+    res
+  }
+
   /** A change carrying its event-time column (watermarkable twin of
     * [[Change]] — ts = timestamp_millis(ems)). */
   case class ChangeTs(user_id: Long, event_id: Long, ems: Long,
@@ -330,8 +397,11 @@ object CdcStream {
         "n_changes", "last_event_id", "is_current")
   }
 
-  /** A raw product event (attribution input; ts = event time). */
-  case class RawEvent(user_id: Long, event_id: Long, ems: Long,
+  /** A raw product event (attribution input; ts = event time, ts_ns =
+    * the exact ns-since-epoch the batch operator and oracle order by —
+    * events carry sub-millisecond timestamps, so ms ordering would
+    * diverge on same-user-same-ms collisions). */
+  case class RawEvent(user_id: Long, event_id: Long, ts_ns: Long,
                       event_type: String, value_cents: Long,
                       ts: java.sql.Timestamp)
 
@@ -348,7 +418,8 @@ object CdcStream {
     * credited to it ('none' before any touch). State is ONE string per
     * key regardless of history length — the streaming-friendly shape
     * of the batch window. Within a micro-batch the group's slice is
-    * sorted by (ems, event_id); cross-batch order is the feed's
+    * sorted by (ts_ns, event_id) — the SAME total order as the batch
+    * operator and the shared oracle; cross-batch order is the feed's
     * responsibility (the parity harness replays contiguous event-time
     * slices, which preserve per-key order). */
   def attributionStream(spark: SparkSession,
@@ -363,7 +434,7 @@ object CdcStream {
          state: GroupState[TouchState]) =>
           val out = scala.collection.mutable.ListBuffer.empty[Attribution]
           var touch = state.getOption.map(_.touch)
-          batch.toSeq.sortBy(e => (e.ems, e.event_id)).foreach { e =>
+          batch.toSeq.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
             if (e.event_type == "purchase")
               out += Attribution(uid, e.event_id,
                 touch.getOrElse("none"), e.value_cents)
@@ -380,13 +451,17 @@ object CdcStream {
     * hash-equal the batch attribution_last_touch oracle. */
   def attributionParity(spark: SparkSession, events: DataFrame,
                         nBatches: Int = 3): DataFrame = {
+    // slice and sort by the exact ns timestamp — the batch operator and
+    // the shared oracle order by ts_ns, and events carry sub-ms
+    // precision, so ms-level replay order could flip last-touch credit
+    // on same-user-same-ms collisions
     val src = events.select(col("user_id"), col("event_id"),
-      unix_millis(col("ts")).as("ems"), col("event_type"),
+      col("ts_ns"), col("event_type"),
       round(col("value") * 100).cast("long").as("value_cents"), col("ts"))
-    val bounds = src.agg(min("ems"), max("ems")).collect()(0)
+    val bounds = src.agg(min("ts_ns"), max("ts_ns")).collect()(0)
     val slices =
       if (bounds.isNullAt(0)) Seq(src)
-      else rangeSlices(src, "ems", bounds.getLong(0), bounds.getLong(1),
+      else rangeSlices(src, "ts_ns", bounds.getLong(0), bounds.getLong(1),
         nBatches)
     import spark.implicits._
     replayStaged(spark, slices, OutputMode.Append())(
@@ -564,6 +639,12 @@ object CdcStream {
   val LateWindowMs = 300000L
   val LateStragglerMod = 10L
 
+  /** Batch count of the late-parity replay — shared with the DuckDB
+    * oracle, which generates its range-assignment CASE chain from this
+    * same constant (a divergent count would silently desynchronize the
+    * two watermark replays). */
+  val LateBatches = 4
+
   /** Streaming↔batch WATERMARK parity harness — pins Spark's
     * late-data-drop semantics cross-engine, the one streaming behavior
     * the batch late_data_audit sizes but cannot itself verify. The
@@ -580,8 +661,8 @@ object CdcStream {
     * window is filtered by start time). The DuckDB oracle replays the
     * same batch assignment + watermark recurrence in SQL and must
     * hash-match the surviving aggregate exactly. */
-  def lateParity(spark: SparkSession, events: DataFrame,
-                 nBatches: Int = 4): DataFrame = {
+  def lateParity(spark: SparkSession, events: DataFrame): DataFrame = {
+    val nBatches = LateBatches
     val src = events.select(col("ts"), col("event_type"),
       round(col("value") * 100).cast("long").as("value_cents"),
       col("event_id"), unix_millis(col("ts")).as("ems"))

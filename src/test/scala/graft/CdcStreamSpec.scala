@@ -491,4 +491,32 @@ class CdcStreamSpec extends AnyFunSuite {
       assert(u1.head.getAs[Long]("start_ms") === t0)
     } finally query.stop()
   }
+
+  test("ivfIngestMonitor: per-batch trigger history; the final report " +
+    "equals the batch ivf_incremental oracle verbatim") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val rep = CdcStream.ivfIngestMonitor(spark, emb, nBatches = 3)
+      .collect()
+    val lastId = rep.map(_.getAs[Long]("batch_id")).max
+    assert(lastId === 2L)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("centroid_id"), r.getAs[Long]("n_base"),
+        r.getAs[Long]("n_new"), r.getAs[Long]("mean_sim_base_e6"),
+        r.getAs[Long]("mean_sim_new_e6"), r.getAs[Long]("growth_ppm"),
+        r.getAs[String]("rebalance"))
+    val fin = rep.filter(_.getAs[Long]("batch_id") == lastId)
+      .map(key).sortBy(_._1)
+    val want = graft.operators.Similarity.ivfIncremental(emb)
+      .collect().map(key).sortBy(_._1)
+    assert(fin.toSeq === want.toSeq)
+    // arrivals only accumulate: per centroid, n_new is non-decreasing
+    // across batches and n_base is constant (the fast path never
+    // reassigns the base)
+    rep.groupBy(_.getAs[Long]("centroid_id")).foreach { case (_, rs) =>
+      val byBatch = rs.sortBy(_.getAs[Long]("batch_id"))
+      val news = byBatch.map(_.getAs[Long]("n_new"))
+      assert(news.zip(news.tail).forall { case (a, b) => a <= b },
+        s"n_new regressed: ${news.toSeq}")
+    }
+  }
 }

@@ -672,4 +672,28 @@ class OperatorsSpec extends AnyFunSuite {
     val ck = rows.find(_.getAs[String]("column_name") == "c_custkey").get
     assert(ck.getAs[Long]("n_distinct") === ck.getAs[Long]("n_rows"))
   }
+
+  test("catalog_stats_sketch: the scale-default HLL pass lands within 5% " +
+    "of the exact NDV on every audited column, single pass per table") {
+    val t = Seq("nation" -> Tables.nation(spark, TestSpark.Sf),
+      "customer" -> Tables.customer(spark, TestSpark.Sf))
+    val exact = graft.operators.Snapshot.catalogStats(t).collect()
+      .map(r => (r.getAs[String]("table_name"),
+        r.getAs[String]("column_name")) -> r.getAs[Long]("n_distinct"))
+      .toMap
+    val approx = graft.operators.Snapshot.catalogStatsSketch(t).collect()
+    assert(approx.length === exact.size)
+    approx.foreach { r =>
+      val e = exact((r.getAs[String]("table_name"),
+        r.getAs[String]("column_name")))
+      val a = r.getAs[Long]("n_distinct_approx")
+      assert(math.abs(a - e) * 20L <= e,
+        s"${r.getAs[String]("column_name")}: approx $a vs exact $e")
+    }
+    // the production pass must stay Expand-free (no k-way row-multiplied
+    // shuffle of the fact table) — that is its whole reason to exist
+    val plan = graft.operators.Snapshot.catalogStatsSketch(t)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+  }
 }

@@ -165,6 +165,17 @@ class PlanSpec extends AnyFunSuite {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
   }
 
+  test("forget_audit: no forced join strategy on the deletion cohort") {
+    // the cohort is carved out of the customer dimension (1/ForgetMod of
+    // it) and GROWS with it — a broadcast() hint here would force an
+    // unbounded driver broadcast at 100x scale; the strategy must be
+    // left to the planner/AQE
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hints = qe("forget_audit").analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty,
+      s"forget_audit forces a join strategy:\n${hints.mkString("\n")}")
+  }
+
   test("skew_salted_join: the join condition includes the salt key") {
     val p = plan("skew_salted_join")
     // the physical join keys must contain the salt column so a hot

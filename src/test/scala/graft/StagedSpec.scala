@@ -55,4 +55,20 @@ class StagedSpec extends AnyFunSuite {
       Staged.invalidate() // don't leak reliable relations to other suites
     }
   }
+
+  test("application end evicts a session's staged entries (no pinned " +
+    "block-manager memory past the session's life)") {
+    // same (session, dir) lookup twice → the cached instance; after the
+    // application-end listener fires, the next lookup must REBUILD
+    // (fresh instance), proving the cache no longer retains the session
+    val first = Staged.tokens(spark, TestSpark.Sf)
+    assert(Staged.tokens(spark, TestSpark.Sf) eq first, "cache miss?")
+    org.apache.spark.GraftTestBridge.post(spark.sparkContext,
+      org.apache.spark.scheduler.SparkListenerApplicationEnd(0L))
+    org.apache.spark.GraftTestBridge.drain(spark.sparkContext)
+    val rebuilt = Staged.tokens(spark, TestSpark.Sf)
+    assert(!(rebuilt eq first),
+      "staged entries survived application end — session retained")
+    Staged.invalidate() // leave a clean slate for peer suites
+  }
 }
