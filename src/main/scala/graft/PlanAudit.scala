@@ -28,6 +28,18 @@ object PlanAudit {
         case e: Throwable => println(s"(failed to plan: ${e.getMessage})")
       }
     }
+    // full dumps also audit the Staged BUILD chains — the plans that
+    // execute at materialization, hidden from every consumer query's
+    // own plan by the checkpoint boundary
+    if (args.length <= 1)
+      Staged.buildPlans(spark, sfDir).foreach { case (n, _, build) =>
+        println(s"\n================= $n =================")
+        try println(build().queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        catch {
+          case e: Throwable => println(s"(failed to plan: ${e.getMessage})")
+        }
+      }
     spark.stop()
   }
 }

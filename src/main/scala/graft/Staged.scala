@@ -172,4 +172,46 @@ object Staged {
   def invalidate(): Unit = {
     cache.clear(); tokenCache.clear(); annCache.clear()
   }
+
+  /** The UNSTAGED build expressions of every relation this object
+    * materializes — the plans that actually EXECUTE at materialization
+    * time, which the checkpoint boundary hides from every consumer
+    * query's own plan. One registry feeds both the audit dump
+    * (PlanAudit's `staged:*` blocks → PLANS.md's STAGED-PLANS table)
+    * and the CI shape gate (PlanSpec), so a build chain cannot go
+    * unaudited. The boolean marks builds whose DECLARED shape includes
+    * a tiny-broadcast nested-loop (the 8-query / 16-centroid ANN
+    * fan-outs — same allowance as ann_topk/ivf_assign); all others
+    * must be nested-loop-free. NOTE: constructing `annChain` runs the
+    * chain builder's own per-round checkpoints (cheap at audit scale).
+    */
+  def buildPlans(spark: SparkSession, sfDir: String)
+  : Seq[(String, Boolean, () => DataFrame)] = {
+    val docs = Tables.documents(spark, sfDir)
+    lazy val sh = Dedup.shingleHashes(docs)
+    lazy val sigs = Dedup.signaturesFromHashes(sh)
+    lazy val toks = TextAnalysis.tokensRel(docs)
+    val emb = Tables.embeddings(spark, sfDir)
+    lazy val annSub = Similarity.annSubvectors(emb)
+    Seq(
+      ("staged:sh", false, () => sh),
+      ("staged:sigs", false, () => sigs),
+      ("staged:verified", false, () => Dedup.ngramJaccardFrom(sh, sigs)),
+      ("staged:simPairs", false, () => Dedup.simhashDedup(docs)),
+      ("staged:tokens", false, () => toks),
+      ("staged:freq", false, () => TextAnalysis.tokenFreqFrom(toks)),
+      ("staged:skipgrams", false, () => TextAnalysis.skipgramsRel(docs)),
+      ("staged:gopher", false,
+        () => TextAnalysis.gopherQualityFrom(docs, toks)),
+      ("staged:winnow", false, () => TextAnalysis.winnowSelectedSrc(docs)),
+      ("staged:annSub", false, () => annSub),
+      // the chain's own rounds checkpoint at construction (stub plans),
+      // so the audited row is ONE un-checkpointed round — the shape
+      // every round executes
+      ("staged:annRound", false,
+        () => Similarity.annLloydRoundPlan(annSub)),
+      ("staged:l2truth", true, () => Similarity.annL2Truth(emb)),
+      ("staged:cosTruth", true, () => Similarity.bruteTopK(emb)),
+      ("staged:assign", true, () => Similarity.ivfAssign(emb)))
+  }
 }

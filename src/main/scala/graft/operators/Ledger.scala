@@ -288,13 +288,16 @@ object Ledger {
 
   /** Route pausing — mirrors the PauseSetting control surface
     * (`monitor/Endpoints.scala:108`): changes bound for a paused
-    * (targetDb) route are held, the rest flow. Static pause list:
-    * tdb2 is paused. */
-  def pauseFilter(changelog: DataFrame): DataFrame = {
+    * (targetDb) route are held, the rest flow. The default pause set
+    * (tdb2) is the oracle-pinned static model; the live HTTP control
+    * surface (graft.monitor.StatusServer's POST /control/pause) feeds
+    * its accumulated PauseSettings through the same parameter. */
+  def pauseFilter(changelog: DataFrame,
+                  paused: Set[String] = Set("tdb2")): DataFrame = {
     val routed = ChangeLog.routeFanout(changelog)
     routed.select(
       col("target_db"), col("part"), col("n"),
-      when(col("target_db") === "tdb2", lit("PAUSED"))
+      when(col("target_db").isInCollection(paused), lit("PAUSED"))
         .otherwise(lit("FLOWING")).as("route_state"))
   }
 

@@ -730,6 +730,15 @@ object Similarity {
   /** [[PqTrainIters]] Lloyd rounds from `seed` over any (vec_id, m,
     * sv6) subvector relation — shared by the raw-vector trainer and the
     * residual trainer. */
+  /** ONE un-checkpointed Lloyd round over the seed codebook — the plan
+    * each chain round executes at materialization. [[annLloydChain]]'s
+    * own elements checkpoint at construction (their visible plans are
+    * stubs), so the plan audit (Staged.buildPlans → PLANS.md
+    * STAGED-PLANS) reads the round SHAPE from this expression; every
+    * round's shape is identical, only the codebook relation differs. */
+  def annLloydRoundPlan(sub: DataFrame): DataFrame =
+    pqLloydStep(sub, pqSeedCb(sub))
+
   private def lloydChain(sub: DataFrame, seed: DataFrame): Seq[DataFrame] = {
     val rels = Seq.newBuilder[DataFrame]
     var cb = seed

@@ -13,10 +13,15 @@ import graft.operators.Snapshot
   * parallel reads with predicate/column pushdown, and the generated
   * upsert/delete statements a JDBC sink executes per partition.
   *
-  * No live database exists in this environment (zero egress), so the
-  * edge itself is exercised only up to option/SQL generation — the
-  * planning halves (`Snapshot.sourcePartitionPlan`,
-  * `config.SyncConfigs`) are the tested surface (SURVEY.md §6).
+  * The EXECUTION path (partition-parallel connections, batched
+  * prepared statements, per-batch commits) runs live against an
+  * embedded in-JVM database through the ANSI MERGE dialect
+  * (JdbcApplySpec: upsert → re-upsert → delete → JDBC read-back).
+  * No NETWORKED database exists in this environment (zero egress), so
+  * the pg/mysql/greenplum dialect TEXT is exercised only up to SQL
+  * generation — the planning halves (`Snapshot.sourcePartitionPlan`,
+  * `config.SyncConfigs`) plus the live embedded round-trip are the
+  * tested surface (SURVEY.md §6).
   */
 object JdbcSync {
   private val IdentRe = "[A-Za-z_][A-Za-z0-9_]*".r
@@ -133,6 +138,29 @@ object JdbcSync {
       keys.map(k => s"$k = ?").mkString(" AND ")
   }
 
+  /** Update-then-insert statement pair — the portable ANSI upsert the
+    * reference's greenplum path installs as its `gp_upsert` helper
+    * (`dbopt/GpOperation.scala:47-94`: UPDATE by key, INSERT on zero
+    * rows touched), and the dialect the embedded round-trip lane
+    * executes LIVE (Derby accepts neither ON CONFLICT nor a VALUES
+    * MERGE source). Bind orders: update = nonKeys then keys; insert =
+    * all columns in `columns` order. */
+  def updateInsertSql(sync: SyncConfig, columns: Seq[String])
+  : (String, String) = {
+    val keys = sync.sourceKeys.split(",").map(_.trim).map(ident).toSeq
+    val nonKeys = columns.filterNot(keys.contains).map(ident)
+    val target = qualified(sync.sourceSchema, sync.sourceTable)
+    val cols = columns.map(ident)
+    val update =
+      if (nonKeys.isEmpty) "" // key-only table: nothing to update
+      else s"UPDATE $target SET " +
+        nonKeys.map(c => s"$c = ?").mkString(", ") +
+        " WHERE " + keys.map(k => s"$k = ?").mkString(" AND ")
+    val insert = s"INSERT INTO $target (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    (update, insert)
+  }
+
   /** Batch size per executeBatch round-trip. */
   val UpsertBatchSize = 500
 
@@ -143,13 +171,74 @@ object JdbcSync {
     * `CdcMerge.merge` output, already hash-partitioned by key.
     * (Requires a live database; see SURVEY.md §6.) */
   def writeUpsert(df: DataFrame, db: DbConfig, sync: SyncConfig,
-                  props: Properties = new Properties()): Unit = {
+                  props: Properties = new Properties()): Unit =
+    executeBatched(df, url(db), upsertSql(sync, df.columns.toSeq, db.`type`),
+      gpJson = db.`type` == "greenplum", props)
+
+  /** Upsert a merged changelog through the portable update-then-insert
+    * pair — the path the embedded round-trip lane (JdbcApplySpec,
+    * in-memory Derby) executes against a LIVE database. Partition-
+    * parallel connections, BATCHED rounds: each [[UpsertBatchSize]]
+    * group batches its UPDATEs, reads `executeBatch`'s per-row update
+    * counts, batches the zero-count rows as INSERTs, commits — two
+    * statements per round, never per row. */
+  def writeUpsertPortable(df: DataFrame, jdbcUrl: String, sync: SyncConfig,
+                          props: Properties = new Properties()): Unit = {
     val columns = df.columns.toSeq
-    val sql = upsertSql(sync, columns, db.`type`)
-    // greenplum's statement takes ONE json parameter (the whole row,
-    // consumed by gp_upsert); the other dialects bind per column
-    val gpJson = db.`type` == "greenplum"
-    val jdbcUrl = url(db)
+    val keys = sync.sourceKeys.split(",").map(_.trim).toSeq
+    val keyIdx = keys.map(columns.indexOf)
+    require(keyIdx.forall(_ >= 0), s"sync keys $keys not all in $columns")
+    val nonKeyIdx = columns.indices.filterNot(keyIdx.contains)
+    val (updateSql, insertSql) = updateInsertSql(sync, columns)
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
+      try {
+        conn.setAutoCommit(false)
+        val upd =
+          if (updateSql.nonEmpty) conn.prepareStatement(updateSql) else null
+        val ins = conn.prepareStatement(insertSql)
+        rows.grouped(UpsertBatchSize).foreach { group =>
+          val misses =
+            if (upd == null) group
+            else {
+              group.foreach { row =>
+                var p = 1
+                nonKeyIdx.foreach { i => upd.setObject(p, row.get(i)); p += 1 }
+                keyIdx.foreach { i => upd.setObject(p, row.get(i)); p += 1 }
+                upd.addBatch()
+              }
+              val counts = upd.executeBatch()
+              group.zip(counts).collect { case (row, 0) => row }
+            }
+          misses.foreach { row =>
+            columns.indices.foreach(i => ins.setObject(i + 1, row.get(i)))
+            ins.addBatch()
+          }
+          if (misses.nonEmpty) ins.executeBatch()
+          conn.commit()
+        }
+        if (upd != null) upd.close()
+        ins.close()
+      } finally conn.close()
+    }
+  }
+
+  /** Apply a delete batch (one row per key tuple, columns = the sync
+    * keys in config order) with the same batched-execution shape. */
+  def writeDelete(keys: DataFrame, jdbcUrl: String, sync: SyncConfig,
+                  props: Properties = new Properties()): Unit = {
+    val keyCols = sync.sourceKeys.split(",").map(_.trim).toSeq
+    executeBatched(keys.selectExpr(keyCols: _*), jdbcUrl, deleteSql(sync),
+      gpJson = false, props)
+  }
+
+  /** The shared batched executor: each partition opens one connection
+    * and runs the prepared statement in [[UpsertBatchSize]] batches
+    * with per-batch commits — the reference's apply loop shape
+    * (`dbopt/PgOperation.scala:49-101`), distributed per partition. */
+  private def executeBatched(df: DataFrame, jdbcUrl: String, sql: String,
+                             gpJson: Boolean, props: Properties): Unit = {
+    val columns = df.columns.toSeq
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
       lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

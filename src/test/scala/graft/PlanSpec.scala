@@ -240,51 +240,25 @@ class PlanSpec extends AnyFunSuite {
     assert(sawCollect, "vacuous: no collect_list aggregate found at all")
   }
 
+  // the Staged BUILD chains — the plans that execute at materialization,
+  // which the checkpoint boundary hides from every consumer query's
+  // plan. ONE registry (Staged.buildPlans) feeds this gate, the PlanAudit
+  // dump and PLANS.md's STAGED-PLANS table. Memoized: annChain's
+  // construction runs the chain's own checkpoints.
+  private lazy val stagedBuilds = Staged.buildPlans(spark, Sf)
+    .map { case (name, tinyBcastOk, build) => (name, tinyBcastOk, build()) }
+
   test("staged build chains: no cartesians, no unpartitioned windows — " +
     "these are the plans that actually execute at materialization") {
-    // the checkpoint boundary hides these chains from the registry-wide
-    // audits above, so pin them directly: every relation graft.Staged
-    // materializes (dedup family + token family) must keep the bucketed
-    // / doc-partitioned shape it was designed with
-    val docs = Tables.documents(spark, Sf)
-    val toks = graft.operators.TextAnalysis.tokensRel(docs)
-    val builds = Map(
-      "staged.sh" -> (() => graft.operators.Dedup.shingleHashes(docs)),
-      "staged.sigs" -> (() => graft.operators.Dedup.signaturesFromHashes(
-        graft.operators.Dedup.shingleHashes(docs))),
-      "staged.verified" -> (() => {
-        val sh = graft.operators.Dedup.shingleHashes(docs)
-        graft.operators.Dedup.ngramJaccardFrom(sh,
-          graft.operators.Dedup.signaturesFromHashes(sh))
-      }),
-      "staged.simPairs" -> (() => graft.operators.Dedup.simhashDedup(docs)),
-      "staged.tokens" -> (() => toks),
-      "staged.freq" -> (() => graft.operators.TextAnalysis.tokenFreqFrom(toks)),
-      "staged.skipgrams" -> (() => graft.operators.TextAnalysis.skipgramsRel(docs)),
-      "staged.gopher" -> (() =>
-        graft.operators.TextAnalysis.gopherQualityFrom(docs, toks)),
-      "staged.winnow" -> (() =>
-        graft.operators.TextAnalysis.winnowSelectedSrc(docs)))
-    // the ann family's staged builds: sub/chain hold the strict
-    // no-nested-loop bar; the ground truths and the list assignment
-    // are the DECLARED broadcast-tiny-side patterns (8 queries / 16
-    // centroids), the same allowance as ann_topk/ivf_assign above —
-    // but still no cartesian and no unpartitioned window
-    val emb = Tables.embeddings(spark, Sf)
-    val annSub = graft.operators.Similarity.annSubvectors(emb)
-    val annBuilds = Map(
-      "staged.annSub" -> (() => annSub),
-      "staged.annChain" -> (() =>
-        graft.operators.Similarity.annLloydChain(annSub).last))
-    val annTruths = Map(
-      "staged.l2truth" -> (() => graft.operators.Similarity.annL2Truth(emb)),
-      "staged.cosTruth" -> (() => graft.operators.Similarity.bruteTopK(emb)),
-      "staged.assign" -> (() => graft.operators.Similarity.ivfAssign(emb)))
-    for ((name, build) <- builds ++ annBuilds ++ annTruths) {
-      val pe = build().queryExecution.executedPlan
+    // tinyBcastOk marks the ANN ground truths / list assignment — the
+    // DECLARED broadcast-tiny-side patterns (8 queries / 16 centroids),
+    // the same allowance as ann_topk/ivf_assign above; every other
+    // build must also be nested-loop-free
+    for ((name, tinyBcastOk, df) <- stagedBuilds) {
+      val pe = df.queryExecution.executedPlan
       val p = pe.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian:\n$p")
-      if (!annTruths.contains(name))
+      if (!tinyBcastOk)
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name has a nested-loop join:\n$p")
       val windows = pe.collect {
@@ -311,16 +285,20 @@ class PlanSpec extends AnyFunSuite {
       .getOrElse(fail("no build.sbt ancestor — cannot locate PLANS.md"))
     val plansMd = java.nio.file.Files.readString(root.resolve("PLANS.md"))
     val rowRe = """\|\s*(\S+)\s*\|\s*(\d+)\s*\|\s*([^|]+?)\s*\|\s*(.*?)\s*\|""".r
-    val committed = rowRe.findAllMatchIn(plansMd)
+    val allRows = rowRe.findAllMatchIn(plansMd)
       .map(m => m.group(1) -> ((m.group(2), m.group(3), m.group(4))))
-      .filter(_._1 != "query").toMap
+      .filter(r => r._1 != "query" && r._1 != "build").toMap
+    val (stagedRows, committed) = allRows.partition(_._1.startsWith("staged:"))
     assert(committed.keySet === SparkEntry.queries.keySet,
       "PLANS.md row set drifted from the query registry: " +
         s"missing=${SparkEntry.queries.keySet -- committed.keySet} " +
         s"stale=${committed.keySet -- SparkEntry.queries.keySet}")
-    val drifted = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val f = qe(name).explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+    val stagedNames = stagedBuilds.map(_._1).toSet
+    assert(stagedRows.keySet === stagedNames,
+      "PLANS.md STAGED-PLANS row set drifted from Staged.buildPlans: " +
+        s"missing=${stagedNames -- stagedRows.keySet} " +
+        s"stale=${stagedRows.keySet -- stagedNames}")
+    def summarize(f: String): (String, String, String) = {
       def nodes(n: String): Int =
         ("""(?m)^\(\d+\) """ + n + "$").r.findAllIn(f).length
       val nested = nodes("BroadcastNestedLoopJoin")
@@ -330,9 +308,16 @@ class PlanSpec extends AnyFunSuite {
         .filter(_.group(1).trim.nonEmpty)
         .map(_.group(1).take(48)).toSeq.distinct.sorted
       val pcol = if (pushed.nonEmpty) pushed.mkString("; ") else "—"
-      val live = (nodes("Exchange").toString, bcol, pcol)
-      if (committed(name) != live)
-        Some(s"$name: committed=${committed(name)} live=$live")
+      (nodes("Exchange").toString, bcol, pcol)
+    }
+    val liveAll =
+      SparkEntry.queries.keys.toSeq.sorted.map(n => n -> qe(n)) ++
+        stagedBuilds.map { case (n, _, df) => n -> df.queryExecution }
+    val drifted = liveAll.flatMap { case (name, q) =>
+      val live = summarize(q.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      if (allRows(name) != live)
+        Some(s"$name: committed=${allRows(name)} live=$live")
       else None
     }
     assert(drifted.isEmpty,
