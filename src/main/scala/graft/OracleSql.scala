@@ -3650,6 +3650,47 @@ object OracleSql {
         |SELECT q_id, cand_id, CAST(rn AS BIGINT) AS rank
         |FROM s WHERE rn <= 10""".stripMargin,
 
+    "repeat_plan" -> {
+      import graft.operators.Curation.{MaxRepeatEpochs, RepeatBudgetX,
+        RepeatDecayMilli}
+      val d = RepeatDecayMilli.mkString("[", ", ", "]::BIGINT[]")
+      s"""WITH $GopherCtes,
+         |rs AS (SELECT d.source,
+         |    CAST(SUM(gq.n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN gq.keep_b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_keep
+         |  FROM gq JOIN documents d USING (doc_id) GROUP BY 1),
+         |rw AS (SELECT source, n_tokens,
+         |    (n_keep * 1000) // n_docs AS keep_milli,
+         |    n_tokens * ((n_keep * 1000) // n_docs) AS weight FROM rs),
+         |rt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(weight) AS BIGINT) AS total_weight FROM rw),
+         |ra AS (SELECT rw.*,
+         |    ($RepeatBudgetX * total_tokens * weight) // total_weight
+         |      AS alloc_tokens
+         |  FROM rw, rt),
+         |rb AS (SELECT *, alloc_tokens // n_tokens AS epochs_full FROM ra),
+         |rc AS (SELECT *,
+         |    LEAST(epochs_full, $MaxRepeatEpochs) AS epochs_sched,
+         |    CASE WHEN epochs_full >= $MaxRepeatEpochs THEN 0
+         |      ELSE alloc_tokens % n_tokens END AS rem_tokens,
+         |    GREATEST(alloc_tokens - $MaxRepeatEpochs * n_tokens, 0)
+         |      AS wasted_tokens
+         |  FROM rb)
+         |SELECT source, n_tokens, keep_milli, alloc_tokens,
+         |  CAST(epochs_sched AS BIGINT) AS epochs_sched,
+         |  CAST(rem_tokens AS BIGINT) AS rem_tokens,
+         |  CAST(wasted_tokens AS BIGINT) AS wasted_tokens,
+         |  CAST((COALESCE(list_sum(list_transform(
+         |      generate_series(1, CAST(epochs_sched AS INT)),
+         |      i -> n_tokens * ($d)[i])), 0)
+         |    + CASE WHEN epochs_sched < $MaxRepeatEpochs
+         |        THEN rem_tokens * ($d)[CAST(epochs_sched AS INT) + 1]
+         |        ELSE 0 END) // 1000 AS BIGINT) AS effective_tokens
+         |FROM rc""".stripMargin
+    },
+
     "domain_caps" ->
       s"""WITH r AS (SELECT doc_id, source,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -186,6 +186,9 @@ object SparkEntry {
     "dup_cluster"         -> ((s, dir) =>
       Dedup.dupClustersFrom(Staged.dedup(s, dir).dups)),
     "quality_gopher"      -> ((s, dir) => Staged.tokens(s, dir).gopher),
+    "repeat_plan"         -> ((s, dir) =>
+      Curation.repeatPlanFrom(Tables.documents(s, dir),
+        Staged.tokens(s, dir).gopher)),
     "doc_rarity"          -> ((s, dir) => {
       val st = Staged.tokens(s, dir)
       TextAnalysis.docRarityFrom(st.tokens, st.freq)

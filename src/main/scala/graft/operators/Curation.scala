@@ -196,6 +196,78 @@ object Curation {
         expr("n_tokens div n_docs").as("tokens_per_doc"))
   }
 
+  // --- data-constrained epoch-repetition planning --------------------------
+
+  /** Diminishing-returns value of the e-th epoch over the same data,
+    * in milli (⌊prev·0.9⌋ chain) — the "repeating data decays in
+    * value" curve of data-constrained scaling, shared verbatim with
+    * the DuckDB oracle. Epochs past [[MaxRepeatEpochs]] are treated as
+    * worthless and reported as wasted budget. */
+  val RepeatDecayMilli: Seq[Long] =
+    Seq(1000L, 900L, 810L, 729L, 656L, 590L, 531L, 477L)
+  val MaxRepeatEpochs: Int = RepeatDecayMilli.length
+  /** Token budget as a multiple of the corpus's one-epoch mass —
+    * deliberately > 1 so the plan must repeat data. */
+  val RepeatBudgetX = 4L
+
+  /** Data-constrained epoch-repetition plan — the schedule a training
+    * run uses when the token BUDGET exceeds the corpus (the
+    * data-constrained regime): the budget allocates across sources by
+    * quality-weighted mass (weight = token mass × gopher keep-rate, a
+    * UniMax-flavored "repeat good sources more" rule), each source's
+    * allocation converts to full epochs + a partial epoch, and the
+    * plan accounts the EFFECTIVE token value of each repetition under
+    * the [[RepeatDecayMilli]] diminishing-returns curve — with budget
+    * past [[MaxRepeatEpochs]] epochs reported as wasted. Integer
+    * arithmetic end-to-end (documented bound: budget × weight must fit
+    * int64 — holds to ~100 B-token corpora at milli weights; above
+    * that, allocate per-source from pre-divided shares).
+    *
+    * Shape at scale: ONE map-side-combined aggregate over the
+    * (doc, source) quality relation → a per-source grid (tens of
+    * rows); the epoch explode and decay fold run on that grid, never
+    * on the corpus. */
+  def repeatPlanFrom(documents: DataFrame, gopher: DataFrame): DataFrame = {
+    val perSource = gopher
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(sum("n_tokens").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_docs"),
+        sum((col("keep") === "true").cast("long")).as("n_keep"))
+      .select(col("source"), col("n_tokens"),
+        expr("(n_keep * 1000) div n_docs").as("keep_milli"))
+      .withColumn("weight", col("n_tokens") * col("keep_milli"))
+    val totals = perSource.agg(
+      sum("n_tokens").cast("long").as("total_tokens"),
+      sum("weight").cast("long").as("total_weight"))
+    val dArr = RepeatDecayMilli.mkString("array(", "L, ", "L)")
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("alloc_tokens",
+        expr(s"($RepeatBudgetX * total_tokens * weight) div total_weight"))
+      .withColumn("epochs_full", expr("alloc_tokens div n_tokens"))
+      .withColumn("epochs_sched",
+        least(col("epochs_full"), lit(MaxRepeatEpochs.toLong)))
+      .withColumn("rem_tokens",
+        expr(s"IF(epochs_full >= $MaxRepeatEpochs, 0L, " +
+          "alloc_tokens % n_tokens)"))
+      .withColumn("wasted_tokens",
+        expr(s"greatest(alloc_tokens - ${MaxRepeatEpochs}L * n_tokens, 0L)"))
+      .withColumn("effective_tokens",
+        expr(s"(aggregate(slice($dArr, 1, int(epochs_sched)), 0L, " +
+          "(acc, x) -> acc + n_tokens * x) + " +
+          s"IF(epochs_sched < $MaxRepeatEpochs, " +
+          s"rem_tokens * element_at($dArr, int(epochs_sched) + 1), 0L))" +
+          " div 1000"))
+      .select(col("source"), col("n_tokens"), col("keep_milli"),
+        col("alloc_tokens"), col("epochs_sched"), col("rem_tokens"),
+        col("wasted_tokens"), col("effective_tokens"))
+  }
+
+  /** [[repeatPlanFrom]] with an inline quality pass. */
+  def repeatPlan(documents: DataFrame): DataFrame =
+    repeatPlanFrom(documents,
+      TextAnalysis.gopherQuality(documents))
+
   // --- composed curation pipeline -----------------------------------------
 
   /** Per-source cap for the composed pipeline — tighter than

@@ -317,23 +317,23 @@ object Snapshot {
     * integer-arithmetic verdict that the sketch landed within 5%
     * (|approx−exact|·20 ≤ exact, well outside rsd=0.02's range); the
     * DuckDB oracle recomputes the exact side and pins the verdict to
-    * 'true'. Exact and sketch are computed in the SAME single-column
-    * aggregate per pass (one distinct aggregate per Aggregate — still
-    * no Expand), so the gate prices like [[catalogStats]], not like
-    * both passes. */
-  def catalogStatsSketchGate(tables: Seq[(String, DataFrame)]): DataFrame = {
-    def one(name: String, df: DataFrame): DataFrame =
-      df.columns.toSeq.map { c =>
-        df.agg(count(lit(1)).as("n_rows"),
-            countDistinct(col(c)).as("n_distinct"),
-            approx_count_distinct(col(c), rsd = CatalogRsd).as("approx"))
-          .select(lit(name).as("table_name"), col("n_rows"),
-            lit(c).as("column_name"), col("n_distinct"),
-            (abs(col("approx") - col("n_distinct")) * 20L <=
-              col("n_distinct")).cast("string").as("approx_within_5pct"))
-      }.reduce(_ unionByName _)
-    tables.map { case (n, df) => one(n, df) }.reduce(_ unionByName _)
-  }
+    * 'true'. The gate verifies [[catalogStatsSketch]]'s ACTUAL output
+    * (one HLL pass per table) joined to [[catalogStats]]'s exact rows
+    * on the tiny (table, column) grid — the two Expand-free passes
+    * plus a broadcast join, never the mixed distinct+HLL aggregate
+    * (Spark rewrites that through Expand, the exact shuffle shape the
+    * sketch pass exists to avoid). */
+  def catalogStatsSketchGate(tables: Seq[(String, DataFrame)]): DataFrame =
+    catalogStats(tables)
+      .join(
+        catalogStatsSketch(tables)
+          .select(col("table_name"), col("column_name"),
+            col("n_distinct_approx")),
+        Seq("table_name", "column_name"))
+      .select(col("table_name"), col("n_rows"), col("column_name"),
+        col("n_distinct"),
+        (abs(col("n_distinct_approx") - col("n_distinct")) * 20L <=
+          col("n_distinct")).cast("string").as("approx_within_5pct"))
 
   /** Deletion-cohort membership for [[forgetAudit]] — deterministic
     * stand-in for an erasure-request list. */

@@ -136,4 +136,40 @@ class CurationSpec extends AnyFunSuite {
         wantQ(r.getAs[String]("source")))
     }
   }
+
+  test("repeat_plan: budget conserved up to per-source integer floors, " +
+    "repetition value decays, waste only past the epoch cap") {
+    val plan = Curation.repeatPlan(docs).collect()
+    assert(plan.nonEmpty)
+    val totalMass = plan.map(_.getAs[Long]("n_tokens")).sum
+    val totalAlloc = plan.map(_.getAs[Long]("alloc_tokens")).sum
+    // allocation fills the RepeatBudgetX x corpus budget, short only by
+    // the per-source integer-division floors
+    val budget = Curation.RepeatBudgetX * totalMass
+    assert(totalAlloc <= budget)
+    assert(budget - totalAlloc < plan.length.toLong,
+      s"allocation lost more than the n-source floor: $totalAlloc vs $budget")
+    plan.foreach { r =>
+      val mass = r.getAs[Long]("n_tokens")
+      val alloc = r.getAs[Long]("alloc_tokens")
+      val sched = r.getAs[Long]("epochs_sched")
+      val eff = r.getAs[Long]("effective_tokens")
+      val waste = r.getAs[Long]("wasted_tokens")
+      // effective value never exceeds the scheduled (non-wasted) tokens
+      assert(eff <= alloc - waste)
+      // the FIRST epoch is always full value, so a source scheduled at
+      // least one full epoch realizes at least its own mass
+      if (sched >= 1L) assert(eff >= mass)
+      // waste appears only when the cap binds
+      if (waste > 0L) assert(sched === Curation.MaxRepeatEpochs.toLong)
+      assert(sched >= 1L,
+        s"${r.getAs[String]("source")}: budget ${Curation.RepeatBudgetX}x " +
+          "should schedule every source at least one epoch")
+    }
+    // quality preference: the highest keep-rate source gets at least
+    // the epochs of the lowest (weights scale allocation by quality)
+    val byKeep = plan.sortBy(_.getAs[Long]("keep_milli"))
+    assert(byKeep.last.getAs[Long]("epochs_sched") >=
+      byKeep.head.getAs[Long]("epochs_sched"))
+  }
 }

@@ -100,6 +100,9 @@ class PlanSpec extends AnyFunSuite {
       "bpe_apply",
       // dsir_weights cross-joins the broadcast 1-row bigram totals
       "dsir_weights",
+      // repeat_plan crosses the broadcast 1-row corpus totals onto the
+      // per-source grid (tens of rows)
+      "repeat_plan",
       "kmeans_shift", "fk_integrity",
       // endpoint_status composes status_rollup's 1-row aggregates plus
       // its own broadcast 1-row uptime join — O(1)-row sides only
