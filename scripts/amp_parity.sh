@@ -35,7 +35,8 @@ session_quantiles,sessionize,span_dedup,substring_dedup,\
 stream_window_agg,stream_merge_parity,stream_sessionize_parity,\
 stream_dedup_parity,stream_window_parity,stream_late_parity,\
 stream_tier_parity,tier_history,ingest_parity,\
-ann_topk,ivf_train,pq_train,pq_recall_trained,sq_recall"
+ann_topk,ivf_train,pq_train,pq_recall_trained,sq_recall,\
+span_corruption,repeat_plan,contrastive_triplets"
 
 echo "== amplify $BASE x$K -> $WORK"
 sbt -batch "runMain graft.AmplifyCorpus $BASE $WORK $K"

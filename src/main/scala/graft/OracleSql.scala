@@ -3650,6 +3650,60 @@ object OracleSql {
         |SELECT q_id, cand_id, CAST(rn AS BIGINT) AS rank
         |FROM s WHERE rn <= 10""".stripMargin,
 
+    "span_corruption" -> {
+      import graft.operators.TextAnalysis.{SpanEvery, SpanLen}
+      s"""WITH sct AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |  FROM documents),
+         |scb AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
+         |    list_filter(generate_series(0, len(tk) - 1),
+         |      p -> ${sqlPhash("'mask:' || doc_id || ':' || p")}
+         |        % $SpanEvery = 0) AS starts
+         |  FROM sct),
+         |scm AS (SELECT doc_id, n, starts,
+         |    list_filter(generate_series(0, n - 1),
+         |      p -> len(list_filter(starts,
+         |        s -> p >= s AND p < s + $SpanLen)) > 0) AS masked
+         |  FROM scb)
+         |SELECT doc_id, n AS n_tokens,
+         |  CAST(len(starts) AS BIGINT) AS n_spans,
+         |  CAST(len(list_filter(masked,
+         |    p -> NOT list_contains(masked, p - 1))) AS BIGINT)
+         |    AS n_sentinels,
+         |  CAST(len(masked) AS BIGINT) AS n_masked,
+         |  (len(masked) * 1000) // n AS masked_milli
+         |FROM scm""".stripMargin
+    },
+
+    "contrastive_triplets" ->
+      s"""WITH $MinhashCtes,
+         |ctd AS (SELECT doc_a, doc_b, j_milli FROM jac
+         |  WHERE j_milli >= ${Dedup.JaccardMilli}),
+         |cte_e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    CAST(label AS BIGINT) AS label FROM embeddings),
+         |ctb AS (SELECT vec_id, v, label, ($bucketExpr) AS bucket
+         |  FROM cte_e),
+         |can AS (SELECT DISTINCT doc_a AS anchor_id FROM ctd),
+         |cae AS (SELECT anchor_id, v AS av, label AS albl, bucket
+         |  FROM can JOIN ctb ON anchor_id = vec_id),
+         |cmate AS (SELECT doc_a AS a, doc_b AS b FROM ctd
+         |  UNION SELECT doc_b, doc_a FROM ctd),
+         |ccand AS (SELECT cae.anchor_id, ctb.vec_id AS negative_id,
+         |    ctb.label AS neg_label,
+         |    CAST(ROUND(list_cosine_similarity(cae.av, ctb.v) * 1000000)
+         |      AS BIGINT) AS neg_sim_e6
+         |  FROM cae JOIN ctb USING (bucket)
+         |  WHERE ctb.vec_id <> cae.anchor_id AND ctb.label <> cae.albl
+         |    AND NOT EXISTS (SELECT 1 FROM cmate m
+         |      WHERE m.a = cae.anchor_id AND m.b = ctb.vec_id)),
+         |cneg AS (SELECT anchor_id, negative_id, neg_label, neg_sim_e6
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |      ORDER BY neg_sim_e6 DESC, negative_id) AS rn FROM ccand) t
+         |  WHERE rn = 1)
+         |SELECT d.doc_a AS anchor_id, d.doc_b AS positive_id,
+         |  d.j_milli AS pos_j_milli, n.negative_id, n.neg_label,
+         |  n.neg_sim_e6
+         |FROM ctd d JOIN cneg n ON n.anchor_id = d.doc_a""".stripMargin,
+
     "repeat_plan" -> {
       import graft.operators.Curation.{MaxRepeatEpochs, RepeatBudgetX,
         RepeatDecayMilli}

@@ -198,6 +198,10 @@ object ScaleProbe {
           Dedup.dupClusters(docs), TextAnalysis.gopherQuality(docs))
       },
       "pit_snapshot" -> sink(graft.operators.Joins.pitSnapshot(cl)),
-      "tier_history" -> sink(Temporal.tierHistory(cl)))
+      "tier_history" -> sink(Temporal.tierHistory(cl)),
+      // round-9 additions: the shuffle-free masking planner and the
+      // per-source epoch-repetition planner (one corpus aggregate)
+      "span_corruption" -> sink(TextAnalysis.spanCorruptionPlan(docs)),
+      "repeat_plan" -> sink(graft.operators.Curation.repeatPlan(docs)))
   }
 }

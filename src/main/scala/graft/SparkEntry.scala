@@ -185,6 +185,9 @@ object SparkEntry {
       TrainingPipeline.run(Tables.documents(s, dir))),
     "dup_cluster"         -> ((s, dir) =>
       Dedup.dupClustersFrom(Staged.dedup(s, dir).dups)),
+    "contrastive_triplets" -> ((s, dir) =>
+      Similarity.contrastiveTriplets(Staged.dedup(s, dir).dups,
+        Tables.embeddings(s, dir))),
     "quality_gopher"      -> ((s, dir) => Staged.tokens(s, dir).gopher),
     "repeat_plan"         -> ((s, dir) =>
       Curation.repeatPlanFrom(Tables.documents(s, dir),
@@ -208,6 +211,8 @@ object SparkEntry {
         Staged.tokens(s, dir).gopher)),
     "span_dedup"          -> ((s, dir) =>
       TextAnalysis.spanDedup(Tables.documents(s, dir))),
+    "span_corruption"     -> ((s, dir) =>
+      TextAnalysis.spanCorruptionPlan(Tables.documents(s, dir))),
     "bpe_merge"           -> ((s, dir) =>
       TextAnalysis.bpeMergeStepFrom(Staged.tokens(s, dir).freq)),
     "token_budget"        -> ((s, dir) =>

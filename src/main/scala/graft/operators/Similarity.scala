@@ -120,6 +120,60 @@ object Similarity {
         col("rank"), round(col("sim") * 1000000).cast("long").as("sim_e6"))
   }
 
+  /** Contrastive-triplet mining — the (anchor, positive, negative)
+    * batch builder of an embedding-model training pipeline, composed
+    * from two staged passes: POSITIVES are the verified near-dup pairs
+    * (keeper = anchor, dup = positive — text-level paraphrase pairs
+    * with an exact Jaccard witness), and the NEGATIVE per anchor is
+    * the most-similar embedding in the ANCHOR's LSH bucket that is
+    * (a) not the anchor, (b) not one of its verified near-dup mates,
+    * and (c) differently labeled — confusably close, provably not a
+    * duplicate: the hard negative a contrastive batch wants. Documents
+    * align to embeddings by doc_id = vec_id (modal_align's contract);
+    * anchors without an embedding, or whose bucket holds no eligible
+    * candidate, yield no triplet.
+    *
+    * Shape at scale: the negative search shuffles on the LSH bucket id
+    * (never all-pairs), the mate exclusion is an anti-join on the
+    * bounded verified-pair set, and similarity is rounded to integer
+    * e6 BEFORE the per-anchor argmax so the choice is associative and
+    * cross-engine exact. */
+  def contrastiveTriplets(dups: DataFrame,
+                          embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"))
+      .withColumn("bucket", bucketCol(col("embedding")))
+    val pos = dups.select(col("keeper_doc_id").as("anchor_id"),
+      col("dup_doc_id").as("positive_id"), col("j_milli").as("pos_j_milli"))
+    val anchors = pos.select(col("anchor_id")).distinct()
+      .join(e, col("anchor_id") === col("vec_id"))
+      .select(col("anchor_id"), col("embedding").as("a_vec"),
+        col("label").as("a_label"), col("bucket"))
+    val mates = pos.select(col("anchor_id").as("m_a"),
+        col("positive_id").as("m_b"))
+      .union(pos.select(col("positive_id"), col("anchor_id")))
+      .distinct()
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("neg_sim_e6").desc, col("negative_id"))
+    val neg = anchors
+      .join(e.select(col("vec_id").as("negative_id"),
+        col("embedding").as("n_vec"), col("label").as("neg_label"),
+        col("bucket")), Seq("bucket"))
+      .where(col("negative_id") =!= col("anchor_id") &&
+        col("neg_label") =!= col("a_label"))
+      .join(mates, col("anchor_id") === col("m_a") &&
+        col("negative_id") === col("m_b"), "left_anti")
+      .withColumn("neg_sim_e6",
+        round(cosineSim(col("a_vec"), col("n_vec")) * 1000000).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("anchor_id"), col("negative_id"), col("neg_label"),
+        col("neg_sim_e6"))
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("positive_id"), col("pos_j_milli"),
+        col("negative_id"), col("neg_label"), col("neg_sim_e6"))
+  }
+
   /** IVF index parameters: 16 fixed centroids (vec_ids 8..23, disjoint
     * from the query set), 4 probed lists per query. */
   val CentroidLo = 8L

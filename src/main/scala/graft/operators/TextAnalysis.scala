@@ -731,6 +731,46 @@ object TextAnalysis {
           .as("kept_hash"))
   }
 
+  // --- span-corruption (masked-span pretraining) planning ------------------
+
+  /** 1-in-[[SpanEvery]] token positions start a corruption span (≈5%
+    * starts × [[SpanLen]]-token spans ≈ 15% masked — the T5 recipe's
+    * corruption rate), chosen by portable hash per (doc, position) —
+    * deterministic, never rand(), shared with the oracle. */
+  val SpanEvery = 20L
+  val SpanLen = 3
+
+  /** Span-corruption plan — the masked-span (T5/UL2-style) pretraining
+    * statistics a data builder validates before committing a corpus:
+    * per document, the deterministic span starts, the masked-position
+    * count (overlapping spans merge), the SENTINEL count (maximal
+    * masked runs — each becomes one sentinel token), and the realized
+    * corruption rate in milli. Everything is per-row array arithmetic
+    * over the token sequence (codegen'd higher-order functions): no
+    * explode, no shuffle, no join — a pure map over the corpus, which
+    * is the only acceptable cost for a pass that plans every epoch. */
+  def spanCorruptionPlan(documents: DataFrame): DataFrame = {
+    import graft.functions.PortableHash
+    val d = documents.select(col("doc_id"), tokensCol.as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("starts",
+        filter(sequence(lit(0), size(col("tk")) - 1),
+          p => pmod(PortableHash.phash(concat(lit("mask:"),
+            col("doc_id").cast("string"), lit(":"), p.cast("string"))),
+            lit(SpanEvery)) === 0L))
+      .withColumn("masked",
+        filter(sequence(lit(0), size(col("tk")) - 1),
+          p => exists(col("starts"),
+            s => p >= s && p < s + lit(SpanLen))))
+    d.select(col("doc_id"), col("n").as("n_tokens"),
+      size(col("starts")).cast("long").as("n_spans"),
+      size(filter(col("masked"),
+        p => !array_contains(col("masked"), p - 1)))
+        .cast("long").as("n_sentinels"),
+      size(col("masked")).cast("long").as("n_masked"),
+      expr("(size(masked) * 1000) div n").as("masked_milli"))
+  }
+
   // --- BPE merge step ------------------------------------------------------
 
   /** Number of top pairs reported by [[bpeMergeStep]]. */

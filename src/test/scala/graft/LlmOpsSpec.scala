@@ -1238,4 +1238,88 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("sum_sq_e6") <= n * r.getAs[Long]("max_sq_e6"))
     }
   }
+
+  test("contrastive_triplets: negative shares the anchor's bucket, " +
+    "differs in label, is never a near-dup mate, and is the eligible " +
+    "argmax (independent groupBy recompute)") {
+    import org.apache.spark.sql.functions._
+    val dups = graft.operators.Dedup.minhashDedup(docs)
+    val got = Similarity.contrastiveTriplets(dups, embs).collect()
+    assert(got.nonEmpty, "no triplets at test scale — vacuous")
+
+    val buckets = embs
+      .select(col("vec_id"), Similarity.bucketCol(col("embedding"))
+        .as("bucket"), col("label").cast("long").as("label"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val pairRows = dups.collect()
+      .map(r => (r.getAs[Long]("keeper_doc_id"),
+        r.getAs[Long]("dup_doc_id")))
+    val mates = (pairRows ++ pairRows.map(_.swap)).toSet
+
+    got.foreach { r =>
+      val a = r.getAs[Long]("anchor_id")
+      val n = r.getAs[Long]("negative_id")
+      assert(buckets(a)._1 === buckets(n)._1, s"$a/$n cross-bucket")
+      assert(buckets(a)._2 !== buckets(n)._2, s"$a/$n same label")
+      assert(buckets(n)._2 === r.getAs[Long]("neg_label"))
+      assert(!mates.contains((a, n)), s"$a/$n are near-dup mates")
+      assert(r.getAs[Long]("pos_j_milli") >=
+        graft.operators.Dedup.JaccardMilli)
+    }
+
+    // independent argmax: rebuild the eligible candidate relation and
+    // take the max by (sim_e6, -negative_id) via a groupBy aggregate
+    // (different mechanism than the operator's window)
+    val e = embs.select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"))
+      .withColumn("bucket", Similarity.bucketCol(col("embedding")))
+    val anchorIds = got.map(_.getAs[Long]("anchor_id")).distinct.toSeq
+    val a = e.where(col("vec_id").isInCollection(anchorIds))
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"),
+        col("label").as("al"), col("bucket"))
+    val best = a.join(e, Seq("bucket"))
+      .where(col("vec_id") =!= col("a_id") && col("label") =!= col("al"))
+      .withColumn("s_e6", round(graft.functions.VectorFunctions.cosineSim(
+        col("av"), col("embedding")) * 1000000).cast("long"))
+      .collect()
+      .filter(r => !mates.contains((r.getAs[Long]("a_id"),
+        r.getAs[Long]("vec_id"))))
+      .groupBy(_.getAs[Long]("a_id"))
+      .map { case (aid, rs) =>
+        aid -> rs.map(r => (r.getAs[Long]("s_e6"),
+          -r.getAs[Long]("vec_id"))).max
+      }
+    got.foreach { r =>
+      val (s, negNegId) = best(r.getAs[Long]("anchor_id"))
+      assert(r.getAs[Long]("neg_sim_e6") === s)
+      assert(r.getAs[Long]("negative_id") === -negNegId)
+    }
+  }
+
+  test("span_corruption: masked/sentinel/span counts are mutually " +
+    "consistent and the realized corpus rate lands near the recipe") {
+    import graft.operators.TextAnalysis.{SpanEvery, SpanLen}
+    val rows = TextAnalysis.spanCorruptionPlan(docs).collect()
+    assert(rows.length === docs.count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val spans = r.getAs[Long]("n_spans")
+      val sent = r.getAs[Long]("n_sentinels")
+      val masked = r.getAs[Long]("n_masked")
+      assert(masked <= n)
+      assert(sent <= spans, "a sentinel run needs at least one start")
+      assert(masked <= spans * SpanLen, "a span masks at most SpanLen")
+      assert(masked >= sent, "each sentinel run has >= 1 masked token")
+      assert((spans > 0) === (masked > 0))
+      assert(r.getAs[Long]("masked_milli") === masked * 1000 / n)
+    }
+    // realized corpus rate ≈ (1/SpanEvery)·SpanLen minus overlap/clip
+    // losses: inside a generous band around the 15% T5 recipe
+    val rate = rows.map(_.getAs[Long]("n_masked")).sum * 1000 /
+      rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(rate > 1000 / SpanEvery, s"rate $rate below the start rate")
+    assert(rate <= 1000 * SpanLen / SpanEvery,
+      s"rate $rate above the no-overlap bound")
+  }
 }

@@ -45,7 +45,7 @@ class PlanSpec extends AnyFunSuite {
   test("narrow projections are shuffle-free") {
     for (q <- Seq("changelog_normalize", "quality_filter", "doc_fingerprint",
       "multimodal_features", "multimodal_resize", "doc_chunk",
-      "pq_encode")) {
+      "pq_encode", "span_corruption")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q has a shuffle:\n$p")
     }
