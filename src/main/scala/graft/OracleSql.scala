@@ -3574,8 +3574,15 @@ object OracleSql {
          |WHERE cum >= (cnt * p.p + 99) // 100
          |GROUP BY 1""".stripMargin,
 
+    // the checker runs oracles in name order, so the alphabetically
+    // FIRST oracle carries the session-wide resource bounds: one
+    // unbounded DuckDB session on a host whose RAM/threads a Spark JVM
+    // already holds can die with a process-killing bad_alloc/EAGAIN —
+    // losing the WHOLE artifact, not one row (observed locally under
+    // contention). Parity across the full registry at these bounds is
+    // proven by scripts/parity.py every round.
     "active_users" ->
-      s"""WITH $CL,
+      s"""${DuckBounds}WITH $CL,
          |auw AS (SELECT DISTINCT user_id,
          |    ems // ${7L * 86400L * 1000L} AS week FROM cl),
          |wau AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS wau
