@@ -3724,13 +3724,19 @@ object OracleSql {
          |  FROM gq JOIN documents d USING (doc_id) GROUP BY 1),
          |rw AS (SELECT source, n_tokens,
          |    (n_keep * 1000) // n_docs AS keep_milli,
-         |    n_tokens * ((n_keep * 1000) // n_docs) AS weight FROM rs),
+         |    (n_tokens * ((n_keep * 1000) // n_docs)) // 1000 AS weight
+         |  FROM rs),
          |rt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
          |    CAST(SUM(weight) AS BIGINT) AS total_weight FROM rw),
-         |ra AS (SELECT rw.*,
-         |    ($RepeatBudgetX * total_tokens * weight) // total_weight
-         |      AS alloc_tokens
+         |rp AS (SELECT rw.*, total_tokens,
+         |    (weight * 1000000) // GREATEST(total_weight, 1)
+         |      AS share_ppm
          |  FROM rw, rt),
+         |ra AS (SELECT rp.*,
+         |    ($RepeatBudgetX * total_tokens // 1000000) * share_ppm +
+         |    (($RepeatBudgetX * total_tokens % 1000000) * share_ppm)
+         |      // 1000000 AS alloc_tokens
+         |  FROM rp),
          |rb AS (SELECT *, alloc_tokens // n_tokens AS epochs_full FROM ra),
          |rc AS (SELECT *,
          |    LEAST(epochs_full, $MaxRepeatEpochs) AS epochs_sched,

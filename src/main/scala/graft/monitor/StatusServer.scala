@@ -58,7 +58,7 @@ final class StatusServer(port: Int = 0) {
     def single(ep: String) =
       sorted(ep).headOption.map(_._3).getOrElse("{}")
     def sortedMap(ep: String) =
-      sorted(ep).map { case (_, n, b) => s""""$n":$b""" }
+      sorted(ep).map { case (_, n, b) => s""""${esc(n)}":$b""" }
         .mkString("{", ",", "}")
     bodies = Map(
       "/status/sys" -> single("/status/sys"),
@@ -78,6 +78,15 @@ final class StatusServer(port: Int = 0) {
 
   /** Bound port (useful with port=0 ephemeral binding). */
   def boundPort: Int = server.getAddress.getPort
+
+  /** JSON string-value escape for names/fields we interpolate. */
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    }
 
   private def respond(ex: HttpExchange, code: Int, body: String,
                       contentType: String = "application/json"): Unit = {
@@ -101,8 +110,8 @@ final class StatusServer(port: Int = 0) {
   }
 
   private def pauseJson(p: PauseSetting): String =
-    s"""{"sourceDb":"${p.sourceDb}","targetDb":"${p.targetDb}",""" +
-      s""""schema":"${p.schema}","table":"${p.table}"}"""
+    s"""{"sourceDb":"${esc(p.sourceDb)}","targetDb":"${esc(p.targetDb)}",""" +
+      s""""schema":"${esc(p.schema)}","table":"${esc(p.table)}"}"""
 
   server.createContext("/", (ex: HttpExchange) => {
     try {
@@ -132,8 +141,14 @@ final class StatusServer(port: Int = 0) {
         case _ => respond(ex, 404, "not found", "text/plain")
       }
     } catch {
-      case e: Exception => respond(ex, 500, e.getMessage, "text/plain")
-    }
+      case e: Exception =>
+        // best-effort 500: the message may be null and the headers may
+        // already be sent (mid-write failure) — neither may take down
+        // the dispatcher
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+        try respond(ex, 500, msg, "text/plain")
+        catch { case _: Exception => () }
+    } finally ex.close()
   })
 
   server.setExecutor(null) // serve on the dispatcher thread: O(1) bodies

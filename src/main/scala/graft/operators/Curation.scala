@@ -219,9 +219,13 @@ object Curation {
     * plan accounts the EFFECTIVE token value of each repetition under
     * the [[RepeatDecayMilli]] diminishing-returns curve — with budget
     * past [[MaxRepeatEpochs]] epochs reported as wasted. Integer
-    * arithmetic end-to-end (documented bound: budget × weight must fit
-    * int64 — holds to ~100 B-token corpora at milli weights; above
-    * that, allocate per-source from pre-divided shares).
+    * arithmetic end-to-end: each source's allocation goes through a
+    * ppm SHARE (weight·10⁶ div total-weight, then
+    * floor(budget·share/10⁶) via a split-multiply), so no intermediate
+    * ever multiplies two corpus-sized numbers — the largest product is
+    * weight·10⁶ with weight ≤ total tokens, safe to ~9×10¹² corpus
+    * tokens (≳ the 100 TB contract); a naive budget·weight would
+    * overflow int64 near 5×10⁷ tokens.
     *
     * Shape at scale: ONE map-side-combined aggregate over the
     * (doc, source) quality relation → a per-source grid (tens of
@@ -236,14 +240,19 @@ object Curation {
         sum((col("keep") === "true").cast("long")).as("n_keep"))
       .select(col("source"), col("n_tokens"),
         expr("(n_keep * 1000) div n_docs").as("keep_milli"))
-      .withColumn("weight", col("n_tokens") * col("keep_milli"))
+      // quality-scaled mass, kept <= n_tokens so weight*1e6 stays small
+      .withColumn("weight", expr("(n_tokens * keep_milli) div 1000"))
     val totals = perSource.agg(
       sum("n_tokens").cast("long").as("total_tokens"),
       sum("weight").cast("long").as("total_weight"))
     val dArr = RepeatDecayMilli.mkString("array(", "L, ", "L)")
     perSource.crossJoin(broadcast(totals))
-      .withColumn("alloc_tokens",
-        expr(s"($RepeatBudgetX * total_tokens * weight) div total_weight"))
+      .withColumn("share_ppm",
+        expr("(weight * 1000000L) div greatest(total_weight, 1L)"))
+      .withColumn("alloc_tokens", expr(
+        s"($RepeatBudgetX * total_tokens div 1000000L) * share_ppm + " +
+          s"(($RepeatBudgetX * total_tokens % 1000000L) * share_ppm) " +
+          "div 1000000L"))
       .withColumn("epochs_full", expr("alloc_tokens div n_tokens"))
       .withColumn("epochs_sched",
         least(col("epochs_full"), lit(MaxRepeatEpochs.toLong)))

@@ -143,8 +143,12 @@ object JdbcSync {
     * (`dbopt/GpOperation.scala:47-94`: UPDATE by key, INSERT on zero
     * rows touched), and the dialect the embedded round-trip lane
     * executes LIVE (Derby accepts neither ON CONFLICT nor a VALUES
-    * MERGE source). Bind orders: update = nonKeys then keys; insert =
-    * all columns in `columns` order. */
+    * MERGE source). A key-only table has nothing to update, so its
+    * first leg is a DELETE by key — delete-then-insert is the
+    * idempotent key-only upsert (a bare re-INSERT would violate the
+    * PK on re-apply). Bind orders: update = nonKeys then keys (the
+    * delete leg binds keys only); insert = all columns in `columns`
+    * order. */
   def updateInsertSql(sync: SyncConfig, columns: Seq[String])
   : (String, String) = {
     val keys = sync.sourceKeys.split(",").map(_.trim).map(ident).toSeq
@@ -152,7 +156,9 @@ object JdbcSync {
     val target = qualified(sync.sourceSchema, sync.sourceTable)
     val cols = columns.map(ident)
     val update =
-      if (nonKeys.isEmpty) "" // key-only table: nothing to update
+      if (nonKeys.isEmpty)
+        s"DELETE FROM $target WHERE " +
+          keys.map(k => s"$k = ?").mkString(" AND ")
       else s"UPDATE $target SET " +
         nonKeys.map(c => s"$c = ?").mkString(", ") +
         " WHERE " + keys.map(k => s"$k = ?").mkString(" AND ")
@@ -189,27 +195,31 @@ object JdbcSync {
     val keyIdx = keys.map(columns.indexOf)
     require(keyIdx.forall(_ >= 0), s"sync keys $keys not all in $columns")
     val nonKeyIdx = columns.indices.filterNot(keyIdx.contains)
+    val keyOnly = nonKeyIdx.isEmpty
     val (updateSql, insertSql) = updateInsertSql(sync, columns)
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
       try {
         conn.setAutoCommit(false)
-        val upd =
-          if (updateSql.nonEmpty) conn.prepareStatement(updateSql) else null
+        val upd = conn.prepareStatement(updateSql)
         val ins = conn.prepareStatement(insertSql)
+        def bindFirstLeg(row: org.apache.spark.sql.Row): Unit = {
+          var p = 1
+          nonKeyIdx.foreach { i => upd.setObject(p, row.get(i)); p += 1 }
+          keyIdx.foreach { i => upd.setObject(p, row.get(i)); p += 1 }
+        }
         rows.grouped(UpsertBatchSize).foreach { group =>
+          group.foreach { row => bindFirstLeg(row); upd.addBatch() }
+          val counts = upd.executeBatch()
           val misses =
-            if (upd == null) group
-            else {
-              group.foreach { row =>
-                var p = 1
-                nonKeyIdx.foreach { i => upd.setObject(p, row.get(i)); p += 1 }
-                keyIdx.foreach { i => upd.setObject(p, row.get(i)); p += 1 }
-                upd.addBatch()
-              }
-              val counts = upd.executeBatch()
-              group.zip(counts).collect { case (row, 0) => row }
-            }
+            if (keyOnly) group // delete-then-insert: every row re-inserts
+            else if (counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO))
+              // the driver elided per-row counts (e.g. rewritten
+              // batches): re-run the update leg row-by-row — same
+              // values, so the repeat is idempotent — to learn which
+              // keys were absent
+              group.filter { row => bindFirstLeg(row); upd.executeUpdate() == 0 }
+            else group.zip(counts).collect { case (row, 0) => row }
           misses.foreach { row =>
             columns.indices.foreach(i => ins.setObject(i + 1, row.get(i)))
             ins.addBatch()
@@ -217,7 +227,7 @@ object JdbcSync {
           if (misses.nonEmpty) ins.executeBatch()
           conn.commit()
         }
-        if (upd != null) upd.close()
+        upd.close()
         ins.close()
       } finally conn.close()
     }

@@ -144,11 +144,14 @@ class CurationSpec extends AnyFunSuite {
     val totalMass = plan.map(_.getAs[Long]("n_tokens")).sum
     val totalAlloc = plan.map(_.getAs[Long]("alloc_tokens")).sum
     // allocation fills the RepeatBudgetX x corpus budget, short only by
-    // the per-source integer-division floors
+    // the per-source floors: one ppm-share floor (<= budget/1e6 each)
+    // plus one token floor per source
     val budget = Curation.RepeatBudgetX * totalMass
+    val n = plan.length.toLong
     assert(totalAlloc <= budget)
-    assert(budget - totalAlloc < plan.length.toLong,
-      s"allocation lost more than the n-source floor: $totalAlloc vs $budget")
+    assert(budget - totalAlloc <= 2L * n + budget * n / 1000000L,
+      s"allocation lost more than the per-source floors: " +
+        s"$totalAlloc vs $budget")
     plan.foreach { r =>
       val mass = r.getAs[Long]("n_tokens")
       val alloc = r.getAs[Long]("alloc_tokens")
@@ -162,9 +165,11 @@ class CurationSpec extends AnyFunSuite {
       if (sched >= 1L) assert(eff >= mass)
       // waste appears only when the cap binds
       if (waste > 0L) assert(sched === Curation.MaxRepeatEpochs.toLong)
-      assert(sched >= 1L,
-        s"${r.getAs[String]("source")}: budget ${Curation.RepeatBudgetX}x " +
-          "should schedule every source at least one epoch")
+      if (r.getAs[Long]("keep_milli") > 0L)
+        assert(sched >= 1L,
+          s"${r.getAs[String]("source")}: budget " +
+            s"${Curation.RepeatBudgetX}x should schedule every " +
+            "nonzero-quality source at least one epoch")
     }
     // quality preference: the highest keep-rate source gets at least
     // the epochs of the lowest (weights scale allocation by quality)

@@ -90,4 +90,27 @@ class JdbcApplySpec extends AnyFunSuite {
     assert(survivors.size ===
       merged.count().toInt - doomedKeys.size)
   }
+
+  test("key-only table: the delete-then-insert leg keeps the upsert " +
+    "idempotent (a bare re-INSERT would violate the PK)") {
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val keySync = sync.copy(sourceTable = "seen_keys")
+    withStmt { st =>
+      try st.execute("CREATE SCHEMA app") catch { case _: Exception => () }
+      try st.execute("DROP TABLE app.seen_keys")
+      catch { case _: Exception => () }
+      st.execute("CREATE TABLE app.seen_keys (user_id BIGINT PRIMARY KEY)")
+    }
+    val keysDf = CdcMerge.merge(
+      ChangeLog.normalize(Tables.events(spark, TestSpark.Sf)))
+      .select("user_id").localCheckpoint()
+    val want = keysDf.collect().map(_.getLong(0)).toSet
+    JdbcSync.writeUpsertPortable(keysDf, url, keySync)
+    JdbcSync.writeUpsertPortable(keysDf, url, keySync) // re-apply: no PK blowup
+    val got = spark.read.format("jdbc").option("url", url)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("dbtable", "app.seen_keys").load()
+      .collect().map(_.getLong(0)).toSet
+    assert(got === want)
+  }
 }

@@ -696,4 +696,17 @@ class OperatorsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan)
   }
+
+  test("the alphabetically FIRST oracle carries the session-wide DuckDB " +
+    "resource bounds (a new earlier-sorting query must adopt them)") {
+    // the driver's checker runs oracles in name order in ONE session;
+    // the first statement executed must cap memory/threads and set a
+    // spill dir, or a co-resident Spark JVM can kill the whole
+    // artifact with an allocation failure (observed under contention)
+    val first = SparkEntry.oracleSql.keys.min
+    val sql = SparkEntry.oracleSql(first)
+    for (s <- Seq("SET temp_directory", "SET memory_limit", "SET threads"))
+      assert(sql.contains(s),
+        s"first oracle '$first' does not carry the bounds prefix ($s)")
+  }
 }
