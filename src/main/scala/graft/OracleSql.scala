@@ -1205,6 +1205,48 @@ object OracleSql {
         }
       }.mkString("\nUNION ALL\n"),
 
+    // live schema read from DuckDB's OWN catalog (DESCRIBE) and
+    // canonicalized — only the table LIST comes from the shared
+    // constant, so the check cross-verifies that both engines derive
+    // the same logical schema from the same parquet
+    "schema_drift" -> {
+      import graft.operators.Snapshot.DriftMod
+      val descrs = graft.operators.Snapshot.CatalogColumns.map(_._1)
+        .map { t =>
+          s"  SELECT '$t' AS table_name, column_name, column_type " +
+            s"FROM (DESCRIBE $t)"
+        }.mkString("\nUNION ALL\n")
+      s"""WITH live AS (
+         |$descrs),
+         |c AS (SELECT table_name, column_name,
+         |    CASE column_type
+         |      WHEN 'INTEGER' THEN 'int32' WHEN 'BIGINT' THEN 'int64'
+         |      WHEN 'FLOAT' THEN 'float32' WHEN 'DOUBLE' THEN 'float64'
+         |      WHEN 'VARCHAR' THEN 'string' WHEN 'DATE' THEN 'date'
+         |      WHEN 'TIMESTAMP' THEN 'timestamp'
+         |      WHEN 'TIMESTAMP_NS' THEN 'timestamp'
+         |      ELSE lower(column_type) END AS col_type
+         |  FROM live),
+         |d AS (SELECT *,
+         |    ${sqlPhash("'target:' || table_name || ':' || column_name")}
+         |      % $DriftMod != 0 AS on_target
+         |  FROM c)
+         |SELECT table_name, column_name, col_type,
+         |  CASE WHEN on_target THEN 'OK' ELSE 'ADD' END AS action,
+         |  CASE WHEN on_target THEN ''
+         |    ELSE 'ALTER TABLE ' || table_name || ' ADD COLUMN ' ||
+         |      column_name || ' ' ||
+         |      CASE col_type
+         |        WHEN 'int32' THEN 'INTEGER' WHEN 'int64' THEN 'BIGINT'
+         |        WHEN 'float32' THEN 'REAL'
+         |        WHEN 'float64' THEN 'DOUBLE PRECISION'
+         |        WHEN 'string' THEN 'TEXT'
+         |        WHEN 'timestamp' THEN 'TIMESTAMP'
+         |        WHEN 'date' THEN 'DATE' ELSE '' END
+         |    END AS ddl
+         |FROM d""".stripMargin
+    },
+
     "initial_sync" ->
       """SELECT c_custkey, c_name, n_name, r_name, c_mktsegment,
         |       CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
@@ -1488,6 +1530,54 @@ object OracleSql {
          |  CAST(COUNT(*) < ${TextAnalysis.KAnonThreshold} AS VARCHAR)
          |    AS at_risk
          |FROM t GROUP BY 1, 2, 3""".stripMargin,
+
+    // sensitive attribute = dominant PII class (ssn > email > phone >
+    // none), same QI grid as k_anonymity
+    "l_diversity" ->
+      s"""WITH t AS (SELECT lang, source,
+         |    CASE WHEN len(string_split(text, ' ')) > 0
+         |      THEN CAST(length(format('{:b}',
+         |        len(string_split(text, ' ')))) AS BIGINT)
+         |      ELSE 0 END AS len_bucket,
+         |    CASE WHEN len(regexp_extract_all(text,
+         |        '${TextAnalysis.SsnRe}')) > 0 THEN 'ssn'
+         |      WHEN len(regexp_extract_all(text,
+         |        '${TextAnalysis.EmailRe}')) > 0 THEN 'email'
+         |      WHEN len(regexp_extract_all(text,
+         |        '${TextAnalysis.PhoneRe}')) > 0 THEN 'phone'
+         |      ELSE 'none' END AS pii_class
+         |  FROM documents),
+         |c AS (SELECT lang, source, len_bucket, pii_class,
+         |    CAST(COUNT(*) AS BIGINT) AS n_class
+         |  FROM t GROUP BY 1, 2, 3, 4)
+         |SELECT lang, source, len_bucket,
+         |  CAST(SUM(n_class) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
+         |  (CAST(MAX(n_class) AS BIGINT) * 1000000) //
+         |    CAST(SUM(n_class) AS BIGINT) AS top_class_ppm,
+         |  CAST(COUNT(*) < ${TextAnalysis.LDivThreshold} AS VARCHAR)
+         |    AS at_risk
+         |FROM c GROUP BY 1, 2, 3""".stripMargin,
+
+    "corpus_diversity" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |u AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_unigrams,
+        |    CAST(COUNT(DISTINCT g) AS BIGINT) AS d_unigrams
+        |  FROM (SELECT source, unnest(tk) AS g FROM t) GROUP BY 1),
+        |b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(COUNT(DISTINCT g) AS BIGINT) AS d_bigrams
+        |  FROM (SELECT source,
+        |      unnest(list_transform(generate_series(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i + 1])) AS g
+        |    FROM t WHERE len(tk) >= 2) GROUP BY 1)
+        |SELECT u.source, n_unigrams, d_unigrams,
+        |  (d_unigrams * 1000000) // n_unigrams AS distinct1_ppm,
+        |  COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(d_bigrams, 0) AS d_bigrams,
+        |  (COALESCE(d_bigrams, 0) * 1000000) //
+        |    GREATEST(COALESCE(n_bigrams, 0), 1) AS distinct2_ppm
+        |FROM u LEFT JOIN b ON u.source = b.source""".stripMargin,
 
     "split_audit" ->
       s"""WITH $GopherCtes,
@@ -3640,6 +3730,108 @@ object OracleSql {
          |  GROUP BY 1)
          |SELECT q_id, n_hits, (n_hits * 1000) // $k AS recall_milli
          |FROM h""".stripMargin
+    },
+
+    // matryoshka prefix-dim int8 ranking per dims arm; generated from
+    // the same MrlDims constant the Spark curve iterates
+    "mrl_recall" -> {
+      val k = graft.operators.Similarity.TopK
+      val arms = graft.operators.Similarity.MrlDims.map { d =>
+        s"""  SELECT CAST($d AS BIGINT) AS dims, q_id, cand_id FROM (
+           |    SELECT q.q_id, c.cand_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+           |        ORDER BY list_sum(list_transform(
+           |          list_zip(q.qv[1:$d], c.cv[1:$d]), p -> p[1] * p[2]))
+           |          DESC, c.cand_id) AS rn
+           |    FROM q, c) t WHERE rn <= $k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val dimRows = graft.operators.Similarity.MrlDims
+        .map(d => s"($d)").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |i8 AS (SELECT vec_id, list_transform(v,
+         |    x -> CAST(ROUND(GREATEST(LEAST(x, 1.0), -1.0) * 127)
+         |      AS BIGINT)) AS w FROM e),
+         |q AS (SELECT vec_id AS q_id, w AS qv FROM i8 WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cand_id, w AS cv FROM i8
+         |  WHERE vec_id >= 8),
+         |approx AS (
+         |$arms),
+         |tq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+         |tc AS (SELECT vec_id AS cand_id, v AS cv FROM e
+         |  WHERE vec_id >= 8),
+         |truth AS (SELECT q_id, cand_id FROM (
+         |  SELECT tq.q_id, tc.cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY tq.q_id
+         |      ORDER BY list_cosine_similarity(qv, cv) DESC, cand_id)
+         |      AS rn
+         |  FROM tq, tc) t WHERE rn <= $k),
+         |nq AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_q
+         |  FROM truth),
+         |h AS (SELECT a.dims, CAST(COUNT(*) AS BIGINT) AS hits
+         |  FROM approx a JOIN truth t
+         |    ON a.q_id = t.q_id AND a.cand_id = t.cand_id
+         |  GROUP BY 1)
+         |SELECT CAST(dd.dims AS BIGINT) AS dims,
+         |  COALESCE(h.hits, 0) AS sum_hits,
+         |  (COALESCE(h.hits, 0) * 1000) // (nq.n_q * $k)
+         |    AS mean_recall_milli
+         |FROM (VALUES $dimRows) dd(dims)
+         |LEFT JOIN h ON dd.dims = h.dims, nq""".stripMargin
+    },
+
+    // 1-bit sign quantization: hamming ranking over two packed 32-bit
+    // words, then int8 re-rank of the shortlist — both arms integer
+    "bq_recall" -> {
+      import graft.operators.Similarity.{BqShortlist, TopK}
+      def word(lo: Int): String =
+        s"CAST(list_sum(list_transform(list_zip(v[${lo + 1}:${lo + 32}], " +
+          "generate_series(0, 31)), p -> CASE WHEN p[1] > 0 " +
+          "THEN (1::BIGINT << p[2]) ELSE 0::BIGINT END)) AS BIGINT)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |w AS (SELECT vec_id, ${word(0)} AS lo, ${word(32)} AS hi,
+         |    list_transform(v, x -> CAST(ROUND(GREATEST(LEAST(x, 1.0),
+         |      -1.0) * 127) AS BIGINT)) AS i8 FROM e),
+         |q AS (SELECT vec_id AS q_id, lo AS ql, hi AS qh, i8 AS qq
+         |  FROM w WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cand_id, lo AS cl, hi AS ch, i8 AS cq
+         |  FROM w WHERE vec_id >= 8),
+         |short AS (SELECT q_id, cand_id, qq, cq, rn FROM (
+         |  SELECT q.q_id, c.cand_id, q.qq, c.cq,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |      ORDER BY bit_count(xor(ql, cl)) + bit_count(xor(qh, ch)),
+         |        c.cand_id) AS rn
+         |  FROM q, c) t WHERE rn <= $BqShortlist),
+         |ham AS (SELECT 'hamming' AS variant, q_id, cand_id FROM short
+         |  WHERE rn <= $TopK),
+         |rr AS (SELECT 'rerank' AS variant, q_id, cand_id FROM (
+         |  SELECT q_id, cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY list_sum(list_transform(list_zip(qq, cq),
+         |        p -> p[1] * p[2])) DESC, cand_id) AS r2
+         |  FROM short) t WHERE r2 <= $TopK),
+         |approx AS (SELECT * FROM ham UNION ALL SELECT * FROM rr),
+         |tq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+         |tc AS (SELECT vec_id AS cand_id, v AS cv FROM e
+         |  WHERE vec_id >= 8),
+         |truth AS (SELECT q_id, cand_id FROM (
+         |  SELECT tq.q_id, tc.cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY tq.q_id
+         |      ORDER BY list_cosine_similarity(qv, cv) DESC, cand_id)
+         |      AS rn
+         |  FROM tq, tc) t WHERE rn <= $TopK),
+         |nq AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_q
+         |  FROM truth),
+         |h AS (SELECT a.variant, CAST(COUNT(*) AS BIGINT) AS hits
+         |  FROM approx a JOIN truth t
+         |    ON a.q_id = t.q_id AND a.cand_id = t.cand_id
+         |  GROUP BY 1)
+         |SELECT vv.variant, COALESCE(h.hits, 0) AS sum_hits,
+         |  (COALESCE(h.hits, 0) * 1000) // (nq.n_q * $TopK)
+         |    AS mean_recall_milli
+         |FROM (VALUES ('hamming'), ('rerank')) vv(variant)
+         |LEFT JOIN h ON vv.variant = h.variant, nq""".stripMargin
     },
 
     "ann_topk" ->

@@ -271,6 +271,12 @@ object SparkEntry {
     "sq_recall"           -> ((s, dir) =>
       Similarity.sqRecallFrom(Staged.ann(s, dir).cosTruth,
         Tables.embeddings(s, dir))),
+    "mrl_recall"          -> ((s, dir) =>
+      Similarity.mrlRecallCurveFrom(Staged.ann(s, dir).cosTruth,
+        Tables.embeddings(s, dir))),
+    "bq_recall"           -> ((s, dir) =>
+      Similarity.bqRecallFrom(Staged.ann(s, dir).cosTruth,
+        Tables.embeddings(s, dir))),
     "ivf_recall"          -> ((s, dir) => {
       val a = Staged.ann(s, dir)
       Similarity.ivfRecallFrom(a.cosTruth, a.assign,
@@ -426,6 +432,14 @@ object SparkEntry {
     }),
     "k_anonymity"         -> ((s, dir) =>
       TextAnalysis.kAnonymity(Tables.documents(s, dir))),
+    "l_diversity"         -> ((s, dir) =>
+      TextAnalysis.lDiversity(Tables.documents(s, dir))),
+    "corpus_diversity"    -> ((s, dir) =>
+      TextAnalysis.corpusDiversity(Tables.documents(s, dir))),
+    "schema_drift"        -> ((s, dir) =>
+      Snapshot.schemaDrift(Snapshot.CatalogColumns.map { case (t, _) =>
+        t -> Tables.table(s, dir, t)
+      })),
     "split_audit"         -> ((s, dir) =>
       TextAnalysis.splitAuditFrom(Tables.documents(s, dir),
         Staged.tokens(s, dir).gopher)),

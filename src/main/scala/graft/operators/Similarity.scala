@@ -627,6 +627,129 @@ object Similarity {
   def sqRecall(embeddings: DataFrame, k: Int = TopK): DataFrame =
     sqRecallFrom(bruteTopK(embeddings, k), embeddings, k)
 
+  /** Prefix dimensionalities evaluated by [[mrlRecallCurve]]. The top
+    * entry is the full [[Dim]], so the curve's top end must reproduce
+    * [[sqRecall]]'s aggregate exactly — a built-in sanity check. */
+  val MrlDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Matryoshka truncation recall curve — recall@k of int8
+    * symmetric-dot search over only the FIRST d coordinates, for every
+    * d in [[MrlDims]], against the exact full-dim cosine truth. This
+    * is the adaptive-retrieval dial of Matryoshka Representation
+    * Learning (Kusupati et al. 2022): an MRL-trained embedding packs
+    * coarse semantics into the prefix, so serving can shrink vectors
+    * 8× and re-rank with the full dim only on a shortlist; the curve
+    * measures what each truncation actually costs on THIS corpus
+    * (i.i.d. test vectors spread information uniformly, so the
+    * measured decay here is the worst case — an honest floor, the
+    * same posture as [[pqRecall]]'s untrained-codebook note).
+    *
+    * Shape: the int8 casts are computed ONCE outside the per-d loop
+    * and every d re-ranks via `slice` of the same broadcast/streamed
+    * arrays — 4 passes over the candidate set, each the [[sqRecallFrom]]
+    * broadcast-8-queries shape, no extra shuffle. Integer arithmetic
+    * end-to-end → bit-identical cross-engine. */
+  def mrlRecallCurveFrom(cosTruth: DataFrame, embeddings: DataFrame,
+                         k: Int = TopK): DataFrame = {
+    val truth = cosTruth.select(col("q_id"), col("cand_id"))
+    val nq = truth.select("q_id").distinct().agg(count(lit(1)).as("n_q"))
+    val q8 = queries(embeddings)
+      .select(col("q_id"), expr(int8Expr("q_vec")).as("qq"))
+    val c8 = candidates(embeddings)
+      .select(col("cand_id"), expr(int8Expr("c_vec")).as("qc"))
+    MrlDims.map { d =>
+      val approx = c8.join(broadcast(q8))
+        .withColumn("dot", expr(
+          s"aggregate(zip_with(slice(qq, 1, $d), slice(qc, 1, $d), " +
+            "(a, b) -> a * b), cast(0 as bigint), (s, v) -> s + v)"))
+        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("dot").desc, col("cand_id"))))
+        .where(col("rn") <= k)
+        .select("q_id", "cand_id")
+      recallAtK(truth, approx, k)
+        .agg(sum("n_hits").cast("long").as("sum_hits"))
+        .select(lit(d.toLong).as("dims"), col("sum_hits"))
+    }.reduce(_.unionByName(_))
+      .join(broadcast(nq))
+      .select(col("dims"), col("sum_hits"),
+        expr(s"(sum_hits * 1000) div (n_q * ${k}L)").as("mean_recall_milli"))
+  }
+
+  /** [[mrlRecallCurveFrom]] built standalone. */
+  def mrlRecallCurve(embeddings: DataFrame, k: Int = TopK): DataFrame =
+    mrlRecallCurveFrom(bruteTopK(embeddings, k), embeddings, k)
+
+  /** Binary-quantization shortlist size: hamming ranks R candidates,
+    * the int8 re-rank keeps k. */
+  val BqShortlist: Int = 4 * TopK
+
+  /** Sign-bit packing of a [[Dim]]-dim float vector into two 32-bit
+    * words (`lo` = coords 0-31, `hi` = 32-63): bit i set iff the
+    * coordinate is > 0. Two half-words instead of one 64-bit word so
+    * neither engine ever shifts into the sign bit. */
+  private def signWordExpr(c: String, off: Int): String =
+    s"aggregate(zip_with(slice($c, ${off + 1}, 32), sequence(0, 31), " +
+      "(x, i) -> if(cast(x as double) > 0.0d, " +
+      "shiftleft(cast(1 as bigint), cast(i as int)), cast(0 as bigint))), " +
+      "cast(0 as bigint), (s, t) -> s + t)"
+
+  /** Recall gate for 1-bit binary quantization — the BOTTOM rung of
+    * the storage ladder (f32 → int8 [[sqRecall]] → PQ → 1 bit/dim,
+    * 32× smaller than f32): vectors collapse to their sign pattern,
+    * candidates rank by Hamming distance (popcount of XOR — the
+    * cheapest distance a vector store can compute), and an int8
+    * re-rank of the top-[[BqShortlist]] recovers what the 1-bit
+    * ranking loses. Emits BOTH stages — `hamming` (raw 1-bit recall)
+    * and `rerank` (shortlist + int8 re-rank) — so the datasheet prices
+    * the re-rank's contribution, mirroring [[pqRerankCurve]]'s
+    * shortlist-then-exact pattern at the coarsest quantization.
+    *
+    * Shape: one pass computes both sign words and the int8 array per
+    * candidate; the 8-query side broadcasts; Hamming is two XOR+
+    * popcounts on longs (codegen'd, no array work in the hot loop);
+    * only [[BqShortlist]]·|Q| rows reach the re-rank. Integer
+    * end-to-end → bit-identical cross-engine. */
+  def bqRecallFrom(cosTruth: DataFrame, embeddings: DataFrame,
+                   k: Int = TopK): DataFrame = {
+    val truth = cosTruth.select(col("q_id"), col("cand_id"))
+    val nq = truth.select("q_id").distinct().agg(count(lit(1)).as("n_q"))
+    val q = queries(embeddings).select(col("q_id"),
+      expr(signWordExpr("q_vec", 0)).as("q_lo"),
+      expr(signWordExpr("q_vec", 32)).as("q_hi"),
+      expr(int8Expr("q_vec")).as("qq"))
+    val c = candidates(embeddings).select(col("cand_id"),
+      expr(signWordExpr("c_vec", 0)).as("c_lo"),
+      expr(signWordExpr("c_vec", 32)).as("c_hi"),
+      expr(int8Expr("c_vec")).as("qc"))
+    val ranked = c.join(broadcast(q))
+      .withColumn("hamming", expr(
+        "bit_count(q_lo ^ c_lo) + bit_count(q_hi ^ c_hi)").cast("long"))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("hamming"), col("cand_id"))))
+      .where(col("rn") <= BqShortlist)
+    val hammingTop = ranked.where(col("rn") <= k)
+      .select("q_id", "cand_id")
+    val reranked = ranked
+      .withColumn("dot", expr("aggregate(zip_with(qq, qc, (a, b) -> a * b)" +
+        ", cast(0 as bigint), (s, v) -> s + v)"))
+      .withColumn("rr", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("dot").desc, col("cand_id"))))
+      .where(col("rr") <= k)
+      .select("q_id", "cand_id")
+    Seq(("hamming", hammingTop), ("rerank", reranked)).map { case (v, a) =>
+      recallAtK(truth, a, k)
+        .agg(sum("n_hits").cast("long").as("sum_hits"))
+        .select(lit(v).as("variant"), col("sum_hits"))
+    }.reduce(_.unionByName(_))
+      .join(broadcast(nq))
+      .select(col("variant"), col("sum_hits"),
+        expr(s"(sum_hits * 1000) div (n_q * ${k}L)").as("mean_recall_milli"))
+  }
+
+  /** [[bqRecallFrom]] built standalone. */
+  def bqRecall(embeddings: DataFrame, k: Int = TopK): DataFrame =
+    bqRecallFrom(bruteTopK(embeddings, k), embeddings, k)
+
   /** Recall gate for the IVF index: ann_ivf's probed top-k measured
     * against the exact cosine brute-force truth (both rank by cosine,
     * so this isolates the cost of probing NumProbes of NumCentroids

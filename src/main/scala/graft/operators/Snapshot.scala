@@ -335,6 +335,60 @@ object Snapshot {
         (abs(col("n_distinct_approx") - col("n_distinct")) * 20L <=
           col("n_distinct")).cast("string").as("approx_within_5pct"))
 
+  /** 1-in-DriftMod columns are simulated as absent from the sync
+    * target's catalog — the deterministic stand-in for a target
+    * created from an older sync config (the [[deltaDetect]]
+    * simulated-divergence convention). */
+  val DriftMod = 5L
+
+  /** Schema-drift detection + reconciliation DDL — the catalog-level
+    * twin of [[deltaDetect]] and the check the reference's
+    * trigger/table DDL generation implies (a sync engine that CREATEs
+    * target tables must notice when the source grows a column; cf.
+    * reference dbopt trigger/DDL builders): every column of the live
+    * source catalog is read from the ENGINE's own schema (not a
+    * hardcoded list — Spark reads parquet footers, the DuckDB oracle
+    * reads DESCRIBE, so the check doubly verifies both engines derive
+    * the same logical schema), normalized to a canonical type name,
+    * and diffed against the simulated target manifest; columns the
+    * target lacks get their portable ALTER TABLE … ADD COLUMN
+    * statement. Catalog-sized throughout — the only data touched is
+    * schema metadata, never rows. */
+  def schemaDrift(tables: Seq[(String, DataFrame)]): DataFrame = {
+    import graft.functions.PortableHash.phash
+    import org.apache.spark.sql.types._
+    def canonType(dt: DataType): String = dt match {
+      case IntegerType                    => "int32"
+      case LongType                       => "int64"
+      case FloatType                      => "float32"
+      case DoubleType                     => "float64"
+      case StringType                     => "string"
+      case TimestampType | TimestampNTZType => "timestamp"
+      case DateType                       => "date"
+      case other                          => other.simpleString
+    }
+    val sqlType = Map("int32" -> "INTEGER", "int64" -> "BIGINT",
+      "float32" -> "REAL", "float64" -> "DOUBLE PRECISION",
+      "string" -> "TEXT", "timestamp" -> "TIMESTAMP", "date" -> "DATE")
+    val spark = tables.head._2.sparkSession
+    val rows = tables.flatMap { case (t, df) =>
+      df.schema.fields.map(f => (t, f.name, canonType(f.dataType)))
+    }
+    import spark.implicits._
+    rows.toDF("table_name", "column_name", "col_type")
+      .withColumn("on_target",
+        pmod(phash(concat_ws(":", lit("target"), col("table_name"),
+          col("column_name"))), lit(DriftMod)) =!= 0)
+      .select(col("table_name"), col("column_name"), col("col_type"),
+        when(col("on_target"), "OK").otherwise("ADD").as("action"),
+        when(col("on_target"), lit(""))
+          .otherwise(concat(lit("ALTER TABLE "), col("table_name"),
+            lit(" ADD COLUMN "), col("column_name"), lit(" "),
+            sqlType.foldLeft(lit("")) { case (acc, (k, v)) =>
+              when(col("col_type") === k, v).otherwise(acc)
+            })).as("ddl"))
+  }
+
   /** Deletion-cohort membership for [[forgetAudit]] — deterministic
     * stand-in for an erasure-request list. */
   val ForgetMod = 29L

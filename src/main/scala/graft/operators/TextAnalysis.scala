@@ -1174,6 +1174,81 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
       .withColumn("at_risk", (col("n_docs") < KAnonThreshold).cast("string"))
 
+  /** Distinct sensitive values required before an l-diversity cell is
+    * considered safe (the classic l=2 bar: at least two values, so
+    * membership in the cell discloses nothing certain). */
+  val LDivThreshold = 2L
+
+  /** l-diversity audit over the same release quasi-identifiers as
+    * [[kAnonymity]] (Machanavajjhala et al. 2007) — the disclosure
+    * check k-anonymity misses: a cell can hold k docs and still leak
+    * if every member shares ONE sensitive value (here the dominant
+    * detected PII class: ssn ≻ email ≻ phone ≻ none, the
+    * [[piiScrub]] detectors re-used as the sensitive attribute).
+    * Emits per (lang, source, len_bucket): population, l (distinct
+    * sensitive values), the worst class's share in ppm, and the
+    * at-risk flag (l below [[LDivThreshold]]). Shape: one narrow
+    * regex-count projection, then two map-side-combined aggregates —
+    * cell × class first, cell second; output is grid-sized. */
+  def lDiversity(documents: DataFrame): DataFrame = {
+    val sensitive = when(
+        size(regexp_extract_all(col("text"), lit(SsnRe), lit(0))) > 0, "ssn")
+      .when(size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))) > 0,
+        "email")
+      .when(size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))) > 0,
+        "phone")
+      .otherwise("none")
+    val cells = documents
+      .select(col("lang"), col("source"),
+        when(size(tokensCol) > 0,
+          length(bin(size(tokensCol).cast("long"))).cast("long"))
+          .otherwise(lit(0L)).as("len_bucket"),
+        sensitive.as("pii_class"))
+      .groupBy("lang", "source", "len_bucket", "pii_class")
+      .agg(count(lit(1)).as("n_class"))
+    cells
+      .groupBy("lang", "source", "len_bucket")
+      .agg(sum("n_class").as("n_docs"),
+        count(lit(1)).as("l_distinct"),
+        max("n_class").as("n_top"))
+      .select(col("lang"), col("source"), col("len_bucket"), col("n_docs"),
+        col("l_distinct"),
+        expr("(n_top * 1000000) div n_docs").as("top_class_ppm"),
+        (col("l_distinct") < LDivThreshold).cast("string").as("at_risk"))
+  }
+
+  /** Corpus lexical diversity per source — the distinct-1/distinct-2
+    * type-token ratios (Li et al. 2016) a curation pass reads to spot
+    * template-generated or boilerplate-heavy sources before they skew
+    * a training mix: total and distinct unigram/bigram counts with
+    * their ppm ratios. Shape: the distinct counts are two-phase
+    * (partial dedup keyed by the gram before the per-source count), so
+    * no single reducer ever sees a whole source's token stream; output
+    * is one row per source. At 100 TB this is the shape a vocabulary
+    * census already pays — the gram is the shuffle key, counts combine
+    * map-side. */
+  def corpusDiversity(documents: DataFrame): DataFrame = {
+    val t = documents.select(col("source"), tokensCol.as("toks"))
+    val uni = t.select(col("source"), explode(col("toks")).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_unigrams"),
+        countDistinct("g").as("d_unigrams"))
+    val bi = t.where(size(col("toks")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i + 1]))")).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct("g").as("d_bigrams"))
+    uni.join(bi, Seq("source"), "left")
+      .select(col("source"), col("n_unigrams"), col("d_unigrams"),
+        expr("(d_unigrams * 1000000) div n_unigrams").as("distinct1_ppm"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("d_bigrams"), lit(0L)).as("d_bigrams"),
+        expr("(coalesce(d_bigrams, 0) * 1000000) " +
+          "div greatest(coalesce(n_bigrams, 0), 1)").as("distinct2_ppm"))
+  }
+
   /** Train/val/test stratification audit — does the hash split produce
     * statistically comparable shards? Per split: population, token
     * mass, mean Gopher distinct ratio, rule-gate keep rate, and the

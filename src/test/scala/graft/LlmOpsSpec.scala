@@ -1228,6 +1228,84 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(sqMean >= 500L, s"int8 mean recall $sqMean implausibly low")
   }
 
+  test("mrl_recall: one row per prefix dim, bounded, and the full-dim " +
+    "arm reproduces sq_recall exactly") {
+    val rows = Similarity.mrlRecallCurve(embs).collect()
+      .sortBy(_.getAs[Long]("dims"))
+    assert(rows.map(_.getAs[Long]("dims")) ===
+      Similarity.MrlDims.map(_.toLong).toArray)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mean_recall_milli") >= 0L &&
+        r.getAs[Long]("mean_recall_milli") <= 1000L)
+    }
+    // dims = Dim is exactly the sq_recall ranking — the curve's top
+    // end must agree with the standalone gate's aggregate
+    val sqHits = Similarity.sqRecall(embs).collect()
+      .map(_.getAs[Long]("n_hits")).sum
+    assert(rows.last.getAs[Long]("sum_hits") === sqHits)
+    // more prefix can't help LESS than the 8x-truncated floor here
+    assert(rows.last.getAs[Long]("mean_recall_milli") >=
+      rows.head.getAs[Long]("mean_recall_milli"))
+  }
+
+  test("bq_recall: both stages report, the int8 re-rank of the hamming " +
+    "shortlist does not lose to the raw 1-bit ranking") {
+    val rows = Similarity.bqRecall(embs).collect()
+      .map(r => r.getAs[String]("variant") ->
+        r.getAs[Long]("mean_recall_milli")).toMap
+    assert(rows.keySet === Set("hamming", "rerank"))
+    rows.values.foreach(v => assert(v >= 0L && v <= 1000L))
+    assert(rows("rerank") >= rows("hamming"),
+      s"re-rank ${rows("rerank")} below hamming ${rows("hamming")}")
+  }
+
+  test("l_diversity: covers the corpus on the k_anonymity grid, flags " +
+    "exactly the single-class cells") {
+    val rows = TextAnalysis.lDiversity(docs).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val kCells = TextAnalysis.kAnonymity(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("len_bucket")) -> r.getAs[Long]("n_docs")).toMap
+    assert(rows.length === kCells.size)
+    rows.foreach { r =>
+      val cell = (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("len_bucket"))
+      assert(r.getAs[Long]("n_docs") === kCells(cell))
+      val l = r.getAs[Long]("l_distinct")
+      assert(l >= 1L && l <= 4L) // at most ssn/email/phone/none
+      assert(r.getAs[String]("at_risk") ===
+        (l < TextAnalysis.LDivThreshold).toString)
+      val top = r.getAs[Long]("top_class_ppm")
+      assert(top > 0L && top <= 1000000L)
+      // the dominant class can't have less than an equal share
+      assert(top * l >= 1000000L - l)
+    }
+  }
+
+  test("corpus_diversity: per-source gram accounting is exact, ratios " +
+    "bounded") {
+    val rows = TextAnalysis.corpusDiversity(docs).collect()
+    val expUni = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long")
+        .as("n")).groupBy("source").agg(sum("n").as("n")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    assert(rows.length === expUni.size)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_unigrams") === expUni(src))
+      assert(r.getAs[Long]("d_unigrams") <= r.getAs[Long]("n_unigrams"))
+      assert(r.getAs[Long]("d_bigrams") <= r.getAs[Long]("n_bigrams"))
+      // every doc has >= 1 token, so bigrams = unigrams - n_docs(with >=2)
+      assert(r.getAs[Long]("n_bigrams") < r.getAs[Long]("n_unigrams"))
+      assert(r.getAs[Long]("distinct1_ppm") > 0L &&
+        r.getAs[Long]("distinct1_ppm") <= 1000000L)
+      assert(r.getAs[Long]("distinct2_ppm") <= 1000000L)
+      // bigrams diversify at least as fast as unigrams (Heaps' law)
+      assert(r.getAs[Long]("distinct2_ppm") >=
+        r.getAs[Long]("distinct1_ppm"))
+    }
+  }
+
   test("embed_norm_stats: per-label bounds bracket the sums") {
     val e = Tables.embeddings(spark, TestSpark.Sf)
     val st = Similarity.embedNormStats(e).collect()

@@ -697,6 +697,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Expand"), plan)
   }
 
+  test("schema_drift: one row per live column, canonical types, ADD rows " +
+    "carry well-formed DDL and OK rows none") {
+    val grid = graft.operators.Snapshot.CatalogColumns
+    val t = grid.map { case (n, _) => n -> Tables.table(spark, TestSpark.Sf, n) }
+    val rows = graft.operators.Snapshot.schemaDrift(t).collect()
+    assert(rows.length === grid.map(_._2.size).sum)
+    val byTable = rows.groupBy(_.getAs[String]("table_name"))
+    grid.foreach { case (n, cols) =>
+      assert(byTable(n).map(_.getAs[String]("column_name")).toSet ===
+        cols.toSet, s"table $n column census")
+    }
+    val types = Set("int32", "int64", "float32", "float64", "string",
+      "timestamp", "date")
+    rows.foreach { r =>
+      assert(types.contains(r.getAs[String]("col_type")), r.toString)
+      r.getAs[String]("action") match {
+        case "OK" => assert(r.getAs[String]("ddl") === "")
+        case "ADD" =>
+          val ddl = r.getAs[String]("ddl")
+          assert(ddl.startsWith(s"ALTER TABLE ${r.getAs[String]("table_name")}" +
+            s" ADD COLUMN ${r.getAs[String]("column_name")} "), ddl)
+          assert(ddl.split(' ').length >= 7, ddl) // a type token is present
+        case other => fail(s"unexpected action $other")
+      }
+    }
+    // the simulated 1-in-DriftMod target gap actually fires
+    assert(rows.count(_.getAs[String]("action") == "ADD") > 0)
+    assert(rows.count(_.getAs[String]("action") == "OK") > 0)
+  }
+
   test("the alphabetically FIRST oracle carries the session-wide DuckDB " +
     "resource bounds (a new earlier-sorting query must adopt them)") {
     // the driver's checker runs oracles in name order in ONE session;

@@ -117,8 +117,9 @@ class PlanSpec extends AnyFunSuite {
       // pack_efficiency fans the offsets over the broadcast 4-row
       // candidate-length table
       "pack_efficiency",
-      // sq_recall broadcasts the 8-query int8 set like ann_topk
-      "sq_recall")
+      // sq_recall / mrl_recall / bq_recall broadcast the 8-query
+      // int8/sign-word set like ann_topk
+      "sq_recall", "mrl_recall", "bq_recall")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
