@@ -644,11 +644,13 @@ object Similarity {
     * measured decay here is the worst case — an honest floor, the
     * same posture as [[pqRecall]]'s untrained-codebook note).
     *
-    * Shape: the int8 casts are computed ONCE outside the per-d loop
-    * and every d re-ranks via `slice` of the same broadcast/streamed
-    * arrays — 4 passes over the candidate set, each the [[sqRecallFrom]]
-    * broadcast-8-queries shape, no extra shuffle. Integer arithmetic
-    * end-to-end → bit-identical cross-engine. */
+    * Shape: ONE pass over the candidate set computes the coordinate
+    * products per (query, candidate) and every prefix dot as a slice
+    * aggregate of that product array — then a single explode to
+    * (dims, dot) rows, one window ranking partitioned by (dims,
+    * q_id), and one join against the truth set grouped by dims. A
+    * 100 TB candidate stream is scanned once, not |MrlDims| times.
+    * Integer arithmetic end-to-end → bit-identical cross-engine. */
   def mrlRecallCurveFrom(cosTruth: DataFrame, embeddings: DataFrame,
                          k: Int = TopK): DataFrame = {
     val truth = cosTruth.select(col("q_id"), col("cand_id"))
@@ -657,22 +659,32 @@ object Similarity {
       .select(col("q_id"), expr(int8Expr("q_vec")).as("qq"))
     val c8 = candidates(embeddings)
       .select(col("cand_id"), expr(int8Expr("c_vec")).as("qc"))
-    MrlDims.map { d =>
-      val approx = c8.join(broadcast(q8))
-        .withColumn("dot", expr(
-          s"aggregate(zip_with(slice(qq, 1, $d), slice(qc, 1, $d), " +
-            "(a, b) -> a * b), cast(0 as bigint), (s, v) -> s + v)"))
-        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
-          .orderBy(col("dot").desc, col("cand_id"))))
-        .where(col("rn") <= k)
-        .select("q_id", "cand_id")
-      recallAtK(truth, approx, k)
-        .agg(sum("n_hits").cast("long").as("sum_hits"))
-        .select(lit(d.toLong).as("dims"), col("sum_hits"))
-    }.reduce(_.unionByName(_))
-      .join(broadcast(nq))
-      .select(col("dims"), col("sum_hits"),
-        expr(s"(sum_hits * 1000) div (n_q * ${k}L)").as("mean_recall_milli"))
+    val dimArms = MrlDims.map(d =>
+      s"struct(cast($d as bigint) as dims, " +
+        s"aggregate(slice(prods, 1, $d), cast(0 as bigint), " +
+        "(s, v) -> s + v) as dot)").mkString(", ")
+    val ranked = c8.join(broadcast(q8))
+      .withColumn("prods", expr("zip_with(qq, qc, (a, b) -> a * b)"))
+      .select(col("q_id"), col("cand_id"),
+        explode(expr(s"array($dimArms)")).as("a"))
+      .select(col("q_id"), col("cand_id"), col("a.dims").as("dims"),
+        col("a.dot").as("dot"))
+      .withColumn("rn", row_number().over(Window.partitionBy("dims", "q_id")
+        .orderBy(col("dot").desc, col("cand_id"))))
+      .where(col("rn") <= k)
+      .select("dims", "q_id", "cand_id")
+    val hits = ranked
+      .join(truth, Seq("q_id", "cand_id"), "left_semi")
+      .groupBy("dims")
+      .agg(count(lit(1)).as("hits"))
+    nq // 1 row → the 4-row dims grid, so zero-hit arms still report
+      .select(explode(expr(
+        s"array(${MrlDims.map(d => s"cast($d as bigint)").mkString(", ")})"))
+        .as("dims"), col("n_q"))
+      .join(hits, Seq("dims"), "left")
+      .na.fill(0L, Seq("hits"))
+      .select(col("dims"), col("hits").as("sum_hits"),
+        expr(s"(hits * 1000) div (n_q * ${k}L)").as("mean_recall_milli"))
   }
 
   /** [[mrlRecallCurveFrom]] built standalone. */
