@@ -202,6 +202,10 @@ object ScaleProbe {
       // round-9 additions: the shuffle-free masking planner and the
       // per-source epoch-repetition planner (one corpus aggregate)
       "span_corruption" -> sink(TextAnalysis.spanCorruptionPlan(docs)),
-      "repeat_plan" -> sink(graft.operators.Curation.repeatPlan(docs)))
+      "repeat_plan" -> sink(graft.operators.Curation.repeatPlan(docs)),
+      // the distinct-gram census (two-phase distinct keyed by the gram)
+      // and the PII-class disclosure grid — both volume-growing
+      "corpus_diversity" -> sink(TextAnalysis.corpusDiversity(docs)),
+      "l_diversity" -> sink(TextAnalysis.lDiversity(docs)))
   }
 }
