@@ -1752,6 +1752,31 @@ object OracleSql {
         |      ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
         |  FROM cand, cent) t WHERE rn = 1""".stripMargin,
 
+    // cluster-local ordering by centroid proximity over the ivf_assign
+    // relation; e6-rounded similarity (the ann_lsh convention)
+    "incontext_order" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+        |         WHERE vec_id BETWEEN 8 AND 23),
+        |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+        |assign AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT cand.vec_id, cent.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+        |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
+        |    FROM cand, cent) t WHERE rn = 1),
+        |s AS (SELECT a.centroid_id, a.vec_id,
+        |    CAST(ROUND(list_cosine_similarity(cand.v, cent.cv) * 1000000)
+        |      AS BIGINT) AS sim_e6
+        |  FROM assign a
+        |  JOIN cand ON a.vec_id = cand.vec_id
+        |  JOIN cent ON a.centroid_id = cent.centroid_id)
+        |SELECT centroid_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id
+        |    ORDER BY sim_e6 DESC, vec_id) AS BIGINT) AS position,
+        |  vec_id AS doc_id, sim_e6
+        |FROM s""".stripMargin,
+
     "ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
@@ -3902,6 +3927,40 @@ object OracleSql {
          |  d.j_milli AS pos_j_milli, n.negative_id, n.neg_label,
          |  n.neg_sim_e6
          |FROM ctd d JOIN cneg n ON n.anchor_id = d.doc_a""".stripMargin,
+
+    // UniMax waterfill on the language grid — the cum-prev/candidate-
+    // share/first-uncapped-level closed form, constants shared with
+    // Curation.unimaxAlloc
+    "unimax_alloc" -> {
+      import graft.operators.Curation.{UnimaxBudgetX, UnimaxEpochCap}
+      s"""WITH pl AS (SELECT lang,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_langs FROM pl),
+         |g AS (SELECT pl.*, total_tokens, n_langs,
+         |    n_tokens * $UnimaxEpochCap AS cap,
+         |    $UnimaxBudgetX * total_tokens AS budget,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens * $UnimaxEpochCap,
+         |      lang) AS BIGINT) AS idx,
+         |    CAST(COALESCE(SUM(n_tokens * $UnimaxEpochCap) OVER (
+         |      ORDER BY n_tokens * $UnimaxEpochCap, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_prev
+         |  FROM pl, t),
+         |h AS (SELECT *, GREATEST((budget - cum_prev) //
+         |    (n_langs - idx + 1), 0) AS cand_share FROM g),
+         |i AS (SELECT *, cap <= cand_share AS capped FROM h),
+         |j AS (SELECT *, MAX(CASE WHEN NOT capped THEN cand_share END)
+         |    OVER () AS lvl FROM i)
+         |SELECT lang, n_tokens, n_docs, cap,
+         |  LEAST(cap, COALESCE(lvl, cap)) AS alloc_tokens,
+         |  (LEAST(cap, COALESCE(lvl, cap)) * 1000) //
+         |    GREATEST(n_tokens, 1) AS epochs_milli,
+         |  CAST(capped AS VARCHAR) AS capped
+         |FROM j""".stripMargin
+    },
 
     "repeat_plan" -> {
       import graft.operators.Curation.{MaxRepeatEpochs, RepeatBudgetX,

@@ -421,6 +421,11 @@ object SparkEntry {
     "topic_clusters"      -> ((s, dir) =>
       Similarity.topicClustersFrom(Staged.ann(s, dir).assign,
         Tables.documents(s, dir), Staged.tokens(s, dir).tokens)),
+    "incontext_order"     -> ((s, dir) =>
+      Similarity.incontextOrderFrom(Staged.ann(s, dir).assign,
+        Tables.embeddings(s, dir))),
+    "unimax_alloc"        -> ((s, dir) =>
+      Curation.unimaxAlloc(Tables.documents(s, dir))),
     "curation_pipeline"   -> ((s, dir) => {
       val st = Staged.tokens(s, dir)
       Curation.curationPipelineFrom(Tables.documents(s, dir),

@@ -277,6 +277,70 @@ object Curation {
     repeatPlanFrom(documents,
       TextAnalysis.gopherQuality(documents))
 
+  // --- UniMax language-budget waterfill ------------------------------------
+
+  /** Epoch cap per language for [[unimaxAlloc]] (UniMax's N). */
+  val UnimaxEpochCap = 4L
+  /** Token budget as a multiple of the corpus's one-epoch mass —
+    * between 1× and the cap so the waterfill's BOTH arms bind: small
+    * languages hit the epoch cap, large ones share the water level
+    * (at 3× the test corpus's smaller languages cap out at 4 epochs
+    * while the dominant language stays under the water level). */
+  val UnimaxBudgetX = 3L
+
+  /** UniMax language-budget allocation (Chung et al. 2023): split a
+    * token budget across languages as EVENLY as possible subject to a
+    * per-language repetition cap of [[UnimaxEpochCap]] epochs — the
+    * published alternative to temperature sampling that never repeats
+    * a low-resource language past the point where repetition stops
+    * helping. Closed-form waterfill instead of the paper's sequential
+    * loop: with languages sorted by cap ascending, a language is
+    * capped iff its cap fits under the equal share of the budget left
+    * after all smaller languages took their caps; every uncapped
+    * language gets the water level W = that share at the first
+    * uncapped row. Integer division throughout (the remainder stays
+    * unassigned and is reported as leftover) → hash-exact.
+    *
+    * Shape: ONE map-side-combined aggregate over (lang, token count)
+    * → a language grid of a handful of rows; the sort/cumsum windows
+    * run on that grid, never the corpus — the value_median
+    * window-over-aggregate rule. */
+  def unimaxAlloc(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val perLang = documents
+      .select(col("lang"),
+        size(TextAnalysis.tokensCol).cast("long").as("n"))
+      .groupBy("lang")
+      .agg(sum("n").as("n_tokens"), count(lit(1)).as("n_docs"))
+    val totals = perLang.agg(
+      sum("n_tokens").cast("long").as("total_tokens"),
+      count(lit(1)).as("n_langs"))
+    val byCap = W.orderBy(col("cap"), col("lang"))
+    perLang.crossJoin(broadcast(totals))
+      .withColumn("cap", col("n_tokens") * lit(UnimaxEpochCap))
+      .withColumn("budget", expr(s"$UnimaxBudgetX * total_tokens"))
+      .withColumn("idx", row_number().over(byCap).cast("long"))
+      .withColumn("cum_prev", coalesce(sum("cap").over(
+        byCap.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cand_share",
+        expr("greatest((budget - cum_prev) div (n_langs - idx + 1), 0L)"))
+      .withColumn("capped", col("cap") <= col("cand_share"))
+      // the water level is the FIRST uncapped row's share; shares are
+      // non-increasing past that row (each uncapped row's cap exceeds
+      // its share, so the overstated cum_prev only shrinks later
+      // candidates), so first-by-idx = max over the uncapped rows
+      .withColumn("level", max(when(!col("capped"), col("cand_share")))
+        .over(W.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("alloc_tokens",
+        least(col("cap"), coalesce(col("level"), col("cap"))))
+      .select(col("lang"), col("n_tokens"), col("n_docs"), col("cap"),
+        col("alloc_tokens"),
+        expr("(alloc_tokens * 1000) div greatest(n_tokens, 1L)")
+          .as("epochs_milli"),
+        col("capped").cast("string").as("capped"))
+  }
+
   // --- composed curation pipeline -----------------------------------------
 
   /** Per-source cap for the composed pipeline — tighter than

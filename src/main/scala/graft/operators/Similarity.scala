@@ -1289,6 +1289,42 @@ object Similarity {
     topicClustersFrom(ivfAssign(embeddings), documents,
       TextAnalysis.tokensRel(documents))
 
+  /** In-context-pretraining document ordering (Shi et al. 2023):
+    * pretraining on SEMANTICALLY ADJACENT documents in the same
+    * context window beats random order, so the corpus is clustered
+    * (the IVF assignment — vec_id doubles as doc_id, the modal_align
+    * linkage) and each cluster's members are ordered by centroid
+    * similarity, most-central first. This is the scalable stand-in
+    * for the paper's greedy nearest-neighbor chaining: exact chaining
+    * is inherently sequential (each pick depends on the last), while
+    * centroid-proximity order preserves the locality signal and costs
+    * one window per cluster. Position is cluster-local; a writer
+    * interleaves clusters into shards downstream ([[TextAnalysis
+    * .epochShuffle]] is the orthogonal between-epoch permutation).
+    *
+    * Shape: the assignment join carries one row per vector, the
+    * 16-row centroid table broadcasts, similarity is the codegen'd
+    * cosine, and the ranking window partitions on centroid_id — at
+    * scale each cluster sorts independently, no global order
+    * anywhere. Similarity surfaces rounded to e6 (the lshTopK
+    * convention) so the output is hash-comparable. */
+  def incontextOrderFrom(assign: DataFrame, embeddings: DataFrame): DataFrame =
+    assign
+      .join(candidates(embeddings).withColumnRenamed("cand_id", "vec_id"),
+        "vec_id")
+      .join(broadcast(centroids(embeddings)), "centroid_id")
+      .withColumn("sim_e6",
+        round(cosineSim(col("c_vec"), col("cv")) * 1000000).cast("long"))
+      .withColumn("position", row_number().over(
+        Window.partitionBy("centroid_id")
+          .orderBy(col("sim_e6").desc, col("vec_id"))).cast("long"))
+      .select(col("centroid_id"), col("position"),
+        col("vec_id").as("doc_id"), col("sim_e6"))
+
+  /** [[incontextOrderFrom]] built standalone. */
+  def incontextOrder(embeddings: DataFrame): DataFrame =
+    incontextOrderFrom(ivfAssign(embeddings), embeddings)
+
   /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ τ.
     * No all-pairs: the bucket id is the join key. */
   def embeddingNearDup(embeddings: DataFrame, tauE6: Long = 950000L): DataFrame = {

@@ -177,4 +177,39 @@ class CurationSpec extends AnyFunSuite {
     assert(byKeep.last.getAs[Long]("epochs_sched") >=
       byKeep.head.getAs[Long]("epochs_sched"))
   }
+
+  test("unimax_alloc: both waterfill arms bind, capped langs take " +
+    "exactly their cap, uncapped langs share one level, budget " +
+    "conserved up to integer floors") {
+    val rows = Curation.unimaxAlloc(docs).collect()
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val budget = Curation.UnimaxBudgetX * total
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cap") ===
+        Curation.UnimaxEpochCap * r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("cap"))
+      assert(r.getAs[Long]("epochs_milli") <=
+        Curation.UnimaxEpochCap * 1000L)
+      if (r.getAs[String]("capped") == "true")
+        assert(r.getAs[Long]("alloc_tokens") === r.getAs[Long]("cap"))
+    }
+    val (capped, uncapped) =
+      rows.partition(_.getAs[String]("capped") == "true")
+    assert(capped.nonEmpty, "no language hit the epoch cap — the cap " +
+      "arm never fires at this budget/corpus")
+    assert(uncapped.nonEmpty, "every language capped — the waterfill " +
+      "arm never fires")
+    // one shared water level across the uncapped languages
+    assert(uncapped.map(_.getAs[Long]("alloc_tokens")).toSet.size === 1)
+    // never over budget; under-allocation only by the division floors
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(alloc <= budget)
+    assert(budget - alloc <= rows.length.toLong * rows.length,
+      s"leftover ${budget - alloc} exceeds floor slack")
+    // UniMax's point: the dominant language is NOT over-repeated —
+    // its epoch count is the minimum
+    val byTokens = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(byTokens.last.getAs[Long]("epochs_milli") ===
+      rows.map(_.getAs[Long]("epochs_milli")).min)
+  }
 }

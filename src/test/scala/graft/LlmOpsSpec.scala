@@ -1306,6 +1306,23 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incontext_order: positions are dense per cluster, similarity " +
+    "non-increasing along each cluster's order, corpus covered") {
+    val rows = Similarity.incontextOrder(embs).collect()
+    val nCand = embs.where(col("vec_id") >= Similarity.QueryCount).count()
+    assert(rows.length.toLong === nCand)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === rows.length)
+    rows.groupBy(_.getAs[Long]("centroid_id")).foreach { case (c, members) =>
+      val ordered = members.sortBy(_.getAs[Long]("position"))
+      assert(ordered.map(_.getAs[Long]("position")).toSeq ===
+        (1L to members.length.toLong).toSeq, s"cluster $c not dense")
+      // most-central first: sim never increases along the order
+      ordered.map(_.getAs[Long]("sim_e6")).sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0) >= w(1), s"cluster $c order broken")
+      }
+    }
+  }
+
   test("embed_norm_stats: per-label bounds bracket the sums") {
     val e = Tables.embeddings(spark, TestSpark.Sf)
     val st = Similarity.embedNormStats(e).collect()

@@ -119,7 +119,10 @@ class PlanSpec extends AnyFunSuite {
       "pack_efficiency",
       // sq_recall / mrl_recall / bq_recall broadcast the 8-query
       // int8/sign-word set like ann_topk
-      "sq_recall", "mrl_recall", "bq_recall")
+      "sq_recall", "mrl_recall", "bq_recall",
+      // unimax_alloc crosses the broadcast 1-row totals onto the
+      // language grid (a handful of rows)
+      "unimax_alloc")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
