@@ -1145,6 +1145,112 @@ object OracleSql {
         |WHERE sn.n_name <> cn.n_name
         |GROUP BY 1, 2, 3""".stripMargin,
 
+    "olap_market_share" ->
+      s"""SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+         |  CAST(SUM(CASE WHEN sn.n_name = '${Analytics.ShareNation}'
+         |    THEN CAST(ROUND(l.l_extendedprice*(1.0-l.l_discount)*100)
+         |      AS BIGINT) ELSE 0 END) AS BIGINT) AS nation_rev_c,
+         |  CAST(SUM(CAST(ROUND(l.l_extendedprice*(1.0-l.l_discount)*100)
+         |    AS BIGINT)) AS BIGINT) AS total_rev_c,
+         |  CAST(SUM(CASE WHEN sn.n_name = '${Analytics.ShareNation}'
+         |    THEN CAST(ROUND(l.l_extendedprice*(1.0-l.l_discount)*100)
+         |      AS BIGINT) ELSE 0 END) * 1000000
+         |    // SUM(CAST(ROUND(l.l_extendedprice*(1.0-l.l_discount)*100)
+         |      AS BIGINT)) AS BIGINT) AS share_ppm
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |  AND p.p_type = '${Analytics.SharePartType}'
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         |JOIN region r ON cn.n_regionkey = r.r_regionkey
+         |  AND r.r_name = '${Analytics.ShareRegion}'
+         |GROUP BY 1""".stripMargin,
+
+    "olap_product_profit" ->
+      s"""SELECT sn.n_name AS supp_nation,
+         |  CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+         |  CAST(SUM(CAST(ROUND(l.l_extendedprice*(1.0-l.l_discount)*100)
+         |    AS BIGINT)) AS BIGINT) AS profit_c,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |  AND p.p_name LIKE '%${Analytics.ProfitNameToken}%'
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY 1, 2""".stripMargin,
+
+    "olap_order_dist" ->
+      """SELECT c_count,
+        |  CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (SELECT c.c_custkey,
+        |    CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+
+    "olap_parts_suppliers" ->
+      s"""SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+         |  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE p.p_size IN (${Analytics.PartsSupplierSizes.mkString(", ")})
+         |  AND p.p_brand <> '${Analytics.PartsSupplierExclBrand}'
+         |  AND p.p_type NOT LIKE 'PROMO%'
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "olap_small_qty" ->
+      s"""WITH b AS (SELECT
+         |    CAST(ROUND(l.l_quantity*100) AS BIGINT) AS qty_c,
+         |    CAST(ROUND(l.l_extendedprice*(1.0-l.l_discount)*100)
+         |      AS BIGINT) AS rev_c,
+         |    SUM(CAST(ROUND(l.l_quantity*100) AS BIGINT))
+         |      OVER (PARTITION BY l.l_partkey) AS sum_qty_c,
+         |    COUNT(*) OVER (PARTITION BY l.l_partkey) AS n_part
+         |  FROM lineitem l
+         |  JOIN part p ON l.l_partkey = p.p_partkey
+         |    AND p.p_brand = '${Analytics.SmallQtyBrand}')
+         |SELECT CAST(SUM(rev_c) AS BIGINT) AS small_qty_rev_c,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM b WHERE qty_c * n_part * 5 < sum_qty_c""".stripMargin,
+
+    "olap_bulk_discount" ->
+      """WITH f AS (SELECT
+        |    CAST(ROUND(l.l_quantity*100) AS BIGINT) AS qty_c,
+        |    CAST(ROUND(l.l_extendedprice*(1.0-l.l_discount)*100)
+        |      AS BIGINT) AS rev_c,
+        |    p.p_brand, p.p_size
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT CAST(SUM(rev_c) AS BIGINT) AS bulk_rev_c,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM f
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND qty_c BETWEEN 100 AND 1100)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND qty_c BETWEEN 1000 AND 2000)
+        |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |    AND qty_c BETWEEN 2000 AND 3000)""".stripMargin,
+
+    "olap_sales_opportunity" ->
+      s"""WITH cust AS (SELECT c_custkey, c_mktsegment,
+         |    CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c
+         |  FROM customer),
+         |pos AS (SELECT SUM(bal_c) AS sum_pos_c, COUNT(*) AS n_pos
+         |  FROM cust WHERE bal_c > 0)
+         |SELECT c_mktsegment,
+         |  CAST(COUNT(*) AS BIGINT) AS n_custs,
+         |  CAST(SUM(bal_c) AS BIGINT) AS total_bal_c
+         |FROM cust, pos
+         |WHERE bal_c * n_pos > sum_pos_c
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |    WHERE o.o_custkey = cust.c_custkey
+         |      AND o.o_orderdate >=
+         |        TIMESTAMP '${Analytics.OpportunityCutoff} 00:00:00')
+         |GROUP BY 1""".stripMargin,
+
     "olap_returned_top" ->
       s"""WITH r AS (SELECT o.o_custkey,
          |    CAST(SUM(CAST(ROUND(l.l_extendedprice*(1.0-l.l_discount)*100)

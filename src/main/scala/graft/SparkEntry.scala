@@ -402,6 +402,30 @@ object SparkEntry {
       Analytics.tradeMatrix(Tables.supplier(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
+    "olap_market_share"   -> ((s, dir) =>
+      Analytics.marketShare(Tables.part(s, dir), Tables.supplier(s, dir),
+        Tables.customer(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    "olap_product_profit" -> ((s, dir) =>
+      Analytics.productProfit(Tables.part(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    "olap_order_dist"     -> ((s, dir) =>
+      Analytics.orderCountDist(Tables.customer(s, dir),
+        Tables.orders(s, dir))),
+    "olap_parts_suppliers" -> ((s, dir) =>
+      Analytics.partsSuppliers(Tables.part(s, dir),
+        Tables.lineitem(s, dir))),
+    "olap_small_qty"      -> ((s, dir) =>
+      Analytics.smallQtyRevenue(Tables.part(s, dir),
+        Tables.lineitem(s, dir))),
+    "olap_bulk_discount"  -> ((s, dir) =>
+      Analytics.bulkDiscount(Tables.part(s, dir),
+        Tables.lineitem(s, dir))),
+    "olap_sales_opportunity" -> ((s, dir) =>
+      Analytics.salesOpportunity(Tables.customer(s, dir),
+        Tables.orders(s, dir))),
     "domain_caps"         -> ((s, dir) =>
       Curation.domainCaps(Tables.documents(s, dir))),
     "ccnet_buckets"       -> ((s, dir) =>

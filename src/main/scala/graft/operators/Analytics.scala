@@ -429,4 +429,201 @@ object Analytics {
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("total_price_c"), col("sum_qty_c"))
   }
+
+  /** Market-share constants for [[marketShare]] (TPC-H Q8's
+    * region/type/nation triple, values from this corpus's domains). */
+  val ShareRegion = "ASIA"
+  val SharePartType = "ECONOMY"
+  val ShareNation = "NATION_3"
+
+  /** National market share (the TPC-H Q8 shape): per order-year, the
+    * ppm share of [[ShareNation]]-supplied revenue within all revenue
+    * for [[SharePartType]] parts sold to [[ShareRegion]] customers.
+    * The part-type filter broadcasts a pruned part dim onto the fact
+    * scan FIRST (the most selective edge), supplier/nation/region dims
+    * all broadcast, the orders join shuffles on the order key; the
+    * share is integer ppm of two exact cent sums, computed in the same
+    * ≤|years| aggregate — no second pass. */
+  def marketShare(part: DataFrame, supplier: DataFrame,
+                  customer: DataFrame, nation: DataFrame,
+                  region: DataFrame, orders: DataFrame,
+                  lineitem: DataFrame): DataFrame = {
+    val asiaNations = nation
+      .join(broadcast(region.where(col("r_name") === ShareRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    lineitem
+      .join(broadcast(part.where(col("p_type") === SharePartType)
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), revCents.as("rev_c"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("order_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("cn_key"))
+      .groupBy("order_year")
+      .agg(
+        sum(when(col("supp_nation") === ShareNation, col("rev_c"))
+          .otherwise(lit(0L))).as("nation_rev_c"),
+        sum("rev_c").as("total_rev_c"))
+      .select(col("order_year"), col("nation_rev_c"), col("total_rev_c"),
+        expr("nation_rev_c * 1000000 div total_rev_c").as("share_ppm"))
+  }
+
+  /** Part-name token for [[productProfit]] (TPC-H Q9's LIKE filter). */
+  val ProfitNameToken = "red"
+
+  /** Product-line profit (the TPC-H Q9 shape, adapted: this corpus
+    * carries no partsupp supply cost, so profit = discounted revenue):
+    * per (supplier nation, order year) for parts whose name contains
+    * [[ProfitNameToken]]. The name filter broadcasts a pruned part key
+    * set onto the fact scan; supplier and nation dims broadcast; only
+    * the orders join shuffles — on the order key it already owns. */
+  def productProfit(part: DataFrame, supplier: DataFrame,
+                    nation: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part
+        .where(col("p_name").contains(ProfitNameToken))
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), revCents.as("rev_c"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("order_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("supp_nation"), col("order_year"))
+      .agg(sum("rev_c").as("profit_c"), count(lit(1)).as("n_items"))
+
+  /** Customer order-count distribution (the TPC-H Q13 shape): how many
+    * customers placed exactly N orders, N=0 included — the histogram
+    * that sizes a CRM backfill. The per-customer count shuffles on the
+    * customer key once (left join keeps zero-order customers via a
+    * null-safe count of order keys); the distribution is a second
+    * ≤|max orders per customer| aggregate. */
+  def orderCountDist(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select("c_custkey")
+      .join(orders.select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  /** Size whitelist for [[partsSuppliers]] (TPC-H Q16's size set). */
+  val PartsSupplierSizes = Seq(1, 4, 7, 9, 10, 14, 23, 45)
+  /** Brand excluded from [[partsSuppliers]]. */
+  val PartsSupplierExclBrand = "Brand#5"
+
+  /** Supplier-count-per-part-class report (the TPC-H Q16 shape,
+    * adapted: no partsupp table, so the part↔supplier association is
+    * "has actually shipped it" from lineitem): distinct suppliers per
+    * (brand, type, size) for the whitelisted sizes, excluding one
+    * brand and PROMO parts. The part filter broadcasts; the distinct
+    * is two-phase (partial dedup on (class, suppkey) before the
+    * per-class count) so no reducer sees a whole class's stream. */
+  def partsSuppliers(part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem.select("l_partkey", "l_suppkey")
+      .join(broadcast(part
+        .where(col("p_size").isin(PartsSupplierSizes.map(Int.box): _*)
+          && col("p_brand") =!= PartsSupplierExclBrand
+          && !col("p_type").startsWith("PROMO"))
+        .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"), col("l_suppkey"))
+      .distinct()
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count(lit(1)).as("supplier_cnt"))
+
+  /** Brand under the [[smallQtyRevenue]] microscope (TPC-H Q17). */
+  val SmallQtyBrand = "Brand#3"
+
+  /** Small-quantity-order revenue (the TPC-H Q17 shape): revenue from
+    * lineitems of one brand whose quantity falls below 20% of that
+    * part's average ordered quantity — the "would drop if we set a
+    * minimum order size" report. The brand filter broadcasts a pruned
+    * part key set; the per-part average and the below-threshold test
+    * ride ONE shuffle on the part key (a window, not a self-join); the
+    * 20%-of-average comparison is cross-multiplied into exact integer
+    * form (5·qty·n < Σqty) so both engines agree bit-for-bit. */
+  def smallQtyRevenue(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy("l_partkey")
+    lineitem
+      .join(broadcast(part.where(col("p_brand") === SmallQtyBrand)
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"),
+        revCents.as("rev_c"))
+      .withColumn("sum_qty_c", sum("qty_c").over(w))
+      .withColumn("n_part", count(lit(1)).over(w))
+      .where(col("qty_c") * col("n_part") * 5 < col("sum_qty_c"))
+      .agg(sum("rev_c").as("small_qty_rev_c"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Bulk-discount eligibility revenue (the TPC-H Q19 shape, adapted
+    * to this corpus's columns: three OR'd (brand, size range, quantity
+    * range) arms instead of the container/shipmode arms). The whole
+    * disjunction evaluates on the broadcast part dim + the fact row —
+    * one broadcast-hash join, no shuffle at all before the single-row
+    * aggregate; the OR is one codegen'd predicate, not a UNION of
+    * three scans. */
+  def bulkDiscount(part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"),
+        revCents.as("rev_c"))
+      .join(broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+          && col("qty_c").between(100L, 1100L)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+          && col("qty_c").between(1000L, 2000L)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)
+          && col("qty_c").between(2000L, 3000L)))
+      .agg(sum("rev_c").as("bulk_rev_c"), count(lit(1)).as("n_items"))
+
+  /** Dormancy cutoff for [[salesOpportunity]]: a customer with no
+    * order on/after this date counts as lapsed. (Every customer in
+    * this corpus has SOME order, so TPC-H Q22's literal "never
+    * ordered" arm would be vacuously empty — the recency cutoff keeps
+    * the anti-join arm meaningfully exercised.) */
+  val OpportunityCutoff = "2001-01-01"
+
+  /** Dormant-customer opportunity (the TPC-H Q22 shape, adapted: the
+    * grouping key is the market segment this corpus carries instead of
+    * a phone country code, and "never ordered" becomes "no order since
+    * [[OpportunityCutoff]]"): customers with an account balance
+    * strictly above the mean positive balance and no recent order,
+    * counted per segment. The mean is a 1-row broadcast crossed back
+    * with the comparison cross-multiplied into exact integer form
+    * (bal·n > Σbal); the recency test is a left-anti join against the
+    * date-pruned orders scan, shuffling on the customer key orders
+    * already carries. */
+  def salesOpportunity(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val cust = customer.select(col("c_custkey"), col("c_mktsegment"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val posAvg = cust.where(col("bal_c") > 0L)
+      .agg(sum("bal_c").as("sum_pos_c"), count(lit(1)).as("n_pos"))
+    cust
+      .crossJoin(broadcast(posAvg))
+      .where(col("bal_c") * col("n_pos") > col("sum_pos_c"))
+      .join(orders
+        .where(col("o_orderdate") >=
+          lit(OpportunityCutoff).cast("timestamp_ntz"))
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"), sum("bal_c").as("total_bal_c"))
+  }
 }

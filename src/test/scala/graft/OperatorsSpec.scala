@@ -727,6 +727,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.count(_.getAs[String]("action") == "OK") > 0)
   }
 
+  test("olap_market_share: ppm share bounded, nation rev <= total rev") {
+    val ms = Analytics.marketShare(Tables.part(spark, TestSpark.Sf),
+      Tables.supplier(spark, TestSpark.Sf),
+      Tables.customer(spark, TestSpark.Sf), Tables.nation(spark, TestSpark.Sf),
+      Tables.region(spark, TestSpark.Sf), Tables.orders(spark, TestSpark.Sf),
+      Tables.lineitem(spark, TestSpark.Sf)).collect()
+    assert(ms.nonEmpty)
+    ms.foreach { r =>
+      assert(r.getAs[Long]("nation_rev_c") <= r.getAs[Long]("total_rev_c"))
+      assert(r.getAs[Long]("share_ppm") >= 0L)
+      assert(r.getAs[Long]("share_ppm") <= 1000000L)
+    }
+  }
+
+  test("olap_order_dist: distribution masses sum back to the customer and " +
+    "order tables") {
+    val cust = Tables.customer(spark, TestSpark.Sf)
+    val ord = Tables.orders(spark, TestSpark.Sf)
+    val d = Analytics.orderCountDist(cust, ord).collect()
+    assert(d.map(_.getAs[Long]("custdist")).sum === cust.count())
+    assert(d.map(r => r.getAs[Long]("c_count") * r.getAs[Long]("custdist"))
+      .sum === ord.count())
+  }
+
+  test("olap_small_qty: the below-a-fifth-of-average filter keeps a strict " +
+    "subset of the brand's lineitems") {
+    val part = Tables.part(spark, TestSpark.Sf)
+    val li = Tables.lineitem(spark, TestSpark.Sf)
+    val all = li.join(
+      part.where(col("p_brand") === Analytics.SmallQtyBrand)
+        .select("p_partkey"),
+      col("l_partkey") === col("p_partkey")).count()
+    val r = Analytics.smallQtyRevenue(part, li).collect()(0)
+    assert(r.getAs[Long]("n_items") > 0L)
+    assert(r.getAs[Long]("n_items") < all)
+    assert(r.getAs[Long]("small_qty_rev_c") > 0L)
+  }
+
+  test("olap_sales_opportunity: every counted customer is above the mean " +
+    "positive balance and dormant past the cutoff") {
+    val cust = Tables.customer(spark, TestSpark.Sf)
+    val ord = Tables.orders(spark, TestSpark.Sf)
+    val so = Analytics.salesOpportunity(cust, ord).collect()
+    assert(so.nonEmpty)
+    // per-segment counts are bounded by the above-mean cohort size
+    val balC = round(col("c_acctbal") * 100).cast("long")
+    val pos = cust.select(balC.as("b")).where(col("b") > 0L)
+      .agg(sum("b"), count(lit(1))).collect()(0)
+    val aboveMean = cust.select(balC.as("b"))
+      .where(col("b") * pos.getLong(1) > pos.getLong(0)).count()
+    assert(so.map(_.getAs[Long]("n_custs")).sum <= aboveMean)
+    so.foreach(r => assert(r.getAs[Long]("total_bal_c") > 0L))
+  }
+
+  test("olap_parts_suppliers: supplier counts are positive and the " +
+    "excluded brand/type never appear") {
+    val ps = Analytics.partsSuppliers(Tables.part(spark, TestSpark.Sf),
+      Tables.lineitem(spark, TestSpark.Sf)).collect()
+    assert(ps.nonEmpty)
+    ps.foreach { r =>
+      assert(r.getAs[Long]("supplier_cnt") > 0L)
+      assert(r.getAs[String]("p_brand") !== Analytics.PartsSupplierExclBrand)
+      assert(!r.getAs[String]("p_type").startsWith("PROMO"))
+      assert(Analytics.PartsSupplierSizes.map(_.toLong)
+        .contains(r.getAs[Long]("p_size")))
+    }
+  }
+
   test("the alphabetically FIRST oracle carries the session-wide DuckDB " +
     "resource bounds (a new earlier-sorting query must adopt them)") {
     // the driver's checker runs oracles in name order in ONE session;

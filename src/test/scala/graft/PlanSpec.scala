@@ -122,7 +122,10 @@ class PlanSpec extends AnyFunSuite {
       "sq_recall", "mrl_recall", "bq_recall",
       // unimax_alloc crosses the broadcast 1-row totals onto the
       // language grid (a handful of rows)
-      "unimax_alloc")
+      "unimax_alloc",
+      // olap_sales_opportunity crosses the broadcast 1-row
+      // mean-positive-balance aggregate back onto the customer dim
+      "olap_sales_opportunity")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
