@@ -1381,6 +1381,35 @@ object OracleSql {
         |  FROM src FULL OUTER JOIN tgt ON src_key = tgt_key) d
         |WHERE change_type <> 'NONE'""".stripMargin,
 
+    // two-way conflict classification + LWW pick, same simulated-drift
+    // convention as delta_detect (deterministic key mods, phash ts)
+    "sync_conflicts" ->
+      s"""WITH b AS (SELECT CAST(c_custkey AS BIGINT) AS key,
+         |    CAST(ROUND(c_acctbal*100) AS BIGINT) AS base_cents,
+         |    c_custkey % 7 = 0 AS src_edit,
+         |    c_custkey % 10 = 0 AS tgt_edit
+         |  FROM customer),
+         |e AS (SELECT key, base_cents, src_edit, tgt_edit,
+         |    CASE WHEN src_edit THEN base_cents + 50
+         |      ELSE base_cents END AS src_cents,
+         |    CASE WHEN tgt_edit THEN base_cents + 100
+         |      ELSE base_cents END AS tgt_cents,
+         |    CASE WHEN src_edit THEN ${sqlPhash("'s:' || key")} % 1000
+         |      ELSE -1 END AS src_ts,
+         |    CASE WHEN tgt_edit THEN ${sqlPhash("'t:' || key")} % 1000
+         |      ELSE -1 END AS tgt_ts
+         |  FROM b WHERE src_edit OR tgt_edit)
+         |SELECT key, base_cents, src_cents, tgt_cents,
+         |  CAST(src_ts AS BIGINT) AS src_ts, CAST(tgt_ts AS BIGINT) AS tgt_ts,
+         |  CASE WHEN src_edit AND NOT tgt_edit THEN 'APPLY_TO_TARGET'
+         |       WHEN tgt_edit AND NOT src_edit THEN 'APPLY_TO_SOURCE'
+         |       WHEN tgt_ts > src_ts THEN 'CONFLICT_TGT_WINS'
+         |       ELSE 'CONFLICT_SRC_WINS' END AS action,
+         |  CASE WHEN (tgt_edit AND NOT src_edit)
+         |      OR (src_edit AND tgt_edit AND tgt_ts > src_ts)
+         |    THEN tgt_cents ELSE src_cents END AS resolved_cents
+         |FROM e""".stripMargin,
+
     "source_partition_plan" ->
       """WITH b AS (
         |  SELECT CAST(MIN(c_custkey) AS BIGINT) AS lo,
@@ -1664,6 +1693,42 @@ object OracleSql {
          |  CAST(COUNT(*) < ${TextAnalysis.LDivThreshold} AS VARCHAR)
          |    AS at_risk
          |FROM c GROUP BY 1, 2, 3""".stripMargin,
+
+    // t-closeness: exact integer total-variation distance per cell,
+    // absent classes folded into the closed-form (N - Σ g_c)·n tail;
+    // sensitive attribute = lang (see the operator scaladoc)
+    "t_closeness" ->
+      s"""WITH t AS (SELECT source,
+         |    CASE WHEN len(string_split(text, ' ')) > 0
+         |      THEN CAST(length(format('{:b}',
+         |        len(string_split(text, ' ')))) AS BIGINT)
+         |      ELSE 0 END AS len_bucket,
+         |    lang
+         |  FROM documents),
+         |c AS (SELECT source, len_bucket, lang,
+         |    CAST(COUNT(*) AS BIGINT) AS n_class
+         |  FROM t GROUP BY 1, 2, 3),
+         |g AS (SELECT lang, CAST(SUM(n_class) AS BIGINT) AS g_class
+         |  FROM c GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(g_class) AS BIGINT) AS n_tot FROM g),
+         |w AS (SELECT c.source, c.len_bucket, c.n_class, g.g_class,
+         |    CAST(SUM(n_class) OVER (PARTITION BY c.source,
+         |      c.len_bucket) AS BIGINT) AS n_docs
+         |  FROM c JOIN g USING (lang)),
+         |a AS (SELECT source, len_bucket,
+         |    CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+         |    CAST(SUM(ABS(n_class * n_tot - g_class * n_docs)) AS BIGINT)
+         |      AS d_present,
+         |    CAST(SUM(g_class) AS BIGINT) AS present_g,
+         |    CAST(MAX(n_tot) AS BIGINT) AS n_tot
+         |  FROM w, tot GROUP BY 1, 2)
+         |SELECT source, len_bucket, n_docs,
+         |  CAST((d_present + (n_tot - present_g) * n_docs) * 1000000
+         |    // (2 * n_docs * n_tot) AS BIGINT) AS tvd_ppm,
+         |  CAST((d_present + (n_tot - present_g) * n_docs) * 1000000
+         |    // (2 * n_docs * n_tot) >
+         |      ${TextAnalysis.TCloseThresholdPpm} AS VARCHAR) AS at_risk
+         |FROM a""".stripMargin,
 
     "corpus_diversity" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS tk
@@ -1980,6 +2045,67 @@ object OracleSql {
          |    OR sn // greatest(n_new, 1) <
          |      sb // greatest(n_base, 1) - ${Similarity.SimDriftE6}
          |    AS VARCHAR) AS rebalance
+         |FROM g""".stripMargin,
+
+    // list-balance report over the ivf_assign twin; integer ppm/milli
+    "ivf_balance" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+         |         WHERE vec_id BETWEEN 8 AND 23),
+         |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT cand.vec_id, cent.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+         |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
+         |    FROM cand, cent) t WHERE rn = 1),
+         |c AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |  FROM assign GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lists FROM c)
+         |SELECT centroid_id, n_vecs,
+         |  CAST(n_vecs * 1000000 // n_total AS BIGINT) AS share_ppm,
+         |  CAST(n_vecs * n_lists * 1000 // n_total AS BIGINT) AS load_milli,
+         |  CAST(n_vecs * n_lists * 1000 // n_total >
+         |    ${Similarity.BalanceOverloadMilli} AS VARCHAR) AS overloaded
+         |FROM c, tt""".stripMargin,
+
+    // per-label base-vs-delta mean-vector drift; integer e6 sums and
+    // truncating means, one identically-ordered double cosine at the end
+    "embed_drift" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE vec_id >= 8),
+         |x AS (SELECT label,
+         |    (${sqlPhash("'delta:' || vec_id")} %
+         |      ${Similarity.DeltaMod} = 0) AS is_delta,
+         |    CAST(u.i AS BIGINT) AS dim,
+         |    CAST(ROUND(v[u.i + 1] * 1000000) AS BIGINT) AS x_e6
+         |  FROM e, UNNEST(generate_series(0, ${Similarity.Dim - 1}))
+         |    AS u(i)),
+         |d AS (SELECT label, dim,
+         |    CAST(COALESCE(SUM(CASE WHEN NOT is_delta THEN x_e6 END), 0)
+         |      AS BIGINT) AS sb,
+         |    CAST(COALESCE(SUM(CASE WHEN is_delta THEN x_e6 END), 0)
+         |      AS BIGINT) AS sd,
+         |    CAST(SUM(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nb,
+         |    CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nd
+         |  FROM x GROUP BY 1, 2),
+         |m AS (SELECT label, sb // greatest(nb, 1) AS mb,
+         |    sd // greatest(nd, 1) AS md, nb, nd FROM d),
+         |g AS (SELECT label, CAST(SUM(mb * md) AS BIGINT) AS dot,
+         |    CAST(SUM(mb * mb) AS BIGINT) AS bb,
+         |    CAST(SUM(md * md) AS BIGINT) AS dd,
+         |    CAST(MAX(nb) AS BIGINT) AS n_base,
+         |    CAST(MAX(nd) AS BIGINT) AS n_delta
+         |  FROM m GROUP BY 1)
+         |SELECT label, n_base, n_delta,
+         |  CASE WHEN bb > 0 AND dd > 0
+         |    THEN CAST(ROUND(dot / (sqrt(CAST(bb AS DOUBLE))
+         |      * sqrt(CAST(dd AS DOUBLE))) * 1000000) AS BIGINT)
+         |    ELSE 0 END AS drift_cos_e6
          |FROM g""".stripMargin,
 
     // per-IVF-list composition report; assign CTE is the ivf_assign
@@ -2422,6 +2548,30 @@ object OracleSql {
          |  (CAST(SUM(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
          |    // COUNT(*) AS oov_ppm
          |FROM j GROUP BY lang""".stripMargin,
+
+    // Heaps-law growth curve: first-bucket per token via one
+    // min-aggregate, cumulative sums over the 8-row bucket grid
+    "vocab_growth" ->
+      s"""WITH tk AS (SELECT doc_id, t.t AS token
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)),
+         |b AS (SELECT ${sqlPhash("'vg:' || doc_id")} %
+         |    ${TextAnalysis.GrowthBuckets} AS bucket, token FROM tk),
+         |occ AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |  FROM b GROUP BY 1),
+         |f AS (SELECT CAST(MIN(bucket) AS BIGINT) AS first_bucket
+         |  FROM b GROUP BY token),
+         |nf AS (SELECT first_bucket, CAST(COUNT(*) AS BIGINT) AS n_new_types
+         |  FROM f GROUP BY 1),
+         |j AS (SELECT occ.bucket, occ.n_occurrences,
+         |    CAST(COALESCE(nf.n_new_types, 0) AS BIGINT) AS n_new_types
+         |  FROM occ LEFT JOIN nf ON occ.bucket = nf.first_bucket)
+         |SELECT bucket, n_occurrences, n_new_types,
+         |  CAST(SUM(n_occurrences) OVER w AS BIGINT) AS tokens_cum,
+         |  CAST(SUM(n_new_types) OVER w AS BIGINT) AS vocab_cum,
+         |  CAST(SUM(n_new_types) OVER w AS BIGINT) * 1000000 //
+         |    CAST(SUM(n_occurrences) OVER w AS BIGINT) AS ttr_ppm
+         |FROM j WINDOW w AS (ORDER BY bucket
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "ngram_lm_score" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk

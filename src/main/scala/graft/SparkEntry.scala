@@ -84,6 +84,8 @@ object SparkEntry {
         Tables.region(s, dir))),
     "delta_detect"        -> ((s, dir) =>
       Snapshot.deltaDetect(Tables.customer(s, dir))),
+    "sync_conflicts"      -> ((s, dir) =>
+      Snapshot.syncConflicts(Tables.customer(s, dir))),
     "handoff_audit"       -> ((s, dir) => Snapshot.handoffAudit(cl(s, dir))),
     "source_partition_plan" -> ((s, dir) =>
       Snapshot.sourcePartitionPlan(Tables.customer(s, dir))),
@@ -175,6 +177,10 @@ object SparkEntry {
     "ann_index_card"      -> ((s, dir) =>
       Similarity.annIndexCardFrom(Staged.ann(s, dir).assign,
         Tables.embeddings(s, dir))),
+    "ivf_balance"         -> ((s, dir) =>
+      Similarity.ivfBalanceFrom(Staged.ann(s, dir).assign)),
+    "embed_drift"         -> ((s, dir) =>
+      Similarity.embedDrift(Tables.embeddings(s, dir))),
     "quality_filter"      -> ((s, dir) =>
       TextAnalysis.qualityFilter(Tables.documents(s, dir))),
     "corpus_sample"       -> ((s, dir) =>
@@ -224,6 +230,8 @@ object SparkEntry {
       val st = Staged.tokens(s, dir)
       TextAnalysis.vocabCoverageFrom(st.tokens, st.freq)
     }),
+    "vocab_growth"        -> ((s, dir) =>
+      TextAnalysis.vocabGrowthFrom(Staged.tokens(s, dir).tokens)),
     "semantic_dedup"      -> ((s, dir) =>
       Similarity.semanticDedupFrom(Staged.ann(s, dir).assign,
         Tables.embeddings(s, dir))),
@@ -463,6 +471,8 @@ object SparkEntry {
       TextAnalysis.kAnonymity(Tables.documents(s, dir))),
     "l_diversity"         -> ((s, dir) =>
       TextAnalysis.lDiversity(Tables.documents(s, dir))),
+    "t_closeness"         -> ((s, dir) =>
+      TextAnalysis.tCloseness(Tables.documents(s, dir))),
     "corpus_diversity"    -> ((s, dir) =>
       TextAnalysis.corpusDiversity(Tables.documents(s, dir))),
     "schema_drift"        -> ((s, dir) =>

@@ -1325,6 +1325,83 @@ object Similarity {
   def incontextOrder(embeddings: DataFrame): DataFrame =
     incontextOrderFrom(ivfAssign(embeddings), embeddings)
 
+  /** Load (milli of the ideal even share) above which [[ivfBalanceFrom]]
+    * flags a list — 2000 = twice its fair share, FAISS's usual
+    * imbalance red line. */
+  val BalanceOverloadMilli = 2000L
+
+  /** IVF list-balance report — the quantizer-health gate an index
+    * build checks before shipping: per-list population, corpus share
+    * in ppm, load vs the ideal even split in milli (n·K/total), and
+    * the overloaded flag (load above [[BalanceOverloadMilli]]). A
+    * skewed list turns every probe of it into a partial brute-force
+    * scan, so at 100 TB this report decides between shipping the
+    * index and re-training the coarse quantizer. Shape: one
+    * map-side-combined count per list over the staged assignment,
+    * crossed with the broadcast 1-row total — index-sized IO
+    * regardless of corpus size. */
+  def ivfBalanceFrom(assign: DataFrame): DataFrame = {
+    val counts = assign.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(sum("n_vecs").as("n_total"),
+      count(lit(1)).as("n_lists"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("centroid_id"), col("n_vecs"),
+        expr("n_vecs * 1000000 div n_total").as("share_ppm"),
+        expr("n_vecs * n_lists * 1000 div n_total").as("load_milli"))
+      .withColumn("overloaded",
+        (col("load_milli") > BalanceOverloadMilli).cast("string"))
+  }
+
+  /** [[ivfBalanceFrom]] over a freshly built assignment. */
+  def ivfBalance(embeddings: DataFrame): DataFrame =
+    ivfBalanceFrom(ivfAssign(embeddings))
+
+  /** Embedding-distribution drift per label — the monitor that decides
+    * when [[ivfIncremental]]'s fast path (assign new vectors to stale
+    * centroids) stops being safe for a LABEL rather than a list:
+    * cosine between the mean vector of the base corpus and the mean of
+    * the arriving 1-in-8 delta cohort ([[isDeltaCol]] — the SAME
+    * membership rule as ivf_incremental, so the two monitors describe
+    * one ingest feed). A drift cosine well below 1e6 means the label's
+    * new data points elsewhere than its history.
+    *
+    * Exactness: coordinates are e6-rounded once, per-dimension sums
+    * and truncating means are bigint (associative, hash-stable); the
+    * single double step (the final cosine of two ≤e6-integer mean
+    * vectors) is written identically in the oracle so both engines
+    * round the same value. Shape: one narrow posexplode, a
+    * map-side-combined (label, dim) aggregate, then a ≤labels×dims
+    * aggregate — label-grid output, no joins at all. */
+  def embedDrift(embeddings: DataFrame): DataFrame =
+    embeddings.where(col("vec_id") >= QueryCount)
+      .select(col("label").cast("long").as("label"),
+        isDeltaCol.as("is_delta"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("is_delta"),
+        col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1000000L).cast("long").as("x_e6"))
+      .groupBy("label", "dim")
+      .agg(
+        sum(when(!col("is_delta"), col("x_e6")).otherwise(lit(0L))).as("sb"),
+        sum(when(col("is_delta"), col("x_e6")).otherwise(lit(0L))).as("sd"),
+        sum(when(!col("is_delta"), lit(1L)).otherwise(lit(0L))).as("nb"),
+        sum(when(col("is_delta"), lit(1L)).otherwise(lit(0L))).as("nd"))
+      .select(col("label"),
+        expr("sb div greatest(nb, 1)").as("mb"),
+        expr("sd div greatest(nd, 1)").as("md"),
+        col("nb"), col("nd"))
+      .groupBy("label")
+      .agg(sum(expr("mb * md")).as("dot"),
+        sum(expr("mb * mb")).as("bb"),
+        sum(expr("md * md")).as("dd"),
+        max("nb").as("n_base"), max("nd").as("n_delta"))
+      .select(col("label"), col("n_base"), col("n_delta"),
+        when(col("bb") > 0L && col("dd") > 0L,
+          round(col("dot") / (sqrt(col("bb").cast("double"))
+            * sqrt(col("dd").cast("double"))) * 1000000L).cast("long"))
+          .otherwise(lit(0L)).as("drift_cos_e6"))
+
   /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ τ.
     * No all-pairs: the bucket id is the join key. */
   def embeddingNearDup(embeddings: DataFrame, tauE6: Long = 950000L): DataFrame = {

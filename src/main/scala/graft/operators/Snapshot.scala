@@ -473,4 +473,56 @@ object Snapshot {
         concat(lit("c_custkey >= "), col("range_lo").cast("string"),
           lit(" AND c_custkey < "), col("range_hi").cast("string")))
   }
+
+  /** Bidirectional-sync conflict detection — the two-way extension of
+    * [[deltaDetect]] (which assumes one side is the source of truth):
+    * both replicas drifted from a common snapshot, and each edited key
+    * must be classified as one-sided (safe to propagate) or a genuine
+    * conflict, resolved last-writer-wins with source precedence on
+    * ties. Drift is simulated deterministically in the delta_detect
+    * convention: source edits keys %7 (+50 cents), target edits keys
+    * %10 (+100 cents), edit timestamps are portable-hash-derived — so
+    * keys %70 conflict and the LWW pick is reproducible on both
+    * engines. Emits (key, base/src/tgt cents, both edit timestamps,
+    * action, resolved cents).
+    *
+    * Shape: the three replicas derive from ONE row, so the whole
+    * classification is a single narrow projection + filter over the
+    * snapshot scan — no join, no shuffle, trivially 100 TB-safe. A
+    * real deployment substitutes actual replica scans for the two
+    * simulated edit columns; the classification and LWW logic are
+    * unchanged (they then ride the same full-outer key join
+    * deltaDetect pays). */
+  def syncConflicts(customer: DataFrame): DataFrame = {
+    import graft.functions.PortableHash.phash
+    val base = customer.select(col("c_custkey").as("key"),
+      round(col("c_acctbal") * 100).cast("long").as("base_cents"))
+    base
+      .withColumn("src_edit", pmod(col("key"), lit(7L)) === 0)
+      .withColumn("tgt_edit", pmod(col("key"), lit(10L)) === 0)
+      .where(col("src_edit") || col("tgt_edit"))
+      .withColumn("src_cents",
+        when(col("src_edit"), col("base_cents") + 50L)
+          .otherwise(col("base_cents")))
+      .withColumn("tgt_cents",
+        when(col("tgt_edit"), col("base_cents") + 100L)
+          .otherwise(col("base_cents")))
+      .withColumn("src_ts",
+        when(col("src_edit"), pmod(phash(
+          concat(lit("s:"), col("key").cast("string"))), lit(1000L)))
+          .otherwise(lit(-1L)))
+      .withColumn("tgt_ts",
+        when(col("tgt_edit"), pmod(phash(
+          concat(lit("t:"), col("key").cast("string"))), lit(1000L)))
+          .otherwise(lit(-1L)))
+      .withColumn("action",
+        when(col("src_edit") && !col("tgt_edit"), lit("APPLY_TO_TARGET"))
+          .when(!col("src_edit") && col("tgt_edit"), lit("APPLY_TO_SOURCE"))
+          .when(col("tgt_ts") > col("src_ts"), lit("CONFLICT_TGT_WINS"))
+          .otherwise(lit("CONFLICT_SRC_WINS")))
+      .withColumn("resolved_cents",
+        when(col("action").isin("APPLY_TO_SOURCE", "CONFLICT_TGT_WINS"),
+          col("tgt_cents")).otherwise(col("src_cents")))
+      .drop("src_edit", "tgt_edit")
+  }
 }

@@ -1190,14 +1190,21 @@ object TextAnalysis {
     * at-risk flag (l below [[LDivThreshold]]). Shape: one narrow
     * regex-count projection, then two map-side-combined aggregates —
     * cell × class first, cell second; output is grid-sized. */
-  def lDiversity(documents: DataFrame): DataFrame = {
-    val sensitive = when(
+  /** Dominant detected PII class (ssn ≻ email ≻ phone ≻ none) — the
+    * sensitive attribute shared by [[lDiversity]] and [[tCloseness]]
+    * (one definition, so the two disclosure audits grade the same
+    * attribute). */
+  private def piiClassCol: Column =
+    when(
         size(regexp_extract_all(col("text"), lit(SsnRe), lit(0))) > 0, "ssn")
       .when(size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))) > 0,
         "email")
       .when(size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))) > 0,
         "phone")
       .otherwise("none")
+
+  def lDiversity(documents: DataFrame): DataFrame = {
+    val sensitive = piiClassCol
     val cells = documents
       .select(col("lang"), col("source"),
         when(size(tokensCol) > 0,
@@ -1216,6 +1223,103 @@ object TextAnalysis {
         expr("(n_top * 1000000) div n_docs").as("top_class_ppm"),
         (col("l_distinct") < LDivThreshold).cast("string").as("at_risk"))
   }
+
+  /** Total-variation distance (ppm) above which a [[tCloseness]] cell
+    * is flagged: 0.3 — a cell whose sensitive mix strays this far from
+    * the corpus-wide mix discloses class membership. */
+  val TCloseThresholdPpm = 300000L
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007 — the
+    * disclosure check l-diversity misses: a cell can be l-diverse and
+    * still leak when its sensitive MIX differs sharply from the
+    * corpus-wide mix). Quasi-identifiers here are (source,
+    * len_bucket); the sensitive attribute is `lang` — the per-doc
+    * categorical this corpus actually varies on (its PII classes are
+    * uniformly 'none', which would make the audit vacuous; a
+    * deployment substitutes whatever its release treats as sensitive).
+    * Distance = total variation between the cell's attribute
+    * distribution and the global one, kept exact in integer
+    * arithmetic: D = Σ_present |n_c·N − g_c·n| + (N − Σ_present g_c)·n
+    * (absent classes folded into the closed-form tail, so no
+    * per-cell×class grid join is ever built), tvd_ppm = 10⁶·D /
+    * (2·n·N). Shape: one narrow projection, a cell×class aggregate, a
+    * window on the SAME cell partition for n, a class-count-sized
+    * broadcast of global mass — grid-sized output. The bigint
+    * cross-products bound the exact form to ~10⁹-row corpora per run;
+    * past that, ppm-normalize the two distributions first (the audit
+    * is then e0-approximate, which a release gate tolerates). */
+  def tCloseness(documents: DataFrame): DataFrame = {
+    val cellCls = documents
+      .select(col("source"),
+        when(size(tokensCol) > 0,
+          length(bin(size(tokensCol).cast("long"))).cast("long"))
+          .otherwise(lit(0L)).as("len_bucket"),
+        col("lang"))
+      .groupBy("source", "len_bucket", "lang")
+      .agg(count(lit(1)).as("n_class"))
+    val glob = cellCls.groupBy("lang")
+      .agg(sum("n_class").as("g_class"))
+    val tot = glob.agg(sum("g_class").as("n_tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "len_bucket")
+    cellCls
+      .withColumn("n_docs", sum("n_class").over(w))
+      .join(broadcast(glob), Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .groupBy("source", "len_bucket")
+      .agg(max("n_docs").as("n_docs"),
+        sum(abs(col("n_class") * col("n_tot")
+          - col("g_class") * col("n_docs"))).as("d_present"),
+        sum("g_class").as("present_g"),
+        max("n_tot").as("n_tot"))
+      .select(col("source"), col("len_bucket"), col("n_docs"),
+        expr("""(d_present + (n_tot - present_g) * n_docs) * 1000000
+               | div (2 * n_docs * n_tot)""".stripMargin).as("tvd_ppm"))
+      .withColumn("at_risk",
+        (col("tvd_ppm") > TCloseThresholdPpm).cast("string"))
+  }
+
+  /** Corpus-prefix count for [[vocabGrowthFrom]]: the growth curve is
+    * sampled at 8 cumulative hash-bucket prefixes. */
+  val GrowthBuckets = 8L
+
+  /** Heaps-law vocabulary-growth census — how fast the distinct-token
+    * vocabulary grows as the corpus grows, the curve that sizes a
+    * tokenizer's vocab budget and spots synthetic/boilerplate corpora
+    * (vocabulary that flatlines early). Documents are split into
+    * [[GrowthBuckets]] deterministic hash buckets (phash, never
+    * rand()); prefix p = buckets 0..p. Per prefix: cumulative token
+    * occurrences, cumulative vocabulary (distinct tokens whose FIRST
+    * bucket is ≤ p — one min-aggregate per token, so the cumulative
+    * distinct needs no re-scan per prefix), new types introduced, and
+    * the type-token ratio in ppm.
+    *
+    * Shape: the token relation shuffles once on the token (the
+    * vocabulary census key); everything after is bucket-grid-sized,
+    * including the unpartitioned running-sum window (8 rows). */
+  def vocabGrowthFrom(tokens: DataFrame): DataFrame = {
+    import graft.functions.PortableHash.phash
+    val b = tokens.select(
+      pmod(phash(concat(lit("vg:"), col("doc_id").cast("string"))),
+        lit(GrowthBuckets)).as("bucket"),
+      col("token"))
+    val occ = b.groupBy("bucket").agg(count(lit(1)).as("n_occurrences"))
+    val firsts = b.groupBy("token").agg(min("bucket").as("first_bucket"))
+      .groupBy("first_bucket").agg(count(lit(1)).as("n_new_types"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy("bucket")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    occ.join(firsts, col("bucket") === col("first_bucket"), "left")
+      .select(col("bucket"), col("n_occurrences"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("tokens_cum", sum("n_occurrences").over(w))
+      .withColumn("vocab_cum", sum("n_new_types").over(w))
+      .withColumn("ttr_ppm", expr("vocab_cum * 1000000 div tokens_cum"))
+  }
+
+  /** [[vocabGrowthFrom]] over a fresh token relation. */
+  def vocabGrowth(documents: DataFrame): DataFrame =
+    vocabGrowthFrom(tokensRel(documents))
 
   /** Corpus lexical diversity per source — the distinct-1/distinct-2
     * type-token ratios (Li et al. 2016) a curation pass reads to spot

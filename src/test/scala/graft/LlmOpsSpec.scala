@@ -1417,4 +1417,75 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rate <= 1000 * SpanLen / SpanEvery,
       s"rate $rate above the no-overlap bound")
   }
+
+  test("ivf_balance: shares sum to ~1e6, loads average 1000, flags are " +
+    "exactly the >2x-fair-share lists") {
+    val rows = Similarity.ivfBalance(embs).collect()
+    assert(rows.length === Similarity.NumCentroids)
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(total === Similarity.ivfAssign(embs).count())
+    // truncating ppm/milli: sums land within one ulp per list
+    val ppm = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(ppm > 1000000L - rows.length && ppm <= 1000000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("load_milli") ===
+        r.getAs[Long]("n_vecs") * rows.length * 1000L / total)
+      assert(r.getAs[String]("overloaded") ===
+        (r.getAs[Long]("load_milli") >
+          Similarity.BalanceOverloadMilli).toString)
+    }
+  }
+
+  test("embed_drift: cohorts partition the candidates per label and the " +
+    "drift cosine is a valid e6 cosine") {
+    val rows = Similarity.embedDrift(embs).collect()
+    assert(rows.nonEmpty)
+    val cands = embs.where(col("vec_id") >= Similarity.QueryCount)
+    assert(rows.map(r => r.getAs[Long]("n_base") + r.getAs[Long]("n_delta"))
+      .sum === cands.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("drift_cos_e6") >= -1000000L)
+      assert(r.getAs[Long]("drift_cos_e6") <= 1000000L)
+    }
+    // the delta rule actually selects ~1/8 — drift must be measured
+    // against a nonempty cohort somewhere
+    assert(rows.map(_.getAs[Long]("n_delta")).sum > 0L)
+  }
+
+  test("t_closeness: cells cover the corpus, tvd bounded in [0, 1e6], " +
+    "and the audit discriminates between cells") {
+    val rows = TextAnalysis.tCloseness(docs).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    // the (source, len_bucket) grid is the lang-marginalized k-grid
+    val cells = docs.select(col("source"),
+      when(size(split(col("text"), " ")) > 0,
+        length(bin(size(split(col("text"), " ")).cast("long"))))
+        .otherwise(lit(0))).distinct().count()
+    assert(rows.length.toLong === cells)
+    rows.foreach { r =>
+      val tvd = r.getAs[Long]("tvd_ppm")
+      assert(tvd >= 0L && tvd <= 1000000L, r.toString)
+      assert(r.getAs[String]("at_risk") ===
+        (tvd > TextAnalysis.TCloseThresholdPpm).toString)
+    }
+    // the audit must discriminate: not every cell at the same distance
+    assert(rows.map(_.getAs[Long]("tvd_ppm")).distinct.length > 1)
+  }
+
+  test("vocab_growth: cumulative masses reconcile with the token " +
+    "relation and vocabulary growth is monotone") {
+    val toks = TextAnalysis.tokensRel(docs)
+    val rows = TextAnalysis.vocabGrowthFrom(toks).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(rows.length === TextAnalysis.GrowthBuckets)
+    assert(rows.last.getAs[Long]("tokens_cum") === toks.count())
+    assert(rows.last.getAs[Long]("vocab_cum") ===
+      toks.select("token").distinct().count())
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("tokens_cum") > a.getAs[Long]("tokens_cum"))
+      assert(b.getAs[Long]("vocab_cum") >= a.getAs[Long]("vocab_cum"))
+      // Heaps: the type-token ratio decays as the corpus grows
+      assert(b.getAs[Long]("ttr_ppm") <= a.getAs[Long]("ttr_ppm"))
+    }
+  }
 }

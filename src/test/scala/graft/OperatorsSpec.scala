@@ -795,6 +795,43 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("sync_conflicts: one-sided edits propagate, conflicts resolve LWW " +
+    "with source precedence on ties") {
+    val cust = Tables.customer(spark, TestSpark.Sf)
+    val rows = Snapshot.syncConflicts(cust).collect()
+    val expected = cust.where(
+      pmod(col("c_custkey"), lit(7L)) === 0 ||
+        pmod(col("c_custkey"), lit(10L)) === 0).count()
+    assert(rows.length.toLong === expected)
+    var conflicts = 0
+    rows.foreach { r =>
+      val (k, base) = (r.getAs[Long]("key"), r.getAs[Long]("base_cents"))
+      val (src, tgt) = (r.getAs[Long]("src_cents"), r.getAs[Long]("tgt_cents"))
+      r.getAs[String]("action") match {
+        case "APPLY_TO_TARGET" =>
+          assert((k % 7 === 0) && (k % 10 !== 0))
+          assert(src === base + 50 && tgt === base)
+          assert(r.getAs[Long]("resolved_cents") === src)
+        case "APPLY_TO_SOURCE" =>
+          assert((k % 10 === 0) && (k % 7 !== 0))
+          assert(tgt === base + 100 && src === base)
+          assert(r.getAs[Long]("resolved_cents") === tgt)
+        case "CONFLICT_TGT_WINS" =>
+          conflicts += 1
+          assert(k % 70 === 0)
+          assert(r.getAs[Long]("tgt_ts") > r.getAs[Long]("src_ts"))
+          assert(r.getAs[Long]("resolved_cents") === tgt)
+        case "CONFLICT_SRC_WINS" =>
+          conflicts += 1
+          assert(k % 70 === 0)
+          assert(r.getAs[Long]("tgt_ts") <= r.getAs[Long]("src_ts"))
+          assert(r.getAs[Long]("resolved_cents") === src)
+        case other => fail(s"unexpected action $other")
+      }
+    }
+    assert(conflicts > 0, "no conflicting key exercised the LWW arm")
+  }
+
   test("the alphabetically FIRST oracle carries the session-wide DuckDB " +
     "resource bounds (a new earlier-sorting query must adopt them)") {
     // the driver's checker runs oracles in name order in ONE session;

@@ -125,7 +125,10 @@ class PlanSpec extends AnyFunSuite {
       "unimax_alloc",
       // olap_sales_opportunity crosses the broadcast 1-row
       // mean-positive-balance aggregate back onto the customer dim
-      "olap_sales_opportunity")
+      "olap_sales_opportunity",
+      // ivf_balance / t_closeness cross their broadcast 1-row totals
+      // onto grid-sized relations (16 lists / the QI grid)
+      "ivf_balance", "t_closeness")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
