@@ -37,7 +37,9 @@ stream_dedup_parity,stream_window_parity,stream_late_parity,\
 stream_tier_parity,tier_history,ingest_parity,\
 ann_topk,ivf_train,pq_train,pq_recall_trained,sq_recall,\
 span_corruption,repeat_plan,contrastive_triplets,\
-mrl_recall,bq_recall,corpus_diversity,l_diversity"
+mrl_recall,bq_recall,corpus_diversity,l_diversity,\
+incontext_order,unimax_alloc,\
+vocab_growth,t_closeness,embed_drift,ivf_balance"
 
 echo "== amplify $BASE x$K -> $WORK"
 sbt -batch "runMain graft.AmplifyCorpus $BASE $WORK $K"
