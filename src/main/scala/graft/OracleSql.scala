@@ -3355,6 +3355,64 @@ object OracleSql {
 
     "attribution_last_touch" -> AttributionSql,
 
+    // next-event transition matrix over the same (ts_ns, event_id)
+    // arrival order as sessionize/attribution; 'end' sink rows keep
+    // each from_type's outgoing ppm mass complete
+    "event_transitions" ->
+      """WITH s AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+        |    event_type,
+        |    COALESCE(LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id), 'end') AS to_type
+        |  FROM events),
+        |g AS (SELECT event_type AS from_type, to_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM s GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n * 1000000 AS BIGINT) //
+        |    CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+        |FROM g""".stripMargin,
+
+    // RFM quartile census: boundaries via the value_quantiles
+    // convention on the (metric, value) aggregate of the user grid
+    "rfm_segments" -> {
+      val pcts = graft.operators.Analytics.RfmPcts.mkString(", ")
+      s"""WITH u AS (SELECT user_id, MAX(epoch_ns(ts)) AS r,
+         |    CAST(COUNT(*) AS BIGINT) AS f,
+         |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS m
+         |  FROM events GROUP BY 1),
+         |mv AS (
+         |  SELECT user_id, 'r' AS metric, r AS value FROM u
+         |  UNION ALL SELECT user_id, 'f', f FROM u
+         |  UNION ALL SELECT user_id, 'm', m FROM u),
+         |grid AS (SELECT metric, value, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM mv GROUP BY 1, 2),
+         |cums AS (SELECT metric, value,
+         |    CAST(SUM(c) OVER (PARTITION BY metric ORDER BY value
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(c) OVER (PARTITION BY metric) AS BIGINT) AS cnt
+         |  FROM grid),
+         |bounds AS (SELECT metric, pct, MIN(value) AS q
+         |  FROM cums, UNNEST([$pcts]) AS p(pct)
+         |  WHERE cum >= (cnt * pct + 99) // 100
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT mv.user_id, mv.metric,
+         |    1 + CAST(SUM(CASE WHEN b.q < mv.value THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS score,
+         |    MAX(mv.value) AS value
+         |  FROM mv JOIN bounds b USING (metric) GROUP BY 1, 2),
+         |users AS (SELECT user_id,
+         |    MAX(CASE WHEN metric = 'r' THEN score END) AS r_score,
+         |    MAX(CASE WHEN metric = 'f' THEN score END) AS f_score,
+         |    MAX(CASE WHEN metric = 'm' THEN score END) AS m_score,
+         |    MAX(CASE WHEN metric = 'm' THEN value END) AS m_cents
+         |  FROM scored GROUP BY 1)
+         |SELECT r_score, f_score, m_score,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(m_cents) AS BIGINT) AS total_cents
+         |FROM users GROUP BY 1, 2, 3""".stripMargin
+    },
+
     "stream_attribution_parity" -> AttributionSql,
 
     "funnel_conversion" ->
@@ -3993,6 +4051,46 @@ object OracleSql {
          |    ROW_NUMBER() OVER (PARTITION BY q.q_id
          |      ORDER BY list_sum(list_transform(
          |        list_zip(q.qv, c.cv), p -> p[1] * p[2])) DESC,
+         |        c.cand_id) AS rn
+         |  FROM q, c) t WHERE rn <= $k),
+         |tq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+         |tc AS (SELECT vec_id AS cand_id, v AS cv FROM e
+         |  WHERE vec_id >= 8),
+         |truth AS (SELECT q_id, cand_id FROM (
+         |  SELECT tq.q_id, tc.cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY tq.q_id
+         |      ORDER BY list_cosine_similarity(qv, cv) DESC, cand_id)
+         |      AS rn
+         |  FROM tq, tc) t WHERE rn <= $k),
+         |h AS (SELECT truth.q_id, CAST(COUNT(approx.cand_id) AS BIGINT)
+         |    AS n_hits
+         |  FROM truth LEFT JOIN approx
+         |    ON truth.q_id = approx.q_id AND truth.cand_id = approx.cand_id
+         |  GROUP BY 1)
+         |SELECT q_id, n_hits, (n_hits * 1000) // $k AS recall_milli
+         |FROM h""".stripMargin
+    },
+
+    // JL signed-random-projection recall: the ±1 sign matrix is the
+    // SAME phash-derived literal the Spark expression embeds
+    "rp_recall" -> {
+      val k = graft.operators.Similarity.TopK
+      val signs = graft.operators.Similarity.rpSigns
+        .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |p AS (SELECT vec_id, list_transform($signs,
+         |    row -> list_sum(list_transform(list_zip(row,
+         |      list_transform(v, x -> CAST(ROUND(x * 1000000) AS BIGINT))),
+         |      pr -> pr[1] * pr[2]))) AS y FROM e),
+         |q AS (SELECT vec_id AS q_id, y AS yq FROM p WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cand_id, y AS yc FROM p
+         |  WHERE vec_id >= 8),
+         |approx AS (SELECT q_id, cand_id FROM (
+         |  SELECT q.q_id, c.cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |      ORDER BY list_sum(list_transform(
+         |        list_zip(q.yq, c.yc), pr -> pr[1] * pr[2])) DESC,
          |        c.cand_id) AS rn
          |  FROM q, c) t WHERE rn <= $k),
          |tq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),

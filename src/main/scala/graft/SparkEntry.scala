@@ -279,6 +279,9 @@ object SparkEntry {
     "sq_recall"           -> ((s, dir) =>
       Similarity.sqRecallFrom(Staged.ann(s, dir).cosTruth,
         Tables.embeddings(s, dir))),
+    "rp_recall"           -> ((s, dir) =>
+      Similarity.rpRecallFrom(Staged.ann(s, dir).cosTruth,
+        Tables.embeddings(s, dir))),
     "mrl_recall"          -> ((s, dir) =>
       Similarity.mrlRecallCurveFrom(Staged.ann(s, dir).cosTruth,
         Tables.embeddings(s, dir))),
@@ -315,6 +318,10 @@ object SparkEntry {
       Analytics.funnelConversion(Tables.events(s, dir))),
     "attribution_last_touch" -> ((s, dir) =>
       Analytics.attributionLastTouch(Tables.events(s, dir))),
+    "event_transitions"   -> ((s, dir) =>
+      Analytics.eventTransitions(Tables.events(s, dir))),
+    "rfm_segments"        -> ((s, dir) =>
+      Analytics.rfmSegments(Tables.events(s, dir))),
     "retention_cohorts"   -> ((s, dir) =>
       Analytics.retentionCohorts(Tables.events(s, dir))),
     "value_histogram"     -> ((s, dir) =>

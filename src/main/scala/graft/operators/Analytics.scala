@@ -370,6 +370,84 @@ object Analytics {
         sum("value_cents").as("revenue_cents"))
   }
 
+  /** Next-event Markov transition matrix — the product-analytics
+    * staple beside funnel_conversion and attribution_last_touch: per
+    * (from_type, to_type) count of consecutive event pairs within each
+    * user's stream, with the row-normalized transition probability in
+    * ppm. Stream ends are credited to the 'end' sink so every row of
+    * the matrix carries its full outgoing mass (the ppm column of one
+    * from_type sums to ~1e6 up to truncation). One per-user window
+    * over the same (ts_ns, event_id) arrival order as sessionize/
+    * attribution — a single user-key shuffle — then a
+    * ≤(|types|+1)² aggregate; the normalizing window runs on that
+    * grid, never on raw events. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("event_id"))
+    val gridW = Window.partitionBy("from_type")
+    events
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1, "end").over(w))
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum("n").over(gridW))
+      .withColumn("p_ppm", expr("n * 1000000 div tot"))
+      .drop("tot")
+  }
+
+  /** Quartile percents for [[rfmSegments]]. */
+  val RfmPcts: Seq[Int] = Seq(25, 50, 75)
+
+  /** RFM segmentation — the classic recency/frequency/monetary
+    * customer grid: per user, recency (latest event time), frequency
+    * (event count) and monetary (total value in cents) are scored
+    * 1..4 by which exact quartile of the user population they fall
+    * into, and the report is the ≤4³-cell segment census with its
+    * monetary mass. Quartile boundaries use the value_quantiles
+    * convention (smallest value whose cumulative count reaches
+    * ⌈n·pct/100⌉ — exact, tie-stable, no interpolation) computed on
+    * the (metric, value) AGGREGATE of the user grid, never on raw
+    * rows; a user scores 1 + (boundaries strictly below its value).
+    * Shape: one user-key shuffle for the per-user rollup, value-grid
+    * windows, a 9-row boundary broadcast back onto the grid, then the
+    * 64-cell rollup. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val users = events
+      .select(col("user_id"), col("ts_ns"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(max("ts_ns").as("r"), count(lit(1)).as("f"),
+        sum("cents").as("m"))
+    val mv = users.select(col("user_id"),
+      expr("stack(3, 'r', r, 'f', f, 'm', m) as (metric, value)"))
+    val w = Window.partitionBy("metric").orderBy("value")
+    val cw = Window.partitionBy("metric")
+    val bounds = mv.groupBy("metric", "value")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("cnt", sum("c").over(cw))
+      .select(col("metric"), col("value"), col("cum"), col("cnt"),
+        explode(array(RfmPcts.map(lit): _*)).as("pct"))
+      .where(col("cum") >= expr("(cnt * pct + 99) div 100"))
+      .groupBy("metric", "pct")
+      .agg(min("value").as("q"))
+    val scored = mv.join(broadcast(bounds.select("metric", "q")),
+        Seq("metric"))
+      .groupBy("user_id", "metric")
+      .agg((lit(1L) + sum(when(col("q") < col("value"), 1L)
+        .otherwise(0L))).as("score"),
+        max("value").as("value"))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("metric") === "r", col("score"))).as("r_score"),
+        max(when(col("metric") === "f", col("score"))).as("f_score"),
+        max(when(col("metric") === "m", col("score"))).as("m_score"),
+        max(when(col("metric") === "m", col("value"))).as("m_cents"))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"), sum("m_cents").as("total_cents"))
+  }
+
   /** Top-k for [[returnedTop]] (TPC-H Q10's report size). */
   val ReturnedTopK = 20
 

@@ -627,6 +627,63 @@ object Similarity {
   def sqRecall(embeddings: DataFrame, k: Int = TopK): DataFrame =
     sqRecallFrom(bruteTopK(embeddings, k), embeddings, k)
 
+  /** Output dimensionality of the [[rpRecallFrom]] projection. */
+  val RpDims = 16
+
+  /** The fixed ±1 Johnson–Lindenstrauss sign matrix (RpDims × Dim),
+    * phash-derived so both engines embed the SAME literal — never
+    * rand(). */
+  lazy val rpSigns: IndexedSeq[IndexedSeq[Long]] =
+    (0 until RpDims).map(j => (0 until Dim).map(i =>
+      if (graft.functions.PortableHash.md5Long(s"rp:$i:$j") % 2 == 0) 1L
+      else -1L))
+
+  private lazy val rpSignsLit: String =
+    rpSigns.map(_.map(v => s"${v}L").mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+
+  /** e6-integer signed-random-projection of a float vector column. */
+  private def rpProjExpr(c: String): String =
+    s"transform($rpSignsLit, row -> aggregate(zip_with(row, " +
+      s"transform($c, x -> cast(round(cast(x as double) * 1000000) " +
+      "as bigint)), (s, v) -> s * v), cast(0 as bigint), (a, b) -> a + b))"
+
+  /** Johnson–Lindenstrauss signed-random-projection recall gate — the
+    * data-INDEPENDENT rung of the storage ladder, between int8
+    * ([[sqRecallFrom]], same width, learned nothing) and the learned
+    * reductions (MRL prefixes, PQ codebooks): every e6-integer vector
+    * is projected through the fixed ±1 sign matrix [[rpSigns]] from
+    * [[Dim]]=64 down to [[RpDims]]=16 coordinates, candidates are
+    * ranked by the exact integer dot in the projected space, and the
+    * gate reports recall@k against the exact cosine truth. What a 4×
+    * coordinate cut costs with NO training, no codebook, and no
+    * assumption about the corpus — the floor every learned method must
+    * beat to justify its training pass.
+    *
+    * Shape: identical to sq_recall — the projection is one codegen'd
+    * higher-order expression on the streaming candidate scan, the
+    * 8-query projected set broadcasts, ranking is a per-query window.
+    * Integer end-to-end → bit-identical cross-engine. */
+  def rpRecallFrom(cosTruth: DataFrame, embeddings: DataFrame,
+                   k: Int = TopK): DataFrame = {
+    val q = queries(embeddings)
+      .select(col("q_id"), expr(rpProjExpr("q_vec")).as("yq"))
+    val approx = candidates(embeddings)
+      .select(col("cand_id"), expr(rpProjExpr("c_vec")).as("yc"))
+      .join(broadcast(q))
+      .withColumn("dot", expr("aggregate(zip_with(yq, yc, (a, b) -> a * b)" +
+        ", cast(0 as bigint), (s, v) -> s + v)"))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("dot").desc, col("cand_id"))))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("cand_id"))
+    recallAtK(cosTruth, approx, k)
+  }
+
+  /** [[rpRecallFrom]] built standalone. */
+  def rpRecall(embeddings: DataFrame, k: Int = TopK): DataFrame =
+    rpRecallFrom(bruteTopK(embeddings, k), embeddings, k)
+
   /** Prefix dimensionalities evaluated by [[mrlRecallCurve]]. The top
     * entry is the full [[Dim]], so the curve's top end must reproduce
     * [[sqRecall]]'s aggregate exactly — a built-in sanity check. */

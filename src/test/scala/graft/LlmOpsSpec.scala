@@ -1418,6 +1418,24 @@ class LlmOpsSpec extends AnyFunSuite {
       s"rate $rate above the no-overlap bound")
   }
 
+  test("rp_recall: one row per query, recall bounded, and the projected " +
+    "ranking is a genuine subset selection (not the exact ranking)") {
+    val rows = Similarity.rpRecall(embs).collect()
+    assert(rows.length === Similarity.QueryCount)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= Similarity.TopK)
+      assert(r.getAs[Long]("recall_milli") ===
+        hits * 1000L / Similarity.TopK)
+    }
+    // the sign matrix is fixed, balanced-ish, and ±1 only
+    assert(Similarity.rpSigns.length === Similarity.RpDims)
+    Similarity.rpSigns.foreach { row =>
+      assert(row.length === Similarity.Dim)
+      assert(row.forall(v => v == 1L || v == -1L))
+    }
+  }
+
   test("ivf_balance: shares sum to ~1e6, loads average 1000, flags are " +
     "exactly the >2x-fair-share lists") {
     val rows = Similarity.ivfBalance(embs).collect()

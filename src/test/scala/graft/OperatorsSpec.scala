@@ -795,6 +795,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("event_transitions: pair mass = one row per event, outgoing ppm " +
+    "sums to ~1e6 per from_type") {
+    val ev = Tables.events(spark, TestSpark.Sf)
+    val rows = Analytics.eventTransitions(ev).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum === ev.count())
+    // every user's stream ends exactly once
+    assert(rows.filter(_.getAs[String]("to_type") == "end")
+      .map(_.getAs[Long]("n")).sum ===
+      ev.select("user_id").distinct().count())
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (_, g) =>
+      val mass = g.map(_.getAs[Long]("p_ppm")).sum
+      assert(mass > 1000000L - g.length && mass <= 1000000L)
+    }
+  }
+
+  test("rfm_segments: users conserved, scores in 1..4, monetary mass " +
+    "matches the event stream") {
+    val ev = Tables.events(spark, TestSpark.Sf)
+    val rows = Analytics.rfmSegments(ev).collect()
+    assert(rows.map(_.getAs[Long]("n_users")).sum ===
+      ev.select("user_id").distinct().count())
+    val totalCents = ev.select(round(col("value") * 100).cast("long")
+      .as("c")).agg(sum("c")).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("total_cents")).sum === totalCents)
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        assert(r.getAs[Long](c) >= 1L && r.getAs[Long](c) <= 4L)
+      }
+    }
+    // quartiles must actually split the population: at least 2 levels
+    // per dimension appear across segments
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      assert(rows.map(_.getAs[Long](c)).distinct.length >= 2, c)
+    }
+  }
+
   test("sync_conflicts: one-sided edits propagate, conflicts resolve LWW " +
     "with source precedence on ties") {
     val cust = Tables.customer(spark, TestSpark.Sf)

@@ -117,9 +117,9 @@ class PlanSpec extends AnyFunSuite {
       // pack_efficiency fans the offsets over the broadcast 4-row
       // candidate-length table
       "pack_efficiency",
-      // sq_recall / mrl_recall / bq_recall broadcast the 8-query
-      // int8/sign-word set like ann_topk
-      "sq_recall", "mrl_recall", "bq_recall",
+      // sq_recall / mrl_recall / bq_recall / rp_recall broadcast the
+      // 8-query int8/sign-word/projected set like ann_topk
+      "sq_recall", "mrl_recall", "bq_recall", "rp_recall",
       // unimax_alloc crosses the broadcast 1-row totals onto the
       // language grid (a handful of rows)
       "unimax_alloc",
