@@ -206,6 +206,14 @@ object ScaleProbe {
       // the distinct-gram census (two-phase distinct keyed by the gram)
       // and the PII-class disclosure grid — both volume-growing
       "corpus_diversity" -> sink(TextAnalysis.corpusDiversity(docs)),
-      "l_diversity" -> sink(TextAnalysis.lDiversity(docs)))
+      "l_diversity" -> sink(TextAnalysis.lDiversity(docs)),
+      // round-9 batch-3 additions: the Heaps census (token-keyed
+      // shuffle), the TVD disclosure grid, and the event-side
+      // transition/RFM lanes (user-keyed windows + value-grid quartiles)
+      "vocab_growth" -> sink(TextAnalysis.vocabGrowth(docs)),
+      "t_closeness" -> sink(TextAnalysis.tCloseness(docs)),
+      "event_transitions" -> sink(
+        graft.operators.Analytics.eventTransitions(ev)),
+      "rfm_segments" -> sink(graft.operators.Analytics.rfmSegments(ev)))
   }
 }
