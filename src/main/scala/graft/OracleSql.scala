@@ -480,6 +480,23 @@ object OracleSql {
         |  CAST(SUM(value_cents) AS BIGINT) AS revenue_cents
         |FROM a WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
 
+  /** Next-event transition-matrix SQL — shared verbatim by
+    * `event_transitions` and the streaming replay
+    * `stream_transitions_parity`. */
+  val TransitionsSql: String =
+    """WITH s AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+      |    event_type,
+      |    COALESCE(LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts), event_id), 'end') AS to_type
+      |  FROM events),
+      |g AS (SELECT event_type AS from_type, to_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM s GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n * 1000000 AS BIGINT) //
+      |    CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+      |FROM g""".stripMargin
+
   /** Gaps-and-islands tier-history SQL — shared verbatim by
     * `tier_history` and the streaming replay `stream_tier_parity`. */
   val TierHistorySql: String =
@@ -2394,6 +2411,31 @@ object OracleSql {
 
     // one cumulative-offset window shared by every candidate length;
     // padding = only the last bin per (lang, source) stream is partial
+    // serving-side padding plan: 64-multiple length buckets, batch
+    // counts under the token budget, per-bucket + global-naive waste
+    "padding_plan" -> {
+      val m = TextAnalysis.PadMultiple
+      val bt = TextAnalysis.MaxBatchTokens
+      s"""WITH t AS (SELECT
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+         |b AS (SELECT ((toks + ${m - 1}) // $m) * $m AS bucket_len,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(toks) AS BIGINT) AS total_tokens
+         |  FROM t GROUP BY 1),
+         |g AS (SELECT CAST(MAX(bucket_len) AS BIGINT) AS max_len,
+         |    CAST(SUM(n_docs) AS BIGINT) AS all_docs,
+         |    CAST(SUM(total_tokens) AS BIGINT) AS all_tokens FROM b)
+         |SELECT bucket_len, n_docs, total_tokens,
+         |  CAST((n_docs * bucket_len + ${bt - 1}) // $bt AS BIGINT)
+         |    AS n_batches,
+         |  CAST(((n_docs * bucket_len - total_tokens) * 1000000)
+         |    // (n_docs * bucket_len) AS BIGINT) AS padding_ppm,
+         |  CAST(((all_docs * max_len - all_tokens) * 1000000)
+         |    // (all_docs * max_len) AS BIGINT) AS naive_ppm
+         |FROM b, g""".stripMargin
+    },
+
     "pack_efficiency" -> {
       val lens = TextAnalysis.PackLens.mkString(", ")
       s"""WITH t AS (SELECT doc_id, lang, source,
@@ -3158,6 +3200,59 @@ object OracleSql {
          |LEFT JOIN hits h USING (q_id)""".stripMargin
     },
 
+    // combined IVF probe pruning + int8 in-list ranking vs exact truth
+    "ivf_sq_recall" -> {
+      val k = graft.operators.Similarity.TopK
+      val p = graft.operators.Similarity.NumProbes
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+         |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+         |truth AS (SELECT q_id, cand_id FROM (
+         |  SELECT q_id, cand.vec_id AS cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY list_cosine_similarity(qv, v) DESC, cand.vec_id)
+         |      AS rn
+         |  FROM q, cand) t WHERE rn <= $k),
+         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+         |  WHERE vec_id BETWEEN 8 AND 23),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT cand.vec_id, cent.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+         |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id)
+         |        AS rn
+         |    FROM cand, cent) t WHERE rn = 1),
+         |probes AS (
+         |  SELECT q_id, centroid_id FROM (
+         |    SELECT q_id, centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY list_cosine_similarity(qv, cv) DESC, centroid_id)
+         |        AS rn
+         |    FROM q, cent) t WHERE rn <= $p),
+         |i8 AS (SELECT vec_id, list_transform(v,
+         |    x -> CAST(ROUND(GREATEST(LEAST(x, 1.0), -1.0) * 127)
+         |      AS BIGINT)) AS qv8 FROM e),
+         |approx AS (SELECT q_id, vec_id AS cand_id FROM (
+         |  SELECT pr.q_id, pr.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY pr.q_id
+         |      ORDER BY list_sum(list_transform(
+         |        list_zip(qi.qv8, ci.qv8), z -> z[1] * z[2])) DESC,
+         |        pr.vec_id) AS rn
+         |  FROM (SELECT p2.q_id, a.vec_id
+         |        FROM probes p2 JOIN assign a USING (centroid_id)) pr
+         |  JOIN i8 qi ON pr.q_id = qi.vec_id
+         |  JOIN i8 ci ON pr.vec_id = ci.vec_id) t WHERE rn <= $k),
+         |hits AS (SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM truth t JOIN approx a
+         |    ON t.q_id = a.q_id AND t.cand_id = a.cand_id
+         |  GROUP BY 1)
+         |SELECT b.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |  (COALESCE(h.n_hits, 0) * 1000) // $k AS recall_milli
+         |FROM (SELECT DISTINCT q_id FROM truth) b
+         |LEFT JOIN hits h USING (q_id)""".stripMargin
+    },
+
     "ivf_recall_curve" -> {
       val k = graft.operators.Similarity.TopK
       val ps = graft.operators.Similarity.IvfProbeCounts
@@ -3358,19 +3453,9 @@ object OracleSql {
     // next-event transition matrix over the same (ts_ns, event_id)
     // arrival order as sessionize/attribution; 'end' sink rows keep
     // each from_type's outgoing ppm mass complete
-    "event_transitions" ->
-      """WITH s AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
-        |    event_type,
-        |    COALESCE(LEAD(event_type, 1) OVER (PARTITION BY user_id
-        |      ORDER BY epoch_ns(ts), event_id), 'end') AS to_type
-        |  FROM events),
-        |g AS (SELECT event_type AS from_type, to_type,
-        |    CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM s GROUP BY 1, 2)
-        |SELECT from_type, to_type, n,
-        |  CAST(n * 1000000 AS BIGINT) //
-        |    CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
-        |FROM g""".stripMargin,
+    "event_transitions" -> TransitionsSql,
+
+    "stream_transitions_parity" -> TransitionsSql,
 
     // RFM quartile census: boundaries via the value_quantiles
     // convention on the (metric, value) aggregate of the user grid

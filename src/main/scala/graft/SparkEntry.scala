@@ -112,6 +112,8 @@ object SparkEntry {
       graft.streaming.CdcStream.lateParity(s, Tables.events(s, dir))),
     "stream_attribution_parity" -> ((s, dir) =>
       graft.streaming.CdcStream.attributionParity(s, Tables.events(s, dir))),
+    "stream_transitions_parity" -> ((s, dir) =>
+      graft.streaming.CdcStream.transitionsParity(s, Tables.events(s, dir))),
     "stream_tier_parity"  -> ((s, dir) =>
       graft.streaming.CdcStream.tierParity(s, cl(s, dir))),
     "pipeline_e2e"        -> ((s, dir) => Pipeline.run(s, dir).applied),
@@ -210,6 +212,8 @@ object SparkEntry {
       TextAnalysis.packSequences(Tables.documents(s, dir))),
     "pack_efficiency"     -> ((s, dir) =>
       TextAnalysis.packEfficiency(Tables.documents(s, dir))),
+    "padding_plan"        -> ((s, dir) =>
+      TextAnalysis.paddingPlan(Tables.documents(s, dir))),
     "dist_drift"          -> ((s, dir) =>
       TextAnalysis.distDriftFrom(Staged.tokens(s, dir).tokens)),
     "source_rollup"       -> ((s, dir) =>
@@ -282,6 +286,9 @@ object SparkEntry {
     "rp_recall"           -> ((s, dir) =>
       Similarity.rpRecallFrom(Staged.ann(s, dir).cosTruth,
         Tables.embeddings(s, dir))),
+    "ivf_sq_recall"       -> ((s, dir) =>
+      Similarity.ivfSqRecallFrom(Staged.ann(s, dir).cosTruth,
+        Staged.ann(s, dir).assign, Tables.embeddings(s, dir))),
     "mrl_recall"          -> ((s, dir) =>
       Similarity.mrlRecallCurveFrom(Staged.ann(s, dir).cosTruth,
         Tables.embeddings(s, dir))),

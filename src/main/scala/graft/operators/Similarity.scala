@@ -836,6 +836,48 @@ object Similarity {
       ivfTopKFrom(assign, embeddings, k)
         .select(col("q_id"), col("cand_id")), k)
 
+  /** Combined IVF + int8 recall gate — the rung the production config
+    * actually ships: the coarse quantizer prunes to [[NumProbes]]
+    * probed lists (ivf_recall's fan-out) AND the in-list ranking runs
+    * on int8 scalar-quantized vectors (sq_recall's storage), so the
+    * gate prices the two approximations TOGETHER against the exact
+    * cosine truth. Composing the two published gates multiplies their
+    * error only if the errors are independent — this measures whether
+    * they are on this corpus. Shape: probe selection is the 16-row
+    * centroid broadcast; in-list candidates stream through the
+    * codegen'd int8 dot once; integer ranking end-to-end. */
+  def ivfSqRecallFrom(cosTruth: DataFrame, assign: DataFrame,
+                      embeddings: DataFrame, k: Int = TopK,
+                      numProbes: Int = NumProbes): DataFrame = {
+    val cents = broadcast(centroids(embeddings))
+    val q = queries(embeddings)
+    val probes = q.join(cents)
+      .withColumn("sim", cosineSim(col("q_vec"), col("cv")))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("centroid_id"))))
+      .where(col("rn") <= numProbes)
+      .select("q_id", "centroid_id")
+    val qq = queries(embeddings)
+      .select(col("q_id"), expr(int8Expr("q_vec")).as("qq"))
+    val approx = probes
+      .join(assign, Seq("centroid_id"))
+      .join(candidates(embeddings).withColumnRenamed("cand_id", "vec_id")
+        .select(col("vec_id"), expr(int8Expr("c_vec")).as("qc")), "vec_id")
+      .join(broadcast(qq), Seq("q_id"))
+      .withColumn("dot", expr("aggregate(zip_with(qq, qc, (a, b) -> a * b)" +
+        ", cast(0 as bigint), (s, v) -> s + v)"))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("dot").desc, col("vec_id"))))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+    recallAtK(cosTruth.select(col("q_id"), col("cand_id")), approx, k)
+  }
+
+  /** [[ivfSqRecallFrom]] built standalone. */
+  def ivfSqRecall(embeddings: DataFrame, k: Int = TopK): DataFrame =
+    ivfSqRecallFrom(bruteTopK(embeddings, k), ivfAssign(embeddings),
+      embeddings, k)
+
   /** Probe counts evaluated by [[ivfRecallCurve]]. */
   val IvfProbeCounts: Seq[Int] = Seq(1, 2, 4, 8, 16)
 

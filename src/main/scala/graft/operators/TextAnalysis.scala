@@ -508,6 +508,42 @@ object TextAnalysis {
         expr(s"(end_off - n_tokens) % $SeqLen").as("bin_offset"))
   }
 
+  /** Length-bucket granularity (tokens) for [[paddingPlan]]. */
+  val PadMultiple = 64L
+  /** Token budget per inference batch for [[paddingPlan]]. */
+  val MaxBatchTokens = 16384L
+
+  /** Inference batch-padding plan — the SERVING-side twin of the
+    * packing curve: documents are length-bucketed to the next
+    * [[PadMultiple]] (the dynamic-batching discipline: batch only
+    * same-bucket sequences, pad each to its bucket length), and the
+    * plan reports, per bucket, the population, the batch count under
+    * the [[MaxBatchTokens]] budget, and the padding waste in ppm —
+    * what naive any-length batching (everything padded to the GLOBAL
+    * max) would cost rides along as the one-row naive_ppm comparison
+    * on every row. One narrow projection + one grid aggregate + a
+    * 1-row broadcast of global totals — bucket-grid output. */
+  def paddingPlan(documents: DataFrame): DataFrame = {
+    val b = documents
+      .select(size(tokensCol).cast("long").as("toks"))
+      .where(col("toks") > 0L)
+      .withColumn("bucket_len",
+        expr(s"((toks + ${PadMultiple - 1}) div $PadMultiple) " +
+          s"* $PadMultiple"))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"))
+    val glob = b.agg(max("bucket_len").as("max_len"),
+      sum("n_docs").as("all_docs"), sum("total_tokens").as("all_tokens"))
+    b.crossJoin(broadcast(glob))
+      .select(col("bucket_len"), col("n_docs"), col("total_tokens"),
+        expr(s"(n_docs * bucket_len + ${MaxBatchTokens - 1}) " +
+          s"div $MaxBatchTokens").as("n_batches"),
+        expr("((n_docs * bucket_len - total_tokens) * 1000000) " +
+          "div (n_docs * bucket_len)").as("padding_ppm"),
+        expr("((all_docs * max_len - all_tokens) * 1000000) " +
+          "div (all_docs * max_len)").as("naive_ppm"))
+  }
+
   /** Candidate context lengths for [[packEfficiency]]. */
   val PackLens = Seq(512L, 1024L, 2048L, 4096L)
 

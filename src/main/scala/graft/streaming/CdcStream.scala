@@ -471,6 +471,77 @@ object CdcStream {
         sum("value_cents").as("revenue_cents"))
   }
 
+  /** One emitted next-event transition. */
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Continuous next-event transition extraction — the streaming twin
+    * of Analytics.eventTransitions: per-key state holds the previous
+    * event type (ONE string per key regardless of history length);
+    * each arriving event emits the (prev → current) pair. The batch
+    * operator's 'end' sink rows come from the parity harness's final
+    * sentinel batch, which drives this same code path (prev →
+    * sentinel type), so the stream and the batch matrix carry
+    * identical mass. Within a micro-batch the group's slice is sorted
+    * by (ts_ns, event_id) — the batch/oracle total order. */
+  def transitionsStream(spark: SparkSession,
+                        evs: Dataset[RawEvent]): Dataset[Transition] = {
+    import spark.implicits._
+    evs
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[RawEvent],
+         state: GroupState[TouchState]) =>
+          val out = scala.collection.mutable.ListBuffer.empty[Transition]
+          var prev = state.getOption.map(_.touch)
+          batch.toSeq.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
+            prev.foreach(p => out += Transition(uid, p, e.event_type))
+            prev = Some(e.event_type)
+          }
+          prev.foreach(p => state.update(TouchState(p)))
+          out.iterator
+      }
+  }
+
+  /** Streaming↔batch transition-matrix parity: replay the raw events
+    * as contiguous event-time micro-batches through
+    * [[transitionsStream]], then one 'end'-sentinel batch per user
+    * flushes the final transitions; the rolled-up (from, to) matrix
+    * with its ppm normalization must hash-equal the batch
+    * event_transitions oracle verbatim. */
+  def transitionsParity(spark: SparkSession, events: DataFrame,
+                        nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val src = events.select(col("user_id"), col("event_id"),
+      col("ts_ns"), col("event_type"),
+      lit(0L).as("value_cents"), col("ts"))
+    val bounds = src.agg(min("ts_ns"), max("ts_ns"), max("event_id"))
+      .collect()(0)
+    if (bounds.isNullAt(0))
+      return spark.emptyDataFrame.select(lit("").as("from_type"),
+        lit("").as("to_type"), lit(0L).as("n"), lit(0L).as("p_ppm"))
+    val sentinelNs = bounds.getLong(1) + 3600L * 1000000000L
+    val sentinelId = bounds.getLong(2) + 1L
+    val sentinels = src.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(sentinelId).as("event_id"),
+        lit(sentinelNs).as("ts_ns"), lit("end").as("event_type"),
+        lit(0L).as("value_cents"),
+        timestamp_millis(lit(sentinelNs / 1000000L)).as("ts"))
+    val gridW = org.apache.spark.sql.expressions.Window
+      .partitionBy("from_type")
+    replayStaged(spark,
+        rangeSlices(src, "ts_ns", bounds.getLong(0), bounds.getLong(1),
+          nBatches) :+ sentinels,
+        OutputMode.Append())(
+        df => transitionsStream(spark, df.as[RawEvent]).toDF())
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum("n").over(gridW))
+      .withColumn("p_ppm", expr("n * 1000000 div tot"))
+      .drop("tot")
+  }
+
   /** Adaptive poll backoff — the exact wait-time policy of
     * `/root/reference/.../sync/DataPoller.scala:60-74`: sleep
     * `(batch - polled)/batch · maxPollWait` ms after each poll (full

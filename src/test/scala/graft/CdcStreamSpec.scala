@@ -175,6 +175,22 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("transitionsParity equals the batch transition matrix, including " +
+    "pairs spanning micro-batch boundaries and sentinel-driven ends") {
+    val ev = Tables.events(spark, TestSpark.Sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))
+    val got = CdcStream.transitionsParity(spark, ev).collect()
+      .map(key).toMap
+    val want = graft.operators.Analytics.eventTransitions(ev)
+      .select("from_type", "to_type", "n", "p_ppm")
+      .collect().map(key).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the end-sink rows exist and came from the sentinel batch
+    assert(got.keys.exists(_._2 == "end"))
+  }
+
   test("tierParity equals the batch gaps-and-islands tier history, " +
     "including periods spanning micro-batch boundaries") {
     val cl = ChangeLog.normalize(Tables.events(spark, TestSpark.Sf))

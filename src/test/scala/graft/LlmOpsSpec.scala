@@ -1418,6 +1418,42 @@ class LlmOpsSpec extends AnyFunSuite {
       s"rate $rate above the no-overlap bound")
   }
 
+  test("ivf_sq_recall: the composed gate is bounded above by a full " +
+    "int8 scan and reports one row per query") {
+    val rows = Similarity.ivfSqRecall(embs).collect()
+    assert(rows.length === Similarity.QueryCount)
+    val sq = Similarity.sqRecall(embs).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_hits")).toMap
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= Similarity.TopK)
+      assert(r.getAs[Long]("recall_milli") ===
+        hits * 1000L / Similarity.TopK)
+    }
+    assert(rows.map(_.getAs[Long]("n_hits")).sum > 0L)
+    assert(sq.values.sum > 0L) // the unpruned rung stays meaningful too
+  }
+
+  test("padding_plan: bucket geometry is sound and bucketed padding " +
+    "beats naive global-max padding") {
+    val rows = TextAnalysis.paddingPlan(docs).collect()
+    assert(rows.nonEmpty)
+    val naive = rows.head.getAs[Long]("naive_ppm")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bucket_len") % TextAnalysis.PadMultiple === 0L)
+      assert(r.getAs[Long]("total_tokens") <=
+        r.getAs[Long]("n_docs") * r.getAs[Long]("bucket_len"))
+      assert(r.getAs[Long]("padding_ppm") >= 0L)
+      assert(r.getAs[Long]("padding_ppm") < 1000000L)
+      assert(r.getAs[Long]("naive_ppm") === naive)
+      // bucketing to the next 64-multiple never pads more than
+      // padding everything to the global max
+      assert(r.getAs[Long]("padding_ppm") <= naive)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      docs.where(size(split(col("text"), " ")) > 0).count())
+  }
+
   test("rp_recall: one row per query, recall bounded, and the projected " +
     "ranking is a genuine subset selection (not the exact ranking)") {
     val rows = Similarity.rpRecall(embs).collect()

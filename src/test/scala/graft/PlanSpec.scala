@@ -126,9 +126,12 @@ class PlanSpec extends AnyFunSuite {
       // olap_sales_opportunity crosses the broadcast 1-row
       // mean-positive-balance aggregate back onto the customer dim
       "olap_sales_opportunity",
-      // ivf_balance / t_closeness cross their broadcast 1-row totals
-      // onto grid-sized relations (16 lists / the QI grid)
-      "ivf_balance", "t_closeness")
+      // ivf_balance / t_closeness / padding_plan cross their broadcast
+      // 1-row totals onto grid-sized relations
+      "ivf_balance", "t_closeness", "padding_plan",
+      // ivf_sq_recall fans the 8 queries over the 16-row broadcast
+      // centroid table for probe selection, like ann_ivf/ivf_recall
+      "ivf_sq_recall")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
