@@ -3978,6 +3978,65 @@ object OracleSql {
          |JOIN xss b ON xsp.doc_b = b.doc_id
          |GROUP BY 1, 2""".stripMargin,
 
+    // duplicated-token-mass census over the same verified-pair chain
+    "dup_token_share" ->
+      s"""WITH $MinhashCtes,
+         |losers AS (SELECT DISTINCT doc_b AS doc_id FROM jac
+         |  WHERE j_milli >= ${Dedup.JaccardMilli}),
+         |dts AS (SELECT d.doc_id, d.source,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
+         |    CASE WHEN losers.doc_id IS NOT NULL THEN 1 ELSE 0 END
+         |      AS is_dup
+         |  FROM documents d LEFT JOIN losers ON d.doc_id = losers.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN is_dup = 1 THEN toks ELSE 0 END) AS BIGINT)
+         |    AS n_dup_tokens,
+         |  CAST(SUM(CASE WHEN is_dup = 1 THEN toks ELSE 0 END) AS BIGINT)
+         |    * 1000000 // greatest(CAST(SUM(toks) AS BIGINT), 1)
+         |    AS dup_token_ppm
+         |FROM dts GROUP BY 1""".stripMargin,
+
+    "supplier_returns" ->
+      s"""WITH per AS (SELECT l_suppkey,
+         |    CAST(COUNT(*) AS BIGINT) AS n_items,
+         |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_returned,
+         |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+         |      THEN CAST(ROUND(l_extendedprice*(1.0-l_discount)*100)
+         |        AS BIGINT) ELSE 0 END) AS BIGINT) AS returned_rev_c
+         |  FROM lineitem GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_items) AS BIGINT) AS t_items,
+         |  CAST(SUM(n_returned) AS BIGINT) AS t_returned FROM per)
+         |SELECT s_suppkey, s_name, n_items, n_returned, returned_rev_c,
+         |  CAST(n_returned * 1000000 // n_items AS BIGINT) AS return_ppm,
+         |  CAST(n_returned * t_items > t_returned * n_items AS VARCHAR)
+         |    AS above_corpus_rate
+         |FROM per CROSS JOIN tot
+         |JOIN supplier ON per.l_suppkey = supplier.s_suppkey
+         |WHERE n_items >= ${Analytics.ReturnsMinItems}""".stripMargin,
+
+    "discount_qty_corr" ->
+      """WITH s AS (SELECT p.p_type,
+        |    CAST(ROUND(l.l_discount*10000) AS BIGINT) AS x,
+        |    CAST(ROUND(l.l_quantity*100) AS BIGINT) AS y
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |g AS (SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y*y) AS BIGINT) AS syy
+        |  FROM s GROUP BY 1)
+        |SELECT p_type, n,
+        |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        |    THEN CAST(ROUND((n*sxy - sx*sy) /
+        |      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+        |        * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) * 1000000)
+        |      AS BIGINT)
+        |    ELSE 0 END AS corr_e6
+        |FROM g""".stripMargin,
+
     "forget_audit" -> {
       val m = graft.operators.Snapshot.ForgetMod
       s"""WITH $CL,

@@ -396,6 +396,8 @@ object SparkEntry {
       Dedup.dedupSweepFrom(Staged.dedup(s, dir).verified)),
     "cross_source_overlap" -> ((s, dir) => Dedup.crossSourceOverlapFrom(
       Tables.documents(s, dir), Staged.dedup(s, dir).dups)),
+    "dup_token_share"     -> ((s, dir) => Dedup.dupTokenShareFrom(
+      Tables.documents(s, dir), Staged.dedup(s, dir).dups)),
     "forget_audit"        -> ((s, dir) =>
       Snapshot.forgetAudit(cl(s, dir), Tables.customer(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
@@ -448,6 +450,12 @@ object SparkEntry {
     "olap_sales_opportunity" -> ((s, dir) =>
       Analytics.salesOpportunity(Tables.customer(s, dir),
         Tables.orders(s, dir))),
+    "supplier_returns"    -> ((s, dir) =>
+      Analytics.supplierReturns(Tables.supplier(s, dir),
+        Tables.lineitem(s, dir))),
+    "discount_qty_corr"   -> ((s, dir) =>
+      Analytics.discountQuantityCorr(Tables.part(s, dir),
+        Tables.lineitem(s, dir))),
     "domain_caps"         -> ((s, dir) =>
       Curation.domainCaps(Tables.documents(s, dir))),
     "ccnet_buckets"       -> ((s, dir) =>

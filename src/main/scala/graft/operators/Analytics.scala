@@ -508,6 +508,76 @@ object Analytics {
         col("total_price_c"), col("sum_qty_c"))
   }
 
+  /** Minimum shipped items before [[supplierReturns]] rates a
+    * supplier (small-sample rates are noise, not signal). */
+  val ReturnsMinItems = 20L
+
+  /** Supplier return-rate report — the quality ranking a procurement
+    * dashboard reads: per supplier (with at least [[ReturnsMinItems]]
+    * shipped items), shipped and returned counts, the return rate in
+    * ppm, the revenue at risk, and a flag for suppliers returning
+    * above the corpus-wide rate (compared cross-multiplied in exact
+    * integers — no fractions anywhere). One map-side-combined
+    * aggregate on the supplier key; the corpus rate is a 1-row
+    * broadcast crossed back; the supplier dim broadcasts onto the
+    * survivor set. */
+  def supplierReturns(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val per = lineitem
+      .select(col("l_suppkey"),
+        (col("l_returnflag") === "R").cast("long").as("ret"),
+        revCents.as("rev_c"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_items"), sum("ret").as("n_returned"),
+        sum(when(col("ret") === 1L, col("rev_c")).otherwise(lit(0L)))
+          .as("returned_rev_c"))
+    val tot = per.agg(sum("n_items").as("t_items"),
+      sum("n_returned").as("t_returned"))
+    per
+      .where(col("n_items") >= ReturnsMinItems)
+      .crossJoin(broadcast(tot))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_items"),
+        col("n_returned"), col("returned_rev_c"),
+        expr("n_returned * 1000000 div n_items").as("return_ppm"),
+        (col("n_returned") * col("t_items") >
+          col("t_returned") * col("n_items")).cast("string")
+          .as("above_corpus_rate"))
+  }
+
+  /** Discount–quantity correlation per part type — does a deeper
+    * discount actually move more units? Exact integer Pearson: all
+    * five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate
+    * as bigints over cents/bps units in ONE map-side-combined
+    * aggregate per type; the only floating step is the final
+    * covariance / √(var·var), evaluated in the same literal order on
+    * both engines and e6-rounded. A correlation whose inputs are
+    * exact is reproducible — the usual corr() over doubles is not.
+    * Bigint bound: n·Σxy stays under 2⁶³ through ~10⁷ rows per type at
+    * these units (bps × quantity-cents); beyond that, coarsen the
+    * units one decade per 100× rows — the e6 output precision is
+    * unaffected. */
+  def discountQuantityCorr(part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_partkey"),
+        round(col("l_discount") * 10000).cast("long").as("x"),
+        round(col("l_quantity") * 100).cast("long").as("y"))
+      .join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      .select(col("p_type"), col("n"),
+        when(expr("n * sxx - sx * sx") > 0L
+          && expr("n * syy - sy * sy") > 0L,
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))) * 1000000L).cast("long"))
+          .otherwise(lit(0L)).as("corr_e6"))
+
   /** Market-share constants for [[marketShare]] (TPC-H Q8's
     * region/type/nation triple, values from this corpus's domains). */
   val ShareRegion = "ASIA"

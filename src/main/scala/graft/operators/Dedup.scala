@@ -591,6 +591,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_dup_pairs"))
   }
 
+  /** Duplicated-token-mass census per source — the number a curation
+    * budget actually wants from the dedup pass: not pair counts but
+    * how many TRAINING TOKENS each source loses when the verified
+    * near-dup losers ([[minhashDedupFrom]]'s dup_doc_id side) are
+    * dropped. Per source: docs, dup docs, tokens, dup tokens, and the
+    * token share in ppm. Distinct-loser extraction first (a doc can
+    * lose against several keepers — it must count once), then one
+    * narrow token-count projection and a grid aggregate; the loser set
+    * joins on the doc key it already carries. */
+  private[graft] def dupTokenShareFrom(documents: DataFrame,
+                                       dups: DataFrame): DataFrame = {
+    val losers = dups.select(col("dup_doc_id").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .join(losers, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("is_dup"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dup_docs"),
+        sum("toks").as("n_tokens"),
+        sum(when(col("is_dup") === 1L, col("toks")).otherwise(lit(0L)))
+          .as("n_dup_tokens"))
+      .withColumn("dup_token_ppm",
+        expr("n_dup_tokens * 1000000 div greatest(n_tokens, 1)"))
+  }
+
   /** Repeated-substring run length (tokens) for [[substringDedup]]. */
   val SubstrL = 15
 

@@ -131,7 +131,10 @@ class PlanSpec extends AnyFunSuite {
       "ivf_balance", "t_closeness", "padding_plan",
       // ivf_sq_recall fans the 8 queries over the 16-row broadcast
       // centroid table for probe selection, like ann_ivf/ivf_recall
-      "ivf_sq_recall")
+      "ivf_sq_recall",
+      // supplier_returns crosses the broadcast 1-row corpus return
+      // rate back onto the per-supplier aggregate
+      "supplier_returns")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
