@@ -39,7 +39,9 @@ ann_topk,ivf_train,pq_train,pq_recall_trained,sq_recall,\
 span_corruption,repeat_plan,contrastive_triplets,\
 mrl_recall,bq_recall,corpus_diversity,l_diversity,\
 incontext_order,unimax_alloc,\
-vocab_growth,t_closeness,embed_drift,ivf_balance"
+vocab_growth,t_closeness,embed_drift,ivf_balance,\
+event_transitions,stream_transitions_parity,rfm_segments,\
+rp_recall,ivf_sq_recall,padding_plan,dup_token_share"
 
 echo "== amplify $BASE x$K -> $WORK"
 sbt -batch "runMain graft.AmplifyCorpus $BASE $WORK $K"

@@ -214,6 +214,12 @@ object ScaleProbe {
       "t_closeness" -> sink(TextAnalysis.tCloseness(docs)),
       "event_transitions" -> sink(
         graft.operators.Analytics.eventTransitions(ev)),
-      "rfm_segments" -> sink(graft.operators.Analytics.rfmSegments(ev)))
+      "rfm_segments" -> sink(graft.operators.Analytics.rfmSegments(ev)),
+      // round-9 batch-5 additions: the duplicated-token-mass census
+      // (rides the same minhash chain + one token-count projection)
+      // and the length-bucket padding planner (one grid aggregate)
+      "dup_token_share" -> sink(
+        Dedup.dupTokenShareFrom(docs, Dedup.minhashDedup(docs))),
+      "padding_plan" -> sink(TextAnalysis.paddingPlan(docs)))
   }
 }
