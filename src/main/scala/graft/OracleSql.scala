@@ -1040,6 +1040,26 @@ object OracleSql {
          |GROUP BY 1, 2""".stripMargin
     },
 
+    // the GK sketch has no DuckDB twin; the oracle recomputes the
+    // exact quantile vector and pins the rank-band verdict (the
+    // approx_distinct pattern) — a sketch straying past 2% rank error
+    // breaks the hash match
+    "quantile_sketch_error" -> {
+      val pcts = graft.operators.Ledger.QuantilePcts.mkString("[", ", ", "]")
+      s"""WITH $CL,
+         |a AS (SELECT op, value_cents, COUNT(*) AS c FROM cl GROUP BY 1, 2),
+         |r AS (SELECT op, value_cents,
+         |    CAST(SUM(c) OVER (PARTITION BY op ORDER BY value_cents)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(c) OVER (PARTITION BY op) AS BIGINT) AS cnt FROM a),
+         |x AS (SELECT op, value_cents, cum, cnt, CAST(p.pct AS BIGINT) AS pct
+         |  FROM r, UNNEST($pcts) AS p(pct))
+         |SELECT op, pct, MIN(value_cents) AS q_exact_cents,
+         |  CAST(MAX(cnt) AS BIGINT) AS n, 'true' AS approx_within_2pct
+         |FROM x WHERE cum >= (cnt * pct + 99) // 100
+         |GROUP BY 1, 2""".stripMargin
+    },
+
     "sync_lag" ->
       s"""WITH $CL, $STATUS,
          |g AS (SELECT 'db' || (user_id % 3) AS db,
@@ -4016,6 +4036,79 @@ object OracleSql {
          |FROM per CROSS JOIN tot
          |JOIN supplier ON per.l_suppkey = supplier.s_suppkey
          |WHERE n_items >= ${Analytics.ReturnsMinItems}""".stripMargin,
+
+    "olap_ship_delay" -> {
+      val w = graft.operators.Analytics.DelayBucketDays
+      s"""WITH g AS (SELECT o.o_orderpriority,
+         |    CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+         |      CAST(l.l_shipdate AS DATE)) AS BIGINT) // $w * $w
+         |      AS delay_lo_days
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |a AS (SELECT o_orderpriority, delay_lo_days,
+         |    CAST(COUNT(*) AS BIGINT) AS n_items
+         |  FROM g GROUP BY 1, 2)
+         |SELECT o_orderpriority, delay_lo_days, n_items,
+         |  CAST(n_items * 1000000 //
+         |    SUM(n_items) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+         |    AS share_ppm
+         |FROM a""".stripMargin
+    },
+
+    "olap_late_suppliers" ->
+      """WITH ps AS (SELECT l_orderkey, l_suppkey,
+        |    MAX(l_shipdate) AS sup_last
+        |  FROM lineitem GROUP BY 1, 2),
+        |f AS (SELECT ps.* FROM ps
+        |  JOIN orders o ON ps.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |w AS (SELECT l_orderkey, l_suppkey, sup_last,
+        |    CAST(COUNT(*) OVER (PARTITION BY l_orderkey) AS BIGINT)
+        |      AS n_sups,
+        |    MAX(sup_last) OVER (PARTITION BY l_orderkey) AS order_last
+        |  FROM f),
+        |w2 AS (SELECT *,
+        |    CAST(SUM(CASE WHEN sup_last = order_last THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_at_last
+        |  FROM w)
+        |SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT)
+        |    AS n_held_orders
+        |FROM w2 JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE n_sups >= 2 AND n_at_last = 1 AND sup_last = order_last
+        |GROUP BY 1, 2""".stripMargin,
+
+    "ring_rebalance" -> {
+      val ta = graft.operators.TextAnalysis
+      val vals = ta.ringEnc(ta.RingNodes + 1).map(e => s"($e)")
+        .mkString(", ")
+      s"""WITH ring(enc) AS (VALUES $vals),
+         |k AS (SELECT doc_id,
+         |    (CAST(concat('0x', substr(md5('key:' ||
+         |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % ${ta.RingMask + 1}) * 16 + 15 AS khe
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |    COALESCE(MIN(CASE WHEN enc % 16 < ${ta.RingNodes}
+         |        AND enc > khe THEN enc END),
+         |      MIN(CASE WHEN enc % 16 < ${ta.RingNodes} THEN enc END))
+         |      % 16 AS n8,
+         |    COALESCE(MIN(CASE WHEN enc > khe THEN enc END), MIN(enc))
+         |      % 16 AS n9
+         |  FROM k CROSS JOIN ring GROUP BY doc_id, khe),
+         |b AS (SELECT n8 AS node, CAST(COUNT(*) AS BIGINT) AS n_before,
+         |    CAST(SUM(CASE WHEN n9 <> n8 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS moved_out
+         |  FROM s GROUP BY 1),
+         |a AS (SELECT n9 AS node, CAST(COUNT(*) AS BIGINT) AS n_after
+         |  FROM s GROUP BY 1),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM s)
+         |SELECT COALESCE(b.node, a.node) AS node,
+         |  COALESCE(n_before, CAST(0 AS BIGINT)) AS n_before,
+         |  COALESCE(moved_out, CAST(0 AS BIGINT)) AS moved_out,
+         |  COALESCE(n_after, CAST(0 AS BIGINT)) AS n_after,
+         |  COALESCE(n_after, CAST(0 AS BIGINT)) * 1000000 // total
+         |    AS after_share_ppm
+         |FROM b FULL JOIN a ON b.node = a.node CROSS JOIN t""".stripMargin
+    },
 
     "discount_qty_corr" ->
       """WITH s AS (SELECT p.p_type,

@@ -278,6 +278,8 @@ object SparkEntry {
     "tfidf_topk"          -> ((s, dir) =>
       TextAnalysis.tfidfTopKFrom(Staged.tokens(s, dir).tokens)),
     "value_quantiles"     -> ((s, dir) => Ledger.valueQuantiles(cl(s, dir))),
+    "quantile_sketch_error" -> ((s, dir) =>
+      Ledger.quantileSketchError(cl(s, dir))),
     "key_skew_report"     -> ((s, dir) => Ledger.keySkewReport(cl(s, dir))),
     "sync_lag"            -> ((s, dir) => Ledger.syncLag(cl(s, dir))),
     "sq_recall"           -> ((s, dir) =>
@@ -307,6 +309,8 @@ object SparkEntry {
     }),
     "shard_balance"       -> ((s, dir) =>
       TextAnalysis.shardBalance(Tables.documents(s, dir))),
+    "ring_rebalance"      -> ((s, dir) =>
+      TextAnalysis.ringRebalance(Tables.documents(s, dir))),
     "backfill_plan"       -> ((s, dir) =>
       Snapshot.backfillPlan(Tables.customer(s, dir))),
     "ingest_parity"       -> ((s, dir) =>
@@ -456,6 +460,12 @@ object SparkEntry {
     "discount_qty_corr"   -> ((s, dir) =>
       Analytics.discountQuantityCorr(Tables.part(s, dir),
         Tables.lineitem(s, dir))),
+    "olap_ship_delay"     -> ((s, dir) =>
+      Analytics.shipDelayProfile(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    "olap_late_suppliers" -> ((s, dir) =>
+      Analytics.lateSuppliers(Tables.supplier(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "domain_caps"         -> ((s, dir) =>
       Curation.domainCaps(Tables.documents(s, dir))),
     "ccnet_buckets"       -> ((s, dir) =>

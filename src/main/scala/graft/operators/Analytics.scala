@@ -774,4 +774,65 @@ object Analytics {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_custs"), sum("bal_c").as("total_bal_c"))
   }
+
+  /** Width (days) of one [[shipDelayProfile]] bucket. */
+  val DelayBucketDays = 15
+
+  /** Order-to-ship delay profile per order priority (TPC-H Q12's
+    * question — does paying for priority actually ship faster? —
+    * re-asked against this corpus's columns: no shipmode/receiptdate
+    * exist here, so the lag measured is orderdate→shipdate, bucketed
+    * in [[DelayBucketDays]]-day steps). Per (priority, bucket): item
+    * count and the share of that priority's items in ppm. One
+    * orderkey-shuffled fact join (both sides carry the key), then a
+    * grid aggregate; the normalizing window runs on the ≤priority×
+    * buckets grid, never raw rows. */
+  def shipDelayProfile(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val grid = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        expr(s"cast(datediff(l_shipdate, o_orderdate) as bigint)" +
+          s" div $DelayBucketDays * $DelayBucketDays")
+          .as("delay_lo_days"))
+      .groupBy("o_orderpriority", "delay_lo_days")
+      .agg(count(lit(1)).as("n_items"))
+    grid.withColumn("share_ppm",
+      expr("n_items * 1000000 div " +
+        "sum(n_items) over (partition by o_orderpriority)"))
+  }
+
+  /** Straggler-supplier report (TPC-H Q21's question — which suppliers
+    * hold multi-supplier orders hostage? — in window form instead of
+    * Q21's EXISTS/NOT-EXISTS pair): an order is "held" by the supplier
+    * whose latest line shipped strictly last among ≥2 distinct
+    * suppliers (ties blame nobody, exactly Q21's unique-straggler
+    * rule; only finished orders — Q21's o_orderstatus = 'F' arm —
+    * count). Per supplier: held-order count. The per-(order, supplier)
+    * max collapses the fact table first; the status semi-join and both
+    * windows ride the SAME orderkey partition (no self-join); the
+    * supplier dim broadcasts onto the survivor grid. */
+  def lateSuppliers(supplier: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+    lineitem
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max("l_shipdate").as("sup_last"))
+      .join(orders.where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .withColumn("n_sups", count(lit(1)).over(w))
+      .withColumn("order_last", max("sup_last").over(w))
+      .withColumn("n_at_last",
+        sum(when(col("sup_last") === col("order_last"), 1L)
+          .otherwise(0L)).over(w))
+      .where(col("n_sups") >= 2L && col("n_at_last") === 1L &&
+        col("sup_last") === col("order_last"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_held_orders"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_held_orders"))
+  }
 }

@@ -374,6 +374,52 @@ object Ledger {
       .agg(min("value_cents").as("q_cents"), max("cnt").as("n"))
   }
 
+  /** GK-sketch accuracy knob for [[quantileSketchError]] (rank error
+    * ≤ n/accuracy — 50× inside the 2% verdict band below). */
+  val SketchAccuracy = 10000
+
+  /** Sketch-quantile accuracy gate per op class — the scale path for
+    * [[valueQuantiles]]: at 100 TB the exact pass's per-op sort is
+    * reserved for the oracle scale, and the catalog runs
+    * `percentile_approx` (mergeable GK sketch, one pass, no sort).
+    * This gate prices that swap the [[approxDistinct]] way: the exact
+    * quantile vector rides along, and the sketch value collapses to an
+    * integer rank-band VERDICT the DuckDB oracle pins to 'true'.
+    * Tie-robust: the sketch value occupies the rank interval
+    * (count <, count ≤]; the verdict holds iff that interval meets
+    * [target − n/50, target + n/50] — cross-multiplied, so a massively
+    * tied distribution can't fail a perfect sketch. Shapes: one
+    * sketch aggregate over the raw log; the rank counts ride the
+    * (op, value) DISTINCT-value relation against the broadcast ≤
+    * op×pct sketch grid; never a raw-row window. */
+  def quantileSketchError(changelog: DataFrame): DataFrame = {
+    val fracs = array(QuantilePcts.map(p => lit(p / 100.0)): _*)
+    val pctOf = array(QuantilePcts.map(lit): _*)
+    val sketch = changelog
+      .groupBy("op")
+      .agg(percentile_approx(col("value_cents"), fracs,
+        lit(SketchAccuracy)).as("aq"))
+      .select(col("op"), posexplode(col("aq")).as(Seq("i", "approx_q")))
+      .select(col("op"), element_at(pctOf, col("i") + 1).as("pct"),
+        col("approx_q"))
+    val ranks = changelog
+      .groupBy("op", "value_cents").agg(count(lit(1)).as("c"))
+      .join(broadcast(sketch), Seq("op"))
+      .groupBy("op", "pct")
+      .agg(
+        sum(when(col("value_cents") < col("approx_q"), col("c"))
+          .otherwise(0L)).as("rk_lt"),
+        sum(when(col("value_cents") <= col("approx_q"), col("c"))
+          .otherwise(0L)).as("rk_le"))
+    valueQuantiles(changelog)
+      .join(ranks, Seq("op", "pct"))
+      .select(col("op"), col("pct"), col("q_cents").as("q_exact_cents"),
+        col("n"),
+        (expr("rk_lt * 50 < ((n * pct + 99) div 100) * 50 + n") &&
+          expr("rk_le * 50 >= ((n * pct + 99) div 100) * 50 - n"))
+          .cast("string").as("approx_within_2pct"))
+  }
+
   /** Per-source-db replication lag — the dashboard number a sync
     * operator actually watches (reference: the SyncState/monitor
     * endpoints expose counts; the lag VIEW derives from the same

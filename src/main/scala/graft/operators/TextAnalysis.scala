@@ -1526,6 +1526,69 @@ object TextAnalysis {
           lit(1000000L / OutShards)).as("dev_ppm"))
   }
 
+  /** Serving nodes on the [[ringRebalance]] ring before the resize. */
+  val RingNodes = 8
+  /** Virtual nodes per physical node — the classic variance damper. */
+  val RingVnodes = 16
+  /** 40-bit ring positions: vnode_hash·16 + node stays far inside a
+    * signed long, and 2⁴⁰ positions make collisions among the 144
+    * vnode points negligible (and absent for THESE constants — checked
+    * at class init below). */
+  val RingMask: Long = (1L << 40) - 1
+
+  /** (vnode position · 16 + node) for nodes [0, n), ascending — the
+    * encoded form lets one sorted-array successor lookup carry the
+    * node id along in the low 4 bits. Positions derive from portable
+    * md5, so the DuckDB oracle rebuilds the identical ring from the
+    * same literals. */
+  private[graft] def ringEnc(n: Int): Seq[Long] = {
+    val e = for {
+      node <- 0 until n; v <- 0 until RingVnodes
+    } yield (graft.functions.PortableHash.md5Long(s"ring:$node:$v")
+      & RingMask) * 16 + node
+    require(e.distinct.size == e.size, "vnode position collision")
+    e.sorted
+  }
+
+  /** Consistent-hash ring rebalance audit — the shard map a 100 TB
+    * serving tier actually uses (hash-mod resharding moves (N−1)/N of
+    * all keys on a resize; a ring moves ~1/(N+1)): every doc key maps
+    * to its successor vnode on a [[RingNodes]]-node ring, then the
+    * ring is re-sized to N+1 and the report prices the move — per
+    * node: keys before, keys moved out, keys after, after-share ppm.
+    * Consistent hashing's contract (keys only move TO the new node) is
+    * visible in the output: moved_out = n_before − n_after for every
+    * old node. The key side is JOIN-FREE — two codegen'd successor
+    * lookups against the ≤144-element sorted literal array (the oracle
+    * pays a 144-way cross join instead; the Spark plan is one narrow
+    * scan + grid aggregates + a 1-row broadcast total). */
+  def ringRebalance(documents: DataFrame): DataFrame = {
+    def succ(encs: Seq[Long], khe: Column): Column = {
+      val f = filter(array(encs.map(lit): _*), x => x > khe)
+      (when(size(f) > 0, element_at(f, 1))
+        .otherwise(lit(encs.head)) % 16).cast("long")
+    }
+    val khe = (graft.functions.PortableHash.phash(
+      concat(lit("key:"), col("doc_id").cast("string"))) % (RingMask + 1)
+      ) * 16 + 15
+    val s = documents.select(
+      succ(ringEnc(RingNodes), khe).as("n8"),
+      succ(ringEnc(RingNodes + 1), khe).as("n9"))
+    val before = s.groupBy(col("n8").as("node"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("n9") =!= col("n8"), 1L).otherwise(0L))
+          .as("moved_out"))
+    val after = s.groupBy(col("n9").as("node"))
+      .agg(count(lit(1)).as("n_after"))
+    val tot = s.agg(count(lit(1)).as("total"))
+    before.join(after, Seq("node"), "full")
+      .na.fill(0L, Seq("n_before", "moved_out", "n_after"))
+      .crossJoin(broadcast(tot))
+      .select(col("node"), col("n_before"), col("moved_out"),
+        col("n_after"),
+        expr("n_after * 1000000 div total").as("after_share_ppm"))
+  }
+
   // --- training-mixture weights ------------------------------------------
 
   /** Per-group cap for mixture weighting: groups contribute

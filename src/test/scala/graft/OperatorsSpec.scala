@@ -831,6 +831,78 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ring_rebalance: keys conserved, moves only land on the new node, " +
+    "movement stays near 1/(N+1)") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val rows = TextAnalysis.ringRebalance(docs).collect()
+    val total = docs.count()
+    assert(rows.map(_.getAs[Long]("n_before")).sum === total)
+    assert(rows.map(_.getAs[Long]("n_after")).sum === total)
+    val newNode = TextAnalysis.RingNodes.toLong
+    val moved = rows.filter(_.getAs[Long]("node") != newNode)
+      .map(_.getAs[Long]("moved_out")).sum
+    rows.foreach { r =>
+      if (r.getAs[Long]("node") == newNode) {
+        assert(r.getAs[Long]("n_before") === 0L)
+        assert(r.getAs[Long]("n_after") === moved)
+      } else
+        // the consistent-hashing contract: old nodes only shed keys,
+        // and only to the new node
+        assert(r.getAs[Long]("n_before") - r.getAs[Long]("moved_out")
+          === r.getAs[Long]("n_after"))
+    }
+    // far below hash-mod resharding's N/(N+1) mass; generous 3x
+    // headroom over the ideal 1/(N+1)
+    assert(moved * (newNode + 1) < 3L * total)
+  }
+
+  test("quantile_sketch_error: every verdict true, exact vector matches " +
+    "value_quantiles") {
+    val rows = Ledger.quantileSketchError(cl).collect()
+    assert(rows.length ===
+      graft.operators.Ledger.QuantilePcts.length * 3)
+    rows.foreach(r =>
+      assert(r.getAs[String]("approx_within_2pct") === "true"))
+    val exact = Ledger.valueQuantiles(cl).collect()
+      .map(r => (r.getAs[String]("op"), r.getAs[Long]("pct")) ->
+        r.getAs[Long]("q_cents")).toMap
+    rows.foreach(r => assert(r.getAs[Long]("q_exact_cents") ===
+      exact((r.getAs[String]("op"), r.getAs[Long]("pct")))))
+  }
+
+  test("olap_ship_delay: item mass conserved, shares sum to ~1e6 per " +
+    "priority, buckets aligned") {
+    val li = Tables.lineitem(spark, TestSpark.Sf)
+    val rows = Analytics.shipDelayProfile(
+      Tables.orders(spark, TestSpark.Sf), li).collect()
+    assert(rows.map(_.getAs[Long]("n_items")).sum === li.count())
+    rows.foreach(r => assert(
+      r.getAs[Long]("delay_lo_days") % Analytics.DelayBucketDays === 0L))
+    rows.groupBy(_.getAs[String]("o_orderpriority")).foreach {
+      case (_, g) =>
+        val mass = g.map(_.getAs[Long]("share_ppm")).sum
+        assert(mass > 1000000L - g.length && mass <= 1000000L)
+    }
+  }
+
+  test("olap_late_suppliers: every held order is finished, multi-supplier, " +
+    "uniquely-latest") {
+    val li = Tables.lineitem(spark, TestSpark.Sf)
+    val ord = Tables.orders(spark, TestSpark.Sf)
+    val rows = Analytics.lateSuppliers(
+      Tables.supplier(spark, TestSpark.Sf), ord, li).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_held_orders") >= 1L))
+    // held-order mass is bounded by finished orders with >= 2 suppliers
+    val eligible = li.groupBy("l_orderkey")
+      .agg(countDistinct("l_suppkey").as("ns"))
+      .where(col("ns") >= 2)
+      .join(ord.where(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .count()
+    assert(rows.map(_.getAs[Long]("n_held_orders")).sum <= eligible)
+  }
+
   test("sync_conflicts: one-sided edits propagate, conflicts resolve LWW " +
     "with source precedence on ties") {
     val cust = Tables.customer(spark, TestSpark.Sf)

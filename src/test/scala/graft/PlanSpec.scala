@@ -134,7 +134,10 @@ class PlanSpec extends AnyFunSuite {
       "ivf_sq_recall",
       // supplier_returns crosses the broadcast 1-row corpus return
       // rate back onto the per-supplier aggregate
-      "supplier_returns")
+      "supplier_returns",
+      // ring_rebalance crosses the broadcast 1-row key total onto the
+      // 9-row node grid
+      "ring_rebalance")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
