@@ -4076,6 +4076,68 @@ object OracleSql {
         |WHERE n_sups >= 2 AND n_at_last = 1 AND sup_last = order_last
         |GROUP BY 1, 2""".stripMargin,
 
+    "olap_min_cost_supplier" ->
+      s"""WITH sups AS (SELECT s_suppkey, s_name, n_name,
+         |    CAST(ROUND(s_acctbal*100) AS BIGINT) AS s_acctbal_c
+         |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |  JOIN region r ON n.n_regionkey = r.r_regionkey
+         |    AND r.r_name = '${Analytics.MinCostRegion}'),
+         |g AS (SELECT l.l_partkey AS p_partkey, l.l_suppkey,
+         |    CAST(MIN((CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+         |      * 100000) // CAST(ROUND(l.l_quantity*100) AS BIGINT))
+         |      AS BIGINT) AS best_unit_u
+         |  FROM lineitem l
+         |  JOIN part p ON l.l_partkey = p.p_partkey
+         |    AND p.p_size % ${Analytics.MinCostSizeStep} = 0
+         |    AND p.p_type = '${Analytics.MinCostType}'
+         |  WHERE l.l_quantity > 0
+         |  GROUP BY 1, 2),
+         |r AS (SELECT g.p_partkey, s.s_suppkey, s.s_name, s.n_name,
+         |    g.best_unit_u, s.s_acctbal_c,
+         |    ROW_NUMBER() OVER (PARTITION BY g.p_partkey
+         |      ORDER BY g.best_unit_u, s.s_suppkey) AS rk
+         |  FROM g JOIN sups s ON g.l_suppkey = s.s_suppkey)
+         |SELECT p_partkey, s_suppkey, s_name, n_name, best_unit_u,
+         |  s_acctbal_c
+         |FROM r WHERE rk = 1""".stripMargin,
+
+    "olap_important_stock" ->
+      """WITH g AS (SELECT n.n_name, l.l_partkey,
+        |    CAST(SUM(CAST(ROUND(l.l_extendedprice*(1.0-l.l_discount)
+        |      *100) AS BIGINT)) AS BIGINT) AS value_c
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(SUM(value_c) OVER (PARTITION BY n_name)
+        |    AS BIGINT) AS nation_total_c,
+        |    CAST(COUNT(*) OVER (PARTITION BY n_name) AS BIGINT)
+        |      AS n_parts FROM g)
+        |SELECT n_name, l_partkey, value_c,
+        |  CAST(value_c * 1000000 // nation_total_c AS BIGINT)
+        |    AS share_ppm
+        |FROM w
+        |WHERE value_c > 2 * (nation_total_c // n_parts)""".stripMargin,
+
+    "olap_dominant_shippers" ->
+      s"""WITH g AS (SELECT l.l_partkey AS p_partkey, l.l_suppkey,
+         |    CAST(SUM(CAST(ROUND(l.l_quantity*100) AS BIGINT))
+         |      AS BIGINT) AS sup_qty_c
+         |  FROM lineitem l
+         |  JOIN part p ON l.l_partkey = p.p_partkey
+         |    AND p.p_name LIKE '${Analytics.DominantNamePrefix}%'
+         |  WHERE year(l.l_shipdate) = ${Analytics.DominantYear}
+         |  GROUP BY 1, 2),
+         |w AS (SELECT *, CAST(SUM(sup_qty_c)
+         |    OVER (PARTITION BY p_partkey) AS BIGINT) AS part_qty_c
+         |  FROM g)
+         |SELECT s.s_suppkey, s.s_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_dominated_parts,
+         |  CAST(SUM(sup_qty_c) AS BIGINT) AS qty_moved_c
+         |FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+         |WHERE sup_qty_c * 2 > part_qty_c
+         |GROUP BY 1, 2""".stripMargin,
+
     "ring_rebalance" -> {
       val ta = graft.operators.TextAnalysis
       val vals = ta.ringEnc(ta.RingNodes + 1).map(e => s"($e)")

@@ -466,6 +466,16 @@ object SparkEntry {
     "olap_late_suppliers" -> ((s, dir) =>
       Analytics.lateSuppliers(Tables.supplier(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "olap_min_cost_supplier" -> ((s, dir) =>
+      Analytics.minCostSupplier(Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir), Tables.lineitem(s, dir))),
+    "olap_important_stock" -> ((s, dir) =>
+      Analytics.importantStock(Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.lineitem(s, dir))),
+    "olap_dominant_shippers" -> ((s, dir) =>
+      Analytics.dominantShippers(Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.lineitem(s, dir))),
     "domain_caps"         -> ((s, dir) =>
       Curation.domainCaps(Tables.documents(s, dir))),
     "ccnet_buckets"       -> ((s, dir) =>

