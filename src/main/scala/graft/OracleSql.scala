@@ -4138,6 +4138,99 @@ object OracleSql {
          |WHERE sup_qty_c * 2 > part_qty_c
          |GROUP BY 1, 2""".stripMargin,
 
+    "event_paths" -> {
+      val k = graft.operators.Analytics.PathTopK
+      s"""WITH t AS (SELECT event_type AS p1,
+         |    LEAD(event_type, 1) OVER w AS p2,
+         |    LEAD(event_type, 2) OVER w AS p3
+         |  FROM events WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY epoch_ns(ts), event_id)),
+         |g AS (SELECT p1, p2, p3, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM t WHERE p3 IS NOT NULL GROUP BY 1, 2, 3)
+         |SELECT p1, p2, p3, n,
+         |  CAST(n * 1000000 // (SELECT SUM(n) FROM g) AS BIGINT)
+         |    AS share_ppm
+         |FROM g ORDER BY n DESC, p1, p2, p3 LIMIT $k""".stripMargin
+    },
+
+    "rate_changepoint" -> {
+      val sd = graft.operators.Temporal.CusumSlackDiv
+      val tm = graft.operators.Temporal.CusumThreshMult
+      s"""WITH c AS (SELECT event_type,
+         |    epoch_ns(ts) // 86400000000000 AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+         |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c),
+         |grid AS (SELECT t.event_type, d.day, d.lo, d.hi
+         |  FROM (SELECT DISTINCT event_type FROM c) t,
+         |    (SELECT lo, hi, UNNEST(generate_series(lo, hi)) AS day
+         |     FROM span) d),
+         |dense AS (SELECT g.event_type, g.day, g.lo, g.hi,
+         |    CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+         |  FROM grid g LEFT JOIN c
+         |    ON g.event_type = c.event_type AND g.day = c.day),
+         |m AS (SELECT *,
+         |    CAST(SUM(CASE WHEN day * 2 <= lo + hi THEN n ELSE 0 END)
+         |        OVER (PARTITION BY event_type) * 1000 //
+         |      SUM(CASE WHEN day * 2 <= lo + hi THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY event_type) AS BIGINT)
+         |      AS mu_milli FROM dense),
+         |dd AS (SELECT *,
+         |    n * 1000 - mu_milli - mu_milli // $sd AS d_hi,
+         |    mu_milli - mu_milli // $sd - n * 1000 AS d_lo FROM m),
+         |cum AS (SELECT *, CAST(SUM(d_hi) OVER w AS BIGINT) AS cum_hi,
+         |    CAST(SUM(d_lo) OVER w AS BIGINT) AS cum_lo
+         |  FROM dd WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |s AS (SELECT *,
+         |    cum_hi - LEAST(0, MIN(cum_hi) OVER w) AS cusum_hi_milli,
+         |    cum_lo - LEAST(0, MIN(cum_lo) OVER w) AS cusum_lo_milli
+         |  FROM cum WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT event_type, day, n, cusum_hi_milli, cusum_lo_milli,
+         |  CASE WHEN cusum_hi_milli > mu_milli * $tm THEN 'RISE'
+         |       WHEN cusum_lo_milli > mu_milli * $tm THEN 'DROP'
+         |       ELSE 'OK' END AS status
+         |FROM s""".stripMargin
+    },
+
+    "cluster_cohesion" ->
+      """WITH ve AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS v6
+        |  FROM embeddings WHERE vec_id >= 8),
+        |cent AS (SELECT vec_id - 8 AS centroid_id, v6 AS c6 FROM ve
+        |  WHERE vec_id BETWEEN 8 AND 23),
+        |dist AS (SELECT ve.vec_id, cent.centroid_id,
+        |    list_sum(list_transform(generate_series(1, len(ve.v6)),
+        |      i -> (ve.v6[i] - cent.c6[i]) * (ve.v6[i] - cent.c6[i])))
+        |      AS d12
+        |  FROM ve, cent),
+        |asg AS (SELECT vec_id, centroid_id, d12 // 1000000 AS d_u
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY d12, centroid_id) AS rn FROM dist) t
+        |  WHERE rn = 1),
+        |intra AS (SELECT centroid_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_members,
+        |    CAST(SUM(d_u) // COUNT(*) AS BIGINT) AS intra_u
+        |  FROM asg GROUP BY 1),
+        |cd AS (SELECT a.centroid_id, b.centroid_id AS cid_b,
+        |    list_sum(list_transform(generate_series(1, len(a.c6)),
+        |      i -> (a.c6[i] - b.c6[i]) * (a.c6[i] - b.c6[i]))) AS d12
+        |  FROM cent a, cent b WHERE a.centroid_id <> b.centroid_id),
+        |inter AS (SELECT centroid_id,
+        |    CAST(d12 // 1000000 AS BIGINT) AS inter_u,
+        |    cid_b AS nearest_cid
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY centroid_id
+        |      ORDER BY d12, cid_b) AS rn FROM cd) t
+        |  WHERE rn = 1)
+        |SELECT i.centroid_id,
+        |  CAST(COALESCE(t.n_members, 0) AS BIGINT) AS n_members,
+        |  CAST(COALESCE(t.intra_u, 0) AS BIGINT) AS intra_u,
+        |  i.nearest_cid, i.inter_u,
+        |  CAST(COALESCE(t.intra_u, 0) * 4 > i.inter_u AS VARCHAR)
+        |    AS overlap_flag
+        |FROM inter i LEFT JOIN intra t USING (centroid_id)""".stripMargin,
+
     "ring_rebalance" -> {
       val ta = graft.operators.TextAnalysis
       val vals = ta.ringEnc(ta.RingNodes + 1).map(e => s"($e)")

@@ -331,6 +331,10 @@ object SparkEntry {
       Analytics.attributionLastTouch(Tables.events(s, dir))),
     "event_transitions"   -> ((s, dir) =>
       Analytics.eventTransitions(Tables.events(s, dir))),
+    "event_paths"         -> ((s, dir) =>
+      Analytics.eventPaths(Tables.events(s, dir))),
+    "rate_changepoint"    -> ((s, dir) =>
+      Temporal.rateChangepoint(Tables.events(s, dir))),
     "rfm_segments"        -> ((s, dir) =>
       Analytics.rfmSegments(Tables.events(s, dir))),
     "retention_cohorts"   -> ((s, dir) =>
@@ -358,6 +362,8 @@ object SparkEntry {
         Tables.lineitem(s, dir), Tables.nation(s, dir))),
     "kmeans_shift"        -> ((s, dir) =>
       Similarity.kmeansShift(Tables.embeddings(s, dir))),
+    "cluster_cohesion"    -> ((s, dir) =>
+      Similarity.clusterCohesion(Tables.embeddings(s, dir))),
     "cooccur_topk"        -> ((s, dir) =>
       TextAnalysis.cooccurTopKFrom(Staged.tokens(s, dir).skipgrams)),
     "olap_order_priority" -> ((s, dir) =>

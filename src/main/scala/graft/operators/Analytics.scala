@@ -396,6 +396,39 @@ object Analytics {
       .drop("tot")
   }
 
+  /** Path length and report size for [[eventPaths]]. */
+  val PathTopK = 20
+
+  /** Top-K common 3-event paths — the path-mining report beside the
+    * funnel (fixed stages), attribution (last touch) and the Markov
+    * matrix (memoryless pairs): which ACTUAL length-3 journeys
+    * dominate? Every consecutive (t₁,t₂,t₃) window within a user's
+    * stream counts once, on the same (ts_ns, event_id) arrival order
+    * as sessionize; ends are NOT padded (a 2-event user contributes
+    * no triple — pairs are eventTransitions' job). Share is ppm of
+    * all triples. ONE user-key shuffle for the two leads, a
+    * ≤|types|³ grid aggregate, a 1-row total broadcast, and the
+    * top-K is TakeOrdered (per-partition heaps) with a full
+    * lexicographic tiebreak so the boundary is deterministic. */
+  def eventPaths(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("event_id"))
+    val triples = events
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        col("event_type").as("p1"))
+      .withColumn("p2", lead(col("p1"), 1).over(w))
+      .withColumn("p3", lead(col("p1"), 2).over(w))
+      .where(col("p3").isNotNull)
+      .groupBy("p1", "p2", "p3")
+      .agg(count(lit(1)).as("n"))
+    triples
+      .crossJoin(broadcast(triples.agg(sum("n").as("total"))))
+      .select(col("p1"), col("p2"), col("p3"), col("n"),
+        expr("n * 1000000 div total").as("share_ppm"))
+      .orderBy(col("n").desc, col("p1"), col("p2"), col("p3"))
+      .limit(PathTopK)
+  }
+
   /** Quartile percents for [[rfmSegments]]. */
   val RfmPcts: Seq[Int] = Seq(25, 50, 75)
 

@@ -442,6 +442,55 @@ object Similarity {
       .na.fill(0L, Seq("n_members_1", "n_members_2"))
   }
 
+  /** Cluster cohesion/separation gate per IVF list — the Dunn-style
+    * quantizer-health check beside ivf_balance (population skew) and
+    * kmeans_shift (convergence): a list whose members sit FARTHER
+    * from their own centroid than that centroid sits from its nearest
+    * neighbour is an overlapping cluster the probe-count math can't
+    * trust. Per list: member count, mean intra squared-L2 to own
+    * centroid, nearest other centroid + its squared-L2, and the
+    * overlap flag (4·intra > inter — ratio test cross-multiplied).
+    * EVERYTHING is exact integers: e6 coordinates, the codegen'd
+    * IntL2 distance, each row's distance truncated to e0 units
+    * (÷1e6) BEFORE summing so per-list sums stay far inside int64 at
+    * any corpus size, truncating integer means. Shapes: one broadcast
+    * of ≤NumCentroids arrays onto the vector scan, one per-list
+    * aggregate; the centroid×centroid pass is a ≤16² broadcast cross.
+    */
+  def clusterCohesion(embeddings: DataFrame): DataFrame = {
+    val vecs = vecsE6(embeddings)
+    val seed = centroids(embeddings).select(col("centroid_id"),
+      expr("transform(cv, x -> cast(round(cast(x as double) * 1000000d) " +
+        "as bigint))").as("c6"))
+    val intra = vecs.join(broadcast(seed))
+      .withColumn("d12",
+        graft.functions.VectorFunctions.intL2(col("v6"), col("c6")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d12"), col("centroid_id"))).as("w"))
+      .select(col("w.centroid_id").as("centroid_id"),
+        expr("w.d12 div 1000000").as("d_u"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_members"), sum("d_u").as("s"))
+      .select(col("centroid_id"), col("n_members"),
+        expr("s div n_members").as("intra_u"))
+    val inter = seed.select(col("centroid_id"), col("c6").as("ca"))
+      .join(broadcast(seed.select(col("centroid_id").as("cid_b"),
+        col("c6").as("cb"))), col("centroid_id") =!= col("cid_b"))
+      .withColumn("d12",
+        graft.functions.VectorFunctions.intL2(col("ca"), col("cb")))
+      .groupBy("centroid_id")
+      .agg(min(struct(col("d12"), col("cid_b"))).as("w"))
+      .select(col("centroid_id"),
+        expr("w.d12 div 1000000").as("inter_u"),
+        col("w.cid_b").as("nearest_cid"))
+    inter.join(intra, Seq("centroid_id"), "left")
+      .na.fill(0L, Seq("n_members", "intra_u"))
+      .select(col("centroid_id"), col("n_members"), col("intra_u"),
+        col("nearest_cid"), col("inter_u"),
+        (col("intra_u") * 4 > col("inter_u")).cast("string")
+          .as("overlap_flag"))
+  }
+
   /** Embedding-norm QA per label class: squared L2 norm with each
     * element's square rounded to integer e6 FIRST (so the 64-term sum
     * is associative integer arithmetic — order-independent across

@@ -207,6 +207,71 @@ object Temporal {
         expr("(wau * 1000000) div mau4").as("stickiness_ppm"))
   }
 
+  /** CUSUM slack: the drift allowance is mean/[[CusumSlackDiv]] (the
+    * classic k ≈ δ/2 for a δ = half-mean shift target). */
+  val CusumSlackDiv = 4
+  /** Alarm threshold: flag when the CUSUM statistic exceeds
+    * [[CusumThreshMult]]× the per-type mean daily count. */
+  val CusumThreshMult = 8
+
+  /** CUSUM changepoint detection on daily arrival rates per event
+    * type — the sustained-small-shift detector arrivalAnomaly's
+    * trailing-ratio rule cannot be (a 30% rate drift never trips a
+    * 2×/½× gate; CUSUM accumulates it). The recursion
+    * s_t = max(0, s_{t-1} + d_t) is computed in CLOSED FORM as
+    * s_t = cum_t − min(0, min_{j≤t} cum_j) — two plain window
+    * functions over the (type, day) grid, so the statistic is exact,
+    * associative, and identical in the DuckDB oracle (a row-recursive
+    * UDF could never hash-match). The baseline μ is the FIRST HALF of
+    * the calendar (the in-control reference period, standard CUSUM
+    * practice — a full-series mean would absorb the very shift being
+    * hunted). Both directions run: d⁺ = n·1000 − (μ‰ + μ‰/4) for
+    * rises, d⁻ = (μ‰ − μ‰/4) − n·1000 for drops; status flags
+    * RISE/DROP when the statistic crosses 8μ‰ (at this corpus's
+    * stationary rates the clean series stays OK everywhere — no false
+    * alarms; detection is spec-pinned by an injected sustained 2×
+    * shift). The day grid is DENSE (silent days are the drop case
+    * that must fire) via a calendar-bounded sequence explode.
+    * Everything is integer milli-counts; windows run per event type
+    * on the ≤|types|·|days| grid, never on raw events. */
+  def rateChangepoint(events: DataFrame): DataFrame = {
+    val day = expr("ts_ns div 86400000000000").as("day")
+    val counts = events.select(col("event_type"), day)
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val grid = counts.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("lo"), col("hi"), explode(expr("sequence(lo, hi)")).as("day"))
+      .crossJoin(counts.select("event_type").distinct())
+    val dense = grid.join(counts, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("n"))
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense
+      .withColumn("mu_milli",
+        expr("sum(case when day * 2 <= lo + hi then n else 0 end) " +
+          "over (partition by event_type) * 1000 div " +
+          "sum(case when day * 2 <= lo + hi then 1 else 0 end) " +
+          "over (partition by event_type)"))
+      .withColumn("d_hi",
+        col("n") * 1000L - col("mu_milli")
+          - expr(s"mu_milli div $CusumSlackDiv"))
+      .withColumn("d_lo",
+        col("mu_milli") - expr(s"mu_milli div $CusumSlackDiv")
+          - col("n") * 1000L)
+      .withColumn("cum_hi", sum("d_hi").over(wCum))
+      .withColumn("cum_lo", sum("d_lo").over(wCum))
+      .withColumn("cusum_hi_milli",
+        col("cum_hi") - least(lit(0L), min("cum_hi").over(wCum)))
+      .withColumn("cusum_lo_milli",
+        col("cum_lo") - least(lit(0L), min("cum_lo").over(wCum)))
+      .select(col("event_type"), col("day"), col("n"),
+        col("cusum_hi_milli"), col("cusum_lo_milli"),
+        when(col("cusum_hi_milli") > col("mu_milli") * CusumThreshMult,
+          "RISE")
+          .when(col("cusum_lo_milli") > col("mu_milli") * CusumThreshMult,
+            "DROP")
+          .otherwise("OK").as("status"))
+  }
+
   /** Allowed lateness for [[lateDataAudit]] — the watermark delay a
     * streaming deployment of this changelog would configure. */
   val AllowedLatenessMs = 5000L

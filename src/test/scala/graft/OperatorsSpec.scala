@@ -952,6 +952,59 @@ class OperatorsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("qty_moved_c") > 0L))
   }
 
+  test("event_paths: exactly top-K rows, counts descending, triple mass " +
+    "bounded by events") {
+    val ev = Tables.events(spark, TestSpark.Sf)
+    val rows = Analytics.eventPaths(ev).collect()
+    assert(rows.length === Analytics.PathTopK)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // every user contributes max(0, |events|-2) triples
+    assert(ns.sum <= ev.count())
+    rows.foreach(r => assert(r.getAs[Long]("share_ppm") > 0L))
+  }
+
+  test("rate_changepoint: clean stationary data never alarms at 8-mean, " +
+    "an injected 2x shift fires RISE, grid is dense") {
+    val ev = Tables.events(spark, TestSpark.Sf)
+    val clean = Temporal.rateChangepoint(ev).collect()
+    assert(clean.nonEmpty)
+    assert(clean.forall(_.getAs[String]("status") == "OK"))
+    // dense calendar: every type covers the same day span
+    val spans = clean.groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.length).values.toSet
+    assert(spans.size === 1)
+    // CUSUM never negative (the max(0, .) recursion's closed form)
+    clean.foreach { r =>
+      assert(r.getAs[Long]("cusum_hi_milli") >= 0L)
+      assert(r.getAs[Long]("cusum_lo_milli") >= 0L)
+    }
+    // inject a sustained 2x rate shift over the last ~half of the
+    // calendar: duplicate those rows (new event ids keep rows distinct)
+    val mid = ev.agg((min(expr("ts_ns div 86400000000000")) +
+      max(expr("ts_ns div 86400000000000"))).as("m2"))
+      .collect()(0).getAs[Long]("m2")
+    val shifted = ev.union(
+      ev.where(expr(s"ts_ns div 86400000000000 * 2 > $mid"))
+        .withColumn("event_id", col("event_id") + 1000000000L))
+    val fired = Temporal.rateChangepoint(shifted).collect()
+    assert(fired.exists(_.getAs[String]("status") == "RISE"))
+  }
+
+  test("cluster_cohesion: one row per centroid, members conserved, " +
+    "nearest is never self, separation positive") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val rows = Similarity.clusterCohesion(emb).collect()
+    assert(rows.length === 16)
+    assert(rows.map(_.getAs[Long]("n_members")).sum ===
+      emb.where(col("vec_id") >= 8).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("nearest_cid") !== r.getAs[Long]("centroid_id"))
+      assert(r.getAs[Long]("inter_u") > 0L)
+      assert(r.getAs[Long]("intra_u") >= 0L)
+    }
+  }
+
   test("sync_conflicts: one-sided edits propagate, conflicts resolve LWW " +
     "with source precedence on ties") {
     val cust = Tables.customer(spark, TestSpark.Sf)

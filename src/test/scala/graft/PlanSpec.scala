@@ -137,7 +137,13 @@ class PlanSpec extends AnyFunSuite {
       "supplier_returns",
       // ring_rebalance crosses the broadcast 1-row key total onto the
       // 9-row node grid
-      "ring_rebalance")
+      "ring_rebalance",
+      // cluster_cohesion fans vectors over the ≤16 broadcast centroid
+      // arrays (like kmeans_shift) + the 16x16 centroid-pair cross;
+      // event_paths crosses the broadcast 1-row triple total onto the
+      // type-cubed grid; rate_changepoint builds its dense calendar as
+      // types x broadcast(day sequence)
+      "cluster_cohesion", "event_paths", "rate_changepoint")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
