@@ -41,7 +41,9 @@ mrl_recall,bq_recall,corpus_diversity,l_diversity,\
 incontext_order,unimax_alloc,\
 vocab_growth,t_closeness,embed_drift,ivf_balance,\
 event_transitions,stream_transitions_parity,rfm_segments,\
-rp_recall,ivf_sq_recall,padding_plan,dup_token_share"
+rp_recall,ivf_sq_recall,padding_plan,dup_token_share,\
+ring_rebalance,quantile_sketch_error,event_paths,rate_changepoint,\
+cluster_cohesion"
 
 echo "== amplify $BASE x$K -> $WORK"
 sbt -batch "runMain graft.AmplifyCorpus $BASE $WORK $K"

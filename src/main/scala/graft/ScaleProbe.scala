@@ -220,6 +220,12 @@ object ScaleProbe {
       // and the length-bucket padding planner (one grid aggregate)
       "dup_token_share" -> sink(
         Dedup.dupTokenShareFrom(docs, Dedup.minhashDedup(docs))),
-      "padding_plan" -> sink(TextAnalysis.paddingPlan(docs)))
+      "padding_plan" -> sink(TextAnalysis.paddingPlan(docs)),
+      // round-9 batch-6/8 additions: the consistent-hash ring audit
+      // (join-free key scan), the event-side path miner (user-keyed
+      // window + grid top-k) and the dense-calendar CUSUM lane
+      "ring_rebalance" -> sink(TextAnalysis.ringRebalance(docs)),
+      "event_paths" -> sink(graft.operators.Analytics.eventPaths(ev)),
+      "rate_changepoint" -> sink(Temporal.rateChangepoint(ev)))
   }
 }
