@@ -1366,7 +1366,7 @@ object OracleSql {
          |      WHEN 'INTEGER' THEN 'int32' WHEN 'BIGINT' THEN 'int64'
          |      WHEN 'FLOAT' THEN 'float32' WHEN 'DOUBLE' THEN 'float64'
          |      WHEN 'VARCHAR' THEN 'string' WHEN 'DATE' THEN 'date'
-         |      WHEN 'TIMESTAMP' THEN 'timestamp'
+         |      WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
          |      WHEN 'TIMESTAMP_NS' THEN 'timestamp'
          |      ELSE lower(column_type) END AS col_type
          |  FROM live),
@@ -4230,6 +4230,128 @@ object OracleSql {
         |  CAST(COALESCE(t.intra_u, 0) * 4 > i.inter_u AS VARCHAR)
         |    AS overlap_flag
         |FROM inter i LEFT JOIN intra t USING (centroid_id)""".stripMargin,
+
+    "value_concentration" -> {
+      val pcts = graft.operators.Ledger.ConcentrationPcts
+        .mkString("[", ", ", "]")
+      s"""WITH $CL,
+         |u AS (SELECT op, user_id, CAST(SUM(value_cents) AS BIGINT)
+         |    AS user_total FROM cl GROUP BY 1, 2),
+         |g AS (SELECT op, user_total, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM u GROUP BY 1, 2),
+         |r AS (SELECT op, user_total, c,
+         |    CAST(SUM(c) OVER (PARTITION BY op ORDER BY user_total DESC)
+         |      AS BIGINT) AS cum_users,
+         |    CAST(SUM(user_total * c) OVER (PARTITION BY op
+         |      ORDER BY user_total DESC) AS BIGINT) AS cum_mass,
+         |    CAST(SUM(c) OVER (PARTITION BY op) AS BIGINT) AS n_users,
+         |    CAST(SUM(user_total * c) OVER (PARTITION BY op) AS BIGINT)
+         |      AS total_mass
+         |  FROM g),
+         |x AS (SELECT r.*, CAST(p.pct AS BIGINT) AS pct
+         |  FROM r, UNNEST($pcts) AS p(pct)
+         |  WHERE cum_users * 100 >= n_users * pct),
+         |sel AS (SELECT op, pct, cum_users AS n_top_users, n_users,
+         |    cum_mass, total_mass,
+         |    ROW_NUMBER() OVER (PARTITION BY op, pct
+         |      ORDER BY cum_users) AS rn FROM x)
+         |SELECT op, pct, n_top_users, n_users,
+         |  CAST(cum_mass * 1000000 // total_mass AS BIGINT)
+         |    AS value_share_ppm
+         |FROM sel WHERE rn = 1""".stripMargin
+    },
+
+    "slo_burn" -> {
+      val b = graft.operators.Ledger.SloBudgetPpm
+      s"""WITH $CL,
+         |c AS (SELECT ems // 3600000 AS h, CAST(COUNT(*) AS BIGINT)
+         |      AS tot,
+         |    CAST(SUM(CASE WHEN op = 'D' AND event_id % 5 = 4
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS err
+         |  FROM cl GROUP BY 1),
+         |grid AS (SELECT UNNEST(generate_series((SELECT MIN(h) FROM c),
+         |    (SELECT MAX(h) FROM c))) AS h),
+         |dense AS (SELECT g.h, COALESCE(c.tot, 0) AS tot,
+         |    COALESCE(c.err, 0) AS err
+         |  FROM grid g LEFT JOIN c USING (h)),
+         |wnd AS (SELECT h, tot AS tot_1h, err AS err_1h,
+         |    CAST(SUM(err) OVER w6 AS BIGINT) AS err_6h,
+         |    CAST(SUM(tot) OVER w6 AS BIGINT) AS tot_6h,
+         |    CAST(SUM(err) OVER w24 AS BIGINT) AS err_24h,
+         |    CAST(SUM(tot) OVER w24 AS BIGINT) AS tot_24h,
+         |    CAST(COUNT(*) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS age
+         |  FROM dense WINDOW
+         |    w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+         |    w24 AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT
+         |      ROW)),
+         |bb AS (SELECT *,
+         |    CAST(err_1h * 1000 // GREATEST(1, tot_1h * $b // 1000000)
+         |      AS BIGINT) AS burn_1h_milli,
+         |    CAST(err_6h * 1000 // GREATEST(1, tot_6h * $b // 1000000)
+         |      AS BIGINT) AS burn_6h_milli,
+         |    CAST(err_24h * 1000 // GREATEST(1, tot_24h * $b // 1000000)
+         |      AS BIGINT) AS burn_24h_milli
+         |  FROM wnd)
+         |SELECT h, tot_1h, err_1h, burn_1h_milli, burn_6h_milli,
+         |  burn_24h_milli,
+         |  CASE WHEN age < 24 THEN 'WARMUP'
+         |       WHEN tot_24h < ${graft.operators.Ledger.SloMinSample}
+         |         THEN 'LOW_TRAFFIC'
+         |       WHEN burn_1h_milli > 14400 AND burn_6h_milli > 6000
+         |         THEN 'PAGE'
+         |       WHEN burn_6h_milli > 6000 OR burn_24h_milli > 3000
+         |         THEN 'TICKET'
+         |       ELSE 'OK' END AS verdict
+         |FROM bb""".stripMargin
+    },
+
+    "migration_plan" -> {
+      val tables = graft.operators.Snapshot.DesiredSchema
+        .map(_._1).distinct
+      val live = tables.map(t =>
+        s"""SELECT '$t' AS table_name, column_name, column_type
+           |  FROM (DESCRIBE SELECT * FROM $t)""".stripMargin)
+        .mkString("\n  UNION ALL ")
+      val des = graft.operators.Snapshot.DesiredSchema
+        .map { case (t, c, ty) => s"('$t', '$c', '$ty')" }
+        .mkString(",\n    ")
+      s"""WITH live AS ($live),
+         |lm AS (SELECT table_name, column_name,
+         |    CASE column_type WHEN 'BIGINT' THEN 'bigint'
+         |      WHEN 'INTEGER' THEN 'int' WHEN 'DOUBLE' THEN 'double'
+         |      WHEN 'VARCHAR' THEN 'string'
+         |      WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+         |      WHEN 'FLOAT[]' THEN 'array<float>'
+         |      ELSE lower(column_type) END AS current_type
+         |  FROM live),
+         |des(table_name, column_name, desired_type) AS (VALUES
+         |    $des),
+         |j AS (SELECT COALESCE(lm.table_name, des.table_name)
+         |      AS table_name,
+         |    COALESCE(lm.column_name, des.column_name) AS column_name,
+         |    lm.current_type, des.desired_type
+         |  FROM lm FULL OUTER JOIN des
+         |    ON lm.table_name = des.table_name
+         |    AND lm.column_name = des.column_name)
+         |SELECT table_name, column_name,
+         |  COALESCE(current_type, '-') AS current_type,
+         |  COALESCE(desired_type, '-') AS desired_type,
+         |  CASE WHEN current_type IS NULL THEN 'ADD'
+         |       WHEN desired_type IS NULL THEN 'DROP'
+         |       WHEN current_type <> desired_type THEN 'CAST'
+         |       ELSE 'OK' END AS action,
+         |  CASE WHEN current_type IS NULL THEN 'ALTER TABLE ' ||
+         |      table_name || ' ADD COLUMN ' || column_name || ' ' ||
+         |      desired_type
+         |    WHEN desired_type IS NULL THEN 'ALTER TABLE ' ||
+         |      table_name || ' DROP COLUMN ' || column_name
+         |    WHEN current_type <> desired_type THEN 'ALTER TABLE ' ||
+         |      table_name || ' ALTER COLUMN ' || column_name ||
+         |      ' TYPE ' || desired_type
+         |    ELSE '-' END AS ddl
+         |FROM j""".stripMargin
+    },
 
     "ring_rebalance" -> {
       val ta = graft.operators.TextAnalysis

@@ -280,6 +280,20 @@ object SparkEntry {
     "value_quantiles"     -> ((s, dir) => Ledger.valueQuantiles(cl(s, dir))),
     "quantile_sketch_error" -> ((s, dir) =>
       Ledger.quantileSketchError(cl(s, dir))),
+    "value_concentration" -> ((s, dir) =>
+      Ledger.valueConcentration(cl(s, dir))),
+    "slo_burn"            -> ((s, dir) => Ledger.sloBurn(cl(s, dir))),
+    "migration_plan"      -> ((s, dir) =>
+      Snapshot.migrationPlan(s, Seq(
+        "region" -> Tables.region(s, dir),
+        "nation" -> Tables.nation(s, dir),
+        "customer" -> Tables.customer(s, dir),
+        "supplier" -> Tables.supplier(s, dir),
+        "part" -> Tables.part(s, dir),
+        "orders" -> Tables.orders(s, dir),
+        "lineitem" -> Tables.lineitem(s, dir),
+        "documents" -> Tables.documents(s, dir),
+        "embeddings" -> Tables.embeddings(s, dir)))),
     "key_skew_report"     -> ((s, dir) => Ledger.keySkewReport(cl(s, dir))),
     "sync_lag"            -> ((s, dir) => Ledger.syncLag(cl(s, dir))),
     "sq_recall"           -> ((s, dir) =>

@@ -374,6 +374,48 @@ object Ledger {
       .agg(min("value_cents").as("q_cents"), max("cnt").as("n"))
   }
 
+  /** Top-user percent brackets for [[valueConcentration]]. */
+  val ConcentrationPcts: Seq[Long] = Seq(1L, 5L, 20L)
+
+  /** Value-concentration (Pareto) report per op class — how much of
+    * the op's total value the top 1/5/20% of users hold; the
+    * skew-awareness twin of key_skew_report (hot keys by COUNT) for
+    * VALUE mass, and the number that says whether a per-user quota
+    * would even matter. Exact and tie-stable: users aggregate to
+    * per-user totals (one user-key shuffle), totals collapse to the
+    * (op, total) VALUE GRID, and the cut is the smallest
+    * cumulative-user count covering ⌈n·pct/100⌉ (cross-multiplied —
+    * no quota division), ties at the cut value included wholesale —
+    * so the reported n_top_users may exceed the quota, exactly like a
+    * real "top 1%" list with equal totals. Windows run per op on the
+    * value grid (the valueQuantiles convention), never on raw rows. */
+  def valueConcentration(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy("op")
+      .orderBy(col("user_total").desc)
+    val cw = Window.partitionBy("op")
+    changelog
+      .groupBy("op", "user_id")
+      .agg(sum("value_cents").as("user_total"))
+      .groupBy("op", "user_total")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum_users", sum("c").over(w))
+      .withColumn("cum_mass", sum(col("user_total") * col("c")).over(w))
+      .withColumn("n_users", sum("c").over(cw))
+      .withColumn("total_mass",
+        sum(col("user_total") * col("c")).over(cw))
+      .select(col("op"), col("cum_users"), col("cum_mass"),
+        col("n_users"), col("total_mass"),
+        explode(array(ConcentrationPcts.map(lit): _*)).as("pct"))
+      .where(col("cum_users") * 100 >= col("n_users") * col("pct"))
+      .groupBy("op", "pct")
+      .agg(min(struct(col("cum_users"), col("cum_mass"))).as("cut"),
+        max("n_users").as("n_users"), max("total_mass").as("total_mass"))
+      .select(col("op"), col("pct"),
+        col("cut.cum_users").as("n_top_users"), col("n_users"),
+        expr("cut.cum_mass * 1000000 div total_mass")
+          .as("value_share_ppm"))
+  }
+
   /** GK-sketch accuracy knob for [[quantileSketchError]] (rank error
     * ≤ n/accuracy — 50× inside the 2% verdict band below). */
   val SketchAccuracy = 10000
@@ -512,4 +554,81 @@ object Ledger {
       .withColumn("hour_s", expr("(ems - ems % 3600000) div 1000"))
       .groupBy(col("part"), col("hour_s"))
       .agg(count(lit(1)).as("depth"))
+
+  /** Error budget for [[sloBurn]]: the SLO says ≤ this fraction (ppm)
+    * of applies may fail TERMINALLY (ERR with the retry budget
+    * exhausted — [[statusCol]] ∧ max [[retryCol]], the reference's
+    * give-up row in sync_data_status). Set at the corpus's natural
+    * terminal-failure rate (~4%) so a healthy hour burns ≈ 1×
+    * (1000 milli) and a total outage burns 25× — comfortably past the
+    * 14.4× page line, which a budget set at the RAW ERR rate (20%)
+    * could never reach (max burn would be 5×). */
+  val SloBudgetPpm = 40000L
+
+  /** The [[sloBurn]] SLI: terminal failure. */
+  private val terminalErr: Column =
+    statusCol === "ERR" && retryCol === 4L
+
+  /** Minimum 24h request volume before [[sloBurn]] verdicts fire —
+    * the standard low-traffic mute (one failure among five requests
+    * is 5× "over budget" and statistically meaningless; burn alerts
+    * assume volume). At production rates this never engages; it mutes
+    * the thin calendar tail of small corpora. */
+  val SloMinSample = 100L
+
+  /** Multi-window error-budget burn rate — the SRE-workbook alert
+    * discipline (Beyer et al. 2018, ch. 5) over the apply ledger,
+    * completing the monitor family: monitor_alerts evaluates the
+    * reference's threshold rules, arrival_anomaly tracks volume,
+    * rate_changepoint hunts sustained shifts — THIS one converts the
+    * terminal-failure share into budget-burn multiples at three trailing windows
+    * (1h/6h/24h) and applies the standard page/ticket policy (PAGE:
+    * 1h > 14.4× AND 6h > 6× — fast burn confirmed by the longer
+    * window; TICKET: 6h > 6× or 24h > 3× — slow leak; first day
+    * WARMUP). Burn is exact integer milli via a scale-safe div chain
+    * (the budget side collapses first, so no product ever exceeds
+    * err·1000). Dense hour grid (an outage hour is err=0/tot=0 — it
+    * must still be a row); the trailing windows run on the |hours|
+    * grid, never raw changes, keyed by the bounded-series constant
+    * like arrival_anomaly. At the corpus's stationary rates every
+    * verdict is OK/WARMUP/LOW_TRAFFIC — no false alarms; detection is
+    * spec-pinned by an injected error storm. */
+  def sloBurn(changelog: DataFrame): DataFrame = {
+    val counts = changelog
+      .select(expr("ems div 3600000").as("h"),
+        terminalErr.cast("long").as("e"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("tot"), sum("e").as("err"))
+    val grid = counts.agg(min("h").as("lo"), max("h").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("h"))
+    val dense = grid.join(counts, Seq("h"), "left")
+      .na.fill(0L, Seq("tot", "err"))
+    def w(n: Int) = Window.partitionBy(pmod(col("h"), lit(1)))
+      .orderBy("h").rowsBetween(-(n - 1), 0)
+    dense
+      .withColumn("err_1h", col("err"))
+      .withColumn("tot_1h", col("tot"))
+      .withColumn("err_6h", sum("err").over(w(6)))
+      .withColumn("tot_6h", sum("tot").over(w(6)))
+      .withColumn("err_24h", sum("err").over(w(24)))
+      .withColumn("tot_24h", sum("tot").over(w(24)))
+      .withColumn("age", count(lit(1)).over(
+        Window.partitionBy(pmod(col("h"), lit(1))).orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("burn_1h_milli",
+        expr(s"err_1h * 1000 div greatest(1, tot_1h * $SloBudgetPpm div 1000000)"))
+      .withColumn("burn_6h_milli",
+        expr(s"err_6h * 1000 div greatest(1, tot_6h * $SloBudgetPpm div 1000000)"))
+      .withColumn("burn_24h_milli",
+        expr(s"err_24h * 1000 div greatest(1, tot_24h * $SloBudgetPpm div 1000000)"))
+      .select(col("h"), col("tot_1h"), col("err_1h"),
+        col("burn_1h_milli"), col("burn_6h_milli"), col("burn_24h_milli"),
+        when(col("age") < 24, "WARMUP")
+          .when(col("tot_24h") < SloMinSample, "LOW_TRAFFIC")
+          .when(col("burn_1h_milli") > 14400 &&
+            col("burn_6h_milli") > 6000, "PAGE")
+          .when(col("burn_6h_milli") > 6000 ||
+            col("burn_24h_milli") > 3000, "TICKET")
+          .otherwise("OK").as("verdict"))
+  }
 }

@@ -525,4 +525,94 @@ object Snapshot {
           col("tgt_cents")).otherwise(col("src_cents")))
       .drop("src_edit", "tgt_edit")
   }
+
+  /** Declared desired schema for [[migrationPlan]] — the sync target's
+    * source-of-truth manifest, ONE shared constant feeding both the
+    * Spark plan and the DuckDB oracle's VALUES list (the
+    * [[CatalogColumns]] pattern). Deliberate drift vs the live
+    * parquet: documents gains quality_score (ADD), orders declares
+    * no o_orderpriority (DROP), lineitem.l_quantity and
+    * customer.c_acctbal are declared decimal (CAST). Types are Spark
+    * simpleString names; the oracle maps DuckDB's DESCRIBE names onto
+    * the same vocabulary. */
+  val DesiredSchema: Seq[(String, String, String)] = Seq(
+    ("region", "r_regionkey", "int"), ("region", "r_name", "string"),
+    ("nation", "n_nationkey", "int"), ("nation", "n_name", "string"),
+    ("nation", "n_regionkey", "int"),
+    ("customer", "c_custkey", "bigint"),
+    ("customer", "c_name", "string"),
+    ("customer", "c_nationkey", "int"),
+    ("customer", "c_acctbal", "decimal(18,2)"),
+    ("customer", "c_mktsegment", "string"),
+    ("supplier", "s_suppkey", "bigint"),
+    ("supplier", "s_name", "string"),
+    ("supplier", "s_nationkey", "int"),
+    ("supplier", "s_acctbal", "double"),
+    ("part", "p_partkey", "bigint"), ("part", "p_name", "string"),
+    ("part", "p_brand", "string"), ("part", "p_type", "string"),
+    ("part", "p_size", "int"), ("part", "p_retailprice", "double"),
+    ("orders", "o_orderkey", "bigint"),
+    ("orders", "o_custkey", "bigint"),
+    ("orders", "o_orderstatus", "string"),
+    ("orders", "o_totalprice", "double"),
+    ("orders", "o_orderdate", "timestamp_ntz"),
+    ("lineitem", "l_orderkey", "bigint"),
+    ("lineitem", "l_partkey", "bigint"),
+    ("lineitem", "l_suppkey", "bigint"),
+    ("lineitem", "l_linenumber", "int"),
+    ("lineitem", "l_quantity", "decimal(12,2)"),
+    ("lineitem", "l_extendedprice", "double"),
+    ("lineitem", "l_discount", "double"),
+    ("lineitem", "l_tax", "double"),
+    ("lineitem", "l_returnflag", "string"),
+    ("lineitem", "l_linestatus", "string"),
+    ("lineitem", "l_shipdate", "timestamp_ntz"),
+    ("documents", "doc_id", "bigint"),
+    ("documents", "text", "string"),
+    ("documents", "lang", "string"),
+    ("documents", "source", "string"),
+    ("documents", "n_chars", "bigint"),
+    ("documents", "quality_score", "double"),
+    ("embeddings", "vec_id", "bigint"),
+    ("embeddings", "embedding", "array<float>"),
+    ("embeddings", "label", "int"))
+
+  /** Schema-migration plan — the ALTER script that brings the live
+    * sync target to the declared manifest (the column-level sibling of
+    * sync_reconcile's trigger/index reconciliation; reference:
+    * init/DatabaseInitializer.scala creates what's missing and
+    * dbopt/DbOperation.scala:39-52 probes what exists, but column
+    * drift is left to the operator — this closes that gap). Per
+    * (table, column): current type, desired type, action
+    * (ADD / DROP / CAST / OK) and the emitted DDL. Schema metadata is
+    * intrinsically driver-sized (catalog rows, not data rows), so the
+    * relation is built from the loaders' schemas and the diff is a
+    * full outer join of two ≤100-row relations — no fact table is
+    * scanned at any sf. */
+  def migrationPlan(spark: org.apache.spark.sql.SparkSession,
+                    live: Seq[(String, DataFrame)]): DataFrame = {
+    import spark.implicits._
+    val liveRel = live.flatMap { case (t, df) =>
+      df.schema.fields.map(f => (t, f.name, f.dataType.simpleString))
+    }.toDF("table_name", "column_name", "current_type")
+    val desired = DesiredSchema
+      .toDF("table_name", "column_name", "desired_type")
+    liveRel.join(desired, Seq("table_name", "column_name"), "full_outer")
+      .withColumn("action",
+        when(col("current_type").isNull, lit("ADD"))
+          .when(col("desired_type").isNull, lit("DROP"))
+          .when(col("current_type") =!= col("desired_type"), lit("CAST"))
+          .otherwise(lit("OK")))
+      .withColumn("ddl",
+        when(col("action") === "ADD", concat(lit("ALTER TABLE "),
+          col("table_name"), lit(" ADD COLUMN "), col("column_name"),
+          lit(" "), col("desired_type")))
+          .when(col("action") === "DROP", concat(lit("ALTER TABLE "),
+            col("table_name"), lit(" DROP COLUMN "), col("column_name")))
+          .when(col("action") === "CAST", concat(lit("ALTER TABLE "),
+            col("table_name"), lit(" ALTER COLUMN "), col("column_name"),
+            lit(" TYPE "), col("desired_type")))
+          .otherwise(lit("-")))
+      .na.fill("-", Seq("current_type", "desired_type"))
+  }
 }

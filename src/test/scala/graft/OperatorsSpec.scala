@@ -1005,6 +1005,69 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("migration_plan: the declared drift and nothing else — one ADD, " +
+    "one DROP, the declared CASTs, every other column OK") {
+    val sf = TestSpark.Sf
+    val live = Snapshot.DesiredSchema.map(_._1).distinct.map(t =>
+      t -> Tables.table(spark, sf, t))
+    val rows = Snapshot.migrationPlan(spark, live).collect()
+    val byAction = rows.groupBy(_.getAs[String]("action"))
+      .view.mapValues(_.map(r => (r.getAs[String]("table_name"),
+        r.getAs[String]("column_name"))).toSet).toMap
+    assert(byAction("ADD") === Set(("documents", "quality_score")))
+    assert(byAction("DROP") === Set(("orders", "o_orderpriority")))
+    assert(byAction("CAST") === Set(("customer", "c_acctbal"),
+      ("lineitem", "l_quantity")))
+    // OK rows carry no DDL; every non-OK row carries an ALTER
+    rows.foreach { r =>
+      val isOk = r.getAs[String]("action") == "OK"
+      assert(isOk === (r.getAs[String]("ddl") == "-"))
+      if (!isOk) assert(r.getAs[String]("ddl").startsWith("ALTER TABLE "))
+    }
+  }
+
+  test("slo_burn: stationary data never pages, an injected error storm " +
+    "fires PAGE then recovers, burns are non-negative") {
+    val clean = Ledger.sloBurn(cl).collect()
+    assert(clean.nonEmpty)
+    assert(clean.forall(r =>
+      Set("OK", "WARMUP", "LOW_TRAFFIC")
+        .contains(r.getAs[String]("verdict"))))
+    clean.foreach(r => assert(r.getAs[Long]("burn_1h_milli") >= 0L))
+    // error storm: 20 consecutive hours of pure terminal failures
+    // (op = 'D' with the retry budget exhausted: event_id % 5 == 4)
+    val hi = cl.agg(max(expr("ems div 3600000"))).collect()(0).getLong(0)
+    import spark.implicits._
+    val storm = (1 to 2000).map { i =>
+      (9000000000L + i * 5L + 4L, 1L, "D", (hi + 1 + i % 20) * 3600000L,
+        0L, 100L, 0L, 1L)
+    }.toDF("event_id", "user_id", "op", "ems", "epoch_s",
+      "value_cents", "k", "part")
+    val fired = Ledger.sloBurn(cl.select("event_id", "user_id", "op",
+      "ems", "epoch_s", "value_cents", "k", "part").union(storm))
+      .collect()
+    assert(fired.exists(_.getAs[String]("verdict") == "PAGE"))
+  }
+
+  test("value_concentration: top-p% holds at least p% of mass, shares " +
+    "and cut sizes monotone in pct") {
+    val rows = Ledger.valueConcentration(cl).collect()
+    assert(rows.length === 3 * Ledger.ConcentrationPcts.length)
+    rows.groupBy(_.getAs[String]("op")).foreach { case (_, g) =>
+      val byPct = g.sortBy(_.getAs[Long]("pct"))
+      byPct.foreach { r =>
+        val pct = r.getAs[Long]("pct")
+        val n = r.getAs[Long]("n_users")
+        // the cut covers the ceil quota (ties only ever widen it)
+        assert(r.getAs[Long]("n_top_users") * 100L >= n * pct)
+        // top users hold at least their population share of the mass
+        assert(r.getAs[Long]("value_share_ppm") >= pct * 10000L)
+      }
+      val shares = byPct.map(_.getAs[Long]("value_share_ppm"))
+      assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("sync_conflicts: one-sided edits propagate, conflicts resolve LWW " +
     "with source precedence on ties") {
     val cust = Tables.customer(spark, TestSpark.Sf)
