@@ -2238,6 +2238,28 @@ object OracleSql {
          |SELECT doc_a AS keeper_doc_id, doc_b AS dup_doc_id, j_milli
          |FROM jac WHERE j_milli >= ${Dedup.JaccardMilli}""".stripMargin,
 
+    "dedup_editdist" -> {
+      val p = Dedup.EditPrefixChars
+      s"""WITH $MinhashCtes,
+         |ed AS (SELECT jac.j_milli,
+         |    CAST(levenshtein(substr(da.text, 1, $p),
+         |      substr(db.text, 1, $p)) AS BIGINT) AS d,
+         |    CAST(GREATEST(length(substr(da.text, 1, $p)),
+         |      length(substr(db.text, 1, $p))) AS BIGINT) AS m
+         |  FROM jac
+         |  JOIN documents da ON jac.doc_a = da.doc_id
+         |  JOIN documents db ON jac.doc_b = db.doc_id),
+         |r AS (SELECT j_milli, (m - d) * 1000000 // m AS ratio_ppm
+         |  FROM ed WHERE m > 0)
+         |SELECT CAST(j_milli // 100 * 100 AS BIGINT) AS j_bucket_milli,
+         |  CAST(ratio_ppm // 100000 * 100000 AS BIGINT)
+         |    AS edit_bucket_ppm,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(MIN(ratio_ppm) AS BIGINT) AS min_ratio_ppm,
+         |  CAST(MAX(ratio_ppm) AS BIGINT) AS max_ratio_ppm
+         |FROM r GROUP BY 1, 2""".stripMargin
+    },
+
     "dedup_apply" ->
       s"""WITH $MinhashCtes
          |SELECT d.doc_id, d.lang, d.source FROM documents d
@@ -4230,6 +4252,62 @@ object OracleSql {
         |  CAST(COALESCE(t.intra_u, 0) * 4 > i.inter_u AS VARCHAR)
         |    AS overlap_flag
         |FROM inter i LEFT JOIN intra t USING (centroid_id)""".stripMargin,
+
+    "ann_tombstones" -> {
+      import graft.operators.Similarity.{NumProbes, QueryCount,
+        TombstoneMod, TopK}
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id - $QueryCount AS centroid_id, v AS cv
+         |  FROM e WHERE vec_id BETWEEN $QueryCount
+         |    AND ${QueryCount + 15}),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |  WHERE vec_id < $QueryCount),
+         |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= $QueryCount),
+         |assign AS (SELECT vec_id, centroid_id FROM (
+         |    SELECT cand.vec_id, cent.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+         |        ORDER BY list_cosine_similarity(v, cv) DESC,
+         |          centroid_id) AS rn
+         |    FROM cand, cent) t WHERE rn = 1),
+         |probes AS (SELECT q_id, centroid_id FROM (
+         |    SELECT q.q_id, cent.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY list_cosine_similarity(qv, cv) DESC,
+         |          centroid_id) AS rn
+         |    FROM q, cent) t WHERE rn <= $NumProbes),
+         |scanned AS (SELECT p.q_id, a.vec_id,
+         |    (a.vec_id % $TombstoneMod = 0) AS is_dead,
+         |    list_cosine_similarity(q.qv, c.v) AS sim
+         |  FROM probes p JOIN assign a USING (centroid_id)
+         |  JOIN cand c ON a.vec_id = c.vec_id
+         |  JOIN q ON p.q_id = q.q_id),
+         |waste AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_scanned,
+         |    CAST(SUM(CASE WHEN is_dead THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dead_scanned
+         |  FROM scanned GROUP BY 1),
+         |res AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, vec_id) AS rnk
+         |    FROM scanned WHERE NOT is_dead) t WHERE rnk <= $TopK),
+         |truth AS (SELECT q_id, vec_id FROM (SELECT q.q_id, c.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY list_cosine_similarity(qv, v) DESC, vec_id)
+         |        AS rnk
+         |    FROM q, cand c WHERE c.vec_id % $TombstoneMod <> 0) t
+         |  WHERE rnk <= $TopK),
+         |hits AS (SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM truth t JOIN res r
+         |    ON t.q_id = r.q_id AND t.vec_id = r.vec_id
+         |  GROUP BY 1)
+         |SELECT w.q_id, w.n_scanned, w.n_dead_scanned,
+         |  CAST(n_dead_scanned * 1000000 // n_scanned AS BIGINT)
+         |    AS waste_ppm,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, 0) * 1000 // $TopK AS BIGINT)
+         |    AS recall_milli
+         |FROM waste w LEFT JOIN hits h USING (q_id)""".stripMargin
+    },
 
     "value_concentration" -> {
       val pcts = graft.operators.Ledger.ConcentrationPcts

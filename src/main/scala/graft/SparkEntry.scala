@@ -378,6 +378,8 @@ object SparkEntry {
       Similarity.kmeansShift(Tables.embeddings(s, dir))),
     "cluster_cohesion"    -> ((s, dir) =>
       Similarity.clusterCohesion(Tables.embeddings(s, dir))),
+    "ann_tombstones"      -> ((s, dir) =>
+      Similarity.annTombstones(Tables.embeddings(s, dir))),
     "cooccur_topk"        -> ((s, dir) =>
       TextAnalysis.cooccurTopKFrom(Staged.tokens(s, dir).skipgrams)),
     "olap_order_priority" -> ((s, dir) =>
@@ -418,6 +420,8 @@ object SparkEntry {
       Snapshot.repairPlan(Tables.customer(s, dir))),
     "dedup_sweep"         -> ((s, dir) =>
       Dedup.dedupSweepFrom(Staged.dedup(s, dir).verified)),
+    "dedup_editdist"      -> ((s, dir) => Dedup.dedupEditDistFrom(
+      Tables.documents(s, dir), Staged.dedup(s, dir).verified)),
     "cross_source_overlap" -> ((s, dir) => Dedup.crossSourceOverlapFrom(
       Tables.documents(s, dir), Staged.dedup(s, dir).dups)),
     "dup_token_share"     -> ((s, dir) => Dedup.dupTokenShareFrom(

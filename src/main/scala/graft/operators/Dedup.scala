@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash.{bandKey, permuteReduced, phash}
@@ -704,6 +704,45 @@ object Dedup {
         expr(s"(n_agree * 1000) div $NumHashes").as("est_milli"),
         col("j_milli"))
       .withColumn("err_milli", abs(col("est_milli") - col("j_milli")))
+  }
+
+  /** Bounded prefix [[dedupEditDist]] compares (chars). */
+  val EditPrefixChars = 200
+
+  /** Edit-distance second witness over the verified near-dup pairs —
+    * a THIRD similarity family (character-level Levenshtein; both
+    * engines ship the identical classic DP, so the integer distance
+    * is cross-engine exact) priced against the n-gram Jaccard
+    * verdict: per (Jaccard decile, edit-similarity decile) cell, pair
+    * counts and the edit-ratio band. A pair Jaccard calls a dup but
+    * edit distance calls far (or vice versa) lands off-diagonal —
+    * the reordered-paragraph / small-patch cases the two families
+    * disagree on. Levenshtein is quadratic in length, so it runs on a
+    * [[EditPrefixChars]]-char prefix — O(1) per pair regardless of
+    * document size (exactly how a production pipeline bounds an edit
+    * verify). Shapes: the pair relation joins the doc texts on the
+    * doc key it already carries (two doc-key shuffles), the DP runs
+    * codegen'd per pair, output is the ≤10×10 grid. */
+  def dedupEditDistFrom(documents: DataFrame,
+                        verified: DataFrame): DataFrame = {
+    def pref(c: Column) = substring(c, 1, EditPrefixChars)
+    val da = documents.select(col("doc_id").as("doc_a"),
+      pref(col("text")).as("ta"))
+    val db = documents.select(col("doc_id").as("doc_b"),
+      pref(col("text")).as("tb"))
+    verified.select("doc_a", "doc_b", "j_milli")
+      .join(da, "doc_a").join(db, "doc_b")
+      .select(col("j_milli"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("d"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long")
+          .as("m"))
+      .where(col("m") > 0)
+      .withColumn("ratio_ppm", expr("(m - d) * 1000000 div m"))
+      .groupBy(expr("j_milli div 100 * 100").as("j_bucket_milli"),
+        expr("ratio_ppm div 100000 * 100000").as("edit_bucket_ppm"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min("ratio_ppm").as("min_ratio_ppm"),
+        max("ratio_ppm").as("max_ratio_ppm"))
   }
 
   /** Method-agreement report: MinHash+Jaccard-verified near-dup pairs

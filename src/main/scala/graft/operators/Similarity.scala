@@ -876,6 +876,63 @@ object Similarity {
     ivfRecallFrom(bruteTopK(embeddings, k), ivfAssign(embeddings),
       embeddings, k)
 
+  /** Tombstone cohort for [[annTombstones]]: every 8th candidate id
+    * is deleted (the ivf_incremental 1-in-8 convention). */
+  val TombstoneMod = 8L
+
+  /** Recall-under-deletion gate — the index-maintenance question the
+    * recall family hasn't priced: vectors get DELETED (user removal,
+    * dedup, right-to-be-forgotten) but an IVF index keeps them as
+    * tombstones until compaction, so every probe SCANS dead vectors
+    * it must then filter. Per query: candidates scanned, dead
+    * candidates scanned (the wasted work — waste_ppm ≈ the deleted
+    * fraction is the compaction trigger), live top-k hits against the
+    * exact survivor truth, and recall in milli. Deletion must cost
+    * probe FAN-OUT only, never correctness: the filter runs after
+    * candidate generation (exactly where a FAISS IDSelector sits), so
+    * dead vectors can push live ones out of a probed list's top-k
+    * only by not being there — recall vs survivor truth isolates
+    * that. Shapes: same 16-row centroid broadcast + probed-list
+    * shuffle as ann_ivf; the survivor truth is the 8-query broadcast
+    * calibration pass; all ratios exact integer. */
+  def annTombstones(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val live = embeddings.where(col("vec_id") < QueryCount ||
+      pmod(col("vec_id"), lit(TombstoneMod)) =!= 0)
+    val truth = bruteTopK(live, k)
+    val cents = broadcast(centroids(embeddings))
+    val q = queries(embeddings)
+    val probes = q.join(cents)
+      .withColumn("sim", cosineSim(col("q_vec"), col("cv")))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("centroid_id"))))
+      .where(col("rn") <= NumProbes)
+      .select("q_id", "centroid_id")
+    val scanned = probes
+      .join(ivfAssign(embeddings), Seq("centroid_id"))
+      .join(candidates(embeddings).withColumnRenamed("cand_id", "vec_id"),
+        "vec_id")
+      .join(broadcast(q.select("q_id", "q_vec")), Seq("q_id"))
+      .withColumn("is_dead",
+        pmod(col("vec_id"), lit(TombstoneMod)) === 0)
+      .withColumn("sim", cosineSim(col("q_vec"), col("c_vec")))
+    val waste = scanned.groupBy("q_id")
+      .agg(count(lit(1)).as("n_scanned"),
+        sum(col("is_dead").cast("long")).as("n_dead_scanned"))
+    val results = scanned.where(!col("is_dead"))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+    val hits = truth.select("q_id", "cand_id")
+      .join(results, Seq("q_id", "cand_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    waste.join(hits, Seq("q_id"), "left").na.fill(0L, Seq("n_hits"))
+      .select(col("q_id"), col("n_scanned"), col("n_dead_scanned"),
+        expr("n_dead_scanned * 1000000 div n_scanned").as("waste_ppm"),
+        col("n_hits"),
+        expr(s"n_hits * 1000 div ${k}L").as("recall_milli"))
+  }
+
   /** [[ivfRecall]] over a staged cosine truth + staged list
     * assignment. */
   def ivfRecallFrom(cosTruth: DataFrame, assign: DataFrame,

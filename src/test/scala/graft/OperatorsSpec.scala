@@ -1068,6 +1068,44 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_tombstones: no dead vector is ever returned, waste tracks " +
+    "the 1-in-8 cohort, recall bounded by k") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val rows = Similarity.annTombstones(emb).collect()
+    assert(rows.length === Similarity.QueryCount)
+    rows.foreach { r =>
+      val scanned = r.getAs[Long]("n_scanned")
+      val dead = r.getAs[Long]("n_dead_scanned")
+      assert(dead >= 0L && dead < scanned)
+      // the deleted cohort is ~1/8; probed lists can skew it but not 3x
+      assert(r.getAs[Long]("waste_ppm") < 375000L)
+      assert(r.getAs[Long]("n_hits") <= Similarity.TopK.toLong)
+      assert(r.getAs[Long]("recall_milli") <= 1000L)
+    }
+  }
+
+  test("dedup_editdist: verified near-identical pairs score high edit " +
+    "similarity; pair mass equals the verified relation") {
+    val sf = TestSpark.Sf
+    val docs = Tables.documents(spark, sf)
+    val verified = Dedup.ngramJaccard(docs)
+    val rows = Dedup.dedupEditDistFrom(docs, verified).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === verified.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_ratio_ppm") <=
+        r.getAs[Long]("max_ratio_ppm"))
+      assert(r.getAs[Long]("max_ratio_ppm") <= 1000000L)
+      // the bucket bounds its members
+      assert(r.getAs[Long]("min_ratio_ppm") >=
+        r.getAs[Long]("edit_bucket_ppm"))
+    }
+    // the corpus's verified dups are near-copies: the top edit band
+    // must hold pairs (the two witnesses agree where it matters)
+    assert(rows.exists(r => r.getAs[Long]("edit_bucket_ppm") >= 900000L
+      && r.getAs[Long]("n_pairs") > 0L))
+  }
+
   test("sync_conflicts: one-sided edits propagate, conflicts resolve LWW " +
     "with source precedence on ties") {
     val cust = Tables.customer(spark, TestSpark.Sf)

@@ -143,7 +143,11 @@ class PlanSpec extends AnyFunSuite {
       // event_paths crosses the broadcast 1-row triple total onto the
       // type-cubed grid; rate_changepoint builds its dense calendar as
       // types x broadcast(day sequence)
-      "cluster_cohesion", "event_paths", "rate_changepoint")
+      "cluster_cohesion", "event_paths", "rate_changepoint",
+      // ann_tombstones composes the ivf probe selection (16-row
+      // centroid fan-out) with the 8-query broadcast survivor truth —
+      // the same allowances as ann_ivf + ann_topk
+      "ann_tombstones")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
