@@ -1366,7 +1366,7 @@ object OracleSql {
          |      WHEN 'INTEGER' THEN 'int32' WHEN 'BIGINT' THEN 'int64'
          |      WHEN 'FLOAT' THEN 'float32' WHEN 'DOUBLE' THEN 'float64'
          |      WHEN 'VARCHAR' THEN 'string' WHEN 'DATE' THEN 'date'
-         |      WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+         |      WHEN 'TIMESTAMP' THEN 'timestamp'
          |      WHEN 'TIMESTAMP_NS' THEN 'timestamp'
          |      ELSE lower(column_type) END AS col_type
          |  FROM live),
