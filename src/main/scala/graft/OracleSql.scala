@@ -480,6 +480,24 @@ object OracleSql {
         |  CAST(SUM(value_cents) AS BIGINT) AS revenue_cents
         |FROM a WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
 
+  /** Strict-funnel SQL — shared verbatim by `funnel_conversion` and
+    * the streaming replay `stream_funnel_parity`. */
+  val FunnelSql: String =
+      """WITH s AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type='signup' THEN epoch_ns(ts) END)
+        |      AS t_signup,
+        |    MIN(CASE WHEN event_type='click' THEN epoch_ns(ts) END)
+        |      AS t_click,
+        |    MIN(CASE WHEN event_type='purchase' THEN epoch_ns(ts) END)
+        |      AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+        |  CAST(COUNT(CASE WHEN t_click > t_signup THEN 1 END) AS BIGINT)
+        |    AS n_signup_click,
+        |  CAST(COUNT(CASE WHEN t_purchase > t_click
+        |    AND t_click > t_signup THEN 1 END) AS BIGINT) AS n_full_funnel
+        |FROM s""".stripMargin
+
   /** Next-event transition-matrix SQL — shared verbatim by
     * `event_transitions` and the streaming replay
     * `stream_transitions_parity`. */
@@ -3542,21 +3560,10 @@ object OracleSql {
 
     "stream_attribution_parity" -> AttributionSql,
 
-    "funnel_conversion" ->
-      """WITH s AS (SELECT user_id,
-        |    MIN(CASE WHEN event_type='signup' THEN epoch_ns(ts) END)
-        |      AS t_signup,
-        |    MIN(CASE WHEN event_type='click' THEN epoch_ns(ts) END)
-        |      AS t_click,
-        |    MIN(CASE WHEN event_type='purchase' THEN epoch_ns(ts) END)
-        |      AS t_purchase
-        |  FROM events GROUP BY 1)
-        |SELECT CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
-        |  CAST(COUNT(CASE WHEN t_click > t_signup THEN 1 END) AS BIGINT)
-        |    AS n_signup_click,
-        |  CAST(COUNT(CASE WHEN t_purchase > t_click
-        |    AND t_click > t_signup THEN 1 END) AS BIGINT) AS n_full_funnel
-        |FROM s""".stripMargin,
+    "funnel_conversion" -> FunnelSql,
+
+    "stream_funnel_parity" -> FunnelSql,
+
 
     "retention_cohorts" -> {
       val w = graft.operators.Analytics.WeekNs
@@ -4307,6 +4314,70 @@ object OracleSql {
          |  CAST(COALESCE(h.n_hits, 0) * 1000 // $TopK AS BIGINT)
          |    AS recall_milli
          |FROM waste w LEFT JOIN hits h USING (q_id)""".stripMargin
+    },
+
+    "seasonal_anomaly" ->
+      s"""WITH $CL,
+         |c AS (SELECT ems // 3600000 AS h, CAST(COUNT(*) AS BIGINT)
+         |    AS n FROM cl GROUP BY 1),
+         |grid AS (SELECT UNNEST(generate_series((SELECT MIN(h) FROM c),
+         |    (SELECT MAX(h) FROM c))) AS h),
+         |dense AS (SELECT g.h, COALESCE(c.n, 0) AS n
+         |  FROM grid g LEFT JOIN c USING (h)),
+         |s AS (SELECT h, h % 168 AS slot, CAST(n AS BIGINT) AS n,
+         |    CAST(SUM(n) OVER (PARTITION BY h % 168) AS BIGINT)
+         |      AS slot_sum,
+         |    CAST(COUNT(*) OVER (PARTITION BY h % 168) AS BIGINT)
+         |      AS slot_cnt
+         |  FROM dense)
+         |SELECT h, slot, n,
+         |  CAST(slot_sum * 1000 // slot_cnt AS BIGINT)
+         |    AS baseline_milli,
+         |  CASE WHEN n * slot_cnt > slot_sum * 2 THEN 'SPIKE'
+         |       WHEN n * slot_cnt * 2 < slot_sum THEN 'QUIET'
+         |       ELSE 'NORMAL' END AS status
+         |FROM s""".stripMargin,
+
+    "kmeans_stability" -> {
+      import graft.operators.Similarity.{AltSeedBase, QueryCount}
+      def assignCte(name: String, seedCte: String): String =
+        s"""$name AS (SELECT vec_id, centroid_id FROM (
+           |    SELECT ve.vec_id, $seedCte.centroid_id,
+           |      ROW_NUMBER() OVER (PARTITION BY ve.vec_id ORDER BY
+           |        list_sum(list_transform(generate_series(1,
+           |          len(ve.v6)), i -> (ve.v6[i] - $seedCte.c6[i]) *
+           |          (ve.v6[i] - $seedCte.c6[i]))), centroid_id) AS rn
+           |    FROM ve, $seedCte) t WHERE rn = 1)""".stripMargin
+      s"""WITH ve AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS v6
+         |  FROM embeddings WHERE vec_id >= $QueryCount),
+         |sa AS (SELECT vec_id - $QueryCount AS centroid_id, v6 AS c6
+         |  FROM ve WHERE vec_id BETWEEN $QueryCount
+         |    AND ${QueryCount + 15}),
+         |sb AS (SELECT vec_id - $AltSeedBase AS centroid_id, v6 AS c6
+         |  FROM ve WHERE vec_id BETWEEN $AltSeedBase
+         |    AND ${AltSeedBase + 15}),
+         |${assignCte("aa", "sa")},
+         |${assignCte("ab", "sb")},
+         |cells AS (SELECT aa.centroid_id AS ca, ab.centroid_id AS cb,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM aa JOIN ab USING (vec_id) GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_vecs,
+         |    CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |    CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS s_cells
+         |  FROM cells),
+         |ra AS (SELECT CAST(SUM(na * (na - 1) // 2) AS BIGINT) AS s_a
+         |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS na FROM cells
+         |        GROUP BY ca)),
+         |rb AS (SELECT CAST(SUM(nb * (nb - 1) // 2) AS BIGINT) AS s_b
+         |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS nb FROM cells
+         |        GROUP BY cb))
+         |SELECT n_vecs, n_cells,
+         |  CAST((n_vecs * (n_vecs - 1) // 2 - s_a - s_b + 2 * s_cells)
+         |    * 1000 // (n_vecs * (n_vecs - 1) // 2) AS BIGINT)
+         |    AS rand_milli
+         |FROM tot, ra, rb""".stripMargin
     },
 
     "value_concentration" -> {

@@ -114,6 +114,8 @@ object SparkEntry {
       graft.streaming.CdcStream.attributionParity(s, Tables.events(s, dir))),
     "stream_transitions_parity" -> ((s, dir) =>
       graft.streaming.CdcStream.transitionsParity(s, Tables.events(s, dir))),
+    "stream_funnel_parity" -> ((s, dir) =>
+      graft.streaming.CdcStream.funnelParity(s, Tables.events(s, dir))),
     "stream_tier_parity"  -> ((s, dir) =>
       graft.streaming.CdcStream.tierParity(s, cl(s, dir))),
     "pipeline_e2e"        -> ((s, dir) => Pipeline.run(s, dir).applied),
@@ -380,6 +382,10 @@ object SparkEntry {
       Similarity.clusterCohesion(Tables.embeddings(s, dir))),
     "ann_tombstones"      -> ((s, dir) =>
       Similarity.annTombstones(Tables.embeddings(s, dir))),
+    "kmeans_stability"    -> ((s, dir) =>
+      Similarity.kmeansStability(Tables.embeddings(s, dir))),
+    "seasonal_anomaly"    -> ((s, dir) =>
+      Temporal.seasonalAnomaly(cl(s, dir))),
     "cooccur_topk"        -> ((s, dir) =>
       TextAnalysis.cooccurTopKFrom(Staged.tokens(s, dir).skipgrams)),
     "olap_order_priority" -> ((s, dir) =>

@@ -491,6 +491,53 @@ object Similarity {
           .as("overlap_flag"))
   }
 
+  /** Second (disjoint) seed block for [[kmeansStability]]: candidates
+    * 24..39 (the standard seed uses 8..23). */
+  val AltSeedBase = 24
+
+  /** k-means seed-sensitivity gate — the clustering-QA question the
+    * convergence monitor (kmeans_shift) doesn't answer: how much of
+    * the partition is SEED, not STRUCTURE? Two disjoint deterministic
+    * seed blocks each assign the full corpus (exact integer e6
+    * squared-L2 argmin), and the report is the pair-counting Rand
+    * index of the two partitions, computed entirely from the ≤16×16
+    * contingency grid: agree = C(N,2) − (ΣC(aᵢ,2) + ΣC(bⱼ,2) −
+    * 2ΣC(nᵢⱼ,2)). All exact integers (the ·1000 product stays inside
+    * int64 to N ≈ 6·10⁷ vectors; past that the milli scaling, not the
+    * index, needs re-forming). A Rand near 500 (coin-flip pair
+    * agreement) says the 16-way cut is seed noise; near 1000 says the
+    * corpus has real cluster structure. Shapes: two broadcast-centroid
+    * argmin passes over the vector scan, one (ca, cb) grid aggregate,
+    * then grid-sized arithmetic. */
+  def kmeansStability(embeddings: DataFrame): DataFrame = {
+    val vecs = vecsE6(embeddings)
+    def seedAt(base: Int): DataFrame = embeddings
+      .where(col("vec_id") >= base && col("vec_id") < base + NumCentroids)
+      .select((col("vec_id") - base).as("centroid_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) " +
+          "* 1000000d) as bigint))").as("c6"))
+    val aA = assignE6(vecs, seedAt(QueryCount))
+      .select(col("vec_id"), col("centroid_id").as("ca"))
+    val aB = assignE6(vecs, seedAt(AltSeedBase))
+      .select(col("vec_id"), col("centroid_id").as("cb"))
+    val cells = aA.join(aB, "vec_id")
+      .groupBy("ca", "cb").agg(count(lit(1)).as("n"))
+    cells.agg(
+        sum("n").as("n_vecs"),
+        count(lit(1)).as("n_cells"),
+        sum(expr("n * (n - 1) div 2")).as("s_cells"))
+      .crossJoin(broadcast(cells.groupBy("ca")
+        .agg(sum("n").as("na"))
+        .agg(sum(expr("na * (na - 1) div 2")).as("s_a"))))
+      .crossJoin(broadcast(cells.groupBy("cb")
+        .agg(sum("n").as("nb"))
+        .agg(sum(expr("nb * (nb - 1) div 2")).as("s_b"))))
+      .select(col("n_vecs"), col("n_cells"),
+        expr("(n_vecs * (n_vecs - 1) div 2 - s_a - s_b + 2 * s_cells)" +
+          " * 1000 div (n_vecs * (n_vecs - 1) div 2)")
+          .as("rand_milli"))
+  }
+
   /** Embedding-norm QA per label class: squared L2 norm with each
     * element's square rounded to integer e6 FIRST (so the 64-term sum
     * is associative integer arithmetic — order-independent across

@@ -272,6 +272,39 @@ object Temporal {
           .otherwise("OK").as("status"))
   }
 
+  /** Seasonal-baseline anomaly detection — the hour-of-week-aware
+    * sibling of arrivalAnomaly (whose trailing-24h baseline calls
+    * every Monday morning a spike if Sundays are quiet): each hour is
+    * judged against the mean of ITS OWN hour-of-week slot across the
+    * whole calendar (load_profile's 168-slot seasonality, applied as
+    * a baseline). SPIKE at >2× the slot mean, QUIET at <½ — both
+    * cross-multiplied exact integers (n·cnt vs 2·Σ), no division.
+    * The hour grid is DENSE (a silent Friday noon must fire QUIET
+    * even though a silent 3am is normal — that is exactly the case
+    * the trailing baseline can't express). The slot baseline includes
+    * the hour itself: at ≥4 weeks of calendar one hour shifts its own
+    * slot mean ≤25%, and self-inclusion keeps the report one window
+    * over the ≤\|hours\| grid, never a per-hour leave-one-out
+    * re-scan. */
+  def seasonalAnomaly(changelog: DataFrame): DataFrame = {
+    val counts = changelog.select(expr("ems div 3600000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+    val grid = counts.agg(min("h").as("lo"), max("h").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("h"))
+    val dense = grid.join(counts, Seq("h"), "left").na.fill(0L, Seq("n"))
+    val wSlot = Window.partitionBy(pmod(col("h"), lit(168L)))
+    dense
+      .withColumn("slot", pmod(col("h"), lit(168L)))
+      .withColumn("slot_sum", sum("n").over(wSlot))
+      .withColumn("slot_cnt", count(lit(1)).over(wSlot))
+      .select(col("h"), col("slot"), col("n"),
+        expr("slot_sum * 1000 div slot_cnt").as("baseline_milli"),
+        when(col("n") * col("slot_cnt") > col("slot_sum") * 2, "SPIKE")
+          .when(col("n") * col("slot_cnt") * 2 < col("slot_sum"),
+            "QUIET")
+          .otherwise("NORMAL").as("status"))
+  }
+
   /** Allowed lateness for [[lateDataAudit]] — the watermark delay a
     * streaming deployment of this changelog would configure. */
   val AllowedLatenessMs = 5000L

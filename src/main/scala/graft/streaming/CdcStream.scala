@@ -542,6 +542,82 @@ object CdcStream {
       .drop("tot")
   }
 
+  /** Per-user funnel state: first-ever ns timestamp of each stage
+    * (0 = not seen; real ts_ns are always positive). O(1) per key. */
+  case class FunnelState(ts: Long, tc: Long, tp: Long)
+  case class FunnelUser(user_id: Long, t_signup: Long, t_click: Long,
+                        t_purchase: Long)
+
+  /** Streaming strict-funnel state: each arriving event lowers its
+    * stage's first-ever timestamp; the 'end' sentinel flushes the
+    * user's (t_signup, t_click, t_purchase) triple. Stage COMPARISON
+    * happens at rollup, exactly like the batch operator — the state
+    * is three longs however long the stream runs. */
+  def funnelStream(spark: SparkSession,
+                   evs: Dataset[RawEvent]): Dataset[FunnelUser] = {
+    import spark.implicits._
+    evs
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUser](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[RawEvent],
+         state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelUser]
+          def low(cur: Long, t: Long): Long =
+            if (cur == 0L || t < cur) t else cur
+          batch.toSeq.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "signup"   => s = s.copy(ts = low(s.ts, e.ts_ns))
+              case "click"    => s = s.copy(tc = low(s.tc, e.ts_ns))
+              case "purchase" => s = s.copy(tp = low(s.tp, e.ts_ns))
+              case "end"      => out += FunnelUser(uid, s.ts, s.tc, s.tp)
+              case _          => ()
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Streaming↔batch funnel parity: replay the raw events as
+    * contiguous event-time micro-batches through [[funnelStream]],
+    * flush per-user stage triples with the 'end' sentinel batch, and
+    * roll up the strict-funnel counts — must hash-equal the batch
+    * funnel_conversion oracle verbatim. */
+  def funnelParity(spark: SparkSession, events: DataFrame,
+                   nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val src = events.select(col("user_id"), col("event_id"),
+      col("ts_ns"), col("event_type"),
+      lit(0L).as("value_cents"), col("ts"))
+    val bounds = src.agg(min("ts_ns"), max("ts_ns"), max("event_id"))
+      .collect()(0)
+    if (bounds.isNullAt(0))
+      return spark.emptyDataFrame.select(lit(0L).as("n_signup"),
+        lit(0L).as("n_signup_click"), lit(0L).as("n_full_funnel"))
+    val sentinelNs = bounds.getLong(1) + 3600L * 1000000000L
+    val sentinelId = bounds.getLong(2) + 1L
+    val sentinels = src.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(sentinelId).as("event_id"),
+        lit(sentinelNs).as("ts_ns"), lit("end").as("event_type"),
+        lit(0L).as("value_cents"),
+        timestamp_millis(lit(sentinelNs / 1000000L)).as("ts"))
+    replayStaged(spark,
+        rangeSlices(src, "ts_ns", bounds.getLong(0), bounds.getLong(1),
+          nBatches) :+ sentinels,
+        OutputMode.Append())(
+        df => funnelStream(spark, df.as[RawEvent]).toDF())
+      .agg(
+        count(when(col("t_signup") > 0L, 1)).as("n_signup"),
+        count(when(col("t_click") > col("t_signup")
+          && col("t_signup") > 0L, 1)).as("n_signup_click"),
+        count(when(col("t_purchase") > col("t_click")
+          && col("t_click") > col("t_signup")
+          && col("t_signup") > 0L, 1)).as("n_full_funnel"))
+  }
+
   /** Adaptive poll backoff — the exact wait-time policy of
     * `/root/reference/.../sync/DataPoller.scala:60-74`: sleep
     * `(batch - polled)/batch · maxPollWait` ms after each poll (full

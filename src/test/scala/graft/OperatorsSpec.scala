@@ -1106,6 +1106,48 @@ class OperatorsSpec extends AnyFunSuite {
       && r.getAs[Long]("n_pairs") > 0L))
   }
 
+  test("seasonal_anomaly: grid dense, slot baselines positive, a silent " +
+    "slot-hour fires QUIET only when its slot is loud") {
+    val rows = Temporal.seasonalAnomaly(cl).collect()
+    assert(rows.nonEmpty)
+    val hs = rows.map(_.getAs[Long]("h")).sorted
+    assert(hs.last - hs.head + 1 === hs.length) // dense calendar
+    rows.foreach { r =>
+      assert(r.getAs[Long]("slot") === r.getAs[Long]("h") % 168)
+      val n = r.getAs[Long]("n")
+      val base = r.getAs[Long]("baseline_milli")
+      r.getAs[String]("status") match {
+        case "SPIKE" => assert(n * 1000 > base * 2)
+        case "QUIET" => assert(n * 2000 <= base)
+        case _ => ()
+      }
+    }
+  }
+
+  test("kmeans_stability: one report row, rand index in (0, 1000], " +
+    "vectors conserved") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val rows = Similarity.kmeansStability(emb).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("n_vecs") ===
+      emb.where(col("vec_id") >= Similarity.QueryCount).count())
+    val rand = r.getAs[Long]("rand_milli")
+    assert(rand > 0L && rand <= 1000L)
+    assert(r.getAs[Long]("n_cells") <= 256L)
+  }
+
+  test("stream_funnel_parity: the streaming replay reproduces the batch " +
+    "strict-funnel counts exactly") {
+    val ev = Tables.events(spark, TestSpark.Sf)
+    val batch = Analytics.funnelConversion(ev).collect()(0)
+    val stream = graft.streaming.CdcStream.funnelParity(spark, ev)
+      .collect()(0)
+    Seq("n_signup", "n_signup_click", "n_full_funnel").foreach { c =>
+      assert(stream.getAs[Long](c) === batch.getAs[Long](c), c)
+    }
+  }
+
   test("sync_conflicts: one-sided edits propagate, conflicts resolve LWW " +
     "with source precedence on ties") {
     val cust = Tables.customer(spark, TestSpark.Sf)

@@ -147,7 +147,11 @@ class PlanSpec extends AnyFunSuite {
       // ann_tombstones composes the ivf probe selection (16-row
       // centroid fan-out) with the 8-query broadcast survivor truth —
       // the same allowances as ann_ivf + ann_topk
-      "ann_tombstones")
+      "ann_tombstones",
+      // kmeans_stability fans vectors over TWO ≤16-array broadcast
+      // seed blocks (the kmeans_shift allowance, twice) and crosses
+      // the 1-row contingency totals
+      "kmeans_stability")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
