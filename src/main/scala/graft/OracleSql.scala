@@ -4316,6 +4316,81 @@ object OracleSql {
          |FROM waste w LEFT JOIN hits h USING (q_id)""".stripMargin
     },
 
+    "queue_wait_audit" -> {
+      import graft.operators.Temporal.{ServiceMsD, ServiceMsI, ServiceMsU}
+      s"""WITH $CL,
+         |b AS (SELECT part, ems, event_id,
+         |    CASE op WHEN 'I' THEN $ServiceMsI WHEN 'U' THEN $ServiceMsU
+         |      ELSE $ServiceMsD END AS s
+         |  FROM cl),
+         |l AS (SELECT *, ems - LAG(ems) OVER w AS a, LAG(s) OVER w AS ps
+         |  FROM b WINDOW w AS (PARTITION BY part ORDER BY ems,
+         |    event_id)),
+         |d AS (SELECT *, CASE WHEN a IS NULL THEN 0 ELSE ps - a END
+         |    AS dd FROM l),
+         |c AS (SELECT *, CAST(SUM(dd) OVER w2 AS BIGINT) AS cum
+         |  FROM d WINDOW w2 AS (PARTITION BY part ORDER BY ems,
+         |    event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+         |    ROW)),
+         |wt AS (SELECT *, cum - LEAST(0, MIN(cum) OVER w2) AS wait_ms
+         |  FROM c WINDOW w2 AS (PARTITION BY part ORDER BY ems,
+         |    event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+         |    ROW))
+         |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(MAX(wait_ms) AS BIGINT) AS max_wait_ms,
+         |  CAST(SUM(wait_ms) // COUNT(*) AS BIGINT) AS mean_wait_ms,
+         |  CAST(SUM(CASE WHEN wait_ms > 0 THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS waited_ppm,
+         |  CAST(SUM(s) * 1000000 // GREATEST(MAX(ems) - MIN(ems), 1)
+         |    AS BIGINT) AS utilization_ppm
+         |FROM wt GROUP BY 1""".stripMargin
+    },
+
+    "bot_detection" -> {
+      import graft.operators.Temporal.{BotMaxPerMinute, BotMinEvents}
+      s"""WITH $CL,
+         |g AS (SELECT user_id, epoch_s,
+         |    epoch_s - LAG(epoch_s) OVER (PARTITION BY user_id
+         |      ORDER BY ems, event_id) AS g
+         |  FROM cl),
+         |u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(COUNT(g) AS BIGINT) AS n_gaps,
+         |    CAST(COALESCE(SUM(g), 0) AS BIGINT) AS sum_g,
+         |    CAST(COALESCE(SUM(g * g), 0) AS BIGINT) AS sum_g2,
+         |    CAST(MAX(epoch_s) - MIN(epoch_s) AS BIGINT) AS span_s
+         |  FROM g GROUP BY 1),
+         |v AS (SELECT n, CASE
+         |    WHEN n >= $BotMinEvents AND sum_g > 0
+         |      AND n_gaps * sum_g2 * 100 < sum_g * sum_g * 101
+         |      THEN 'REGULAR'
+         |    WHEN n >= $BotMinEvents
+         |      AND n * 60 > span_s * $BotMaxPerMinute THEN 'RATE'
+         |    ELSE 'HUMAN' END AS verdict FROM u)
+         |SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(n) AS BIGINT) AS n_events
+         |FROM v GROUP BY 1""".stripMargin
+    },
+
+    "view_refresh_plan" -> {
+      val mod = graft.operators.CdcMerge.ViewDeltaMod
+      val h = sqlPhash("CAST(l_orderkey AS VARCHAR) || ':' || " +
+        "CAST(l_linenumber AS VARCHAR)")
+      s"""WITH t AS (SELECT l_orderkey,
+         |    CAST(COUNT(*) AS BIGINT) AS n_touched_items
+         |  FROM lineitem
+         |  WHERE $h % $mod = 0
+         |  GROUP BY 1)
+         |SELECT o.o_orderpriority,
+         |  CAST(COUNT(*) AS BIGINT) AS n_view_rows,
+         |  CAST(COUNT(t.l_orderkey) AS BIGINT) AS n_affected,
+         |  CAST(COALESCE(SUM(t.n_touched_items), 0) AS BIGINT)
+         |    AS n_touched_items,
+         |  CAST(COUNT(t.l_orderkey) * 1000000 // COUNT(*) AS BIGINT)
+         |    AS refresh_ppm
+         |FROM orders o LEFT JOIN t ON o.o_orderkey = t.l_orderkey
+         |GROUP BY 1""".stripMargin
+    },
+
     "seasonal_anomaly" ->
       s"""WITH $CL,
          |c AS (SELECT ems // 3600000 AS h, CAST(COUNT(*) AS BIGINT)

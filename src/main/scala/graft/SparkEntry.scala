@@ -386,6 +386,13 @@ object SparkEntry {
       Similarity.kmeansStability(Tables.embeddings(s, dir))),
     "seasonal_anomaly"    -> ((s, dir) =>
       Temporal.seasonalAnomaly(cl(s, dir))),
+    "queue_wait_audit"    -> ((s, dir) =>
+      Temporal.queueWaitAudit(cl(s, dir))),
+    "bot_detection"       -> ((s, dir) =>
+      Temporal.botDetection(cl(s, dir))),
+    "view_refresh_plan"   -> ((s, dir) =>
+      CdcMerge.viewRefreshPlan(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
     "cooccur_topk"        -> ((s, dir) =>
       TextAnalysis.cooccurTopKFrom(Staged.tokens(s, dir).skipgrams)),
     "olap_order_priority" -> ((s, dir) =>

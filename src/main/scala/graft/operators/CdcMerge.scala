@@ -109,6 +109,44 @@ object CdcMerge {
       .where(col("n_customers") =!= 0)
   }
 
+  /** 1-in-[[ViewDeltaMod]] deterministic changed-lineitem cohort for
+    * [[viewRefreshPlan]] (portable hash of the row's PK, so the oracle
+    * selects the identical delta). */
+  val ViewDeltaMod = 20L
+
+  /** Incremental refresh plan for a materialized JOIN view — the IVM
+    * step incrementalAgg (single-table aggregate) doesn't cover: the
+    * per-order revenue view over orders⋈lineitem, given a batch of
+    * changed lineitems, needs recomputing ONLY for the touched order
+    * keys. Per order priority: view rows, affected rows, touched
+    * lineitems, and refresh_ppm — the number that justifies delta
+    * maintenance over full rebuild (a 5% row churn typically touches
+    * far more than 5% of a join view's keys; this measures the actual
+    * amplification). Shapes: the delta predicate is a codegen'd hash
+    * on the pushed-down PK columns; touched keys pre-aggregate per
+    * orderkey BEFORE the join (the fk_integrity discipline — the join
+    * moves |distinct keys|, not |changed rows|); the view side is the
+    * orders scan aggregated per priority. */
+  def viewRefreshPlan(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    import graft.functions.PortableHash.phash
+    val touched = lineitem
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .where(pmod(phash(concat(col("l_orderkey").cast("string"),
+        lit(":"), col("l_linenumber").cast("string"))),
+        lit(ViewDeltaMod)) === 0)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_touched_items"))
+    orders.select(col("o_orderkey"), col("o_orderpriority"))
+      .join(touched, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_view_rows"),
+        count(col("l_orderkey")).as("n_affected"),
+        coalesce(sum("n_touched_items"), lit(0L)).as("n_touched_items"))
+      .select(col("o_orderpriority"), col("n_view_rows"),
+        col("n_affected"), col("n_touched_items"),
+        expr("n_affected * 1000000 div n_view_rows").as("refresh_ppm"))
+  }
+
   /** Delete-only apply: base rows whose key's latest change is a delete
     * are removed (left-anti join on the deleted-key set).
     */

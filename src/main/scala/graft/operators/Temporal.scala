@@ -272,6 +272,102 @@ object Temporal {
           .otherwise("OK").as("status"))
   }
 
+  /** [[botDetection]] thresholds: sustained rate above
+    * [[BotMaxPerMinute]] events/min flags RATE; inter-event
+    * coefficient-of-variation below 10% (CV² < 1/100) flags REGULAR;
+    * both require [[BotMinEvents]] events so thin users stay HUMAN. */
+  val BotMaxPerMinute = 20L
+  val BotMinEvents = 10L
+
+  /** Bot/automation census over user event cadence — the traffic-
+    * quality gate a training-data pipeline runs before trusting
+    * behavioral data (and the abuse screen a sync source runs before
+    * trusting a tenant): a metronome's inter-event gaps have near-zero
+    * dispersion and a scraper's sustained rate is superhuman; real
+    * users are bursty. Verdicts per user — REGULAR (CV² of
+    * second-granularity gaps < 1/100, tested as the exact integer
+    * cross-product 100·n·Σg² < 101·(Σg)², no division, no floats),
+    * RATE (n·60 > span·maxPerMin), else HUMAN — rolled up to the
+    * ≤3-row census with event mass (drop-the-bots is then one
+    * semi-join). At this corpus's Poisson cadence every user is HUMAN
+    * (CV ≈ 1 — no false flags); detection is spec-pinned by an
+    * injected metronome. One user-key shuffle; the lag and the moment
+    * sums ride it; int64 bounds hold to ~10⁶ gaps·(30-day span)². */
+  def botDetection(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ems", "event_id")
+    changelog
+      .select(col("user_id"), col("ems"), col("event_id"),
+        col("epoch_s"))
+      .withColumn("g", col("epoch_s") - lag("epoch_s", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        count(col("g")).as("n_gaps"),
+        coalesce(sum("g"), lit(0L)).as("sum_g"),
+        coalesce(sum(col("g") * col("g")), lit(0L)).as("sum_g2"),
+        (max("epoch_s") - min("epoch_s")).as("span_s"))
+      .select(col("n"),
+        when(col("n") >= BotMinEvents && col("sum_g") > 0L &&
+          col("n_gaps") * col("sum_g2") * 100L <
+            col("sum_g") * col("sum_g") * 101L,
+          lit("REGULAR"))
+          .when(col("n") >= BotMinEvents &&
+            col("n") * 60L > col("span_s") * BotMaxPerMinute,
+            lit("RATE"))
+          .otherwise(lit("HUMAN")).as("verdict"))
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n_users"), sum("n").as("n_events"))
+  }
+
+  /** Deterministic per-op service times (ms) for [[queueWaitAudit]] —
+    * the apply cost model: inserts build rows, updates seek+write,
+    * deletes seek. */
+  val ServiceMsI = 8L
+  val ServiceMsU = 5L
+  val ServiceMsD = 3L
+
+  /** Queueing-delay audit per partition worker — the Lindley
+    * recursion W_n = max(0, W_{n-1} + S_{n-1} − A_n) over each
+    * worker's arrival stream, answering the capacity question the
+    * queue_depth counts only hint at: how long does a change WAIT
+    * behind its partition's backlog under the deterministic service
+    * model? Computed exactly like rate_changepoint's CUSUM — the
+    * max(0,·) recursion in CLOSED FORM as cum − min(0, running-min
+    * cum), two plain windows over the per-part arrival order, so the
+    * whole simulation is associative and hash-matches the SQL oracle.
+    * Per part: events, max and mean wait (ms), the share of events
+    * that waited at all, and utilization (Σservice / span) in ppm —
+    * the number that says which partition needs splitting BEFORE it
+    * falls behind. One shuffle on the part key; windows ride the same
+    * partition. */
+  def queueWaitAudit(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy("part").orderBy("ems", "event_id")
+    val wCum = w.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val svc = when(col("op") === "I", ServiceMsI)
+      .when(col("op") === "U", ServiceMsU).otherwise(ServiceMsD)
+    changelog
+      .select(col("part"), col("ems"), col("event_id"), svc.as("s"))
+      .withColumn("a", col("ems") - lag("ems", 1).over(w))
+      .withColumn("d",
+        when(col("a").isNull, lit(0L))
+          .otherwise(lag("s", 1).over(w) - col("a")))
+      .withColumn("cum", sum("d").over(wCum))
+      .withColumn("wait_ms",
+        col("cum") - least(lit(0L), min("cum").over(wCum)))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n_events"),
+        max("wait_ms").as("max_wait_ms"),
+        expr("sum(wait_ms) div count(1)").as("mean_wait_ms"),
+        sum((col("wait_ms") > 0L).cast("long")).as("n_waited"),
+        sum("s").as("busy_ms"),
+        (max("ems") - min("ems")).as("span_ms"))
+      .select(col("part"), col("n_events"), col("max_wait_ms"),
+        col("mean_wait_ms"),
+        expr("n_waited * 1000000 div n_events").as("waited_ppm"),
+        expr("busy_ms * 1000000 div greatest(span_ms, 1)")
+          .as("utilization_ppm"))
+  }
+
   /** Seasonal-baseline anomaly detection — the hour-of-week-aware
     * sibling of arrivalAnomaly (whose trailing-24h baseline calls
     * every Monday morning a spike if Sundays are quiet): each hour is

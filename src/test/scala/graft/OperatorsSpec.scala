@@ -1148,6 +1148,71 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("queue_wait_audit: sparse arrivals never wait, an injected " +
+    "same-ms burst queues Lindley-style behind the service times") {
+    val clean = Temporal.queueWaitAudit(cl).collect()
+    assert(clean.nonEmpty)
+    clean.foreach { r =>
+      assert(r.getAs[Long]("max_wait_ms") >= 0L)
+      assert(r.getAs[Long]("utilization_ppm") < 1000000L)
+    }
+    // 50 updates land on one partition in the same millisecond: the
+    // i-th must wait behind i-1 services (5 ms each)
+    import spark.implicits._
+    val burst = (1 to 50).map { i =>
+      (8000000000L + i, 3L, "U", 1500000000000L, 1500000000L,
+        100L, 0L, 3L)
+    }.toDF("event_id", "user_id", "op", "ems", "epoch_s",
+      "value_cents", "k", "part")
+    val bursty = Temporal.queueWaitAudit(
+      cl.select("event_id", "user_id", "op", "ems", "epoch_s",
+        "value_cents", "k", "part").union(burst)).collect()
+    val p3 = bursty.find(_.getAs[Long]("part") == 3L).get
+    assert(p3.getAs[Long]("max_wait_ms") >=
+      49L * Temporal.ServiceMsU)
+  }
+
+  test("bot_detection: the Poisson corpus is all HUMAN; an injected " +
+    "metronome flags REGULAR and a scraper flags RATE") {
+    val clean = Temporal.botDetection(cl).collect()
+    assert(clean.map(_.getAs[String]("verdict")).toSet === Set("HUMAN"))
+    import spark.implicits._
+    // metronome: exactly 60 s gaps (CV = 0 -> REGULAR); scraper:
+    // alternating 1 s / 3 s gaps (CV = 0.5 -> not regular) at ~30/min
+    // (-> RATE)
+    def synth(uid: Long, ids: Range)(off: Int => Long) = ids.map { i =>
+      (8100000000L + uid * 1000 + i, uid, "U",
+        (1500000000L + off(i)) * 1000L, 1500000000L + off(i),
+        100L, 0L, 1L)
+    }
+    val bots = (synth(900001L, 1 to 30)(i => i * 60L) ++
+      synth(900002L, 1 to 30)(i => i * 2L + (i % 2)))
+      .toDF("event_id", "user_id", "op", "ems", "epoch_s",
+        "value_cents", "k", "part")
+    val flagged = Temporal.botDetection(
+      cl.select("event_id", "user_id", "op", "ems", "epoch_s",
+        "value_cents", "k", "part").union(bots)).collect()
+    val verdicts = flagged.map(_.getAs[String]("verdict")).toSet
+    assert(verdicts.contains("REGULAR"))
+    assert(verdicts.contains("RATE"))
+  }
+
+  test("view_refresh_plan: every order's view row counted once, the " +
+    "delta amplifies churn, affected bounded by view rows") {
+    val sf = TestSpark.Sf
+    val orders = Tables.orders(spark, sf)
+    val rows = CdcMerge.viewRefreshPlan(orders,
+      Tables.lineitem(spark, sf)).collect()
+    assert(rows.map(_.getAs[Long]("n_view_rows")).sum === orders.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_affected") <= r.getAs[Long]("n_view_rows"))
+      assert(r.getAs[Long]("n_touched_items") >=
+        r.getAs[Long]("n_affected"))
+      // join-view amplification: ~5% item churn touches >5% of keys
+      assert(r.getAs[Long]("refresh_ppm") > 50000L)
+    }
+  }
+
   test("sync_conflicts: one-sided edits propagate, conflicts resolve LWW " +
     "with source precedence on ties") {
     val cust = Tables.customer(spark, TestSpark.Sf)
