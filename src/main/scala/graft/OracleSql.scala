@@ -4316,6 +4316,60 @@ object OracleSql {
          |FROM waste w LEFT JOIN hits h USING (q_id)""".stripMargin
     },
 
+    "ops_dashboard" ->
+      s"""WITH $CL, $STATUS, $ST,
+         |g AS (SELECT 'db' || (user_id % 3) AS db,
+         |    MAX(CASE WHEN event_id % 7 = 0 AND status = 'OK'
+         |      THEN ems END) AS applied_ems,
+         |    MIN(ems) AS first_ems,
+         |    CAST(COUNT(CASE WHEN NOT (event_id % 7 = 0
+         |      AND status = 'OK') THEN 1 END) AS BIGINT) AS n_unapplied
+         |  FROM a GROUP BY 1),
+         |n AS (SELECT MAX(ems) AS now_ems FROM cl),
+         |lg AS (SELECT db,
+         |    (now_ems - COALESCE(applied_ems, first_ems)) // 1000
+         |      AS apply_lag_s,
+         |    n_unapplied
+         |  FROM g, n)
+         |SELECT st.db, pending, blocked, error, success, apply_lag_s,
+         |  n_unapplied,
+         |  CASE WHEN error > success THEN 'ERROR'
+         |       WHEN apply_lag_s > 3600 THEN 'WARN'
+         |       ELSE 'OK' END AS health
+         |FROM st JOIN lg ON st.db = lg.db""".stripMargin,
+
+    "data_skipping_audit" -> {
+      import graft.operators.Snapshot.{ProbeHiDay, ProbeLoDay,
+        SkipDateChunkDays, SkipHashBuckets, SkipKeyChunkWidth}
+      val h = sqlPhash("CAST(l_orderkey AS VARCHAR) || ':' || " +
+        "CAST(l_linenumber AS VARCHAR)")
+      def lay(name: String, chunk: String): String =
+        s"""SELECT '$name' AS layout,
+           |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           |  CAST(SUM(pruned) AS BIGINT) AS n_pruned_chunks,
+           |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN pruned = 1 THEN n_rows ELSE 0 END)
+           |    AS BIGINT) AS rows_skipped,
+           |  CAST(SUM(CASE WHEN pruned = 1 THEN n_rows ELSE 0 END)
+           |    * 1000000 // SUM(n_rows) AS BIGINT) AS skip_ppm,
+           |  CAST(SUM(n_matched) AS BIGINT) AS n_matched
+           |FROM (SELECT chunk, COUNT(*) AS n_rows,
+           |    SUM(CASE WHEN d >= $ProbeLoDay AND d < $ProbeHiDay
+           |      THEN 1 ELSE 0 END) AS n_matched,
+           |    CASE WHEN MAX(d) < $ProbeLoDay
+           |      OR MIN(d) >= $ProbeHiDay THEN 1 ELSE 0 END AS pruned
+           |  FROM (SELECT $chunk AS chunk, d FROM b) GROUP BY 1)""".stripMargin
+      s"""WITH b AS (SELECT l_orderkey, l_linenumber,
+         |    CAST(date_diff('day', DATE '1992-01-01',
+         |      CAST(l_shipdate AS DATE)) AS BIGINT) AS d
+         |  FROM lineitem)
+         |${lay("date_ranged", s"d // $SkipDateChunkDays")}
+         |UNION ALL
+         |${lay("orderkey_ranged", s"l_orderkey // $SkipKeyChunkWidth")}
+         |UNION ALL
+         |${lay("hash_scattered", s"$h % $SkipHashBuckets")}""".stripMargin
+    },
+
     "queue_wait_audit" -> {
       import graft.operators.Temporal.{ServiceMsD, ServiceMsI, ServiceMsU}
       s"""WITH $CL,

@@ -393,6 +393,9 @@ object SparkEntry {
     "view_refresh_plan"   -> ((s, dir) =>
       CdcMerge.viewRefreshPlan(Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
+    "ops_dashboard"       -> ((s, dir) => Ledger.opsDashboard(cl(s, dir))),
+    "data_skipping_audit" -> ((s, dir) =>
+      Snapshot.dataSkippingAudit(Tables.lineitem(s, dir))),
     "cooccur_topk"        -> ((s, dir) =>
       TextAnalysis.cooccurTopKFrom(Staged.tokens(s, dir).skipgrams)),
     "olap_order_priority" -> ((s, dir) =>

@@ -492,6 +492,27 @@ object Ledger {
         col("n_unapplied"))
   }
 
+  /** Composed per-db operations dashboard — the one relation an
+    * on-call actually opens: syncState's status counts joined to
+    * syncLag's freshness numbers with a single worst-signal health
+    * grade (ERROR: failed applies outnumber successes — the sync is
+    * losing; WARN: applies > 1 h stale; else OK — thresholds sit
+    * where the corpus's natural 20% ERR mix grades healthy and real
+    * lag differences show through). Pure
+    * composition of the two audited operators — the join adds one
+    * 3-row broadcast; every underlying shape was already
+    * plan-audited. The reference serves these as separate /status
+    * endpoints (monitor/Endpoints.scala:28-75); operators read them
+    * side by side — this is that view. */
+  def opsDashboard(changelog: DataFrame): DataFrame =
+    syncState(changelog)
+      .join(syncLag(changelog), "db")
+      .select(col("db"), col("pending"), col("blocked"), col("error"),
+        col("success"), col("apply_lag_s"), col("n_unapplied"),
+        when(col("error") > col("success"), "ERROR")
+          .when(col("apply_lag_s") > 3600L, "WARN")
+          .otherwise("OK").as("health"))
+
   /** Rows reported by [[keySkewReport]]. */
   val SkewTopK = 20
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Full-table initial sync, snapshot delta detection, and partitioned
@@ -524,6 +524,69 @@ object Snapshot {
         when(col("action").isin("APPLY_TO_SOURCE", "CONFLICT_TGT_WINS"),
           col("tgt_cents")).otherwise(col("src_cents")))
       .drop("src_edit", "tgt_edit")
+  }
+
+  /** [[dataSkippingAudit]] geometry: day width of a date-ranged
+    * chunk, orderkey width of a key-ranged chunk, bucket count of the
+    * hash layout, and the probe window (days since 1992-01-01 —
+    * computed from calendar dates, not wall clock). */
+  val SkipDateChunkDays = 16L
+  val SkipKeyChunkWidth = 4096L
+  val SkipHashBuckets = 256L
+  val SkipEpoch: java.time.LocalDate = java.time.LocalDate.of(1992, 1, 1)
+  val ProbeLoDay: Long = java.time.temporal.ChronoUnit.DAYS.between(
+    SkipEpoch, java.time.LocalDate.of(1998, 6, 1))
+  val ProbeHiDay: Long = java.time.temporal.ChronoUnit.DAYS.between(
+    SkipEpoch, java.time.LocalDate.of(1998, 7, 1))
+
+  /** Data-skipping audit across candidate storage layouts — the
+    * zone-map question that decides a 100 TB table's sort key: for a
+    * one-month shipdate probe, how many range-partition chunks can
+    * min/max statistics prune under (a) date-ranged layout (the right
+    * sort key — prunes almost everything), (b) orderkey-ranged (the
+    * "natural" PK layout — dates spread, prunes little beyond the
+    * calendar edges), (c) hash-scattered (every chunk spans the whole
+    * calendar — prunes nothing)? Per layout: chunks, pruned chunks,
+    * rows skipped, skip ppm, and the matched-row count (identical
+    * across layouts — the built-in sanity row). Chunks are KEY RANGES
+    * (how range partitioning and parquet row groups actually lay
+    * out), so the whole audit is grid aggregates on (layout, chunk) —
+    * no global row_number, no unpartitioned window, fact table
+    * scanned once per layout expression. */
+  def dataSkippingAudit(lineitem: DataFrame): DataFrame = {
+    import graft.functions.PortableHash.phash
+    val day = expr(
+      s"cast(datediff(l_shipdate, DATE '1992-01-01') as bigint)")
+    val base = lineitem.select(col("l_orderkey"), col("l_linenumber"),
+      day.as("d"))
+    def audit(name: String, chunk: Column): DataFrame =
+      base.select(chunk.as("chunk"), col("d"))
+        .groupBy("chunk")
+        .agg(count(lit(1)).as("n_rows"), min("d").as("lo"),
+          max("d").as("hi"),
+          sum((col("d") >= ProbeLoDay && col("d") < ProbeHiDay)
+            .cast("long")).as("n_matched"))
+        .select(lit(name).as("layout"), col("n_rows"),
+          (col("hi") < ProbeLoDay || col("lo") >= ProbeHiDay)
+            .cast("long").as("pruned"), col("n_matched"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("pruned").as("n_pruned_chunks"),
+          sum("n_rows").as("n_rows"),
+          sum(when(col("pruned") === 1L, col("n_rows"))
+            .otherwise(0L)).as("rows_skipped"),
+          sum("n_matched").as("n_matched"))
+        .select(col("layout"), col("n_chunks"), col("n_pruned_chunks"),
+          col("n_rows"), col("rows_skipped"),
+          expr("rows_skipped * 1000000 div n_rows").as("skip_ppm"),
+          col("n_matched"))
+    audit("date_ranged", expr(s"d div $SkipDateChunkDays"))
+      .unionByName(audit("orderkey_ranged",
+        expr(s"l_orderkey div $SkipKeyChunkWidth")))
+      .unionByName(audit("hash_scattered",
+        pmod(phash(concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))),
+          lit(SkipHashBuckets))))
   }
 
   /** Declared desired schema for [[migrationPlan]] — the sync target's

@@ -1213,6 +1213,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ops_dashboard: one row per db, counts consistent with syncState, " +
+    "lag thresholds produce varied health grades") {
+    val rows = Ledger.opsDashboard(cl).collect()
+    assert(rows.length === 3)
+    val states = Ledger.syncState(cl).collect()
+      .map(r => r.getAs[String]("db") -> r.getAs[Long]("error")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("error") === states(r.getAs[String]("db")))
+      assert(Set("OK", "WARN", "ERROR")
+        .contains(r.getAs[String]("health")))
+      // natural corpus: errors never outnumber successes
+      assert(r.getAs[Long]("error") <= r.getAs[Long]("success"))
+    }
+  }
+
+  test("data_skipping_audit: matched rows identical across layouts, the " +
+    "date-ranged layout prunes most, hash layout prunes nothing") {
+    val rows = Snapshot.dataSkippingAudit(
+      Tables.lineitem(spark, TestSpark.Sf)).collect()
+    assert(rows.length === 3)
+    val byLayout = rows.map(r => r.getAs[String]("layout") -> r).toMap
+    assert(rows.map(_.getAs[Long]("n_matched")).toSet.size === 1)
+    assert(rows.map(_.getAs[Long]("n_rows")).toSet.size === 1)
+    assert(byLayout("date_ranged").getAs[Long]("skip_ppm") > 800000L)
+    assert(byLayout("hash_scattered").getAs[Long]("skip_ppm") === 0L)
+    rows.foreach(r => assert(r.getAs[Long]("n_pruned_chunks") <=
+      r.getAs[Long]("n_chunks")))
+  }
+
   test("sync_conflicts: one-sided edits propagate, conflicts resolve LWW " +
     "with source precedence on ties") {
     val cust = Tables.customer(spark, TestSpark.Sf)

@@ -151,7 +151,10 @@ class PlanSpec extends AnyFunSuite {
       // kmeans_stability fans vectors over TWO ≤16-array broadcast
       // seed blocks (the kmeans_shift allowance, twice) and crosses
       // the 1-row contingency totals
-      "kmeans_stability")
+      "kmeans_stability",
+      // ops_dashboard inherits sync_lag's broadcast 1-row now_ems
+      // cross onto the 3-row per-db grid
+      "ops_dashboard")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
