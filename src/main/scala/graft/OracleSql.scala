@@ -480,6 +480,38 @@ object OracleSql {
         |  CAST(SUM(value_cents) AS BIGINT) AS revenue_cents
         |FROM a WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
 
+  /** Lindley queue-wait SQL — shared verbatim by `queue_wait_audit`
+    * and the streaming replay `stream_queue_parity`. */
+  val QueueWaitSql: String = {
+      import graft.operators.Temporal.{ServiceMsD, ServiceMsI, ServiceMsU}
+      s"""WITH $CL,
+         |b AS (SELECT part, ems, event_id,
+         |    CASE op WHEN 'I' THEN $ServiceMsI WHEN 'U' THEN $ServiceMsU
+         |      ELSE $ServiceMsD END AS s
+         |  FROM cl),
+         |l AS (SELECT *, ems - LAG(ems) OVER w AS a, LAG(s) OVER w AS ps
+         |  FROM b WINDOW w AS (PARTITION BY part ORDER BY ems,
+         |    event_id)),
+         |d AS (SELECT *, CASE WHEN a IS NULL THEN 0 ELSE ps - a END
+         |    AS dd FROM l),
+         |c AS (SELECT *, CAST(SUM(dd) OVER w2 AS BIGINT) AS cum
+         |  FROM d WINDOW w2 AS (PARTITION BY part ORDER BY ems,
+         |    event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+         |    ROW)),
+         |wt AS (SELECT *, cum - LEAST(0, MIN(cum) OVER w2) AS wait_ms
+         |  FROM c WINDOW w2 AS (PARTITION BY part ORDER BY ems,
+         |    event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+         |    ROW))
+         |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(MAX(wait_ms) AS BIGINT) AS max_wait_ms,
+         |  CAST(SUM(wait_ms) // COUNT(*) AS BIGINT) AS mean_wait_ms,
+         |  CAST(SUM(CASE WHEN wait_ms > 0 THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS waited_ppm,
+         |  CAST(SUM(s) * 1000000 // GREATEST(MAX(ems) - MIN(ems), 1)
+         |    AS BIGINT) AS utilization_ppm
+         |FROM wt GROUP BY 1""".stripMargin
+  }
+
   /** Strict-funnel SQL — shared verbatim by `funnel_conversion` and
     * the streaming replay `stream_funnel_parity`. */
   val FunnelSql: String =
@@ -4370,35 +4402,9 @@ object OracleSql {
          |${lay("hash_scattered", s"$h % $SkipHashBuckets")}""".stripMargin
     },
 
-    "queue_wait_audit" -> {
-      import graft.operators.Temporal.{ServiceMsD, ServiceMsI, ServiceMsU}
-      s"""WITH $CL,
-         |b AS (SELECT part, ems, event_id,
-         |    CASE op WHEN 'I' THEN $ServiceMsI WHEN 'U' THEN $ServiceMsU
-         |      ELSE $ServiceMsD END AS s
-         |  FROM cl),
-         |l AS (SELECT *, ems - LAG(ems) OVER w AS a, LAG(s) OVER w AS ps
-         |  FROM b WINDOW w AS (PARTITION BY part ORDER BY ems,
-         |    event_id)),
-         |d AS (SELECT *, CASE WHEN a IS NULL THEN 0 ELSE ps - a END
-         |    AS dd FROM l),
-         |c AS (SELECT *, CAST(SUM(dd) OVER w2 AS BIGINT) AS cum
-         |  FROM d WINDOW w2 AS (PARTITION BY part ORDER BY ems,
-         |    event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
-         |    ROW)),
-         |wt AS (SELECT *, cum - LEAST(0, MIN(cum) OVER w2) AS wait_ms
-         |  FROM c WINDOW w2 AS (PARTITION BY part ORDER BY ems,
-         |    event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
-         |    ROW))
-         |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_events,
-         |  CAST(MAX(wait_ms) AS BIGINT) AS max_wait_ms,
-         |  CAST(SUM(wait_ms) // COUNT(*) AS BIGINT) AS mean_wait_ms,
-         |  CAST(SUM(CASE WHEN wait_ms > 0 THEN 1 ELSE 0 END) * 1000000
-         |    // COUNT(*) AS BIGINT) AS waited_ppm,
-         |  CAST(SUM(s) * 1000000 // GREATEST(MAX(ems) - MIN(ems), 1)
-         |    AS BIGINT) AS utilization_ppm
-         |FROM wt GROUP BY 1""".stripMargin
-    },
+    "queue_wait_audit" -> QueueWaitSql,
+
+    "stream_queue_parity" -> QueueWaitSql,
 
     "bot_detection" -> {
       import graft.operators.Temporal.{BotMaxPerMinute, BotMinEvents}

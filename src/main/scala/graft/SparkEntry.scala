@@ -116,6 +116,8 @@ object SparkEntry {
       graft.streaming.CdcStream.transitionsParity(s, Tables.events(s, dir))),
     "stream_funnel_parity" -> ((s, dir) =>
       graft.streaming.CdcStream.funnelParity(s, Tables.events(s, dir))),
+    "stream_queue_parity" -> ((s, dir) =>
+      graft.streaming.CdcStream.queueParity(s, cl(s, dir))),
     "stream_tier_parity"  -> ((s, dir) =>
       graft.streaming.CdcStream.tierParity(s, cl(s, dir))),
     "pipeline_e2e"        -> ((s, dir) => Pipeline.run(s, dir).applied),

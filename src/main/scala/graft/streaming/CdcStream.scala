@@ -618,6 +618,98 @@ object CdcStream {
           && col("t_signup") > 0L, 1)).as("n_full_funnel"))
   }
 
+  /** One partition-worker change for the queue-wait replay. */
+  case class PartChange(part: Long, event_id: Long, ems: Long,
+                        op: String, ts: java.sql.Timestamp)
+  /** O(1) Lindley state per partition: last arrival, last service,
+    * current wait, and the running report moments. */
+  case class QueueState(lastEms: Long, lastSvc: Long, curWait: Long,
+                        n: Long, sumWait: Long, maxWait: Long,
+                        nWaited: Long, busy: Long, minEms: Long,
+                        maxEms: Long)
+  case class QueueReport(part: Long, n_events: Long, max_wait_ms: Long,
+                         mean_wait_ms: Long, waited_ppm: Long,
+                         utilization_ppm: Long)
+
+  /** Continuous queueing-delay monitor — the streaming twin of
+    * Temporal.queueWaitAudit, and the shape that shows WHY the batch
+    * operator computes the recursion in closed form: online, Lindley
+    * is just `w = max(0, w + s_prev − a)` with TEN longs of state per
+    * partition worker however long the stream runs. The 'Z' sentinel
+    * flushes the per-part report; it must hash-equal the batch oracle
+    * verbatim. */
+  def queueStream(spark: SparkSession,
+                  cs: Dataset[PartChange]): Dataset[QueueReport] = {
+    import spark.implicits._
+    import graft.operators.Temporal.{ServiceMsD, ServiceMsI, ServiceMsU}
+    cs.withWatermark("ts", "2 hours")
+      .groupByKey(_.part)
+      .flatMapGroupsWithState[QueueState, QueueReport](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (part: Long, batch: Iterator[PartChange],
+         state: GroupState[QueueState]) =>
+          var s = state.getOption.getOrElse(
+            QueueState(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[QueueReport]
+          batch.toSeq.sortBy(c => (c.ems, c.event_id)).foreach { c =>
+            if (c.op == "Z") {
+              if (s.n > 0)
+                out += QueueReport(part, s.n, s.maxWait,
+                  s.sumWait / s.n,
+                  s.nWaited * 1000000L / s.n,
+                  s.busy * 1000000L / math.max(s.maxEms - s.minEms, 1L))
+            } else {
+              val svc = c.op match {
+                case "I" => ServiceMsI
+                case "U" => ServiceMsU
+                case _   => ServiceMsD
+              }
+              val w = if (s.n == 0L) 0L
+                else math.max(0L, s.curWait + s.lastSvc - (c.ems - s.lastEms))
+              s = QueueState(c.ems, svc, w, s.n + 1L, s.sumWait + w,
+                math.max(s.maxWait, w),
+                s.nWaited + (if (w > 0L) 1L else 0L),
+                s.busy + svc,
+                if (s.n == 0L) c.ems else s.minEms, c.ems)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Streaming↔batch queue-wait parity: contiguous event-time replay
+    * of the changelog through [[queueStream]], per-part reports
+    * flushed by the 'Z' sentinel batch, pinned verbatim to the batch
+    * queue_wait_audit oracle. */
+  def queueParity(spark: SparkSession, changelog: DataFrame,
+                  nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val src = changelog.select(col("part").cast("long").as("part"),
+      col("event_id"), col("ems"), col("op"),
+      timestamp_millis(col("ems")).as("ts"))
+    val bounds = src.agg(min("ems"), max("ems"), max("event_id"))
+      .collect()(0)
+    if (bounds.isNullAt(0))
+      return spark.emptyDataFrame.select(lit(0L).as("part"),
+        lit(0L).as("n_events"), lit(0L).as("max_wait_ms"),
+        lit(0L).as("mean_wait_ms"), lit(0L).as("waited_ppm"),
+        lit(0L).as("utilization_ppm"))
+    val sentinelMs = bounds.getLong(1) + 3600L * 1000L
+    val sentinelId = bounds.getLong(2) + 1L
+    val sentinels = src.select(col("part")).distinct()
+      .select(col("part"), lit(sentinelId).as("event_id"),
+        lit(sentinelMs).as("ems"), lit("Z").as("op"),
+        timestamp_millis(lit(sentinelMs)).as("ts"))
+    replayStaged(spark,
+        rangeSlices(src, "ems", bounds.getLong(0), bounds.getLong(1),
+          nBatches) :+ sentinels,
+        OutputMode.Append())(
+        df => queueStream(spark, df.as[PartChange]).toDF())
+      .select("part", "n_events", "max_wait_ms", "mean_wait_ms",
+        "waited_ppm", "utilization_ppm")
+  }
+
   /** Adaptive poll backoff — the exact wait-time policy of
     * `/root/reference/.../sync/DataPoller.scala:60-74`: sleep
     * `(batch - polled)/batch · maxPollWait` ms after each poll (full

@@ -1242,6 +1242,19 @@ class OperatorsSpec extends AnyFunSuite {
       r.getAs[Long]("n_chunks")))
   }
 
+  test("stream_queue_parity: the online Lindley recursion reproduces " +
+    "the batch closed-form audit exactly") {
+    val batch = Temporal.queueWaitAudit(cl).collect()
+      .map(r => r.getAs[Long]("part") -> r.toSeq).toMap
+    val stream = graft.streaming.CdcStream.queueParity(spark, cl)
+      .collect()
+    assert(stream.length === batch.size)
+    stream.foreach { r =>
+      assert(r.toSeq === batch(r.getAs[Long]("part")),
+        s"part ${r.getAs[Long]("part")}")
+    }
+  }
+
   test("sync_conflicts: one-sided edits propagate, conflicts resolve LWW " +
     "with source precedence on ties") {
     val cust = Tables.customer(spark, TestSpark.Sf)
