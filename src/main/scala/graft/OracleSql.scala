@@ -4199,6 +4199,47 @@ object OracleSql {
          |WHERE sup_qty_c * 2 > part_qty_c
          |GROUP BY 1, 2""".stripMargin,
 
+    "market_basket" ->
+      """WITH b AS (SELECT DISTINCT l.l_orderkey AS okey,
+        |    p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |bc AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1),
+        |no AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders
+        |  FROM b),
+        |pr AS (SELECT a.brand AS brand_a, c.brand AS brand_b,
+        |    CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM b a JOIN b c ON a.okey = c.okey AND a.brand < c.brand
+        |  GROUP BY 1, 2)
+        |SELECT pr.brand_a, pr.brand_b, pr.support,
+        |  ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |  CAST(pr.support * 1000000 // ca.cnt AS BIGINT) AS conf_ab_ppm,
+        |  CAST(((pr.support * 1000000 // ca.cnt) * no.n_orders) // cb.cnt
+        |    AS BIGINT) AS lift_ppm
+        |FROM pr JOIN bc ca ON ca.brand = pr.brand_a
+        |  JOIN bc cb ON cb.brand = pr.brand_b, no""".stripMargin,
+
+    "embed_covariance" -> {
+      import graft.operators.Similarity.Dim
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS v6
+         |  FROM embeddings),
+         |x AS (SELECT vec_id, CAST(d.i AS BIGINT) - 1 AS dim, v6[d.i] AS x6
+         |  FROM v, UNNEST(generate_series(1, $Dim)) AS d(i)),
+         |m AS (SELECT dim,
+         |    (SUM(x6) - SUM(x6) % COUNT(*)) // COUNT(*) AS mean6
+         |  FROM x GROUP BY 1),
+         |c AS (SELECT vec_id, dim, x6 - mean6 AS c6
+         |  FROM x JOIN m USING (dim)),
+         |p AS (SELECT a.dim AS dim_a, b.dim AS dim_b, a.c6 * b.c6 AS pr
+         |  FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.dim <= b.dim)
+         |SELECT dim_a, dim_b,
+         |  CAST((SUM(pr) - SUM(pr) % COUNT(*)) // COUNT(*) AS BIGINT)
+         |    AS cov_e12
+         |FROM p GROUP BY 1, 2""".stripMargin
+    },
+
     "event_paths" -> {
       val k = graft.operators.Analytics.PathTopK
       s"""WITH t AS (SELECT event_type AS p1,

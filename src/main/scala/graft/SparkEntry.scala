@@ -518,6 +518,11 @@ object SparkEntry {
     "olap_dominant_shippers" -> ((s, dir) =>
       Analytics.dominantShippers(Tables.part(s, dir),
         Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+    "market_basket"       -> ((s, dir) =>
+      Analytics.marketBasket(Tables.part(s, dir),
+        Tables.lineitem(s, dir))),
+    "embed_covariance"    -> ((s, dir) =>
+      Similarity.embedCovariance(Tables.embeddings(s, dir))),
     "domain_caps"         -> ((s, dir) =>
       Curation.domainCaps(Tables.documents(s, dir))),
     "ccnet_buckets"       -> ((s, dir) =>

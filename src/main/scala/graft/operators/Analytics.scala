@@ -989,4 +989,55 @@ object Analytics {
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("n_dominated_parts"), col("qty_moved_c"))
+
+  /** Market-basket brand affinity — the cross-sell report a sync
+    * target's BI layer runs over landed order data. An order's basket
+    * is its DISTINCT part brands; every unordered brand pair sharing
+    * an order is one co-occurrence. Per pair: support (co-order
+    * count), each brand's own order count, directional confidence
+    * a→b, and lift — all exact integer ppm (lift computed as
+    * ((support·1e6 div cnt_a)·n_orders) div cnt_b, so the widest
+    * intermediate is 1e6·n_orders: headroom to ~9e12 orders, vs
+    * overflow at 3e6 orders for the naive support·n_orders·1e6).
+    *
+    * Shapes for 100 TB: the part dim joins the fact on partkey (AQE
+    * broadcasts only while part genuinely fits); each order's basket
+    * is grouped ONCE into a sorted brand array (one shuffle on the
+    * order key — there is no okey self-join anywhere), and the pair,
+    * per-brand, and order counts are three aggregates over that one
+    * reused exchange. Pair generation is a map-side explode of each
+    * array against its own tail (sorted ⇒ brand_a < brand_b for
+    * free), and the pair space is bounded by the brand vocabulary
+    * (25 brands ⇒ ≤300 pairs), so the final count is a map-side-
+    * combined aggregate into a constant-size group space; the brand
+    * counts riding into the result are true broadcasts (vocabulary-
+    * sized, not data-sized). */
+  def marketBasket(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+    val brandCnt = baskets
+      .select(explode(col("brands")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("cnt"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    baskets
+      .select(col("brands"), posexplode(col("brands")).as(Seq("i", "brand_a")))
+      .select(col("brand_a"),
+        explode(slice(col("brands"), col("i") + 2,
+          size(col("brands")) - col("i") - 1)).as("brand_b"))
+      .groupBy("brand_a", "brand_b")
+      .agg(count(lit(1)).as("support"))
+      .join(broadcast(brandCnt.withColumnRenamed("brand", "brand_a")
+        .withColumnRenamed("cnt", "cnt_a")), Seq("brand_a"))
+      .join(broadcast(brandCnt.withColumnRenamed("brand", "brand_b")
+        .withColumnRenamed("cnt", "cnt_b")), Seq("brand_b"))
+      .join(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("support"),
+        col("cnt_a"), col("cnt_b"),
+        expr("support * 1000000L div cnt_a").as("conf_ab_ppm"),
+        expr("((support * 1000000L div cnt_a) * n_orders) div cnt_b")
+          .as("lift_ppm"))
+  }
 }

@@ -558,6 +558,49 @@ object Similarity {
         max("sq_e6").as("max_sq_e6"),
         sum("sq_e6").as("sum_sq_e6"))
 
+  /** Integer-exact covariance audit over every (dim_a ≤ dim_b) pair —
+    * the anisotropy measurement behind the vector-index design calls
+    * this repo already commits to (the residual-PQ negative holds
+    * exactly while the corpus is isotropic; a dominant off-diagonal
+    * band is the signal to whiten/rotate before PQ, à la OPQ).
+    *
+    * Two passes, both associative integer arithmetic so the result is
+    * partition-order-free and oracle-hashable: (1) per-dim integer
+    * mean of the e6-rounded coordinates (a [[Dim]]-row aggregate whose
+    * result — 64 longs — is collected and inlined as a literal array:
+    * the scalable form of broadcasting a tiny statistics relation);
+    * (2) one explode of each vector's centered coords against its own
+    * tail slice, partially aggregated map-side into the fixed
+    * Dim·(Dim+1)/2-group space (2080 groups at 64 dims), so the only
+    * shuffle carries ≤2080 rows per map partition regardless of corpus
+    * size. cov_e12 = Σ(ca·cb) div n with e6-centered factors: |ca| ≤
+    * 2e6 ⇒ the 63-bit sum holds to ~2M vectors per job at full |x|≈1
+    * coordinate range — shard-and-merge (sums are associative) beyond. */
+  def embedCovariance(embeddings: DataFrame): DataFrame = {
+    val x6 = embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000000L).cast("long")).as("v6"))
+    val means = x6
+      .select(posexplode(col("v6")).as(Seq("dim", "x6")))
+      .groupBy("dim")
+      .agg(sum("x6").as("s"), count(lit(1)).as("n"))
+      .select(col("dim"), expr("s div n").as("mean6"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val meanLit = array((0 until Dim).map(d => lit(means(d))): _*)
+    x6
+      .select(col("vec_id"),
+        zip_with(col("v6"), meanLit, (x, m) => x - m).as("c6"))
+      .select(col("c6"), posexplode(col("c6")).as(Seq("da", "ca")))
+      .select(col("da"), col("ca"),
+        posexplode(slice(col("c6"), col("da") + 1, lit(Dim) - col("da")))
+          .as(Seq("j", "cb")))
+      .groupBy(col("da").cast("long").as("dim_a"),
+        (col("da") + col("j")).cast("long").as("dim_b"))
+      .agg(sum(col("ca") * col("cb")).as("sp"), count(lit(1)).as("n"))
+      .select(col("dim_a"), col("dim_b"),
+        expr("sp div n").as("cov_e12"))
+  }
+
   // --- product quantization ------------------------------------------------
 
   /** PQ geometry: M subspaces × SubDim dims, K centroids per subspace

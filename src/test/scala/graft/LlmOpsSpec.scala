@@ -56,6 +56,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lsh.forall(_.getAs[Long]("cand_id") >= Similarity.QueryCount))
   }
 
+  test("embed_covariance: full upper-triangle grid, variances " +
+    "non-negative, every entry equal to a driver-side two-pass " +
+    "integer reference") {
+    val dim = Similarity.Dim
+    val got = Similarity.embedCovariance(embs).collect()
+      .map(r => (r.getAs[Long]("dim_a"), r.getAs[Long]("dim_b")) ->
+        r.getAs[Long]("cov_e12")).toMap
+    assert(got.size === dim * (dim + 1) / 2)
+    (0 until dim).foreach(d => assert(got((d.toLong, d.toLong)) >= 0L))
+    // driver-side reference: e6 HALF_UP rounding, truncating integer
+    // means, truncating integer covariance — the operator's contract
+    val vecs = embs.select("embedding").collect().map(
+      _.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => BigDecimal(x.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+    val n = vecs.length
+    val mean = Array.tabulate(dim)(d => vecs.map(_(d)).sum / n)
+    for (a <- 0 until dim; b <- a until dim) {
+      val sp = vecs.map(v => (v(a) - mean(a)) * (v(b) - mean(b))).sum
+      assert(got((a.toLong, b.toLong)) === sp / n, s"pair ($a,$b)")
+    }
+  }
+
   test("hardNegatives: top-k other-label candidates, verified against a " +
     "driver-side exhaustive ranking") {
     val got = Similarity.hardNegatives(embs, k = 5).collect()

@@ -952,6 +952,39 @@ class OperatorsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("qty_moved_c") > 0L))
   }
 
+  test("market_basket: pair supports match a driver-side basket replay, " +
+    "confidence and lift are the declared integer formulas") {
+    val sf = TestSpark.Sf
+    val rows = Analytics.marketBasket(Tables.part(spark, sf),
+      Tables.lineitem(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    // driver-side reference baskets: order -> distinct brand set
+    val baskets = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct().collect()
+      .groupBy(_.getAs[Long]("l_orderkey"))
+      .view.mapValues(_.map(_.getAs[String]("p_brand")).toSet).toMap
+    val nOrders = baskets.size.toLong
+    val cnt = baskets.values.toSeq.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val support = baskets.values.toSeq
+      .flatMap(s => s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.length === support.size)
+    rows.foreach { r =>
+      val a = r.getAs[String]("brand_a"); val b = r.getAs[String]("brand_b")
+      assert(a < b)
+      val sup = r.getAs[Long]("support")
+      assert(sup === support((a, b)))
+      assert(r.getAs[Long]("cnt_a") === cnt(a))
+      assert(r.getAs[Long]("cnt_b") === cnt(b))
+      assert(r.getAs[Long]("conf_ab_ppm") === sup * 1000000L / cnt(a))
+      assert(r.getAs[Long]("lift_ppm") ===
+        sup * 1000000L / cnt(a) * nOrders / cnt(b))
+    }
+  }
+
   test("event_paths: exactly top-K rows, counts descending, triple mass " +
     "bounded by events") {
     val ev = Tables.events(spark, TestSpark.Sf)

@@ -154,7 +154,10 @@ class PlanSpec extends AnyFunSuite {
       "kmeans_stability",
       // ops_dashboard inherits sync_lag's broadcast 1-row now_ems
       // cross onto the 3-row per-db grid
-      "ops_dashboard")
+      "ops_dashboard",
+      // market_basket crosses the broadcast 1-row order total onto
+      // the vocabulary-bounded (≤300-row) brand-pair aggregate
+      "market_basket")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
