@@ -43,7 +43,8 @@ vocab_growth,t_closeness,embed_drift,ivf_balance,\
 event_transitions,stream_transitions_parity,rfm_segments,\
 rp_recall,ivf_sq_recall,padding_plan,dup_token_share,\
 ring_rebalance,quantile_sketch_error,event_paths,rate_changepoint,\
-cluster_cohesion"
+cluster_cohesion,stream_queue_parity,stream_funnel_parity,\
+embed_covariance,anisotropy_audit,mmr_diversify"
 
 echo "== amplify $BASE x$K -> $WORK"
 sbt -batch "runMain graft.AmplifyCorpus $BASE $WORK $K"

@@ -183,6 +183,148 @@ object OracleSql {
        |SELECT m, k, dim, c6_e6, n_members FROM pt_r$PqTrainIters""".stripMargin
   }
 
+  /** embed_covariance's SQL — standalone oracle AND the staging input
+    * of [[AnisotropyTempSql]] (same text, so the two cannot drift). */
+  private lazy val EmbedCovBody: String = {
+    import graft.operators.Similarity.Dim
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS v6
+       |  FROM embeddings),
+       |x AS (SELECT vec_id, CAST(d.i AS BIGINT) - 1 AS dim, v6[d.i] AS x6
+       |  FROM v, UNNEST(generate_series(1, $Dim)) AS d(i)),
+       |m AS (SELECT dim,
+       |    (SUM(x6) - SUM(x6) % COUNT(*)) // COUNT(*) AS mean6
+       |  FROM x GROUP BY 1),
+       |c AS (SELECT vec_id, dim, x6 - mean6 AS c6
+       |  FROM x JOIN m USING (dim)),
+       |p AS (SELECT a.dim AS dim_a, b.dim AS dim_b, a.c6 * b.c6 AS pr
+       |  FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.dim <= b.dim)
+       |SELECT dim_a, dim_b,
+       |  CAST((SUM(pr) - SUM(pr) % COUNT(*)) // COUNT(*) AS BIGINT)
+       |    AS cov_e12
+       |FROM p GROUP BY 1, 2""".stripMargin
+  }
+
+  /** anisotropy_audit's staged oracle: the covariance matrix (the
+    * embed_covariance SQL verbatim) symmetrized and e6-truncated, then
+    * the SAME integer power-iteration rounds as
+    * Similarity.anisotropyAudit materialized one round per TEMP TABLE;
+    * every division uses the (x - x % d) // d truncation form so the
+    * DuckDB floor-division and Scala's truncating `/` agree on
+    * negative intermediates. */
+  private lazy val AnisotropyTempSql: String = {
+    import graft.operators.Similarity.{Dim, PowerIters}
+    val stage =
+      s"""CREATE OR REPLACE TEMP TABLE aw_m AS
+         |WITH cov AS (
+         |$EmbedCovBody
+         |)
+         |SELECT dim_a AS a, dim_b AS b,
+         |  (cov_e12 - cov_e12 % 1000000) // 1000000 AS m6 FROM cov
+         |UNION ALL
+         |SELECT dim_b, dim_a,
+         |  (cov_e12 - cov_e12 % 1000000) // 1000000 FROM cov
+         |WHERE dim_a <> dim_b;
+         |CREATE OR REPLACE TEMP TABLE aw_v0 AS
+         |SELECT CAST(d.i AS BIGINT) AS dim, CAST(1000000 AS BIGINT) AS v
+         |FROM UNNEST(generate_series(0, ${Dim - 1})) AS d(i);""".stripMargin
+    val rounds = (1 to PowerIters).map { r =>
+      s"""CREATE OR REPLACE TEMP TABLE aw_w$r AS
+         |SELECT m.a AS dim, SUM(m.m6 * v.v) AS w
+         |FROM aw_m m JOIN aw_v${r - 1} v ON v.dim = m.b GROUP BY 1;
+         |CREATE OR REPLACE TEMP TABLE aw_v$r AS
+         |SELECT dim, (w - w % mx.s) // mx.s AS v
+         |FROM aw_w$r,
+         |  (SELECT GREATEST(MAX(ABS(w)) // 1000000, 1) AS s
+         |   FROM aw_w$r) mx;""".stripMargin
+    }.mkString("\n")
+    s"""$DuckBounds$stage
+       |$rounds
+       |WITH wf AS (SELECT m.a AS dim, SUM(m.m6 * v.v) AS w
+       |  FROM aw_m m JOIN aw_v$PowerIters v ON v.dim = m.b GROUP BY 1),
+       |nd AS (SELECT
+       |    SUM(v.v * ((w.w - w.w % 1000000) // 1000000)) AS num,
+       |    SUM(v.v * v.v) AS den
+       |  FROM aw_v$PowerIters v JOIN wf w USING (dim)),
+       |tr AS (SELECT CAST(SUM(m6) AS BIGINT) AS trace_e6
+       |  FROM aw_m WHERE a = b),
+       |lam AS (SELECT CAST((num - num % ds) // ds AS BIGINT)
+       |    AS lambda1_e6
+       |  FROM (SELECT CAST(num AS BIGINT) AS num,
+       |    CAST(GREATEST(den // 1000000, 1) AS BIGINT) AS ds FROM nd)),
+       |tp AS (SELECT dim AS top_dim FROM aw_v$PowerIters
+       |  ORDER BY ABS(v) DESC, dim LIMIT 1),
+       |l1 AS (SELECT CAST(SUM(ABS(v)) AS BIGINT) AS v_l1
+       |  FROM aw_v$PowerIters)
+       |SELECT lambda1_e6, trace_e6,
+       |  CAST((lambda1_e6 * 1000000
+       |      - (lambda1_e6 * 1000000) % GREATEST(trace_e6, 1))
+       |    // GREATEST(trace_e6, 1) AS BIGINT) AS anisotropy_ppm,
+       |  top_dim, v_l1
+       |FROM lam, tr, tp, l1""".stripMargin
+  }
+
+  /** mmr_diversify's staged oracle: shortlist and pairwise-sim tables,
+    * then one TEMP TABLE per greedy MMR pick replaying the identical
+    * integer argmax (λ·sim_q − (1−λ)·max-sim-to-picked, ties to the
+    * smaller cand_id). */
+  private lazy val MmrTempSql: String = {
+    import graft.operators.Similarity.{MmrK, MmrLambdaPpm, MmrShort, QueryCount}
+    val lam = MmrLambdaPpm
+    val mu = 1000000L - lam
+    val stage =
+      s"""CREATE OR REPLACE TEMP TABLE mm_sl AS
+         |WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |  WHERE vec_id < $QueryCount),
+         |c AS (SELECT vec_id AS cand_id, v AS cv FROM e
+         |  WHERE vec_id >= $QueryCount),
+         |s AS (SELECT q_id, cand_id, cv,
+         |    CAST(ROUND(list_cosine_similarity(qv, cv) * 1000000)
+         |      AS BIGINT) AS sq
+         |  FROM q, c),
+         |r AS (SELECT q_id, cand_id, cv, sq,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY sq DESC, cand_id) AS rn
+         |  FROM s)
+         |SELECT q_id, cand_id, cv, sq FROM r WHERE rn <= $MmrShort;
+         |CREATE OR REPLACE TEMP TABLE mm_pm AS
+         |SELECT a.q_id, a.cand_id AS id_a, b.cand_id AS id_b,
+         |  CAST(ROUND(list_cosine_similarity(a.cv, b.cv) * 1000000)
+         |    AS BIGINT) AS ps
+         |FROM mm_sl a JOIN mm_sl b
+         |  ON a.q_id = b.q_id AND a.cand_id <> b.cand_id;
+         |CREATE OR REPLACE TEMP TABLE mm_sel0 AS
+         |SELECT q_id, cand_id, CAST(0 AS BIGINT) AS rank
+         |FROM mm_sl WHERE false;""".stripMargin
+    val steps = (1 to MmrK).map { r =>
+      s"""CREATE OR REPLACE TEMP TABLE mm_sel$r AS
+         |SELECT * FROM mm_sel${r - 1}
+         |UNION ALL
+         |SELECT q_id, cand_id, CAST($r AS BIGINT) AS rank FROM (
+         |  SELECT s.q_id, s.cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY s.q_id ORDER BY
+         |      $lam * s.sq - $mu * COALESCE(mx.m, 0) DESC,
+         |      s.cand_id) AS pick
+         |  FROM mm_sl s
+         |  LEFT JOIN (SELECT p.q_id, p.id_b AS cand_id, MAX(p.ps) AS m
+         |      FROM mm_pm p JOIN mm_sel${r - 1} t
+         |        ON t.q_id = p.q_id AND t.cand_id = p.id_a
+         |      GROUP BY 1, 2) mx
+         |    ON mx.q_id = s.q_id AND mx.cand_id = s.cand_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM mm_sel${r - 1} t
+         |    WHERE t.q_id = s.q_id AND t.cand_id = s.cand_id)
+         |) WHERE pick = 1;""".stripMargin
+    }.mkString("\n")
+    s"""$DuckBounds$stage
+       |$steps
+       |SELECT s.q_id, s.rank, s.cand_id, l.sq AS sim_e6
+       |FROM mm_sel$MmrK s JOIN mm_sl l
+       |  ON l.q_id = s.q_id AND l.cand_id = s.cand_id""".stripMargin
+  }
+
   /** Shared PQ CTE chain: pqe (vectors as DOUBLE[]), pqcb (codebook),
     * pqd (per-(vec, m, k) e9 distances), pqbest (rn=1 ⇒ the code). */
   private lazy val PqCodesCtes: String =
@@ -4219,26 +4361,38 @@ object OracleSql {
         |FROM pr JOIN bc ca ON ca.brand = pr.brand_a
         |  JOIN bc cb ON cb.brand = pr.brand_b, no""".stripMargin,
 
-    "embed_covariance" -> {
-      import graft.operators.Similarity.Dim
-      s"""WITH v AS (SELECT vec_id,
-         |    list_transform(CAST(embedding AS DOUBLE[]),
-         |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS v6
-         |  FROM embeddings),
-         |x AS (SELECT vec_id, CAST(d.i AS BIGINT) - 1 AS dim, v6[d.i] AS x6
-         |  FROM v, UNNEST(generate_series(1, $Dim)) AS d(i)),
-         |m AS (SELECT dim,
-         |    (SUM(x6) - SUM(x6) % COUNT(*)) // COUNT(*) AS mean6
-         |  FROM x GROUP BY 1),
-         |c AS (SELECT vec_id, dim, x6 - mean6 AS c6
-         |  FROM x JOIN m USING (dim)),
-         |p AS (SELECT a.dim AS dim_a, b.dim AS dim_b, a.c6 * b.c6 AS pr
-         |  FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.dim <= b.dim)
-         |SELECT dim_a, dim_b,
-         |  CAST((SUM(pr) - SUM(pr) % COUNT(*)) // COUNT(*) AS BIGINT)
-         |    AS cov_e12
-         |FROM p GROUP BY 1, 2""".stripMargin
-    },
+    "embed_covariance" -> EmbedCovBody,
+
+    "anisotropy_audit" -> AnisotropyTempSql,
+
+    "mmr_diversify" -> MmrTempSql,
+
+    // generated from Snapshot.JoinEdges — the same grid the Spark
+    // estimator walks, so an edge edit cannot desynchronize the sides
+    "join_size_estimate" ->
+      graft.operators.Snapshot.JoinEdges.map { case (lt, lk, rt, rk) =>
+        s"""SELECT '$lt.$lk=$rt.$rk' AS edge, n_left, n_right,
+           |  ndv_left, ndv_right,
+           |  CAST(CAST(n_left AS HUGEINT) * n_right
+           |    // GREATEST(ndv_left, ndv_right) AS BIGINT) AS est_rows,
+           |  exact_rows,
+           |  CAST(CAST(n_left AS HUGEINT) * n_right
+           |      // GREATEST(ndv_left, ndv_right) * 1000000
+           |    // GREATEST(exact_rows, 1) AS BIGINT) AS est_ppm_of_exact
+           |FROM
+           |  (SELECT CAST(COUNT(*) AS BIGINT) AS n_left,
+           |     CAST(COUNT(DISTINCT $lk) AS BIGINT) AS ndv_left
+           |   FROM $lt) ls,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) AS n_right,
+           |     CAST(COUNT(DISTINCT $rk) AS BIGINT) AS ndv_right
+           |   FROM $rt) rs,
+           |  (SELECT CAST(COALESCE(SUM(cl * cr), 0) AS BIGINT)
+           |       AS exact_rows
+           |   FROM (SELECT $lk AS k, COUNT(*) AS cl FROM $lt
+           |         GROUP BY 1) lp
+           |   JOIN (SELECT $rk AS k, COUNT(*) AS cr FROM $rt
+           |         GROUP BY 1) rp USING (k)) ex""".stripMargin
+      }.mkString("\nUNION ALL\n"),
 
     "event_paths" -> {
       val k = graft.operators.Analytics.PathTopK

@@ -423,6 +423,14 @@ object SparkEntry {
       Snapshot.catalogStats(catalogGrid(s, dir))),
     "catalog_stats_sketch" -> ((s, dir) =>
       Snapshot.catalogStatsSketchGate(catalogGrid(s, dir))),
+    "join_size_estimate"  -> ((s, dir) =>
+      Snapshot.joinSizeEstimate(
+        (Snapshot.JoinEdges.map(_._1) ++ Snapshot.JoinEdges.map(_._3))
+          .distinct.map(t => t -> Tables.table(s, dir, t)).toMap)),
+    "anisotropy_audit"    -> ((s, dir) =>
+      Similarity.anisotropyAudit(Tables.embeddings(s, dir))),
+    "mmr_diversify"       -> ((s, dir) =>
+      Similarity.mmrDiversify(Tables.embeddings(s, dir))),
     "modal_align"         -> ((s, dir) =>
       Multimodal.modalAlign(Tables.documents(s, dir),
         Tables.embeddings(s, dir))),

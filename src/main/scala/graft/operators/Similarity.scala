@@ -601,6 +601,129 @@ object Similarity {
         expr("sp div n").as("cov_e12"))
   }
 
+  /** Power-iteration rounds of [[anisotropyAudit]]. */
+  val PowerIters = 8
+
+  /** Dominant-eigenvalue audit of the [[embedCovariance]] matrix — the
+    * number that actually decides the whiten/rotate-before-PQ call the
+    * covariance audit exists for: an isotropic corpus has
+    * λ1 ≈ trace/Dim (≈15625 ppm at 64 dims); a dominant principal
+    * direction pushes the ratio far above that and is the OPQ/whitening
+    * trigger.
+    *
+    * Scale split: the corpus-sized work is [[embedCovariance]]
+    * (distributed, shuffle bounded by the Dim·(Dim+1)/2 group space at
+    * any corpus size); the eigen-iteration then runs on a Dim×Dim
+    * matrix — 4096 longs, a driver-side object by construction, same
+    * convention as the collected k-means centroids. All arithmetic is
+    * integer (e6 fixed point, truncating division, per-round
+    * max-abs renormalization bounding |v| ≤ 2e6) so the DuckDB oracle
+    * replays the identical [[PowerIters]] rounds from staged TEMP
+    * TABLEs and every output digit hash-matches. Output (one row):
+    * lambda1_e6 and trace_e6 in the same cov-e6 units, their ratio in
+    * ppm, the top-loading dimension, and the eigenvector L1 checksum
+    * pinning the converged direction. */
+  def anisotropyAudit(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    val m = Array.ofDim[Long](Dim, Dim)
+    embedCovariance(embeddings).collect().foreach { r =>
+      val a = r.getLong(0).toInt; val b = r.getLong(1).toInt
+      val c6 = r.getLong(2) / 1000000L
+      m(a)(b) = c6; m(b)(a) = c6
+    }
+    def mul(v: Array[Long]): Array[Long] =
+      Array.tabulate(Dim)(a => (0 until Dim).map(b => m(a)(b) * v(b)).sum)
+    var v = Array.fill(Dim)(1000000L)
+    (1 to PowerIters).foreach { _ =>
+      val w = mul(v)
+      val scale = math.max(w.map(math.abs).max / 1000000L, 1L)
+      v = w.map(_ / scale)
+    }
+    val w = mul(v)
+    val num = (0 until Dim).map(a => v(a) * (w(a) / 1000000L)).sum
+    val den = v.map(x => x * x).sum
+    val trace = (0 until Dim).map(a => m(a)(a)).sum
+    val lambda1 = num / math.max(den / 1000000L, 1L)
+    val ratio = lambda1 * 1000000L / math.max(trace, 1L)
+    val topDim = (0 until Dim).minBy(a => (-math.abs(v(a)), a)).toLong
+    val l1 = v.map(math.abs).sum
+    import spark.implicits._
+    Seq((lambda1, trace, ratio, topDim, l1))
+      .toDF("lambda1_e6", "trace_e6", "anisotropy_ppm", "top_dim", "v_l1")
+  }
+
+  /** MMR re-rank: shortlist size, picks per query, relevance weight. */
+  val MmrShort = 12
+  val MmrK = 5
+  val MmrLambdaPpm = 700000L
+
+  /** Maximal-marginal-relevance diversified retrieval — the serving-
+    * side re-rank between ANN shortlist and final context (RAG dedups
+    * its retrieved passages exactly this way): greedily pick
+    * [[MmrK]] of the [[MmrShort]]-candidate shortlist, each step
+    * maximizing λ·sim(q,c) − (1−λ)·max sim(c, picked), everything in
+    * e6-rounded integers so both engines make bit-identical greedy
+    * decisions (ties → smaller cand_id).
+    *
+    * Scale shape: the corpus-sized pass is shortlist construction (the
+    * broadcast-query exact scan here — production swaps in the
+    * LSH/IVF candidate generation exactly as ann_topk → ann_lsh); the
+    * pairwise matrix is shortlist²-bounded per query, grouped ONCE
+    * into a per-query row (arrays + a pair-sim map), and the greedy
+    * runs inside ONE higher-order aggregate expression per row — no
+    * per-step shuffle, no driver loop, data-parallel across a million
+    * queries exactly like any other per-row expression. */
+  def mmrDiversify(embeddings: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim_e6").desc, col("cand_id"))
+    val shortlist = candidates(embeddings)
+      .join(broadcast(queries(embeddings)))
+      .withColumn("sim_e6",
+        round(cosineSim(col("q_vec"), col("c_vec")) * 1000000).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= MmrShort)
+      .select(col("q_id"), col("cand_id"), col("c_vec"), col("sim_e6"))
+    val pairs = shortlist.as("a")
+      .join(shortlist.as("b"),
+        col("a.q_id") === col("b.q_id") &&
+          col("a.cand_id") =!= col("b.cand_id"))
+      .select(col("a.q_id").as("q_id"), col("a.cand_id").as("id_a"),
+        col("b.cand_id").as("id_b"),
+        round(cosineSim(col("a.c_vec"), col("b.c_vec")) * 1000000)
+          .cast("long").as("ps"))
+    val perQuery = shortlist
+      .groupBy("q_id")
+      .agg(sort_array(collect_list(struct(
+        (-col("sim_e6")).as("nsq"), col("cand_id").as("id"),
+        col("sim_e6").as("sq")))).as("cands"))
+      .join(pairs.groupBy("q_id")
+          .agg(map_from_entries(collect_list(struct(
+            concat_ws(":", col("id_a"), col("id_b")).as("k"),
+            col("ps").as("v")))).as("pm")),
+        Seq("q_id"))
+    val lam = MmrLambdaPpm
+    perQuery.select(col("q_id"), expr(
+      s"""aggregate(
+         |  sequence(1, $MmrK),
+         |  cast(array() as array<bigint>),
+         |  (sel, step) -> array_append(sel,
+         |    -array_max(transform(
+         |      filter(cands, c -> NOT array_contains(sel, c.id)),
+         |      c -> struct(
+         |        $lam * c.sq - ${1000000L - lam} *
+         |          coalesce(array_max(transform(sel, s ->
+         |            element_at(pm, concat(s, ':', c.id)))), 0L)
+         |          AS score,
+         |        -c.id AS negid))).negid))""".stripMargin).as("picks"))
+      .select(col("q_id"),
+        posexplode(col("picks")).as(Seq("p", "cand_id")))
+      .select(col("q_id"), (col("p") + 1).cast("long").as("rank"),
+        col("cand_id"))
+      .join(shortlist.select(col("q_id"), col("cand_id"), col("sim_e6")),
+        Seq("q_id", "cand_id"))
+      .select(col("q_id"), col("rank"), col("cand_id"), col("sim_e6"))
+  }
+
   // --- product quantization ------------------------------------------------
 
   /** PQ geometry: M subspaces × SubDim dims, K centroids per subspace

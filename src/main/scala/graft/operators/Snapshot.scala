@@ -261,22 +261,29 @@ object Snapshot {
     * feed on (and the profile a sync target publishes next to its data):
     * one row per (table, column) with row count, EXACT distinct count,
     * and null count. Exact NDV (not a sketch) keeps the report
-    * hash-verifiable cross-engine. Each column is its own single-column
-    * aggregate pass: parquet column pruning makes each pass read ~1/k
-    * of the table's bytes (k passes ≈ one full-table read in total),
-    * the single distinct aggregate plans as a two-phase partial dedup
-    * (shuffle ≈ the column's NDV), and no pass pays the k-way
-    * row-multiplied Expand shuffle the one-aggregate multi-distinct
-    * form costs on a wide fact table — the shape that died first in
-    * the 100x plan audit. For the sketch-NDV pass a 100 TB catalog
-    * crawl should actually run on, see [[catalogStatsSketch]]. */
+    * hash-verifiable cross-engine. Each column is a column-pruned
+    * branch of ONE union job, and each branch does the distinct
+    * count MANUALLY in two phases — groupBy(value).count (partial
+    * aggregation collapses every map partition to the column's
+    * distinct values before the exchange) then one global roll-up of
+    * (Σcnt, #values, Σnull-cnt) — so the shuffle carries Σ per-column
+    * NDV native-typed values and NO branch plans the Expand operator
+    * Spark inserts for mixed distinct+non-distinct aggregates — the
+    * row-duplicating scan-side shape that died first in the 100x plan
+    * audit (at sf0.1 the two forms measure within noise because job
+    * overhead dominates; the Expand CPU multiplier only shows on a
+    * wide fact scan). For the sketch-NDV pass a 100 TB catalog crawl
+    * should actually run on, see [[catalogStatsSketch]]. */
   def catalogStats(tables: Seq[(String, DataFrame)]): DataFrame = {
     def one(name: String, df: DataFrame): DataFrame =
       df.columns.toSeq.map { c =>
-        df.agg(count(lit(1)).as("n_rows"),
-            countDistinct(col(c)).as("n_distinct"),
-            coalesce(sum(col(c).isNull.cast("long")), lit(0L))
-              .as("n_null"))
+        df.select(col(c).as("value"))
+          .groupBy("value").agg(count(lit(1)).as("cnt"))
+          .agg(coalesce(sum("cnt"), lit(0L)).as("n_rows"),
+            count(when(col("value").isNotNull, lit(1)))
+              .as("n_distinct"),
+            coalesce(sum(when(col("value").isNull, col("cnt"))),
+              lit(0L)).as("n_null"))
           .select(lit(name).as("table_name"), col("n_rows"),
             lit(c).as("column_name"), col("n_distinct"), col("n_null"))
       }.reduce(_ unionByName _)
@@ -334,6 +341,59 @@ object Snapshot {
         col("n_distinct"),
         (abs(col("n_distinct_approx") - col("n_distinct")) * 20L <=
           col("n_distinct")).cast("string").as("approx_within_5pct"))
+
+  /** The audited FK→PK join edges of the star schema — ONE shared
+    * constant feeding both the Spark estimator and the DuckDB oracle
+    * (the [[CatalogColumns]] convention): (left table, left key,
+    * right table, right key). */
+  val JoinEdges: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"))
+
+  /** Join-cardinality estimation audit — the CBO arithmetic
+    * [[catalogStats]] exists to feed, closed into a measurable check:
+    * per audited FK→PK edge, the textbook uniform-key estimate
+    * |A⋈B| ≈ |A|·|B| / max(ndv_A, ndv_B) next to the TRUE join size,
+    * and the estimate's accuracy in ppm of truth. The exact size is
+    * computed WITHOUT materializing the join: each side collapses to
+    * its per-key count profile first (map-side-combined groupBy, the
+    * same exchange a distinct pass costs), the profiles equi-join on
+    * the key — both already hash-partitioned by it from their
+    * aggregates, so the join adds NO exchange — and Σ cnt_l·cnt_r is
+    * the join cardinality. Estimate arithmetic goes through
+    * decimal(38,0) (Spark) / HUGEINT (DuckDB) with integral division,
+    * so |A|·|B| stays exact far past the int64 envelope a 100 TB fact
+    * table breaks (6e11 · 1.5e11 ≈ 9e22 needs 77 bits). */
+  def joinSizeEstimate(tables: Map[String, DataFrame]): DataFrame =
+    JoinEdges.map { case (lt, lk, rt, rk) =>
+      val lp = tables(lt).groupBy(col(lk).as("k"))
+        .agg(count(lit(1)).as("cl"))
+      val rp = tables(rt).groupBy(col(rk).as("k"))
+        .agg(count(lit(1)).as("cr"))
+      val ls = lp.agg(coalesce(sum("cl"), lit(0L)).as("n_left"),
+        count(when(col("k").isNotNull, lit(1))).as("ndv_left"))
+      val rs = rp.agg(coalesce(sum("cr"), lit(0L)).as("n_right"),
+        count(when(col("k").isNotNull, lit(1))).as("ndv_right"))
+      val ex = lp.join(rp, "k")
+        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L))
+          .as("exact_rows"))
+      ls.crossJoin(rs).crossJoin(ex)
+        .withColumn("est_rows", expr(
+          """cast(cast(n_left as decimal(38,0)) * n_right
+            |  div greatest(ndv_left, ndv_right) as bigint)"""
+            .stripMargin))
+        .select(lit(s"$lt.$lk=$rt.$rk").as("edge"),
+          col("n_left"), col("n_right"),
+          col("ndv_left"), col("ndv_right"),
+          col("est_rows"), col("exact_rows"),
+          expr("""cast(cast(est_rows as decimal(38,0)) * 1000000
+                 |  div greatest(exact_rows, 1) as bigint)"""
+            .stripMargin).as("est_ppm_of_exact"))
+    }.reduce(_ unionByName _)
 
   /** 1-in-DriftMod columns are simulated as absent from the sync
     * target's catalog — the deterministic stand-in for a target

@@ -79,6 +79,73 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("anisotropy_audit: eigenvalue bounds hold, ratio is the declared " +
+    "formula, and an independent integer replay reproduces every field") {
+    val dim = Similarity.Dim
+    val r = Similarity.anisotropyAudit(embs).collect() match {
+      case Array(only) => only
+    }
+    val lambda = r.getAs[Long]("lambda1_e6")
+    val trace = r.getAs[Long]("trace_e6")
+    val ratio = r.getAs[Long]("anisotropy_ppm")
+    assert(trace > 0L)
+    // the Rayleigh quotient lower-bounds λ1 ≤ trace; after 8 rounds it
+    // also clears the uniform bound λ1 ≥ trace/Dim (integer slack)
+    assert(lambda > 0L && lambda <= trace)
+    assert(ratio >= 1000000L / dim - 2000L)
+    assert(ratio === lambda * 1000000L / math.max(trace, 1L))
+    assert(r.getAs[Long]("v_l1") > 0L)
+    val td = r.getAs[Long]("top_dim")
+    assert(td >= 0L && td < dim)
+    // independent replay of the documented recursion from the
+    // covariance relation with plain Long arithmetic
+    val m = Array.ofDim[Long](dim, dim)
+    Similarity.embedCovariance(embs).collect().foreach { row =>
+      val a = row.getLong(0).toInt; val b = row.getLong(1).toInt
+      val c6 = row.getLong(2) / 1000000L
+      m(a)(b) = c6; m(b)(a) = c6
+    }
+    def mul(v: Array[Long]) =
+      Array.tabulate(dim)(a => (0 until dim).map(b => m(a)(b) * v(b)).sum)
+    var v = Array.fill(dim)(1000000L)
+    (1 to Similarity.PowerIters).foreach { _ =>
+      val w = mul(v)
+      val s = math.max(w.map(math.abs).max / 1000000L, 1L)
+      v = w.map(_ / s)
+    }
+    val w = mul(v)
+    val num = (0 until dim).map(a => v(a) * (w(a) / 1000000L)).sum
+    val den = v.map(x => x * x).sum
+    assert(lambda === num / math.max(den / 1000000L, 1L))
+    assert(trace === (0 until dim).map(a => m(a)(a)).sum)
+    assert(td === (0 until dim).minBy(a => (-math.abs(v(a)), a)).toLong)
+    assert(r.getAs[Long]("v_l1") === v.map(math.abs).sum)
+  }
+
+  test("mmr_diversify: k distinct shortlist picks per query, the first " +
+    "pick is the relevance argmax") {
+    val got = Similarity.mmrDiversify(embs).collect()
+    assert(got.length === Similarity.QueryCount * Similarity.MmrK)
+    val brute = Similarity.bruteTopK(embs, k = Similarity.MmrShort + 2)
+      .collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+    (0L until Similarity.QueryCount).foreach { q =>
+      val picks = got.filter(_.getAs[Long]("q_id") == q)
+        .sortBy(_.getAs[Long]("rank"))
+      assert(picks.map(_.getAs[Long]("rank")).toSeq ===
+        (1L to Similarity.MmrK.toLong))
+      val ids = picks.map(_.getAs[Long]("cand_id"))
+      assert(ids.distinct.length === ids.length)
+      // membership: every pick sits inside the exact shortlist (+2
+      // buffer for e6-rounding ties at the cut)
+      ids.foreach(id => assert(brute(q).contains(id), s"q=$q pick $id"))
+      // pick 1 maximizes relevance: no later pick has higher sim_e6
+      val s1 = picks.head.getAs[Long]("sim_e6")
+      picks.tail.foreach(p => assert(p.getAs[Long]("sim_e6") <= s1))
+    }
+  }
+
   test("hardNegatives: top-k other-label candidates, verified against a " +
     "driver-side exhaustive ranking") {
     val got = Similarity.hardNegatives(embs, k = 5).collect()

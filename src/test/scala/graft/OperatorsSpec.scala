@@ -985,6 +985,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("join_size_estimate: exact sizes equal true join cardinalities " +
+    "and estimates follow the declared uniform-key formula") {
+    import graft.operators.Snapshot
+    val sf = TestSpark.Sf
+    val tabs = (Snapshot.JoinEdges.map(_._1) ++ Snapshot.JoinEdges.map(_._3))
+      .distinct.map(t => t -> Tables.table(spark, sf, t)).toMap
+    val got = graft.operators.Snapshot.joinSizeEstimate(tabs).collect()
+    assert(got.length === Snapshot.JoinEdges.length)
+    Snapshot.JoinEdges.foreach { case (lt, lk, rt, rk) =>
+      val r = got.find(_.getAs[String]("edge") == s"$lt.$lk=$rt.$rk").get
+      val truth = tabs(lt).join(tabs(rt), col(lk) === col(rk)).count()
+      assert(r.getAs[Long]("exact_rows") === truth, s"$lt x $rt")
+      val est = r.getAs[Long]("n_left") * r.getAs[Long]("n_right") /
+        math.max(r.getAs[Long]("ndv_left"), r.getAs[Long]("ndv_right"))
+      assert(r.getAs[Long]("est_rows") === est)
+      assert(r.getAs[Long]("est_ppm_of_exact") ===
+        est * 1000000L / math.max(truth, 1L))
+    }
+  }
+
   test("event_paths: exactly top-K rows, counts descending, triple mass " +
     "bounded by events") {
     val ev = Tables.events(spark, TestSpark.Sf)

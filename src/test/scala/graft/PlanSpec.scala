@@ -157,7 +157,13 @@ class PlanSpec extends AnyFunSuite {
       "ops_dashboard",
       // market_basket crosses the broadcast 1-row order total onto
       // the vocabulary-bounded (≤300-row) brand-pair aggregate
-      "market_basket")
+      "market_basket",
+      // join_size_estimate crosses three 1-row per-edge aggregates
+      // (side stats x side stats x exact size)
+      "join_size_estimate",
+      // mmr_diversify broadcasts the 8-query set for its shortlist
+      // scan (the ann_topk allowance)
+      "mmr_diversify")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
