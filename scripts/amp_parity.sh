@@ -44,7 +44,8 @@ event_transitions,stream_transitions_parity,rfm_segments,\
 rp_recall,ivf_sq_recall,padding_plan,dup_token_share,\
 ring_rebalance,quantile_sketch_error,event_paths,rate_changepoint,\
 cluster_cohesion,stream_queue_parity,stream_funnel_parity,\
-embed_covariance,anisotropy_audit,mmr_diversify"
+embed_covariance,anisotropy_audit,mmr_diversify,rrf_fusion,\
+weighted_sample"
 
 echo "== amplify $BASE x$K -> $WORK"
 sbt -batch "runMain graft.AmplifyCorpus $BASE $WORK $K"

@@ -325,6 +325,70 @@ object OracleSql {
        |  ON l.q_id = s.q_id AND l.cand_id = s.cand_id""".stripMargin
   }
 
+  /** market_basket's SQL — standalone oracle AND the edge-extraction
+    * stage of [[BrandPagerankTempSql]] (same text, no drift). */
+  private lazy val MarketBasketBody: String =
+    """WITH b AS (SELECT DISTINCT l.l_orderkey AS okey,
+      |    p.p_brand AS brand
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |bc AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM b GROUP BY 1),
+      |no AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders
+      |  FROM b),
+      |pr AS (SELECT a.brand AS brand_a, c.brand AS brand_b,
+      |    CAST(COUNT(*) AS BIGINT) AS support
+      |  FROM b a JOIN b c ON a.okey = c.okey AND a.brand < c.brand
+      |  GROUP BY 1, 2)
+      |SELECT pr.brand_a, pr.brand_b, pr.support,
+      |  ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+      |  CAST(pr.support * 1000000 // ca.cnt AS BIGINT) AS conf_ab_ppm,
+      |  CAST(((pr.support * 1000000 // ca.cnt) * no.n_orders) // cb.cnt
+      |    AS BIGINT) AS lift_ppm
+      |FROM pr JOIN bc ca ON ca.brand = pr.brand_a
+      |  JOIN bc cb ON cb.brand = pr.brand_b, no""".stripMargin
+
+  /** brand_pagerank's staged oracle: the co-purchase edges (the
+    * market_basket SQL verbatim) symmetrized, then the SAME damped
+    * integer PageRank rounds as Analytics.brandPagerank, one TEMP
+    * TABLE per round; per-edge contributions divide before summing so
+    * both engines are edge-order-free. */
+  private lazy val BrandPagerankTempSql: String = {
+    import graft.operators.Analytics.{PrDampPpm, PrIters}
+    val d = 1000000L - PrDampPpm
+    val stage =
+      s"""CREATE OR REPLACE TEMP TABLE pg_e AS
+         |WITH mb AS (
+         |$MarketBasketBody
+         |)
+         |SELECT brand_a AS a, brand_b AS b, support FROM mb
+         |UNION ALL
+         |SELECT brand_b, brand_a, support FROM mb;
+         |CREATE OR REPLACE TEMP TABLE pg_ow AS
+         |SELECT a AS brand, CAST(SUM(support) AS BIGINT) AS ow
+         |FROM pg_e GROUP BY 1;
+         |CREATE OR REPLACE TEMP TABLE pg_p0 AS
+         |SELECT brand, CAST(1000000 AS BIGINT) AS pr FROM pg_ow;"""
+        .stripMargin
+    val rounds = (1 to PrIters).map { r =>
+      s"""CREATE OR REPLACE TEMP TABLE pg_p$r AS
+         |SELECT e.b AS brand,
+         |  CAST($PrDampPpm + ($d *
+         |      CAST(SUM((p.pr * e.support) // ow.ow) AS BIGINT))
+         |    // 1000000 AS BIGINT) AS pr
+         |FROM pg_e e
+         |  JOIN pg_p${r - 1} p ON p.brand = e.a
+         |  JOIN pg_ow ow ON ow.brand = e.a
+         |GROUP BY 1;""".stripMargin
+    }.mkString("\n")
+    s"""$DuckBounds$stage
+       |$rounds
+       |SELECT p.brand, p.pr AS pagerank_ppm, ow.ow AS out_weight,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY p.pr DESC, p.brand)
+       |    AS BIGINT) AS rank
+       |FROM pg_p$PrIters p JOIN pg_ow ow ON ow.brand = p.brand"""
+      .stripMargin
+  }
+
   /** Shared PQ CTE chain: pqe (vectors as DOUBLE[]), pqcb (codebook),
     * pqd (per-(vec, m, k) e9 distances), pqbest (rn=1 ⇒ the code). */
   private lazy val PqCodesCtes: String =
@@ -4341,25 +4405,81 @@ object OracleSql {
          |WHERE sup_qty_c * 2 > part_qty_c
          |GROUP BY 1, 2""".stripMargin,
 
-    "market_basket" ->
-      """WITH b AS (SELECT DISTINCT l.l_orderkey AS okey,
-        |    p.p_brand AS brand
-        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
-        |bc AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM b GROUP BY 1),
-        |no AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders
-        |  FROM b),
-        |pr AS (SELECT a.brand AS brand_a, c.brand AS brand_b,
-        |    CAST(COUNT(*) AS BIGINT) AS support
-        |  FROM b a JOIN b c ON a.okey = c.okey AND a.brand < c.brand
-        |  GROUP BY 1, 2)
-        |SELECT pr.brand_a, pr.brand_b, pr.support,
-        |  ca.cnt AS cnt_a, cb.cnt AS cnt_b,
-        |  CAST(pr.support * 1000000 // ca.cnt AS BIGINT) AS conf_ab_ppm,
-        |  CAST(((pr.support * 1000000 // ca.cnt) * no.n_orders) // cb.cnt
-        |    AS BIGINT) AS lift_ppm
-        |FROM pr JOIN bc ca ON ca.brand = pr.brand_a
-        |  JOIN bc cb ON cb.brand = pr.brand_b, no""".stripMargin,
+    "market_basket" -> MarketBasketBody,
+
+    "brand_pagerank" -> BrandPagerankTempSql,
+
+    "weighted_sample" -> {
+      import graft.functions.PortableHash.sqlPhash
+      import graft.operators.TextAnalysis.{PriorityUnitMod, WeightedSampleN}
+      s"""WITH w AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+         |    ${sqlPhash("'wsample:' || doc_id")} % $PriorityUnitMod AS u
+         |  FROM documents)
+         |SELECT doc_id, weight,
+         |  weight * 1000000000000 // (u + 1) AS priority
+         |FROM w
+         |ORDER BY priority DESC, doc_id LIMIT $WeightedSampleN""".stripMargin
+    },
+
+    "rrf_fusion" -> {
+      import graft.operators.Similarity.{CentroidLo, NumCentroids,
+        NumProbes, QueryCount, RrfK0, TopK}
+      val hi = CentroidLo + NumCentroids - 1
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |  WHERE vec_id < $QueryCount),
+         |c AS (SELECT vec_id AS cand_id, v AS cv FROM e
+         |  WHERE vec_id >= $QueryCount),
+         |brute AS (SELECT q_id, cand_id, rn FROM (
+         |  SELECT q_id, cand_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY list_cosine_similarity(qv, cv) DESC, cand_id)
+         |    AS rn FROM q, c) t WHERE rn <= $TopK),
+         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+         |lq AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b
+         |  WHERE vec_id < $QueryCount),
+         |lc AS (SELECT vec_id AS cand_id, v AS cv, bucket FROM b
+         |  WHERE vec_id >= $QueryCount),
+         |lsh AS (SELECT q_id, cand_id, rn FROM (
+         |  SELECT q_id, cand_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY list_cosine_similarity(qv, cv) DESC, cand_id)
+         |    AS rn FROM lq JOIN lc USING (bucket)) t WHERE rn <= $TopK),
+         |cent AS (SELECT vec_id - $CentroidLo AS centroid_id, v AS ctv
+         |  FROM e WHERE vec_id BETWEEN $CentroidLo AND $hi),
+         |asg AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT cd.cand_id AS vec_id, cent.centroid_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cd.cand_id
+         |      ORDER BY list_cosine_similarity(cd.cv, cent.ctv) DESC,
+         |        centroid_id) AS rn
+         |  FROM c cd, cent) t WHERE rn = 1),
+         |probes AS (SELECT q_id, centroid_id FROM (
+         |  SELECT q.q_id, cent.centroid_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |      ORDER BY list_cosine_similarity(q.qv, cent.ctv) DESC,
+         |        centroid_id) AS rn
+         |  FROM q, cent) t WHERE rn <= $NumProbes),
+         |ivf AS (SELECT q_id, cand_id, rn FROM (
+         |  SELECT pr.q_id, a.vec_id AS cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY pr.q_id
+         |      ORDER BY list_cosine_similarity(qq.qv, cc.cv) DESC,
+         |        a.vec_id) AS rn
+         |  FROM probes pr JOIN asg a USING (centroid_id)
+         |    JOIN q qq ON qq.q_id = pr.q_id
+         |    JOIN c cc ON cc.cand_id = a.vec_id) t WHERE rn <= $TopK),
+         |u AS (SELECT q_id, cand_id, rn FROM brute
+         |  UNION ALL SELECT q_id, cand_id, rn FROM lsh
+         |  UNION ALL SELECT q_id, cand_id, rn FROM ivf),
+         |f AS (SELECT q_id, cand_id,
+         |    CAST(SUM(1000000 // ($RrfK0 + rn)) AS BIGINT) AS rrf_e6,
+         |    CAST(COUNT(*) AS BIGINT) AS n_systems
+         |  FROM u GROUP BY 1, 2)
+         |SELECT q_id, CAST(rnk AS BIGINT) AS rank, cand_id, rrf_e6,
+         |  n_systems
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY rrf_e6 DESC, cand_id) AS rnk FROM f) t
+         |WHERE rnk <= $TopK""".stripMargin
+    },
 
     "embed_covariance" -> EmbedCovBody,
 

@@ -529,6 +529,13 @@ object SparkEntry {
     "market_basket"       -> ((s, dir) =>
       Analytics.marketBasket(Tables.part(s, dir),
         Tables.lineitem(s, dir))),
+    "brand_pagerank"      -> ((s, dir) =>
+      Analytics.brandPagerank(Tables.part(s, dir),
+        Tables.lineitem(s, dir))),
+    "weighted_sample"     -> ((s, dir) =>
+      TextAnalysis.weightedSample(Tables.documents(s, dir))),
+    "rrf_fusion"          -> ((s, dir) =>
+      Similarity.rrfFusion(Tables.embeddings(s, dir))),
     "embed_covariance"    -> ((s, dir) =>
       Similarity.embedCovariance(Tables.embeddings(s, dir))),
     "domain_caps"         -> ((s, dir) =>

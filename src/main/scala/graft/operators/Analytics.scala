@@ -1040,4 +1040,54 @@ object Analytics {
         expr("((support * 1000000L div cnt_a) * n_orders) div cnt_b")
           .as("lift_ppm"))
   }
+
+  /** PageRank rounds and damping (ppm). */
+  val PrIters = 8
+  val PrDampPpm = 150000L
+
+  /** Weighted PageRank over the brand co-purchase graph — graph
+    * centrality of the [[marketBasket]] relation (which brand anchors
+    * the most cross-sell traffic, weighted by co-order support): 8
+    * damped rounds, d = 0.85, everything in integer ppm so both
+    * engines produce identical ranks.
+    *
+    * Scale split (the anisotropy_audit convention): the corpus-sized
+    * work is basket-pair extraction — marketBasket's one orderkey
+    * shuffle + vocabulary-bounded aggregate; the graph itself is
+    * brand-vocabulary-sized (≤300 edges at 25 brands), so the
+    * iteration runs on the collected edge list like any other
+    * catalog-sized statistics object. Per-edge contributions divide
+    * BEFORE summing (pr·support div out_weight, each term exact), so
+    * the result is independent of edge order. Isolated brands (never
+    * co-purchased) have no edges and are absent, as in any
+    * adjacency-driven rank. */
+  def brandPagerank(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val spark = part.sparkSession
+    val edges = marketBasket(part, lineitem)
+      .select("brand_a", "brand_b", "support").collect()
+      .flatMap { r =>
+        val a = r.getString(0); val b = r.getString(1)
+        val s = r.getLong(2)
+        Seq((a, b, s), (b, a, s))
+      }
+    val outW = edges.groupBy(_._1).map { case (b, es) =>
+      b -> es.map(_._3).sum
+    }
+    var pr = outW.keys.map(_ -> 1000000L).toMap
+    (1 to PrIters).foreach { _ =>
+      val contrib = edges.groupBy(_._2).map { case (b, es) =>
+        b -> es.map { case (a, _, s) => pr(a) * s / outW(a) }.sum
+      }
+      pr = pr.keys.map(b =>
+        b -> (PrDampPpm +
+          (1000000L - PrDampPpm) * contrib.getOrElse(b, 0L) / 1000000L))
+        .toMap
+    }
+    val ranked = pr.toSeq.sortBy { case (b, p) => (-p, b) }
+      .zipWithIndex
+      .map { case ((b, p), i) => (b, p, outW(b), (i + 1).toLong) }
+    import spark.implicits._
+    ranked.toSeq
+      .toDF("brand", "pagerank_ppm", "out_weight", "rank")
+  }
 }

@@ -724,6 +724,39 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("cand_id"), col("sim_e6"))
   }
 
+  /** RRF rank constant (the standard k=60 of Cormack et al.). */
+  val RrfK0 = 60L
+
+  /** Reciprocal-rank fusion of the three ANN rankings — the
+    * multi-index serving pattern (fuse a cheap recall-oriented index
+    * with a precise one instead of tuning either): per (query,
+    * candidate), score = Σ 1e6 div (60 + rank) over every system that
+    * returned it (exact brute, LSH-bucketed, IVF-probed), fused top-k
+    * by integer score. RRF needs only ranks — no score calibration
+    * across systems — which is why it is the default fusion everywhere
+    * from TREC to vector-DB hybrid search.
+    *
+    * Scale shape: the three inputs are the already-audited ranking
+    * operators (each shuffle-bounded by its own contract); fusion
+    * itself is a union + one (q_id, cand_id) aggregate whose group
+    * space is ≤ 3k per query, then a per-query window over ≤ 3k rows.
+    * Integer scores make the fused order (score desc, cand_id)
+    * bit-identical cross-engine. */
+  def rrfFusion(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val cols = Seq("q_id", "cand_id", "rank").map(col)
+    val u = bruteTopK(embeddings, k).select(cols: _*)
+      .unionByName(lshTopK(embeddings, k).select(cols: _*))
+      .unionByName(ivfTopK(embeddings, k).select(cols: _*))
+    u.groupBy("q_id", "cand_id")
+      .agg(sum(expr(s"1000000L div ($RrfK0 + rank)")).as("rrf_e6"),
+        count(lit(1)).as("n_systems"))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("rrf_e6").desc, col("cand_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("cand_id"),
+        col("rrf_e6"), col("n_systems"))
+  }
+
   // --- product quantization ------------------------------------------------
 
   /** PQ geometry: M subspaces × SubDim dims, K centroids per subspace

@@ -332,6 +332,34 @@ object TextAnalysis {
       sampleRateCol.as("rate_milli"),
       sampledCol.cast("string").as("sampled"))
 
+  /** Weighted-sample size and the hash-uniform denominator. */
+  val WeightedSampleN = 200
+  val PriorityUnitMod = 1000000000L
+
+  /** Deterministic weighted sampling without replacement — priority
+    * sampling (Duffield–Lund–Thorup): each doc draws priority
+    * w·1e12 div (u+1) with u a hash-uniform draw in [0, 1e9) from the
+    * portable doc-id hash (NOT rand(): reproducible run-over-run and
+    * auditable in the oracle), and the sample is the global top
+    * [[WeightedSampleN]] priorities. Inclusion probability rises with
+    * the weight (token count here — sampling long documents
+    * proportionally to their token mass is the budget-true way to
+    * subsample a training corpus) yet every decision is integer-exact.
+    * Scale shape: one narrow projection, then global top-n — Spark
+    * plans TakeOrdered (per-partition heap + driver merge of n·P
+    * rows), never a full sort; the 63-bit envelope holds to 9e6
+    * tokens per doc (w·1e12 < 2^63). */
+  def weightedSample(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("weight"),
+        pmod(graft.functions.PortableHash.phash(
+            concat(lit("wsample:"), col("doc_id").cast("string"))),
+          lit(PriorityUnitMod)).as("u"))
+      .select(col("doc_id"), col("weight"),
+        expr("weight * 1000000000000L div (u + 1L)").as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(WeightedSampleN)
+
   /** Hash-based train/val/test assignment (98/1/1 by doc-id hash):
     * deterministic, leakage-free (a doc's split never depends on corpus
     * order or partitioning), and stable as the corpus grows — the

@@ -146,6 +146,70 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rrf_fusion: fused scores equal the recomputed reciprocal-rank " +
+    "sum over the three rankings, top-k per query complete") {
+    def ranks(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id")) ->
+        r.getAs[Long]("rank")).toMap
+    val systems = Seq(Similarity.bruteTopK(embs), Similarity.lshTopK(embs),
+      Similarity.ivfTopK(embs)).map(ranks)
+    def score(q: Long, c: Long): (Long, Long) = {
+      val hits = systems.flatMap(_.get((q, c)))
+      (hits.map(r => 1000000L / (Similarity.RrfK0 + r)).sum,
+        hits.size.toLong)
+    }
+    val got = Similarity.rrfFusion(embs).collect()
+    assert(got.length === Similarity.QueryCount * Similarity.TopK)
+    got.foreach { r =>
+      val (s, n) = score(r.getAs[Long]("q_id"), r.getAs[Long]("cand_id"))
+      assert(r.getAs[Long]("rrf_e6") === s)
+      assert(r.getAs[Long]("n_systems") === n)
+    }
+    // completeness: per query the fused set IS the top-k of the
+    // recomputed score over every candidate any system returned
+    (0L until Similarity.QueryCount).foreach { q =>
+      val all = systems.flatMap(_.keys).filter(_._1 == q).map(_._2).distinct
+      val want = all.map(c => (c, score(q, c)._1))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(Similarity.TopK).map(_._1).toSet
+      val have = got.filter(_.getAs[Long]("q_id") == q)
+        .map(_.getAs[Long]("cand_id")).toSet
+      assert(have === want, s"query $q")
+    }
+  }
+
+  test("weighted_sample: exactly n rows, the cut is a true global " +
+    "top-n, and token-heavy docs are over-represented") {
+    val got = TextAnalysis.weightedSample(docs).collect()
+    assert(got.length === TextAnalysis.WeightedSampleN)
+    assert(got.map(_.getAs[Long]("doc_id")).distinct.length === got.length)
+    // recompute every doc's priority with the operator's own
+    // expressions minus the limit: the sample must be the global top-n
+    val all = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("weight"),
+        pmod(graft.functions.PortableHash.phash(
+            concat(lit("wsample:"), col("doc_id").cast("string"))),
+          lit(TextAnalysis.PriorityUnitMod)).as("u"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("weight"), r.getAs[Long]("u"))).toMap
+    val want = all.toSeq
+      .map { case (id, (w, u)) => (id, w * 1000000000000L / (u + 1L)) }
+      .sortBy { case (id, p) => (-p, id) }
+      .take(TextAnalysis.WeightedSampleN).map(_._1).toSet
+    assert(got.map(_.getAs[Long]("doc_id")).toSet === want)
+    got.foreach { r =>
+      val (w, u) = all(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("weight") === w)
+      assert(r.getAs[Long]("priority") === w * 1000000000000L / (u + 1L))
+    }
+    // weighted inclusion: the sampled mean token weight clears the
+    // corpus mean (priority ∝ weight)
+    val corpusMean = all.values.map(_._1).sum / all.size
+    val sampleMean = got.map(_.getAs[Long]("weight")).sum / got.length
+    assert(sampleMean > corpusMean)
+  }
+
   test("hardNegatives: top-k other-label candidates, verified against a " +
     "driver-side exhaustive ranking") {
     val got = Similarity.hardNegatives(embs, k = 5).collect()

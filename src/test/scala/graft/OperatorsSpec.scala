@@ -1005,6 +1005,45 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("brand_pagerank: dense rank permutation, teleport floor holds, " +
+    "and an independent integer replay reproduces every score") {
+    import graft.operators.Analytics
+    val sf = TestSpark.Sf
+    val part = Tables.part(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val got = Analytics.brandPagerank(part, li).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getAs[Long]("rank")).sorted.toSeq ===
+      (1L to got.length.toLong))
+    got.foreach { r =>
+      assert(r.getAs[Long]("pagerank_ppm") >= Analytics.PrDampPpm)
+      assert(r.getAs[Long]("out_weight") > 0L)
+    }
+    // replay the damped rounds from the market-basket edges
+    val edges = Analytics.marketBasket(part, li)
+      .select("brand_a", "brand_b", "support").collect()
+      .flatMap { r =>
+        val (a, b, s) = (r.getString(0), r.getString(1), r.getLong(2))
+        Seq((a, b, s), (b, a, s))
+      }
+    val ow = edges.groupBy(_._1).map { case (b, es) => b -> es.map(_._3).sum }
+    var pr = ow.keys.map(_ -> 1000000L).toMap
+    (1 to Analytics.PrIters).foreach { _ =>
+      val in = edges.groupBy(_._2).map { case (b, es) =>
+        b -> es.map { case (a, _, s) => pr(a) * s / ow(a) }.sum
+      }
+      pr = pr.keys.map(b => b -> (Analytics.PrDampPpm +
+        (1000000L - Analytics.PrDampPpm) * in.getOrElse(b, 0L) / 1000000L))
+        .toMap
+    }
+    assert(got.length === pr.size)
+    got.foreach { r =>
+      val b = r.getAs[String]("brand")
+      assert(r.getAs[Long]("pagerank_ppm") === pr(b), b)
+      assert(r.getAs[Long]("out_weight") === ow(b), b)
+    }
+  }
+
   test("event_paths: exactly top-K rows, counts descending, triple mass " +
     "bounded by events") {
     val ev = Tables.events(spark, TestSpark.Sf)

@@ -163,7 +163,10 @@ class PlanSpec extends AnyFunSuite {
       "join_size_estimate",
       // mmr_diversify broadcasts the 8-query set for its shortlist
       // scan (the ann_topk allowance)
-      "mmr_diversify")
+      "mmr_diversify",
+      // rrf_fusion unions brute/lsh/ivf rankings, inheriting the
+      // ann_topk + ann_ivf broadcast allowances
+      "rrf_fusion")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
