@@ -1352,6 +1352,37 @@ object OracleSql {
          |       CAST(COUNT(*) AS BIGINT) AS depth
          |FROM cl GROUP BY 1, 2""".stripMargin,
 
+    "rpo_audit" -> {
+      import graft.operators.Ledger.{RpoSlaS, RtoSlaS}
+      s"""WITH $CL, $STATUS,
+         |g AS (SELECT 'db' || (user_id % 3) AS db,
+         |    CAST(COUNT(CASE WHEN event_id % 7 = 0 AND status = 'OK'
+         |      THEN 1 END) AS BIGINT) AS n_applied,
+         |    CAST(COUNT(CASE WHEN NOT (event_id % 7 = 0
+         |      AND status = 'OK') THEN 1 END) AS BIGINT) AS n_unapplied,
+         |    MAX(CASE WHEN event_id % 7 = 0 AND status = 'OK'
+         |      THEN ems END) AS last_applied_ems,
+         |    MIN(CASE WHEN event_id % 7 = 0 AND status = 'OK'
+         |      THEN ems END) AS first_applied_ems,
+         |    MIN(CASE WHEN NOT (event_id % 7 = 0 AND status = 'OK')
+         |      THEN ems END) AS oldest_pending_ems
+         |  FROM a GROUP BY 1),
+         |n AS (SELECT MAX(ems) AS now_ems FROM cl),
+         |r AS (SELECT db, n_applied, n_unapplied,
+         |    (now_ems - COALESCE(oldest_pending_ems, now_ems)) // 1000
+         |      AS rpo_s,
+         |    GREATEST((COALESCE(last_applied_ems, 0)
+         |      - COALESCE(first_applied_ems, 0)) // 1000, 1) AS window_s
+         |  FROM g, n)
+         |SELECT db, n_applied, n_unapplied, rpo_s, window_s,
+         |  n_unapplied * window_s // GREATEST(n_applied, 1) AS rto_s,
+         |  CASE WHEN rpo_s <= $RpoSlaS
+         |    AND n_unapplied * window_s // GREATEST(n_applied, 1)
+         |      <= $RtoSlaS
+         |    THEN 'true' ELSE 'false' END AS meets_sla
+         |FROM r""".stripMargin
+    },
+
     "status_rollup" ->
       s"""WITH $CL, $STATUS, $ST,
          |lastper AS (
@@ -4482,6 +4513,36 @@ object OracleSql {
     },
 
     "embed_covariance" -> EmbedCovBody,
+
+    "pq_subspace_balance" -> {
+      import graft.operators.Similarity.{PqM, PqSubDim}
+      s"""WITH cov AS (
+         |$EmbedCovBody
+         |),
+         |per AS (SELECT dim_a // $PqSubDim AS subspace,
+         |    CAST(SUM(cov_e12) AS BIGINT) AS var_e12
+         |  FROM cov WHERE dim_a = dim_b GROUP BY 1),
+         |t AS (SELECT CAST(SUM(var_e12) AS BIGINT) AS tot_e12 FROM per)
+         |SELECT subspace, var_e12,
+         |  var_e12 * 1000000 // GREATEST(tot_e12, 1) AS share_ppm,
+         |  var_e12 * $PqM * 1000000 // GREATEST(tot_e12, 1)
+         |    AS balance_ppm
+         |FROM per, t""".stripMargin
+    },
+
+    "char_diversity" ->
+      """WITH d AS (SELECT lang,
+        |    list_transform(generate_series(1, GREATEST(len(text) - 1, 1)),
+        |      i -> substr(text, i, 2)) AS bgs
+        |  FROM documents),
+        |v AS (SELECT lang,
+        |    CAST(len(list_distinct(bgs)) AS BIGINT) * 1000000
+        |      // len(bgs) AS div_ppm
+        |  FROM d)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(div_ppm) AS min_div_ppm, MAX(div_ppm) AS max_div_ppm,
+        |  CAST(SUM(div_ppm) // COUNT(*) AS BIGINT) AS mean_div_ppm
+        |FROM v GROUP BY 1""".stripMargin,
 
     "anisotropy_audit" -> AnisotropyTempSql,
 

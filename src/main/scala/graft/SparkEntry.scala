@@ -536,6 +536,11 @@ object SparkEntry {
       TextAnalysis.weightedSample(Tables.documents(s, dir))),
     "rrf_fusion"          -> ((s, dir) =>
       Similarity.rrfFusion(Tables.embeddings(s, dir))),
+    "pq_subspace_balance" -> ((s, dir) =>
+      Similarity.pqSubspaceBalance(Tables.embeddings(s, dir))),
+    "char_diversity"      -> ((s, dir) =>
+      TextAnalysis.charDiversity(Tables.documents(s, dir))),
+    "rpo_audit"           -> ((s, dir) => Ledger.rpoAudit(cl(s, dir))),
     "embed_covariance"    -> ((s, dir) =>
       Similarity.embedCovariance(Tables.embeddings(s, dir))),
     "domain_caps"         -> ((s, dir) =>

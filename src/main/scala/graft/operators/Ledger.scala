@@ -568,6 +568,47 @@ object Ledger {
         approx_count_distinct("user_id", rsd = 0.02).as("n_users_approx"),
         countDistinct("user_id").as("n_users_exact"))
 
+  /** SLA bounds for [[rpoAudit]] (seconds): tolerated data-at-risk age
+    * and tolerated backlog-drain time. */
+  val RpoSlaS = 43200L
+  val RtoSlaS = 21600L
+
+  /** Disaster-recovery objectives per source db — the two numbers an
+    * operator quotes about a sync deployment: RPO (how old is the
+    * oldest change not yet applied — the data at risk if the target is
+    * promoted now) and RTO (how long to drain the backlog at the
+    * observed apply rate: backlog · window div applied). Composes the
+    * same applied/pending split as [[syncLag]] into objective form
+    * with an SLA verdict. Shapes: one map-side-combined per-db
+    * aggregate + the 1-row broadcast clock — the status_rollup
+    * pattern, no windows, no joins on data-sized relations. All
+    * arithmetic integer seconds. */
+  def rpoAudit(changelog: DataFrame): DataFrame = {
+    val applied = ChangeLog.polledCol && statusCol === "OK"
+    val perDb = changelog
+      .groupBy(dbCol.as("db"))
+      .agg(
+        count(when(applied, 1)).as("n_applied"),
+        count(when(!applied, 1)).as("n_unapplied"),
+        max(when(applied, col("ems"))).as("last_applied_ems"),
+        min(when(applied, col("ems"))).as("first_applied_ems"),
+        min(when(!applied, col("ems"))).as("oldest_pending_ems"))
+    val now = changelog.agg(max("ems").as("now_ems"))
+    perDb.crossJoin(broadcast(now))
+      .select(col("db"), col("n_applied"), col("n_unapplied"),
+        expr("(now_ems - coalesce(oldest_pending_ems, now_ems)) div 1000")
+          .as("rpo_s"),
+        expr("""greatest((coalesce(last_applied_ems, 0L)
+               |  - coalesce(first_applied_ems, 0L)) div 1000, 1L)"""
+          .stripMargin).as("window_s"))
+      .withColumn("rto_s",
+        expr("n_unapplied * window_s div greatest(n_applied, 1L)"))
+      .select(col("db"), col("n_applied"), col("n_unapplied"),
+        col("rpo_s"), col("window_s"), col("rto_s"),
+        (col("rpo_s") <= RpoSlaS && col("rto_s") <= RtoSlaS)
+          .cast("string").as("meets_sla"))
+  }
+
   /** Queue depth per (partition, hour): tumbling-window inflow counts —
     * the observable analog of the reference's bounded in-memory queues. */
   def queueDepth(changelog: DataFrame): DataFrame =

@@ -724,6 +724,31 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("cand_id"), col("sim_e6"))
   }
 
+  /** PQ subspace variance-allocation audit — the OPQ question after
+    * [[anisotropyAudit]] answers the whitening one: does each of the
+    * [[PqM]] subspaces carry a fair share of the corpus variance?
+    * Plain PQ assigns dims to subspaces blindly; a subspace hoarding
+    * variance dominates quantization error, and OPQ's dimension
+    * permutation exists exactly to flatten this profile. Per
+    * subspace: its diagonal-variance mass (from [[embedCovariance]],
+    * integer e12), share of total in ppm, and the ratio to the
+    * uniform 1/M share (1e6 = perfectly balanced). Everything after
+    * the covariance pass is Dim-row arithmetic. */
+  def pqSubspaceBalance(embeddings: DataFrame): DataFrame = {
+    val per = embedCovariance(embeddings)
+      .where(col("dim_a") === col("dim_b"))
+      .select(expr(s"dim_a div $PqSubDim").as("subspace"), col("cov_e12"))
+      .groupBy("subspace")
+      .agg(sum("cov_e12").as("var_e12"))
+    val tot = per.agg(sum("var_e12").as("tot_e12"))
+    per.crossJoin(broadcast(tot))
+      .select(col("subspace"), col("var_e12"),
+        expr("var_e12 * 1000000L div greatest(tot_e12, 1L)")
+          .as("share_ppm"),
+        expr(s"var_e12 * $PqM * 1000000L div greatest(tot_e12, 1L)")
+          .as("balance_ppm"))
+  }
+
   /** RRF rank constant (the standard k=60 of Cormack et al.). */
   val RrfK0 = 60L
 

@@ -360,6 +360,29 @@ object TextAnalysis {
       .orderBy(col("priority").desc, col("doc_id"))
       .limit(WeightedSampleN)
 
+  /** Char-bigram diversity per language — the compression-ratio proxy
+    * quality signal (highly repetitive or templated text compresses
+    * well because its bigram vocabulary is tiny; gibberish and boiler-
+    * plate both show up as outliers): per doc,
+    * distinct-bigram/bigram ratio in ppm — the integer, cross-engine
+    * stand-in for a zlib ratio, which no two engines would compute
+    * identically — rolled up per language (count, min, max, truncated
+    * mean). The bigram array is a codegen HOF chain over each doc (no
+    * explode, no shuffle); the rollup is one language-bounded
+    * aggregate. */
+  def charDiversity(documents: DataFrame): DataFrame =
+    documents.select(col("lang"),
+        expr("transform(sequence(1, greatest(length(text) - 1, 1))," +
+          " i -> substring(text, i, 2))").as("bgs"))
+      .select(col("lang"),
+        expr("size(array_distinct(bgs)) * 1000000L div size(bgs)")
+          .as("div_ppm"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min("div_ppm").as("min_div_ppm"),
+        max("div_ppm").as("max_div_ppm"),
+        expr("sum(div_ppm) div count(1)").as("mean_div_ppm"))
+
   /** Hash-based train/val/test assignment (98/1/1 by doc-id hash):
     * deterministic, leakage-free (a doc's split never depends on corpus
     * order or partitioning), and stable as the corpus grows — the

@@ -146,6 +146,55 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pq_subspace_balance: one row per subspace, shares sum to ~1e6, " +
+    "variance mass matches the covariance diagonal") {
+    val got = Similarity.pqSubspaceBalance(embs).collect()
+      .map(r => r.getAs[Long]("subspace") ->
+        (r.getAs[Long]("var_e12"), r.getAs[Long]("share_ppm"),
+          r.getAs[Long]("balance_ppm"))).toMap
+    assert(got.size === Similarity.PqM)
+    val diag = Similarity.embedCovariance(embs).collect()
+      .filter(r => r.getLong(0) == r.getLong(1))
+      .groupBy(r => r.getLong(0) / Similarity.PqSubDim)
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val tot = diag.values.sum
+    (0L until Similarity.PqM.toLong).foreach { s =>
+      val (v, share, bal) = got(s)
+      assert(v === diag(s), s"subspace $s")
+      assert(share === v * 1000000L / math.max(tot, 1L))
+      assert(bal === v * Similarity.PqM * 1000000L / math.max(tot, 1L))
+    }
+    val shareSum = got.values.map(_._2).sum
+    assert(shareSum <= 1000000L &&
+      shareSum >= 1000000L - Similarity.PqM)
+  }
+
+  test("char_diversity: per-language rollup matches a driver-side " +
+    "sliding-bigram replay") {
+    val got = TextAnalysis.charDiversity(docs).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("min_div_ppm"),
+          r.getAs[Long]("max_div_ppm"), r.getAs[Long]("mean_div_ppm")))
+      .toMap
+    val ref = docs.select("lang", "text").collect()
+      .map(r => r.getString(0) -> {
+        val t = r.getString(1)
+        val bgs = if (t.length <= 2) Seq(t.take(2))
+                  else t.sliding(2).toSeq
+        bgs.distinct.size.toLong * 1000000L / bgs.size
+      })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.keySet === ref.keySet)
+    ref.foreach { case (lang, ds) =>
+      val (n, mn, mx, mean) = got(lang)
+      assert(n === ds.size.toLong)
+      assert(mn === ds.min)
+      assert(mx === ds.max)
+      assert(mean === ds.sum / ds.size)
+      assert(mn > 0L && mx <= 1000000L)
+    }
+  }
+
   test("rrf_fusion: fused scores equal the recomputed reciprocal-rank " +
     "sum over the three rankings, top-k per query complete") {
     def ranks(df: org.apache.spark.sql.DataFrame) = df.collect()

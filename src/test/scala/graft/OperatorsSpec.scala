@@ -1005,6 +1005,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("rpo_audit: RPO agrees with syncLag's pending age, RTO follows " +
+    "the declared drain formula, verdict consistent") {
+    import graft.operators.Ledger
+    val chl = graft.operators.ChangeLog.normalize(
+      Tables.events(spark, TestSpark.Sf))
+    val got = Ledger.rpoAudit(chl).collect()
+    assert(got.length === 3)
+    val lag = Ledger.syncLag(chl).collect()
+      .map(r => r.getAs[String]("db") ->
+        (r.getAs[Long]("oldest_pending_age_s"),
+          r.getAs[Long]("n_unapplied"))).toMap
+    got.foreach { r =>
+      val db = r.getAs[String]("db")
+      assert(r.getAs[Long]("rpo_s") === lag(db)._1, db)
+      assert(r.getAs[Long]("n_unapplied") === lag(db)._2, db)
+      assert(r.getAs[Long]("window_s") >= 1L)
+      assert(r.getAs[Long]("rto_s") ===
+        r.getAs[Long]("n_unapplied") * r.getAs[Long]("window_s") /
+          math.max(r.getAs[Long]("n_applied"), 1L))
+      assert(r.getAs[String]("meets_sla") ===
+        (r.getAs[Long]("rpo_s") <= Ledger.RpoSlaS &&
+          r.getAs[Long]("rto_s") <= Ledger.RtoSlaS).toString)
+    }
+  }
+
   test("brand_pagerank: dense rank permutation, teleport floor holds, " +
     "and an independent integer replay reproduces every score") {
     import graft.operators.Analytics

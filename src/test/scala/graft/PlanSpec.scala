@@ -166,7 +166,10 @@ class PlanSpec extends AnyFunSuite {
       "mmr_diversify",
       // rrf_fusion unions brute/lsh/ivf rankings, inheriting the
       // ann_topk + ann_ivf broadcast allowances
-      "rrf_fusion")
+      "rrf_fusion",
+      // pq_subspace_balance / rpo_audit cross broadcast 1-row totals
+      // onto subspace- / db-grid relations (the sync_lag shape)
+      "pq_subspace_balance", "rpo_audit")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
