@@ -45,7 +45,8 @@ rp_recall,ivf_sq_recall,padding_plan,dup_token_share,\
 ring_rebalance,quantile_sketch_error,event_paths,rate_changepoint,\
 cluster_cohesion,stream_queue_parity,stream_funnel_parity,\
 embed_covariance,anisotropy_audit,mmr_diversify,rrf_fusion,\
-weighted_sample,pq_subspace_balance,char_diversity,rpo_audit"
+weighted_sample,pq_subspace_balance,char_diversity,rpo_audit,\
+session_gap_sweep,balance_audit"
 
 echo "== amplify $BASE x$K -> $WORK"
 sbt -batch "runMain graft.AmplifyCorpus $BASE $WORK $K"

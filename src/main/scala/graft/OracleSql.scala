@@ -1352,6 +1352,54 @@ object OracleSql {
          |       CAST(COUNT(*) AS BIGINT) AS depth
          |FROM cl GROUP BY 1, 2""".stripMargin,
 
+    "session_gap_sweep" -> {
+      import graft.operators.Temporal.GapSweepS
+      val aggs = GapSweepS.map { g =>
+        s"""    CAST(SUM(CASE WHEN gap_ms IS NULL OR gap_ms > ${g * 1000}
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS ns_$g,
+           |    CAST(SUM(CASE WHEN NOT (gap_ms IS NULL
+           |      OR gap_ms > ${g * 1000})
+           |      THEN gap_ms ELSE 0 END) AS BIGINT) AS intra_$g"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = GapSweepS.map { g =>
+        s"""SELECT CAST($g AS BIGINT) AS gap_s, ns_$g AS n_sessions,
+           |  n_events * 1000 // ns_$g AS events_per_session_milli,
+           |  (intra_$g // ns_$g) // 1000 AS mean_duration_s FROM t"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $CL,
+         |d AS (SELECT ems - LAG(ems) OVER (PARTITION BY user_id
+         |    ORDER BY ems, event_id) AS gap_ms FROM cl),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+         |$aggs
+         |  FROM d)
+         |$rows""".stripMargin
+    },
+
+    "balance_audit" ->
+      s"""WITH $CL,
+         |r AS (SELECT user_id, 'db' || (user_id % 3) AS db,
+         |    CASE op WHEN 'I' THEN value_cents
+         |      WHEN 'U' THEN -value_cents ELSE 0 END AS delta,
+         |    SUM(CASE op WHEN 'I' THEN value_cents
+         |      WHEN 'U' THEN -value_cents ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ems, event_id
+         |        ROWS UNBOUNDED PRECEDING) AS bal
+         |  FROM cl),
+         |p AS (SELECT db, user_id, CAST(MIN(bal) AS BIGINT) AS min_bal,
+         |    CAST(SUM(CASE WHEN bal < 0 AND bal - delta >= 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS dips,
+         |    CAST(SUM(delta) AS BIGINT) AS end_bal
+         |  FROM r GROUP BY 1, 2)
+         |SELECT db, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(CASE WHEN min_bal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_overdrawn,
+         |  MIN(min_bal) AS min_balance_cents,
+         |  CAST(SUM(dips) AS BIGINT) AS n_dips,
+         |  CAST(SUM(end_bal) AS BIGINT) AS end_balance_sum_cents
+         |FROM p GROUP BY 1""".stripMargin,
+
     "rpo_audit" -> {
       import graft.operators.Ledger.{RpoSlaS, RtoSlaS}
       s"""WITH $CL, $STATUS,
@@ -4547,6 +4595,27 @@ object OracleSql {
     "anisotropy_audit" -> AnisotropyTempSql,
 
     "mmr_diversify" -> MmrTempSql,
+
+    "join_advisor" -> {
+      import graft.operators.Snapshot.{BroadcastRowLimit, SkewSharePpm}
+      graft.operators.Snapshot.JoinEdges.map { case (lt, lk, rt, rk) =>
+        s"""SELECT '$lt.$lk=$rt.$rk' AS edge, n_left, n_right,
+           |  max_key_n * 1000000 // GREATEST(n_left, 1)
+           |    AS max_key_share_ppm,
+           |  CASE WHEN n_right <= $BroadcastRowLimit THEN 'BROADCAST'
+           |    ELSE 'SORT_MERGE' END AS strategy,
+           |  CASE WHEN max_key_n * 1000000 // GREATEST(n_left, 1)
+           |      > $SkewSharePpm
+           |    THEN 'true' ELSE 'false' END AS salt_left
+           |FROM
+           |  (SELECT CAST(COALESCE(SUM(cl), 0) AS BIGINT) AS n_left,
+           |     CAST(COALESCE(MAX(cl), 0) AS BIGINT) AS max_key_n
+           |   FROM (SELECT $lk AS k, COUNT(*) AS cl FROM $lt
+           |         GROUP BY 1)) ls,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) AS n_right FROM $rt) rs"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
 
     // generated from Snapshot.JoinEdges — the same grid the Spark
     // estimator walks, so an edge edit cannot desynchronize the sides

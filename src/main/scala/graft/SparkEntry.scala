@@ -541,6 +541,13 @@ object SparkEntry {
     "char_diversity"      -> ((s, dir) =>
       TextAnalysis.charDiversity(Tables.documents(s, dir))),
     "rpo_audit"           -> ((s, dir) => Ledger.rpoAudit(cl(s, dir))),
+    "session_gap_sweep"   -> ((s, dir) =>
+      Temporal.sessionGapSweep(cl(s, dir))),
+    "balance_audit"       -> ((s, dir) => Ledger.balanceAudit(cl(s, dir))),
+    "join_advisor"        -> ((s, dir) =>
+      Snapshot.joinAdvisor(
+        (Snapshot.JoinEdges.map(_._1) ++ Snapshot.JoinEdges.map(_._3))
+          .distinct.map(t => t -> Tables.table(s, dir, t)).toMap)),
     "embed_covariance"    -> ((s, dir) =>
       Similarity.embedCovariance(Tables.embeddings(s, dir))),
     "domain_caps"         -> ((s, dir) =>

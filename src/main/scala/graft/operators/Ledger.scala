@@ -568,6 +568,39 @@ object Ledger {
         approx_count_distinct("user_id", rsd = 0.02).as("n_users_approx"),
         countDistinct("user_id").as("n_users_exact"))
 
+  /** Running-balance overdraft audit — the ledger-consistency check a
+    * sync target's accounting layer runs after landing: per user, the
+    * signed running balance (credits = I inserts, debits = U updates,
+    * error rows carry no money) in event order; per db, how many users
+    * ever dip negative, the deepest dip, the number of distinct
+    * negative entries, and the closing balance mass. One user-keyed
+    * window (ROWS-framed so ties can't blur the frame; (ems, event_id)
+    * is a total order) and a two-level aggregate — the previous
+    * balance is recovered as bal − delta instead of a second window
+    * function. Integer cents throughout. */
+  def balanceAudit(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ems"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val delta = when(col("op") === "I", col("value_cents"))
+      .when(col("op") === "U", -col("value_cents")).otherwise(0L)
+    val perUser = changelog
+      .withColumn("delta", delta)
+      .withColumn("bal", sum("delta").over(w))
+      .withColumn("prev_bal", col("bal") - col("delta"))
+      .groupBy(dbCol.as("db"), col("user_id"))
+      .agg(min("bal").as("min_bal"),
+        sum(when(col("bal") < 0L && col("prev_bal") >= 0L, 1L)
+          .otherwise(0L)).as("dips"),
+        sum("delta").as("end_bal"))
+    perUser.groupBy("db")
+      .agg(count(lit(1)).as("n_users"),
+        sum((col("min_bal") < 0L).cast("long")).as("n_overdrawn"),
+        min("min_bal").as("min_balance_cents"),
+        sum("dips").as("n_dips"),
+        sum("end_bal").as("end_balance_sum_cents"))
+  }
+
   /** SLA bounds for [[rpoAudit]] (seconds): tolerated data-at-risk age
     * and tolerated backlog-drain time. */
   val RpoSlaS = 43200L

@@ -395,6 +395,41 @@ object Snapshot {
             .stripMargin).as("est_ppm_of_exact"))
     }.reduce(_ unionByName _)
 
+  /** [[joinAdvisor]] thresholds: a dim side at most this many rows is
+    * broadcast-able; a left key owning more than this share (ppm) of
+    * its table wants salting. */
+  val BroadcastRowLimit = 100000L
+  val SkewSharePpm = 100000L
+
+  /** Join-strategy advisor — the decision [[catalogStats]] and
+    * [[joinSizeEstimate]] exist to inform, emitted as a per-edge plan:
+    * BROADCAST when the dim side fits the row budget, else
+    * SORT_MERGE; plus a SALT flag when the fact side's hottest key
+    * owns more than [[SkewSharePpm]] of the table (the AQE-skew /
+    * manual-salting trigger). Everything derives from the same
+    * per-key count profiles as the estimator — the hottest-key share
+    * is a max over the profile, never a second fact scan; output is
+    * edge-count-sized. */
+  def joinAdvisor(tables: Map[String, DataFrame]): DataFrame =
+    JoinEdges.map { case (lt, lk, rt, rk) =>
+      val lp = tables(lt).groupBy(col(lk).as("k"))
+        .agg(count(lit(1)).as("cl"))
+      val ls = lp.agg(coalesce(sum("cl"), lit(0L)).as("n_left"),
+        coalesce(max("cl"), lit(0L)).as("max_key_n"))
+      val rs = tables(rt).agg(count(lit(1)).as("n_right"))
+      ls.crossJoin(rs)
+        .select(lit(s"$lt.$lk=$rt.$rk").as("edge"),
+          col("n_left"), col("n_right"),
+          expr("max_key_n * 1000000L div greatest(n_left, 1L)")
+            .as("max_key_share_ppm"))
+        .select(col("edge"), col("n_left"), col("n_right"),
+          col("max_key_share_ppm"),
+          when(col("n_right") <= BroadcastRowLimit, "BROADCAST")
+            .otherwise("SORT_MERGE").as("strategy"),
+          (col("max_key_share_ppm") > SkewSharePpm)
+            .cast("string").as("salt_left"))
+    }.reduce(_ unionByName _)
+
   /** 1-in-DriftMod columns are simulated as absent from the sync
     * target's catalog — the deterministic stand-in for a target
     * created from an older sync config (the [[deltaDetect]]

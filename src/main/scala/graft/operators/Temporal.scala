@@ -445,4 +445,41 @@ object Temporal {
         min("ems").as("start_ms"),
         max("ems").as("end_ms"),
         (max("ems") - min("ems")).as("duration_ms"))
+
+  /** Candidate inactivity gaps for [[sessionGapSweep]] (seconds). */
+  val GapSweepS: Seq[Long] = Seq(900L, 1800L, 3600L)
+
+  /** Inactivity-gap tuning sweep — the question asked BEFORE
+    * [[sessionize]]'s 30-minute constant is trusted: how do session
+    * count, events-per-session, and mean duration move across
+    * candidate gaps? All [[GapSweepS]] thresholds are evaluated in ONE
+    * pass over ONE user-keyed window (each event's inter-arrival delta
+    * is classified against every gap in the same projection), so the
+    * sweep costs exactly one sessionize, not |gaps| of them. Mean
+    * duration needs no per-(gap, session) grouping: a session's
+    * duration is the sum of its intra-session deltas, so mean =
+    * Σ(delta ≤ gap) div n_sessions — grid-sized aggregate output,
+    * truncated integer arithmetic throughout. */
+  def sessionGapSweep(changelog: DataFrame): DataFrame = {
+    val deltas = changelog
+      .withColumn("gap_ms",
+        col("ems") - lag(col("ems"), 1).over(keyOrder))
+    val aggs = GapSweepS.flatMap { g =>
+      val newSess = col("gap_ms").isNull || col("gap_ms") > g * 1000L
+      Seq(
+        sum(when(newSess, 1L).otherwise(0L)).as(s"ns_$g"),
+        sum(when(!newSess, col("gap_ms")).otherwise(0L)).as(s"intra_$g"))
+    }
+    val stackArgs = GapSweepS
+      .map(g => s"${g}L, ns_$g, intra_$g").mkString(", ")
+    deltas
+      .agg(count(lit(1)).as("n_events"), aggs: _*)
+      .select(col("n_events"),
+        expr(s"stack(${GapSweepS.length}, $stackArgs)" +
+          " as (gap_s, n_sessions, intra_ms)"))
+      .select(col("gap_s"), col("n_sessions"),
+        expr("n_events * 1000L div n_sessions")
+          .as("events_per_session_milli"),
+        expr("(intra_ms div n_sessions) div 1000").as("mean_duration_s"))
+  }
 }

@@ -1005,6 +1005,93 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("session_gap_sweep: one row per candidate gap, monotone session " +
+    "counts, and the 30-minute row agrees with sessionize") {
+    import graft.operators.Temporal
+    val chl = graft.operators.ChangeLog.normalize(
+      Tables.events(spark, TestSpark.Sf))
+    val got = Temporal.sessionGapSweep(chl).collect()
+      .map(r => r.getAs[Long]("gap_s") ->
+        (r.getAs[Long]("n_sessions"),
+          r.getAs[Long]("events_per_session_milli"),
+          r.getAs[Long]("mean_duration_s"))).toMap
+    assert(got.keySet === Temporal.GapSweepS.toSet)
+    // a larger gap can only merge sessions
+    Temporal.GapSweepS.sliding(2).foreach { case Seq(a, b) =>
+      assert(got(a)._1 >= got(b)._1, s"gap $a vs $b")
+    }
+    val sess = Temporal.sessionize(chl).collect()
+    val n1800 = sess.length.toLong
+    assert(got(1800L)._1 === n1800)
+    assert(got(1800L)._2 === chl.count() * 1000L / n1800)
+    assert(got(1800L)._3 ===
+      sess.map(_.getAs[Long]("duration_ms")).sum / n1800 / 1000L)
+  }
+
+  test("balance_audit: per-db rollup matches a driver-side running-" +
+    "balance replay") {
+    import graft.operators.Ledger
+    val chl = graft.operators.ChangeLog.normalize(
+      Tables.events(spark, TestSpark.Sf))
+    val got = Ledger.balanceAudit(chl).collect()
+      .map(r => r.getAs[String]("db") -> r).toMap
+    assert(got.size === 3)
+    val rows = chl.select("user_id", "op", "ems", "event_id", "value_cents")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("op"),
+        r.getAs[Long]("ems"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("value_cents")))
+    val perUser = rows.groupBy(_._1).map { case (u, es) =>
+      val deltas = es.sortBy(e => (e._3, e._4)).map {
+        case (_, "I", _, _, v) => v
+        case (_, "U", _, _, v) => -v
+        case _                 => 0L
+      }
+      val bals = deltas.scanLeft(0L)(_ + _).drop(1)
+      val dips = bals.zip(0L +: bals.dropRight(1))
+        .count { case (b, p) => b < 0L && p >= 0L }.toLong
+      (u, bals.min, dips, deltas.sum)
+    }
+    val ref = perUser.groupBy { case (u, _, _, _) => s"db${u % 3}" }
+      .map { case (db, us) =>
+        db -> (us.size.toLong, us.count(_._2 < 0L).toLong,
+          us.map(_._2).min, us.map(_._3).sum, us.map(_._4).sum)
+      }
+    ref.foreach { case (db, (n, over, mn, dips, end)) =>
+      val r = got(db)
+      assert(r.getAs[Long]("n_users") === n, db)
+      assert(r.getAs[Long]("n_overdrawn") === over, db)
+      assert(r.getAs[Long]("min_balance_cents") === mn, db)
+      assert(r.getAs[Long]("n_dips") === dips, db)
+      assert(r.getAs[Long]("end_balance_sum_cents") === end, db)
+    }
+  }
+
+  test("join_advisor: per-edge strategy and salt verdicts follow the " +
+    "declared thresholds, sides agree with join_size_estimate") {
+    import graft.operators.Snapshot
+    val sf = TestSpark.Sf
+    val tabs = (Snapshot.JoinEdges.map(_._1) ++ Snapshot.JoinEdges.map(_._3))
+      .distinct.map(t => t -> Tables.table(spark, sf, t)).toMap
+    val got = Snapshot.joinAdvisor(tabs).collect()
+    assert(got.length === Snapshot.JoinEdges.length)
+    val est = Snapshot.joinSizeEstimate(tabs).collect()
+      .map(r => r.getAs[String]("edge") ->
+        (r.getAs[Long]("n_left"), r.getAs[Long]("n_right"))).toMap
+    got.foreach { r =>
+      val edge = r.getAs[String]("edge")
+      assert((r.getAs[Long]("n_left"), r.getAs[Long]("n_right")) ===
+        est(edge), edge)
+      assert(r.getAs[String]("strategy") ===
+        (if (r.getAs[Long]("n_right") <= Snapshot.BroadcastRowLimit)
+          "BROADCAST" else "SORT_MERGE"))
+      assert(r.getAs[String]("salt_left") ===
+        (r.getAs[Long]("max_key_share_ppm") >
+          Snapshot.SkewSharePpm).toString)
+      assert(r.getAs[Long]("max_key_share_ppm") <= 1000000L)
+    }
+  }
+
   test("rpo_audit: RPO agrees with syncLag's pending age, RTO follows " +
     "the declared drain formula, verdict consistent") {
     import graft.operators.Ledger

@@ -169,7 +169,9 @@ class PlanSpec extends AnyFunSuite {
       "rrf_fusion",
       // pq_subspace_balance / rpo_audit cross broadcast 1-row totals
       // onto subspace- / db-grid relations (the sync_lag shape)
-      "pq_subspace_balance", "rpo_audit")
+      "pq_subspace_balance", "rpo_audit",
+      // join_advisor crosses two 1-row per-edge profile aggregates
+      "join_advisor")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
