@@ -46,7 +46,9 @@ ring_rebalance,quantile_sketch_error,event_paths,rate_changepoint,\
 cluster_cohesion,stream_queue_parity,stream_funnel_parity,\
 embed_covariance,anisotropy_audit,mmr_diversify,rrf_fusion,\
 weighted_sample,pq_subspace_balance,char_diversity,rpo_audit,\
-session_gap_sweep,balance_audit"
+session_gap_sweep,balance_audit,acf_profile,fano_burstiness,\
+knn_graph,nn_descent,zipf_fit,anon_generalize,watermark_sweep,\
+sequence_gap_audit,stream_balance_parity"
 
 echo "== amplify $BASE x$K -> $WORK"
 sbt -batch "runMain graft.AmplifyCorpus $BASE $WORK $K"

@@ -327,6 +327,32 @@ object OracleSql {
 
   /** market_basket's SQL — standalone oracle AND the edge-extraction
     * stage of [[BrandPagerankTempSql]] (same text, no drift). */
+  /** Per-db running-balance rollup — ONE text pins the batch
+    * balance_audit window form AND the streaming balanceParity
+    * state-machine replay (the stream_merge_parity convention). */
+  private lazy val BalanceAuditSql: String =
+    s"""WITH $CL,
+       |r AS (SELECT user_id, 'db' || (user_id % 3) AS db,
+       |    CASE op WHEN 'I' THEN value_cents
+       |      WHEN 'U' THEN -value_cents ELSE 0 END AS delta,
+       |    SUM(CASE op WHEN 'I' THEN value_cents
+       |      WHEN 'U' THEN -value_cents ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ems, event_id
+       |        ROWS UNBOUNDED PRECEDING) AS bal
+       |  FROM cl),
+       |p AS (SELECT db, user_id, CAST(MIN(bal) AS BIGINT) AS min_bal,
+       |    CAST(SUM(CASE WHEN bal < 0 AND bal - delta >= 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS dips,
+       |    CAST(SUM(delta) AS BIGINT) AS end_bal
+       |  FROM r GROUP BY 1, 2)
+       |SELECT db, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |  CAST(SUM(CASE WHEN min_bal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_overdrawn,
+       |  MIN(min_bal) AS min_balance_cents,
+       |  CAST(SUM(dips) AS BIGINT) AS n_dips,
+       |  CAST(SUM(end_bal) AS BIGINT) AS end_balance_sum_cents
+       |FROM p GROUP BY 1""".stripMargin
+
   private lazy val MarketBasketBody: String =
     """WITH b AS (SELECT DISTINCT l.l_orderkey AS okey,
       |    p.p_brand AS brand
@@ -1377,28 +1403,11 @@ object OracleSql {
          |$rows""".stripMargin
     },
 
-    "balance_audit" ->
-      s"""WITH $CL,
-         |r AS (SELECT user_id, 'db' || (user_id % 3) AS db,
-         |    CASE op WHEN 'I' THEN value_cents
-         |      WHEN 'U' THEN -value_cents ELSE 0 END AS delta,
-         |    SUM(CASE op WHEN 'I' THEN value_cents
-         |      WHEN 'U' THEN -value_cents ELSE 0 END)
-         |      OVER (PARTITION BY user_id ORDER BY ems, event_id
-         |        ROWS UNBOUNDED PRECEDING) AS bal
-         |  FROM cl),
-         |p AS (SELECT db, user_id, CAST(MIN(bal) AS BIGINT) AS min_bal,
-         |    CAST(SUM(CASE WHEN bal < 0 AND bal - delta >= 0
-         |      THEN 1 ELSE 0 END) AS BIGINT) AS dips,
-         |    CAST(SUM(delta) AS BIGINT) AS end_bal
-         |  FROM r GROUP BY 1, 2)
-         |SELECT db, CAST(COUNT(*) AS BIGINT) AS n_users,
-         |  CAST(SUM(CASE WHEN min_bal < 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_overdrawn,
-         |  MIN(min_bal) AS min_balance_cents,
-         |  CAST(SUM(dips) AS BIGINT) AS n_dips,
-         |  CAST(SUM(end_bal) AS BIGINT) AS end_balance_sum_cents
-         |FROM p GROUP BY 1""".stripMargin,
+    "balance_audit" -> BalanceAuditSql,
+
+    // the streaming twin replays the same ledger through
+    // flatMapGroupsWithState — ONE oracle pins both lanes
+    "stream_balance_parity" -> BalanceAuditSql,
 
     "rpo_audit" -> {
       import graft.operators.Ledger.{RpoSlaS, RtoSlaS}
@@ -2038,6 +2047,71 @@ object OracleSql {
          |    AS at_risk
          |FROM t GROUP BY 1, 2, 3""".stripMargin,
 
+    // one ROLLUP pass over the k_anonymity QI grid -> 4 ladder levels;
+    // chosen = minimal level with zero at-risk cells
+    "anon_generalize" ->
+      s"""WITH t AS (SELECT lang, source,
+         |    CASE WHEN len(string_split(text, ' ')) > 0
+         |      THEN CAST(length(format('{:b}',
+         |        len(string_split(text, ' ')))) AS BIGINT)
+         |      ELSE 0 END AS len_bucket
+         |  FROM documents),
+         |cells AS (SELECT
+         |    CASE GROUPING(lang, source, len_bucket)
+         |      WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 3 THEN 2
+         |      ELSE 3 END AS level,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM t GROUP BY ROLLUP (lang, source, len_bucket)),
+         |per AS (SELECT CAST(level AS BIGINT) AS level,
+         |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |    CAST(MIN(n_docs) AS BIGINT) AS min_group,
+         |    CAST(SUM(CASE WHEN n_docs < ${TextAnalysis.KAnonThreshold}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk,
+         |    CAST(SUM(CASE WHEN n_docs < ${TextAnalysis.KAnonThreshold}
+         |      THEN n_docs ELSE 0 END) AS BIGINT) AS docs_at_risk
+         |  FROM cells GROUP BY 1),
+         |best AS (SELECT MIN(level) AS best_level FROM per
+         |  WHERE n_at_risk = 0)
+         |SELECT level, n_groups, min_group, n_at_risk, docs_at_risk,
+         |  CAST(n_at_risk = 0 AS VARCHAR) AS satisfies_k,
+         |  CAST(COALESCE(level = best_level, FALSE) AS VARCHAR)
+         |    AS chosen
+         |FROM per, best""".stripMargin,
+
+    // exact integer log2 points (rank from the vocab-sized window,
+    // tie-permutation-invariant), bigint sufficient statistics,
+    // truncating div for slope/intercept, e6 float Pearson for r
+    "zipf_fit" ->
+      """WITH t AS (SELECT UNNEST(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY 1),
+        |p AS (SELECT
+        |    CAST(length(format('{:b}', ROW_NUMBER() OVER
+        |      (ORDER BY tf DESC, token))) - 1 AS BIGINT) AS lx,
+        |    CAST(length(format('{:b}', tf)) - 1 AS BIGINT) AS ly
+        |  FROM f),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(lx) AS BIGINT) AS sx,
+        |    CAST(SUM(ly) AS BIGINT) AS sy,
+        |    CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+        |    CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+        |    CAST(SUM(ly * ly) AS BIGINT) AS syy FROM p),
+        |d AS (SELECT *, (n * sxy - sx * sy) * 1000000 AS sa,
+        |    n * sxx - sx * sx AS sb FROM g),
+        |s AS (SELECT *, CASE WHEN sb > 0
+        |    THEN (sa - sa % sb) // sb ELSE 0 END AS slope_e6 FROM d),
+        |i AS (SELECT *, sy * 1000000 - slope_e6 * sx AS ia FROM s)
+        |SELECT n AS n_types, slope_e6,
+        |  (ia - ia % n) // n AS intercept_e6,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN CAST(ROUND((n * sxy - sx * sy) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |      * 1000000) AS BIGINT)
+        |    ELSE 0 END AS r_e6
+        |FROM i""".stripMargin,
+
     // sensitive attribute = dominant PII class (ssn > email > phone >
     // none), same QI grid as k_anonymity
     "l_diversity" ->
@@ -2441,6 +2515,172 @@ object OracleSql {
          |  CAST(n_vecs * n_lists * 1000 // n_total >
          |    ${Similarity.BalanceOverloadMilli} AS VARCHAR) AS overloaded
          |FROM c, tt""".stripMargin,
+
+    // IVF-blocked kNN graph: within-list pairs only, e6-rounded sim
+    // ranks (integer-deterministic), top-KnnK per node
+    "knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+         |         WHERE vec_id BETWEEN 8 AND 23),
+         |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT cand.vec_id, cent.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+         |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
+         |    FROM cand, cent) t WHERE rn = 1),
+         |vv AS (SELECT a.vec_id, a.centroid_id, c.v
+         |  FROM assign a JOIN cand c ON a.vec_id = c.vec_id),
+         |p AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
+         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
+         |      AS BIGINT) AS sim_e6
+         |  FROM vv l JOIN vv r
+         |    ON l.centroid_id = r.centroid_id AND l.vec_id <> r.vec_id)
+         |SELECT src_id, CAST(rn AS BIGINT) AS rank, nbr_id, sim_e6 FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+         |    ORDER BY sim_e6 DESC, nbr_id) AS rn FROM p) t
+         |WHERE rn <= ${Similarity.KnnK}""".stripMargin,
+
+    // one NN-descent round over the knn_graph twin, seeded with the
+    // LSH-bucket graph (a second blocking bridges IVF lists); exact
+    // re-score, top-KnnK; is_new marks edges IVF blocking missed
+    "nn_descent" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+         |         WHERE vec_id BETWEEN 8 AND 23),
+         |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT cand.vec_id, cent.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+         |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
+         |    FROM cand, cent) t WHERE rn = 1),
+         |vv AS (SELECT a.vec_id, a.centroid_id, c.v
+         |  FROM assign a JOIN cand c ON a.vec_id = c.vec_id),
+         |p AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
+         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
+         |      AS BIGINT) AS sim_e6
+         |  FROM vv l JOIN vv r
+         |    ON l.centroid_id = r.centroid_id AND l.vec_id <> r.vec_id),
+         |base AS (SELECT src_id, nbr_id, sim_e6 FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+         |      ORDER BY sim_e6 DESC, nbr_id) AS rn FROM p) t
+         |  WHERE rn <= ${Similarity.KnnK}),
+         |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM cand),
+         |lp AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
+         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
+         |      AS BIGINT) AS sim_e6
+         |  FROM bk l JOIN bk r
+         |    ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+         |lsh AS (SELECT src_id, nbr_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+         |      ORDER BY sim_e6 DESC, nbr_id) AS rn FROM lp) t
+         |  WHERE rn <= ${Similarity.KnnK}),
+         |ed AS (SELECT src_id, nbr_id FROM base
+         |  UNION SELECT src_id, nbr_id FROM lsh),
+         |und AS (SELECT src_id, nbr_id FROM ed
+         |  UNION SELECT nbr_id, src_id FROM ed),
+         |ex AS (
+         |  SELECT a.src_id, b.nbr_id AS cand_id
+         |  FROM und a JOIN und b ON a.nbr_id = b.src_id
+         |  WHERE a.src_id <> b.nbr_id
+         |  UNION
+         |  SELECT src_id, nbr_id FROM ed),
+         |sc AS (SELECT x.src_id, x.cand_id,
+         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
+         |      AS BIGINT) AS sim_e6
+         |  FROM ex x JOIN cand l ON x.src_id = l.vec_id
+         |    JOIN cand r ON x.cand_id = r.vec_id),
+         |ref AS (SELECT src_id, cand_id, sim_e6,
+         |    ROW_NUMBER() OVER (PARTITION BY src_id
+         |      ORDER BY sim_e6 DESC, cand_id) AS rn FROM sc)
+         |SELECT r.src_id, CAST(r.rn AS BIGINT) AS rank,
+         |  r.cand_id AS nbr_id, r.sim_e6,
+         |  CAST(b.nbr_id IS NULL AS VARCHAR) AS is_new
+         |FROM ref r LEFT JOIN base b
+         |  ON b.src_id = r.src_id AND b.nbr_id = r.cand_id
+         |WHERE r.rn <= ${Similarity.KnnK}""".stripMargin,
+
+    // recall of the blocked graph and its NN-descent repair against
+    // the brute-force all-pairs top-K truth (gate-scale N² by design)
+    "knn_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+         |         WHERE vec_id BETWEEN 8 AND 23),
+         |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT cand.vec_id, cent.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+         |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
+         |    FROM cand, cent) t WHERE rn = 1),
+         |vv AS (SELECT a.vec_id, a.centroid_id, c.v
+         |  FROM assign a JOIN cand c ON a.vec_id = c.vec_id),
+         |p AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
+         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
+         |      AS BIGINT) AS sim_e6
+         |  FROM vv l JOIN vv r
+         |    ON l.centroid_id = r.centroid_id AND l.vec_id <> r.vec_id),
+         |base AS (SELECT src_id, nbr_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+         |      ORDER BY sim_e6 DESC, nbr_id) AS rn FROM p) t
+         |  WHERE rn <= ${Similarity.KnnK}),
+         |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM cand),
+         |lp AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
+         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
+         |      AS BIGINT) AS sim_e6
+         |  FROM bk l JOIN bk r
+         |    ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+         |lsh AS (SELECT src_id, nbr_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+         |      ORDER BY sim_e6 DESC, nbr_id) AS rn FROM lp) t
+         |  WHERE rn <= ${Similarity.KnnK}),
+         |ed AS (SELECT src_id, nbr_id FROM base
+         |  UNION SELECT src_id, nbr_id FROM lsh),
+         |und AS (SELECT src_id, nbr_id FROM ed
+         |  UNION SELECT nbr_id, src_id FROM ed),
+         |ex AS (
+         |  SELECT a.src_id, b.nbr_id AS cand_id
+         |  FROM und a JOIN und b ON a.nbr_id = b.src_id
+         |  WHERE a.src_id <> b.nbr_id
+         |  UNION
+         |  SELECT src_id, nbr_id FROM ed),
+         |sc AS (SELECT x.src_id, x.cand_id,
+         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
+         |      AS BIGINT) AS sim_e6
+         |  FROM ex x JOIN cand l ON x.src_id = l.vec_id
+         |    JOIN cand r ON x.cand_id = r.vec_id),
+         |refined AS (SELECT src_id, cand_id AS nbr_id FROM (
+         |    SELECT src_id, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY src_id
+         |        ORDER BY sim_e6 DESC, cand_id) AS rn FROM sc) t
+         |  WHERE rn <= ${Similarity.KnnK}),
+         |tp AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
+         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
+         |      AS BIGINT) AS sim_e6
+         |  FROM cand l JOIN cand r ON l.vec_id <> r.vec_id),
+         |truth AS (SELECT src_id, nbr_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+         |      ORDER BY sim_e6 DESC, nbr_id) AS rn FROM tp) t
+         |  WHERE rn <= ${Similarity.KnnK}),
+         |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+         |SELECT 'ivf_blocked' AS variant, n_truth,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM base b
+         |    JOIN truth t ON b.src_id = t.src_id
+         |      AND b.nbr_id = t.nbr_id) AS n_hit,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM base b
+         |    JOIN truth t ON b.src_id = t.src_id
+         |      AND b.nbr_id = t.nbr_id) * 1000 // n_truth AS recall_milli
+         |FROM tt
+         |UNION ALL
+         |SELECT 'nn_descent', n_truth,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM refined b
+         |    JOIN truth t ON b.src_id = t.src_id
+         |      AND b.nbr_id = t.nbr_id),
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM refined b
+         |    JOIN truth t ON b.src_id = t.src_id
+         |      AND b.nbr_id = t.nbr_id) * 1000 // n_truth
+         |FROM tt""".stripMargin,
 
     // per-label base-vs-delta mean-vector drift; integer e6 sums and
     // truncating means, one identically-ordered double cosine at the end
@@ -4488,6 +4728,40 @@ object OracleSql {
 
     "brand_pagerank" -> BrandPagerankTempSql,
 
+    // support-thresholded co-purchase graph, a<b<c oriented triangle
+    // join, per-node membership + local clustering coefficient
+    "brand_triangles" -> {
+      import graft.operators.Analytics.TriSupportPpm
+      s"""WITH b AS (SELECT DISTINCT l.l_orderkey AS okey,
+         |    p.p_brand AS brand
+         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         |no AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders
+         |  FROM b),
+         |pr AS (SELECT a.brand AS ba, c.brand AS bb,
+         |    CAST(COUNT(*) AS BIGINT) AS support
+         |  FROM b a JOIN b c ON a.okey = c.okey AND a.brand < c.brand
+         |  GROUP BY 1, 2),
+         |ed AS (SELECT ba AS a, bb AS b FROM pr, no
+         |  WHERE support * 1000000 >= n_orders * $TriSupportPpm),
+         |tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+         |    JOIN ed e3 ON e1.a = e3.a AND e2.b = e3.b),
+         |pn AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |  FROM (SELECT x AS brand FROM tr UNION ALL
+         |    SELECT y FROM tr UNION ALL SELECT z FROM tr)
+         |  GROUP BY 1),
+         |dg AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS degree
+         |  FROM (SELECT a AS brand FROM ed UNION ALL SELECT b FROM ed)
+         |  GROUP BY 1)
+         |SELECT dg.brand, dg.degree,
+         |  COALESCE(pn.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN dg.degree >= 2
+         |    THEN COALESCE(pn.n_triangles, 0) * 2000000
+         |      // (dg.degree * (dg.degree - 1))
+         |    ELSE 0 END AS clustering_ppm
+         |FROM dg LEFT JOIN pn USING (brand)""".stripMargin
+    },
+
     "weighted_sample" -> {
       import graft.functions.PortableHash.sqlPhash
       import graft.operators.TextAnalysis.{PriorityUnitMod, WeightedSampleN}
@@ -4874,6 +5148,103 @@ object OracleSql {
          |SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_users,
          |  CAST(SUM(n) AS BIGINT) AS n_events
          |FROM v GROUP BY 1""".stripMargin
+    },
+
+    "acf_profile" -> {
+      import graft.operators.Temporal.{AcfBucketMs, AcfLags}
+      val lagCtes = AcfLags.map { l =>
+        s"""s$l AS (SELECT CAST($l AS BIGINT) AS lag_m,
+           |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |    CAST(COALESCE(SUM(a.x), 0) AS BIGINT) AS sx,
+           |    CAST(COALESCE(SUM(bb.x), 0) AS BIGINT) AS sy,
+           |    CAST(COALESCE(SUM(a.x * bb.x), 0) AS BIGINT) AS sxy,
+           |    CAST(COALESCE(SUM(a.x * a.x), 0) AS BIGINT) AS sxx,
+           |    CAST(COALESCE(SUM(bb.x * bb.x), 0) AS BIGINT) AS syy
+           |  FROM dense a JOIN dense bb ON bb.bucket = a.bucket + $l)""".stripMargin
+      }.mkString(",\n")
+      val lagUnion = AcfLags.map(l => s"SELECT * FROM s$l")
+        .mkString("\n  UNION ALL ")
+      s"""${DuckBounds}WITH $CL,
+         |c AS (SELECT ems // $AcfBucketMs AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM cl GROUP BY 1),
+         |grid AS (SELECT UNNEST(generate_series(
+         |    (SELECT MIN(bucket) FROM c),
+         |    (SELECT MAX(bucket) FROM c))) AS bucket),
+         |dense AS (SELECT g.bucket, COALESCE(c.cnt, 0) AS x
+         |  FROM grid g LEFT JOIN c USING (bucket)),
+         |$lagCtes
+         |SELECT lag_m, n_pairs,
+         |  CASE WHEN n_pairs * sxx - sx * sx > 0
+         |      AND n_pairs * syy - sy * sy > 0
+         |    THEN CAST(ROUND((n_pairs * sxy - sx * sy) /
+         |      (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+         |        * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+         |      * 1000000) AS BIGINT)
+         |    ELSE 0 END AS acf_e6
+         |FROM ($lagUnion)""".stripMargin
+    },
+
+    "fano_burstiness" -> {
+      import graft.operators.Temporal.{FanoBandE6, FanoWindowMs}
+      s"""WITH $CL,
+         |w AS (SELECT user_id, ems // $FanoWindowMs AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS c FROM cl GROUP BY 1, 2),
+         |u AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+         |    CAST(SUM(c * c) AS BIGINT) AS scc,
+         |    CAST(MAX(bucket) - MIN(bucket) + 1 AS BIGINT) AS n_windows
+         |  FROM w GROUP BY 1),
+         |f AS (SELECT user_id, n_events, n_windows,
+         |    (n_windows * scc - n_events * n_events) * 1000000
+         |      // (n_windows * n_events) AS fano_e6 FROM u)
+         |SELECT user_id, n_events, n_windows, fano_e6,
+         |  CASE WHEN fano_e6 > ${1000000L + FanoBandE6} THEN 'BURSTY'
+         |       WHEN fano_e6 < ${1000000L - FanoBandE6} THEN 'REGULAR'
+         |       ELSE 'POISSON_LIKE' END AS cadence
+         |FROM f""".stripMargin
+    },
+
+    "watermark_sweep" -> {
+      import graft.operators.Temporal.WmSweepMs
+      val arms = WmSweepMs.map { d =>
+        s"""SELECT CAST($d AS BIGINT) AS allowed_ms,
+           |  CAST(SUM(CASE WHEN late_ms > $d THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dropped,
+           |  CAST(COALESCE(MAX(CASE WHEN late_ms > $d
+           |    THEN late_ms - $d END), 0) AS BIGINT) AS max_overshoot_ms
+           |FROM lt""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $CL,
+         |w AS (SELECT ems, MAX(ems) OVER (PARTITION BY part
+         |    ORDER BY event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+         |  FROM cl),
+         |lt AS (SELECT CASE WHEN ems < wm THEN wm - ems ELSE 0 END
+         |    AS late_ms FROM w),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM lt),
+         |u AS ($arms)
+         |SELECT allowed_ms, n_events, n_dropped,
+         |  n_dropped * 1000000 // n_events AS drop_ppm,
+         |  max_overshoot_ms
+         |FROM u, tot""".stripMargin
+    },
+
+    "sequence_gap_audit" -> {
+      import graft.operators.Ledger.SeqBucket
+      s"""WITH $CL,
+         |g AS (SELECT event_id // $SeqBucket AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS n_events,
+         |    CAST(MIN(event_id) AS BIGINT) AS id_lo,
+         |    CAST(MAX(event_id) AS BIGINT) AS id_hi
+         |  FROM cl GROUP BY 1),
+         |h AS (SELECT *, id_hi - id_lo + 1 - n_events AS missing_inside,
+         |    COALESCE(id_lo - LAG(id_hi) OVER (ORDER BY bucket) - 1, 0)
+         |      AS gap_before
+         |  FROM g)
+         |SELECT bucket, n_events, id_lo, id_hi, missing_inside,
+         |  gap_before,
+         |  CASE WHEN missing_inside = 0 AND gap_before = 0
+         |    THEN 'CONTIGUOUS' ELSE 'GAPPED' END AS verdict
+         |FROM h""".stripMargin
     },
 
     "view_refresh_plan" -> {

@@ -226,6 +226,19 @@ object ScaleProbe {
       // window + grid top-k) and the dense-calendar CUSUM lane
       "ring_rebalance" -> sink(TextAnalysis.ringRebalance(docs)),
       "event_paths" -> sink(graft.operators.Analytics.eventPaths(ev)),
-      "rate_changepoint" -> sink(Temporal.rateChangepoint(ev)))
+      "rate_changepoint" -> sink(Temporal.rateChangepoint(ev)),
+      // round-9 batch-10 additions: the arrival-ACF lane (per-minute
+      // pre-aggregate + span-bounded dense window) and the per-user
+      // Fano dispersion census (two map-side-combined aggregates)
+      "acf_profile" -> sink(Temporal.acfProfile(cl)),
+      "fano_burstiness" -> sink(Temporal.fanoBurstiness(cl)),
+      // the vocab-keyed Zipf fit and the one-rollup anonymity ladder
+      "zipf_fit" -> sink(TextAnalysis.zipfFitFrom(
+        TextAnalysis.tokenFreqFrom(TextAnalysis.tokensRel(docs)))),
+      "anon_generalize" -> sink(TextAnalysis.anonGeneralize(docs)),
+      // the one-audit watermark sweep and the bucket-grid id census
+      "watermark_sweep" -> sink(Temporal.watermarkSweep(cl)),
+      "sequence_gap_audit" -> sink(
+        graft.operators.Ledger.sequenceGapAudit(cl)))
   }
 }

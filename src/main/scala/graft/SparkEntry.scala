@@ -118,6 +118,8 @@ object SparkEntry {
       graft.streaming.CdcStream.funnelParity(s, Tables.events(s, dir))),
     "stream_queue_parity" -> ((s, dir) =>
       graft.streaming.CdcStream.queueParity(s, cl(s, dir))),
+    "stream_balance_parity" -> ((s, dir) =>
+      graft.streaming.CdcStream.balanceParity(s, cl(s, dir))),
     "stream_tier_parity"  -> ((s, dir) =>
       graft.streaming.CdcStream.tierParity(s, cl(s, dir))),
     "pipeline_e2e"        -> ((s, dir) => Pipeline.run(s, dir).applied),
@@ -179,6 +181,15 @@ object SparkEntry {
       Similarity.ivfTrainStep(Tables.embeddings(s, dir))),
     "ivf_incremental"     -> ((s, dir) =>
       Similarity.ivfIncrementalFrom(Staged.ann(s, dir).assign,
+        Tables.embeddings(s, dir))),
+    "knn_graph"           -> ((s, dir) =>
+      Similarity.knnGraphFrom(Staged.ann(s, dir).assign,
+        Tables.embeddings(s, dir))),
+    "nn_descent"          -> ((s, dir) =>
+      Similarity.nnDescentFrom(Staged.ann(s, dir).assign,
+        Tables.embeddings(s, dir))),
+    "knn_recall"          -> ((s, dir) =>
+      Similarity.knnRecallFrom(Staged.ann(s, dir).assign,
         Tables.embeddings(s, dir))),
     "ann_index_card"      -> ((s, dir) =>
       Similarity.annIndexCardFrom(Staged.ann(s, dir).assign,
@@ -392,6 +403,14 @@ object SparkEntry {
       Temporal.queueWaitAudit(cl(s, dir))),
     "bot_detection"       -> ((s, dir) =>
       Temporal.botDetection(cl(s, dir))),
+    "acf_profile"         -> ((s, dir) =>
+      Temporal.acfProfile(cl(s, dir))),
+    "fano_burstiness"     -> ((s, dir) =>
+      Temporal.fanoBurstiness(cl(s, dir))),
+    "watermark_sweep"     -> ((s, dir) =>
+      Temporal.watermarkSweep(cl(s, dir))),
+    "sequence_gap_audit"  -> ((s, dir) =>
+      Ledger.sequenceGapAudit(cl(s, dir))),
     "view_refresh_plan"   -> ((s, dir) =>
       CdcMerge.viewRefreshPlan(Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
@@ -585,6 +604,13 @@ object SparkEntry {
     }),
     "k_anonymity"         -> ((s, dir) =>
       TextAnalysis.kAnonymity(Tables.documents(s, dir))),
+    "anon_generalize"     -> ((s, dir) =>
+      TextAnalysis.anonGeneralize(Tables.documents(s, dir))),
+    "zipf_fit"            -> ((s, dir) =>
+      TextAnalysis.zipfFitFrom(Staged.tokens(s, dir).freq)),
+    "brand_triangles"     -> ((s, dir) =>
+      Analytics.brandTriangles(Tables.part(s, dir),
+        Tables.lineitem(s, dir))),
     "l_diversity"         -> ((s, dir) =>
       TextAnalysis.lDiversity(Tables.documents(s, dir))),
     "t_closeness"         -> ((s, dir) =>

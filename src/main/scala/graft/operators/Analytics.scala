@@ -1090,4 +1090,62 @@ object Analytics {
     ranked.toSeq
       .toDF("brand", "pagerank_ppm", "out_weight", "rank")
   }
+
+  /** Edge-keep threshold for [[brandTriangles]]: a co-purchase edge
+    * survives when its support clears this share of all orders (ppm) —
+    * support scales with order volume, so the SAME graph shape emerges
+    * at every sf (≈ the median edge at this corpus's basket mix). */
+  val TriSupportPpm = 22000L
+
+  /** Triangle census of the brand co-purchase graph — the cohesion
+    * measure ([[brandPagerank]] gives centrality) that separates
+    * genuine product communities (high local clustering) from hub
+    * brands that merely co-occur with everything: per brand, degree,
+    * triangle membership count, and the local clustering coefficient
+    * 2·t·10⁶/(d·(d−1)) over the support-thresholded graph.
+    *
+    * Scale split (the brandPagerank convention): the corpus-sized work
+    * is basket-pair extraction — one orderkey-keyed shuffle + a
+    * map-side-combined pair count; the triangle join runs on the
+    * thresholded EDGE relation, bounded by the brand vocabulary
+    * (≤ |brands|²/2 rows), with the a<b<c orientation giving each
+    * triangle exactly once — the standard distributed-triangle
+    * discipline (orient, then one wedge join + one closing join),
+    * never an unoriented 6× overcount. */
+  def brandTriangles(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val edges = baskets
+      .select(col("brands"), posexplode(col("brands")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("brands"), col("i") + 2,
+          size(col("brands")) - col("i") - 1)).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nOrders))
+      .where(col("support") * 1000000L >= col("n_orders") * TriSupportPpm)
+      .select("a", "b")
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .join(edges.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"),
+        col("e2.b").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("n_triangles"))
+    edges.select(col("a").as("brand"))
+      .union(edges.select(col("b")))
+      .groupBy("brand").agg(count(lit(1)).as("degree"))
+      .join(perNode, Seq("brand"), "left")
+      .select(col("brand"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_ppm",
+        when(col("degree") >= 2L,
+          expr("n_triangles * 2000000L div (degree * (degree - 1L))"))
+          .otherwise(0L))
+  }
 }

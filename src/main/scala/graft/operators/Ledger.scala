@@ -726,4 +726,39 @@ object Ledger {
             col("burn_24h_milli") > 3000, "TICKET")
           .otherwise("OK").as("verdict"))
   }
+
+  /** Id-space bucket width for [[sequenceGapAudit]]. */
+  val SeqBucket = 1024L
+
+  /** Change-id continuity audit — the lost-change detector a sync
+    * validator runs over a landed changelog's PRIMARY id space (the
+    * complement of checksum_compare's value check: checksums prove
+    * what arrived matches, this proves nothing silently vanished).
+    * Per [[SeqBucket]]-wide id bucket: population, observed id bounds,
+    * ids missing INSIDE the bucket's own span, and the gap to the
+    * previous non-empty bucket's last id — so a dropped poll batch
+    * shows up as either an intra-bucket hole or a cross-bucket jump,
+    * localized to one bucket instead of one global number. Shape: one
+    * map-side-combined aggregate on the bucket key, then one lag
+    * window over the BUCKET GRID (id-space-sized ÷ 1024, never
+    * event-sized). On a contiguous feed every row is CONTIGUOUS (no
+    * false positives); detection is spec-pinned by an injected hole,
+    * the bot_detection convention. */
+  def sequenceGapAudit(changelog: DataFrame): DataFrame = {
+    val wPrev = Window.orderBy("bucket")
+    changelog
+      .select(expr(s"event_id div $SeqBucket").as("bucket"),
+        col("event_id"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("id_lo"), max("event_id").as("id_hi"))
+      .withColumn("missing_inside",
+        col("id_hi") - col("id_lo") + 1L - col("n_events"))
+      .withColumn("gap_before",
+        coalesce(col("id_lo") - lag(col("id_hi"), 1).over(wPrev) - 1L,
+          lit(0L)))
+      .withColumn("verdict",
+        when(col("missing_inside") === 0L && col("gap_before") === 0L,
+          "CONTIGUOUS").otherwise("GAPPED"))
+  }
 }

@@ -482,4 +482,145 @@ object Temporal {
           .as("events_per_session_milli"),
         expr("(intra_ms div n_sessions) div 1000").as("mean_duration_s"))
   }
+
+  /** Autocorrelation lags evaluated by [[acfProfile]] (minutes). */
+  val AcfLags: Seq[Int] = Seq(1, 2, 3, 5, 10)
+
+  /** Minute width of the [[acfProfile]] arrival series (ms). */
+  val AcfBucketMs: Long = 60000L
+
+  /** Arrival-rate autocorrelation profile — the periodicity census a
+    * capacity planner (and seasonal_anomaly's baseline window choice)
+    * runs on the poll stream: Pearson ACF of the per-minute arrival
+    * COUNT series at each [[AcfLags]] lag. The series is densified
+    * (missing minutes count 0 — skipping them would splice unrelated
+    * instants together and fake correlation), every lag reads the SAME
+    * single ordered pass (one lead per lag in one window projection),
+    * and the correlation is the exact-integer Pearson convention:
+    * sufficient statistics as bigints, one final float divide per lag,
+    * e6-rounded. Scale shape: the corpus-sized work is the per-minute
+    * pre-aggregate (map-side combined, bucket-keyed); the window runs
+    * over the DENSE SERIES whose length is the time SPAN in minutes —
+    * bounded by calendar, not data volume (a year is 526k rows) — so
+    * the single-partition ordering is a deliberate constant-size step,
+    * exactly the k-means-centroid convention. Int64 bound: minute
+    * counts to ~3·10⁹ keep n·Σxy under 2⁶³ for a month-long series;
+    * past that, widen the bucket a decade per 100× rate. */
+  def acfProfile(changelog: DataFrame): DataFrame = {
+    val counts = changelog
+      .select(expr(s"ems div $AcfBucketMs").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val dense = counts
+      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("x"))
+    val w = Window.orderBy("bucket")
+    val withLeads = AcfLags.foldLeft(dense)((d, l) =>
+      d.withColumn(s"y_$l", lead(col("x"), l).over(w)))
+    val aggs = AcfLags.flatMap { l =>
+      val y = col(s"y_$l")
+      val has = y.isNotNull
+      Seq(
+        sum(when(has, 1L).otherwise(0L)).as(s"n_$l"),
+        sum(when(has, col("x")).otherwise(0L)).as(s"sx_$l"),
+        sum(when(has, y).otherwise(0L)).as(s"sy_$l"),
+        sum(when(has, col("x") * y).otherwise(0L)).as(s"sxy_$l"),
+        sum(when(has, col("x") * col("x")).otherwise(0L)).as(s"sxx_$l"),
+        sum(when(has, y * y).otherwise(0L)).as(s"syy_$l"))
+    }
+    val stackArgs = AcfLags
+      .map(l => s"${l}L, n_$l, sx_$l, sy_$l, sxy_$l, sxx_$l, syy_$l")
+      .mkString(", ")
+    withLeads
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${AcfLags.length}, $stackArgs)" +
+        " as (lag_m, n_pairs, sx, sy, sxy, sxx, syy)"))
+      .select(col("lag_m"), col("n_pairs"),
+        when(expr("n_pairs * sxx - sx * sx") > 0L &&
+          expr("n_pairs * syy - sy * sy") > 0L,
+          round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+              * sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))) * 1000000L).cast("long"))
+          .otherwise(lit(0L)).as("acf_e6"))
+  }
+
+  /** Candidate allowed-lateness bounds swept by [[watermarkSweep]]
+    * (ms): zero tolerance, the production [[AllowedLatenessMs]] (so
+    * one arm cross-checks lateDataAudit exactly), 1 min, 5 min,
+    * 15 min. */
+  val WmSweepMs: Seq[Long] = Seq(0L, AllowedLatenessMs, 60000L,
+    300000L, 900000L)
+
+  /** Watermark-policy sweep — the tuning question asked BEFORE
+    * [[lateDataAudit]]'s fixed allowed-lateness constant (and the
+    * streaming lane's watermark) is trusted: for each candidate bound,
+    * how many events would the watermark drop, and by how far does the
+    * worst straggler overshoot it? Rides the SAME per-part
+    * arrival-order watermark definition as lateDataAudit (max event
+    * time over strictly-preceding arrivals), computes each event's
+    * lateness once, and classifies it against every candidate in the
+    * same projection — the sweep costs exactly one audit, not
+    * |candidates| of them (the session_gap_sweep discipline). Output
+    * is candidate-grid-sized; the single corpus-sized step is the
+    * per-part window the audit already pays. */
+  def watermarkSweep(changelog: DataFrame): DataFrame = {
+    val wPrev = Window.partitionBy("part").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = changelog
+      .withColumn("wm", max("ems").over(wPrev))
+      .select(when(col("ems") < col("wm"), col("wm") - col("ems"))
+        .otherwise(0L).as("late_ms"))
+    val aggs = WmSweepMs.flatMap { d =>
+      Seq(
+        sum(when(col("late_ms") > d, 1L).otherwise(0L)).as(s"nd_$d"),
+        coalesce(max(when(col("late_ms") > d, col("late_ms") - d)),
+          lit(0L)).as(s"ov_$d"))
+    }
+    val stackArgs = WmSweepMs
+      .map(d => s"${d}L, nd_$d, ov_$d").mkString(", ")
+    late
+      .agg(count(lit(1)).as("n_events"), aggs: _*)
+      .select(col("n_events"),
+        expr(s"stack(${WmSweepMs.length}, $stackArgs)" +
+          " as (allowed_ms, n_dropped, max_overshoot_ms)"))
+      .select(col("allowed_ms"), col("n_events"), col("n_dropped"),
+        expr("n_dropped * 1000000L div n_events").as("drop_ppm"),
+        col("max_overshoot_ms"))
+  }
+
+  /** Count window for [[fanoBurstiness]] (ms): 10 minutes. */
+  val FanoWindowMs: Long = 600000L
+
+  /** Fano-factor verdict band: within ±10% of 1.0 is Poisson-like. */
+  val FanoBandE6: Long = 100000L
+
+  /** Burstiness census per user — the count-dispersion complement of
+    * [[botDetection]]'s gap-CV screen: the Fano factor (variance /
+    * mean of per-[[FanoWindowMs]] event counts, ZERO windows between a
+    * user's first and last activity included) is 1 for a Poisson
+    * arrival process, >1 for bursty traffic, <1 for metronomes.
+    * Exact integer form: with w windows spanning first..last and n
+    * events, fano = (w·Σc² − n²) div (w·n) — nonneg by Cauchy-Schwarz,
+    * so truncating div agrees across engines. Two map-side-combined
+    * aggregates ((user, window) then user), no window function, no
+    * densify step (zero windows enter only through w). Int64: Σc²
+    * ≤ n·max_c — safe to ~10⁹ events/user. */
+  def fanoBurstiness(changelog: DataFrame): DataFrame =
+    changelog
+      .select(col("user_id"), expr(s"ems div $FanoWindowMs").as("bucket"))
+      .groupBy("user_id", "bucket").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n_events"),
+        sum(expr("c * c")).as("scc"),
+        (max("bucket") - min("bucket") + 1L).as("n_windows"))
+      .select(col("user_id"), col("n_events"), col("n_windows"),
+        expr("(n_windows * scc - n_events * n_events) * 1000000L" +
+          " div (n_windows * n_events)").as("fano_e6"))
+      .withColumn("cadence",
+        when(col("fano_e6") > 1000000L + FanoBandE6, "BURSTY")
+          .when(col("fano_e6") < 1000000L - FanoBandE6, "REGULAR")
+          .otherwise("POISSON_LIKE"))
 }

@@ -1665,4 +1665,88 @@ object TextAnalysis {
         col("weight"),
         expr("(weight * 1000000) div total_w").as("share_ppm"))
   }
+
+  /** Zipf rank–frequency fit over the corpus vocabulary — the
+    * power-law twin of [[vocabGrowthFrom]]'s Heaps census: least
+    * squares of floor(log2 freq) on floor(log2 rank) (slope ≈ −1 for
+    * Zipfian text; a flat or broken slope flags template/boilerplate
+    * corpora before they skew a training mix). The log2s are EXACT
+    * integers (length(bin(x)) − 1 — no float log whose last ulp could
+    * differ cross-engine), the sufficient statistics are bigints, and
+    * only slope/intercept/r do one final arithmetic step each
+    * (truncating integer div for slope and intercept, the e6-rounded
+    * float Pearson for r). The rank window runs over the VOCABULARY
+    * frequency relation — vocab-sized, not corpus-sized (the
+    * vocabGrowth convention); rank tie-order can't matter because the
+    * (rank, freq) multiset is invariant under tie permutation. */
+  def zipfFitFrom(freq: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = freq
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("tf").desc, col("token"))).cast("long"))
+      .select((length(bin(col("rank"))) - 1).cast("long").as("lx"),
+        (length(bin(col("tf"))) - 1).cast("long").as("ly"))
+    pts
+      .agg(count(lit(1)).as("n"), sum("lx").as("sx"), sum("ly").as("sy"),
+        sum(expr("lx * ly")).as("sxy"), sum(expr("lx * lx")).as("sxx"),
+        sum(expr("ly * ly")).as("syy"))
+      .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        col("syy"),
+        when(expr("n * sxx - sx * sx") > 0L,
+          expr("((n * sxy - sx * sy) * 1000000L)" +
+            " div (n * sxx - sx * sx)")).otherwise(0L).as("slope_e6"))
+      .select(col("n").as("n_types"), col("slope_e6"),
+        expr("(sy * 1000000L - slope_e6 * sx) div n").as("intercept_e6"),
+        when(expr("n * sxx - sx * sx") > 0L &&
+          expr("n * syy - sy * sy") > 0L,
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))) * 1000000L).cast("long"))
+          .otherwise(0L).as("r_e6"))
+  }
+
+  /** Generalization-ladder levels reported by [[anonGeneralize]]:
+    * 0 = (lang, source, len_bucket), 1 = (lang, source), 2 = (lang),
+    * 3 = fully generalized. */
+  val AnonLevels = 4
+
+  /** k-anonymity generalization ladder — the REPAIR step
+    * [[kAnonymity]]'s audit calls for: how far must the release
+    * quasi-identifiers be coarsened (drop length bucket → drop source
+    * → drop language) before every group reaches [[KAnonThreshold]]?
+    * ONE rollup pass computes all four ladder levels' cell populations
+    * simultaneously (the grouping-set Expand multiplies a 3-column
+    * projection, not the corpus row width), a level-keyed aggregate
+    * reduces them to the 4-row ladder, and `chosen` marks the minimal
+    * sufficient level. Standard Samarati-style full-domain
+    * generalization, deterministic, grid-sized output. */
+  def anonGeneralize(documents: DataFrame): DataFrame = {
+    val lvl = documents
+      .select(col("lang"), col("source"),
+        when(size(tokensCol) > 0,
+          length(bin(size(tokensCol).cast("long"))).cast("long"))
+          .otherwise(lit(0L)).as("len_bucket"))
+      .rollup("lang", "source", "len_bucket")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"))
+      .select(when(col("gid") === 0, 0L).when(col("gid") === 1, 1L)
+        .when(col("gid") === 3, 2L).otherwise(3L).as("level"),
+        col("n_docs"))
+    val per = lvl.groupBy("level").agg(
+      count(lit(1)).as("n_groups"),
+      min("n_docs").as("min_group"),
+      sum(when(col("n_docs") < KAnonThreshold, 1L).otherwise(0L))
+        .as("n_at_risk"),
+      sum(when(col("n_docs") < KAnonThreshold, col("n_docs"))
+        .otherwise(0L)).as("docs_at_risk"))
+    val best = per.where(col("n_at_risk") === 0L)
+      .agg(min("level").as("best_level"))
+    per.crossJoin(broadcast(best))
+      .select(col("level"), col("n_groups"), col("min_group"),
+        col("n_at_risk"), col("docs_at_risk"),
+        (col("n_at_risk") === 0L).cast("string").as("satisfies_k"),
+        coalesce(col("level") === col("best_level"), lit(false))
+          .cast("string").as("chosen"))
+  }
 }

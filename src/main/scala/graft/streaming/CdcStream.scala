@@ -710,6 +710,93 @@ object CdcStream {
         "waited_ppm", "utilization_ppm")
   }
 
+  /** One user's change for the balance replay. */
+  case class BalChange(user_id: Long, event_id: Long, ems: Long,
+                       op: String, value_cents: Long,
+                       ts: java.sql.Timestamp)
+  /** O(1) balance state per user: running balance, its minimum, the
+    * count of above-zero → below-zero crossings, and a seen flag. */
+  case class BalState(bal: Long, minBal: Long, dips: Long, seen: Long)
+  case class BalUser(user_id: Long, min_bal: Long, dips: Long,
+                     end_bal: Long)
+
+  /** Continuous per-user running balance — the streaming twin of
+    * Ledger.balanceAudit, and the shape that shows why the batch
+    * operator's ROWS-framed window is the right closed form: online,
+    * the balance is FOUR longs of state per user however long the
+    * stream runs (the ledger never re-reads history). The 'Z' sentinel
+    * flushes each user's (min_bal, dips, end_bal) triple; rolled up
+    * per db it must hash-equal the batch oracle verbatim. */
+  def balanceStream(spark: SparkSession,
+                    cs: Dataset[BalChange]): Dataset[BalUser] = {
+    import spark.implicits._
+    cs.withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BalState, BalUser](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[BalChange],
+         state: GroupState[BalState]) =>
+          var s = state.getOption.getOrElse(BalState(0L, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[BalUser]
+          batch.toSeq.sortBy(c => (c.ems, c.event_id)).foreach { c =>
+            if (c.op == "Z") {
+              if (s.seen > 0L) out += BalUser(uid, s.minBal, s.dips, s.bal)
+            } else {
+              val delta = c.op match {
+                case "I" => c.value_cents
+                case "U" => -c.value_cents
+                case _   => 0L
+              }
+              val bal = s.bal + delta
+              s = BalState(bal,
+                if (s.seen == 0L) bal else math.min(s.minBal, bal),
+                s.dips + (if (bal < 0L && s.bal >= 0L) 1L else 0L),
+                s.seen + 1L)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Streaming↔batch balance parity: contiguous event-time replay of
+    * the changelog through [[balanceStream]], per-user triples flushed
+    * by the 'Z' sentinel batch, rolled up per db and pinned verbatim
+    * to the batch balance_audit oracle. */
+  def balanceParity(spark: SparkSession, changelog: DataFrame,
+                    nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val src = changelog.select(col("user_id"), col("event_id"),
+      col("ems"), col("op"), col("value_cents"),
+      timestamp_millis(col("ems")).as("ts"))
+    val bounds = src.agg(min("ems"), max("ems"), max("event_id"))
+      .collect()(0)
+    if (bounds.isNullAt(0))
+      return spark.emptyDataFrame.select(lit("").as("db"),
+        lit(0L).as("n_users"), lit(0L).as("n_overdrawn"),
+        lit(0L).as("min_balance_cents"), lit(0L).as("n_dips"),
+        lit(0L).as("end_balance_sum_cents"))
+    val sentinelMs = bounds.getLong(1) + 3600L * 1000L
+    val sentinelId = bounds.getLong(2) + 1L
+    val sentinels = src.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(sentinelId).as("event_id"),
+        lit(sentinelMs).as("ems"), lit("Z").as("op"),
+        lit(0L).as("value_cents"),
+        timestamp_millis(lit(sentinelMs)).as("ts"))
+    replayStaged(spark,
+        rangeSlices(src, "ems", bounds.getLong(0), bounds.getLong(1),
+          nBatches) :+ sentinels,
+        OutputMode.Append())(
+        df => balanceStream(spark, df.as[BalChange]).toDF())
+      .groupBy(concat(lit("db"),
+        pmod(col("user_id"), lit(3L)).cast("string")).as("db"))
+      .agg(count(lit(1)).as("n_users"),
+        sum((col("min_bal") < 0L).cast("long")).as("n_overdrawn"),
+        min("min_bal").as("min_balance_cents"),
+        sum("dips").as("n_dips"),
+        sum("end_bal").as("end_balance_sum_cents"))
+  }
+
   /** Adaptive poll backoff — the exact wait-time policy of
     * `/root/reference/.../sync/DataPoller.scala:60-74`: sleep
     * `(batch - polled)/batch · maxPollWait` ms after each poll (full

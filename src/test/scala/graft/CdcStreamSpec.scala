@@ -508,6 +508,24 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("balanceParity: streamed running balances equal the batch " +
+    "balance_audit rollup, across batch counts") {
+    val chl = graft.operators.ChangeLog.normalize(
+      Tables.events(spark, TestSpark.Sf))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("db"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_overdrawn"),
+        r.getAs[Long]("min_balance_cents"), r.getAs[Long]("n_dips"),
+        r.getAs[Long]("end_balance_sum_cents"))
+    val want = graft.operators.Ledger.balanceAudit(chl).collect()
+      .map(key).sortBy(_._1)
+    for (n <- Seq(1, 3)) {
+      val got = CdcStream.balanceParity(spark, chl, nBatches = n)
+        .collect().map(key).sortBy(_._1)
+      assert(got.toSeq === want.toSeq, s"nBatches=$n")
+    }
+  }
+
   test("ivfIngestMonitor: per-batch trigger history; the final report " +
     "equals the batch ivf_incremental oracle verbatim") {
     val emb = Tables.embeddings(spark, TestSpark.Sf)

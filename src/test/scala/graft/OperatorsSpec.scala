@@ -1092,6 +1092,178 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("acf_profile: one row per lag, acf matches a driver-side dense-" +
+    "series Pearson replay") {
+    import graft.operators.Temporal
+    val chl = graft.operators.ChangeLog.normalize(
+      Tables.events(spark, TestSpark.Sf))
+    val got = Temporal.acfProfile(chl).collect()
+      .map(r => r.getAs[Long]("lag_m") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("acf_e6"))).toMap
+    assert(got.keySet === Temporal.AcfLags.map(_.toLong).toSet)
+    val counts = chl.select((col("ems") / Temporal.AcfBucketMs)
+        .cast("long").as("b")).groupBy("b").count().collect()
+      .map(r => r.getAs[Long]("b") -> r.getAs[Long]("count")).toMap
+    val lo = counts.keys.min
+    val hi = counts.keys.max
+    val xs = (lo to hi).map(b => counts.getOrElse(b, 0L)).toArray
+    for (l <- Temporal.AcfLags) {
+      val pairs = xs.dropRight(l).zip(xs.drop(l))
+      val n = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      val want =
+        if (vx > 0 && vy > 0)
+          math.round((n * sxy - sx * sy).toDouble /
+            (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble)) * 1e6)
+        else 0L
+      assert(got(l.toLong) === ((n, want)), s"lag $l")
+    }
+  }
+
+  test("fano_burstiness: fano matches a driver-side windowed-count " +
+    "replay, verdict bands respected, a metronome scores sub-Poisson") {
+    import graft.operators.Temporal
+    val chl = graft.operators.ChangeLog.normalize(
+      Tables.events(spark, TestSpark.Sf))
+    val got = Temporal.fanoBurstiness(chl).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val ev = chl.select("user_id", "ems").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("ems") / Temporal.FanoWindowMs))
+    ev.groupBy(_._1).foreach { case (u, es) =>
+      val byW = es.groupBy(_._2).view.mapValues(_.length.toLong)
+      val n = es.length.toLong
+      val w = byW.keys.max - byW.keys.min + 1L
+      val scc = byW.values.map(c => c * c).sum
+      val fano = (w * scc - n * n) * 1000000L / (w * n)
+      val r = got(u)
+      assert(r.getAs[Long]("n_events") === n, s"user $u")
+      assert(r.getAs[Long]("n_windows") === w, s"user $u")
+      assert(r.getAs[Long]("fano_e6") === fano, s"user $u")
+      val want =
+        if (fano > 1000000L + Temporal.FanoBandE6) "BURSTY"
+        else if (fano < 1000000L - Temporal.FanoBandE6) "REGULAR"
+        else "POISSON_LIKE"
+      assert(r.getAs[String]("cadence") === want, s"user $u")
+    }
+    // an injected metronome (one event per window, zero variance) must
+    // land REGULAR with fano exactly 0
+    import spark.implicits._
+    val metro = (0L until 40L).map(i =>
+        (9999999L, i, i * Temporal.FanoWindowMs + 5L))
+      .toDF("user_id", "event_id", "ems")
+    val m = Temporal.fanoBurstiness(metro).collect().head
+    assert(m.getAs[Long]("fano_e6") === 0L)
+    assert(m.getAs[String]("cadence") === "REGULAR")
+  }
+
+  test("brand_triangles: degree/triangles/clustering match a driver-" +
+    "side replay over the thresholded co-purchase graph") {
+    import graft.operators.Analytics
+    val sf = TestSpark.Sf
+    val part = Tables.part(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val got = Analytics.brandTriangles(part, li).collect()
+      .map(r => r.getAs[String]("brand") -> r).toMap
+    // replay: baskets -> support -> thresholded undirected edges
+    val baskets = li.select("l_orderkey", "l_partkey")
+      .join(part.select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "p_brand").distinct().collect()
+      .map(r => r.getAs[Long]("l_orderkey") -> r.getAs[String]("p_brand"))
+    val byOrder = baskets.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted).toMap
+    val nOrders = byOrder.size.toLong
+    val support = byOrder.values.flatMap(bs =>
+      for (i <- bs.indices; j <- i + 1 until bs.length)
+        yield (bs(i), bs(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // NB: Map.collect returning tuples would rebuild a Map and
+    // collapse edges sharing a source brand — filter + keySet instead
+    val edges = support.filter { case (_, s) =>
+      s * 1000000L >= nOrders * Analytics.TriSupportPpm
+    }.keySet
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triCount = nbrs.map { case (v, ns) =>
+      v -> ns.toSeq.combinations(2)
+        .count { case Seq(x, y) =>
+          edges(if (x < y) (x, y) else (y, x))
+        }.toLong
+    }
+    assert(got.keySet === nbrs.keySet)
+    nbrs.foreach { case (v, ns) =>
+      val r = got(v)
+      val d = ns.size.toLong
+      assert(r.getAs[Long]("degree") === d, v)
+      assert(r.getAs[Long]("n_triangles") === triCount(v), v)
+      val cc = if (d >= 2) triCount(v) * 2000000L / (d * (d - 1)) else 0L
+      assert(r.getAs[Long]("clustering_ppm") === cc, v)
+    }
+    // the threshold must actually bind (graph neither empty nor complete)
+    val nNodes = nbrs.size.toLong
+    assert(edges.nonEmpty)
+    assert(edges.size.toLong < nNodes * (nNodes - 1) / 2,
+      "support threshold did not bind; graph is complete")
+  }
+
+  test("watermark_sweep: one row per candidate, drops monotone in the " +
+    "bound, and the production arm agrees with lateDataAudit") {
+    import graft.operators.Temporal
+    val chl = graft.operators.ChangeLog.normalize(
+      Tables.events(spark, TestSpark.Sf))
+    val got = Temporal.watermarkSweep(chl).collect()
+      .map(r => r.getAs[Long]("allowed_ms") ->
+        (r.getAs[Long]("n_dropped"), r.getAs[Long]("drop_ppm"),
+          r.getAs[Long]("max_overshoot_ms"))).toMap
+    assert(got.keySet === Temporal.WmSweepMs.toSet)
+    Temporal.WmSweepMs.sorted.sliding(2).foreach { case Seq(a, b) =>
+      assert(got(a)._1 >= got(b)._1, s"drops not monotone at $a vs $b")
+      assert(got(a)._3 >= got(b)._3, s"overshoot not monotone at $a")
+    }
+    val audit = Temporal.lateDataAudit(chl).collect()
+    assert(got(Temporal.AllowedLatenessMs)._1 ===
+      audit.map(_.getAs[Long]("n_dropped")).sum)
+    // zero-tolerance arm = every late event; cross-check n_late
+    assert(got(0L)._1 === audit.map(_.getAs[Long]("n_late")).sum)
+    val n = chl.count()
+    got.foreach { case (d, (nd, ppm, _)) =>
+      assert(ppm === nd * 1000000L / n, s"arm $d ppm")
+    }
+  }
+
+  test("sequence_gap_audit: contiguous feed is all-CONTIGUOUS; an " +
+    "injected hole is localized to its bucket and the next gap_before") {
+    import graft.operators.Ledger
+    val chl = graft.operators.ChangeLog.normalize(
+      Tables.events(spark, TestSpark.Sf))
+    val rows = Ledger.sequenceGapAudit(chl).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === chl.count())
+    rows.foreach { r =>
+      assert(r.getAs[String]("verdict") === "CONTIGUOUS",
+        s"bucket ${r.getAs[Long]("bucket")}")
+      assert(r.getAs[Long]("missing_inside") === 0L)
+      assert(r.getAs[Long]("gap_before") === 0L)
+    }
+    // synthetic 5-bucket id space: an intra-bucket hole ([1500,1600)
+    // inside bucket 1) and two whole missing buckets (2-3)
+    import spark.implicits._
+    val ids = ((0L until 1500L) ++ (1600L until 2048L) ++
+      (4096L until 5120L)).toDF("event_id")
+    val g = Ledger.sequenceGapAudit(ids).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(g.keySet === Set(0L, 1L, 4L))
+    assert(g(0L).getAs[String]("verdict") === "CONTIGUOUS")
+    assert(g(1L).getAs[Long]("missing_inside") === 100L)
+    assert(g(1L).getAs[String]("verdict") === "GAPPED")
+    assert(g(4L).getAs[Long]("gap_before") === 2048L)
+    assert(g(4L).getAs[String]("verdict") === "GAPPED")
+  }
+
   test("rpo_audit: RPO agrees with syncLag's pending age, RTO follows " +
     "the declared drain formula, verdict consistent") {
     import graft.operators.Ledger

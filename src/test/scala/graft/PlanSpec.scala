@@ -171,7 +171,18 @@ class PlanSpec extends AnyFunSuite {
       // onto subspace- / db-grid relations (the sync_lag shape)
       "pq_subspace_balance", "rpo_audit",
       // join_advisor crosses two 1-row per-edge profile aggregates
-      "join_advisor")
+      "join_advisor",
+      // anon_generalize crosses the broadcast 1-row best-level
+      // aggregate onto the 4-row ladder
+      "anon_generalize",
+      // brand_triangles crosses the broadcast 1-row order total onto
+      // the vocabulary-bounded brand-pair aggregate (the market_basket
+      // allowance)
+      "brand_triangles",
+      // knn_recall: the N² truth join is the DECLARED gate-scale
+      // calibration baseline (the ann_topk allowance) plus 1-row
+      // truth-mass crosses
+      "knn_recall")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
