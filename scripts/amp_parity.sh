@@ -48,7 +48,8 @@ embed_covariance,anisotropy_audit,mmr_diversify,rrf_fusion,\
 weighted_sample,pq_subspace_balance,char_diversity,rpo_audit,\
 session_gap_sweep,balance_audit,acf_profile,fano_burstiness,\
 knn_graph,nn_descent,zipf_fit,anon_generalize,watermark_sweep,\
-sequence_gap_audit,stream_balance_parity"
+sequence_gap_audit,stream_balance_parity,split_kfold,\
+compaction_plan,ngram_containment,sample_coverage"
 
 echo "== amplify $BASE x$K -> $WORK"
 sbt -batch "runMain graft.AmplifyCorpus $BASE $WORK $K"

@@ -1287,6 +1287,30 @@ object OracleSql {
          |LEFT JOIN last l ON cl.event_id = l.event_id
          |WHERE cl.epoch_s >= wm.max_s - 259200 OR l.event_id IS NOT NULL""".stripMargin,
 
+    // (db, window) file inventory + cumulative-sum binning generated
+    // from the same CompactWinMs/CompactTargetRows constants
+    "compaction_plan" -> {
+      val win = graft.operators.Ledger.CompactWinMs
+      val tgt = graft.operators.Ledger.CompactTargetRows
+      s"""WITH $CL,
+         |f AS (SELECT 'db' || (user_id % 3) AS db,
+         |    ems // $win AS win, CAST(COUNT(*) AS BIGINT) AS n_rows
+         |  FROM cl GROUP BY 1, 2),
+         |c AS (SELECT *, CAST(SUM(n_rows) OVER (PARTITION BY db
+         |    ORDER BY win) AS BIGINT) AS cum FROM f),
+         |b AS (SELECT db, (cum - 1) // $tgt AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS n_files,
+         |    CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
+         |    CAST(MIN(win) AS BIGINT) AS first_win,
+         |    CAST(MAX(win) AS BIGINT) AS last_win
+         |  FROM c GROUP BY 1, 2)
+         |SELECT db, bin, n_files, bin_rows, first_win, last_win,
+         |  CAST(bin_rows * 1000000 // $tgt AS BIGINT) AS fill_ppm,
+         |  CASE WHEN n_files = 1 AND bin_rows * 1000000 // $tgt >= 1000000
+         |    THEN 'PASSTHROUGH' ELSE 'COMPACT' END AS verdict
+         |FROM b""".stripMargin
+    },
+
     // the sketch has no DuckDB twin; the oracle recomputes the exact
     // count and pins the error-band verdict — an out-of-band sketch
     // breaks the hash match
@@ -2033,6 +2057,29 @@ object OracleSql {
          |  CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM b GROUP BY 1, 2""".stripMargin,
 
+    // fold assignment and balance verdict generated from the SAME
+    // NumFolds/KfoldTolPpm constants the Spark expression uses
+    "split_kfold" -> {
+      val k = graft.operators.TextAnalysis.NumFolds
+      val tol = graft.operators.TextAnalysis.KfoldTolPpm
+      s"""WITH p AS (SELECT
+         |    ${sqlPhash("'fold:' || doc_id")} % $k AS fold,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |g AS (SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS token_mass
+         |  FROM p GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs FROM g),
+         |x AS (SELECT fold, n_docs, token_mass,
+         |    CAST(n_docs * 1000000 // tot_docs AS BIGINT) AS share_ppm
+         |  FROM g, t)
+         |SELECT fold, n_docs, token_mass, share_ppm,
+         |  abs(share_ppm - ${1000000L / k}) AS dev_ppm,
+         |  CASE WHEN abs(share_ppm - ${1000000L / k}) <= $tol
+         |    THEN 'BALANCED' ELSE 'SKEWED' END AS verdict
+         |FROM x""".stripMargin
+    },
+
     "k_anonymity" ->
       s"""WITH t AS (SELECT lang, source, doc_id,
          |    CASE WHEN len(string_split(text, ' ')) > 0
@@ -2755,6 +2802,49 @@ object OracleSql {
         |  top_token, top_token_n, id_sum
         |FROM dagg JOIN lt USING (centroid_id) JOIN tt USING (centroid_id)""".stripMargin,
 
+    // the ivf_assign twin verbatim + the corpus_sample decision
+    // verbatim, reduced per cluster; tolerance from the shared constant
+    "sample_coverage" -> {
+      val rateCase = graft.operators.TextAnalysis.SampleRateMilli
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      val dflt = graft.operators.TextAnalysis.DefaultRateMilli
+      val tol = graft.operators.Similarity.CoverageTolPpm
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+         |         WHERE vec_id BETWEEN 8 AND 23),
+         |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT cand.vec_id, cent.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+         |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
+         |    FROM cand, cent) t WHERE rn = 1),
+         |d AS (SELECT a.centroid_id, doc.doc_id, doc.lang
+         |  FROM assign a JOIN documents doc ON a.vec_id = doc.doc_id),
+         |s AS (SELECT centroid_id,
+         |    ${sqlPhash("'sample:' || doc_id")} % 1000
+         |      < CAST(CASE lang $rateCase ELSE $dflt END AS BIGINT)
+         |      AS sampled
+         |  FROM d),
+         |g AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_corpus,
+         |    CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_sample
+         |  FROM s GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_corpus) AS BIGINT) AS tc,
+         |    CAST(SUM(n_sample) AS BIGINT) AS ts FROM g),
+         |x AS (SELECT centroid_id, n_corpus, n_sample,
+         |    CAST(n_corpus * 1000000 // tc AS BIGINT) AS corpus_ppm,
+         |    CAST(CASE WHEN ts = 0 THEN 0
+         |      ELSE n_sample * 1000000 // ts END AS BIGINT) AS sample_ppm
+         |  FROM g, t)
+         |SELECT centroid_id, n_corpus, n_sample, corpus_ppm, sample_ppm,
+         |  abs(sample_ppm - corpus_ppm) AS delta_ppm,
+         |  CASE WHEN n_sample = 0 THEN 'MISSED'
+         |       WHEN abs(sample_ppm - corpus_ppm) <= $tol THEN 'COVERED'
+         |       ELSE 'SKEWED' END AS verdict
+         |FROM x""".stripMargin
+    },
+
     "ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
@@ -2807,6 +2897,24 @@ object OracleSql {
          |SELECT doc_a, doc_b, j_milli,
          |       CAST(j_milli >= ${Dedup.JaccardMilli} AS VARCHAR) AS is_dup
          |FROM jac""".stripMargin,
+
+    // asymmetric containment over the same pairs/it CTEs; thresholds
+    // from the shared Dedup constants
+    "ngram_containment" ->
+      s"""WITH $MinhashCtes,
+         |ct AS (SELECT p.doc_a, p.doc_b,
+         |    (COALESCE(it.c, 0) * 1000)
+         |      // (p.na + p.nb - COALESCE(it.c, 0)) AS j_milli,
+         |    (COALESCE(it.c, 0) * 1000) // LEAST(p.na, p.nb)
+         |      AS cont_milli
+         |  FROM pairs p
+         |  LEFT JOIN it ON p.doc_a = it.doc_a AND p.doc_b = it.doc_b)
+         |SELECT doc_a, doc_b, CAST(j_milli AS BIGINT) AS j_milli,
+         |  CAST(cont_milli AS BIGINT) AS cont_milli,
+         |  CASE WHEN j_milli >= ${Dedup.JaccardMilli} THEN 'NEAR_DUP'
+         |       WHEN cont_milli >= ${Dedup.ContainMilli} THEN 'CONTAINED'
+         |       ELSE 'DISTINCT' END AS relation
+         |FROM ct""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH $MinhashCtes
@@ -4230,6 +4338,31 @@ object OracleSql {
     "checksum_compare" ->
       s"""WITH $ChecksumCtes
          |SELECT * FROM cver""".stripMargin,
+
+    // expectation CASE generated from the SAME Snapshot.BenfordPpm
+    // constant the Spark expression folds over
+    "benford_audit" -> {
+      val expCase = graft.operators.Snapshot.BenfordPpm
+        .map { case (d, p) => s"WHEN $d THEN $p" }.mkString(" ")
+      s"""WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+         |    AS cents FROM orders),
+         |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+         |    AS BIGINT) AS digit FROM v WHERE cents > 0),
+         |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g),
+         |e AS (SELECT digit, n,
+         |    CAST(n * 1000000 // tot AS BIGINT) AS obs_ppm,
+         |    CAST(CASE digit $expCase END AS BIGINT) AS exp_ppm
+         |  FROM g, t),
+         |x AS (SELECT *, abs(obs_ppm - exp_ppm) AS dev_ppm FROM e),
+         |y AS (SELECT *, CAST(SUM(dev_ppm) OVER () AS BIGINT) // 2
+         |    AS tvd_ppm FROM x)
+         |SELECT digit, n, obs_ppm, exp_ppm, dev_ppm, tvd_ppm,
+         |  CASE WHEN tvd_ppm <= ${graft.operators.Snapshot.BenfordTolPpm}
+         |    THEN 'BENFORD' ELSE 'SKEWED' END AS verdict
+         |FROM y""".stripMargin
+    },
 
     "repair_plan" -> {
       val b = graft.operators.Snapshot.ChecksumBuckets

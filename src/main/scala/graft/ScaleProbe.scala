@@ -239,6 +239,14 @@ object ScaleProbe {
       // the one-audit watermark sweep and the bucket-grid id census
       "watermark_sweep" -> sink(Temporal.watermarkSweep(cl)),
       "sequence_gap_audit" -> sink(
-        graft.operators.Ledger.sequenceGapAudit(cl)))
+        graft.operators.Ledger.sequenceGapAudit(cl)),
+      // round-9 batch-11: the K-grid fold census, the file-grid
+      // compaction binning, and the staged-chain containment verify
+      // (benford_audit is a 9-group single aggregate — nothing to
+      // probe beyond what the parity gate already pins)
+      "split_kfold" -> sink(TextAnalysis.splitKfold(docs)),
+      "compaction_plan" -> sink(
+        graft.operators.Ledger.compactionPlan(cl)),
+      "ngram_containment" -> sink(Dedup.ngramContainment(docs)))
   }
 }

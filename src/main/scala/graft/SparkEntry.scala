@@ -56,6 +56,8 @@ object SparkEntry {
     "queue_depth"         -> ((s, dir) => Ledger.queueDepth(cl(s, dir))),
     "approx_distinct"     -> ((s, dir) => Ledger.approxDistinct(cl(s, dir))),
     "log_compact"         -> ((s, dir) => Ledger.logCompact(cl(s, dir))),
+    "compaction_plan"     -> ((s, dir) =>
+      Ledger.compactionPlan(cl(s, dir))),
     "value_median"        -> ((s, dir) => Ledger.valueMedian(cl(s, dir))),
     "status_rollup"       -> ((s, dir) => Ledger.statusRollup(cl(s, dir))),
     "endpoint_status"     -> ((s, dir) => Endpoints.statusJson(s, cl(s, dir))),
@@ -204,6 +206,8 @@ object SparkEntry {
       TextAnalysis.stratifiedSample(Tables.documents(s, dir))),
     "split_assign"        -> ((s, dir) =>
       TextAnalysis.splitAssign(Tables.documents(s, dir))),
+    "split_kfold"         -> ((s, dir) =>
+      TextAnalysis.splitKfold(Tables.documents(s, dir))),
     "training_pipeline"   -> ((s, dir) =>
       TrainingPipeline.run(Tables.documents(s, dir))),
     "dup_cluster"         -> ((s, dir) =>
@@ -386,6 +390,8 @@ object SparkEntry {
       Similarity.embedNormStats(Tables.embeddings(s, dir))),
     "checksum_compare"    -> ((s, dir) =>
       Snapshot.checksumCompare(Tables.customer(s, dir))),
+    "benford_audit"       -> ((s, dir) =>
+      Snapshot.benfordAudit(Tables.orders(s, dir))),
     "fk_integrity"        -> ((s, dir) =>
       Snapshot.fkIntegrity(Tables.customer(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), Tables.nation(s, dir))),
@@ -465,6 +471,10 @@ object SparkEntry {
       Snapshot.repairPlan(Tables.customer(s, dir))),
     "dedup_sweep"         -> ((s, dir) =>
       Dedup.dedupSweepFrom(Staged.dedup(s, dir).verified)),
+    "ngram_containment"   -> ((s, dir) => {
+      val st = Staged.dedup(s, dir)
+      Dedup.containmentFrom(st.sh, st.sigs)
+    }),
     "dedup_editdist"      -> ((s, dir) => Dedup.dedupEditDistFrom(
       Tables.documents(s, dir), Staged.dedup(s, dir).verified)),
     "cross_source_overlap" -> ((s, dir) => Dedup.crossSourceOverlapFrom(
@@ -588,6 +598,9 @@ object SparkEntry {
     "topic_clusters"      -> ((s, dir) =>
       Similarity.topicClustersFrom(Staged.ann(s, dir).assign,
         Tables.documents(s, dir), Staged.tokens(s, dir).tokens)),
+    "sample_coverage"     -> ((s, dir) =>
+      Similarity.sampleCoverageFrom(Staged.ann(s, dir).assign,
+        Tables.documents(s, dir))),
     "incontext_order"     -> ((s, dir) =>
       Similarity.incontextOrderFrom(Staged.ann(s, dir).assign,
         Tables.embeddings(s, dir))),

@@ -278,6 +278,53 @@ object Dedup {
       .withColumn("is_dup", (col("j_milli") >= JaccardMilli).cast("string"))
   }
 
+  /** Containment threshold in milli-units (0.8) for [[containmentFrom]]. */
+  val ContainMilli = 800L
+
+  /** Asymmetric n-gram containment over the LSH candidate pairs — the
+    * subsumption detector Jaccard structurally misses: containment
+    * C(A,B) = |A∩B| / min(|A|,|B|) is ~1 whenever the smaller doc's
+    * shingles live inside the bigger one (a quoted article, a page
+    * concatenation, a doc + its boilerplate-wrapped copy), while
+    * Jaccard on the same pair is dragged toward |small|/|big| and can
+    * sit far below the dup threshold. Pairs are classified: NEAR_DUP
+    * (Jaccard ≥ [[JaccardMilli]]), CONTAINED (containment ≥
+    * [[ContainMilli]] but Jaccard below — the asymmetric finds), else
+    * DISTINCT.
+    *
+    * Candidates come from the SAME MinHash-LSH blocking as the Jaccard
+    * verify — an honest recall caveat carried in the output's contract:
+    * MinHash LSH targets Jaccard, so a tiny-doc⊂huge-doc pair whose
+    * Jaccard is near zero may never share a band. What this catches is
+    * the practically dominant regime (containment high AND Jaccard
+    * moderate — wrapped copies, partial merges); whole-containment of
+    * minuscule fragments is the declared miss, the same trade the
+    * reference dedup stacks make. Cost over the staged chain: the same
+    * one pair-intersection join as ngram_jaccard — na/nb already ride
+    * on the candidate rows. */
+  private[graft] def containmentFrom(sh: DataFrame,
+                                     sigs: DataFrame): DataFrame = {
+    val pairs = candidatesFromStaged(sigs)
+    pairs
+      .join(pairIntersections(pairs, sh, "doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("c"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(c * 1000) div (na + nb - c)").as("j_milli"),
+        expr("(c * 1000) div least(na, nb)").as("cont_milli"))
+      .withColumn("relation",
+        when(col("j_milli") >= JaccardMilli, "NEAR_DUP")
+          .when(col("cont_milli") >= ContainMilli, "CONTAINED")
+          .otherwise("DISTINCT"))
+  }
+
+  /** [[containmentFrom]] built standalone (shingle + signature chain
+    * computed inline). */
+  def ngramContainment(documents: DataFrame): DataFrame = {
+    val sh = shingleHashes(documents)
+    containmentFrom(sh, signaturesFromHashes(sh).localCheckpoint(false))
+  }
+
   /** Thresholds swept by [[dedupSweep]] (milli-Jaccard). */
   val SweepThresholds: Seq[Long] = Seq(400L, 500L, 600L, 700L, 800L, 900L)
 

@@ -761,4 +761,45 @@ object Ledger {
         when(col("missing_inside") === 0L && col("gap_before") === 0L,
           "CONTIGUOUS").otherwise("GAPPED"))
   }
+
+  /** Micro-batch window width (ms) and compaction target (rows per
+    * output file) for [[compactionPlan]]. */
+  val CompactWinMs = 600000L
+  val CompactTargetRows = 4096L
+
+  /** Small-file compaction plan — the maintenance pass every
+    * micro-batch sink needs: each (db, 10-minute ingest window) is one
+    * landed file; adjacent files are packed into contiguous-in-TIME
+    * bins of ~[[CompactTargetRows]] rows (cumulative row count div
+    * target — the pack_sequences discipline, not first-fit-decreasing,
+    * because FFD is inherently sequential-greedy AND destroys the time
+    * locality that partition pruning depends on; contiguous binning
+    * keeps every compacted file a clean time range). Per (db, bin):
+    * file count, rows, the window span it covers, fill vs target in
+    * ppm, and PASSTHROUGH when a single file alone already meets the
+    * target (rewriting it would be wasted IO — the rewrite-minimizing
+    * rule the PartitionedSink applies to untouched partitions).
+    *
+    * Shape: corpus-sized work is ONE map-side-combined (db, window)
+    * pre-aggregate; the running sum is a window over the FILE GRID
+    * (dbs × calendar windows — calendar-sized, never event-sized),
+    * partitioned by db so no single reducer sees more than one db's
+    * grid. */
+  def compactionPlan(changelog: DataFrame): DataFrame = {
+    val files = changelog
+      .groupBy(dbCol.as("db"), expr(s"ems div $CompactWinMs").as("win"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.partitionBy("db").orderBy("win")
+    files
+      .withColumn("cum", sum("n_rows").over(w))
+      .withColumn("bin", expr(s"(cum - 1) div $CompactTargetRows"))
+      .groupBy("db", "bin")
+      .agg(count(lit(1)).as("n_files"), sum("n_rows").as("bin_rows"),
+        min("win").as("first_win"), max("win").as("last_win"))
+      .withColumn("fill_ppm",
+        expr(s"bin_rows * 1000000 div $CompactTargetRows"))
+      .withColumn("verdict",
+        when(col("n_files") === 1L && col("fill_ppm") >= 1000000L,
+          "PASSTHROUGH").otherwise("COMPACT"))
+  }
 }

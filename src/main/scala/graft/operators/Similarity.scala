@@ -2026,4 +2026,45 @@ object Similarity {
       .where(col("sim_e6") >= tauE6)
       .select("id_a", "id_b", "sim_e6")
   }
+
+  /** Per-cluster coverage tolerance (ppm) for [[sampleCoverageFrom]]. */
+  val CoverageTolPpm = 60000L
+
+  /** Semantic coverage gate for the stratified sample — the check that
+    * corpus_sample's per-LANGUAGE rates didn't silently evict a
+    * semantic region: language strata say nothing about topics, so a
+    * hash sample can be perfectly language-balanced while starving a
+    * cluster whose docs happen to be rare in the kept hash range. Per
+    * IVF list (vec_id doubles as doc_id — the modal_align linkage):
+    * corpus docs, sampled docs (the SAME sampledCol decision
+    * corpus_sample publishes, so this gate audits the production
+    * sample bit-for-bit), corpus vs sample composition in ppm, and a
+    * verdict — COVERED within [[CoverageTolPpm]], SKEWED beyond it,
+    * MISSED when a populated cluster kept zero docs (the failure mode
+    * this gate exists to catch). Shape: one narrow (id, lang) join
+    * onto the staged assignment, one NumCentroids-group aggregate;
+    * totals arrive as a 1-row broadcast cross onto the index-sized
+    * grid. */
+  def sampleCoverageFrom(assign: DataFrame,
+                         documents: DataFrame): DataFrame = {
+    val byDoc = assign.select(col("vec_id").as("doc_id"),
+      col("centroid_id"))
+    val d = byDoc
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("sampled", TextAnalysis.sampledCol)
+    val per = d.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_corpus"),
+        count(when(col("sampled"), 1)).as("n_sample"))
+    val tot = per.agg(sum("n_corpus").as("tc"), sum("n_sample").as("ts"))
+    per.crossJoin(broadcast(tot))
+      .select(col("centroid_id"), col("n_corpus"), col("n_sample"),
+        expr("n_corpus * 1000000 div tc").as("corpus_ppm"),
+        expr("case when ts = 0 then 0 " +
+          "else n_sample * 1000000 div ts end").as("sample_ppm"))
+      .withColumn("delta_ppm", abs(col("sample_ppm") - col("corpus_ppm")))
+      .withColumn("verdict",
+        when(col("n_sample") === 0L, "MISSED")
+          .when(col("delta_ppm") <= CoverageTolPpm, "COVERED")
+          .otherwise("SKEWED"))
+  }
 }

@@ -773,4 +773,54 @@ object Snapshot {
           .otherwise(lit("-")))
       .na.fill("-", Seq("current_type", "desired_type"))
   }
+
+  /** Benford expected first-digit shares in ppm (⌊log10(1+1/d)·1e6⌉),
+    * the SINGLE constant both the Spark expression and the DuckDB
+    * oracle render from — they sum to exactly 1,000,000. */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford TVD verdict threshold (ppm). */
+  val BenfordTolPpm = 60000L
+
+  /** Benford first-digit audit over a synced monetary column — the
+    * value-distribution QA a sync validator runs beside
+    * checksum_compare: fabricated, truncated, or unit-mangled loads
+    * shift the leading-digit histogram long before totals drift.
+    * Values go to exact cents per row (the shared rounding
+    * convention); the leading digit of a positive bigint is its first
+    * rendered character — portable, no float log10, and invariant
+    * under the ×100 cents scaling (powers of ten preserve leading
+    * digits). Per digit: count, observed ppm, the Benford expectation
+    * from [[BenfordPpm]], absolute deviation; the global
+    * total-variation distance (½ Σ|obs−exp|) rides every row via a
+    * window over the ≤9-row digit GRID, with a BENFORD/SKEWED verdict
+    * at [[BenfordTolPpm]]. A uniform synthetic price column is
+    * EXPECTED to read SKEWED — the audit is the detector, not a gate
+    * the testdata must pass. Shape: one narrow projection + one
+    * 9-group map-side-combined aggregate; everything after is
+    * grid-sized. */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val expCase = BenfordPpm.foldLeft(lit(0L)) { case (acc, (d, p)) =>
+      when(col("digit") === d.toLong, lit(p)).otherwise(acc)
+    }
+    val per = orders
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .where(col("cents") > 0L)
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum("n").as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div tot").as("obs_ppm"),
+        expCase.as("exp_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+      .withColumn("tvd_ppm", expr("sum(dev_ppm) over () div 2"))
+      .withColumn("verdict",
+        when(col("tvd_ppm") <= BenfordTolPpm, "BENFORD")
+          .otherwise("SKEWED"))
+  }
 }

@@ -402,6 +402,41 @@ object TextAnalysis {
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Fold count and balance tolerance (ppm of corpus share) for
+    * [[splitKfold]]. */
+  val NumFolds = 5L
+  val KfoldTolPpm = 15000L
+
+  /** Hash k-fold assignment — the cross-validation twin of the
+    * train/val/test split: fold = portable-hash(doc_id) mod
+    * [[NumFolds]], so a doc's fold never depends on corpus order,
+    * partitioning, or corpus growth (the property that lets fold-wise
+    * eval runs at 100 TB reuse each other's shards). Per fold: docs,
+    * token mass, corpus share in ppm, deviation from the uniform
+    * 1/K share, and a BALANCED/SKEWED verdict at [[KfoldTolPpm]] —
+    * the hash-uniformity audit that certifies the assignment before
+    * anyone trains on it. Shape: one narrow projection + one K-group
+    * map-side-combined aggregate; the corpus total arrives as a 1-row
+    * broadcast cross onto the K-row grid. */
+  def splitKfold(documents: DataFrame): DataFrame = {
+    val fold = pmod(graft.functions.PortableHash.phash(
+      concat(lit("fold:"), col("doc_id").cast("string"))), lit(NumFolds))
+    val per = documents
+      .select(fold.as("fold"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("token_mass"))
+    val tot = per.agg(sum("n_docs").as("tot_docs"))
+    per.crossJoin(broadcast(tot))
+      .select(col("fold"), col("n_docs"), col("token_mass"),
+        expr("n_docs * 1000000 div tot_docs").as("share_ppm"))
+      .withColumn("dev_ppm",
+        abs(col("share_ppm") - lit(1000000L / NumFolds)))
+      .withColumn("verdict",
+        when(col("dev_ppm") <= KfoldTolPpm, "BALANCED")
+          .otherwise("SKEWED"))
+  }
+
   /** Exact dedup: group identical texts (by md5), keep the smallest
     * doc_id as the canonical copy. One hash shuffle on the digest. */
   def dedupExact(documents: DataFrame): DataFrame =

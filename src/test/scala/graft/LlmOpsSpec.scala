@@ -1917,4 +1917,89 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(b.getAs[Long]("ttr_ppm") <= a.getAs[Long]("ttr_ppm"))
     }
   }
+
+  test("split_kfold: fold ids match the JVM hash twin, shares account " +
+    "for every doc, verdicts follow the tolerance") {
+    val rows = TextAnalysis.splitKfold(docs).collect()
+    val total = docs.count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    assert(rows.map(_.getAs[Long]("fold")).toSet
+      .subsetOf((0L until TextAnalysis.NumFolds).toSet))
+    // JVM twin of the fold assignment over the whole corpus
+    val want = docs.select("doc_id").collect()
+      .map(r => math.floorMod(
+        graft.functions.PortableHash.md5Long(s"fold:${r.getLong(0)}"),
+        TextAnalysis.NumFolds))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val f = r.getAs[Long]("fold")
+      assert(r.getAs[Long]("n_docs") === want(f), s"fold $f")
+      val share = r.getAs[Long]("n_docs") * 1000000L / total
+      assert(r.getAs[Long]("share_ppm") === share)
+      val dev = math.abs(share - 1000000L / TextAnalysis.NumFolds)
+      assert(r.getAs[Long]("dev_ppm") === dev)
+      assert(r.getAs[String]("verdict") ===
+        (if (dev <= TextAnalysis.KfoldTolPpm) "BALANCED" else "SKEWED"))
+    }
+  }
+
+  test("ngram_containment: containment bounds Jaccard from above, " +
+    "NEAR_DUP agrees with the verified pairs, and a wrapped copy " +
+    "reads CONTAINED where Jaccard alone would pass it") {
+    val rows = Dedup.ngramContainment(docs).collect()
+    rows.foreach { r =>
+      val j = r.getAs[Long]("j_milli")
+      val c = r.getAs[Long]("cont_milli")
+      assert(c >= j, s"pair ${r.getAs[Long]("doc_a")}/${r.getAs[Long]("doc_b")}")
+      val rel = r.getAs[String]("relation")
+      if (j >= Dedup.JaccardMilli) assert(rel === "NEAR_DUP")
+      else if (c >= Dedup.ContainMilli) assert(rel === "CONTAINED")
+      else assert(rel === "DISTINCT")
+    }
+    // a small doc wrapped in a larger one: containment exactly 1000,
+    // Jaccard 588 (< the 600 dup threshold). The pad vocabulary is
+    // PINNED to a fixture verified (against the md5 permutation
+    // constants, which never change) to share an LSH band — MinHash
+    // banding of a contained pair is probabilistic in general, which
+    // is exactly the recall caveat the operator's contract declares.
+    import spark.implicits._
+    val small = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val filler = (1 to 7).map(i => s"pad0_$i").mkString(" ")
+    val wrapped = Seq((1L, small), (2L, s"$small $filler"))
+      .toDF("doc_id", "text")
+    val w = Dedup.ngramContainment(wrapped).collect()
+      .find(r => r.getAs[Long]("doc_a") === 1L &&
+        r.getAs[Long]("doc_b") === 2L)
+    assert(w.isDefined, "the pinned fixture must share an LSH band")
+    assert(w.get.getAs[Long]("cont_milli") === 1000L)
+    assert(w.get.getAs[Long]("j_milli") === 588L)
+    assert(w.get.getAs[String]("relation") === "CONTAINED")
+  }
+
+  test("sample_coverage: per-cluster counts reconcile with the corpus " +
+    "sample decisions, shares are grid-exact, verdict bands hold") {
+    val assign = Similarity.ivfAssign(embs)
+    val rows = Similarity.sampleCoverageFrom(assign, docs).collect()
+    // reconcile totals against the production sample decision
+    val sampledDocs = TextAnalysis.stratifiedSample(docs)
+      .where(col("sampled") === "true")
+      .join(assign.select(col("vec_id").as("doc_id")), "doc_id")
+      .count()
+    assert(rows.map(_.getAs[Long]("n_sample")).sum === sampledDocs)
+    val tc = rows.map(_.getAs[Long]("n_corpus")).sum
+    val ts = rows.map(_.getAs[Long]("n_sample")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sample") <= r.getAs[Long]("n_corpus"))
+      assert(r.getAs[Long]("corpus_ppm") ===
+        r.getAs[Long]("n_corpus") * 1000000L / tc)
+      assert(r.getAs[Long]("sample_ppm") ===
+        (if (ts == 0) 0L else r.getAs[Long]("n_sample") * 1000000L / ts))
+      val d = r.getAs[Long]("delta_ppm")
+      val want =
+        if (r.getAs[Long]("n_sample") == 0L) "MISSED"
+        else if (d <= Similarity.CoverageTolPpm) "COVERED"
+        else "SKEWED"
+      assert(r.getAs[String]("verdict") === want)
+    }
+  }
 }

@@ -1680,4 +1680,89 @@ class OperatorsSpec extends AnyFunSuite {
       assert(sql.contains(s),
         s"first oracle '$first' does not carry the bounds prefix ($s)")
   }
+
+  test("compaction_plan: bins account for every row, are contiguous " +
+    "in time per db, and match a driver-side cumulative replay") {
+    val rows = Ledger.compactionPlan(cl).collect()
+    assert(rows.map(_.getAs[Long]("bin_rows")).sum === cl.count())
+    // driver-side replay: per (db, window) counts → running sum → bin
+    val files = cl.select(
+        concat(lit("db"), pmod(col("user_id"), lit(3L)).cast("string"))
+          .as("db"),
+        expr(s"ems div ${Ledger.CompactWinMs}").as("win"))
+      .groupBy("db", "win").count().collect()
+      .map(r => (r.getAs[String]("db"), r.getAs[Long]("win"),
+        r.getAs[Long]("count")))
+    val binned = files.groupBy(_._1).toSeq.flatMap { case (db, fs) =>
+      var cum = 0L
+      fs.sortBy(_._2).map { case (_, win, n) =>
+        cum += n
+        ((db, (cum - 1) / Ledger.CompactTargetRows), (win, n))
+      }
+    }
+    val want = binned.groupBy(_._1).map { case (k, xs) =>
+      k -> ((xs.size.toLong, xs.map(_._2._2).sum,
+        xs.map(_._2._1).min, xs.map(_._2._1).max))
+    }
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("db"), r.getAs[Long]("bin"))
+      val (nf, nr, lo, hi) = want(k)
+      assert(r.getAs[Long]("n_files") === nf, s"$k")
+      assert(r.getAs[Long]("bin_rows") === nr, s"$k")
+      assert(r.getAs[Long]("first_win") === lo, s"$k")
+      assert(r.getAs[Long]("last_win") === hi, s"$k")
+      assert(r.getAs[Long]("fill_ppm") ===
+        nr * 1000000L / Ledger.CompactTargetRows)
+      val want_v =
+        if (nf == 1L && nr >= Ledger.CompactTargetRows) "PASSTHROUGH"
+        else "COMPACT"
+      assert(r.getAs[String]("verdict") === want_v, s"$k")
+    }
+    // bins are disjoint, time-contiguous ranges per db
+    rows.groupBy(_.getAs[String]("db")).foreach { case (db, bs) =>
+      bs.sortBy(_.getAs[Long]("bin")).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_win") <= b.getAs[Long]("first_win"),
+            s"$db bins overlap in time")
+        case _ => ()
+      }
+    }
+  }
+
+  test("benford_audit: digit histogram matches a driver-side replay, " +
+    "expectations sum to exactly 1e6, tvd and verdict are consistent") {
+    val orders = Tables.orders(spark, TestSpark.Sf)
+    val rows = Snapshot.benfordAudit(orders).collect()
+    assert(Snapshot.BenfordPpm.map(_._2).sum === 1000000L)
+    val cents = orders.select(
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().map(_.getLong(0)).filter(_ > 0)
+    val want = cents.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_.getAs[Long]("n")).sum === cents.length.toLong)
+    val tot = cents.length.toLong
+    val exp = Snapshot.BenfordPpm.map { case (d, p) => d.toLong -> p }.toMap
+    val tvd = rows.map(_.getAs[Long]("dev_ppm")).sum / 2L
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      assert((1L to 9L).contains(d))
+      assert(r.getAs[Long]("n") === want(d), s"digit $d")
+      assert(r.getAs[Long]("obs_ppm") === want(d) * 1000000L / tot)
+      assert(r.getAs[Long]("exp_ppm") === exp(d))
+      assert(r.getAs[Long]("dev_ppm") ===
+        math.abs(r.getAs[Long]("obs_ppm") - exp(d)))
+      assert(r.getAs[Long]("tvd_ppm") === tvd)
+      assert(r.getAs[String]("verdict") ===
+        (if (tvd <= Snapshot.BenfordTolPpm) "BENFORD" else "SKEWED"))
+    }
+    // a genuinely Benford-ish input (powers growing geometrically)
+    // must read BENFORD: 2^k leading digits follow the law closely
+    import spark.implicits._
+    val geo = (0 until 180).map(k =>
+        (k.toLong, BigInt(2).pow(k).toString.take(6).toDouble / 100.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val g = Snapshot.benfordAudit(geo).collect()
+    assert(g.head.getAs[String]("verdict") === "BENFORD")
+  }
 }

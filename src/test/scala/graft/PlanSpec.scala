@@ -182,7 +182,10 @@ class PlanSpec extends AnyFunSuite {
       // knn_recall: the N² truth join is the DECLARED gate-scale
       // calibration baseline (the ann_topk allowance) plus 1-row
       // truth-mass crosses
-      "knn_recall")
+      "knn_recall",
+      // split_kfold / benford_audit / sample_coverage cross a 1-row
+      // broadcast total onto a K-/9-/index-sized grid
+      "split_kfold", "benford_audit", "sample_coverage")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
