@@ -49,7 +49,9 @@ weighted_sample,pq_subspace_balance,char_diversity,rpo_audit,\
 session_gap_sweep,balance_audit,acf_profile,fano_burstiness,\
 knn_graph,nn_descent,zipf_fit,anon_generalize,watermark_sweep,\
 sequence_gap_audit,stream_balance_parity,split_kfold,\
-compaction_plan,ngram_containment,sample_coverage"
+compaction_plan,ngram_containment,sample_coverage,hubness_audit,\
+attribution_linear,stream_gap_parity,bbit_minhash,\
+idempotence_gate,knn_components"
 
 echo "== amplify $BASE x$K -> $WORK"
 sbt -batch "runMain graft.AmplifyCorpus $BASE $WORK $K"

@@ -330,6 +330,28 @@ object OracleSql {
   /** Per-db running-balance rollup — ONE text pins the batch
     * balance_audit window form AND the streaming balanceParity
     * state-machine replay (the stream_merge_parity convention). */
+  /** Id-continuity audit SQL — twin of Ledger.sequenceGapAudit,
+    * shared verbatim by sequence_gap_audit and the streaming
+    * stream_gap_parity lane. */
+  private lazy val SeqGapSql: String = {
+    val b = graft.operators.Ledger.SeqBucket
+    s"""WITH $CL,
+       |g AS (SELECT event_id // $b AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events,
+       |    CAST(MIN(event_id) AS BIGINT) AS id_lo,
+       |    CAST(MAX(event_id) AS BIGINT) AS id_hi
+       |  FROM cl GROUP BY 1),
+       |h AS (SELECT *, id_hi - id_lo + 1 - n_events AS missing_inside,
+       |    COALESCE(id_lo - LAG(id_hi) OVER (ORDER BY bucket) - 1, 0)
+       |      AS gap_before
+       |  FROM g)
+       |SELECT bucket, n_events, id_lo, id_hi, missing_inside,
+       |  gap_before,
+       |  CASE WHEN missing_inside = 0 AND gap_before = 0
+       |    THEN 'CONTIGUOUS' ELSE 'GAPPED' END AS verdict
+       |FROM h""".stripMargin
+  }
+
   private lazy val BalanceAuditSql: String =
     s"""WITH $CL,
        |r AS (SELECT user_id, 'db' || (user_id % 3) AS db,
@@ -435,6 +457,34 @@ object OracleSql {
     * band/threshold/star-cap constants come from Dedup itself so the
     * two engines cannot drift. */
   /** 64 min-permutation aggregate columns (m0..m63). */
+  /** IVF-blocked exact kNN-graph CTE chain — twin of
+    * Similarity.knnGraphFrom; ends in `knn(src_id, rank, nbr_id,
+    * sim_e6)` with `cand` still in scope. Shared by knn_graph and
+    * hubness_audit (nn_descent carries its own extended chain). */
+  private lazy val KnnGraphCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+       |         WHERE vec_id BETWEEN 8 AND 23),
+       |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT cand.vec_id, cent.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+       |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
+       |    FROM cand, cent) t WHERE rn = 1),
+       |vv AS (SELECT a.vec_id, a.centroid_id, c.v
+       |  FROM assign a JOIN cand c ON a.vec_id = c.vec_id),
+       |p AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
+       |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
+       |      AS BIGINT) AS sim_e6
+       |  FROM vv l JOIN vv r
+       |    ON l.centroid_id = r.centroid_id AND l.vec_id <> r.vec_id),
+       |knn AS (SELECT src_id, CAST(rn AS BIGINT) AS rank, nbr_id,
+       |    sim_e6 FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+       |    ORDER BY sim_e6 DESC, nbr_id) AS rn FROM p) t
+       |WHERE rn <= ${graft.operators.Similarity.KnnK})""".stripMargin
+
   private lazy val mins: String = (0 until Dedup.NumHashes)
     .map(s => s"CAST(MIN(${sqlPermute("h", s)}) AS BIGINT) AS m$s")
     .mkString(", ")
@@ -991,6 +1041,45 @@ object OracleSql {
          |FROM j""".stripMargin,
 
     "cdc_upsert_apply" -> UpsertApplySql,
+
+    // apply the same merged batch twice; a healthy upsert/delete apply
+    // drifts by exactly zero rows
+    "idempotence_gate" ->
+      s"""WITH $CL, $LAST,
+         |base AS (
+         |  SELECT c_custkey, c_name, c_mktsegment,
+         |         CAST(ROUND(c_acctbal*100) AS BIGINT) AS base_cents
+         |  FROM customer),
+         |once AS (
+         |  SELECT COALESCE(l.user_id, b.c_custkey) AS key,
+         |    COALESCE(b.c_name, 'user_' || l.user_id) AS name,
+         |    COALESCE(b.c_mktsegment, 'NEW') AS mktsegment,
+         |    COALESCE(l.value_cents, b.base_cents) AS acctbal_cents
+         |  FROM base b FULL OUTER JOIN last l ON b.c_custkey = l.user_id
+         |  WHERE l.op IS NULL OR l.op <> 'D'),
+         |twice AS (
+         |  SELECT COALESCE(l.user_id, o.key) AS key,
+         |    COALESCE(o.name, 'user_' || l.user_id) AS name,
+         |    COALESCE(o.mktsegment, 'NEW') AS mktsegment,
+         |    COALESCE(l.value_cents, o.acctbal_cents) AS acctbal_cents
+         |  FROM once o FULL OUTER JOIN last l ON o.key = l.user_id
+         |  WHERE l.op IS NULL OR l.op <> 'D'),
+         |d AS (SELECT
+         |    CAST(COUNT(o.acctbal_cents) AS BIGINT) AS n_once,
+         |    CAST(COUNT(t.acctbal_cents) AS BIGINT) AS n_twice,
+         |    CAST(SUM(CASE WHEN o.acctbal_cents IS NULL
+         |        OR t.acctbal_cents IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_key_drift,
+         |    CAST(SUM(CASE WHEN o.acctbal_cents IS NOT NULL
+         |        AND t.acctbal_cents IS NOT NULL
+         |        AND (o.acctbal_cents <> t.acctbal_cents
+         |          OR o.name <> t.name OR o.mktsegment <> t.mktsegment)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_value_drift
+         |  FROM once o FULL OUTER JOIN twice t ON o.key = t.key)
+         |SELECT n_once, n_twice, n_key_drift, n_value_drift,
+         |  CASE WHEN n_key_drift = 0 AND n_value_drift = 0
+         |    THEN 'IDEMPOTENT' ELSE 'DIVERGENT' END AS verdict
+         |FROM d""".stripMargin,
 
     "pipeline_e2e" -> UpsertApplySql,
 
@@ -1700,6 +1789,40 @@ object OracleSql {
              |FROM $t""".stripMargin
         }
       }.mkString("\nUNION ALL\n"),
+
+    // per-table byte estimate generated from the SAME AdvisorGrid
+    // (fixed widths + exact octet-length sums) and target constant
+    "partition_advisor" -> {
+      val tgt = graft.operators.Snapshot.TargetPartitionBytes
+      val per = graft.operators.Snapshot.AdvisorGrid.map {
+        case (t, cols) =>
+          val fixedW = cols.collect {
+            case (_, "f8") => 8L
+            case (_, "f4") => 4L
+          }.sum
+          // DuckDB byte length of VARCHAR is strlen (octet_length is
+          // BLOB-only there); Spark's octet_length is the byte twin
+          val strs = cols.collect { case (c, "str") =>
+            s"strlen($c)"
+          }
+          val strSum =
+            if (strs.isEmpty) "0"
+            else s"COALESCE(SUM(${strs.mkString(" + ")}), 0)"
+          s"""SELECT '$t' AS table_name,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(*) * $fixedW + $strSum AS BIGINT) AS est_bytes
+             |FROM $t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH u AS ($per)
+         |SELECT table_name, n_rows, est_bytes,
+         |  CAST(est_bytes // greatest(n_rows, 1) AS BIGINT)
+         |    AS bytes_per_row,
+         |  CAST(greatest((est_bytes + $tgt - 1) // $tgt, 1) AS BIGINT)
+         |    AS rec_partitions,
+         |  CASE WHEN greatest((est_bytes + $tgt - 1) // $tgt, 1) = 1
+         |    THEN 'SINGLE' ELSE 'SPLIT' END AS verdict
+         |FROM u""".stripMargin
+    },
 
     // the sketch gate: DuckDB recomputes the exact NDV and pins the
     // error-band verdict to 'true' (the approx_distinct pattern) — a
@@ -2566,27 +2689,54 @@ object OracleSql {
     // IVF-blocked kNN graph: within-list pairs only, e6-rounded sim
     // ranks (integer-deterministic), top-KnnK per node
     "knn_graph" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
-         |         WHERE vec_id BETWEEN 8 AND 23),
-         |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
-         |assign AS (
-         |  SELECT vec_id, centroid_id FROM (
-         |    SELECT cand.vec_id, cent.centroid_id,
-         |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
-         |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
-         |    FROM cand, cent) t WHERE rn = 1),
-         |vv AS (SELECT a.vec_id, a.centroid_id, c.v
-         |  FROM assign a JOIN cand c ON a.vec_id = c.vec_id),
-         |p AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
-         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
-         |      AS BIGINT) AS sim_e6
-         |  FROM vv l JOIN vv r
-         |    ON l.centroid_id = r.centroid_id AND l.vec_id <> r.vec_id)
-         |SELECT src_id, CAST(rn AS BIGINT) AS rank, nbr_id, sim_e6 FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
-         |    ORDER BY sim_e6 DESC, nbr_id) AS rn FROM p) t
-         |WHERE rn <= ${Similarity.KnnK}""".stripMargin,
+      s"""WITH $KnnGraphCtes
+         |SELECT src_id, rank, nbr_id, sim_e6 FROM knn""".stripMargin,
+
+    // min-label propagation unrolled to the same fixed round count as
+    // the Spark operator (the pq_train discipline)
+    "knn_components" -> {
+      val rounds = (0 until graft.operators.Similarity.ClpRounds).map {
+        r =>
+          s"""nbr$r AS (SELECT u.src_id AS id, MIN(l$r.label) AS nl
+             |  FROM u JOIN l$r ON u.nbr_id = l$r.id GROUP BY 1),
+             |l${r + 1} AS (SELECT l$r.id,
+             |    LEAST(l$r.label, COALESCE(nbr$r.nl, l$r.label)) AS label
+             |  FROM l$r LEFT JOIN nbr$r USING (id))""".stripMargin
+      }.mkString(",\n")
+      val last = s"l${graft.operators.Similarity.ClpRounds}"
+      s"""WITH $KnnGraphCtes,
+         |u AS (SELECT src_id, nbr_id FROM knn
+         |  UNION SELECT nbr_id, src_id FROM knn),
+         |l0 AS (SELECT vec_id AS id, vec_id AS label FROM cand),
+         |$rounds
+         |SELECT label AS component_label,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(id) AS BIGINT) AS id_sum
+         |FROM $last GROUP BY 1""".stripMargin
+    },
+
+    // k-occurrence histogram over the knn twin; the 0 bucket is the
+    // uncited remainder; thresholds from the shared constants
+    "hubness_audit" ->
+      s"""WITH $KnnGraphCtes,
+         |ideg AS (SELECT nbr_id, CAST(COUNT(*) AS BIGINT) AS k_occ
+         |  FROM knn GROUP BY 1),
+         |h AS (SELECT k_occ, CAST(COUNT(*) AS BIGINT) AS n_vectors
+         |  FROM ideg GROUP BY 1),
+         |t AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)
+         |      AS n_vecs,
+         |    CAST(COUNT(*) AS BIGINT) AS n_cited,
+         |    CAST(MAX(k_occ) AS BIGINT) AS max_k_occ
+         |  FROM ideg),
+         |hh AS (SELECT k_occ, n_vectors FROM h
+         |  UNION ALL SELECT 0, n_vecs - n_cited FROM t)
+         |SELECT k_occ, n_vectors,
+         |  CAST(n_vectors * 1000000 // n_vecs AS BIGINT) AS share_ppm,
+         |  max_k_occ,
+         |  CASE WHEN max_k_occ >=
+         |    ${Similarity.HubFactor * Similarity.KnnK}
+         |    THEN 'HUBBY' ELSE 'OK' END AS verdict
+         |FROM hh, t WHERE n_vectors > 0""".stripMargin,
 
     // one NN-descent round over the knn_graph twin, seeded with the
     // LSH-bucket graph (a second blocking bridges IVF lists); exact
@@ -4175,6 +4325,47 @@ object OracleSql {
 
     "attribution_last_touch" -> AttributionSql,
 
+    // linear multi-touch: journey id = count of PRECEDING purchases
+    // over the same (ts_ns, event_id) order; equal split in
+    // milli-cents with the same truncating div on both engines
+    "attribution_linear" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+        |    event_type,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |j AS (SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS journey FROM e),
+        |tch AS (SELECT user_id, journey, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_touch_type
+        |  FROM j WHERE event_type <> 'purchase' GROUP BY 1, 2, 3),
+        |js AS (SELECT user_id, journey,
+        |    CAST(SUM(n_touch_type) AS BIGINT) AS n_touches
+        |  FROM tch GROUP BY 1, 2),
+        |pur AS (SELECT user_id, journey, value_cents FROM j
+        |  WHERE event_type = 'purchase'),
+        |cr AS (SELECT p.user_id, p.journey, p.value_cents,
+        |    COALESCE(js.n_touches, 0) AS n_touches
+        |  FROM pur p LEFT JOIN js USING (user_id, journey)),
+        |touched AS (SELECT t.event_type AS touch_type,
+        |    t.n_touch_type AS n_touches_row,
+        |    c.value_cents * 1000 // c.n_touches * t.n_touch_type
+        |      AS credit_milli
+        |  FROM cr c JOIN tch t
+        |    ON c.user_id = t.user_id AND c.journey = t.journey
+        |  WHERE c.n_touches > 0),
+        |nn AS (SELECT 'none' AS touch_type,
+        |    CAST(1 AS BIGINT) AS n_touches_row,
+        |    value_cents * 1000 AS credit_milli
+        |  FROM cr WHERE n_touches = 0),
+        |a AS (SELECT * FROM touched UNION ALL SELECT * FROM nn)
+        |SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_journeys,
+        |  CAST(SUM(n_touches_row) AS BIGINT) AS n_touches,
+        |  CAST(SUM(credit_milli) AS BIGINT) AS credit_milli_cents
+        |FROM a GROUP BY 1""".stripMargin,
+
     // next-event transition matrix over the same (ts_ns, event_id)
     // arrival order as sessionize/attribution; 'end' sink rows keep
     // each from_type's outgoing ppm mass complete
@@ -4265,6 +4456,38 @@ object OracleSql {
          |  (n_agree * 1000) // ${Dedup.NumHashes} AS est_milli, j_milli,
          |  abs((n_agree * 1000) // ${Dedup.NumHashes} - j_milli) AS err_milli
          |FROM est""".stripMargin
+    },
+
+    // 1-bit rung beside the full-width estimator on the same pair set;
+    // Ĵ₁ = max(2c−1, 0) with the same truncating div both sides
+    "bbit_minhash" -> {
+      val agree64 = (0 until Dedup.NumHashes)
+        .map(s => s"(CASE WHEN a.m$s = b.m$s THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val agree1 = (0 until Dedup.NumHashes)
+        .map(s => s"(CASE WHEN a.m$s % 2 = b.m$s % 2 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $MinhashCtes,
+         |est AS (SELECT j.j_milli,
+         |    CAST($agree64 AS BIGINT) AS n_agree,
+         |    CAST($agree1 AS BIGINT) AS n_bit_agree
+         |  FROM jac j
+         |  JOIN sigs a ON a.doc_id = j.doc_a
+         |  JOIN sigs b ON b.doc_id = j.doc_b),
+         |r AS (SELECT j_milli // 100 * 100 AS j_bucket_milli,
+         |    (n_agree * 1000) // ${Dedup.NumHashes} AS est64_milli,
+         |    greatest((n_bit_agree * 2000) // ${Dedup.NumHashes} - 1000,
+         |      0) AS est1_milli,
+         |    j_milli
+         |  FROM est)
+         |SELECT j_bucket_milli, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(abs(est64_milli - j_milli)) // COUNT(*) AS BIGINT)
+         |    AS mae64_milli,
+         |  CAST(SUM(abs(est1_milli - j_milli)) // COUNT(*) AS BIGINT)
+         |    AS mae1_milli,
+         |  CAST(MAX(abs(est1_milli - j_milli)) AS BIGINT)
+         |    AS max_err1_milli
+         |FROM r GROUP BY 1""".stripMargin
     },
 
     "dedup_agreement" ->
@@ -5361,24 +5584,11 @@ object OracleSql {
          |FROM u, tot""".stripMargin
     },
 
-    "sequence_gap_audit" -> {
-      import graft.operators.Ledger.SeqBucket
-      s"""WITH $CL,
-         |g AS (SELECT event_id // $SeqBucket AS bucket,
-         |    CAST(COUNT(*) AS BIGINT) AS n_events,
-         |    CAST(MIN(event_id) AS BIGINT) AS id_lo,
-         |    CAST(MAX(event_id) AS BIGINT) AS id_hi
-         |  FROM cl GROUP BY 1),
-         |h AS (SELECT *, id_hi - id_lo + 1 - n_events AS missing_inside,
-         |    COALESCE(id_lo - LAG(id_hi) OVER (ORDER BY bucket) - 1, 0)
-         |      AS gap_before
-         |  FROM g)
-         |SELECT bucket, n_events, id_lo, id_hi, missing_inside,
-         |  gap_before,
-         |  CASE WHEN missing_inside = 0 AND gap_before = 0
-         |    THEN 'CONTIGUOUS' ELSE 'GAPPED' END AS verdict
-         |FROM h""".stripMargin
-    },
+    "sequence_gap_audit" -> SeqGapSql,
+
+    // the streaming id-continuity lane replays into the SAME oracle
+    // text — one total order, zero room for twin drift
+    "stream_gap_parity" -> SeqGapSql,
 
     "view_refresh_plan" -> {
       val mod = graft.operators.CdcMerge.ViewDeltaMod

@@ -247,6 +247,11 @@ object ScaleProbe {
       "split_kfold" -> sink(TextAnalysis.splitKfold(docs)),
       "compaction_plan" -> sink(
         graft.operators.Ledger.compactionPlan(cl)),
-      "ngram_containment" -> sink(Dedup.ngramContainment(docs)))
+      "ngram_containment" -> sink(Dedup.ngramContainment(docs)),
+      // round-9 batch-12: the journey-window attribution lane
+      // (partition_advisor/hubness are grid-sized post-aggregate —
+      // parity pins them; the corpus-sized stage is the one window)
+      "attribution_linear" -> sink(
+        graft.operators.Analytics.attributionLinear(ev)))
   }
 }

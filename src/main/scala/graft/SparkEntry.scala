@@ -36,6 +36,8 @@ object SparkEntry {
     "cdc_merge"           -> ((s, dir) => CdcMerge.merge(cl(s, dir))),
     "cdc_upsert_apply"    -> ((s, dir) =>
       CdcMerge.upsertApply(cl(s, dir), Tables.customer(s, dir))),
+    "idempotence_gate"    -> ((s, dir) =>
+      CdcMerge.idempotenceGate(cl(s, dir), Tables.customer(s, dir))),
     "cdc_delete_apply"    -> ((s, dir) =>
       CdcMerge.deleteApply(cl(s, dir), Tables.customer(s, dir))),
     "incremental_agg"     -> ((s, dir) =>
@@ -186,6 +188,12 @@ object SparkEntry {
         Tables.embeddings(s, dir))),
     "knn_graph"           -> ((s, dir) =>
       Similarity.knnGraphFrom(Staged.ann(s, dir).assign,
+        Tables.embeddings(s, dir))),
+    "hubness_audit"       -> ((s, dir) =>
+      Similarity.hubnessAuditFrom(Staged.ann(s, dir).assign,
+        Tables.embeddings(s, dir))),
+    "knn_components"      -> ((s, dir) =>
+      Similarity.knnComponentsFrom(Staged.ann(s, dir).assign,
         Tables.embeddings(s, dir))),
     "nn_descent"          -> ((s, dir) =>
       Similarity.nnDescentFrom(Staged.ann(s, dir).assign,
@@ -362,6 +370,8 @@ object SparkEntry {
       Analytics.funnelConversion(Tables.events(s, dir))),
     "attribution_last_touch" -> ((s, dir) =>
       Analytics.attributionLastTouch(Tables.events(s, dir))),
+    "attribution_linear"  -> ((s, dir) =>
+      Analytics.attributionLinear(Tables.events(s, dir))),
     "event_transitions"   -> ((s, dir) =>
       Analytics.eventTransitions(Tables.events(s, dir))),
     "event_paths"         -> ((s, dir) =>
@@ -417,6 +427,8 @@ object SparkEntry {
       Temporal.watermarkSweep(cl(s, dir))),
     "sequence_gap_audit"  -> ((s, dir) =>
       Ledger.sequenceGapAudit(cl(s, dir))),
+    "stream_gap_parity"   -> ((s, dir) =>
+      graft.streaming.CdcStream.gapParity(s, cl(s, dir))),
     "view_refresh_plan"   -> ((s, dir) =>
       CdcMerge.viewRefreshPlan(Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
@@ -446,6 +458,8 @@ object SparkEntry {
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "catalog_stats"       -> ((s, dir) =>
       Snapshot.catalogStats(catalogGrid(s, dir))),
+    "partition_advisor"   -> ((s, dir) =>
+      Snapshot.partitionAdvisor(catalogGrid(s, dir))),
     "catalog_stats_sketch" -> ((s, dir) =>
       Snapshot.catalogStatsSketchGate(catalogGrid(s, dir))),
     "join_size_estimate"  -> ((s, dir) =>
@@ -474,6 +488,10 @@ object SparkEntry {
     "ngram_containment"   -> ((s, dir) => {
       val st = Staged.dedup(s, dir)
       Dedup.containmentFrom(st.sh, st.sigs)
+    }),
+    "bbit_minhash"        -> ((s, dir) => {
+      val st = Staged.dedup(s, dir)
+      Dedup.bbitMinhashFrom(st.sh, st.sigs)
     }),
     "dedup_editdist"      -> ((s, dir) => Dedup.dedupEditDistFrom(
       Tables.documents(s, dir), Staged.dedup(s, dir).verified)),

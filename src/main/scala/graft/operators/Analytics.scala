@@ -370,6 +370,59 @@ object Analytics {
         sum("value_cents").as("revenue_cents"))
   }
 
+  /** Linear multi-touch revenue attribution — the fairness complement
+    * of [[attributionLastTouch]]: each purchase's value is split
+    * EQUALLY (in milli-cents, truncating div — both engines lose the
+    * same remainder) across every non-purchase event type in its
+    * journey, where a journey is everything since the user's previous
+    * purchase. Touchless purchases credit 'none' in full. Per touch
+    * type: journeys touched, touches credited, and total credit.
+    *
+    * Shape: ONE per-user window over the same (ts_ns, event_id)
+    * arrival order as sessionize assigns the journey id (running count
+    * of PRECEDING purchases — so the purchase closing journey J
+    * carries id J itself); touches and purchases then meet on the
+    * (user, journey) key — an equi-join of two co-partitioned
+    * aggregates of the same relation, never a self-join of raw events
+    * against raw events; the rollup is ≤|event types|+1 rows. */
+  def attributionLinear(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = events
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .withColumn("journey",
+        coalesce(sum((col("event_type") === "purchase").cast("long"))
+          .over(w), lit(0L)))
+    val touches = e.where(col("event_type") =!= "purchase")
+      .groupBy("user_id", "journey", "event_type")
+      .agg(count(lit(1)).as("n_touch_type"))
+    val journeySize = touches.groupBy("user_id", "journey")
+      .agg(sum("n_touch_type").as("n_touches"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("journey"), col("value_cents"))
+    val credited = purchases
+      .join(journeySize, Seq("user_id", "journey"), "left")
+      .na.fill(0L, Seq("n_touches"))
+    val touched = credited.where(col("n_touches") > 0L)
+      .join(touches, Seq("user_id", "journey"))
+      .select(col("event_type").as("touch_type"),
+        col("n_touch_type").as("n_touches_row"),
+        expr("value_cents * 1000 div n_touches * n_touch_type")
+          .as("credit_milli"))
+    val none = credited.where(col("n_touches") === 0L)
+      .select(lit("none").as("touch_type"),
+        lit(1L).as("n_touches_row"),
+        (col("value_cents") * 1000L).as("credit_milli"))
+    touched.unionByName(none)
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_journeys"),
+        sum("n_touches_row").as("n_touches"),
+        sum("credit_milli").as("credit_milli_cents"))
+  }
+
   /** Next-event Markov transition matrix — the product-analytics
     * staple beside funnel_conversion and attribution_last_touch: per
     * (from_type, to_type) count of consecutive event pairs within each

@@ -75,6 +75,53 @@ object CdcMerge {
           .otherwise(lit("UPDATE")).as("apply_op"))
   }
 
+  /** Exactly-once idempotence gate — the regression harness behind
+    * "at-least-once delivery + idempotent apply = exactly-once": the
+    * SAME merged batch is applied a second time onto the once-applied
+    * state (re-delivery of a whole poll cycle, the failure mode a
+    * retrying sync worker actually produces), and the two states are
+    * diffed key-by-key. Upserts must re-apply to the value they
+    * already wrote and deletes of already-deleted keys must no-op, so
+    * a healthy apply operator reports zero drift; any nonzero cell
+    * names the non-idempotent op. One full-outer re-apply join plus
+    * one full-outer diff join, both on the same key — three key
+    * shuffles total, output one verdict row. */
+  def idempotenceGate(changelog: DataFrame,
+                      customer: DataFrame): DataFrame = {
+    val once = upsertApply(changelog, customer)
+      .select("key", "name", "mktsegment", "acctbal_cents")
+    val last = lastPerKey(changelog)
+      .select("user_id", "op", "value_cents")
+    val twice = once
+      .join(last, once("key") === last("user_id"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("user_id"), col("key")).as("key"),
+        coalesce(col("name"),
+          concat(lit("user_"), col("user_id").cast("string"))).as("name"),
+        coalesce(col("mktsegment"), lit("NEW")).as("mktsegment"),
+        coalesce(col("value_cents"), col("acctbal_cents"))
+          .as("acctbal_cents"))
+    val o = once.select(col("key"), col("name").as("o_name"),
+      col("mktsegment").as("o_seg"), col("acctbal_cents").as("o_cents"))
+    val t = twice.select(col("key"), col("name").as("t_name"),
+      col("mktsegment").as("t_seg"), col("acctbal_cents").as("t_cents"))
+    o.join(t, Seq("key"), "full_outer")
+      .agg(
+        count(col("o_cents")).as("n_once"),
+        count(col("t_cents")).as("n_twice"),
+        sum((col("o_cents").isNull || col("t_cents").isNull)
+          .cast("long")).as("n_key_drift"),
+        sum((col("o_cents").isNotNull && col("t_cents").isNotNull &&
+          (col("o_cents") =!= col("t_cents") ||
+            col("o_name") =!= col("t_name") ||
+            col("o_seg") =!= col("t_seg"))).cast("long"))
+          .as("n_value_drift"))
+      .withColumn("verdict",
+        when(col("n_key_drift") === 0L && col("n_value_drift") === 0L,
+          "IDEMPOTENT").otherwise("DIVERGENT"))
+  }
+
   /** Incremental aggregate maintenance: per-segment balance totals
     * after the changelog, computed as BASE AGGREGATE + DELTA — the base
     * table is only touched by the (small) delta join, never rescanned

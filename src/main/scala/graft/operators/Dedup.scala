@@ -753,6 +753,60 @@ object Dedup {
       .withColumn("err_milli", abs(col("est_milli") - col("j_milli")))
   }
 
+  /** 1-bit (b-bit) MinHash estimator gate — Li & König 2010: storing
+    * only each minhash's LOWEST BIT shrinks signature storage 64×
+    * (64 bits per doc instead of 64 longs), at a known estimator
+    * cost: a bit collides half the time by chance, so Ĵ₁ = 2·c − 1
+    * for bit-collision fraction c (clamped at 0), with ~2× the
+    * variance of the full-width estimator at the same width. This
+    * gate prices that trade the same way sq_recall prices int8
+    * vectors: per exact-Jaccard decile of the verified candidate
+    * pairs, the full-width estimator's mean absolute error beside
+    * the 1-bit rung's — the storage-ladder datasheet for dedup
+    * signatures. Integer-exact; one extra codegen'd bit-compare sum
+    * on the SAME two signature joins the full-width gate pays. */
+  private[graft] def bbitMinhashFrom(sh: DataFrame,
+                                     sigs: DataFrame): DataFrame = {
+    val pairs = candidatesFromStaged(sigs)
+    val exact = pairs
+      .join(pairIntersections(pairs, sh, "doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("c"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(c * 1000) div (na + nb - c)").as("j_milli"))
+    val agree64 = (0 until NumHashes)
+      .map(s => when(col(s"sa.m$s") === col(s"sb.m$s"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val agree1 = (0 until NumHashes)
+      .map(s => when(col(s"sa.m$s") % 2 === col(s"sb.m$s") % 2, 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
+    exact
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("j_milli"), agree64.as("n_agree"),
+        agree1.as("n_bit_agree"))
+      .select(expr("j_milli div 100 * 100").as("j_bucket_milli"),
+        expr(s"(n_agree * 1000) div $NumHashes").as("est64_milli"),
+        expr(s"greatest((n_bit_agree * 2000) div $NumHashes - 1000, 0)")
+          .as("est1_milli"),
+        col("j_milli"))
+      .groupBy("j_bucket_milli")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(abs(est64_milli - j_milli)) div count(1)")
+          .as("mae64_milli"),
+        expr("sum(abs(est1_milli - j_milli)) div count(1)")
+          .as("mae1_milli"),
+        max(abs(col("est1_milli") - col("j_milli")))
+          .as("max_err1_milli"))
+  }
+
+  /** [[bbitMinhashFrom]] built standalone. */
+  def bbitMinhash(documents: DataFrame): DataFrame = {
+    val sh = shingleHashes(documents)
+    bbitMinhashFrom(sh, signaturesFromHashes(sh).localCheckpoint(false))
+  }
+
   /** Bounded prefix [[dedupEditDist]] compares (chars). */
   val EditPrefixChars = 200
 

@@ -2027,6 +2027,88 @@ object Similarity {
       .select("id_a", "id_b", "sim_e6")
   }
 
+  /** Label-propagation rounds run by [[knnComponentsFrom]]. */
+  val ClpRounds = 4
+
+  /** Semantic components of the kNN graph — min-label propagation,
+    * the standard distributed connected-components algorithm (each
+    * round every node adopts the minimum label in its closed
+    * neighborhood; components converge in graph-diameter rounds,
+    * O(log n) w.h.p. on small-world neighbor graphs): the cluster
+    * formation step SemDeDup-style semantic dedup and topic bucketing
+    * run after building the neighbor graph. Rounds are FIXED at
+    * [[ClpRounds]] so the labeling is deterministic and
+    * oracle-replayable whether or not the graph has fully converged
+    * (the pq_train discipline for iterated algorithms); labels are
+    * min vec_ids, so the output is integer-exact. Shape: per round
+    * ONE edge-keyed aggregate + one node-keyed left join, each round
+    * checkpointed to keep the plan linear; isolated nodes (alone in
+    * their IVF list) keep their own label. Output component-sized. */
+  def knnComponentsFrom(assign: DataFrame,
+                        embeddings: DataFrame): DataFrame = {
+    val edges = knnGraphFrom(assign, embeddings)
+      .select(col("src_id"), col("nbr_id"))
+    val und = edges
+      .union(edges.select(col("nbr_id").as("src_id"),
+        col("src_id").as("nbr_id")))
+      .distinct()
+      .localCheckpoint(false)
+    var labels = candidates(embeddings)
+      .select(col("cand_id").as("id"), col("cand_id").as("label"))
+    for (_ <- 0 until ClpRounds) {
+      val nbrMin = und
+        .join(labels.select(col("id").as("nbr_id"),
+          col("label").as("nbr_label")), "nbr_id")
+        .groupBy(col("src_id").as("id"))
+        .agg(min("nbr_label").as("nbr_label"))
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint(false)
+    }
+    labels.groupBy(col("label").as("component_label"))
+      .agg(count(lit(1)).as("n_members"), sum("id").as("id_sum"))
+  }
+
+  /** Hub verdict threshold: a max k-occurrence of ≥ this multiple of
+    * [[KnnK]] flags the index HUBBY. */
+  val HubFactor = 4L
+
+  /** Hubness audit over the kNN graph — the high-dimensional retrieval
+    * pathology check (Radovanović et al. 2010): as dimensionality
+    * grows, a few vectors ("hubs") appear in a disproportionate share
+    * of OTHER points' k-NN lists while many ("antihubs") appear in
+    * none, silently skewing kNN classification, dedup and
+    * retrieval-augmented sampling. Reported as the k-occurrence
+    * histogram of [[knnGraphFrom]]: per in-degree value, how many
+    * vectors carry it (including the 0 bucket — vectors NO list
+    * cites), each bucket's corpus share, the max k-occurrence, and a
+    * HUBBY/OK verdict at [[HubFactor]]·K. Integer-exact end to end.
+    * Shape: one edge aggregate (corpus·K rows) + one histogram
+    * aggregate; totals and max arrive as a 1-row broadcast cross onto
+    * the ≤max-degree-sized grid. */
+  def hubnessAuditFrom(assign: DataFrame,
+                       embeddings: DataFrame): DataFrame = {
+    val indeg = knnGraphFrom(assign, embeddings)
+      .groupBy(col("nbr_id")).agg(count(lit(1)).as("k_occ"))
+    val hist = indeg.groupBy("k_occ").agg(count(lit(1)).as("n_vectors"))
+    val tot = candidates(embeddings).agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(indeg.agg(count(lit(1)).as("n_cited"),
+        max("k_occ").as("max_k_occ")))
+    hist
+      .unionByName(broadcast(tot).select(lit(0L).as("k_occ"),
+        (col("n_vecs") - col("n_cited")).as("n_vectors")))
+      .where(col("n_vectors") > 0L)
+      .crossJoin(broadcast(tot.select(col("n_vecs"), col("max_k_occ"))))
+      .select(col("k_occ"), col("n_vectors"),
+        expr("n_vectors * 1000000 div n_vecs").as("share_ppm"),
+        col("max_k_occ"))
+      .withColumn("verdict",
+        when(col("max_k_occ") >= HubFactor * KnnK, "HUBBY")
+          .otherwise("OK"))
+  }
+
   /** Per-cluster coverage tolerance (ppm) for [[sampleCoverageFrom]]. */
   val CoverageTolPpm = 60000L
 

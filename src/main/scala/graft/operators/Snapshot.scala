@@ -774,6 +774,74 @@ object Snapshot {
       .na.fill("-", Seq("current_type", "desired_type"))
   }
 
+  /** Width grid for [[partitionAdvisor]] — one (column → kind) row per
+    * scanned column, the SINGLE constant both the Spark aggregation
+    * and the DuckDB oracle are generated from (the CatalogColumns
+    * discipline). Kinds: f8 (8-byte fixed: bigint/double/timestamp),
+    * f4 (4-byte fixed: int), str (exact byte length, summed). */
+  val AdvisorGrid: Seq[(String, Seq[(String, String)])] = Seq(
+    "region" -> Seq("r_regionkey" -> "f4", "r_name" -> "str"),
+    "nation" -> Seq("n_nationkey" -> "f4", "n_name" -> "str",
+      "n_regionkey" -> "f4"),
+    "customer" -> Seq("c_custkey" -> "f8", "c_name" -> "str",
+      "c_nationkey" -> "f4", "c_acctbal" -> "f8",
+      "c_mktsegment" -> "str"),
+    "supplier" -> Seq("s_suppkey" -> "f8", "s_name" -> "str",
+      "s_nationkey" -> "f4", "s_acctbal" -> "f8"),
+    "part" -> Seq("p_partkey" -> "f8", "p_name" -> "str",
+      "p_brand" -> "str", "p_type" -> "str", "p_size" -> "f4",
+      "p_retailprice" -> "f8"),
+    "orders" -> Seq("o_orderkey" -> "f8", "o_custkey" -> "f8",
+      "o_orderstatus" -> "str", "o_totalprice" -> "f8",
+      "o_orderdate" -> "f8", "o_orderpriority" -> "str"),
+    "lineitem" -> Seq("l_orderkey" -> "f8", "l_partkey" -> "f8",
+      "l_suppkey" -> "f8", "l_linenumber" -> "f4",
+      "l_quantity" -> "f8", "l_extendedprice" -> "f8",
+      "l_discount" -> "f8", "l_tax" -> "f8", "l_returnflag" -> "str",
+      "l_linestatus" -> "str", "l_shipdate" -> "f8"))
+
+  /** Scan-partition size target (bytes of uncompressed columnar data
+    * per task — Spark's own maxPartitionBytes default). */
+  val TargetPartitionBytes = 134217728L
+
+  /** Scan-partition advisor — the sizing decision every bulk
+    * source read makes (JDBC numPartitions, files.maxPartitionBytes):
+    * per table, the exact uncompressed columnar byte estimate (fixed
+    * widths from [[AdvisorGrid]], string columns by exact summed
+    * octet length — an estimate of memory footprint, not of
+    * compressed parquet on disk), bytes per row, and the recommended
+    * read-partition count ⌈bytes / [[TargetPartitionBytes]]⌉. The
+    * deterministic-integer twin of what AQE does from runtime
+    * statistics, published BEFORE the first scan so the reader can be
+    * configured rather than re-planned. Shape: ONE map-side-combined
+    * aggregate per table (count + string-length sums — no Expand, no
+    * distinct), output table-grid-sized. */
+  def partitionAdvisor(tables: Seq[(String, DataFrame)]): DataFrame = {
+    val grid = AdvisorGrid.toMap
+    tables.map { case (t, df) =>
+      val cols = grid(t)
+      val fixedW = cols.collect {
+        case (_, "f8") => 8L
+        case (_, "f4") => 4L
+      }.sum
+      val strSums = cols.collect { case (c, "str") =>
+        sum(expr(s"octet_length($c)").cast("long"))
+      }
+      val strTotal = strSums.reduceOption(_ + _).getOrElse(lit(0L))
+      df.agg(count(lit(1)).as("n_rows"), strTotal.as("str_bytes"))
+        .select(lit(t).as("table_name"), col("n_rows"),
+          (col("n_rows") * fixedW + coalesce(col("str_bytes"), lit(0L)))
+            .as("est_bytes"))
+    }.reduce(_ unionByName _)
+      .withColumn("bytes_per_row",
+        expr("est_bytes div greatest(n_rows, 1L)"))
+      .withColumn("rec_partitions",
+        expr(s"greatest((est_bytes + $TargetPartitionBytes - 1)" +
+          s" div $TargetPartitionBytes, 1L)"))
+      .withColumn("verdict",
+        when(col("rec_partitions") === 1L, "SINGLE").otherwise("SPLIT"))
+  }
+
   /** Benford expected first-digit shares in ppm (⌊log10(1+1/d)·1e6⌉),
     * the SINGLE constant both the Spark expression and the DuckDB
     * oracle render from — they sum to exactly 1,000,000. */

@@ -710,6 +710,90 @@ object CdcStream {
         "waited_ppm", "utilization_ppm")
   }
 
+  /** One change for the id-continuity replay (bucket precomputed so
+    * the sentinel can target a bucket without owning an id in it). */
+  case class GapChange(bucket: Long, event_id: Long, ems: Long,
+                       op: String, ts: java.sql.Timestamp)
+  /** O(1) continuity state per id bucket. */
+  case class GapState(n: Long, lo: Long, hi: Long)
+  case class GapBucket(bucket: Long, n_events: Long, id_lo: Long,
+                       id_hi: Long)
+
+  /** Continuous per-bucket id-continuity tracking — the streaming twin
+    * of Ledger.sequenceGapAudit's aggregation stage: online, each
+    * 1024-wide id bucket is THREE longs of state (count, min id, max
+    * id) however long the stream runs. The 'Z' sentinel flushes each
+    * bucket; the cross-bucket lag classification happens batch-side on
+    * the flushed BUCKET GRID (grid-sized, so post-processing cost is
+    * id-space-bounded, not stream-bounded). */
+  def gapStream(spark: SparkSession,
+                cs: Dataset[GapChange]): Dataset[GapBucket] = {
+    import spark.implicits._
+    cs.withWatermark("ts", "2 hours")
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[GapState, GapBucket](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (bucket: Long, batch: Iterator[GapChange],
+         state: GroupState[GapState]) =>
+          var s = state.getOption.getOrElse(GapState(0L, Long.MaxValue,
+            Long.MinValue))
+          val out = scala.collection.mutable.ListBuffer.empty[GapBucket]
+          batch.foreach { c =>
+            if (c.op == "Z") {
+              if (s.n > 0L) out += GapBucket(bucket, s.n, s.lo, s.hi)
+            } else {
+              s = GapState(s.n + 1L, math.min(s.lo, c.event_id),
+                math.max(s.hi, c.event_id))
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Streaming↔batch id-continuity parity: contiguous event-time
+    * replay through [[gapStream]], per-bucket triples flushed by the
+    * 'Z' sentinel batch, then the SAME lag-window classification as
+    * the batch operator over the flushed grid — pinned verbatim to the
+    * sequence_gap_audit oracle. */
+  def gapParity(spark: SparkSession, changelog: DataFrame,
+                nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val bucketWidth = graft.operators.Ledger.SeqBucket
+    val src = changelog.select(
+      expr(s"event_id div $bucketWidth").as("bucket"),
+      col("event_id"), col("ems"), col("op"),
+      timestamp_millis(col("ems")).as("ts"))
+    val bounds = src.agg(min("ems"), max("ems"), max("event_id"))
+      .collect()(0)
+    if (bounds.isNullAt(0))
+      return spark.emptyDataFrame.select(lit(0L).as("bucket"),
+        lit(0L).as("n_events"), lit(0L).as("id_lo"),
+        lit(0L).as("id_hi"), lit(0L).as("missing_inside"),
+        lit(0L).as("gap_before"), lit("").as("verdict"))
+    val sentinelMs = bounds.getLong(1) + 3600L * 1000L
+    val sentinelId = bounds.getLong(2) + 1L
+    val sentinels = src.select(col("bucket")).distinct()
+      .select(col("bucket"), lit(sentinelId).as("event_id"),
+        lit(sentinelMs).as("ems"), lit("Z").as("op"),
+        timestamp_millis(lit(sentinelMs)).as("ts"))
+    val flushed = replayStaged(spark,
+      rangeSlices(src, "ems", bounds.getLong(0), bounds.getLong(1),
+        nBatches) :+ sentinels,
+      OutputMode.Append())(
+      df => gapStream(spark, df.as[GapChange]).toDF())
+    val wPrev = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+    flushed
+      .withColumn("missing_inside",
+        col("id_hi") - col("id_lo") + 1L - col("n_events"))
+      .withColumn("gap_before",
+        coalesce(col("id_lo") - lag(col("id_hi"), 1).over(wPrev) - 1L,
+          lit(0L)))
+      .withColumn("verdict",
+        when(col("missing_inside") === 0L && col("gap_before") === 0L,
+          "CONTIGUOUS").otherwise("GAPPED"))
+  }
+
   /** One user's change for the balance replay. */
   case class BalChange(user_id: Long, event_id: Long, ems: Long,
                        op: String, value_cents: Long,

@@ -526,6 +526,33 @@ class CdcStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("gapParity: streamed per-bucket continuity equals the batch " +
+    "sequence_gap_audit verbatim, and an injected hole reads GAPPED") {
+    val chl = graft.operators.ChangeLog.normalize(
+      Tables.events(spark, TestSpark.Sf))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("bucket"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("id_lo"), r.getAs[Long]("id_hi"),
+        r.getAs[Long]("missing_inside"), r.getAs[Long]("gap_before"),
+        r.getAs[String]("verdict"))
+    val want = graft.operators.Ledger.sequenceGapAudit(chl).collect()
+      .map(key).sortBy(_._1)
+    for (n <- Seq(1, 3)) {
+      val got = CdcStream.gapParity(spark, chl, nBatches = n)
+        .collect().map(key).sortBy(_._1)
+      assert(got.toSeq === want.toSeq, s"nBatches=$n")
+    }
+    // drop one id mid-bucket: that bucket (and only new gaps) flip
+    val holed = chl.where(col("event_id") =!= 100L)
+    val g = CdcStream.gapParity(spark, holed).collect()
+      .map(key).sortBy(_._1)
+    val wantHoled = graft.operators.Ledger.sequenceGapAudit(holed)
+      .collect().map(key).sortBy(_._1)
+    assert(g.toSeq === wantHoled.toSeq)
+    assert(g.find(_._1 === 100L / graft.operators.Ledger.SeqBucket)
+      .exists(_._7 === "GAPPED"))
+  }
+
   test("ivfIngestMonitor: per-batch trigger history; the final report " +
     "equals the batch ivf_incremental oracle verbatim") {
     val emb = Tables.embeddings(spark, TestSpark.Sf)

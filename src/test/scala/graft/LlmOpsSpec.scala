@@ -1976,6 +1976,103 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(w.get.getAs[String]("relation") === "CONTAINED")
   }
 
+  test("hubness_audit: histogram mass equals the candidate count, " +
+    "edge mass equals the graph size, verdict follows max k-occ") {
+    val assign = Similarity.ivfAssign(embs)
+    val rows = Similarity.hubnessAuditFrom(assign, embs).collect()
+    val nCand = embs.where(col("vec_id") >= 8).count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum === nCand)
+    val edges = Similarity.knnGraphFrom(assign, embs)
+    assert(rows.map(r =>
+      r.getAs[Long]("k_occ") * r.getAs[Long]("n_vectors")).sum ===
+      edges.count())
+    // max_k_occ rides every row and equals the densest in-degree
+    val maxK = edges.groupBy("nbr_id").count()
+      .agg(max("count")).collect().head.getLong(0)
+    val wantV =
+      if (maxK >= Similarity.HubFactor * Similarity.KnnK) "HUBBY"
+      else "OK"
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_k_occ") === maxK)
+      assert(r.getAs[String]("verdict") === wantV)
+      assert(r.getAs[Long]("share_ppm") ===
+        r.getAs[Long]("n_vectors") * 1000000L / nCand)
+      assert(r.getAs[Long]("n_vectors") > 0L)
+    }
+  }
+
+  test("bbit_minhash: per-bucket errors match a driver-side 1-bit " +
+    "replay and the 1-bit rung is never better than the full width " +
+    "on aggregate mass") {
+    val rows = Dedup.bbitMinhash(docs).collect()
+    // driver-side replay from the per-pair relations
+    val per = Dedup.minhashEstError(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("j_milli"), r.getAs[Long]("est_milli")))
+    val sh = Dedup.shingleHashes(docs)
+    val sigRows = Dedup.signaturesFromHashes(sh).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until Dedup.NumHashes).map(s => r.getAs[Long](s"m$s") % 2))
+      .toMap
+    val want = per.groupBy(_._3 / 100 * 100).map { case (b, ps) =>
+      val errs1 = ps.map { case (a, bd, j, _) =>
+        val agree = sigRows(a).zip(sigRows(bd)).count(p => p._1 == p._2)
+        val est1 = math.max(agree.toLong * 2000 / Dedup.NumHashes - 1000, 0L)
+        math.abs(est1 - j)
+      }
+      val errs64 = ps.map { case (_, _, j, e) => math.abs(e - j) }
+      b -> ((ps.length.toLong, errs64.sum / ps.length,
+        errs1.sum / ps.length, errs1.max))
+    }
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("j_bucket_milli")
+      val (n, m64, m1, mx1) = want(b)
+      assert(r.getAs[Long]("n_pairs") === n, s"bucket $b")
+      assert(r.getAs[Long]("mae64_milli") === m64, s"bucket $b")
+      assert(r.getAs[Long]("mae1_milli") === m1, s"bucket $b")
+      assert(r.getAs[Long]("max_err1_milli") === mx1, s"bucket $b")
+    }
+    // total 1-bit error mass ≥ full-width error mass (the storage
+    // ladder's price is real, never negative)
+    val w1 = rows.map(r =>
+      r.getAs[Long]("mae1_milli") * r.getAs[Long]("n_pairs")).sum
+    val w64 = rows.map(r =>
+      r.getAs[Long]("mae64_milli") * r.getAs[Long]("n_pairs")).sum
+    assert(w1 >= w64)
+  }
+
+  test("knn_components: label mass accounts for every candidate, " +
+    "labels are component minima, and the rounds match a driver-side " +
+    "fixed-round propagation replay") {
+    val assign = Similarity.ivfAssign(embs)
+    val rows = Similarity.knnComponentsFrom(assign, embs).collect()
+      .map(r => r.getAs[Long]("component_label") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("id_sum"))).toMap
+    val cands = embs.where(col("vec_id") >= 8)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(rows.values.map(_._1).sum === cands.length.toLong)
+    // driver-side fixed-round replay
+    val edges = Similarity.knnGraphFrom(assign, embs)
+      .select("src_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = (edges ++ edges.map(_.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = cands.map(c => c -> c).toMap
+    for (_ <- 0 until Similarity.ClpRounds) {
+      labels = labels.map { case (id, l) =>
+        val nbrMin = und.get(id).map(_.map(labels).min)
+        id -> math.min(l, nbrMin.getOrElse(l))
+      }
+    }
+    val want = labels.groupBy(_._2).map { case (l, m) =>
+      l -> ((m.size.toLong, m.keys.sum))
+    }
+    assert(rows === want)
+    // every label is its component's minimum member id
+    labels.foreach { case (id, l) => assert(l <= id) }
+  }
+
   test("sample_coverage: per-cluster counts reconcile with the corpus " +
     "sample decisions, shares are grid-exact, verdict bands hold") {
     val assign = Similarity.ivfAssign(embs)

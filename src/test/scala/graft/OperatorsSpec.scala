@@ -1765,4 +1765,101 @@ class OperatorsSpec extends AnyFunSuite {
     val g = Snapshot.benfordAudit(geo).collect()
     assert(g.head.getAs[String]("verdict") === "BENFORD")
   }
+
+  test("partition_advisor: byte estimates match a driver-side width " +
+    "replay, the partition recommendation follows the ceiling formula") {
+    val tables = Snapshot.AdvisorGrid.map { case (t, _) =>
+      t -> spark.read.parquet(s"${TestSpark.Sf}/$t.parquet")
+    }
+    val rows = Snapshot.partitionAdvisor(tables).collect()
+      .map(r => r.getAs[String]("table_name") -> r).toMap
+    assert(rows.keySet === Snapshot.AdvisorGrid.map(_._1).toSet)
+    Snapshot.AdvisorGrid.foreach { case (t, cols) =>
+      val df = tables.toMap.apply(t)
+      val n = df.count()
+      val fixedW = cols.collect {
+        case (_, "f8") => 8L
+        case (_, "f4") => 4L
+      }.sum
+      val strBytes = cols.collect { case (c, "str") =>
+        df.agg(sum(expr(s"octet_length($c)").cast("long"))).collect()
+          .head.getLong(0)
+      }.sum
+      val est = n * fixedW + strBytes
+      val r = rows(t)
+      assert(r.getAs[Long]("n_rows") === n, t)
+      assert(r.getAs[Long]("est_bytes") === est, t)
+      assert(r.getAs[Long]("bytes_per_row") === est / math.max(n, 1L), t)
+      val rec = math.max(
+        (est + Snapshot.TargetPartitionBytes - 1) /
+          Snapshot.TargetPartitionBytes, 1L)
+      assert(r.getAs[Long]("rec_partitions") === rec, t)
+      assert(r.getAs[String]("verdict") ===
+        (if (rec == 1L) "SINGLE" else "SPLIT"), t)
+    }
+  }
+
+  test("idempotence_gate: re-applying the same merged batch drifts by " +
+    "exactly zero rows and the counts reconcile with the applied state") {
+    val customer = Tables.customer(spark, TestSpark.Sf)
+    val r = CdcMerge.idempotenceGate(cl, customer).collect().head
+    val once = CdcMerge.upsertApply(cl, customer).count()
+    assert(r.getAs[Long]("n_once") === once)
+    assert(r.getAs[Long]("n_twice") === once)
+    assert(r.getAs[Long]("n_key_drift") === 0L)
+    assert(r.getAs[Long]("n_value_drift") === 0L)
+    assert(r.getAs[String]("verdict") === "IDEMPOTENT")
+  }
+
+  test("attribution_linear: credit mass reconciles with a driver-side " +
+    "journey replay and touchless purchases credit 'none' in full") {
+    val ev = Tables.events(spark, TestSpark.Sf)
+    val rows = Analytics.attributionLinear(ev).collect()
+      .map(r => r.getAs[String]("touch_type") -> r).toMap
+    // driver-side replay
+    val es = ev.select(col("user_id"), col("event_id"), col("ts_ns"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("vc")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    case class Acc(journeys: Long = 0L, touches: Long = 0L,
+                   credit: Long = 0L)
+    val acc = scala.collection.mutable.Map.empty[String, Acc]
+    es.groupBy(_._1).foreach { case (_, us) =>
+      val sorted = us.sortBy(e => (e._3, e._2))
+      var journey = scala.collection.mutable.ListBuffer.empty[String]
+      sorted.foreach { case (_, _, _, typ, vc) =>
+        if (typ == "purchase") {
+          if (journey.isEmpty) {
+            val a = acc.getOrElse("none", Acc())
+            acc("none") = Acc(a.journeys + 1, a.touches + 1,
+              a.credit + vc * 1000L)
+          } else {
+            val per = vc * 1000L / journey.size
+            journey.groupBy(identity).foreach { case (t, ts) =>
+              val a = acc.getOrElse(t, Acc())
+              acc(t) = Acc(a.journeys + 1, a.touches + ts.size,
+                a.credit + per * ts.size)
+            }
+          }
+          journey = scala.collection.mutable.ListBuffer.empty[String]
+        } else journey += typ
+      }
+    }
+    assert(rows.keySet === acc.keySet)
+    acc.foreach { case (t, a) =>
+      assert(rows(t).getAs[Long]("n_journeys") === a.journeys, t)
+      assert(rows(t).getAs[Long]("n_touches") === a.touches, t)
+      assert(rows(t).getAs[Long]("credit_milli_cents") === a.credit, t)
+    }
+    // credited milli-mass never exceeds purchase mass and loses less
+    // than 1 milli-cent per (journey, touch-type) truncation
+    val purchaseMass = es.filter(_._4 == "purchase").map(_._5 * 1000L).sum
+    val credited = rows.values
+      .map(_.getAs[Long]("credit_milli_cents")).sum
+    assert(credited <= purchaseMass)
+    val slots = acc.values.map(_.journeys).sum
+    assert(purchaseMass - credited < slots *
+      es.groupBy(_._1).map(_._2.length).max)
+  }
 }

@@ -185,7 +185,10 @@ class PlanSpec extends AnyFunSuite {
       "knn_recall",
       // split_kfold / benford_audit / sample_coverage cross a 1-row
       // broadcast total onto a K-/9-/index-sized grid
-      "split_kfold", "benford_audit", "sample_coverage")
+      "split_kfold", "benford_audit", "sample_coverage",
+      // hubness_audit crosses the 1-row (total, max) aggregate onto
+      // the ≤max-degree histogram grid
+      "hubness_audit")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
