@@ -51,7 +51,8 @@ knn_graph,nn_descent,zipf_fit,anon_generalize,watermark_sweep,\
 sequence_gap_audit,stream_balance_parity,split_kfold,\
 compaction_plan,ngram_containment,sample_coverage,hubness_audit,\
 attribution_linear,stream_gap_parity,bbit_minhash,\
-idempotence_gate,knn_components"
+idempotence_gate,knn_components,readability_score,\
+cross_lang_pairs,bounce_rate"
 
 echo "== amplify $BASE x$K -> $WORK"
 sbt -batch "runMain graft.AmplifyCorpus $BASE $WORK $K"

@@ -1302,6 +1302,19 @@ object OracleSql {
 
     "sessionize" -> SessionizeSql,
 
+    // single-event-session census over the sessionize grid verbatim
+    "bounce_rate" ->
+      s"""WITH sess AS ($SessionizeSql)
+         |SELECT 'db' || (user_id % 3) AS db,
+         |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_bounce,
+         |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS bounce_ppm,
+         |  CAST(SUM(n_events) * 1000 // COUNT(*) AS BIGINT)
+         |    AS events_per_session_milli
+         |FROM sess GROUP BY 1""".stripMargin,
+
     // the streaming sessionizer's ordered replay must close exactly
     // the batch sessions — the oracle IS sessionize's
     "stream_sessionize_parity" -> SessionizeSql,
@@ -2400,6 +2413,26 @@ object OracleSql {
         |       CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // FK coefficients in milli-units with the same truncating div and
+    // the same three regex counts as the Spark projection
+    "readability_score" ->
+      """WITH r AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[.!?]')) + 1 AS BIGINT)
+        |      AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS syl
+        |  FROM documents),
+        |g AS (SELECT lang,
+        |    390 * w // s + 11800 * syl // w - 15590 AS grade_milli
+        |  FROM r WHERE w > 0)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(grade_milli) // COUNT(*) AS BIGINT)
+        |    AS mean_grade_milli,
+        |  CAST(MIN(grade_milli) AS BIGINT) AS min_grade_milli,
+        |  CAST(MAX(grade_milli) AS BIGINT) AS max_grade_milli
+        |FROM g GROUP BY 1""".stripMargin,
+
     "text_stats" ->
       """WITH d AS (
         |  SELECT lang,
@@ -3007,6 +3040,41 @@ object OracleSql {
          |SELECT q_id, cand_id, CAST(rn AS BIGINT) AS rank,
          |       CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_e6
          |FROM s WHERE rn <= 10""".stripMargin,
+
+    // bitext mining census over the same sign-LSH buckets; the struct
+    // argmax ties break (sim DESC, id_a DESC, id_b DESC) on both sides
+    "cross_lang_pairs" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+         |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |    CAST(ROUND(list_cosine_similarity(a.v, b2.v) * 1000000)
+         |      AS BIGINT) AS sim_e6
+         |  FROM b a JOIN b b2 USING (bucket)
+         |  WHERE a.vec_id < b2.vec_id),
+         |l AS (SELECT p.*, da.lang AS lang_a, db.lang AS lang_b
+         |  FROM p JOIN documents da ON p.id_a = da.doc_id
+         |  JOIN documents db ON p.id_b = db.doc_id
+         |  WHERE da.lang <> db.lang),
+         |c AS (SELECT LEAST(lang_a, lang_b) AS lang_lo,
+         |    GREATEST(lang_a, lang_b) AS lang_hi, sim_e6, id_a, id_b
+         |  FROM l),
+         |g AS (SELECT lang_lo, lang_hi,
+         |    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |    CAST(SUM(sim_e6) // COUNT(*) AS BIGINT) AS mean_sim_e6,
+         |    CAST(SUM(CASE WHEN sim_e6 >= ${Similarity.BitextTauE6}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bitext
+         |  FROM c GROUP BY 1, 2),
+         |t AS (SELECT lang_lo, lang_hi, sim_e6 AS max_sim_e6,
+         |    id_a AS best_a, id_b AS best_b
+         |  FROM (SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY lang_lo, lang_hi
+         |      ORDER BY sim_e6 DESC, id_a DESC, id_b DESC) AS rn
+         |    FROM c) WHERE rn = 1)
+         |SELECT g.lang_lo, g.lang_hi, n_candidates, mean_sim_e6,
+         |  max_sim_e6, best_a, best_b, n_bitext,
+         |  CASE WHEN n_bitext > 0 THEN 'BITEXT' ELSE 'NONE' END
+         |    AS verdict
+         |FROM g JOIN t USING (lang_lo, lang_hi)""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

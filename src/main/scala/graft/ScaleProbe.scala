@@ -252,6 +252,10 @@ object ScaleProbe {
       // (partition_advisor/hubness are grid-sized post-aggregate —
       // parity pins them; the corpus-sized stage is the one window)
       "attribution_linear" -> sink(
-        graft.operators.Analytics.attributionLinear(ev)))
+        graft.operators.Analytics.attributionLinear(ev)),
+      // batch-14: the three-regex readability projection and the
+      // sessionize-riding bounce census
+      "readability_score" -> sink(TextAnalysis.readabilityScore(docs)),
+      "bounce_rate" -> sink(Temporal.bounceRate(cl)))
   }
 }

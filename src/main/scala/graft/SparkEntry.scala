@@ -67,6 +67,7 @@ object SparkEntry {
     "tier_history"        -> ((s, dir) => Temporal.tierHistory(cl(s, dir))),
     "event_gaps"          -> ((s, dir) => Temporal.eventGaps(cl(s, dir))),
     "sessionize"          -> ((s, dir) => Temporal.sessionize(cl(s, dir))),
+    "bounce_rate"         -> ((s, dir) => Temporal.bounceRate(cl(s, dir))),
     "asof_enrich"         -> ((s, dir) =>
       Joins.asofEnrich(cl(s, dir), Tables.orders(s, dir))),
     "pit_snapshot"        -> ((s, dir) => Joins.pitSnapshot(cl(s, dir))),
@@ -132,6 +133,8 @@ object SparkEntry {
       TextAnalysis.dedupExact(Tables.documents(s, dir))),
     "text_stats"          -> ((s, dir) =>
       TextAnalysis.textStats(Tables.documents(s, dir))),
+    "readability_score"   -> ((s, dir) =>
+      TextAnalysis.readabilityScore(Tables.documents(s, dir))),
     "lang_id"             -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir))),
     "token_count"         -> ((s, dir) =>
@@ -172,6 +175,9 @@ object SparkEntry {
         Tables.embeddings(s, dir))),
     "dedup_embedding"     -> ((s, dir) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, dir))),
+    "cross_lang_pairs"    -> ((s, dir) =>
+      Similarity.crossLangPairs(Tables.embeddings(s, dir),
+        Tables.documents(s, dir))),
     "dedup_minhash"       -> ((s, dir) => Staged.dedup(s, dir).dups),
     "dedup_ngram_jaccard" -> ((s, dir) => Staged.dedup(s, dir).verified),
     "dedup_simhash"       -> ((s, dir) => Staged.dedup(s, dir).simPairs),

@@ -2027,6 +2027,58 @@ object Similarity {
       .select("id_a", "id_b", "sim_e6")
   }
 
+  /** Bitext candidate threshold (cosine e6) for [[crossLangPairs]]. */
+  val BitextTauE6 = 800000L
+
+  /** Cross-lingual pair mining census — the bitext-mining pass a
+    * multilingual training pipeline runs to find translation pairs
+    * (same content, different language) for alignment data: candidate
+    * pairs come from the SAME sign-LSH buckets the embedding dedup
+    * uses (never all-pairs), restricted to mismatched languages, and
+    * each (lang, lang) cell reports its candidate count, best and
+    * mean similarity, the best pair's ids, and how many candidates
+    * clear [[BitextTauE6]] — with a NONE verdict when the corpus
+    * simply contains no bitext (the honest negative this synthetic
+    * corpus produces: its cross-language embeddings are independent,
+    * max cosine ~0.51). Language pairs are canonicalized (lo, hi) so
+    * the grid is unordered-pair-sized. Shape: one bucket-keyed
+    * self-join + two narrow (id, lang) joins + a lang-grid aggregate;
+    * the argmax is a struct max, no window. */
+  def crossLangPairs(embeddings: DataFrame,
+                     documents: DataFrame): DataFrame = {
+    val v = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", bucketCol(col("embedding")))
+    val a = v.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = v.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    val langs = documents.select(col("doc_id"), col("lang"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim_e6",
+        round(cosineSim(col("va"), col("vb")) * 1000000).cast("long"))
+      .join(langs.select(col("doc_id").as("id_a"),
+        col("lang").as("lang_a")), "id_a")
+      .join(langs.select(col("doc_id").as("id_b"),
+        col("lang").as("lang_b")), "id_b")
+      .where(col("lang_a") =!= col("lang_b"))
+      .select(least(col("lang_a"), col("lang_b")).as("lang_lo"),
+        greatest(col("lang_a"), col("lang_b")).as("lang_hi"),
+        col("sim_e6"), col("id_a"), col("id_b"))
+      .groupBy("lang_lo", "lang_hi")
+      .agg(count(lit(1)).as("n_candidates"),
+        expr("sum(sim_e6) div count(1)").as("mean_sim_e6"),
+        max(struct(col("sim_e6"), col("id_a"), col("id_b"))).as("m"),
+        sum((col("sim_e6") >= BitextTauE6).cast("long"))
+          .as("n_bitext"))
+      .select(col("lang_lo"), col("lang_hi"), col("n_candidates"),
+        col("mean_sim_e6"), col("m.sim_e6").as("max_sim_e6"),
+        col("m.id_a").as("best_a"), col("m.id_b").as("best_b"),
+        col("n_bitext"))
+      .withColumn("verdict",
+        when(col("n_bitext") > 0L, "BITEXT").otherwise("NONE"))
+  }
+
   /** Label-propagation rounds run by [[knnComponentsFrom]]. */
   val ClpRounds = 4
 

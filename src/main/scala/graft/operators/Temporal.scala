@@ -446,6 +446,25 @@ object Temporal {
         max("ems").as("end_ms"),
         (max("ems") - min("ems")).as("duration_ms"))
 
+  /** Per-db bounce census — the engagement-quality rollup beside
+    * session_quantiles: a bounce is a single-event session (the user
+    * arrived and left), the metric every funnel report is normalized
+    * by. Per db: sessions, bounces, bounce rate ppm, and
+    * events-per-session milli. Rides [[sessionize]]'s output verbatim
+    * (the session grid, one user-keyed shuffle upstream), so the
+    * rollup itself is db-grid-sized. */
+  def bounceRate(changelog: DataFrame): DataFrame =
+    sessionize(changelog)
+      .groupBy(concat(lit("db"),
+        pmod(col("user_id"), lit(3L)).cast("string")).as("db"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum((col("n_events") === 1L).cast("long")).as("n_bounce"),
+        sum("n_events").as("n_events"))
+      .select(col("db"), col("n_sessions"), col("n_bounce"),
+        expr("n_bounce * 1000000 div n_sessions").as("bounce_ppm"),
+        expr("n_events * 1000 div n_sessions")
+          .as("events_per_session_milli"))
+
   /** Candidate inactivity gaps for [[sessionGapSweep]] (seconds). */
   val GapSweepS: Seq[Long] = Seq(900L, 1800L, 3600L)
 

@@ -383,6 +383,36 @@ object TextAnalysis {
         max("div_ppm").as("max_div_ppm"),
         expr("sum(div_ppm) div count(1)").as("mean_div_ppm"))
 
+  /** Flesch–Kincaid readability per language — the classic
+    * quality-filter signal (too-low grade ⇒ fragment soup, too-high ⇒
+    * run-on boilerplate), made integer-exact: words = whitespace
+    * tokens, sentences = terminal-punctuation count + 1, syllables ≈
+    * vowel-group count (the standard regex surrogate — a heuristic,
+    * declared as such, identical in both engines), and
+    * grade_milli = 390·w div s + 11800·syl div w − 15590 (the FK
+    * coefficients in milli-units with truncating div — no float
+    * anywhere, so the score is cross-engine exact). Rolled up per
+    * language: docs, mean/min/max grade. Shape: one codegen'd narrow
+    * projection (three regexp counts per doc), one language-sized
+    * aggregate — no explode, no shuffle beyond the rollup. */
+  def readabilityScore(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        (size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))
+          + 1).cast("long").as("s"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+          lit(0))).cast("long").as("syl"))
+      .where(col("w") > 0L)
+      .select(col("lang"),
+        expr("390 * w div s + 11800 * syl div w - 15590")
+          .as("grade_milli"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(grade_milli) div count(1)").as("mean_grade_milli"),
+        min("grade_milli").as("min_grade_milli"),
+        max("grade_milli").as("max_grade_milli"))
+
   /** Hash-based train/val/test assignment (98/1/1 by doc-id hash):
     * deterministic, leakage-free (a doc's split never depends on corpus
     * order or partitioning), and stable as the corpus grows — the

@@ -2001,6 +2001,64 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("readability_score: the FK milli formula matches a hand-" +
+    "computed fixture and the corpus rollup a driver-side replay") {
+    import spark.implicits._
+    // "the cat sat. go!" -> w=4, s=3 (two terminals + 1), syl: e,a,a,o
+    val fix = Seq((1L, "the cat sat. go!", "en"))
+      .toDF("doc_id", "text", "lang")
+    val f = TextAnalysis.readabilityScore(fix).collect().head
+    val want = 390L * 4 / 3 + 11800L * 4 / 4 - 15590L
+    assert(f.getAs[Long]("mean_grade_milli") === want)
+    // corpus rollup replay
+    val per = docs.select(col("lang"), col("text")).collect().map { r =>
+      val t = r.getString(1)
+      val w = t.split(" ", -1).length.toLong
+      val s = "[.!?]".r.findAllIn(t).length.toLong + 1L
+      val syl = "[aeiouy]+".r.findAllIn(t.toLowerCase).length.toLong
+      (r.getString(0), 390L * w / s + 11800L * syl / w - 15590L)
+    }
+    val rows = TextAnalysis.readabilityScore(docs).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    per.groupBy(_._1).foreach { case (lang, gs) =>
+      val r = rows(lang)
+      assert(r.getAs[Long]("n_docs") === gs.length.toLong, lang)
+      assert(r.getAs[Long]("mean_grade_milli") ===
+        gs.map(_._2).sum / gs.length, lang)
+      assert(r.getAs[Long]("min_grade_milli") === gs.map(_._2).min, lang)
+      assert(r.getAs[Long]("max_grade_milli") === gs.map(_._2).max, lang)
+    }
+  }
+
+  test("cross_lang_pairs: grid cells reconcile with a driver-side " +
+    "bucket-pair replay and this corpus honestly reports no bitext") {
+    val rows = Similarity.crossLangPairs(embs, docs).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("lang_lo") < r.getAs[String]("lang_hi"))
+      assert(r.getAs[Long]("n_bitext") <= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Long]("max_sim_e6") >= r.getAs[Long]("mean_sim_e6"))
+      // the synthetic corpus has independent cross-language
+      // embeddings — the honest negative this census must report
+      assert(r.getAs[Long]("n_bitext") === 0L)
+      assert(r.getAs[String]("verdict") === "NONE")
+    }
+    // candidate mass reconciles with the dedup buckets' cross-lang
+    // pair count
+    val langs = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val buckets = embs.select(col("vec_id"),
+        Similarity.bucketCol(col("embedding")).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nCross: Long = buckets.groupBy(_._2).values.map { vs =>
+      val ids = vs.map(_._1).toSeq
+      ids.combinations(2).count {
+        case Seq(a, b) => langs(a) != langs(b)
+        case _         => false
+      }.toLong
+    }.sum
+    assert(rows.map(_.getAs[Long]("n_candidates")).sum === nCross)
+  }
+
   test("bbit_minhash: per-bucket errors match a driver-side 1-bit " +
     "replay and the 1-bit rung is never better than the full width " +
     "on aggregate mass") {

@@ -156,4 +156,25 @@ class TemporalSpec extends AnyFunSuite {
     val states = rows.map(_.getAs[String]("status")).toSet
     assert(states.contains("WARMUP") && states.contains("NORMAL"))
   }
+
+  test("bounce_rate: per-db counts reconcile with sessionize's grid " +
+    "and the ratios are grid-exact") {
+    val sess = Temporal.sessionize(cl)
+      .select(col("user_id"), col("n_events")).collect()
+      .map(r => (r.getLong(0) % 3, r.getLong(1)))
+    val rows = Temporal.bounceRate(cl).collect()
+      .map(r => r.getAs[String]("db") -> r).toMap
+    assert(rows.keySet === sess.map(s => s"db${s._1}").toSet)
+    sess.groupBy(_._1).foreach { case (d, ss) =>
+      val r = rows(s"db$d")
+      val n = ss.length.toLong
+      val b = ss.count(_._2 == 1L).toLong
+      val ev = ss.map(_._2).sum
+      assert(r.getAs[Long]("n_sessions") === n, s"db$d")
+      assert(r.getAs[Long]("n_bounce") === b, s"db$d")
+      assert(r.getAs[Long]("bounce_ppm") === b * 1000000L / n, s"db$d")
+      assert(r.getAs[Long]("events_per_session_milli") ===
+        ev * 1000L / n, s"db$d")
+    }
+  }
 }
