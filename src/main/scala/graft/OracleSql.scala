@@ -330,6 +330,30 @@ object OracleSql {
   /** Per-db running-balance rollup — ONE text pins the batch
     * balance_audit window form AND the streaming balanceParity
     * state-machine replay (the stream_merge_parity convention). */
+  /** Compaction-plan SQL — twin of Ledger.compactionPlan, shared
+    * verbatim by compaction_plan and stream_compaction_parity. */
+  private lazy val CompactionSql: String = {
+    val win = graft.operators.Ledger.CompactWinMs
+    val tgt = graft.operators.Ledger.CompactTargetRows
+    s"""WITH $CL,
+       |f AS (SELECT 'db' || (user_id % 3) AS db,
+       |    ems // $win AS win, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM cl GROUP BY 1, 2),
+       |c AS (SELECT *, CAST(SUM(n_rows) OVER (PARTITION BY db
+       |    ORDER BY win) AS BIGINT) AS cum FROM f),
+       |b AS (SELECT db, (cum - 1) // $tgt AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n_files,
+       |    CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
+       |    CAST(MIN(win) AS BIGINT) AS first_win,
+       |    CAST(MAX(win) AS BIGINT) AS last_win
+       |  FROM c GROUP BY 1, 2)
+       |SELECT db, bin, n_files, bin_rows, first_win, last_win,
+       |  CAST(bin_rows * 1000000 // $tgt AS BIGINT) AS fill_ppm,
+       |  CASE WHEN n_files = 1 AND bin_rows * 1000000 // $tgt >= 1000000
+       |    THEN 'PASSTHROUGH' ELSE 'COMPACT' END AS verdict
+       |FROM b""".stripMargin
+  }
+
   /** Id-continuity audit SQL — twin of Ledger.sequenceGapAudit,
     * shared verbatim by sequence_gap_audit and the streaming
     * stream_gap_parity lane. */
@@ -1163,6 +1187,50 @@ object OracleSql {
          |  pending, blocked, error, success
          |FROM st""".stripMargin,
 
+    // the delivery bodies the reference's Email/Webhook handlers would
+    // put on the wire — rule branches generated from the SAME
+    // Endpoints.AlertRules constant, newlines via chr(10)
+    "alert_payloads" -> {
+      import graft.operators.Endpoints.{AlertEmailSubject, AlertEmailTo,
+        AlertRules, AlertWebhookUrl}
+      val branches = AlertRules.flatMap {
+        case (rule, pOver, bOver, eOver, action) =>
+          Seq(("pending", pOver), ("blocked", bOver), ("error", eOver))
+            .collect { case (kind, t) if t >= 0L =>
+              s"""SELECT db, '$rule' AS rule,
+                 |  '$kind=' || $kind || ' threshold=$t' AS reason,
+                 |  '$action' AS channel,
+                 |  pending, blocked, error, success
+                 |FROM st WHERE $kind > $t""".stripMargin
+            }
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $CL, $STATUS, $ST,
+         |al AS ($branches)
+         |SELECT db, rule, reason, channel,
+         |  CASE WHEN channel = 'email' THEN '$AlertEmailTo'
+         |    ELSE '$AlertWebhookUrl' END AS target,
+         |  CASE WHEN channel = 'email' THEN '$AlertEmailSubject'
+         |    ELSE 'POST' END AS mode,
+         |  CASE WHEN channel = 'email' THEN
+         |    'matched rule: ' || rule || chr(10) ||
+         |    'reason: ' || reason || chr(10) ||
+         |    'sync status:' || chr(10) ||
+         |    '  name: ' || db || chr(10) ||
+         |    '  pending: ' || pending || chr(10) ||
+         |    '  blocked: ' || blocked || chr(10) ||
+         |    '  error: ' || error || chr(10) ||
+         |    '  success: ' || success
+         |  ELSE
+         |    '{"matchedRule":"' || rule || '","reason":"' || reason ||
+         |    '","syncStatus":{"name":"' || db ||
+         |    '","pending":' || pending ||
+         |    ',"blocked":' || blocked ||
+         |    ',"error":' || error ||
+         |    ',"success":' || success || ',"others":0}}'
+         |  END AS body
+         |FROM al""".stripMargin
+    },
+
     "error_retry" ->
       s"""WITH $CL,
          |e AS (SELECT part, event_id, event_id % 5 AS retry FROM cl WHERE op='D')
@@ -1391,27 +1459,11 @@ object OracleSql {
 
     // (db, window) file inventory + cumulative-sum binning generated
     // from the same CompactWinMs/CompactTargetRows constants
-    "compaction_plan" -> {
-      val win = graft.operators.Ledger.CompactWinMs
-      val tgt = graft.operators.Ledger.CompactTargetRows
-      s"""WITH $CL,
-         |f AS (SELECT 'db' || (user_id % 3) AS db,
-         |    ems // $win AS win, CAST(COUNT(*) AS BIGINT) AS n_rows
-         |  FROM cl GROUP BY 1, 2),
-         |c AS (SELECT *, CAST(SUM(n_rows) OVER (PARTITION BY db
-         |    ORDER BY win) AS BIGINT) AS cum FROM f),
-         |b AS (SELECT db, (cum - 1) // $tgt AS bin,
-         |    CAST(COUNT(*) AS BIGINT) AS n_files,
-         |    CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
-         |    CAST(MIN(win) AS BIGINT) AS first_win,
-         |    CAST(MAX(win) AS BIGINT) AS last_win
-         |  FROM c GROUP BY 1, 2)
-         |SELECT db, bin, n_files, bin_rows, first_win, last_win,
-         |  CAST(bin_rows * 1000000 // $tgt AS BIGINT) AS fill_ppm,
-         |  CASE WHEN n_files = 1 AND bin_rows * 1000000 // $tgt >= 1000000
-         |    THEN 'PASSTHROUGH' ELSE 'COMPACT' END AS verdict
-         |FROM b""".stripMargin
-    },
+    "compaction_plan" -> CompactionSql,
+
+    // the streaming file-inventory lane bins through the SAME batch
+    // code path and replays into the same oracle text
+    "stream_compaction_parity" -> CompactionSql,
 
     // the sketch has no DuckDB twin; the oracle recomputes the exact
     // count and pins the error-band verdict — an out-of-band sketch

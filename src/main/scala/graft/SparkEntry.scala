@@ -63,6 +63,7 @@ object SparkEntry {
     "value_median"        -> ((s, dir) => Ledger.valueMedian(cl(s, dir))),
     "status_rollup"       -> ((s, dir) => Ledger.statusRollup(cl(s, dir))),
     "endpoint_status"     -> ((s, dir) => Endpoints.statusJson(s, cl(s, dir))),
+    "alert_payloads"      -> ((s, dir) => Endpoints.alertPayloads(cl(s, dir))),
     "scd2_history"        -> ((s, dir) => Temporal.scd2History(cl(s, dir))),
     "tier_history"        -> ((s, dir) => Temporal.tierHistory(cl(s, dir))),
     "event_gaps"          -> ((s, dir) => Temporal.eventGaps(cl(s, dir))),
@@ -435,6 +436,8 @@ object SparkEntry {
       Ledger.sequenceGapAudit(cl(s, dir))),
     "stream_gap_parity"   -> ((s, dir) =>
       graft.streaming.CdcStream.gapParity(s, cl(s, dir))),
+    "stream_compaction_parity" -> ((s, dir) =>
+      graft.streaming.CdcStream.compactionParity(s, cl(s, dir))),
     "view_refresh_plan"   -> ((s, dir) =>
       CdcMerge.viewRefreshPlan(Tables.orders(s, dir),
         Tables.lineitem(s, dir))),

@@ -113,4 +113,81 @@ object Endpoints {
     sync.unionByName(sys).unionByName(comp).unionByName(ds)
       .unionByName(cfgRow)
   }
+
+  /** Static delivery targets for [[alertPayloads]] — in the reference
+    * these come from each monitor rule's `params` block
+    * (EmailParams/WebhookParams); here one constant each, example.com
+    * reserved addresses (nothing is ever sent). */
+  val AlertEmailTo = "ops@example.com"
+  val AlertWebhookUrl = "https://example.com/dbsync/alerts"
+  val AlertEmailSubject = "[dbsync monitor] rule matched"
+
+  /** The monitor rule set — the graft twin of the reference's
+    * `monitor:` YAML list (config/ConfigObjects.scala:48-59
+    * MonitorRule/MonitorConfig; src/config/app-demo.yaml): each rule
+    * names its thresholds (−1 = unconfigured, the reference default)
+    * and ONE action, and EVERY rule is evaluated independently per db
+    * (monitor/SelfMonitor.scala:68 `monitorConfig.foreach`) — a db in
+    * deep trouble fires several deliveries, one per matched rule.
+    * Fields: (name, pendingOver, blockedOver, errorOver, action). */
+  val AlertRules: Seq[(String, Long, Long, Long, String)] = Seq(
+    ("ops-email", -1L, 10L, 10L, "email"),
+    ("ops-webhook", 400L, -1L, -1L, "webhook"),
+    ("pager-webhook", -1L, -1L, 50L, "webhook"))
+
+  /** Delivery payloads for matched monitor rules — the query-shaped
+    * form of the reference's alert side effects
+    * (monitor/EmailActionHandler.scala:22-56, the indented text
+    * template; monitor/WebhookActionHandler.scala:20-31, the JSON
+    * POST body): one row per (db, rule, matched threshold), carrying
+    * the exact body the handler would put on the wire, rendered with
+    * deterministic concatenation from the same sync-state aggregate —
+    * so everything UP TO the socket is oracle-checked and only the
+    * SMTP/HTTP send itself remains the declared non-goal. The
+    * sync-state aggregate runs once (exchange-reused across the rule
+    * branches); output is (alerting dbs × matched rules)-sized. */
+  def alertPayloads(changelog: DataFrame): DataFrame = {
+    val st = Ledger.syncState(changelog)
+    val branches = AlertRules.flatMap {
+      case (rule, pOver, bOver, eOver, action) =>
+        Seq(("pending", pOver), ("blocked", bOver), ("error", eOver))
+          .collect { case (kind, t) if t >= 0L =>
+            st.where(col(kind) > t)
+              .select(col("db"), lit(rule).as("rule"),
+                concat(lit(s"$kind="), num(col(kind)),
+                  lit(s" threshold=$t")).as("reason"),
+                lit(action).as("channel"),
+                col("pending"), col("blocked"), col("error"),
+                col("success"))
+          }
+    }
+    val al = branches.reduce(_ unionByName _)
+    val nl = lit("\n")
+    val emailBody = concat(
+      lit("matched rule: "), col("rule"), nl,
+      lit("reason: "), col("reason"), nl,
+      lit("sync status:"), nl,
+      lit("  name: "), col("db"), nl,
+      lit("  pending: "), num(col("pending")), nl,
+      lit("  blocked: "), num(col("blocked")), nl,
+      lit("  error: "), num(col("error")), nl,
+      lit("  success: "), num(col("success")))
+    val hookBody = concat(
+      lit("{\"matchedRule\":\""), col("rule"),
+      lit("\",\"reason\":\""), col("reason"),
+      lit("\",\"syncStatus\":{\"name\":\""), col("db"),
+      lit("\",\"pending\":"), num(col("pending")),
+      lit(",\"blocked\":"), num(col("blocked")),
+      lit(",\"error\":"), num(col("error")),
+      lit(",\"success\":"), num(col("success")),
+      lit(",\"others\":0}}"))
+    al.select(col("db"), col("rule"), col("reason"),
+      col("channel"),
+      when(col("channel") === "email", lit(AlertEmailTo))
+        .otherwise(lit(AlertWebhookUrl)).as("target"),
+      when(col("channel") === "email", lit(AlertEmailSubject))
+        .otherwise(lit("POST")).as("mode"),
+      when(col("channel") === "email", emailBody)
+        .otherwise(hookBody).as("body"))
+  }
 }

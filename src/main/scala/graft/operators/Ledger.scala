@@ -785,10 +785,15 @@ object Ledger {
     * (dbs × calendar windows — calendar-sized, never event-sized),
     * partitioned by db so no single reducer sees more than one db's
     * grid. */
-  def compactionPlan(changelog: DataFrame): DataFrame = {
-    val files = changelog
+  def compactionPlan(changelog: DataFrame): DataFrame =
+    compactionBinsFrom(changelog
       .groupBy(dbCol.as("db"), expr(s"ems div $CompactWinMs").as("win"))
-      .agg(count(lit(1)).as("n_rows"))
+      .agg(count(lit(1)).as("n_rows")))
+
+  /** The binning stages of [[compactionPlan]] over an already-built
+    * (db, win, n_rows) file inventory — shared with the streaming
+    * parity lane, which builds the inventory as per-window state. */
+  private[graft] def compactionBinsFrom(files: DataFrame): DataFrame = {
     val w = Window.partitionBy("db").orderBy("win")
     files
       .withColumn("cum", sum("n_rows").over(w))

@@ -794,6 +794,70 @@ object CdcStream {
           "CONTIGUOUS").otherwise("GAPPED"))
   }
 
+  /** One change for the micro-batch file-inventory replay. */
+  case class FileChange(db: String, win: Long, ems: Long, op: String,
+                        ts: java.sql.Timestamp)
+  case class FileCount(db: String, win: Long, n_rows: Long)
+
+  /** Continuous per-(db, ingest-window) row counting — the streaming
+    * twin of compaction_plan's file-inventory stage: online, each
+    * landed micro-batch file is ONE long of state (its row count).
+    * The 'Z' sentinel flushes the inventory; the cumulative binning
+    * runs batch-side on the flushed FILE GRID via the same
+    * Ledger.compactionBinsFrom the batch operator uses — one code
+    * path, one oracle. */
+  def compactionStream(spark: SparkSession,
+                       cs: Dataset[FileChange]): Dataset[FileCount] = {
+    import spark.implicits._
+    cs.withWatermark("ts", "2 hours")
+      .groupByKey(c => (c.db, c.win))
+      .flatMapGroupsWithState[Long, FileCount](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (k: (String, Long), batch: Iterator[FileChange],
+         state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ListBuffer.empty[FileCount]
+          batch.foreach { c =>
+            if (c.op == "Z") { if (n > 0L) out += FileCount(k._1, k._2, n) }
+            else n += 1L
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
+  /** Streaming↔batch compaction parity: contiguous event-time replay
+    * through [[compactionStream]], per-file counts flushed by the 'Z'
+    * sentinel batch, binned by the batch operator's own
+    * compactionBinsFrom — pinned verbatim to the compaction_plan
+    * oracle. */
+  def compactionParity(spark: SparkSession, changelog: DataFrame,
+                       nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val winMs = graft.operators.Ledger.CompactWinMs
+    val src = changelog.select(
+      graft.operators.Ledger.dbCol.as("db"),
+      expr(s"ems div $winMs").as("win"),
+      col("ems"), col("op"),
+      timestamp_millis(col("ems")).as("ts"))
+    val bounds = src.agg(min("ems"), max("ems")).collect()(0)
+    if (bounds.isNullAt(0))
+      return spark.emptyDataFrame.select(lit("").as("db"),
+        lit(0L).as("bin"), lit(0L).as("n_files"), lit(0L).as("bin_rows"),
+        lit(0L).as("first_win"), lit(0L).as("last_win"),
+        lit(0L).as("fill_ppm"), lit("").as("verdict"))
+    val sentinelMs = bounds.getLong(1) + 3600L * 1000L
+    val sentinels = src.select(col("db"), col("win")).distinct()
+      .select(col("db"), col("win"), lit(sentinelMs).as("ems"),
+        lit("Z").as("op"), timestamp_millis(lit(sentinelMs)).as("ts"))
+    val flushed = replayStaged(spark,
+      rangeSlices(src, "ems", bounds.getLong(0), bounds.getLong(1),
+        nBatches) :+ sentinels,
+      OutputMode.Append())(
+      df => compactionStream(spark, df.as[FileChange]).toDF())
+    graft.operators.Ledger.compactionBinsFrom(flushed)
+  }
+
   /** One user's change for the balance replay. */
   case class BalChange(user_id: Long, event_id: Long, ems: Long,
                        op: String, value_cents: Long,

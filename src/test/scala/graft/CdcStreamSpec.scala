@@ -553,6 +553,24 @@ class CdcStreamSpec extends AnyFunSuite {
       .exists(_._7 === "GAPPED"))
   }
 
+  test("compactionParity: streamed file-inventory binning equals the " +
+    "batch compaction_plan verbatim, across batch counts") {
+    val chl = graft.operators.ChangeLog.normalize(
+      Tables.events(spark, TestSpark.Sf))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("db"), r.getAs[Long]("bin"),
+        r.getAs[Long]("n_files"), r.getAs[Long]("bin_rows"),
+        r.getAs[Long]("first_win"), r.getAs[Long]("last_win"),
+        r.getAs[Long]("fill_ppm"), r.getAs[String]("verdict"))
+    val want = graft.operators.Ledger.compactionPlan(chl).collect()
+      .map(key).sortBy(k => (k._1, k._2))
+    for (n <- Seq(1, 3)) {
+      val got = CdcStream.compactionParity(spark, chl, nBatches = n)
+        .collect().map(key).sortBy(k => (k._1, k._2))
+      assert(got.toSeq === want.toSeq, s"nBatches=$n")
+    }
+  }
+
   test("ivfIngestMonitor: per-batch trigger history; the final report " +
     "equals the batch ivf_incremental oracle verbatim") {
     val emb = Tables.embeddings(spark, TestSpark.Sf)

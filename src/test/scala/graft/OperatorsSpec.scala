@@ -1811,6 +1811,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getAs[String]("verdict") === "IDEMPOTENT")
   }
 
+  test("alert_payloads: one delivery per (db, matched rule threshold), " +
+    "bodies carry the reference's exact templates, counts reconcile " +
+    "with sync_state") {
+    import graft.operators.Endpoints
+    val st = Ledger.syncState(cl).collect()
+      .map(r => r.getAs[String]("db") ->
+        Map("pending" -> r.getAs[Long]("pending"),
+          "blocked" -> r.getAs[Long]("blocked"),
+          "error" -> r.getAs[Long]("error"))).toMap
+    val rows = Endpoints.alertPayloads(cl).collect()
+    val wantCount = st.values.map { m =>
+      Endpoints.AlertRules.map { case (_, p, b, e, _) =>
+        Seq("pending" -> p, "blocked" -> b, "error" -> e)
+          .count { case (k, t) => t >= 0L && m(k) > t }
+      }.sum
+    }.sum
+    assert(rows.length === wantCount)
+    rows.foreach { r =>
+      val body = r.getAs[String]("body")
+      val rule = r.getAs[String]("rule")
+      if (r.getAs[String]("channel") === "email") {
+        assert(r.getAs[String]("target") === Endpoints.AlertEmailTo)
+        assert(r.getAs[String]("mode") === Endpoints.AlertEmailSubject)
+        assert(body.startsWith(s"matched rule: $rule\nreason: "))
+        assert(body.contains("\nsync status:\n  name: " +
+          r.getAs[String]("db")))
+      } else {
+        assert(r.getAs[String]("target") === Endpoints.AlertWebhookUrl)
+        assert(r.getAs[String]("mode") === "POST")
+        assert(body.startsWith(s"""{"matchedRule":"$rule","reason":""""))
+        assert(body.endsWith(""","others":0}}"""))
+      }
+      // the reason names the threshold that fired, with its live value
+      val Array(kind, rest) = r.getAs[String]("reason").split("=", 2)
+      val v = rest.split(" ").head.toLong
+      assert(st(r.getAs[String]("db"))(kind) === v)
+    }
+  }
+
   test("attribution_linear: credit mass reconciles with a driver-side " +
     "journey replay and touchless purchases credit 'none' in full") {
     val ev = Tables.events(spark, TestSpark.Sf)
