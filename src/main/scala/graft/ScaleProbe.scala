@@ -256,6 +256,9 @@ object ScaleProbe {
       // batch-14: the three-regex readability projection and the
       // sessionize-riding bounce census
       "readability_score" -> sink(TextAnalysis.readabilityScore(docs)),
-      "bounce_rate" -> sink(Temporal.bounceRate(cl)))
+      "bounce_rate" -> sink(Temporal.bounceRate(cl)),
+      // batch-16: the cohort-grid LTV cumsum
+      "cohort_ltv" -> sink(
+        graft.operators.Analytics.cohortLtv(ev)))
   }
 }

@@ -96,6 +96,7 @@ object SparkEntry {
     "source_partition_plan" -> ((s, dir) =>
       Snapshot.sourcePartitionPlan(Tables.customer(s, dir))),
     "config_matrix"       -> ((s, _) => SyncConfigs.configMatrix(s)),
+    "config_lint"         -> ((s, _) => SyncConfigs.configLint(s)),
     "trigger_specs"       -> ((s, _) => SyncConfigs.triggerSpecs(s)),
     "sync_reconcile"      -> ((s, _) => SyncConfigs.syncReconcile(s)),
     "datasource_status"   -> ((s, _) => SyncConfigs.datasourceStatus(s)),
@@ -389,6 +390,8 @@ object SparkEntry {
       Analytics.rfmSegments(Tables.events(s, dir))),
     "retention_cohorts"   -> ((s, dir) =>
       Analytics.retentionCohorts(Tables.events(s, dir))),
+    "cohort_ltv"          -> ((s, dir) =>
+      Analytics.cohortLtv(Tables.events(s, dir))),
     "value_histogram"     -> ((s, dir) =>
       Analytics.valueHistogram(cl(s, dir))),
     "minhash_est_error"   -> ((s, dir) => {
@@ -409,6 +412,9 @@ object SparkEntry {
       Snapshot.checksumCompare(Tables.customer(s, dir))),
     "benford_audit"       -> ((s, dir) =>
       Snapshot.benfordAudit(Tables.orders(s, dir))),
+    "order_reconcile"     -> ((s, dir) =>
+      Snapshot.orderReconcile(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
     "fk_integrity"        -> ((s, dir) =>
       Snapshot.fkIntegrity(Tables.customer(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), Tables.nation(s, dir))),

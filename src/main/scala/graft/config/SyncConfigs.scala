@@ -290,6 +290,70 @@ object SyncConfigs {
     all.reduce(_.unionByName(_))
   }
 
+  /** Boot-time config validation — the lint pass a sync daemon runs
+    * before starting any poller (the reference fails lazily per
+    * route; linting the whole topology first is the operational
+    * improvement every deployment writes itself): five checks, one
+    * row each, with violation counts and sorted offender lists —
+    * UNKNOWN_DB (route references an undeclared database), SELF_ROUTE
+    * (source = target), DUP_ROUTE (the same (source, schema, table,
+    * target) edge declared twice — double-apply), EMPTY_KEYS (no
+    * primary key to merge on), CASCADE_CYCLE (a table's route graph
+    * reaches itself — infinite replication). Config-sized driver-side
+    * computation, like every config relation; the oracle pins the
+    * demo config's expected all-OK verdict independently. */
+  def configLint(spark: SparkSession, yaml: String = DemoYaml): DataFrame = {
+    import spark.implicits._
+    val cfg = parse(yaml)
+    val dbNames = cfg.dbs.map(_.name).toSet
+    val routes = for {
+      sc <- cfg.sync
+      tgt <- sc.targetDb.split(",").map(_.trim).toSeq
+    } yield (sc.sourceDb, tgt, sc.sourceSchema, sc.sourceTable,
+      Option(sc.sourceKeys).getOrElse(""))
+    val unknown = routes
+      .flatMap { case (s, t, _, _, _) => Seq(s, t).filterNot(dbNames) }
+      .distinct.sorted
+    val self = routes.collect { case (s, t, sch, tbl, _) if s == t =>
+      s"$s>$t:$sch.$tbl"
+    }.distinct.sorted
+    val dup = routes.groupBy(r => (r._1, r._2, r._3, r._4))
+      .collect { case (k, v) if v.size > 1 =>
+        s"${k._1}>${k._2}:${k._3}.${k._4}"
+      }.toSeq.sorted
+    val emptyKeys = routes
+      .collect { case (s, _, sch, tbl, k) if k.trim.isEmpty =>
+        s"$s:$sch.$tbl"
+      }.distinct.sorted
+    val cycles = routes.groupBy(r => (r._3, r._4)).flatMap {
+      case ((sch, tbl), rs) =>
+        // self-loops are SELF_ROUTE's finding; the cycle check owns
+        // the multi-hop loops only
+        val adj = rs.collect { case r if r._1 != r._2 => r._1 -> r._2 }
+          .distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        def selfReaches(start: String): Boolean = {
+          var seen = adj.getOrElse(start, Nil).toSet
+          var grow = true
+          while (grow && !seen(start)) {
+            val nxt = seen.flatMap(n => adj.getOrElse(n, Nil)) -- seen
+            grow = nxt.nonEmpty
+            seen ++= nxt
+          }
+          seen(start)
+        }
+        val nodes = rs.flatMap(r => Seq(r._1, r._2)).distinct
+        if (nodes.exists(selfReaches)) Some(s"$sch.$tbl") else None
+    }.toSeq.sorted
+    def row(check: String, offs: Seq[String]) =
+      (check, offs.size.toLong,
+        if (offs.isEmpty) "-" else offs.mkString(","),
+        if (offs.isEmpty) "OK" else "FAIL")
+    Seq(row("UNKNOWN_DB", unknown), row("SELF_ROUTE", self),
+      row("DUP_ROUTE", dup), row("EMPTY_KEYS", emptyKeys),
+      row("CASCADE_CYCLE", cycles))
+      .toDF("check", "n_violations", "offenders", "verdict")
+  }
+
   /** Datasource registry status — the `/status/datasource` endpoint of
     * the reference's monitor (`monitor/Endpoints.scala:54`,
     * `DatasourcePools.scala`): one row per configured database with its

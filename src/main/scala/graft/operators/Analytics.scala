@@ -370,6 +370,35 @@ object Analytics {
         sum("value_cents").as("revenue_cents"))
   }
 
+  /** Weekly-cohort lifetime value — the retention_cohorts companion
+    * every growth report pairs it with: users are cohorted by the
+    * week of their FIRST signup event; each cohort row (cohort_week,
+    * age_weeks) carries that week's buyers and purchase revenue plus
+    * the running cumulative LTV in cents. Purchases before a user's
+    * first signup (replayed backfills) are clamped to age 0 so the
+    * cohort mass is complete. Shape: one per-user min aggregate
+    * (cohort), one key join onto the purchase stream, one
+    * (cohort, age) aggregate; the cumsum windows over the COHORT GRID
+    * (weeks × weeks, calendar-sized). */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      expr("ts_ns div 1000000000 div 604800").as("week"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val cohort = e.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("week").as("cohort_week"))
+    val buys = e.where(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .select(col("cohort_week"),
+        greatest(col("week") - col("cohort_week"), lit(0L))
+          .as("age_weeks"),
+        col("user_id"), col("cents"))
+      .groupBy("cohort_week", "age_weeks")
+      .agg(countDistinct("user_id").as("n_buyers"),
+        sum("cents").as("revenue_cents"))
+    val w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+    buys.withColumn("ltv_cents", sum("revenue_cents").over(w))
+  }
+
   /** Linear multi-touch revenue attribution — the fairness complement
     * of [[attributionLastTouch]]: each purchase's value is split
     * EQUALLY (in milli-cents, truncating div — both engines lose the

@@ -842,6 +842,43 @@ object Snapshot {
         when(col("rec_partitions") === 1L, "SINGLE").otherwise("SPLIT"))
   }
 
+  /** Header↔detail revenue reconciliation — the warehouse QA that
+    * runs after every sync of a master/detail pair: per order, the
+    * header total vs the sum of its lines' net revenue
+    * (price·(1−disc)·(1+tax), per-row-rounded to cents), reported as
+    * a log2-bucketed mismatch census (bucket −1 = exact match,
+    * bucket b = diff in [2^(b−1), 2^b) cents) with per-bucket order
+    * counts, diff bounds, and header mass. On a warehouse whose
+    * headers are maintained by trigger this is all in bucket −1; this
+    * synthetic corpus generates o_totalprice independently, so the
+    * census honestly reports the disagreement — the audit is the
+    * detector, not a gate the testdata must pass. Shape: ONE
+    * map-side-combined per-order aggregate of lineitem + one
+    * broadcast-free key join + a ≤64-bucket rollup. */
+  def orderReconcile(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lines = lineitem
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")) * 100).cast("long").as("line_c"))
+      .groupBy("l_orderkey")
+      .agg(sum("line_c").as("lines_cents"))
+    orders
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("header_cents"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+      .na.fill(0L, Seq("lines_cents"))
+      .select(col("header_cents"),
+        abs(col("header_cents") - col("lines_cents")).as("diff_cents"))
+      .withColumn("bucket",
+        when(col("diff_cents") === 0L, lit(-1L))
+          .otherwise(length(bin(col("diff_cents"))).cast("long")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min("diff_cents").as("min_diff_cents"),
+        max("diff_cents").as("max_diff_cents"),
+        sum("header_cents").as("header_mass_cents"))
+  }
+
   /** Benford expected first-digit shares in ppm (⌊log10(1+1/d)·1e6⌉),
     * the SINGLE constant both the Spark expression and the DuckDB
     * oracle render from — they sum to exactly 1,000,000. */

@@ -1811,6 +1811,107 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getAs[String]("verdict") === "IDEMPOTENT")
   }
 
+  test("order_reconcile: bucket census matches a driver-side replay " +
+    "and every order lands in exactly one bucket") {
+    val orders = Tables.orders(spark, TestSpark.Sf)
+    val lineitem = Tables.lineitem(spark, TestSpark.Sf)
+    val rows = Snapshot.orderReconcile(orders, lineitem).collect()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === orders.count())
+    val lines = lineitem.select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")) * 100).cast("long").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val diffs = orders.select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("h"))
+      .collect()
+      .map(r => (r.getLong(1),
+        math.abs(r.getLong(1) - lines.getOrElse(r.getLong(0), 0L))))
+    val want = diffs.groupBy { case (_, d) =>
+      if (d == 0L) -1L else java.lang.Long.toBinaryString(d).length.toLong
+    }
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val ds = want(b)
+      assert(r.getAs[Long]("n_orders") === ds.length.toLong, s"bucket $b")
+      assert(r.getAs[Long]("min_diff_cents") === ds.map(_._2).min)
+      assert(r.getAs[Long]("max_diff_cents") === ds.map(_._2).max)
+      assert(r.getAs[Long]("header_mass_cents") === ds.map(_._1).sum)
+      if (b > 0L) {
+        assert(ds.map(_._2).min >= (1L << (b - 1).toInt))
+        assert(ds.map(_._2).max < (1L << b.toInt))
+      }
+    }
+  }
+
+  test("cohort_ltv: cohort cells match a driver-side replay and the " +
+    "running LTV is a per-cohort prefix sum") {
+    val ev = Tables.events(spark, TestSpark.Sf)
+    val rows = Analytics.cohortLtv(ev).collect()
+    val es = ev.select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000000000 div 604800").as("w"),
+        round(col("value") * 100).cast("long").as("c")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val cohort = es.filter(_._2 == "signup").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val cells = es.filter(_._2 == "purchase")
+      .flatMap { case (u, _, w, c) =>
+        cohort.get(u).map(cw => ((cw, math.max(w - cw, 0L)), (u, c)))
+      }
+      .groupBy(_._1).view.mapValues { xs =>
+        (xs.map(_._2._1).distinct.length.toLong, xs.map(_._2._2).sum)
+      }.toMap
+    assert(rows.length === cells.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("cohort_week"), r.getAs[Long]("age_weeks"))
+      assert((r.getAs[Long]("n_buyers"), r.getAs[Long]("revenue_cents"))
+        === cells(k), s"$k")
+    }
+    rows.groupBy(_.getAs[Long]("cohort_week")).foreach { case (cw, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("age_weeks"))
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getAs[Long]("revenue_cents")
+        assert(r.getAs[Long]("ltv_cents") === cum, s"cohort $cw")
+      }
+    }
+  }
+
+  test("config_lint: the demo config is clean, and each injected " +
+    "misconfiguration is flagged by its own check") {
+    val clean = SyncConfigs.configLint(spark).collect()
+      .map(r => r.getAs[String]("check") -> r).toMap
+    assert(clean.size === 5)
+    clean.values.foreach { r =>
+      assert(r.getAs[Long]("n_violations") === 0L)
+      assert(r.getAs[String]("verdict") === "OK")
+      assert(r.getAs[String]("offenders") === "-")
+    }
+    val broken =
+      """sys: {partition: 4, batch: 100, maxRetry: 3, dataKeepHours: 24, maxPollWait: 1000}
+        |dbs:
+        |  - {name: db0, type: postgresql, sysSchema: s}
+        |  - {name: db1, type: mysql, sysSchema: s}
+        |sync:
+        |  - {sourceDb: db0, targetDb: dbX, sourceSchema: p, sourceTable: t1, sourceKeys: k}
+        |  - {sourceDb: db0, targetDb: db0, sourceSchema: p, sourceTable: t2, sourceKeys: k}
+        |  - {sourceDb: db0, targetDb: db1, sourceSchema: p, sourceTable: t3, sourceKeys: k}
+        |  - {sourceDb: db0, targetDb: db1, sourceSchema: p, sourceTable: t3, sourceKeys: k}
+        |  - {sourceDb: db0, targetDb: db1, sourceSchema: p, sourceTable: t4, sourceKeys: ""}
+        |  - {sourceDb: db0, targetDb: db1, sourceSchema: p, sourceTable: t5, sourceKeys: k}
+        |  - {sourceDb: db1, targetDb: db0, sourceSchema: p, sourceTable: t5, sourceKeys: k}
+        |""".stripMargin
+    val lint = SyncConfigs.configLint(spark, broken).collect()
+      .map(r => r.getAs[String]("check") ->
+        (r.getAs[Long]("n_violations"), r.getAs[String]("offenders"),
+          r.getAs[String]("verdict"))).toMap
+    assert(lint("UNKNOWN_DB") === ((1L, "dbX", "FAIL")))
+    assert(lint("SELF_ROUTE") === ((1L, "db0>db0:p.t2", "FAIL")))
+    assert(lint("DUP_ROUTE") === ((1L, "db0>db1:p.t3", "FAIL")))
+    assert(lint("EMPTY_KEYS") === ((1L, "db0:p.t4", "FAIL")))
+    assert(lint("CASCADE_CYCLE") === ((1L, "p.t5", "FAIL")))
+  }
+
   test("alert_payloads: one delivery per (db, matched rule threshold), " +
     "bodies carry the reference's exact templates, counts reconcile " +
     "with sync_state") {
