@@ -53,7 +53,8 @@ compaction_plan,ngram_containment,sample_coverage,hubness_audit,\
 attribution_linear,stream_gap_parity,bbit_minhash,\
 idempotence_gate,knn_components,readability_score,\
 cross_lang_pairs,bounce_rate,alert_payloads,\
-stream_compaction_parity,cohort_ltv"
+stream_compaction_parity,cohort_ltv,stream_linear_parity,\
+access_export"
 
 echo "== amplify $BASE x$K -> $WORK"
 sbt -batch "runMain graft.AmplifyCorpus $BASE $WORK $K"

@@ -786,6 +786,47 @@ object OracleSql {
   /** Last-touch attribution SQL — shared verbatim by
     * `attribution_last_touch` and the streaming replay
     * `stream_attribution_parity`. */
+  /** Linear multi-touch attribution SQL — twin of
+    * Analytics.attributionLinear, shared verbatim by
+    * attribution_linear and the streaming stream_linear_parity. */
+  val LinearAttributionSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+      |    event_type,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+      |  FROM events),
+      |j AS (SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS journey FROM e),
+      |tch AS (SELECT user_id, journey, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_touch_type
+      |  FROM j WHERE event_type <> 'purchase' GROUP BY 1, 2, 3),
+      |js AS (SELECT user_id, journey,
+      |    CAST(SUM(n_touch_type) AS BIGINT) AS n_touches
+      |  FROM tch GROUP BY 1, 2),
+      |pur AS (SELECT user_id, journey, value_cents FROM j
+      |  WHERE event_type = 'purchase'),
+      |cr AS (SELECT p.user_id, p.journey, p.value_cents,
+      |    COALESCE(js.n_touches, 0) AS n_touches
+      |  FROM pur p LEFT JOIN js USING (user_id, journey)),
+      |touched AS (SELECT t.event_type AS touch_type,
+      |    t.n_touch_type AS n_touches_row,
+      |    c.value_cents * 1000 // c.n_touches * t.n_touch_type
+      |      AS credit_milli
+      |  FROM cr c JOIN tch t
+      |    ON c.user_id = t.user_id AND c.journey = t.journey
+      |  WHERE c.n_touches > 0),
+      |nn AS (SELECT 'none' AS touch_type,
+      |    CAST(1 AS BIGINT) AS n_touches_row,
+      |    value_cents * 1000 AS credit_milli
+      |  FROM cr WHERE n_touches = 0),
+      |a AS (SELECT * FROM touched UNION ALL SELECT * FROM nn)
+      |SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_journeys,
+      |  CAST(SUM(n_touches_row) AS BIGINT) AS n_touches,
+      |  CAST(SUM(credit_milli) AS BIGINT) AS credit_milli_cents
+      |FROM a GROUP BY 1""".stripMargin
+
   val AttributionSql: String =
     """WITH a AS (SELECT user_id, event_id, event_type,
         |    CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
@@ -1345,6 +1386,30 @@ object OracleSql {
          |UNION ALL
          |SELECT '/config', 'config',
          |  ${esc(graft.config.SyncConfigs.configEndpointJson())}""".stripMargin
+    },
+
+    // one age computation classified against every candidate window;
+    // candidates from the shared Ledger constants
+    "retention_sweep" -> {
+      import graft.operators.Ledger.{KeepHours, RetentionSweepH}
+      val cands = (RetentionSweepH :+ KeepHours).distinct.sorted
+        .mkString(", ")
+      s"""WITH $CL,
+         |wm AS (SELECT MAX(epoch_s) AS max_s FROM cl),
+         |x AS (SELECT value_cents, wm.max_s - epoch_s AS age_s,
+         |    k.keep_h
+         |  FROM cl CROSS JOIN wm,
+         |    UNNEST([$cands]) AS k(keep_h))
+         |SELECT CAST(keep_h AS BIGINT) AS keep_h,
+         |  CAST(COUNT(CASE WHEN age_s <= keep_h * 3600 THEN 1 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(COUNT(CASE WHEN age_s > keep_h * 3600 THEN 1 END)
+         |    AS BIGINT) AS n_purged,
+         |  CAST(COALESCE(SUM(CASE WHEN age_s <= keep_h * 3600
+         |    THEN value_cents END), 0) AS BIGINT) AS kept_mass_cents,
+         |  CAST(keep_h = ${graft.operators.Ledger.KeepHours} AS VARCHAR)
+         |    AS is_production
+         |FROM x GROUP BY keep_h""".stripMargin
     },
 
     "clean_retention" ->
@@ -4479,43 +4544,48 @@ object OracleSql {
     // linear multi-touch: journey id = count of PRECEDING purchases
     // over the same (ts_ns, event_id) order; equal split in
     // milli-cents with the same truncating div on both engines
-    "attribution_linear" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
-        |    event_type,
-        |    CAST(ROUND(value * 100) AS BIGINT) AS value_cents
-        |  FROM events),
-        |j AS (SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase'
-        |      THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS journey FROM e),
-        |tch AS (SELECT user_id, journey, event_type,
-        |    CAST(COUNT(*) AS BIGINT) AS n_touch_type
-        |  FROM j WHERE event_type <> 'purchase' GROUP BY 1, 2, 3),
-        |js AS (SELECT user_id, journey,
-        |    CAST(SUM(n_touch_type) AS BIGINT) AS n_touches
-        |  FROM tch GROUP BY 1, 2),
-        |pur AS (SELECT user_id, journey, value_cents FROM j
-        |  WHERE event_type = 'purchase'),
-        |cr AS (SELECT p.user_id, p.journey, p.value_cents,
-        |    COALESCE(js.n_touches, 0) AS n_touches
-        |  FROM pur p LEFT JOIN js USING (user_id, journey)),
-        |touched AS (SELECT t.event_type AS touch_type,
-        |    t.n_touch_type AS n_touches_row,
-        |    c.value_cents * 1000 // c.n_touches * t.n_touch_type
-        |      AS credit_milli
-        |  FROM cr c JOIN tch t
-        |    ON c.user_id = t.user_id AND c.journey = t.journey
-        |  WHERE c.n_touches > 0),
-        |nn AS (SELECT 'none' AS touch_type,
-        |    CAST(1 AS BIGINT) AS n_touches_row,
-        |    value_cents * 1000 AS credit_milli
-        |  FROM cr WHERE n_touches = 0),
-        |a AS (SELECT * FROM touched UNION ALL SELECT * FROM nn)
-        |SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_journeys,
-        |  CAST(SUM(n_touches_row) AS BIGINT) AS n_touches,
-        |  CAST(SUM(credit_milli) AS BIGINT) AS credit_milli_cents
-        |FROM a GROUP BY 1""".stripMargin,
+    "attribution_linear" -> LinearAttributionSql,
+
+    // the streaming journey state replays into the SAME oracle text
+    "stream_linear_parity" -> LinearAttributionSql,
+
+    // GDPR subject-access export for the bounded request cohort;
+    // cohort modulus from the shared Snapshot constant
+    "access_export" -> {
+      val m = graft.operators.Snapshot.AccessMod
+      s"""WITH $CL,
+         |coh AS (SELECT c_custkey AS u, c_name, c_mktsegment
+         |  FROM customer WHERE c_custkey % $m = 0),
+         |ord AS (SELECT o_custkey AS u,
+         |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+         |      AS BIGINT) AS order_mass_cents
+         |  FROM orders WHERE EXISTS
+         |    (SELECT 1 FROM coh WHERE coh.u = o_custkey)
+         |  GROUP BY 1),
+         |ev AS (SELECT user_id AS u,
+         |    CAST(COUNT(*) AS BIGINT) AS n_events,
+         |    CAST(MAX(ems) AS BIGINT) AS last_ems
+         |  FROM cl WHERE EXISTS
+         |    (SELECT 1 FROM coh WHERE coh.u = user_id)
+         |  GROUP BY 1),
+         |x AS (SELECT coh.u, coh.c_name, coh.c_mktsegment,
+         |    COALESCE(ord.n_orders, 0) AS n_orders,
+         |    COALESCE(ord.order_mass_cents, 0) AS order_mass_cents,
+         |    COALESCE(ev.n_events, 0) AS n_events,
+         |    COALESCE(ev.last_ems, 0) AS last_ems
+         |  FROM coh LEFT JOIN ord ON coh.u = ord.u
+         |  LEFT JOIN ev ON coh.u = ev.u)
+         |SELECT u AS user_id, n_orders, n_events,
+         |  '{"userId":' || u ||
+         |  ',"name":"' || c_name ||
+         |  '","segment":"' || c_mktsegment ||
+         |  '","orders":' || n_orders ||
+         |  ',"orderMassCents":' || order_mass_cents ||
+         |  ',"events":' || n_events ||
+         |  ',"lastEventMs":' || last_ems || '}' AS body
+         |FROM x""".stripMargin
+    },
 
     // next-event transition matrix over the same (ts_ns, event_id)
     // arrival order as sessionize/attribution; 'end' sink rows keep
@@ -4662,6 +4732,34 @@ object OracleSql {
          |  CAST(MAX(abs(est1_milli - j_milli)) AS BIGINT)
          |    AS max_err1_milli
          |FROM r GROUP BY 1""".stripMargin
+    },
+
+    // prefix-width estimator ladder over the same joined signatures;
+    // widths from the shared constant
+    "minhash_width_sweep" -> {
+      def agree(w: Int) = (0 until w)
+        .map(s => s"(CASE WHEN a.m$s = b.m$s THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val arms = Dedup.WidthSweep.map { w =>
+        s"""SELECT CAST($w AS BIGINT) AS width,
+           |  (n_agree$w * 1000) // $w AS est_milli, j_milli
+           |FROM est""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val agreeCols = Dedup.WidthSweep.map(w =>
+        s"CAST(${agree(w)} AS BIGINT) AS n_agree$w").mkString(",\n    ")
+      s"""WITH $MinhashCtes,
+         |est AS (SELECT j.j_milli,
+         |    $agreeCols
+         |  FROM jac j
+         |  JOIN sigs a ON a.doc_id = j.doc_a
+         |  JOIN sigs b ON b.doc_id = j.doc_b),
+         |arms AS ($arms)
+         |SELECT width, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(abs(est_milli - j_milli)) // COUNT(*) AS BIGINT)
+         |    AS mae_milli,
+         |  CAST(MAX(abs(est_milli - j_milli)) AS BIGINT)
+         |    AS max_err_milli
+         |FROM arms GROUP BY 1""".stripMargin
     },
 
     "dedup_agreement" ->

@@ -54,6 +54,8 @@ object SparkEntry {
     "heartbeat_state"     -> ((s, dir) => Ledger.heartbeatState(cl(s, dir))),
     "component_lifecycle" -> ((s, dir) =>
       Ledger.componentLifecycle(cl(s, dir))),
+    "retention_sweep"     -> ((s, dir) =>
+      Ledger.retentionSweep(cl(s, dir))),
     "clean_retention"     -> ((s, dir) => Ledger.cleanRetention(cl(s, dir))),
     "queue_depth"         -> ((s, dir) => Ledger.queueDepth(cl(s, dir))),
     "approx_distinct"     -> ((s, dir) => Ledger.approxDistinct(cl(s, dir))),
@@ -380,6 +382,8 @@ object SparkEntry {
       Analytics.attributionLastTouch(Tables.events(s, dir))),
     "attribution_linear"  -> ((s, dir) =>
       Analytics.attributionLinear(Tables.events(s, dir))),
+    "stream_linear_parity" -> ((s, dir) =>
+      graft.streaming.CdcStream.linearParity(s, Tables.events(s, dir))),
     "event_transitions"   -> ((s, dir) =>
       Analytics.eventTransitions(Tables.events(s, dir))),
     "event_paths"         -> ((s, dir) =>
@@ -415,6 +419,9 @@ object SparkEntry {
     "order_reconcile"     -> ((s, dir) =>
       Snapshot.orderReconcile(Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
+    "access_export"       -> ((s, dir) =>
+      Snapshot.accessExport(cl(s, dir), Tables.customer(s, dir),
+        Tables.orders(s, dir))),
     "fk_integrity"        -> ((s, dir) =>
       Snapshot.fkIntegrity(Tables.customer(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), Tables.nation(s, dir))),
@@ -507,6 +514,10 @@ object SparkEntry {
     "bbit_minhash"        -> ((s, dir) => {
       val st = Staged.dedup(s, dir)
       Dedup.bbitMinhashFrom(st.sh, st.sigs)
+    }),
+    "minhash_width_sweep" -> ((s, dir) => {
+      val st = Staged.dedup(s, dir)
+      Dedup.minhashWidthSweepFrom(st.sh, st.sigs)
     }),
     "dedup_editdist"      -> ((s, dir) => Dedup.dedupEditDistFrom(
       Tables.documents(s, dir), Staged.dedup(s, dir).verified)),

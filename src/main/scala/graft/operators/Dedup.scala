@@ -807,6 +807,49 @@ object Dedup {
     bbitMinhashFrom(sh, signaturesFromHashes(sh).localCheckpoint(false))
   }
 
+  /** Signature widths swept by [[minhashWidthSweepFrom]]. */
+  val WidthSweep: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** MinHash width-ladder sweep — how much estimator accuracy each
+    * signature width buys (the 8-long signature is 8× smaller than
+    * the full 64): for every prefix width the Jaccard estimate over
+    * the SAME verified candidate pairs, reduced to per-width MAE and
+    * worst error against the exact n-gram Jaccard. Prefix estimators
+    * are valid because the permutation family is exchangeable — the
+    * first w seeds are themselves a w-wide MinHash. One pass: the
+    * same two signature joins every estimator gate pays, agreement
+    * sums per width computed in one projection, stacked onto the
+    * width grid. The tuning view that picks NumHashes for a corpus,
+    * beside [[bbitMinhashFrom]]'s 1-bit rung. */
+  private[graft] def minhashWidthSweepFrom(sh: DataFrame,
+                                           sigs: DataFrame): DataFrame = {
+    val pairs = candidatesFromStaged(sigs)
+    val exact = pairs
+      .join(pairIntersections(pairs, sh, "doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("c"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(c * 1000) div (na + nb - c)").as("j_milli"))
+    def agree(w: Int) = (0 until w)
+      .map(s => when(col(s"sa.m$s") === col(s"sb.m$s"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val withAgree = exact
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(Seq(col("j_milli")) ++
+        WidthSweep.map(w => agree(w).as(s"a$w")): _*)
+    val stackExpr = s"stack(${WidthSweep.size}, " +
+      WidthSweep.map(w => s"${w}L, (a$w * 1000) div $w")
+        .mkString(", ") + ") as (width, est_milli)"
+    withAgree.selectExpr("j_milli", stackExpr)
+      .groupBy("width")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(abs(est_milli - j_milli)) div count(1)")
+          .as("mae_milli"),
+        max(abs(col("est_milli") - col("j_milli")))
+          .as("max_err_milli"))
+  }
+
   /** Bounded prefix [[dedupEditDist]] compares (chars). */
   val EditPrefixChars = 200
 

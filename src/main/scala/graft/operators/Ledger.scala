@@ -268,6 +268,38 @@ object Ledger {
         count(when(!col("kept"), 1)).as("n_cleaned"))
   }
 
+  /** Candidate retention windows swept by [[retentionSweep]] (hours). */
+  val RetentionSweepH: Seq[Long] = Seq(24L, 48L, 72L, 168L)
+
+  /** Retention-policy sweep — the question asked BEFORE
+    * [[KeepHours]] is trusted (the session_gap_sweep discipline
+    * applied to cleanup): for every candidate dataKeepHours, the rows
+    * a cleanup pass would keep vs purge and the monetary mass
+    * retained, all in ONE pass — each row's age is computed once and
+    * classified against every candidate in the same projection, so
+    * the sweep costs one cleanRetention, not |candidates| of them.
+    * The production constant rides the grid so its row is directly
+    * comparable. */
+  def retentionSweep(changelog: DataFrame): DataFrame = {
+    val wm = changelog.agg(max("epoch_s").as("max_s"))
+    val cands = (RetentionSweepH :+ KeepHours).distinct.sorted
+    changelog
+      .join(broadcast(wm))
+      .select(col("value_cents"),
+        (col("max_s") - col("epoch_s")).as("age_s"),
+        explode(array(cands.map(lit): _*)).as("keep_h"))
+      .groupBy("keep_h")
+      .agg(
+        count(when(col("age_s") <= col("keep_h") * 3600L, 1))
+          .as("n_kept"),
+        count(when(col("age_s") > col("keep_h") * 3600L, 1))
+          .as("n_purged"),
+        coalesce(sum(when(col("age_s") <= col("keep_h") * 3600L,
+          col("value_cents"))), lit(0L)).as("kept_mass_cents"))
+      .withColumn("is_production",
+        (col("keep_h") === KeepHours).cast("string"))
+  }
+
   /** Global monitor rollup — mirrors `monitor/SelfMonitor.scala:46-68`:
     * sync-state totals reduced across dbs plus the worst component
     * status (any RED heartbeat ⇒ RED overall). One row. */

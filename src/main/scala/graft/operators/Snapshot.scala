@@ -842,6 +842,54 @@ object Snapshot {
         when(col("rec_partitions") === 1L, "SINGLE").otherwise("SPLIT"))
   }
 
+  /** Cohort modulus for [[accessExport]] (requests are rare and
+    * bounded, like [[forgetAudit]]'s deletion cohort). */
+  val AccessMod = 101L
+
+  /** Right-to-access export — the GDPR/CCPA subject-access twin of
+    * [[forgetAudit]]: for every requesting user (the bounded
+    * hash-derived cohort, standing in for a request table), the
+    * complete per-subject data bundle rendered as one deterministic
+    * JSON body — profile fields, order count and monetary mass, event
+    * count and last activity — the deliverable an operator hands the
+    * subject. Shape: cohort semi/equi-joins left to AQE (the
+    * forget_audit lesson: never force a broadcast of a cohort that
+    * grows with the customer table); two map-side-combined per-user
+    * aggregates; output cohort-sized. */
+  def accessExport(changelog: DataFrame, customer: DataFrame,
+                   orders: DataFrame): DataFrame = {
+    val cohort = customer
+      .where(pmod(col("c_custkey"), lit(AccessMod)) === 0)
+      .select(col("c_custkey").as("u"), col("c_name"),
+        col("c_mktsegment"))
+    val ord = orders
+      .join(cohort.select("u"), col("o_custkey") === col("u"),
+        "left_semi")
+      .groupBy(col("o_custkey").as("u"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("order_mass_cents"))
+    val ev = changelog
+      .join(cohort.select("u"), col("user_id") === col("u"),
+        "left_semi")
+      .groupBy(col("user_id").as("u"))
+      .agg(count(lit(1)).as("n_events"), max("ems").as("last_ems"))
+    def num(c: Column) = c.cast("string")
+    cohort.join(ord, Seq("u"), "left").join(ev, Seq("u"), "left")
+      .na.fill(0L, Seq("n_orders", "order_mass_cents", "n_events",
+        "last_ems"))
+      .select(col("u").as("user_id"), col("n_orders"), col("n_events"),
+        concat(
+          lit("{\"userId\":"), num(col("u")),
+          lit(",\"name\":\""), col("c_name"),
+          lit("\",\"segment\":\""), col("c_mktsegment"),
+          lit("\",\"orders\":"), num(col("n_orders")),
+          lit(",\"orderMassCents\":"), num(col("order_mass_cents")),
+          lit(",\"events\":"), num(col("n_events")),
+          lit(",\"lastEventMs\":"), num(col("last_ems")),
+          lit("}")).as("body"))
+  }
+
   /** Header↔detail revenue reconciliation — the warehouse QA that
     * runs after every sync of a master/detail pair: per order, the
     * header total vs the sum of its lines' net revenue

@@ -794,6 +794,88 @@ object CdcStream {
           "CONTIGUOUS").otherwise("GAPPED"))
   }
 
+  /** One product event for the linear-attribution replay. */
+  case class LinEvent(user_id: Long, event_id: Long, ts_ns: Long,
+                      ems: Long, event_type: String, value_cents: Long,
+                      ts: java.sql.Timestamp)
+  /** Per-user journey state: touch-type counts since the last
+    * purchase (parallel seqs — O(|event types|) per user). */
+  case class LinState(types: Seq[String], counts: Seq[Long])
+  case class LinCredit(touch_type: String, n_touches_row: Long,
+                       credit_milli: Long)
+
+  /** Continuous linear multi-touch attribution — the streaming twin
+    * of Analytics.attributionLinear: per user the open journey is a
+    * handful of (touch type, count) pairs of state; each purchase
+    * closes the journey, emits one credit row per touched type with
+    * the SAME truncating milli-cent split as the batch window form,
+    * and resets. Touchless purchases credit 'none'; trailing touches
+    * after the last purchase die with the stream exactly as the batch
+    * join drops them. */
+  def linearStream(spark: SparkSession,
+                   es: Dataset[LinEvent]): Dataset[LinCredit] = {
+    import spark.implicits._
+    es.withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LinState, LinCredit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[LinEvent],
+         state: GroupState[LinState]) =>
+          val s = state.getOption.getOrElse(LinState(Nil, Nil))
+          val counts = scala.collection.mutable.LinkedHashMap(
+            s.types.zip(s.counts): _*)
+          val out = scala.collection.mutable.ListBuffer.empty[LinCredit]
+          batch.toSeq.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
+            if (e.event_type == "purchase") {
+              val total = counts.values.sum
+              if (total == 0L)
+                out += LinCredit("none", 1L, e.value_cents * 1000L)
+              else {
+                val per = e.value_cents * 1000L / total
+                counts.foreach { case (t, n) =>
+                  out += LinCredit(t, n, per * n)
+                }
+              }
+              counts.clear()
+            } else {
+              counts(e.event_type) =
+                counts.getOrElse(e.event_type, 0L) + 1L
+            }
+          }
+          state.update(LinState(counts.keys.toSeq,
+            counts.values.toSeq))
+          out.iterator
+      }
+  }
+
+  /** Streaming↔batch linear-attribution parity: contiguous event-time
+    * replay through [[linearStream]]; the per-purchase credit rows
+    * roll up per touch type and must hash-equal the batch
+    * attribution_linear oracle verbatim. */
+  def linearParity(spark: SparkSession, events: DataFrame,
+                   nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val src = events.select(col("user_id"), col("event_id"),
+      col("ts_ns"), expr("ts_ns div 1000000").as("ems"),
+      col("event_type"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      timestamp_millis(expr("ts_ns div 1000000")).as("ts"))
+    val bounds = src.agg(min("ems"), max("ems")).collect()(0)
+    if (bounds.isNullAt(0))
+      return spark.emptyDataFrame.select(lit("").as("touch_type"),
+        lit(0L).as("n_journeys"), lit(0L).as("n_touches"),
+        lit(0L).as("credit_milli_cents"))
+    replayStaged(spark,
+      rangeSlices(src, "ems", bounds.getLong(0), bounds.getLong(1),
+        nBatches),
+      OutputMode.Append())(
+      df => linearStream(spark, df.as[LinEvent]).toDF())
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_journeys"),
+        sum("n_touches_row").as("n_touches"),
+        sum("credit_milli").as("credit_milli_cents"))
+  }
+
   /** One change for the micro-batch file-inventory replay. */
   case class FileChange(db: String, win: Long, ems: Long, op: String,
                         ts: java.sql.Timestamp)

@@ -553,6 +553,21 @@ class CdcStreamSpec extends AnyFunSuite {
       .exists(_._7 === "GAPPED"))
   }
 
+  test("linearParity: streamed journey credits equal the batch " +
+    "linear-attribution rollup, across batch counts") {
+    val ev = Tables.events(spark, TestSpark.Sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("touch_type"), r.getAs[Long]("n_journeys"),
+        r.getAs[Long]("n_touches"), r.getAs[Long]("credit_milli_cents"))
+    val want = graft.operators.Analytics.attributionLinear(ev)
+      .collect().map(key).sortBy(_._1)
+    for (n <- Seq(1, 3)) {
+      val got = CdcStream.linearParity(spark, ev, nBatches = n)
+        .collect().map(key).sortBy(_._1)
+      assert(got.toSeq === want.toSeq, s"nBatches=$n")
+    }
+  }
+
   test("compactionParity: streamed file-inventory binning equals the " +
     "batch compaction_plan verbatim, across batch counts") {
     val chl = graft.operators.ChangeLog.normalize(

@@ -1912,6 +1912,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lint("CASCADE_CYCLE") === ((1L, "p.t5", "FAIL")))
   }
 
+  test("access_export: one bundle per cohort member, counts reconcile " +
+    "with direct per-user counts, the body is the rendered JSON") {
+    val customer = Tables.customer(spark, TestSpark.Sf)
+    val orders = Tables.orders(spark, TestSpark.Sf)
+    val rows = Snapshot.accessExport(cl, customer, orders).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val cohort = customer
+      .where(pmod(col("c_custkey"), lit(Snapshot.AccessMod)) === 0)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(rows.keySet === cohort)
+    val ordCounts = orders.where(col("o_custkey").isin(cohort.toSeq: _*))
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evCounts = cl.where(col("user_id").isin(cohort.toSeq: _*))
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (u, r) =>
+      assert(r.getAs[Long]("n_orders") === ordCounts.getOrElse(u, 0L))
+      assert(r.getAs[Long]("n_events") === evCounts.getOrElse(u, 0L))
+      val body = r.getAs[String]("body")
+      assert(body.startsWith(s"""{"userId":$u,"name":""""))
+      assert(body.contains(s""""orders":${ordCounts.getOrElse(u, 0L)}"""))
+      assert(body.contains(s""""events":${evCounts.getOrElse(u, 0L)}"""))
+      assert(body.endsWith("}"))
+    }
+  }
+
   test("alert_payloads: one delivery per (db, matched rule threshold), " +
     "bodies carry the reference's exact templates, counts reconcile " +
     "with sync_state") {
