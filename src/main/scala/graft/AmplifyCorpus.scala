@@ -12,10 +12,11 @@ import scala.jdk.CollectionConverters._
   * same way the driver does, just on k× data).
   *
   * Layout contract: `documents.parquet` / `events.parquet` /
-  * `embeddings.parquet` are written as SINGLE parquet files (DuckDB's
-  * `FROM '<path>'` view in parity.py reads a plain file, not a Spark
-  * part-directory); every other table is symlinked from the base
-  * directory unchanged.
+  * `embeddings.parquet` and the TPC-H fact tables
+  * (customer/orders/lineitem, per-copy key offsets — see [[FactKeys]])
+  * are written as SINGLE parquet files (DuckDB's `FROM '<path>'` view
+  * in parity.py reads a plain file, not a Spark part-directory); the
+  * dimension tables are symlinked from the base directory unchanged.
   *
   * Amplification is ScaleProbe's structure-preserving, copy-disjoint
   * transform (ids offset per copy; doc tokens carry a copy suffix so
@@ -28,8 +29,21 @@ import scala.jdk.CollectionConverters._
   * Usage: runMain graft.AmplifyCorpus [baseSfDir] [outDir] [k]
   */
 object AmplifyCorpus {
-  val LinkedTables: Seq[String] = Seq("region", "nation", "customer",
-    "supplier", "part", "orders", "lineitem")
+  /** Dimensions stay shared across copies (real fact growth runs
+    * against stable dims); the fact tables are amplified with
+    * per-copy key offsets — see [[FactKeys]]. */
+  val LinkedTables: Seq[String] = Seq("region", "nation",
+    "supplier", "part")
+
+  /** Fact tables amplified k× with copy·CopyOffset on exactly these
+    * key columns — the SAME offset the events lane puts on user_id,
+    * so every FK edge (o_custkey→c_custkey, l_orderkey→o_orderkey,
+    * events.user_id↔c_custkey) holds within each copy and never
+    * crosses copies. */
+  val FactKeys: Seq[(String, Set[String])] = Seq(
+    "customer" -> Set("c_custkey"),
+    "orders" -> Set("o_orderkey", "o_custkey"),
+    "lineitem" -> Set("l_orderkey"))
 
   /** Writes df as ONE parquet file at exactly `target` (not a Spark
     * part-directory): stage to a sibling temp dir, move the single
@@ -47,8 +61,9 @@ object AmplifyCorpus {
     Files.delete(Paths.get(stage))
   }
 
-  /** Amplifies `sfDir` k× into `outDir` (documents/events rewritten,
-    * other tables symlinked) and returns (n_documents, n_events) of the
+  /** Amplifies `sfDir` k× into `outDir` (documents/events/embeddings
+    * and the fact tables rewritten, dims symlinked) and returns
+    * (n_documents, n_events) of the
     * written copy. Invalidates [[Staged]] afterwards: `outDir` may have
     * been staged by this session before an in-place re-amplify, and the
     * staged relations would otherwise serve the pre-rewrite corpus. */
@@ -73,6 +88,17 @@ object AmplifyCorpus {
         "copies would collide")
     writeSingleFile(ScaleProbe.amplifyEmbeddings(emb0, k),
       s"$outDir/embeddings.parquet")
+
+    for ((t, keys) <- FactKeys) {
+      val base = spark.read.parquet(s"$sfDir/$t.parquet")
+      val maxKey = keys.toSeq.map(c =>
+        base.agg(max(col(c).cast("long"))).collect()(0).getLong(0)).max
+      require(maxKey < ScaleProbe.CopyOffset,
+        s"$t keys reach $maxKey >= ${ScaleProbe.CopyOffset}: " +
+          "copies would collide")
+      writeSingleFile(ScaleProbe.amplifyKeyed(base, k, keys),
+        s"$outDir/$t.parquet")
+    }
 
     for (t <- LinkedTables) {
       val dst = Paths.get(outDir, s"$t.parquet")

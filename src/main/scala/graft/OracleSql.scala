@@ -812,7 +812,8 @@ object OracleSql {
       |  FROM pur p LEFT JOIN js USING (user_id, journey)),
       |touched AS (SELECT t.event_type AS touch_type,
       |    t.n_touch_type AS n_touches_row,
-      |    c.value_cents * 1000 // c.n_touches * t.n_touch_type
+      |    ((c.value_cents * 1000 - (c.value_cents * 1000) % c.n_touches)
+      |      // c.n_touches) * t.n_touch_type
       |      AS credit_milli
       |  FROM cr c JOIN tch t
       |    ON c.user_id = t.user_id AND c.journey = t.journey
@@ -1048,7 +1049,7 @@ object OracleSql {
        |FROM base b FULL OUTER JOIN last l ON b.c_custkey = l.user_id
        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin
 
-  val sql: Map[String, String] = Map(
+  private val rawSql: Map[String, String] = Map(
     "changelog_normalize" ->
       s"""WITH $CL
          |SELECT event_id, user_id, op, ems, epoch_s, value_cents, k, part
@@ -4862,19 +4863,24 @@ object OracleSql {
     // expectation CASE generated from the SAME Snapshot.BenfordPpm
     // constant the Spark expression folds over
     "benford_audit" -> {
-      val expCase = graft.operators.Snapshot.BenfordPpm
-        .map { case (d, p) => s"WHEN $d THEN $p" }.mkString(" ")
-      s"""WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      // densified onto the full 9-digit grid (0-count digits carry
+      // dev_ppm = exp_ppm), mirroring the Spark operator's grid join
+      val gridRows = graft.operators.Snapshot.BenfordPpm
+        .map { case (d, p) =>
+          s"(CAST($d AS BIGINT), CAST($p AS BIGINT))"
+        }.mkString(", ")
+      s"""WITH grid(digit, exp_ppm) AS (VALUES $gridRows),
+         |v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
          |    AS cents FROM orders),
          |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
          |    AS BIGINT) AS digit FROM v WHERE cents > 0),
          |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
          |  FROM d GROUP BY 1),
          |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g),
-         |e AS (SELECT digit, n,
-         |    CAST(n * 1000000 // tot AS BIGINT) AS obs_ppm,
-         |    CAST(CASE digit $expCase END AS BIGINT) AS exp_ppm
-         |  FROM g, t),
+         |e AS (SELECT grid.digit, COALESCE(g.n, 0) AS n,
+         |    CAST(COALESCE(g.n, 0) * 1000000 // tot AS BIGINT) AS obs_ppm,
+         |    grid.exp_ppm
+         |  FROM grid LEFT JOIN g USING (digit), t),
          |x AS (SELECT *, abs(obs_ppm - exp_ppm) AS dev_ppm FROM e),
          |y AS (SELECT *, CAST(SUM(dev_ppm) OVER () AS BIGINT) // 2
          |    AS tvd_ppm FROM x)
@@ -5803,15 +5809,12 @@ object OracleSql {
          |FROM v GROUP BY 1""".stripMargin
     },
 
-    // the checker runs oracles in name order, so the alphabetically
-    // FIRST oracle (this one — keys.min is CI-pinned) carries the
-    // session-wide resource bounds incl. the ONLY temp_directory SET
-    // (see DuckSoftBounds for why later SETs must not repeat it): one
-    // unbounded DuckDB session on a host whose RAM/threads a Spark JVM
-    // already holds can die with a process-killing bad_alloc/EAGAIN —
-    // losing the WHOLE artifact, not one row (observed locally under
-    // contention). Parity across the full registry at these bounds is
-    // proven by scripts/parity.py every round.
+    // heavy dense-grid self-join: keep the re-settable soft bounds.
+    // The session-wide bounds (incl. the ONLY temp_directory SET) are
+    // attached structurally to keys.min when [[sql]] is derived from
+    // this map — NOT pinned to any one query — so an earlier-sorting
+    // insertion can never strand the session unbounded (the round-9
+    // access_export regression).
     "acf_profile" -> {
       import graft.operators.Temporal.{AcfBucketMs, AcfLags}
       val lagCtes = AcfLags.map { l =>
@@ -5826,7 +5829,7 @@ object OracleSql {
       }.mkString(",\n")
       val lagUnion = AcfLags.map(l => s"SELECT * FROM s$l")
         .mkString("\n  UNION ALL ")
-      s"""${DuckBounds}WITH $CL,
+      s"""${DuckSoftBounds}WITH $CL,
          |c AS (SELECT ems // $AcfBucketMs AS bucket,
          |    CAST(COUNT(*) AS BIGINT) AS cnt FROM cl GROUP BY 1),
          |grid AS (SELECT UNNEST(generate_series(
@@ -6731,4 +6734,32 @@ object OracleSql {
          |    AS BIGINT) AS max_lateness_ms
          |FROM w GROUP BY 1""".stripMargin
   )
+
+  /** The oracle registry the driver runs. The checker executes all
+    * oracles in name order in ONE DuckDB session, so the session-wide
+    * resource bounds — a hard memory cap, a thread cap, and the ONLY
+    * legal `SET temp_directory` (DuckDB refuses any later one once the
+    * session has spilled) — are attached HERE to whichever key sorts
+    * alphabetically first, structurally rather than inside any one
+    * query's text. Any future earlier-sorting insertion therefore
+    * inherits the bounds automatically instead of silently stranding
+    * the whole session unbounded (the round-9 `access_export`
+    * regression; the round-8 `pq_train` bad_alloc). Individual heavy
+    * oracles still carry the re-settable [[DuckSoftBounds]]; the
+    * redundant memory/thread SETs are idempotent. */
+  val sql: Map[String, String] = {
+    require(!rawSql.valuesIterator.exists(_.contains("SET temp_directory")),
+      "temp_directory may only be set by the structural bounds prefix")
+    subset(rawSql.keySet)
+  }
+
+  /** [[sql]] restricted to `keys`, with the session bounds attached to
+    * the SUBSET's own first key — a filtered run (the amplified-parity
+    * lane) must not lose the bounds just because the globally-first
+    * oracle was filtered out. */
+  def subset(keys: Set[String]): Map[String, String] = {
+    val m = rawSql.filter { case (k, _) => keys(k) }
+    if (m.isEmpty) m
+    else m.updated(m.keys.min, DuckBounds + m(m.keys.min))
+  }
 }

@@ -104,6 +104,24 @@ object ScaleProbe {
     * LWW/session structure) is an exact replica of the base key's.
     * Copies never interact: their key spaces are disjoint, so
     * identical timestamps across copies are harmless. */
+  /** k structure-preserving copies of a keyed relation: every column
+    * named in `keyCols` is offset by copy·CopyOffset, everything else
+    * rides unchanged. The offset is the SAME one the events lane
+    * applies to user_id, so cross-table joins (events.user_id ↔
+    * c_custkey, o_custkey ↔ c_custkey, l_orderkey ↔ o_orderkey) keep
+    * their per-copy FK structure — each copy is a disjoint
+    * sub-universe of customers/orders/lineitems sharing the UNCHANGED
+    * dimensions (region/nation/supplier/part), exactly how a real
+    * fact table grows against stable dims. */
+  def amplifyKeyed(df: DataFrame, k: Int, keyCols: Set[String]): DataFrame = {
+    val widened = df.withColumn("cp", explode(expr(s"sequence(0, ${k - 1})")))
+    widened.select(df.columns.map { c =>
+      if (keyCols(c))
+        (col(c) + col("cp").cast("long") * CopyOffset).as(c)
+      else col(c)
+    }.toSeq: _*)
+  }
+
   def amplifyEvents(events: DataFrame, k: Int): DataFrame =
     events.withColumn("cp", explode(expr(s"sequence(0, ${k - 1})")))
       .select(

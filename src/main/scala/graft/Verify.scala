@@ -30,8 +30,10 @@ object Verify {
         }
       }
     import JsonOut.q
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+    // subset runs rebuild the oracle map structurally so the DuckDB
+    // session bounds ride the SUBSET's first key, not a filtered-out one
+    val oracles = only.map(OracleSql.subset).getOrElse(SparkEntry.oracleSql)
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -949,15 +949,21 @@ object Snapshot {
     * from [[BenfordPpm]], absolute deviation; the global
     * total-variation distance (½ Σ|obs−exp|) rides every row via a
     * window over the ≤9-row digit GRID, with a BENFORD/SKEWED verdict
-    * at [[BenfordTolPpm]]. A uniform synthetic price column is
+    * at [[BenfordTolPpm]]. The observed counts are DENSIFIED onto the
+    * full 9-digit grid from [[BenfordPpm]] before the TVD window — a
+    * digit with zero observations contributes dev_ppm = exp_ppm, so
+    * the metric stays ½·Σ|obs−exp| over ALL digits and a maximally
+    * skewed load (every value sharing one leading digit) cannot
+    * understate its own distance. A uniform synthetic price column is
     * EXPECTED to read SKEWED — the audit is the detector, not a gate
     * the testdata must pass. Shape: one narrow projection + one
     * 9-group map-side-combined aggregate; everything after is
     * grid-sized. */
   def benfordAudit(orders: DataFrame): DataFrame = {
-    val expCase = BenfordPpm.foldLeft(lit(0L)) { case (acc, (d, p)) =>
-      when(col("digit") === d.toLong, lit(p)).otherwise(acc)
-    }
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val grid = BenfordPpm.map { case (d, p) => (d.toLong, p) }
+      .toDF("digit", "exp_ppm")
     val per = orders
       .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
       .where(col("cents") > 0L)
@@ -966,10 +972,12 @@ object Snapshot {
       .groupBy("digit")
       .agg(count(lit(1)).as("n"))
     val tot = per.agg(sum("n").as("tot"))
-    per.crossJoin(broadcast(tot))
+    grid.join(per, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
       .select(col("digit"), col("n"),
         expr("n * 1000000 div tot").as("obs_ppm"),
-        expCase.as("exp_ppm"))
+        col("exp_ppm"))
       .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
       .withColumn("tvd_ppm", expr("sum(dev_ppm) over () div 2"))
       .withColumn("verdict",

@@ -175,6 +175,38 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("attributionParity holds on same-user-same-MILLISECOND collisions " +
+    "where ms-level ordering would flip the credited touch") {
+    import spark.implicits._
+    // user 1's two touches share one millisecond; event_id order is the
+    // OPPOSITE of ts_ns order, so any lane that sorts by (ms, event_id)
+    // instead of (ts_ns, event_id) credits 'click' — the ns order says
+    // the later-within-the-ms 'view' is the last touch. The purchase
+    // shares the same ms too (300 µs after the view).
+    val baseUs = 1704067200L * 1000000L // 2024-01-01T00:00:00Z in µs
+    val tiny = Seq(
+      // (event_id, user_id, type, value, ts_ns)
+      (2L, 1L, "click", 0.0, (baseUs + 200L) * 1000L),
+      (1L, 1L, "view", 0.0, (baseUs + 700L) * 1000L),
+      (3L, 1L, "purchase", 50.0, (baseUs + 900L) * 1000L),
+      // a second user whose collision-free journey keeps the rollup
+      // from collapsing to one row
+      (4L, 2L, "click", 0.0, (baseUs + 5000000L) * 1000L),
+      (5L, 2L, "purchase", 10.0, (baseUs + 6000000L) * 1000L)
+    ).toDF("event_id", "user_id", "event_type", "value", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    def key(r: org.apache.spark.sql.Row) =
+      r.getString(0) -> (r.getLong(1), r.getLong(2))
+    val got = CdcStream.attributionParity(spark, tiny, nBatches = 2)
+      .collect().map(key).toMap
+    val want = graft.operators.Analytics.attributionLastTouch(tiny)
+      .collect().map(key).toMap
+    assert(got === want)
+    // pin the ns semantics absolutely, not just lane agreement: the
+    // within-ms LATER view carries user 1's credit
+    assert(got === Map("view" -> (1L, 5000L), "click" -> (1L, 1000L)))
+  }
+
   test("transitionsParity equals the batch transition matrix, including " +
     "pairs spanning micro-batch boundaries and sentinel-driven ends") {
     val ev = Tables.events(spark, TestSpark.Sf)

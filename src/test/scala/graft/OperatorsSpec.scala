@@ -1677,8 +1677,17 @@ class OperatorsSpec extends AnyFunSuite {
     val first = SparkEntry.oracleSql.keys.min
     val sql = SparkEntry.oracleSql(first)
     for (s <- Seq("SET temp_directory", "SET memory_limit", "SET threads"))
-      assert(sql.contains(s),
+      assert(sql.startsWith("SET temp_directory") && sql.contains(s),
         s"first oracle '$first' does not carry the bounds prefix ($s)")
+    // the spill dir must be set EXACTLY once session-wide (DuckDB
+    // refuses later SETs after a spill), and only on the first oracle —
+    // holds for ANY future alphabetical insertion because the prefix is
+    // attached to keys.min structurally at map construction
+    val offenders = SparkEntry.oracleSql.collect {
+      case (k, s) if k != first && s.contains("SET temp_directory") => k
+    }
+    assert(offenders.isEmpty,
+      s"temp_directory set outside the first oracle: $offenders")
   }
 
   test("compaction_plan: bins account for every row, are contiguous " +
@@ -1744,11 +1753,14 @@ class OperatorsSpec extends AnyFunSuite {
     val tot = cents.length.toLong
     val exp = Snapshot.BenfordPpm.map { case (d, p) => d.toLong -> p }.toMap
     val tvd = rows.map(_.getAs[Long]("dev_ppm")).sum / 2L
+    // densified: ALL 9 digits appear, absent ones with n = 0 so their
+    // full exp_ppm mass counts toward the TVD
+    assert(rows.map(_.getAs[Long]("digit")).sorted === (1L to 9L))
     rows.foreach { r =>
       val d = r.getAs[Long]("digit")
-      assert((1L to 9L).contains(d))
-      assert(r.getAs[Long]("n") === want(d), s"digit $d")
-      assert(r.getAs[Long]("obs_ppm") === want(d) * 1000000L / tot)
+      assert(r.getAs[Long]("n") === want.getOrElse(d, 0L), s"digit $d")
+      assert(r.getAs[Long]("obs_ppm") ===
+        want.getOrElse(d, 0L) * 1000000L / tot)
       assert(r.getAs[Long]("exp_ppm") === exp(d))
       assert(r.getAs[Long]("dev_ppm") ===
         math.abs(r.getAs[Long]("obs_ppm") - exp(d)))
@@ -1764,6 +1776,16 @@ class OperatorsSpec extends AnyFunSuite {
       .toDF("o_orderkey", "o_totalprice")
     val g = Snapshot.benfordAudit(geo).collect()
     assert(g.head.getAs[String]("verdict") === "BENFORD")
+    // maximal skew (every value shares one leading digit) must carry
+    // the FULL distance 1e6 − exp(9), not just digit 9's own share —
+    // exactly what densifying the 0-count digits buys
+    val onedig = (1 to 50).map(k => (k.toLong, 9.99))
+      .toDF("o_orderkey", "o_totalprice")
+    val od = Snapshot.benfordAudit(onedig).collect()
+    assert(od.length === 9)
+    assert(od.count(_.getAs[Long]("n") === 0L) === 8)
+    assert(od.head.getAs[Long]("tvd_ppm") === 1000000L - exp(9L))
+    assert(od.head.getAs[String]("verdict") === "SKEWED")
   }
 
   test("partition_advisor: byte estimates match a driver-side width " +

@@ -188,7 +188,10 @@ class PlanSpec extends AnyFunSuite {
       "split_kfold", "benford_audit", "sample_coverage",
       // hubness_audit crosses the 1-row (total, max) aggregate onto
       // the ≤max-degree histogram grid
-      "hubness_audit")
+      "hubness_audit",
+      // retention_sweep crosses the broadcast 1-row max-week aggregate
+      // (IdentityBroadcastMode) onto the cohort-week grid
+      "retention_sweep")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
