@@ -54,7 +54,13 @@ def main(outdir, sfdir, json_out=None):
             try:
                 duck_df = con.sql(sql).df()
             except duckdb.OutOfMemoryException:
-                duck_df = con.sql(sql).df()  # one retry after spill settles
+                # one retry after spill settles — minus any temp_directory
+                # SET: DuckDB refuses it once the session has spilled,
+                # which the failed first attempt may just have done
+                retry_sql = "\n".join(
+                    l for l in sql.splitlines()
+                    if not l.startswith("SET temp_directory"))
+                duck_df = con.sql(retry_sql).df()
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             record(name, err=f"{type(e).__name__}: {e}")

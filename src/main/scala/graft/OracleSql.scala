@@ -196,6 +196,254 @@ object OracleSql {
        |SELECT m, k, dim, c6_e6, n_members FROM pt_r$PqTrainIters""".stripMargin
   }
 
+  /** knn_recall's staged oracle: the IVF-blocked graph, its NN-descent
+    * repair and the brute-force truth are materialized as TEMP TABLEs,
+    * and the N² truth is accumulated in [[KnnTruthBlocks]] source-hash
+    * blocks so DuckDB's peak working set (and spill footprint) is 1/B
+    * of the all-pairs volume — the single-query form exhausted the
+    * spill device at the 30× amplified run. Blocking partitions by
+    * src, so each source's top-K window is computed whole; the rows
+    * are identical to the unblocked form. */
+  private lazy val KnnRecallTempSql: String = {
+    import graft.operators.Similarity.KnnK
+    val B = KnnTruthBlocks
+    // per block: materialize the compact (src, nbr, sim) triples FIRST
+    // (24 bytes/row), THEN window — piping the join straight into the
+    // window carries two 64-double vectors per pair and blew the 16GB
+    // cap at 30× even though only the sim survives the projection
+    val blocks = (0 until B).map { i =>
+      s"""CREATE OR REPLACE TEMP TABLE kr_blk AS
+         |SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
+         |  CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
+         |    AS BIGINT) AS sim_e6
+         |FROM kr_cand l JOIN kr_cand r ON l.vec_id <> r.vec_id
+         |WHERE l.vec_id % $B = $i;
+         |INSERT INTO kr_truth
+         |SELECT src_id, nbr_id FROM (
+         |  SELECT src_id, nbr_id,
+         |    ROW_NUMBER() OVER (PARTITION BY src_id
+         |      ORDER BY sim_e6 DESC, nbr_id) AS rn
+         |  FROM kr_blk) t
+         |WHERE rn <= $KnnK;""".stripMargin
+    }.mkString("\n") + "\nDROP TABLE kr_blk;"
+    s"""${DuckSoftBounds}CREATE OR REPLACE TEMP TABLE kr_cand AS
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id >= 8;
+       |CREATE OR REPLACE TEMP TABLE kr_base AS
+       |WITH $KnnGraphCtes
+       |SELECT src_id, nbr_id FROM knn;
+       |CREATE OR REPLACE TEMP TABLE kr_refined AS
+       |WITH bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM kr_cand),
+       |lp AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
+       |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
+       |      AS BIGINT) AS sim_e6
+       |  FROM bk l JOIN bk r
+       |    ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+       |lsh AS (SELECT src_id, nbr_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+       |      ORDER BY sim_e6 DESC, nbr_id) AS rn FROM lp) t
+       |  WHERE rn <= $KnnK),
+       |ed AS (SELECT src_id, nbr_id FROM kr_base
+       |  UNION SELECT src_id, nbr_id FROM lsh),
+       |und AS (SELECT src_id, nbr_id FROM ed
+       |  UNION SELECT nbr_id, src_id FROM ed),
+       |ex AS (
+       |  SELECT a.src_id, b.nbr_id AS cand_id
+       |  FROM und a JOIN und b ON a.nbr_id = b.src_id
+       |  WHERE a.src_id <> b.nbr_id
+       |  UNION
+       |  SELECT src_id, nbr_id FROM ed),
+       |sc AS (SELECT x.src_id, x.cand_id,
+       |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
+       |      AS BIGINT) AS sim_e6
+       |  FROM ex x JOIN kr_cand l ON x.src_id = l.vec_id
+       |    JOIN kr_cand r ON x.cand_id = r.vec_id)
+       |SELECT src_id, cand_id AS nbr_id FROM (
+       |    SELECT src_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY src_id
+       |        ORDER BY sim_e6 DESC, cand_id) AS rn FROM sc) t
+       |  WHERE rn <= $KnnK;
+       |CREATE OR REPLACE TEMP TABLE kr_truth (
+       |  src_id BIGINT, nbr_id BIGINT);
+       |$blocks
+       |WITH tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth
+       |  FROM kr_truth)
+       |SELECT 'ivf_blocked' AS variant, n_truth,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM kr_base b
+       |    JOIN kr_truth t ON b.src_id = t.src_id
+       |      AND b.nbr_id = t.nbr_id) AS n_hit,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM kr_base b
+       |    JOIN kr_truth t ON b.src_id = t.src_id
+       |      AND b.nbr_id = t.nbr_id) * 1000 // n_truth AS recall_milli
+       |FROM tt
+       |UNION ALL
+       |SELECT 'nn_descent', n_truth,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM kr_refined b
+       |    JOIN kr_truth t ON b.src_id = t.src_id
+       |      AND b.nbr_id = t.nbr_id),
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM kr_refined b
+       |    JOIN kr_truth t ON b.src_id = t.src_id
+       |      AND b.nbr_id = t.nbr_id) * 1000 // n_truth
+       |FROM tt""".stripMargin
+  }
+
+  /** Source-hash block count for [[KnnRecallTempSql]]'s truth
+    * accumulation — purely an oracle-resource knob (the Spark side
+    * computes its own truth), so it is not a shared engine constant:
+    * any B yields identical rows because blocks partition by src. */
+  private val KnnTruthBlocks = 8
+
+  /** pq_recall_residual's staged oracle: the coarse-quantizer Lloyd
+    * rounds, the residual computation, the residual-codebook Lloyd
+    * rounds and the ADC scoring each materialize into TEMP TABLEs
+    * (the pq_train discipline), so DuckDB's peak working set is a
+    * single stage instead of the whole two-pyramid CTE chain — the
+    * single-query form hit the 16GB cap at the 30× amplified run.
+    * Round bodies are IDENTICAL to the previous inline form: the
+    * coarse rounds from the same rkd/rka/rkm/rkg templates, the
+    * residual rounds from the shared [[lloydRoundDefs]]. */
+  private lazy val PqResidualTempSql: String = {
+    import graft.operators.Similarity.{CentroidLo, Dim, IvfTrainRounds,
+      NumCentroids, PqK, PqM, PqSubDim, PqTrainIters, QueryCount,
+      ResidualSeedLo, TopK}
+    val k = TopK
+    val sd = PqSubDim
+    val seedHi = ResidualSeedLo + PqK - 1
+    val intL2d = (a: String, b: String) =>
+      s"list_sum(list_transform(generate_series(1, $Dim), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val intL2s = (a: String, b: String) =>
+      s"list_sum(list_transform(generate_series(1, $sd), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    // one TEMP TABLE per coarse k-means round (64-dim, keep-old-on-empty)
+    val kmStages = (1 to IvfTrainRounds).map { r =>
+      val prev = s"rc${r - 1}"
+      s"""CREATE OR REPLACE TEMP TABLE rc$r AS
+         |WITH rkd$r AS (SELECT v.vec_id, c.centroid_id,
+         |    ${intL2d("v.v6", "c.c6")} AS d12
+         |  FROM rve v, $prev c),
+         |rka$r AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT vec_id, centroid_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY d12, centroid_id) AS rn FROM rkd$r) t
+         |  WHERE rn = 1),
+         |rkm$r AS (SELECT t.centroid_id, CAST(d.i AS BIGINT) - 1 AS dim,
+         |    CAST(SUM(t.v6[d.i]) AS BIGINT) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT a.centroid_id, v.v6 FROM rka$r a
+         |        JOIN rve v USING (vec_id)) t,
+         |    UNNEST(generate_series(1, $Dim)) AS d(i)
+         |  GROUP BY 1, 2),
+         |rkg$r AS (SELECT c.centroid_id, CAST(d.i AS BIGINT) - 1 AS dim,
+         |    c.c6[d.i] AS old6
+         |  FROM $prev c, UNNEST(generate_series(1, $Dim)) AS d(i))
+         |SELECT g.centroid_id,
+         |    list(CAST(COALESCE((m.s - m.s % m.n) // m.n, g.old6)
+         |      AS BIGINT) ORDER BY g.dim) AS c6
+         |  FROM rkg$r g LEFT JOIN rkm$r m
+         |    ON m.centroid_id = g.centroid_id AND m.dim = g.dim
+         |  GROUP BY 1;""".stripMargin
+    }.mkString("\n")
+    val cfin = s"rc$IvfTrainRounds"
+    // one TEMP TABLE pair per residual Lloyd round (shared bodies)
+    val rrStages = (1 to PqTrainIters).map { r =>
+      val defs = lloydRoundDefs("rr", r)
+      val inner = defs.dropRight(2)
+      val (rName, rBody) = defs(defs.length - 2)
+      val (cName, cBody) = defs.last
+      val withClause = inner
+        .map { case (name, body) => s"$name AS ($body)" }
+        .mkString(",\n")
+      s"""CREATE OR REPLACE TEMP TABLE $rName AS
+         |WITH $withClause
+         |$rBody;
+         |CREATE OR REPLACE TEMP TABLE $cName AS
+         |$cBody;""".stripMargin
+    }.mkString("\n")
+    val fin = s"rr_c$PqTrainIters"
+    s"""${DuckSoftBounds}CREATE OR REPLACE TEMP TABLE rr_all6 AS
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS v6
+       |  FROM embeddings;
+       |CREATE OR REPLACE TEMP TABLE rve AS
+       |  SELECT vec_id, v6 FROM rr_all6 WHERE vec_id >= $QueryCount;
+       |CREATE OR REPLACE TEMP TABLE rc0 AS
+       |  SELECT vec_id - $CentroidLo AS centroid_id, v6 AS c6
+       |  FROM rr_all6 WHERE vec_id BETWEEN $CentroidLo
+       |    AND ${CentroidLo + NumCentroids - 1};
+       |$kmStages
+       |CREATE OR REPLACE TEMP TABLE rassign AS
+       |  SELECT vec_id, centroid_id FROM (
+       |  SELECT v.vec_id, c.centroid_id,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${intL2d("v.v6", "c.c6")}, c.centroid_id) AS rn
+       |  FROM rve v, $cfin c) t WHERE rn = 1;
+       |CREATE OR REPLACE TEMP TABLE rr_sub AS
+       |WITH rres AS (SELECT a.vec_id,
+       |    list_transform(generate_series(1, $Dim),
+       |      i -> v.v6[i] - c.c6[i]) AS v6
+       |  FROM rassign a JOIN rve v USING (vec_id)
+       |    JOIN $cfin c USING (centroid_id))
+       |SELECT vec_id, CAST(sm.m AS BIGINT) AS m,
+       |    list_transform(generate_series(1, $sd),
+       |      i -> v6[sm.m * $sd + i]) AS sv6
+       |  FROM rres, UNNEST(generate_series(0, ${PqM - 1})) AS sm(m);
+       |CREATE OR REPLACE TEMP TABLE rr_c0 AS
+       |  SELECT m, vec_id - $ResidualSeedLo AS k, sv6 AS c6
+       |  FROM rr_sub
+       |  WHERE vec_id BETWEEN $ResidualSeedLo AND $seedHi;
+       |$rrStages
+       |CREATE OR REPLACE TEMP TABLE rcodes AS
+       |WITH rde AS (SELECT s.vec_id, s.m, c.k,
+       |    ${intL2s("s.sv6", "c.c6")} AS d12
+       |  FROM rr_sub s JOIN $fin c ON s.m = c.m)
+       |SELECT vec_id, m, k FROM (SELECT vec_id, m, k,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d12, k)
+       |      AS rn FROM rde) t WHERE rn = 1;
+       |CREATE OR REPLACE TEMP TABLE rqres AS
+       |WITH rqs AS (SELECT vec_id AS q_id, CAST(sm.m AS BIGINT) AS m,
+       |    list_transform(generate_series(1, $sd),
+       |      i -> v6[sm.m * $sd + i]) AS qv6
+       |  FROM rr_all6, UNNEST(generate_series(0, ${PqM - 1})) AS sm(m)
+       |  WHERE vec_id < $QueryCount),
+       |rcs AS (SELECT centroid_id, CAST(sm.m AS BIGINT) AS m,
+       |    list_transform(generate_series(1, $sd),
+       |      i -> c6[sm.m * $sd + i]) AS cs6
+       |  FROM $cfin, UNNEST(generate_series(0, ${PqM - 1})) AS sm(m))
+       |SELECT q.q_id, c.centroid_id, q.m,
+       |    list_transform(generate_series(1, $sd),
+       |      i -> q.qv6[i] - c.cs6[i]) AS qr6
+       |  FROM rqs q JOIN rcs c ON q.m = c.m;
+       |CREATE OR REPLACE TEMP TABLE rap AS
+       |WITH rsc AS (SELECT r.q_id, a.vec_id,
+       |    CAST(SUM(${intL2s("r.qr6", "c.c6")}) AS BIGINT) AS dist
+       |  FROM rcodes a JOIN rassign s ON a.vec_id = s.vec_id
+       |    JOIN $fin c ON a.m = c.m AND a.k = c.k
+       |    JOIN rqres r ON r.centroid_id = s.centroid_id AND r.m = a.m
+       |  GROUP BY 1, 2)
+       |SELECT q_id, vec_id AS cand_id FROM (SELECT q_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id)
+       |      AS rn FROM rsc) t WHERE rn <= $k;
+       |WITH pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |rtq AS (SELECT vec_id AS q_id, v AS qv FROM pe
+       |  WHERE vec_id < $QueryCount),
+       |rtc AS (SELECT vec_id AS cand_id, v AS cv FROM pe
+       |  WHERE vec_id >= $QueryCount),
+       |rtr AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY CAST(ROUND(($l2SumSql) * 1e9) AS BIGINT), cand_id)
+       |      AS rn FROM rtq, rtc) t WHERE rn <= $k),
+       |rh AS (SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM rtr t JOIN rap a
+       |    ON t.q_id = a.q_id AND t.cand_id = a.cand_id
+       |  GROUP BY 1)
+       |SELECT b.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+       |  (COALESCE(h.n_hits, 0) * 1000) // $k AS recall_milli
+       |FROM (SELECT DISTINCT q_id FROM rtr) b
+       |LEFT JOIN rh h USING (q_id)""".stripMargin
+  }
+
   /** embed_covariance's SQL — standalone oracle AND the staging input
     * of [[AnisotropyTempSql]] (same text, so the two cannot drift). */
   private lazy val EmbedCovBody: String = {
@@ -2981,85 +3229,9 @@ object OracleSql {
          |WHERE r.rn <= ${Similarity.KnnK}""".stripMargin,
 
     // recall of the blocked graph and its NN-descent repair against
-    // the brute-force all-pairs top-K truth (gate-scale N² by design)
-    "knn_recall" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
-         |         WHERE vec_id BETWEEN 8 AND 23),
-         |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
-         |assign AS (
-         |  SELECT vec_id, centroid_id FROM (
-         |    SELECT cand.vec_id, cent.centroid_id,
-         |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
-         |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
-         |    FROM cand, cent) t WHERE rn = 1),
-         |vv AS (SELECT a.vec_id, a.centroid_id, c.v
-         |  FROM assign a JOIN cand c ON a.vec_id = c.vec_id),
-         |p AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
-         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
-         |      AS BIGINT) AS sim_e6
-         |  FROM vv l JOIN vv r
-         |    ON l.centroid_id = r.centroid_id AND l.vec_id <> r.vec_id),
-         |base AS (SELECT src_id, nbr_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
-         |      ORDER BY sim_e6 DESC, nbr_id) AS rn FROM p) t
-         |  WHERE rn <= ${Similarity.KnnK}),
-         |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM cand),
-         |lp AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
-         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
-         |      AS BIGINT) AS sim_e6
-         |  FROM bk l JOIN bk r
-         |    ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
-         |lsh AS (SELECT src_id, nbr_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
-         |      ORDER BY sim_e6 DESC, nbr_id) AS rn FROM lp) t
-         |  WHERE rn <= ${Similarity.KnnK}),
-         |ed AS (SELECT src_id, nbr_id FROM base
-         |  UNION SELECT src_id, nbr_id FROM lsh),
-         |und AS (SELECT src_id, nbr_id FROM ed
-         |  UNION SELECT nbr_id, src_id FROM ed),
-         |ex AS (
-         |  SELECT a.src_id, b.nbr_id AS cand_id
-         |  FROM und a JOIN und b ON a.nbr_id = b.src_id
-         |  WHERE a.src_id <> b.nbr_id
-         |  UNION
-         |  SELECT src_id, nbr_id FROM ed),
-         |sc AS (SELECT x.src_id, x.cand_id,
-         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
-         |      AS BIGINT) AS sim_e6
-         |  FROM ex x JOIN cand l ON x.src_id = l.vec_id
-         |    JOIN cand r ON x.cand_id = r.vec_id),
-         |refined AS (SELECT src_id, cand_id AS nbr_id FROM (
-         |    SELECT src_id, cand_id,
-         |      ROW_NUMBER() OVER (PARTITION BY src_id
-         |        ORDER BY sim_e6 DESC, cand_id) AS rn FROM sc) t
-         |  WHERE rn <= ${Similarity.KnnK}),
-         |tp AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
-         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
-         |      AS BIGINT) AS sim_e6
-         |  FROM cand l JOIN cand r ON l.vec_id <> r.vec_id),
-         |truth AS (SELECT src_id, nbr_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
-         |      ORDER BY sim_e6 DESC, nbr_id) AS rn FROM tp) t
-         |  WHERE rn <= ${Similarity.KnnK}),
-         |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
-         |SELECT 'ivf_blocked' AS variant, n_truth,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM base b
-         |    JOIN truth t ON b.src_id = t.src_id
-         |      AND b.nbr_id = t.nbr_id) AS n_hit,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM base b
-         |    JOIN truth t ON b.src_id = t.src_id
-         |      AND b.nbr_id = t.nbr_id) * 1000 // n_truth AS recall_milli
-         |FROM tt
-         |UNION ALL
-         |SELECT 'nn_descent', n_truth,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM refined b
-         |    JOIN truth t ON b.src_id = t.src_id
-         |      AND b.nbr_id = t.nbr_id),
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM refined b
-         |    JOIN truth t ON b.src_id = t.src_id
-         |      AND b.nbr_id = t.nbr_id) * 1000 // n_truth
-         |FROM tt""".stripMargin,
+    // the brute-force all-pairs top-K truth (gate-scale N² by design;
+    // staged + source-blocked so the oracle's spill stays bounded)
+    "knn_recall" -> KnnRecallTempSql,
 
     // per-label base-vs-delta mean-vector drift; integer e6 sums and
     // truncating means, one identically-ordered double cosine at the end
@@ -3189,6 +3361,60 @@ object OracleSql {
          |SELECT q_id, cand_id, CAST(rn AS BIGINT) AS rank,
          |       CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_e6
          |FROM s WHERE rn <= 10""".stripMargin,
+
+    // multi-probe LSH gate: probe = own bucket (flip -1) + every
+    // 1-bit-flip neighbor; truth = the same exact top-K the ann gates
+    // calibrate against; per-variant candidate cost + recall
+    "lsh_multiprobe" -> {
+      import graft.operators.Similarity.{Planes, TopK}
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS cand_id, v AS cv, bucket AS c_bucket
+         |  FROM b WHERE vec_id >= 8),
+         |pr AS (SELECT q_id, qv,
+         |    CASE WHEN f.i = -1 THEN bucket
+         |      ELSE xor(bucket, CAST(1 AS BIGINT) << f.i) END AS probe_bucket,
+         |    (f.i = -1) AS is_single
+         |  FROM q, UNNEST(generate_series(-1, ${Planes - 1})) AS f(i)),
+         |j AS (SELECT pr.q_id, c.cand_id, pr.is_single,
+         |    list_cosine_similarity(pr.qv, c.cv) AS sim
+         |  FROM pr JOIN c ON pr.probe_bucket = c.c_bucket),
+         |tp AS (SELECT q_id, cand_id FROM (SELECT q.q_id, c.cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |      ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+         |        c.cand_id) AS rn
+         |  FROM q, c) t WHERE rn <= $TopK),
+         |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM tp),
+         |sing AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, cand_id) AS rn
+         |  FROM j WHERE is_single) t WHERE rn <= $TopK),
+         |multi AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, cand_id) AS rn
+         |  FROM j) t WHERE rn <= $TopK)
+         |SELECT 'single' AS variant,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j WHERE is_single)
+         |    AS n_candidates,
+         |  n_truth,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sing s JOIN tp
+         |     ON s.q_id = tp.q_id AND s.cand_id = tp.cand_id) AS n_hit,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sing s JOIN tp
+         |     ON s.q_id = tp.q_id AND s.cand_id = tp.cand_id) * 1000
+         |    // n_truth AS recall_milli
+         |FROM tt
+         |UNION ALL
+         |SELECT 'multiprobe',
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j),
+         |  n_truth,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM multi s JOIN tp
+         |     ON s.q_id = tp.q_id AND s.cand_id = tp.cand_id),
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM multi s JOIN tp
+         |     ON s.q_id = tp.q_id AND s.cand_id = tp.cand_id) * 1000
+         |    // n_truth
+         |FROM tt""".stripMargin
+    },
 
     // bitext mining census over the same sign-LSH buckets; the struct
     // argmax ties break (sim DESC, id_a DESC, id_b DESC) on both sides
@@ -3683,6 +3909,33 @@ object OracleSql {
          |    // COUNT(*) AS oov_ppm
          |FROM j GROUP BY lang""".stripMargin,
 
+    // vocabulary-size sweep: rank the frequency relation once, classify
+    // every token against each ladder K; the ladder Ks come from the
+    // shared constant
+    "vocab_coverage_curve" -> {
+      val ladder = TextAnalysis.VocabLadder.mkString(", ")
+      s"""WITH toks AS (SELECT lang, t.t AS t
+         |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)),
+         |f AS (SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY 1),
+         |r AS (SELECT token,
+         |    ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rn FROM f),
+         |ks AS (SELECT CAST(UNNEST([$ladder]) AS BIGINT) AS k_vocab),
+         |lad AS (SELECT token, k_vocab FROM r, ks WHERE rn <= k_vocab),
+         |nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens
+         |  FROM toks GROUP BY 1),
+         |cov AS (SELECT lang, k_vocab, CAST(COUNT(*) AS BIGINT)
+         |    AS n_covered
+         |  FROM toks JOIN lad ON toks.t = lad.token GROUP BY 1, 2),
+         |g AS (SELECT nl.lang, ks.k_vocab, nl.n_tokens FROM nl, ks)
+         |SELECT g.lang, g.k_vocab, g.n_tokens,
+         |  g.n_tokens - COALESCE(c.n_covered, 0) AS n_oov,
+         |  (g.n_tokens - COALESCE(c.n_covered, 0)) * 1000000
+         |    // g.n_tokens AS oov_ppm
+         |FROM g LEFT JOIN cov c
+         |  ON g.lang = c.lang AND g.k_vocab = c.k_vocab""".stripMargin
+    },
+
     // Heaps-law growth curve: first-bucket per token via one
     // min-aggregate, cumulative sums over the 8-row bucket grid
     "vocab_growth" ->
@@ -4124,126 +4377,10 @@ object OracleSql {
          |FROM ($union) u""".stripMargin
     },
 
-    "pq_recall_residual" -> {
-      import graft.operators.Similarity.{Dim, IvfTrainRounds, PqK, PqM,
-        PqSubDim, PqTrainIters, QueryCount, ResidualSeedLo, TopK}
-      val k = TopK
-      val sd = PqSubDim
-      val fin = s"rr_c$PqTrainIters"
-      val seedHi = ResidualSeedLo + PqK - 1
-      val intL2d = (a: String, b: String) =>
-        s"list_sum(list_transform(generate_series(1, $Dim), " +
-          s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
-      val intL2s = (a: String, b: String) =>
-        s"list_sum(list_transform(generate_series(1, $sd), " +
-          s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
-      // IvfTrainRounds coarse-quantizer Lloyd rounds (64-dim, keep-old-
-      // on-empty) — the SQL twin of Similarity.ivfTrainedCentsE6
-      val kmRounds = (1 to IvfTrainRounds).map { r =>
-        val prev = s"rc${r - 1}"
-        s"""rkd$r AS (SELECT v.vec_id, c.centroid_id,
-           |    ${intL2d("v.v6", "c.c6")} AS d12
-           |  FROM rve v, $prev c),
-           |rka$r AS (SELECT vec_id, centroid_id FROM (
-           |  SELECT vec_id, centroid_id,
-           |    ROW_NUMBER() OVER (PARTITION BY vec_id
-           |      ORDER BY d12, centroid_id) AS rn FROM rkd$r) t
-           |  WHERE rn = 1),
-           |rkm$r AS (SELECT t.centroid_id, CAST(d.i AS BIGINT) - 1 AS dim,
-           |    CAST(SUM(t.v6[d.i]) AS BIGINT) AS s,
-           |    CAST(COUNT(*) AS BIGINT) AS n
-           |  FROM (SELECT a.centroid_id, v.v6 FROM rka$r a
-           |        JOIN rve v USING (vec_id)) t,
-           |    UNNEST(generate_series(1, $Dim)) AS d(i)
-           |  GROUP BY 1, 2),
-           |rkg$r AS (SELECT c.centroid_id, CAST(d.i AS BIGINT) - 1 AS dim,
-           |    c.c6[d.i] AS old6
-           |  FROM $prev c, UNNEST(generate_series(1, $Dim)) AS d(i)),
-           |rc$r AS (SELECT g.centroid_id,
-           |    list(CAST(COALESCE((m.s - m.s % m.n) // m.n, g.old6)
-           |      AS BIGINT) ORDER BY g.dim) AS c6
-           |  FROM rkg$r g LEFT JOIN rkm$r m
-           |    ON m.centroid_id = g.centroid_id AND m.dim = g.dim
-           |  GROUP BY 1)""".stripMargin
-      }.mkString(",\n")
-      val cfin = s"rc$IvfTrainRounds"
-      s"""${DuckSoftBounds}WITH rv6 AS (SELECT vec_id,
-         |    list_transform(CAST(embedding AS DOUBLE[]),
-         |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS v6
-         |  FROM embeddings),
-         |rve AS (SELECT vec_id, v6 FROM rv6 WHERE vec_id >= $QueryCount),
-         |rc0 AS (SELECT vec_id - ${graft.operators.Similarity.CentroidLo}
-         |      AS centroid_id, v6 AS c6
-         |  FROM rv6 WHERE vec_id BETWEEN
-         |    ${graft.operators.Similarity.CentroidLo} AND
-         |    ${graft.operators.Similarity.CentroidLo +
-                graft.operators.Similarity.NumCentroids - 1}),
-         |$kmRounds,
-         |rassign AS (SELECT vec_id, centroid_id FROM (
-         |  SELECT v.vec_id, c.centroid_id,
-         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${intL2d("v.v6", "c.c6")}, c.centroid_id) AS rn
-         |  FROM rve v, $cfin c) t WHERE rn = 1),
-         |rres AS (SELECT a.vec_id,
-         |    list_transform(generate_series(1, $Dim),
-         |      i -> v.v6[i] - c.c6[i]) AS v6
-         |  FROM rassign a JOIN rve v USING (vec_id)
-         |    JOIN $cfin c USING (centroid_id)),
-         |rr_sub AS (SELECT vec_id, CAST(sm.m AS BIGINT) AS m,
-         |    list_transform(generate_series(1, $sd),
-         |      i -> v6[sm.m * $sd + i]) AS sv6
-         |  FROM rres, UNNEST(generate_series(0, ${PqM - 1})) AS sm(m)),
-         |rr_c0 AS (SELECT m, vec_id - $ResidualSeedLo AS k, sv6 AS c6
-         |  FROM rr_sub
-         |  WHERE vec_id BETWEEN $ResidualSeedLo AND $seedHi),
-         |${lloydRoundsSql("rr")},
-         |rde AS (SELECT s.vec_id, s.m, c.k,
-         |    ${intL2s("s.sv6", "c.c6")} AS d12
-         |  FROM rr_sub s JOIN $fin c ON s.m = c.m),
-         |rcodes AS (SELECT vec_id, m, k FROM (SELECT vec_id, m, k,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d12, k)
-         |      AS rn FROM rde) t WHERE rn = 1),
-         |rqs AS (SELECT vec_id AS q_id, CAST(sm.m AS BIGINT) AS m,
-         |    list_transform(generate_series(1, $sd),
-         |      i -> v6[sm.m * $sd + i]) AS qv6
-         |  FROM rv6, UNNEST(generate_series(0, ${PqM - 1})) AS sm(m)
-         |  WHERE vec_id < $QueryCount),
-         |rcs AS (SELECT centroid_id, CAST(sm.m AS BIGINT) AS m,
-         |    list_transform(generate_series(1, $sd),
-         |      i -> c6[sm.m * $sd + i]) AS cs6
-         |  FROM $cfin, UNNEST(generate_series(0, ${PqM - 1})) AS sm(m)),
-         |rqres AS (SELECT q.q_id, c.centroid_id, q.m,
-         |    list_transform(generate_series(1, $sd),
-         |      i -> q.qv6[i] - c.cs6[i]) AS qr6
-         |  FROM rqs q JOIN rcs c ON q.m = c.m),
-         |rsc AS (SELECT r.q_id, a.vec_id,
-         |    CAST(SUM(${intL2s("r.qr6", "c.c6")}) AS BIGINT) AS dist
-         |  FROM rcodes a JOIN rassign s ON a.vec_id = s.vec_id
-         |    JOIN $fin c ON a.m = c.m AND a.k = c.k
-         |    JOIN rqres r ON r.centroid_id = s.centroid_id AND r.m = a.m
-         |  GROUP BY 1, 2),
-         |rap AS (SELECT q_id, vec_id AS cand_id FROM (SELECT q_id, vec_id,
-         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id)
-         |      AS rn FROM rsc) t WHERE rn <= $k),
-         |pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings),
-         |rtq AS (SELECT vec_id AS q_id, v AS qv FROM pe
-         |  WHERE vec_id < $QueryCount),
-         |rtc AS (SELECT vec_id AS cand_id, v AS cv FROM pe
-         |  WHERE vec_id >= $QueryCount),
-         |rtr AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
-         |    ROW_NUMBER() OVER (PARTITION BY q_id
-         |      ORDER BY CAST(ROUND(($l2SumSql) * 1e9) AS BIGINT), cand_id)
-         |      AS rn FROM rtq, rtc) t WHERE rn <= $k),
-         |rh AS (SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-         |  FROM rtr t JOIN rap a
-         |    ON t.q_id = a.q_id AND t.cand_id = a.cand_id
-         |  GROUP BY 1)
-         |SELECT b.q_id, COALESCE(h.n_hits, 0) AS n_hits,
-         |  (COALESCE(h.n_hits, 0) * 1000) // $k AS recall_milli
-         |FROM (SELECT DISTINCT q_id FROM rtr) b
-         |LEFT JOIN rh h USING (q_id)""".stripMargin
-    },
+    // residual IVF-PQ recall gate — staged TEMP-TABLE form (the
+    // coarse k-means, residual Lloyd rounds and ADC scoring each
+    // materialize one stage; see PqResidualTempSql)
+    "pq_recall_residual" -> PqResidualTempSql,
 
     "ivf_recall" -> {
       val k = graft.operators.Similarity.TopK
@@ -4888,6 +5025,46 @@ object OracleSql {
          |  CASE WHEN tvd_ppm <= ${graft.operators.Snapshot.BenfordTolPpm}
          |    THEN 'BENFORD' ELSE 'SKEWED' END AS verdict
          |FROM y""".stripMargin
+    },
+
+    // robust median/MAD outlier census per segment — lower-median
+    // convention on integer cents, windows over the distinct-value
+    // counts relation (the value_median discipline)
+    "mad_outliers" -> {
+      val k = graft.operators.Snapshot.MadK
+      s"""WITH oc AS (SELECT c_mktsegment AS segment,
+         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |cc AS (SELECT segment, cents, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM oc GROUP BY 1, 2),
+         |m0 AS (SELECT segment, cents, c,
+         |    SUM(c) OVER (PARTITION BY segment ORDER BY cents) AS cum,
+         |    SUM(c) OVER (PARTITION BY segment) AS cnt FROM cc),
+         |med AS (SELECT segment, cents AS median_cents,
+         |    CAST(cnt AS BIGINT) AS n_orders
+         |  FROM m0 WHERE cum - c < (cnt + 1) // 2
+         |    AND (cnt + 1) // 2 <= cum),
+         |dl AS (SELECT cc.segment, cc.cents - m.median_cents AS delta,
+         |    cc.c
+         |  FROM cc JOIN med m ON cc.segment = m.segment),
+         |ad AS (SELECT segment, abs(delta) AS dev,
+         |    CAST(SUM(c) AS BIGINT) AS c
+         |  FROM dl GROUP BY 1, 2),
+         |a0 AS (SELECT segment, dev, c,
+         |    SUM(c) OVER (PARTITION BY segment ORDER BY dev) AS cum,
+         |    SUM(c) OVER (PARTITION BY segment) AS cnt FROM ad),
+         |mad AS (SELECT segment, dev AS mad_cents
+         |  FROM a0 WHERE cum - c < (cnt + 1) // 2
+         |    AND (cnt + 1) // 2 <= cum),
+         |outl AS (SELECT dl.segment,
+         |    CAST(COALESCE(SUM(CASE WHEN dl.delta > $k * md.mad_cents
+         |      THEN dl.c END), 0) AS BIGINT) AS n_outliers
+         |  FROM dl JOIN mad md ON dl.segment = md.segment GROUP BY 1)
+         |SELECT m.segment, m.n_orders, m.median_cents, md.mad_cents,
+         |  o.n_outliers,
+         |  o.n_outliers * 1000000 // m.n_orders AS outlier_ppm
+         |FROM med m JOIN mad md ON m.segment = md.segment
+         |JOIN outl o ON m.segment = o.segment""".stripMargin
     },
 
     "repair_plan" -> {

@@ -171,6 +171,8 @@ object SparkEntry {
     "ann_topk"            -> ((s, dir) => Staged.ann(s, dir).cosTruth),
     "ann_lsh"             -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir))),
+    "lsh_multiprobe"      -> ((s, dir) =>
+      Similarity.lshMultiprobe(Tables.embeddings(s, dir))),
     "embed_quantize"      -> ((s, dir) =>
       Similarity.quantizeStats(Tables.embeddings(s, dir))),
     "ivf_assign"          -> ((s, dir) => Staged.ann(s, dir).assign),
@@ -270,6 +272,10 @@ object SparkEntry {
     "vocab_coverage"      -> ((s, dir) => {
       val st = Staged.tokens(s, dir)
       TextAnalysis.vocabCoverageFrom(st.tokens, st.freq)
+    }),
+    "vocab_coverage_curve" -> ((s, dir) => {
+      val st = Staged.tokens(s, dir)
+      TextAnalysis.vocabCoverageCurveFrom(st.tokens, st.freq)
     }),
     "vocab_growth"        -> ((s, dir) =>
       TextAnalysis.vocabGrowthFrom(Staged.tokens(s, dir).tokens)),
@@ -416,6 +422,9 @@ object SparkEntry {
       Snapshot.checksumCompare(Tables.customer(s, dir))),
     "benford_audit"       -> ((s, dir) =>
       Snapshot.benfordAudit(Tables.orders(s, dir))),
+    "mad_outliers"        -> ((s, dir) =>
+      Snapshot.madOutliers(Tables.orders(s, dir),
+        Tables.customer(s, dir))),
     "order_reconcile"     -> ((s, dir) =>
       Snapshot.orderReconcile(Tables.orders(s, dir),
         Tables.lineitem(s, dir))),

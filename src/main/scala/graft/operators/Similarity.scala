@@ -97,6 +97,55 @@ object Similarity {
         round(col("sim") * 1000000).cast("long").as("sim_e6"))
   }
 
+  /** Multi-probe LSH recall gate — the standard table-count saver
+    * (Lv et al., VLDB 2007): beside the query's own sign bucket, probe
+    * every 1-bit-flip neighbor bucket (the [[Planes]] most-likely
+    * misassignments of a sign LSH), so ONE hash table reaches the
+    * recall that extra tables would otherwise buy — at 100 TB that is
+    * Planes× less index storage for the same candidate quality. Per
+    * variant ('single' = the ann_lsh bucket-only probe, 'multiprobe' =
+    * bucket + all 1-bit flips): candidates scored (the cost side),
+    * hits against the exact top-K truth, recall_milli. Scale shape:
+    * the probe relation explodes to Planes+1 rows per QUERY (the tiny
+    * broadcast side); candidates are joined bucket-keyed exactly like
+    * [[lshTopK]] — never all-pairs; the truth is [[bruteTopK]], the
+    * DECLARED gate-scale calibration. */
+  def lshMultiprobe(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val truth = bruteTopK(embeddings, k)
+    val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+    val q = queries(embeddings)
+      .withColumn("bucket", bucketCol(col("q_vec")))
+    val probes = q
+      .select(col("q_id"), col("q_vec"),
+        col("bucket"),
+        explode(array((-1 until Planes).map(lit(_)): _*)).as("flip"))
+      .withColumn("probe_bucket",
+        when(col("flip") === -1, col("bucket"))
+          .otherwise(expr("bucket ^ shiftleft(1L, flip)")))
+    val c = candidates(embeddings)
+      .withColumn("c_bucket", bucketCol(col("c_vec")))
+    // distinct probe buckets per query ⇒ each (q_id, cand_id) at most once
+    val joined = probes.join(c, col("probe_bucket") === col("c_bucket"))
+      .select(col("q_id"), col("cand_id"),
+        (col("flip") === -1).as("is_single"),
+        cosineSim(col("q_vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("cand_id"))
+    def gate(cands: DataFrame, name: String): DataFrame = {
+      val top = cands.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+      val nc = cands.agg(count(lit(1)).cast("long").as("n_candidates"))
+      val nh = top.join(truth, Seq("q_id", "cand_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_hit"))
+      nc.crossJoin(broadcast(nh)).crossJoin(broadcast(nTruth))
+        .select(lit(name).as("variant"), col("n_candidates"),
+          col("n_truth"), col("n_hit"),
+          expr("n_hit * 1000 div n_truth").as("recall_milli"))
+    }
+    gate(joined.where(col("is_single")), "single")
+      .unionAll(gate(joined, "multiprobe"))
+  }
+
   /** Hard-negative mining for embedding-model training (the DPR/
     * Contriever negative-selection step of a training-data build): per
     * query, the top-k most-similar candidates whose LABEL differs from

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Full-table initial sync, snapshot delta detection, and partitioned
@@ -983,5 +984,62 @@ object Snapshot {
       .withColumn("verdict",
         when(col("tvd_ppm") <= BenfordTolPpm, "BENFORD")
           .otherwise("SKEWED"))
+  }
+
+  /** MAD outlier multiplier for [[madOutliers]]. */
+  val MadK = 5L
+
+  /** Robust per-segment outlier census over synced order totals — the
+    * median/MAD twin of [[benfordAudit]]'s digit audit: a mean/stddev
+    * test misses fat-tailed fraud or unit-mangled loads because the
+    * outliers poison the estimate, while the exact lower median and
+    * the MAD (lower median of |x − median|) are 50%-breakdown robust.
+    * Per customer segment: n_orders, median cents, MAD cents, and the
+    * count of orders above median + [[MadK]]·MAD in ppm. Everything is
+    * integer cents with the lower-median convention, so both engines
+    * agree bit-for-bit. Scale shape: ONE corpus join + one
+    * (segment, cents) aggregate shuffle; every window rides the
+    * distinct-value relation (the value_median discipline), the
+    * 5-row median/MAD relations broadcast back, and the deviation and
+    * outlier passes reuse the aggregated counts — the corpus is never
+    * rescanned. */
+  def madOutliers(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val counts = orders
+      .join(customer.select(col("c_custkey"),
+        col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("segment"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("segment", "cents")
+      .agg(count(lit(1)).as("c"))
+    def lowMed(df: DataFrame, v: String): DataFrame = {
+      val w = Window.partitionBy("segment").orderBy(v)
+      val cw = Window.partitionBy("segment")
+      df.withColumn("cum", sum("c").over(w))
+        .withColumn("cnt", sum("c").over(cw))
+        .where(col("cum") - col("c") < expr("(cnt + 1) div 2") &&
+          expr("(cnt + 1) div 2") <= col("cum"))
+        .select(col("segment"), col(v).as("med"), col("cnt"))
+    }
+    val med = lowMed(counts, "cents")
+      .select(col("segment"), col("med").as("median_cents"),
+        col("cnt").as("n_orders"))
+    val deltas = counts.join(broadcast(med), "segment")
+      .select(col("segment"),
+        (col("cents") - col("median_cents")).as("delta"), col("c"))
+    val adev = deltas
+      .select(col("segment"), abs(col("delta")).as("dev"), col("c"))
+      .groupBy("segment", "dev")
+      .agg(sum("c").as("c"))
+    val mad = lowMed(adev, "dev")
+      .select(col("segment"), col("med").as("mad_cents"))
+    val outl = deltas.join(broadcast(mad), "segment")
+      .groupBy("segment")
+      .agg(coalesce(sum(when(col("delta") > lit(MadK) * col("mad_cents"),
+        col("c"))), lit(0L)).cast("long").as("n_outliers"))
+    med.join(mad, "segment").join(outl, "segment")
+      .select(col("segment"), col("n_orders"), col("median_cents"),
+        col("mad_cents"), col("n_outliers"),
+        expr("n_outliers * 1000000 div n_orders").as("outlier_ppm"))
   }
 }

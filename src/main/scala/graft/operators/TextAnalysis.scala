@@ -1059,6 +1059,50 @@ object TextAnalysis {
         expr("(n_oov * 1000000) div n_tokens").as("oov_ppm"))
   }
 
+  /** Candidate vocabulary sizes swept by [[vocabCoverageCurve]]; the
+    * production [[VocabK]] rides the grid so its row is directly
+    * comparable. */
+  val VocabLadder: Seq[Int] = Seq(5, 10, VocabK, 50)
+
+  /** Vocabulary-size sweep — the OOV rate per (lang, K) for every
+    * candidate vocabulary size in ONE tokens pass (the retention_sweep
+    * discipline applied to tokenizer sizing: the question asked BEFORE
+    * [[VocabK]] is trusted). The K vocabularies are TakeOrdered
+    * prefixes of the same (tf desc, token) total order, unioned into
+    * one ladder relation; each token row joins the broadcast ladder
+    * once and counts toward every K whose vocabulary holds it. Scale
+    * shape: the tokens relation pays one per-lang aggregate shuffle;
+    * the ladder is ≤ ΣK rows — index-sized at any corpus; no windows,
+    * no per-K corpus passes. */
+  def vocabCoverageCurve(documents: DataFrame): DataFrame = {
+    val t = tokensRel(documents)
+    vocabCoverageCurveFrom(t, tokenFreqFrom(t))
+  }
+
+  /** [[vocabCoverageCurve]] over staged token + frequency relations. */
+  def vocabCoverageCurveFrom(tokens: DataFrame,
+                             freq: DataFrame): DataFrame = {
+    val ladder = VocabLadder.map { kk =>
+      freq.orderBy(col("tf").desc, col("token")).limit(kk)
+        .select(col("token").as("t"), lit(kk.toLong).as("k_vocab"))
+    }.reduce(_ unionAll _)
+    val toks = tokens.select(col("lang"), col("token").as("t"))
+    val covered = toks.join(broadcast(ladder), Seq("t"))
+      .groupBy("lang", "k_vocab")
+      .agg(count(lit(1)).cast("long").as("n_covered"))
+    toks.groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n_tokens"))
+      .select(col("lang"), col("n_tokens"),
+        explode(array(VocabLadder.map(k => lit(k.toLong)): _*))
+          .as("k_vocab"))
+      .join(covered, Seq("lang", "k_vocab"), "left")
+      .na.fill(0L, Seq("n_covered"))
+      .select(col("lang"), col("k_vocab"), col("n_tokens"),
+        (col("n_tokens") - col("n_covered")).as("n_oov"),
+        expr("(n_tokens - n_covered) * 1000000 div n_tokens")
+          .as("oov_ppm"))
+  }
+
   // --- bigram LM scoring ---------------------------------------------------
 
   /** Bigram-LM fluency proxy in integer ppm — the KenLM-style

@@ -56,6 +56,69 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lsh.forall(_.getAs[Long]("cand_id") >= Similarity.QueryCount))
   }
 
+  test("lsh_multiprobe: candidate counts match a driver-side hamming-≤1 " +
+    "bucket replay, single ⊆ multiprobe, recall fields consistent") {
+    val rows = Similarity.lshMultiprobe(embs).collect()
+      .map(r => r.getAs[String]("variant") -> r).toMap
+    assert(rows.keySet === Set("single", "multiprobe"))
+    val single = rows("single"); val multi = rows("multiprobe")
+    // driver-side replay of the probe geometry: a candidate is probed
+    // iff its bucket is within hamming distance <= 1 of the query's
+    val bucketed = embs
+      .select(col("vec_id"), Similarity.bucketCol(col("embedding"))
+        .as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val qs = bucketed.filter(_._1 < Similarity.QueryCount)
+    val cs = bucketed.filter(_._1 >= Similarity.QueryCount)
+    val wantSingle = (for (q <- qs; c <- cs if q._2 == c._2) yield 1).size
+    val wantMulti = (for (q <- qs; c <- cs
+      if java.lang.Long.bitCount(q._2 ^ c._2) <= 1) yield 1).size
+    assert(single.getAs[Long]("n_candidates") === wantSingle.toLong)
+    assert(multi.getAs[Long]("n_candidates") === wantMulti.toLong)
+    assert(wantSingle < wantMulti, "multiprobe probed nothing extra")
+    for (v <- Seq(single, multi)) {
+      assert(v.getAs[Long]("n_truth") ===
+        Similarity.bruteTopK(embs).count())
+      assert(v.getAs[Long]("recall_milli") ===
+        v.getAs[Long]("n_hit") * 1000L / v.getAs[Long]("n_truth"))
+    }
+    assert(multi.getAs[Long]("n_hit") >= single.getAs[Long]("n_hit"),
+      "extra probes lost recall")
+  }
+
+  test("vocab_coverage_curve: every (lang, K) row matches a driver-side " +
+    "rank replay; the production-K rows equal vocab_coverage") {
+    val got = TextAnalysis.vocabCoverageCurve(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("k_vocab")) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("oov_ppm"))).toMap
+    val toks = docs.select(col("lang"), explode(split(col("text"), " "))
+        .as("t")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rank = toks.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (t, c) => (-c, t) }.map(_._1).zipWithIndex.toMap
+    val langs = toks.map(_._1).distinct
+    assert(got.keySet ===
+      (for (l <- langs; k <- TextAnalysis.VocabLadder)
+        yield (l, k.toLong)).toSet)
+    for (l <- langs; k <- TextAnalysis.VocabLadder) {
+      val mine = toks.filter(_._1 == l)
+      val oov = mine.count(t => rank(t._2) >= k)
+      val (n, o, ppm) = got((l, k.toLong))
+      assert(n === mine.size.toLong, s"($l, $k)")
+      assert(o === oov.toLong, s"($l, $k)")
+      assert(ppm === oov.toLong * 1000000L / mine.size, s"($l, $k)")
+    }
+    // the K = VocabK rows ARE vocab_coverage's rows
+    val prod = TextAnalysis.vocabCoverage(docs).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"))).toMap
+    prod.foreach { case (l, (n, o)) =>
+      val (cn, co, _) = got((l, TextAnalysis.VocabK.toLong))
+      assert((cn, co) === ((n, o)), l)
+    }
+  }
+
   test("embed_covariance: full upper-triangle grid, variances " +
     "non-negative, every entry equal to a driver-side two-pass " +
     "integer reference") {

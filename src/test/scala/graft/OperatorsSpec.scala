@@ -1788,6 +1788,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(od.head.getAs[String]("verdict") === "SKEWED")
   }
 
+  test("mad_outliers: median/MAD/outlier counts match a driver-side " +
+    "replay; a constant segment (MAD 0) flags every strictly-greater " +
+    "value") {
+    import spark.implicits._
+    val got = Snapshot.madOutliers(Tables.orders(spark, TestSpark.Sf),
+        Tables.customer(spark, TestSpark.Sf)).collect()
+      .map(r => r.getAs[String]("segment") -> r).toMap
+    val oc = Tables.orders(spark, TestSpark.Sf)
+      .join(Tables.customer(spark, TestSpark.Sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def lowMed(xs: Seq[Long]): Long = xs.sorted.apply((xs.size - 1) / 2)
+    val bySeg = oc.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(got.keySet === bySeg.keySet)
+    bySeg.foreach { case (seg, xs) =>
+      val med = lowMed(xs)
+      val mad = lowMed(xs.map(x => math.abs(x - med)))
+      val out = xs.count(_ > med + Snapshot.MadK * mad)
+      val r = got(seg)
+      assert(r.getAs[Long]("n_orders") === xs.size.toLong, seg)
+      assert(r.getAs[Long]("median_cents") === med, seg)
+      assert(r.getAs[Long]("mad_cents") === mad, seg)
+      assert(r.getAs[Long]("n_outliers") === out.toLong, seg)
+      assert(r.getAs[Long]("outlier_ppm") ===
+        out.toLong * 1000000L / xs.size, seg)
+    }
+    // constructed MAD-0 edge: one segment all-equal but for one high
+    // value — median = the constant, MAD = 0, the single spike flags
+    val o = ((1 to 9).map(i => (i.toLong, i.toLong, 50.0)) :+
+        ((10L, 10L, 99.0)))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val c = (1 to 10).map(i => (i.toLong, "SEG"))
+      .toDF("c_custkey", "c_mktsegment")
+    val e = Snapshot.madOutliers(o, c).collect()
+    assert(e.length === 1)
+    assert(e.head.getAs[Long]("median_cents") === 5000L)
+    assert(e.head.getAs[Long]("mad_cents") === 0L)
+    assert(e.head.getAs[Long]("n_outliers") === 1L)
+  }
+
   test("partition_advisor: byte estimates match a driver-side width " +
     "replay, the partition recommendation follows the ceiling formula") {
     val tables = Snapshot.AdvisorGrid.map { case (t, _) =>

@@ -191,7 +191,10 @@ class PlanSpec extends AnyFunSuite {
       "hubness_audit",
       // retention_sweep crosses the broadcast 1-row max-week aggregate
       // (IdentityBroadcastMode) onto the cohort-week grid
-      "retention_sweep")
+      "retention_sweep",
+      // lsh_multiprobe: the truth is the DECLARED gate-scale brute
+      // pass (the ann_topk allowance) plus 1-row n_hit/n_truth crosses
+      "lsh_multiprobe")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
