@@ -1081,13 +1081,27 @@ object CdcStream {
     }
     val stream = spark.readStream.schema(batches.head.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-    val query = pipe(stream).writeStream.format("memory")
-      .queryName(name).outputMode(mode).start()
-    try staged.zipWithIndex.foreach { case (part, i) =>
-      Files.move(part, inDir.resolve(f"batch_$i%05d.parquet"))
-      query.processAllAvailable()
-    } finally query.stop()
-    val result = spark.table(name).localCheckpoint()
+    // run the replay with few state partitions: every micro-batch
+    // commits one state-store file PER shuffle partition PER stateful
+    // stage, and the parity state is key-count-sized (thousands of
+    // keys at verify scale), so 32 partitions buy nothing but file
+    // churn — measured ~2x wall on the 13-harness family. The
+    // checkpoint is fresh per run (partition count is free to differ
+    // between runs), results are partition-count-invariant, and the
+    // session value is restored immediately after the drain. A
+    // production deployment sizes this to its key cardinality.
+    val partConf = "spark.sql.shuffle.partitions"
+    val outer = spark.conf.get(partConf)
+    val result = try {
+      spark.conf.set(partConf, "8")
+      val query = pipe(stream).writeStream.format("memory")
+        .queryName(name).outputMode(mode).start()
+      try staged.zipWithIndex.foreach { case (part, i) =>
+        Files.move(part, inDir.resolve(f"batch_$i%05d.parquet"))
+        query.processAllAvailable()
+      } finally query.stop()
+      spark.table(name).localCheckpoint()
+    } finally spark.conf.set(partConf, outer)
     spark.catalog.dropTempView(name)
     // best-effort cleanup of the staged inputs
     import scala.jdk.CollectionConverters._
