@@ -1076,6 +1076,63 @@ object OracleSql {
       |  CAST(SUM(credit_milli) AS BIGINT) AS credit_milli_cents
       |FROM a GROUP BY 1""".stripMargin
 
+  /** U-shape position attribution — first/last touch take
+    * PosEndNum/PosDen each, the middle pool splits equally; every
+    * division uses the (x - x % d) // d truncation form so the oracle
+    * matches the Spark/streaming trunc exactly even on negative
+    * (refund-style) purchase values. Generated from the SAME
+    * PosEndNum/PosDen constants the batch window form and the
+    * streaming journey state use. */
+  val PositionAttributionSql: String = {
+    val en = graft.operators.Analytics.PosEndNum
+    val de = graft.operators.Analytics.PosDen
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+       |    event_type,
+       |    CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+       |  FROM events),
+       |j AS (SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS journey FROM e),
+       |t AS (SELECT user_id, journey, event_type,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id, journey
+       |      ORDER BY ts_ns, event_id) AS BIGINT) AS pos,
+       |    CAST(COUNT(*) OVER (PARTITION BY user_id, journey)
+       |      AS BIGINT) AS n_touches
+       |  FROM j WHERE event_type <> 'purchase'),
+       |p AS (SELECT user_id, journey, value_cents FROM j
+       |  WHERE event_type = 'purchase'),
+       |js AS (SELECT user_id, journey, CAST(COUNT(*) AS BIGINT) AS n_t
+       |  FROM t GROUP BY 1, 2),
+       |tc0 AS (SELECT t.event_type, t.pos, t.n_touches,
+       |    p.value_cents * 1000 AS vm,
+       |    (p.value_cents * 1000 - (p.value_cents * 1000) % $de) // $de
+       |      AS pool
+       |  FROM t JOIN p ON t.user_id = p.user_id AND t.journey = p.journey),
+       |tc AS (SELECT event_type AS touch_type,
+       |    CASE WHEN n_touches = 1 THEN 'solo'
+       |         WHEN pos = 1 THEN 'first'
+       |         WHEN pos = n_touches THEN 'last'
+       |         ELSE 'mid' END AS role,
+       |    CASE WHEN n_touches = 1 THEN vm
+       |         WHEN pos > 1 AND pos < n_touches THEN
+       |           (pool - pool % (n_touches - 2)) // (n_touches - 2)
+       |         WHEN n_touches = 2 THEN (vm - vm % 2) // 2
+       |         ELSE (vm * $en - (vm * $en) % $de) // $de
+       |    END AS credit_milli
+       |  FROM tc0),
+       |nn AS (SELECT 'none' AS touch_type, 'none' AS role,
+       |    p.value_cents * 1000 AS credit_milli
+       |  FROM p LEFT JOIN js ON p.user_id = js.user_id
+       |    AND p.journey = js.journey
+       |  WHERE js.n_t IS NULL),
+       |a AS (SELECT * FROM tc UNION ALL SELECT * FROM nn)
+       |SELECT touch_type, role, CAST(COUNT(*) AS BIGINT) AS n_credits,
+       |  CAST(SUM(credit_milli) AS BIGINT) AS credit_milli_cents
+       |FROM a GROUP BY 1, 2""".stripMargin
+  }
+
   val AttributionSql: String =
     """WITH a AS (SELECT user_id, event_id, event_type,
         |    CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
@@ -3459,6 +3516,40 @@ object OracleSql {
          |  FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
          |SELECT id_a, id_b, sim_e6 FROM p WHERE sim_e6 >= 950000""".stripMargin,
 
+    // heldout lane = the SAME stable hash split split_assign uses
+    // (val+test = buckets 98/99); candidates from the SAME sign-LSH
+    // buckets as dedup_embedding; threshold from ContamTauE6
+    "semantic_contamination" -> {
+      val tau = Similarity.ContamTauE6
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    CAST(label AS BIGINT) AS label,
+         |    ${sqlPhash("'split:' || vec_id")} % 100 >= 98 AS heldout
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, label, heldout, $bucketExpr AS bucket
+         |  FROM e),
+         |ev AS (SELECT bucket, vec_id AS e_id, v AS evec, label FROM b
+         |  WHERE heldout),
+         |tr AS (SELECT bucket, vec_id AS t_id, v AS tvec FROM b
+         |  WHERE NOT heldout),
+         |c AS (SELECT ev.e_id, ev.label,
+         |    CASE WHEN tr.t_id IS NULL THEN NULL
+         |      ELSE CAST(ROUND(list_cosine_similarity(ev.evec, tr.tvec)
+         |        * 1000000) AS BIGINT) END AS sim_e6,
+         |    CASE WHEN tr.t_id IS NULL THEN 0 ELSE 1 END AS cand
+         |  FROM ev LEFT JOIN tr USING (bucket)),
+         |m AS (SELECT e_id, label, MAX(sim_e6) AS best_e6,
+         |    CAST(SUM(cand) AS BIGINT) AS n_cands FROM c GROUP BY 1, 2)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_heldout,
+         |  CAST(SUM(CASE WHEN n_cands > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_matched,
+         |  CAST(SUM(CASE WHEN best_e6 >= $tau THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_leaked,
+         |  MAX(best_e6) AS max_sim_e6,
+         |  CASE WHEN SUM(CASE WHEN best_e6 >= $tau THEN 1 ELSE 0 END) > 0
+         |    THEN 'LEAKED' ELSE 'CLEAN' END AS verdict
+         |FROM m GROUP BY 1""".stripMargin
+    },
+
     "multimodal_decode" ->
       """WITH m AS (SELECT doc_id,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS len,
@@ -3647,6 +3738,24 @@ object OracleSql {
          |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
          |FROM lab""".stripMargin,
 
+    // soft dedup: every cluster member keeps 1e6/|cluster| ppm of
+    // sampling mass (trunc), unique docs keep the full 1e6
+    "soft_dedup_weights" ->
+      s"""WITH $MinhashCtes, $DupClusterCtes,
+         |cs AS (SELECT doc_id,
+         |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |      AS mem
+         |  FROM lab),
+         |d AS (SELECT dd.source, COALESCE(cs.mem, 1) AS mem
+         |  FROM documents dd LEFT JOIN cs ON dd.doc_id = cs.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN mem > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_members,
+         |  CAST(SUM(1000000 // mem) AS BIGINT) AS effective_docs_ppm,
+         |  CAST(SUM(1000000 // mem) // COUNT(*) AS BIGINT)
+         |    AS dedup_ratio_ppm
+         |FROM d GROUP BY 1""".stripMargin,
+
     "cluster_size_hist" ->
       s"""WITH $MinhashCtes, $DupClusterCtes,
          |csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
@@ -3824,6 +3933,50 @@ object OracleSql {
          |  (weight * 1000000) // total_w AS share_ppm
          |FROM w, t""".stripMargin,
 
+    // term list and flag budget generated from the SAME
+    // BlocklistTerms/BlocklistFlagMax constants the Spark filter uses
+    "blocklist_filter" -> {
+      val terms = TextAnalysis.BlocklistTerms.map(esc).mkString(", ")
+      val fm = TextAnalysis.BlocklistFlagMax
+      s"""WITH h AS (SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($terms))) AS BIGINT) AS n_hits
+         |  FROM documents),
+         |v AS (SELECT source, n_hits,
+         |    CASE WHEN n_hits = 0 THEN 'KEEP'
+         |         WHEN n_hits <= $fm THEN 'FLAG'
+         |         ELSE 'DROP' END AS verdict FROM h)
+         |SELECT source, verdict, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_hits) AS BIGINT) AS n_hits
+         |FROM v GROUP BY 1, 2""".stripMargin
+    },
+
+    // temperature ladder n^{1, 1/2, 1/4} via the SAME ±1-adjusted
+    // integer sqrt as the Spark isqrtCol — exact on both engines
+    "mix_temperature" ->
+      """WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |s1 AS (SELECT *, CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)))
+        |    AS BIGINT) AS r0 FROM g),
+        |w1 AS (SELECT lang, source, n_docs,
+        |    CASE WHEN (r0 + 1) * (r0 + 1) <= n_docs THEN r0 + 1
+        |         WHEN r0 * r0 <= n_docs THEN r0
+        |         ELSE r0 - 1 END AS w50 FROM s1),
+        |s2 AS (SELECT *, CAST(FLOOR(SQRT(CAST(w50 AS DOUBLE)))
+        |    AS BIGINT) AS q0 FROM w1),
+        |w2 AS (SELECT lang, source, n_docs, w50,
+        |    CASE WHEN (q0 + 1) * (q0 + 1) <= w50 THEN q0 + 1
+        |         WHEN q0 * q0 <= w50 THEN q0
+        |         ELSE q0 - 1 END AS w25 FROM s2),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t100,
+        |    CAST(SUM(w50) AS BIGINT) AS t50,
+        |    CAST(SUM(w25) AS BIGINT) AS t25 FROM w2)
+        |SELECT lang, source, n_docs, w50, w25,
+        |  (n_docs * 1000000) // t100 AS share_a100_ppm,
+        |  (w50 * 1000000) // t50 AS share_a50_ppm,
+        |  (w25 * 1000000) // t25 AS share_a25_ppm
+        |FROM w2, t""".stripMargin,
+
     "span_dedup" -> {
       val sp = TextAnalysis.SpanTokens
       s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
@@ -3895,6 +4048,24 @@ object OracleSql {
          |    ord % ${TextAnalysis.NumShards} ORDER BY ord, doc_id) AS BIGINT)
          |    AS pos
          |FROM o""".stripMargin,
+
+    // curriculum phases from the SAME CurriculumBand constant and the
+    // SAME gopher distinct_milli the Spark operator reads; order and
+    // shard from the portable hash exactly as epoch_shuffle
+    "curriculum_order" ->
+      s"""WITH $GopherCtes,
+         |c AS (SELECT doc_id,
+         |    CAST(distinct_milli AS BIGINT) AS quality_milli,
+         |    CAST((999 - LEAST(distinct_milli, 999))
+         |      // ${TextAnalysis.CurriculumBand} AS BIGINT) AS phase,
+         |    ${sqlPhash("concat('curr:', CAST(doc_id AS VARCHAR))")} AS ord
+         |  FROM gq)
+         |SELECT doc_id, quality_milli, phase,
+         |  ord % ${TextAnalysis.NumShards} AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY phase,
+         |    ord % ${TextAnalysis.NumShards} ORDER BY ord, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM c""".stripMargin,
 
     "vocab_coverage" ->
       s"""WITH toks AS (SELECT lang, t.t AS t
@@ -4686,6 +4857,12 @@ object OracleSql {
 
     // the streaming journey state replays into the SAME oracle text
     "stream_linear_parity" -> LinearAttributionSql,
+
+    // U-shape position attribution: roles solo/first/last/mid/none,
+    // endpoint shares and the mid pool from the shared PosEndNum/PosDen
+    // constants; the streaming U-shape state replays into the SAME text
+    "attribution_position"   -> PositionAttributionSql,
+    "stream_position_parity" -> PositionAttributionSql,
 
     // GDPR subject-access export for the bounded request cohort;
     // cohort modulus from the shared Snapshot constant

@@ -277,6 +277,13 @@ object ScaleProbe {
       "bounce_rate" -> sink(Temporal.bounceRate(cl)),
       // batch-16: the cohort-grid LTV cumsum
       "cohort_ltv" -> sink(
-        graft.operators.Analytics.cohortLtv(ev)))
+        graft.operators.Analytics.cohortLtv(ev)),
+      "attribution_position" -> sink(
+        graft.operators.Analytics.attributionPosition(ev)),
+      "blocklist_filter" -> sink(TextAnalysis.blocklistFilter(docs)),
+      "curriculum_order" -> sink(TextAnalysis.curriculumOrder(docs)),
+      "mix_temperature" -> sink(TextAnalysis.mixTemperature(docs)),
+      "soft_dedup_weights" -> sink(
+        Dedup.softDedupWeights(docs, Dedup.minhashDedup(docs))))
   }
 }

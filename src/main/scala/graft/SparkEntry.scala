@@ -184,6 +184,8 @@ object SparkEntry {
     "cross_lang_pairs"    -> ((s, dir) =>
       Similarity.crossLangPairs(Tables.embeddings(s, dir),
         Tables.documents(s, dir))),
+    "semantic_contamination" -> ((s, dir) =>
+      Similarity.semanticContamination(Tables.embeddings(s, dir))),
     "dedup_minhash"       -> ((s, dir) => Staged.dedup(s, dir).dups),
     "dedup_ngram_jaccard" -> ((s, dir) => Staged.dedup(s, dir).verified),
     "dedup_simhash"       -> ((s, dir) => Staged.dedup(s, dir).simPairs),
@@ -232,6 +234,9 @@ object SparkEntry {
       TrainingPipeline.run(Tables.documents(s, dir))),
     "dup_cluster"         -> ((s, dir) =>
       Dedup.dupClustersFrom(Staged.dedup(s, dir).dups)),
+    "soft_dedup_weights"  -> ((s, dir) =>
+      Dedup.softDedupWeights(Tables.documents(s, dir),
+        Staged.dedup(s, dir).dups)),
     "contrastive_triplets" -> ((s, dir) =>
       Similarity.contrastiveTriplets(Staged.dedup(s, dir).dups,
         Tables.embeddings(s, dir))),
@@ -245,6 +250,10 @@ object SparkEntry {
     }),
     "mix_weights"         -> ((s, dir) =>
       TextAnalysis.mixWeights(Tables.documents(s, dir))),
+    "mix_temperature"     -> ((s, dir) =>
+      TextAnalysis.mixTemperature(Tables.documents(s, dir))),
+    "blocklist_filter"    -> ((s, dir) =>
+      TextAnalysis.blocklistFilter(Tables.documents(s, dir))),
     "doc_chunk"           -> ((s, dir) =>
       TextAnalysis.docChunks(Tables.documents(s, dir))),
     "pack_sequences"      -> ((s, dir) =>
@@ -269,6 +278,8 @@ object SparkEntry {
         Staged.tokens(s, dir).gopher)),
     "epoch_shuffle"       -> ((s, dir) =>
       TextAnalysis.epochShuffle(Tables.documents(s, dir))),
+    "curriculum_order"    -> ((s, dir) =>
+      TextAnalysis.curriculumOrderFrom(Staged.tokens(s, dir).gopher)),
     "vocab_coverage"      -> ((s, dir) => {
       val st = Staged.tokens(s, dir)
       TextAnalysis.vocabCoverageFrom(st.tokens, st.freq)
@@ -390,6 +401,10 @@ object SparkEntry {
       Analytics.attributionLinear(Tables.events(s, dir))),
     "stream_linear_parity" -> ((s, dir) =>
       graft.streaming.CdcStream.linearParity(s, Tables.events(s, dir))),
+    "attribution_position" -> ((s, dir) =>
+      Analytics.attributionPosition(Tables.events(s, dir))),
+    "stream_position_parity" -> ((s, dir) =>
+      graft.streaming.CdcStream.positionParity(s, Tables.events(s, dir))),
     "event_transitions"   -> ((s, dir) =>
       Analytics.eventTransitions(Tables.events(s, dir))),
     "event_paths"         -> ((s, dir) =>

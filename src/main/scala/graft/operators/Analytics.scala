@@ -452,6 +452,80 @@ object Analytics {
         sum("credit_milli").as("credit_milli_cents"))
   }
 
+  /** U-shape endpoint share for [[attributionPosition]]: first and last
+    * touch each take PosEndNum/PosDen of the purchase value; the middle
+    * pool is the remaining 1/PosDen (the classic 40/20/40 split). */
+  val PosEndNum = 2L
+  /** See [[PosEndNum]]. */
+  val PosDen = 5L
+
+  /** Position-based (U-shaped) multi-touch revenue attribution — the
+    * third member of the attribution family: where last-touch credits
+    * the closer and linear splits evenly, the U-shape credits the
+    * INTRODUCER and the CLOSER [[PosEndNum]]/[[PosDen]] each and splits
+    * the remaining pool equally across the middle touches. Role
+    * conventions: a single-touch journey is 'solo' (full credit), a
+    * two-touch journey splits halves across 'first'/'last', a
+    * touchless purchase credits 'none' in full. All credits are
+    * milli-cents with truncating division (both engines lose the same
+    * remainder; mid credit truncates the pool div THEN the per-touch
+    * div, in that order, so the stream twin can reproduce it exactly).
+    *
+    * Shape: the SAME single per-user window shuffle as
+    * [[attributionLinear]] assigns journeys; positions and journey
+    * sizes ride two windows over the (user, journey) key — the same
+    * partitioning, no extra shuffle; touches and purchases meet on the
+    * (user, journey) equi-join; the rollup is ≤(|types|+1)×4 rows. */
+  def attributionPosition(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = events
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .withColumn("journey",
+        coalesce(sum((col("event_type") === "purchase").cast("long"))
+          .over(w), lit(0L)))
+    val jw = Window.partitionBy("user_id", "journey")
+      .orderBy(col("ts_ns"), col("event_id"))
+    val touches = e.where(col("event_type") =!= "purchase")
+      .withColumn("pos", row_number().over(jw).cast("long"))
+      .withColumn("n_touches",
+        count(lit(1)).over(Window.partitionBy("user_id", "journey"))
+          .cast("long"))
+      .select("user_id", "journey", "event_type", "pos", "n_touches")
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("journey"), col("value_cents"))
+    val journeySize = touches.groupBy("user_id", "journey")
+      .agg(count(lit(1)).as("n_t"))
+    val touched = touches
+      .join(purchases, Seq("user_id", "journey"))
+      .withColumn("role",
+        when(col("n_touches") === 1L, "solo")
+          .when(col("pos") === 1L, "first")
+          .when(col("pos") === col("n_touches"), "last")
+          .otherwise("mid"))
+      .select(col("event_type").as("touch_type"), col("role"),
+        when(col("role") === "solo", col("value_cents") * 1000L)
+          .when(col("role") === "mid", expr(
+            s"value_cents * 1000 div $PosDen div (n_touches - 2)"))
+          .when(col("n_touches") === 2L,
+            expr("value_cents * 1000 div 2"))
+          .otherwise(expr(
+            s"value_cents * 1000 * $PosEndNum div $PosDen"))
+          .as("credit_milli"))
+    val none = purchases
+      .join(journeySize, Seq("user_id", "journey"), "left")
+      .where(col("n_t").isNull)
+      .select(lit("none").as("touch_type"), lit("none").as("role"),
+        (col("value_cents") * 1000L).as("credit_milli"))
+    touched.unionByName(none)
+      .groupBy("touch_type", "role")
+      .agg(count(lit(1)).as("n_credits"),
+        sum("credit_milli").as("credit_milli_cents"))
+  }
+
   /** Next-event Markov transition matrix — the product-analytics
     * staple beside funnel_conversion and attribution_last_touch: per
     * (from_type, to_type) count of consecutive event pairs within each

@@ -556,6 +556,38 @@ object Dedup {
       .select(col("doc_id"), col("label").as("cluster_id"), col("n_members"))
   }
 
+  /** Soft-dedup sampling weights — the down-weighting alternative to
+    * dropping near-dups: instead of keeping one representative per
+    * cluster, every member keeps 1e6/|cluster| ppm of sampling mass
+    * (truncating div — a cluster's total mass is ≈ one document), and
+    * unique docs keep the full 1e6. Per source: raw docs, near-dup
+    * members, the effective document mass in ppm, and the
+    * effective/raw ratio — the number that says how much of a source
+    * survives soft dedup without the variance cliff hard dropping
+    * causes. Shape: the cluster labels join back to the corpus on
+    * doc_id (clusters are the minority side); one per-source
+    * map-side-combined aggregate. */
+  def softDedupWeights(documents: DataFrame, dups: DataFrame): DataFrame =
+    softDedupWeightsFrom(documents, dupClustersFrom(dups))
+
+  /** [[softDedupWeights]] over an already-labelled cluster relation
+    * (the [[dupClustersFrom]] output shape). */
+  private[graft] def softDedupWeightsFrom(documents: DataFrame,
+                                          clusters: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("source"))
+      .join(clusters.select(col("doc_id"), col("n_members")),
+        Seq("doc_id"), "left")
+      .select(col("source"),
+        coalesce(col("n_members"), lit(1L)).as("mem"))
+      .select(col("source"), col("mem"),
+        expr("1000000 div mem").as("w_ppm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("mem") > 1L).cast("long")).as("n_dup_members"),
+        sum("w_ppm").as("effective_docs_ppm"))
+      .withColumn("dedup_ratio_ppm",
+        expr("effective_docs_ppm div n_docs"))
+
   /** Canonical-representative selection per near-dup cluster — the
     * decision step between clustering and materialization. dedupApply's
     * "keep the minimum doc_id" rule is arbitrary; a production pipeline

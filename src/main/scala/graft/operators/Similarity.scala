@@ -2128,6 +2128,60 @@ object Similarity {
         when(col("n_bitext") > 0L, "BITEXT").otherwise("NONE"))
   }
 
+  /** Leak threshold (cosine e6) for [[semanticContamination]]. */
+  val ContamTauE6 = 950000L
+
+  /** Semantic train/eval contamination audit — the embedding-level
+    * twin of the n-gram contamination_check: the heldout slice (the
+    * val+test 2% of the SAME stable hash-split split_assign uses, so
+    * the audited split IS the trained split) is screened against the
+    * train lane for near-identical vectors that would leak eval
+    * answers into training. Candidates come from the sign-LSH buckets
+    * embedding dedup uses (never eval×train all-pairs — the bucket
+    * join is the scale path; a leaked NEAR-DUPLICATE collides by
+    * construction, which is the same recall argument dedup_embedding
+    * rides). Per label: heldout count, how many found any train
+    * candidate, how many leak at [[ContamTauE6]], the worst offender's
+    * similarity, and a LEAKED/CLEAN verdict.
+    *
+    * Shape: one bucket-keyed equi-join between the two hash lanes of
+    * one scan, a per-heldout-vector max (struct max, no window), then
+    * a ≤|labels| aggregate; heldout vectors with an empty bucket
+    * survive via the left join (they are CLEAN evidence, not dropped
+    * rows). */
+  def semanticContamination(embeddings: DataFrame): DataFrame = {
+    val lane = pmod(graft.functions.PortableHash.phash(
+      concat(lit("split:"), col("vec_id").cast("string"))), lit(100L))
+    val v = embeddings
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"),
+        (lane >= 98L).as("heldout"))
+      .withColumn("bucket", bucketCol(col("embedding")))
+    val eval = v.where(col("heldout"))
+      .select(col("bucket"), col("vec_id").as("e_id"),
+        col("embedding").as("ev"), col("label"))
+    val train = v.where(!col("heldout"))
+      .select(col("bucket"), col("vec_id").as("t_id"),
+        col("embedding").as("tv"))
+    val best = eval.join(train, Seq("bucket"), "left")
+      .withColumn("sim_e6",
+        when(col("t_id").isNull, lit(null).cast("long"))
+          .otherwise(round(cosineSim(col("ev"), col("tv")) * 1000000)
+            .cast("long")))
+      .groupBy("e_id", "label")
+      .agg(max(col("sim_e6")).as("best_e6"),
+        sum(when(col("t_id").isNull, 0L).otherwise(1L)).as("n_cands"))
+    best
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_heldout"),
+        sum((col("n_cands") > 0L).cast("long")).as("n_matched"),
+        sum(coalesce((col("best_e6") >= ContamTauE6).cast("long"),
+          lit(0L))).as("n_leaked"),
+        max(col("best_e6")).as("max_sim_e6"))
+      .withColumn("verdict",
+        when(col("n_leaked") > 0L, "LEAKED").otherwise("CLEAN"))
+  }
+
   /** Label-propagation rounds run by [[knnComponentsFrom]]. */
   val ClpRounds = 4
 

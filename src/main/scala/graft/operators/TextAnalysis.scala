@@ -1026,6 +1026,41 @@ object TextAnalysis {
       .select("epoch", "doc_id", "shard", "pos")
   }
 
+  /** Quality band width (milli) and resulting phase count for
+    * [[curriculumOrder]]: phase = (999 − quality) div band, so phase 0
+    * is the cleanest quarter and trains first. */
+  val CurriculumBand = 250L
+
+  /** Curriculum training schedule — the quality-ORDERED counterpart of
+    * [[epochShuffle]]'s uniform shuffle and [[tokenBudget]]'s
+    * selection: documents are banded into curriculum phases by gopher
+    * quality (cleanest band = phase 0, consumed first; the classic
+    * easy-to-hard curriculum), deterministically shuffled WITHIN a
+    * phase by the portable hash (no rand() — re-runs, resumes, and the
+    * oracle see the identical order), and given a (shard, pos) within
+    * (phase, shard) exactly as training jobs consume data. Position
+    * windows partition by (phase, shard) — NumPhases×NumShards
+    * independent partitions, never one global sequence. */
+  def curriculumOrder(documents: DataFrame): DataFrame =
+    curriculumOrderFrom(gopherQuality(documents))
+
+  /** [[curriculumOrder]] over a staged gopher-quality relation. */
+  def curriculumOrderFrom(gopher: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val ord = graft.functions.PortableHash.phash(
+      concat(lit("curr:"), col("doc_id").cast("string")))
+    gopher
+      .select(col("doc_id"), col("distinct_milli").as("quality_milli"))
+      .withColumn("phase",
+        expr(s"(999 - least(quality_milli, 999)) div $CurriculumBand"))
+      .withColumn("ord", ord)
+      .withColumn("shard", pmod(col("ord"), lit(NumShards)))
+      .withColumn("pos", row_number()
+        .over(W.partitionBy("phase", "shard").orderBy("ord", "doc_id"))
+        .cast("long"))
+      .select("doc_id", "quality_milli", "phase", "shard", "pos")
+  }
+
   // --- vocabulary coverage -------------------------------------------------
 
   /** Vocabulary size for [[vocabCoverage]]. */
@@ -1773,6 +1808,77 @@ object TextAnalysis {
       .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
         col("weight"),
         expr("(weight * 1000000) div total_w").as("share_ppm"))
+  }
+
+  /** Blocklist terms for [[blocklistFilter]] — a two-term stand-in
+    * (one rare, one common in the synthetic corpus, so every verdict
+    * band is populated); production swaps in the real unsafe-term
+    * list. The MECHANISM is the contract: broadcast array membership
+    * evaluated inside the per-doc token filter — no explode, no join,
+    * no shuffle before the per-source rollup. */
+  val BlocklistTerms = Seq("dup", "slow")
+  /** Hit budget: ≤ this many blocklist hits FLAGs a doc, more DROPs. */
+  val BlocklistFlagMax = 2L
+
+  /** Keyword-blocklist screening — the unsafe-content gate every
+    * corpus pass runs before training: per document the count of
+    * blocklisted token occurrences, banded into KEEP (clean) / FLAG
+    * (≤ [[BlocklistFlagMax]] hits — route to review) / DROP, rolled up
+    * per (source, verdict) with the total hit mass. Complements
+    * pii_scrub (pattern classes) with exact-term matching. Shape: the
+    * hit count is a codegen'd array filter inside the projection —
+    * corpus scan, zero shuffles until the ≤|sources|×3 aggregate. */
+  def blocklistFilter(documents: DataFrame): DataFrame = {
+    val blockArray = array(BlocklistTerms.map(lit): _*)
+    documents
+      .select(col("doc_id"), col("source"),
+        size(filter(tokensCol, t => array_contains(blockArray, t)))
+          .cast("long").as("n_hits"))
+      .withColumn("verdict",
+        when(col("n_hits") === 0L, "KEEP")
+          .when(col("n_hits") <= BlocklistFlagMax, "FLAG")
+          .otherwise("DROP"))
+      .groupBy("source", "verdict")
+      .agg(count(lit(1)).as("n_docs"), sum("n_hits").as("n_hits"))
+  }
+
+  /** Exact integer floor-sqrt: float sqrt with a ±1 adjustment so the
+    * result is the true floor(√n) on BOTH engines regardless of the
+    * last float ulp (exact for n far beyond any corpus group count;
+    * the adjustment window is ±1 because double sqrt is correctly
+    * rounded, so its floor is off by at most one). */
+  private def isqrtCol(n: Column): Column = {
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    when((s0 + 1L) * (s0 + 1L) <= n, s0 + 1L)
+      .when(s0 * s0 <= n, s0)
+      .otherwise(s0 - 1L)
+  }
+
+  /** Temperature-sampling mixture ladder per (lang, source) — the
+    * exponent-based alternative [[mixWeights]]'s cap deliberately
+    * avoids, made integer-exact: weights n^α for α ∈ {1, ½, ¼} via the
+    * adjusted integer sqrt (floor(n^¼) = floor(√⌊√n⌋), an exact
+    * identity — no cross-engine float pow anywhere), each α's group
+    * share in ppm of its own ladder total. α=1 reproduces proportional
+    * sampling, the lower rungs progressively flatten head languages
+    * toward the tail — the multilingual-mixing knob, priced as a
+    * ladder the same way lsh_band_sweep prices band geometry. Shape:
+    * one map-side-combined group aggregate; the 1-row ladder totals
+    * broadcast-cross onto the grid. */
+  def mixTemperature(documents: DataFrame): DataFrame = {
+    val g = documents
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w50", isqrtCol(col("n_docs")))
+      .withColumn("w25", isqrtCol(col("w50")))
+    val tot = g.agg(sum("n_docs").as("t100"), sum("w50").as("t50"),
+      sum("w25").as("t25"))
+    g.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("w50"),
+        col("w25"),
+        expr("n_docs * 1000000 div t100").as("share_a100_ppm"),
+        expr("w50 * 1000000 div t50").as("share_a50_ppm"),
+        expr("w25 * 1000000 div t25").as("share_a25_ppm"))
   }
 
   /** Zipf rank–frequency fit over the corpus vocabulary — the

@@ -876,6 +876,105 @@ object CdcStream {
         sum("credit_milli").as("credit_milli_cents"))
   }
 
+  /** Per-user U-shape journey state: the first and most recent touch
+    * types plus per-type counts since the last purchase — O(|event
+    * types|) per user however long the stream runs (the closed-journey
+    * history is never re-read). */
+  case class PosState(firstType: String, lastType: String,
+                      types: Seq[String], counts: Seq[Long])
+  case class PosCredit(touch_type: String, role: String, n_rows: Long,
+                       credit_milli: Long)
+
+  /** Continuous position-based (U-shaped) attribution — the streaming
+    * twin of Analytics.attributionPosition: the open journey is the
+    * (first, last, per-type counts) triple of state; each purchase
+    * closes it with the SAME role conventions and truncating
+    * milli-cent splits as the batch window form (solo / first+last
+    * halves / PosEndNum-PosDen endpoints with the pool div applied
+    * BEFORE the per-touch div) and resets. Touchless purchases credit
+    * 'none'; trailing touches after the last purchase die with the
+    * stream exactly as the batch join drops them. */
+  def positionStream(spark: SparkSession,
+                     es: Dataset[LinEvent]): Dataset[PosCredit] = {
+    import spark.implicits._
+    import graft.operators.Analytics.{PosDen, PosEndNum}
+    es.withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PosState, PosCredit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[LinEvent],
+         state: GroupState[PosState]) =>
+          var s = state.getOption.getOrElse(PosState("", "", Nil, Nil))
+          val counts = scala.collection.mutable.LinkedHashMap(
+            s.types.zip(s.counts): _*)
+          val out = scala.collection.mutable.ListBuffer.empty[PosCredit]
+          batch.toSeq.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
+            if (e.event_type == "purchase") {
+              val total = counts.values.sum
+              val m = e.value_cents * 1000L
+              if (total == 0L)
+                out += PosCredit("none", "none", 1L, m)
+              else if (total == 1L)
+                out += PosCredit(s.firstType, "solo", 1L, m)
+              else if (total == 2L) {
+                out += PosCredit(s.firstType, "first", 1L, m / 2L)
+                out += PosCredit(s.lastType, "last", 1L, m / 2L)
+              } else {
+                val end = m * PosEndNum / PosDen
+                out += PosCredit(s.firstType, "first", 1L, end)
+                out += PosCredit(s.lastType, "last", 1L, end)
+                val each = m / PosDen / (total - 2L)
+                counts.foreach { case (t, n) =>
+                  val mid = n -
+                    (if (t == s.firstType) 1L else 0L) -
+                    (if (t == s.lastType) 1L else 0L)
+                  if (mid > 0L)
+                    out += PosCredit(t, "mid", mid, each * mid)
+                }
+              }
+              counts.clear()
+              s = PosState("", "", Nil, Nil)
+            } else {
+              val first =
+                if (counts.values.sum == 0L) e.event_type else s.firstType
+              s = PosState(first, e.event_type, Nil, Nil)
+              counts(e.event_type) =
+                counts.getOrElse(e.event_type, 0L) + 1L
+            }
+          }
+          state.update(PosState(s.firstType, s.lastType,
+            counts.keys.toSeq, counts.values.toSeq))
+          out.iterator
+      }
+  }
+
+  /** Streaming↔batch U-shape attribution parity: contiguous event-time
+    * replay through [[positionStream]]; the per-purchase credit rows
+    * roll up per (touch type, role) and must hash-equal the batch
+    * attribution_position oracle verbatim. */
+  def positionParity(spark: SparkSession, events: DataFrame,
+                     nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val src = events.select(col("user_id"), col("event_id"),
+      col("ts_ns"), expr("ts_ns div 1000000").as("ems"),
+      col("event_type"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      timestamp_millis(expr("ts_ns div 1000000")).as("ts"))
+    val bounds = src.agg(min("ems"), max("ems")).collect()(0)
+    if (bounds.isNullAt(0))
+      return spark.emptyDataFrame.select(lit("").as("touch_type"),
+        lit("").as("role"), lit(0L).as("n_credits"),
+        lit(0L).as("credit_milli_cents"))
+    replayStaged(spark,
+      rangeSlices(src, "ems", bounds.getLong(0), bounds.getLong(1),
+        nBatches),
+      OutputMode.Append())(
+      df => positionStream(spark, df.as[LinEvent]).toDF())
+      .groupBy("touch_type", "role")
+      .agg(sum("n_rows").as("n_credits"),
+        sum("credit_milli").as("credit_milli_cents"))
+  }
+
   /** One change for the micro-batch file-inventory replay. */
   case class FileChange(db: String, win: Long, ems: Long, op: String,
                         ts: java.sql.Timestamp)

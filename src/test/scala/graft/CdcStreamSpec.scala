@@ -600,6 +600,22 @@ class CdcStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("positionParity: streamed U-shape journey credits equal the " +
+    "batch position-attribution rollup, across batch counts") {
+    val ev = Tables.events(spark, TestSpark.Sf)
+    def key(r: org.apache.spark.sql.Row) =
+      ((r.getAs[String]("touch_type"), r.getAs[String]("role")),
+        (r.getAs[Long]("n_credits"), r.getAs[Long]("credit_milli_cents")))
+    val want = graft.operators.Analytics.attributionPosition(ev)
+      .collect().map(key).toMap
+    assert(want.nonEmpty)
+    for (n <- Seq(1, 3)) {
+      val got = CdcStream.positionParity(spark, ev, nBatches = n)
+        .collect().map(key).toMap
+      assert(got === want, s"nBatches=$n")
+    }
+  }
+
   test("compactionParity: streamed file-inventory binning equals the " +
     "batch compaction_plan verbatim, across batch counts") {
     val chl = graft.operators.ChangeLog.normalize(

@@ -2093,4 +2093,186 @@ class OperatorsSpec extends AnyFunSuite {
     assert(purchaseMass - credited < slots *
       es.groupBy(_._1).map(_._2.length).max)
   }
+
+  test("attribution_position: constructed journeys hit every role with " +
+    "the exact U-shape truncating credits; corpus roles stay sane") {
+    import spark.implicits._
+    // user 1: click,view,click -> purchase 10.00 (first/mid/last);
+    // user 2: view -> purchase 5.00 (solo);
+    // user 3: click,view -> purchase 3.00 (two-touch halves);
+    // user 4: purchase 7.00 with no touches (none)
+    val tiny = Seq(
+      (1L, 1L, "click", 0.0), (2L, 1L, "view", 0.0),
+      (3L, 1L, "click", 0.0), (4L, 1L, "purchase", 10.0),
+      (5L, 2L, "view", 0.0), (6L, 2L, "purchase", 5.0),
+      (7L, 3L, "click", 0.0), (8L, 3L, "view", 0.0),
+      (9L, 3L, "purchase", 3.0),
+      (10L, 4L, "purchase", 7.0)
+    ).toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts_ns", col("event_id") * 1000000000L)
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val m = Analytics.attributionPosition(tiny).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_credits"), r.getAs[Long]("credit_milli_cents")))
+      .toMap
+    assert(m === Map(
+      ("click", "first") -> (2L, 400000L + 150000L),
+      ("view", "mid")    -> (1L, 200000L),
+      ("click", "last")  -> (1L, 400000L),
+      ("view", "last")   -> (1L, 150000L),
+      ("view", "solo")   -> (1L, 500000L),
+      ("none", "none")   -> (1L, 700000L)))
+    // corpus: no purchase touch_type, only the five roles, credit mass
+    // bounded by purchase mass
+    val ev = Tables.events(spark, TestSpark.Sf)
+    val rows = Analytics.attributionPosition(ev).collect()
+    val roles = rows.map(_.getString(1)).toSet
+    assert(roles.subsetOf(Set("solo", "first", "last", "mid", "none")))
+    assert(!rows.map(_.getString(0)).contains("purchase"))
+    val purchaseMass = ev.where(col("event_type") === "purchase")
+      .select(sum(round(col("value") * 100).cast("long") * 1000L))
+      .collect()(0).getLong(0)
+    val credited = rows.map(_.getAs[Long]("credit_milli_cents")).sum
+    assert(credited <= purchaseMass && credited > 0L)
+  }
+
+  test("semantic_contamination: a planted train-lane duplicate of a " +
+    "heldout vector flips its label to LEAKED; counts nest") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val lane = pmod(graft.functions.PortableHash.phash(
+      concat(lit("split:"), col("vec_id").cast("string"))), lit(100L))
+    // counts nest on the raw corpus
+    val base = Similarity.semanticContamination(emb).collect()
+    base.foreach { r =>
+      assert(r.getAs[Long]("n_matched") <= r.getAs[Long]("n_heldout"))
+      assert(r.getAs[Long]("n_leaked") <= r.getAs[Long]("n_matched"))
+      assert((r.getAs[Long]("n_leaked") > 0L) ===
+        (r.getAs[String]("verdict") === "LEAKED"))
+    }
+    assert(base.map(_.getAs[Long]("n_heldout")).sum ===
+      emb.where(lane >= 98L).count())
+    // plant: copy one heldout vector into the train lane under a fresh
+    // vec_id whose hash lands < 98 (searched here with the same hash)
+    val held = emb.where(lane >= 98L).limit(1).collect()(0)
+    val maxId = emb.agg(max("vec_id")).collect()(0).getLong(0)
+    val freshId = Iterator.iterate(maxId + 1L)(_ + 1L).find { id =>
+      spark.range(1).select(pmod(graft.functions.PortableHash.phash(
+        lit(s"split:$id")), lit(100L))).collect()(0).getLong(0) < 98L
+    }.get
+    val dup = emb
+      .where(col("vec_id") === held.getAs[Long]("vec_id"))
+      .select(lit(freshId).as("vec_id"), col("embedding"), col("label"))
+    val planted = Similarity
+      .semanticContamination(emb.select("vec_id", "embedding", "label")
+        .unionByName(dup))
+      .collect().map(r => r.getAs[Long]("label") -> r).toMap
+    val r = planted(held.getAs[Number]("label").longValue())
+    assert(r.getAs[String]("verdict") === "LEAKED")
+    assert(r.getAs[Long]("max_sim_e6") === 1000000L)
+  }
+
+  test("mix_temperature: weights are exact floor roots (including " +
+    "perfect-square boundaries) and lower rungs flatten the mix") {
+    import spark.implicits._
+    // group sizes straddle the 16 boundary: isqrt 15/16/17 = 3/4/4
+    val docs = (Seq.fill(15)("a") ++ Seq.fill(16)("b") ++
+      Seq.fill(17)("c") ++ Seq.fill(1)("d")).zipWithIndex
+      .map { case (s, i) => (i.toLong, "x", s, "t") }
+      .toDF("doc_id", "lang", "source", "text")
+    val m = TextAnalysis.mixTemperature(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(m("a").getAs[Long]("w50") === 3L)
+    assert(m("b").getAs[Long]("w50") === 4L)
+    assert(m("c").getAs[Long]("w50") === 4L)
+    assert(m("a").getAs[Long]("w25") === 1L) // isqrt(3)
+    assert(m("b").getAs[Long]("w25") === 2L) // isqrt(4)
+    // flattening: the dominant group's share shrinks down the ladder,
+    // the smallest group's share grows
+    assert(m("c").getAs[Long]("share_a50_ppm") <
+      m("c").getAs[Long]("share_a100_ppm"))
+    assert(m("d").getAs[Long]("share_a25_ppm") >
+      m("d").getAs[Long]("share_a50_ppm"))
+    // corpus: every isqrt is the true floor root; ladder shares each
+    // sum to 1e6 up to one truncation per group
+    val rows = TextAnalysis
+      .mixTemperature(Tables.documents(spark, TestSpark.Sf)).collect()
+    rows.foreach { r =>
+      val (n, w50, w25) = (r.getAs[Long]("n_docs"), r.getAs[Long]("w50"),
+        r.getAs[Long]("w25"))
+      assert(w50 * w50 <= n && (w50 + 1) * (w50 + 1) > n)
+      assert(w25 * w25 <= w50 && (w25 + 1) * (w25 + 1) > w50)
+    }
+    for (c <- Seq("share_a100_ppm", "share_a50_ppm", "share_a25_ppm")) {
+      val s = rows.map(_.getAs[Long](c)).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length)
+    }
+  }
+
+  test("soft_dedup_weights: constructed clusters yield the exact ppm " +
+    "masses; corpus effective mass is bounded by the raw mass") {
+    import spark.implicits._
+    val docs = (1L to 5L).map(i => (i, "s")).toDF("doc_id", "source")
+    val clusters = Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 3L))
+      .toDF("doc_id", "cluster_id", "n_members")
+    val r = Dedup.softDedupWeightsFrom(docs, clusters).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 5L)
+    assert(r.getAs[Long]("n_dup_members") === 3L)
+    // 500000 + 500000 + 333333 + 1e6 + 1e6
+    assert(r.getAs[Long]("effective_docs_ppm") === 3333333L)
+    assert(r.getAs[Long]("dedup_ratio_ppm") === 666666L)
+    val corpus = Dedup.softDedupWeights(
+      Tables.documents(spark, TestSpark.Sf),
+      Staged.dedup(spark, TestSpark.Sf).dups).collect()
+    corpus.foreach { c =>
+      assert(c.getAs[Long]("effective_docs_ppm") <=
+        c.getAs[Long]("n_docs") * 1000000L)
+      assert(c.getAs[Long]("dedup_ratio_ppm") <= 1000000L)
+    }
+    assert(corpus.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, TestSpark.Sf).count())
+  }
+
+  test("blocklist_filter: constructed docs land in the right bands; " +
+    "corpus docs partition across verdicts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the fast table", "s"),        // 0 hits -> KEEP
+      (2L, "slow join", "s"),             // 1 hit  -> FLAG
+      (3L, "dup dup slow scan", "s")      // 3 hits -> DROP
+    ).toDF("doc_id", "text", "source")
+    val m = TextAnalysis.blocklistFilter(docs).collect()
+      .map(r => r.getAs[String]("verdict") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_hits"))).toMap
+    assert(m === Map("KEEP" -> (1L, 0L), "FLAG" -> (1L, 1L),
+      "DROP" -> (1L, 3L)))
+    val corpus = TextAnalysis
+      .blocklistFilter(Tables.documents(spark, TestSpark.Sf)).collect()
+    assert(corpus.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, TestSpark.Sf).count())
+    corpus.foreach { r =>
+      if (r.getAs[String]("verdict") === "KEEP")
+        assert(r.getAs[Long]("n_hits") === 0L)
+    }
+  }
+
+  test("curriculum_order: positions are contiguous per (phase, shard), " +
+    "the corpus is preserved, and phase 0 is the cleanest band") {
+    val out = TextAnalysis.curriculumOrder(
+      Tables.documents(spark, TestSpark.Sf)).collect()
+    assert(out.length ===
+      Tables.documents(spark, TestSpark.Sf).count().toInt)
+    out.groupBy(r => (r.getAs[Long]("phase"), r.getAs[Long]("shard")))
+      .foreach { case ((p, s), rows) =>
+        val pos = rows.map(_.getAs[Long]("pos")).sorted
+        assert(pos.head === 1L && pos.last === rows.length.toLong,
+          s"phase=$p shard=$s")
+        assert(p >= 0L && p < 4L)
+      }
+    out.foreach { r =>
+      val q = math.min(r.getAs[Long]("quality_milli"), 999L)
+      assert(r.getAs[Long]("phase") ===
+        (999L - q) / TextAnalysis.CurriculumBand)
+    }
+  }
 }
