@@ -2711,6 +2711,34 @@ object OracleSql {
     // exact integer log2 points (rank from the vocab-sized window,
     // tie-permutation-invariant), bigint sufficient statistics,
     // truncating div for slope/intercept, e6 float Pearson for r
+    // damped tf^(3/4)-style weight as floor-sqrt(tf) * floor-sqrt of
+    // that — the SAME ±1-adjusted integer sqrt as mix_temperature, so
+    // both engines agree bit-for-bit with no float pow
+    "negative_sampling" ->
+      """WITH tk AS (SELECT UNNEST(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tk GROUP BY 1),
+        |s1 AS (SELECT *, CAST(FLOOR(SQRT(CAST(tf AS DOUBLE)))
+        |    AS BIGINT) AS r0 FROM f),
+        |w1 AS (SELECT token, tf,
+        |    CASE WHEN (r0 + 1) * (r0 + 1) <= tf THEN r0 + 1
+        |         WHEN r0 * r0 <= tf THEN r0
+        |         ELSE r0 - 1 END AS r FROM s1),
+        |s2 AS (SELECT *, CAST(FLOOR(SQRT(CAST(r AS DOUBLE)))
+        |    AS BIGINT) AS q0 FROM w1),
+        |w2 AS (SELECT token, tf,
+        |    r * (CASE WHEN (q0 + 1) * (q0 + 1) <= r THEN q0 + 1
+        |              WHEN q0 * q0 <= r THEN q0
+        |              ELSE q0 - 1 END) AS w75 FROM s2),
+        |t AS (SELECT CAST(SUM(w75) AS BIGINT) AS t75 FROM w2)
+        |SELECT token, tf, w75,
+        |  (w75 * 1000000) // t75 AS share_ppm,
+        |  CAST((SUM(w75) OVER (ORDER BY tf DESC, token
+        |     ROWS UNBOUNDED PRECEDING) * 1000000) // t75 AS BIGINT)
+        |    AS cum_ppm
+        |FROM w2, t""".stripMargin,
+
     "zipf_fit" ->
       """WITH t AS (SELECT UNNEST(string_split(text, ' ')) AS token
         |  FROM documents),

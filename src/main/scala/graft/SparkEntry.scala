@@ -689,6 +689,8 @@ object SparkEntry {
       TextAnalysis.anonGeneralize(Tables.documents(s, dir))),
     "zipf_fit"            -> ((s, dir) =>
       TextAnalysis.zipfFitFrom(Staged.tokens(s, dir).freq)),
+    "negative_sampling"   -> ((s, dir) =>
+      TextAnalysis.negativeSamplingFrom(Staged.tokens(s, dir).freq)),
     "brand_triangles"     -> ((s, dir) =>
       Analytics.brandTriangles(Tables.part(s, dir),
         Tables.lineitem(s, dir))),

@@ -1847,7 +1847,7 @@ object TextAnalysis {
     * last float ulp (exact for n far beyond any corpus group count;
     * the adjustment window is ±1 because double sqrt is correctly
     * rounded, so its floor is off by at most one). */
-  private def isqrtCol(n: Column): Column = {
+  private[graft] def isqrtCol(n: Column): Column = {
     val s0 = floor(sqrt(n.cast("double"))).cast("long")
     when((s0 + 1L) * (s0 + 1L) <= n, s0 + 1L)
       .when(s0 * s0 <= n, s0)
@@ -1879,6 +1879,41 @@ object TextAnalysis {
         expr("n_docs * 1000000 div t100").as("share_a100_ppm"),
         expr("w50 * 1000000 div t50").as("share_a50_ppm"),
         expr("w25 * 1000000 div t25").as("share_a25_ppm"))
+  }
+
+  /** Word2vec-style negative-sampling table over the corpus
+    * vocabulary — the candidate-sampling distribution contrastive and
+    * skip-gram objectives draw negatives from: per token the damped
+    * weight ⌊√tf⌋·⌊⁴√tf⌋ (a monotone integer stand-in for the classic
+    * tf^¾ — NOT claimed equal to ⌊tf^¾⌋, but bit-identical on both
+    * engines via the SAME ±1-adjusted integer sqrt as
+    * [[mixTemperature]], where a float pow would drift in the last
+    * ulp), its share of the total in ppm, and the running cumulative
+    * ppm in (tf desc, token) order — the inverse-CDF table a sampler
+    * walks. Shape: everything after the token-frequency aggregate is
+    * VOCABULARY-sized (the vocabGrowth convention — sublinear in the
+    * corpus, broadcastable); the cumulative window runs over that
+    * relation, never over corpus rows. */
+  def negativeSampling(documents: DataFrame): DataFrame =
+    negativeSamplingFrom(tokenFreqFrom(tokensRel(documents)))
+
+  /** [[negativeSampling]] over a staged (token, tf) frequency
+    * relation. */
+  def negativeSamplingFrom(freq: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val weighted = freq
+      .select(col("token"), col("tf").cast("long").as("tf"))
+      .withColumn("r", isqrtCol(col("tf")))
+      .withColumn("w75", col("r") * isqrtCol(col("r")))
+      .drop("r")
+    val tot = weighted.agg(sum("w75").as("t75"))
+    val win = W.orderBy(col("tf").desc, col("token"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    weighted.crossJoin(broadcast(tot))
+      .withColumn("cum75", sum("w75").over(win))
+      .select(col("token"), col("tf"), col("w75"),
+        expr("w75 * 1000000 div t75").as("share_ppm"),
+        expr("cum75 * 1000000 div t75").as("cum_ppm"))
   }
 
   /** Zipf rank–frequency fit over the corpus vocabulary — the

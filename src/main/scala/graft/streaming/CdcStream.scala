@@ -885,6 +885,38 @@ object CdcStream {
   case class PosCredit(touch_type: String, role: String, n_rows: Long,
                        credit_milli: Long)
 
+  /** Pure U-shape credit computation for ONE closed journey — shared
+    * by [[positionStream]] and the ScalaCheck conservation property,
+    * so the streaming state machine and the tested arithmetic cannot
+    * drift. `counts` is the journey's per-type touch census;
+    * first/last are its endpoint touch types. Same role conventions
+    * and truncating-div order as the batch window form and the
+    * DuckDB oracle. */
+  private[graft] def posCredits(firstType: String, lastType: String,
+                                counts: Seq[(String, Long)],
+                                valueCents: Long): Seq[PosCredit] = {
+    import graft.operators.Analytics.{PosDen, PosEndNum}
+    val total = counts.map(_._2).sum
+    val m = valueCents * 1000L
+    if (total == 0L) Seq(PosCredit("none", "none", 1L, m))
+    else if (total == 1L) Seq(PosCredit(firstType, "solo", 1L, m))
+    else if (total == 2L)
+      Seq(PosCredit(firstType, "first", 1L, m / 2L),
+        PosCredit(lastType, "last", 1L, m / 2L))
+    else {
+      val end = m * PosEndNum / PosDen
+      val each = m / PosDen / (total - 2L)
+      Seq(PosCredit(firstType, "first", 1L, end),
+        PosCredit(lastType, "last", 1L, end)) ++
+        counts.flatMap { case (t, n) =>
+          val mid = n - (if (t == firstType) 1L else 0L) -
+            (if (t == lastType) 1L else 0L)
+          if (mid > 0L) Some(PosCredit(t, "mid", mid, each * mid))
+          else None
+        }
+    }
+  }
+
   /** Continuous position-based (U-shaped) attribution — the streaming
     * twin of Analytics.attributionPosition: the open journey is the
     * (first, last, per-type counts) triple of state; each purchase
@@ -897,7 +929,6 @@ object CdcStream {
   def positionStream(spark: SparkSession,
                      es: Dataset[LinEvent]): Dataset[PosCredit] = {
     import spark.implicits._
-    import graft.operators.Analytics.{PosDen, PosEndNum}
     es.withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[PosState, PosCredit](
@@ -910,28 +941,8 @@ object CdcStream {
           val out = scala.collection.mutable.ListBuffer.empty[PosCredit]
           batch.toSeq.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
             if (e.event_type == "purchase") {
-              val total = counts.values.sum
-              val m = e.value_cents * 1000L
-              if (total == 0L)
-                out += PosCredit("none", "none", 1L, m)
-              else if (total == 1L)
-                out += PosCredit(s.firstType, "solo", 1L, m)
-              else if (total == 2L) {
-                out += PosCredit(s.firstType, "first", 1L, m / 2L)
-                out += PosCredit(s.lastType, "last", 1L, m / 2L)
-              } else {
-                val end = m * PosEndNum / PosDen
-                out += PosCredit(s.firstType, "first", 1L, end)
-                out += PosCredit(s.lastType, "last", 1L, end)
-                val each = m / PosDen / (total - 2L)
-                counts.foreach { case (t, n) =>
-                  val mid = n -
-                    (if (t == s.firstType) 1L else 0L) -
-                    (if (t == s.lastType) 1L else 0L)
-                  if (mid > 0L)
-                    out += PosCredit(t, "mid", mid, each * mid)
-                }
-              }
+              out ++= posCredits(s.firstType, s.lastType, counts.toSeq,
+                e.value_cents)
               counts.clear()
               s = PosState("", "", Nil, Nil)
             } else {

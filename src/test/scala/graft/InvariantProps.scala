@@ -228,4 +228,63 @@ object InvariantProps extends Properties("graft.invariants") {
         (lo to hi).forall(v => ranges.count(r => v >= r._1 && v < r._2) == 1)
       structural && membership
     }
+
+  /** Independent per-EVENT reference for the U-shape credit split:
+    * roles and credits assigned positionally (the batch window form's
+    * shape), rolled up per (type, role) — must equal the census-based
+    * journey-state computation the stream uses, for ANY touch
+    * sequence including negative (refund-style) purchase values. */
+  private def refPosCredits(touches: List[String], valueCents: Long)
+  : Map[(String, String), (Long, Long)] = {
+    import graft.operators.Analytics.{PosDen, PosEndNum}
+    val m = valueCents * 1000L
+    val n = touches.length.toLong
+    val rows: List[(String, String, Long)] =
+      if (n == 0) List(("none", "none", m))
+      else touches.zipWithIndex.map { case (t, i) =>
+        val role =
+          if (n == 1) "solo"
+          else if (i == 0) "first"
+          else if (i == n - 1) "last"
+          else "mid"
+        val credit = role match {
+          case "solo" => m
+          case "mid"  => m / PosDen / (n - 2)
+          case _      => if (n == 2) m / 2 else m * PosEndNum / PosDen
+        }
+        (t, role, credit)
+      }
+    rows.groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> (rs.length.toLong, rs.map(_._3).sum) }
+  }
+
+  private val genTouches: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf("click", "view", "signup"))
+
+  property("U-shape credits: journey-census state == positional reference") =
+    forAll(genTouches, Gen.choose(-10000L, 10000L)) { (touches, v) =>
+      val census = scala.collection.mutable.LinkedHashMap[String, Long]()
+      touches.foreach(t => census(t) = census.getOrElse(t, 0L) + 1L)
+      val got = graft.streaming.CdcStream
+        .posCredits(touches.headOption.getOrElse(""),
+          touches.lastOption.getOrElse(""), census.toSeq, v)
+        .groupBy(c => (c.touch_type, c.role))
+        .map { case (k, cs) =>
+          k -> (cs.map(_.n_rows).sum, cs.map(_.credit_milli).sum) }
+      got == refPosCredits(touches, v)
+    }
+
+  property("U-shape credits: conservation up to bounded truncation loss") =
+    forAll(genTouches, Gen.choose(0L, 10000L)) { (touches, v) =>
+      val census = scala.collection.mutable.LinkedHashMap[String, Long]()
+      touches.foreach(t => census(t) = census.getOrElse(t, 0L) + 1L)
+      val m = v * 1000L
+      val total = graft.streaming.CdcStream
+        .posCredits(touches.headOption.getOrElse(""),
+          touches.lastOption.getOrElse(""), census.toSeq, v)
+        .map(_.credit_milli).sum
+      val lossBound = graft.operators.Analytics.PosDen +
+        touches.length.toLong
+      total <= m && m - total <= lossBound
+    }
 }

@@ -2256,6 +2256,43 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("isqrtCol is the exact floor root across perfect-square " +
+    "boundaries up to 2^49 (the float-ulp cases the +/-1 adjustment " +
+    "exists for)") {
+    import spark.implicits._
+    val ks = Seq(1L, 2L, 3L, 10L, 1000L, 1000000L, 22360679L) ++
+      (1 to 40).map(i => (1L << 24) + i * 12345L)
+    val ns = (ks.flatMap(k => Seq(k * k - 1L, k * k, k * k + 1L)) ++
+      Seq(0L, 1L, 2L, (1L << 49))).distinct
+    ns.toDF("n")
+      .select(col("n"), TextAnalysis.isqrtCol(col("n")).as("r"))
+      .collect().foreach { row =>
+        val (n, s) = (row.getLong(0), row.getLong(1))
+        assert(s * s <= n && (s + 1) * (s + 1) > n, s"n=$n r=$s")
+      }
+  }
+
+  test("negative_sampling: weights are the exact damped floor roots, " +
+    "the cumulative ppm walk is monotone and ends at ~1e6") {
+    def isq(x: Long): Long = {
+      var s = math.sqrt(x.toDouble).toLong
+      while ((s + 1) * (s + 1) <= x) s += 1
+      while (s * s > x) s -= 1
+      s
+    }
+    val rows = TextAnalysis
+      .negativeSampling(Tables.documents(spark, TestSpark.Sf)).collect()
+    rows.foreach { r =>
+      val tf = r.getAs[Long]("tf")
+      assert(r.getAs[Long]("w75") === isq(tf) * isq(isq(tf)))
+    }
+    val cums = rows
+      .sortBy(r => (-r.getAs[Long]("tf"), r.getAs[String]("token")))
+      .map(_.getAs[Long]("cum_ppm"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last <= 1000000L && cums.last > 1000000L - rows.length)
+  }
+
   test("curriculum_order: positions are contiguous per (phase, shard), " +
     "the corpus is preserved, and phase 0 is the cleanest band") {
     val out = TextAnalysis.curriculumOrder(

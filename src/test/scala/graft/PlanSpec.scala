@@ -89,10 +89,11 @@ class PlanSpec extends AnyFunSuite {
       "clean_retention",
       "heartbeat_state", "component_lifecycle", "status_rollup",
       "ivf_assign", "ivf_train",
-      // mix_temperature crosses the broadcast 1-row ladder totals onto
-      // the (lang, source) grid — the mix_weights allowance
-      "log_compact", "mix_weights", "mix_temperature", "dist_drift",
-      "semantic_dedup",
+      // mix_temperature / negative_sampling cross broadcast 1-row
+      // ladder totals onto vocab/group-sized grids — the mix_weights
+      // allowance
+      "log_compact", "mix_weights", "mix_temperature",
+      "negative_sampling", "dist_drift", "semantic_dedup",
       "pq_search", "pq_recall", "pq_recall_trained", "pq_recall_curve",
       // residual/rerank gates: ≤16-row broadcast centroid fan-outs in
       // the coarse-quantizer rounds + the 8-query broadcast truth join
