@@ -253,6 +253,10 @@ object ScaleProbe {
       // the vocab-keyed Zipf fit and the one-rollup anonymity ladder
       "zipf_fit" -> sink(TextAnalysis.zipfFitFrom(
         TextAnalysis.tokenFreqFrom(TextAnalysis.tokensRel(docs)))),
+      // round-11: the bucketed inverse-CDF walk (every window
+      // partitioned — the probe pins the decomposition's cost)
+      "negative_sampling" -> sink(TextAnalysis.negativeSamplingFrom(
+        TextAnalysis.tokenFreqFrom(TextAnalysis.tokensRel(docs)))),
       "anon_generalize" -> sink(TextAnalysis.anonGeneralize(docs)),
       // the one-audit watermark sweep and the bucket-grid id census
       "watermark_sweep" -> sink(Temporal.watermarkSweep(cl)),

@@ -475,7 +475,9 @@ object Analytics {
     * [[attributionLinear]] assigns journeys; positions and journey
     * sizes ride two windows over the (user, journey) key — the same
     * partitioning, no extra shuffle; touches and purchases meet on the
-    * (user, journey) equi-join; the rollup is ≤(|types|+1)×4 rows. */
+    * (user, journey) equi-join, and the touchless-purchase arm is a
+    * left-anti join against the SAME touches relation (no second
+    * journey-size aggregate); the rollup is ≤(|types|+1)×4 rows. */
   def attributionPosition(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts_ns"), col("event_id"))
@@ -497,8 +499,6 @@ object Analytics {
       .select("user_id", "journey", "event_type", "pos", "n_touches")
     val purchases = e.where(col("event_type") === "purchase")
       .select(col("user_id"), col("journey"), col("value_cents"))
-    val journeySize = touches.groupBy("user_id", "journey")
-      .agg(count(lit(1)).as("n_t"))
     val touched = touches
       .join(purchases, Seq("user_id", "journey"))
       .withColumn("role",
@@ -516,8 +516,8 @@ object Analytics {
             s"value_cents * 1000 * $PosEndNum div $PosDen"))
           .as("credit_milli"))
     val none = purchases
-      .join(journeySize, Seq("user_id", "journey"), "left")
-      .where(col("n_t").isNull)
+      .join(touches.select("user_id", "journey"),
+        Seq("user_id", "journey"), "left_anti")
       .select(lit("none").as("touch_type"), lit("none").as("role"),
         (col("value_cents") * 1000L).as("credit_milli"))
     touched.unionByName(none)

@@ -1844,12 +1844,16 @@ object TextAnalysis {
 
   /** Exact integer floor-sqrt: float sqrt with a ±1 adjustment so the
     * result is the true floor(√n) on BOTH engines regardless of the
-    * last float ulp (exact for n far beyond any corpus group count;
-    * the adjustment window is ±1 because double sqrt is correctly
-    * rounded, so its floor is off by at most one). */
+    * last float ulp (the adjustment window is ±1 because double sqrt is
+    * correctly rounded, so its floor is off by at most one). Input
+    * bound: n must stay below 2^62 — the +1 probe squares (s0+1), and
+    * for s0 ≥ 3037000499 that square would overflow Long, so the probe
+    * is guarded at that root (inputs are group counts / term
+    * frequencies, far below the bound; the guard makes the helper safe
+    * rather than silently wrong if ever fed a wider domain). */
   private[graft] def isqrtCol(n: Column): Column = {
     val s0 = floor(sqrt(n.cast("double"))).cast("long")
-    when((s0 + 1L) * (s0 + 1L) <= n, s0 + 1L)
+    when(s0 < 3037000499L && (s0 + 1L) * (s0 + 1L) <= n, s0 + 1L)
       .when(s0 * s0 <= n, s0)
       .otherwise(s0 - 1L)
   }
@@ -1892,8 +1896,20 @@ object TextAnalysis {
     * ppm in (tf desc, token) order — the inverse-CDF table a sampler
     * walks. Shape: everything after the token-frequency aggregate is
     * VOCABULARY-sized (the vocabGrowth convention — sublinear in the
-    * corpus, broadcastable); the cumulative window runs over that
-    * relation, never over corpus rows. */
+    * corpus), and the running cumulative is the token_budget
+    * aggregate-below-window shape, NOT a single global window (a 100 TB
+    * web corpus has ~1e9 vocabulary rows — one unpartitioned sort-run
+    * there is a real scale-killer): the (tf desc, token) order
+    * decomposes into log2(tf) bucket > exact tf > token first-char >
+    * token, so the prefix mass below any token splits into (a) a ≤63-row
+    * log2-bucket grid whose prefix sums come from a broadcast triangular
+    * self-join, (b) a distinct-tf relation (O(√corpus-mass) rows —
+    * distinct frequencies are sublinear by mass conservation) windowed
+    * PER log2 bucket, (c) a (tf, first-char) grid windowed PER tf, and
+    * (d) the per-token running sum windowed by (tf, first-char) — every
+    * window partitioned, the giant tf=1 tier subdivided ~|alphabet|-way.
+    * The decomposed cumulative is bit-identical to the global one
+    * (integer addition re-associated over a partition of the prefix). */
   def negativeSampling(documents: DataFrame): DataFrame =
     negativeSamplingFrom(tokenFreqFrom(tokensRel(documents)))
 
@@ -1906,11 +1922,41 @@ object TextAnalysis {
       .withColumn("r", isqrtCol(col("tf")))
       .withColumn("w75", col("r") * isqrtCol(col("r")))
       .drop("r")
+      .withColumn("lb", (length(bin(col("tf"))) - 1).cast("long"))
+      .withColumn("p1", substring(col("token"), 1, 1))
     val tot = weighted.agg(sum("w75").as("t75"))
-    val win = W.orderBy(col("tf").desc, col("token"))
+    // (a) per-(tf, first-char) cell mass, windowed within its tf tier
+    val g1 = weighted.groupBy("lb", "tf", "p1")
+      .agg(sum("w75").as("w_g"))
+    val wp = W.partitionBy("lb", "tf").orderBy("p1")
       .rowsBetween(W.unboundedPreceding, W.currentRow)
-    weighted.crossJoin(broadcast(tot))
-      .withColumn("cum75", sum("w75").over(win))
+    val g1c = g1.withColumn("cum_p", sum("w_g").over(wp) - col("w_g"))
+    // (b) per-tf tier mass, windowed within its log2 bucket
+    val g2 = g1.groupBy("lb", "tf").agg(sum("w_g").as("w_t"))
+    val wt = W.partitionBy("lb").orderBy(col("tf").desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val g2c = g2.withColumn("cum_t", sum("w_t").over(wt) - col("w_t"))
+      .select("lb", "tf", "cum_t")
+    // (c) ≤63 log2 buckets: prefix mass of strictly-higher buckets via
+    // a broadcast triangular self-join (warning-free, grid-sized)
+    val g3 = g2.groupBy("lb").agg(sum("w_t").as("w_l"))
+    val hi = g3.select(col("lb").as("h_lb"), col("w_l").as("h_w"))
+    val g3c = g3.join(broadcast(hi), col("h_lb") > col("lb"), "left")
+      .groupBy("lb")
+      .agg(coalesce(sum("h_w"), lit(0L)).as("cum_l"))
+    val base = g1c
+      .join(g2c, Seq("lb", "tf"))
+      .join(broadcast(g3c), Seq("lb"))
+      .select(col("tf"), col("p1"),
+        (col("cum_l") + col("cum_t") + col("cum_p")).as("cum_before"))
+    // (d) per-token running sum, partitioned by (tf, first-char) — the
+    // same keys as the base join, so the window rides that shuffle
+    val wTok = W.partitionBy("tf", "p1").orderBy("token")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    weighted
+      .join(base, Seq("tf", "p1"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum75", col("cum_before") + sum("w75").over(wTok))
       .select(col("token"), col("tf"), col("w75"),
         expr("w75 * 1000000 div t75").as("share_ppm"),
         expr("cum75 * 1000000 div t75").as("cum_ppm"))
@@ -1925,21 +1971,49 @@ object TextAnalysis {
     * differ cross-engine), the sufficient statistics are bigints, and
     * only slope/intercept/r do one final arithmetic step each
     * (truncating integer div for slope and intercept, the e6-rounded
-    * float Pearson for r). The rank window runs over the VOCABULARY
-    * frequency relation — vocab-sized, not corpus-sized (the
-    * vocabGrowth convention); rank tie-order can't matter because the
-    * (rank, freq) multiset is invariant under tie permutation. */
+    * float Pearson for r).
+    *
+    * Scale shape: there is NO rank window at all. Every token in a
+    * floor-log2(tf) bucket shares ly, and because rank order is
+    * (tf desc, token) the bucket's ranks form one contiguous interval
+    * [start+1, start+n_b] — so the per-bucket lx sufficient statistics
+    * (Σ lx, Σ lx²) are closed-form interval sums over the ≤62 log2
+    * rank cells (floor(log2 r) = k exactly on [2^k, 2^(k+1)-1]), and
+    * the bucket starts come from a broadcast triangular join over the
+    * ≤63-row bucket grid. A 1e9-row web vocabulary costs one groupBy;
+    * the former global row_number (a single-reducer sort at that
+    * scale) is gone. The multiset of (lx, ly) points — hence every
+    * output statistic — is exactly the windowed form's: rank tie-order
+    * can't matter because the (rank, freq) multiset is invariant under
+    * tie permutation. */
   def zipfFitFrom(freq: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pts = freq
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("tf").desc, col("token"))).cast("long"))
-      .select((length(bin(col("rank"))) - 1).cast("long").as("lx"),
-        (length(bin(col("tf"))) - 1).cast("long").as("ly"))
-    pts
-      .agg(count(lit(1)).as("n"), sum("lx").as("sx"), sum("ly").as("sy"),
-        sum(expr("lx * ly")).as("sxy"), sum(expr("lx * lx")).as("sxx"),
-        sum(expr("ly * ly")).as("syy"))
+    val b = freq
+      .select((length(bin(col("tf"))) - 1).cast("long").as("ly"))
+      .groupBy("ly").agg(count(lit(1)).as("n_b"))
+    val hi = b.select(col("ly").as("h_ly"), col("n_b").as("h_n"))
+    val withStart = b
+      .join(broadcast(hi), col("h_ly") > col("ly"), "left")
+      .groupBy("ly", "n_b")
+      .agg(coalesce(sum("h_n"), lit(0L)).as("start"))
+    // overlap of the bucket's rank interval with each log2 cell
+    val cells = withStart
+      .select(col("ly"), col("n_b"), col("start"),
+        (col("start") + col("n_b")).as("fin"),
+        explode(expr("sequence(0L, 61L)")).as("kk"))
+      .withColumn("clo", expr("shiftleft(1L, cast(kk as int))"))
+      .withColumn("chi", expr("shiftleft(1L, cast(kk as int) + 1) - 1L"))
+      .withColumn("ov", greatest(lit(0L),
+        least(col("fin"), col("chi"))
+          - greatest(col("start") + 1L, col("clo")) + 1L))
+    cells
+      .agg(sum(when(col("kk") === 0L, col("n_b")).otherwise(0L)).as("n"),
+        sum(expr("kk * ov")).as("sx"),
+        sum(when(col("kk") === 0L, expr("n_b * ly")).otherwise(0L))
+          .as("sy"),
+        sum(expr("ly * kk * ov")).as("sxy"),
+        sum(expr("kk * kk * ov")).as("sxx"),
+        sum(when(col("kk") === 0L, expr("n_b * ly * ly")).otherwise(0L))
+          .as("syy"))
       .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
         col("syy"),
         when(expr("n * sxx - sx * sx") > 0L,

@@ -59,6 +59,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(lang"), p)
   }
 
+  test("negative_sampling: every window is partitioned (no global " +
+    "single-reducer sort over the vocabulary)") {
+    val p = plan("negative_sampling")
+    // an UNPARTITIONED windowspecdefinition's first argument is the
+    // sort order itself (e.g. `windowspecdefinition(tf#1L DESC ...`);
+    // partitioned specs lead with plain partition columns
+    val unpartitioned = "windowspecdefinition\\([^,()]*(ASC|DESC)".r
+    assert(unpartitioned.findFirstIn(p).isEmpty, p)
+    // the per-token inverse-CDF walk partitions by (tf, first-char)
+    assert(p.contains("windowspecdefinition(tf"), p)
+  }
+
+  test("zipf_fit: no window at all (closed-form log2-rank intervals)") {
+    val p = plan("zipf_fit")
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("dist_drift: top-k is TakeOrdered, never a global sort") {
     val p = plan("dist_drift")
     assert(p.contains("TakeOrderedAndProject"), p)
