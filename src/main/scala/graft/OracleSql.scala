@@ -153,6 +153,43 @@ object OracleSql {
     "SET memory_limit='16GB';\n" +
       "SET threads=4;\n"
 
+  /** Per-dim variance diagonal + OPQ snake-permutation CTEs (prefix
+    * `p`), reading `${p}_base` (vec_id, v6 e6-list over ALL
+    * embeddings): ends at `${p}_dv` (dim, var_e12 — embed_covariance's
+    * diagonal, same truncated-mean/-div arithmetic), `${p}_pm`
+    * (olddim, newpos — rank by (var desc, dim) via triangular count,
+    * dealt snake-wise across the M subspaces) and `${p}_pv` (the 1-row
+    * permutation list pv with pv[newpos+1] = olddim). The SQL twin of
+    * Similarity.opqPermFrom/opqPermArr. */
+  private def opqPermCtes(p: String): String = {
+    import graft.operators.Similarity.{Dim, PqM, PqSubDim}
+    s"""${p}_x AS (SELECT vec_id, CAST(d.i AS BIGINT) - 1 AS dim,
+       |    v6[d.i] AS x6
+       |  FROM ${p}_base, UNNEST(generate_series(1, $Dim)) AS d(i)),
+       |${p}_mn AS (SELECT dim,
+       |    (SUM(x6) - SUM(x6) % COUNT(*)) // COUNT(*) AS mean6
+       |  FROM ${p}_x GROUP BY 1),
+       |${p}_cc AS (SELECT x.dim, (x6 - mean6) * (x6 - mean6) AS c2
+       |  FROM ${p}_x x JOIN ${p}_mn USING (dim)),
+       |${p}_dv AS (SELECT dim,
+       |    CAST((SUM(c2) - SUM(c2) % COUNT(*)) // COUNT(*) AS BIGINT)
+       |      AS var_e12
+       |  FROM ${p}_cc GROUP BY 1),
+       |${p}_rk AS (SELECT a.dim AS olddim, CAST(COUNT(b.dim) AS BIGINT)
+       |      AS r0
+       |  FROM ${p}_dv a LEFT JOIN ${p}_dv b
+       |    ON b.var_e12 > a.var_e12
+       |      OR (b.var_e12 = a.var_e12 AND b.dim < a.dim)
+       |  GROUP BY 1),
+       |${p}_pm AS (SELECT olddim,
+       |    (CASE WHEN (r0 // $PqM) % 2 = 0 THEN r0 % $PqM
+       |          ELSE ${PqM - 1} - r0 % $PqM END) * $PqSubDim
+       |      + r0 // $PqM AS newpos
+       |  FROM ${p}_rk),
+       |${p}_pv AS (SELECT list(olddim ORDER BY newpos) AS pv
+       |  FROM ${p}_pm)""".stripMargin
+  }
+
   /** pq_train's staged oracle: the same Lloyd rounds as
     * [[lloydRoundsSql]] (identical per-round bodies via
     * [[lloydRoundDefs]]) but materialized one round at a time into TEMP
@@ -194,6 +231,41 @@ object OracleSql {
     s"""$DuckSoftBounds$stage
        |$rounds
        |SELECT m, k, dim, c6_e6, n_members FROM pt_r$PqTrainIters""".stripMargin
+  }
+
+  /** bpe_train_curve's staged oracle — the pq_train discipline applied
+    * to text: each merge round materializes its winning pair and merged
+    * vocabulary as TEMP tables (bt_top{r}, bt_v{r}), so DuckDB's peak
+    * working set is one vocabulary copy instead of an 8-round CTE
+    * pyramid; the final SELECT unions the per-round compression rows.
+    * Same round bodies as Similarity's Lloyd staging convention; the
+    * fresh merge symbols are the SAME private-use codepoints as
+    * TextAnalysis.bpeSym (chr(57344 + r − 1)). */
+  private lazy val BpeTrainTempSql: String = {
+    import graft.operators.TextAnalysis.BpeTrainRounds
+    val rounds = (1 to BpeTrainRounds).map { r =>
+      s"""CREATE OR REPLACE TEMP TABLE bt_top$r AS
+         |  SELECT substr(t, u.i, 2) AS pair,
+         |    CAST(SUM(tf) AS BIGINT) AS pair_n
+         |  FROM bt_v${r - 1}, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+         |  WHERE len(t) >= 2
+         |  GROUP BY 1 ORDER BY pair_n DESC, pair LIMIT 1;
+         |CREATE OR REPLACE TEMP TABLE bt_v$r AS
+         |  SELECT replace(v.t, p.pair, chr(${0xE000 + r - 1})) AS t, v.tf
+         |  FROM bt_v${r - 1} v, bt_top$r p;""".stripMargin
+    }.mkString("\n")
+    val sel = (1 to BpeTrainRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS iter, p.pair, p.pair_n,
+         |  (SELECT CAST(SUM(tf * len(t)) AS BIGINT) FROM bt_v$r)
+         |    AS chars_after
+         |FROM bt_top$r p""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${DuckSoftBounds}CREATE OR REPLACE TEMP TABLE bt_v0 AS
+       |  SELECT t.t AS t, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS t(t)
+       |  GROUP BY 1;
+       |$rounds
+       |$sel""".stripMargin
   }
 
   /** knn_recall's staged oracle: the IVF-blocked graph, its NN-descent
@@ -3549,19 +3621,27 @@ object OracleSql {
     // buckets as dedup_embedding; threshold from ContamTauE6
     "semantic_contamination" -> {
       val tau = Similarity.ContamTauE6
+      val dim = Similarity.Dim
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |    CAST(label AS BIGINT) AS label,
          |    ${sqlPhash("'split:' || vec_id")} % 100 >= 98 AS heldout
          |  FROM embeddings),
-         |b AS (SELECT vec_id, v, label, heldout, $bucketExpr AS bucket
+         |b AS (SELECT vec_id, v, label, heldout, $bucketExpr AS bucket,
+         |    list_transform(v, x -> CAST(ROUND(x * 1000000) AS BIGINT))
+         |      AS v6
          |  FROM e),
-         |ev AS (SELECT bucket, vec_id AS e_id, v AS evec, label FROM b
-         |  WHERE heldout),
-         |tr AS (SELECT bucket, vec_id AS t_id, v AS tvec FROM b
-         |  WHERE NOT heldout),
+         |bn AS (SELECT *, CAST(list_sum(list_transform(v6, x -> x * x))
+         |    AS BIGINT) AS n2 FROM b),
+         |ev AS (SELECT bucket, vec_id AS e_id, v6 AS ev6, n2 AS en2,
+         |    label FROM bn WHERE heldout),
+         |tr AS (SELECT bucket, vec_id AS t_id, v6 AS tv6, n2 AS tn2
+         |  FROM bn WHERE NOT heldout),
          |c AS (SELECT ev.e_id, ev.label,
          |    CASE WHEN tr.t_id IS NULL THEN NULL
-         |      ELSE CAST(ROUND(list_cosine_similarity(ev.evec, tr.tvec)
+         |      ELSE CAST(ROUND(
+         |        CAST(list_sum(list_transform(generate_series(1, $dim),
+         |          i -> ev6[i] * tv6[i])) AS DOUBLE)
+         |        / (SQRT(CAST(en2 AS DOUBLE)) * SQRT(CAST(tn2 AS DOUBLE)))
          |        * 1000000) AS BIGINT) END AS sim_e6,
          |    CASE WHEN tr.t_id IS NULL THEN 0 ELSE 1 END AS cand
          |  FROM ev LEFT JOIN tr USING (bucket)),
@@ -4459,6 +4539,93 @@ object OracleSql {
          |LEFT JOIN pt_h h USING (q_id)""".stripMargin
     },
 
+    "pq_opq_balance" -> {
+      import graft.operators.Similarity.{PqM, PqSubDim}
+      s"""WITH ob_base AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS v6
+         |  FROM embeddings),
+         |${opqPermCtes("ob")},
+         |pp AS (SELECT olddim // $PqSubDim AS subspace,
+         |    CAST(SUM(var_e12) AS BIGINT) AS plain_var_e12
+         |  FROM ob_dv JOIN ob_pm ON dim = olddim GROUP BY 1),
+         |op AS (SELECT newpos // $PqSubDim AS subspace,
+         |    CAST(SUM(var_e12) AS BIGINT) AS opq_var_e12
+         |  FROM ob_dv JOIN ob_pm ON dim = olddim GROUP BY 1),
+         |t AS (SELECT CAST(SUM(var_e12) AS BIGINT) AS tot FROM ob_dv)
+         |SELECT subspace, plain_var_e12, opq_var_e12,
+         |  plain_var_e12 * $PqM * 1000000 // GREATEST(tot, 1)
+         |    AS plain_balance_ppm,
+         |  opq_var_e12 * $PqM * 1000000 // GREATEST(tot, 1)
+         |    AS opq_balance_ppm
+         |FROM pp JOIN op USING (subspace), t""".stripMargin
+    },
+
+    "pq_recall_opq" -> {
+      import graft.operators.Similarity.{Dim, PqM, PqSubDim, PqTrainIters,
+        CentroidLo, PqK, QueryCount, TopK}
+      val k = TopK
+      val fin = s"po_c$PqTrainIters"
+      val adc = s"list_sum(list_transform(generate_series(1, $PqSubDim), " +
+        s"i -> (q.qv6[i] - c.c6[i]) * (q.qv6[i] - c.c6[i])))"
+      val enc = s"list_sum(list_transform(generate_series(1, $PqSubDim), " +
+        s"i -> (s.sv6[i] - c.c6[i]) * (s.sv6[i] - c.c6[i])))"
+      s"""${DuckSoftBounds}WITH po_base AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS v6
+         |  FROM embeddings),
+         |${opqPermCtes("po")},
+         |po_v6 AS (SELECT vec_id,
+         |    list_transform(generate_series(1, $Dim),
+         |      j -> v6[pv[j] + 1]) AS v6
+         |  FROM po_base, po_pv),
+         |po_sub AS (SELECT vec_id, CAST(sm.m AS BIGINT) AS m,
+         |    list_transform(generate_series(1, $PqSubDim),
+         |      i -> v6[sm.m * $PqSubDim + i]) AS sv6
+         |  FROM po_v6, UNNEST(generate_series(0, ${PqM - 1})) AS sm(m)
+         |  WHERE vec_id >= $QueryCount),
+         |po_c0 AS (SELECT m, vec_id - $CentroidLo AS k, sv6 AS c6
+         |  FROM po_sub
+         |  WHERE vec_id BETWEEN $CentroidLo AND ${CentroidLo + PqK - 1}),
+         |${lloydRoundsSql("po")},
+         |po_de AS (SELECT s.vec_id, s.m, c.k, $enc AS d12
+         |  FROM po_sub s JOIN $fin c ON s.m = c.m),
+         |po_codes AS (SELECT vec_id, m, k FROM (SELECT vec_id, m, k,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d12, k)
+         |      AS rn FROM po_de) t WHERE rn = 1),
+         |po_qs AS (SELECT vec_id AS q_id, CAST(sm.m AS BIGINT) AS m,
+         |    list_transform(generate_series(1, $PqSubDim),
+         |      i -> v6[sm.m * $PqSubDim + i]) AS qv6
+         |  FROM po_v6, UNNEST(generate_series(0, ${PqM - 1})) AS sm(m)
+         |  WHERE vec_id < $QueryCount),
+         |po_sc AS (SELECT q.q_id, a.vec_id, CAST(SUM($adc) AS BIGINT)
+         |    AS dist
+         |  FROM po_codes a JOIN $fin c ON a.m = c.m AND a.k = c.k
+         |    JOIN po_qs q ON q.m = a.m
+         |  GROUP BY 1, 2),
+         |po_ap AS (SELECT q_id, vec_id AS cand_id FROM (SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id)
+         |      AS rn FROM po_sc) t WHERE rn <= $k),
+         |po_e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |po_tq AS (SELECT vec_id AS q_id, v AS qv FROM po_e
+         |  WHERE vec_id < $QueryCount),
+         |po_tc AS (SELECT vec_id AS cand_id, v AS cv FROM po_e
+         |  WHERE vec_id >= $QueryCount),
+         |po_tr AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY CAST(ROUND(($l2SumSql) * 1e9) AS BIGINT), cand_id)
+         |      AS rn FROM po_tq, po_tc) t WHERE rn <= $k),
+         |po_h AS (SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM po_tr t JOIN po_ap a
+         |    ON t.q_id = a.q_id AND t.cand_id = a.cand_id
+         |  GROUP BY 1)
+         |SELECT b.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |  (COALESCE(h.n_hits, 0) * 1000) // $k AS recall_milli
+         |FROM (SELECT DISTINCT q_id FROM po_tr) b
+         |LEFT JOIN po_h h USING (q_id)""".stripMargin
+    },
+
     "pq_recall_curve" -> {
       import graft.operators.Similarity.{PqSubDim, PqTrainIters, QueryCount, TopK}
       val k = TopK
@@ -4772,6 +4939,8 @@ object OracleSql {
          |  CAST(SUM(tf * len_before) AS BIGINT) AS chars_before,
          |  CAST(SUM(tf * len_after) AS BIGINT) AS chars_after
          |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "bpe_train_curve" -> BpeTrainTempSql,
 
     "ingest_parity" ->
       """WITH k AS (SELECT lang,

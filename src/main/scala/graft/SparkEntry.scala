@@ -322,6 +322,11 @@ object SparkEntry {
       Similarity.pqRecallCurveFrom(a.chain, a.sub, a.l2truth,
         Tables.embeddings(s, dir))
     }),
+    "pq_recall_opq"       -> ((s, dir) =>
+      Similarity.pqRecallOpqFrom(Tables.embeddings(s, dir),
+        Staged.ann(s, dir).l2truth)),
+    "pq_opq_balance"      -> ((s, dir) =>
+      Similarity.opqSubspaceBalance(Tables.embeddings(s, dir))),
     "pq_recall_residual"  -> ((s, dir) =>
       Similarity.pqRecallResidual(Tables.embeddings(s, dir))),
     "pq_rerank_curve"     -> ((s, dir) => {
@@ -329,6 +334,8 @@ object SparkEntry {
       Similarity.pqRerankCurveFrom(a.chain, a.sub, a.l2truth,
         Tables.embeddings(s, dir))
     }),
+    "bpe_train_curve"     -> ((s, dir) =>
+      TextAnalysis.bpeTrainCurveFrom(Staged.tokens(s, dir).freq)),
     "tfidf_topk"          -> ((s, dir) =>
       TextAnalysis.tfidfTopKFrom(Staged.tokens(s, dir).tokens)),
     "value_quantiles"     -> ((s, dir) => Ledger.valueQuantiles(cl(s, dir))),

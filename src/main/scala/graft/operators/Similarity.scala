@@ -1630,33 +1630,39 @@ object Similarity {
   def pqRecallTrainedFrom(chain: Seq[DataFrame], sub: DataFrame,
                           truth: DataFrame, embeddings: DataFrame,
                           k: Int = TopK): DataFrame =
-    recallAtK(truth, pqAdcTopK(cbArrays(chain.last), sub, embeddings, k), k)
+    recallAtK(truth, pqAdcTopK(cbArrays(chain.last), sub, pqQSub(embeddings), k), k)
 
   /** ADC top-k under a given trained codebook: encode every (vector,
     * subspace) row to its nearest codeword, score queries through the
     * codebook (exact integer sums), rank. Shared by the final recall
     * gate and the per-iteration curve. */
   private def pqAdcTopK(cb: DataFrame, sub: DataFrame,
-                        embeddings: DataFrame, k: Int): DataFrame =
-    pqAdcScored(cb, sub, embeddings)
+                        qsub: DataFrame, k: Int): DataFrame =
+    pqAdcScored(cb, sub, qsub)
       .where(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("cand_id"))
 
+  /** The query-side (q_id, m, qv6) subvector relation ADC scoring
+    * broadcasts — e6 query coordinates through the same [[subspaced]]
+    * split as the candidates. */
+  private def pqQSub(embeddings: DataFrame): DataFrame =
+    subspaced(
+      queries(embeddings).select(col("q_id"),
+        expr("transform(q_vec, x -> cast(round(cast(x as double) * " +
+          "1000000d) as bigint))").as("v6")), "q_id")
+      .withColumnRenamed("sv6", "qv6")
+
   /** The full ADC ranking (q_id, vec_id, dist_e12, rank) under a
     * trained codebook — [[pqAdcTopK]] filtered at k, and the shortlist
-    * source of the re-rank curve. */
+    * source of the re-rank curve. `qsub` is the (q_id, m, qv6) query
+    * subvector relation (permuted for the OPQ gate, plain otherwise). */
   private def pqAdcScored(cb: DataFrame, sub: DataFrame,
-                          embeddings: DataFrame): DataFrame = {
+                          qsub: DataFrame): DataFrame = {
     val codes = sub.join(broadcast(cb), "m")
       .withColumn("d12",
         graft.functions.VectorFunctions.intL2(col("sv6"), col("c6")))
       .groupBy("vec_id", "m")
       .agg(min_by(col("k"), struct(col("d12"), col("k"))).as("k"))
-    val qsub = subspaced(
-      queries(embeddings).select(col("q_id"),
-        expr("transform(q_vec, x -> cast(round(cast(x as double) * " +
-          "1000000d) as bigint))").as("v6")), "q_id")
-      .withColumnRenamed("sv6", "qv6")
     codes
       .join(broadcast(cb), Seq("m", "k"))
       .join(broadcast(qsub), Seq("m"))
@@ -1687,10 +1693,11 @@ object Similarity {
                         truth: DataFrame, embeddings: DataFrame,
                         k: Int = TopK): DataFrame = {
     val cbs = pqSeedCb(sub) +: rels.map(cbArrays)
+    val qsub = pqQSub(embeddings)
     val nq = truth.select("q_id").distinct()
       .agg(count(lit(1)).as("n_q"))
     cbs.zipWithIndex.map { case (cb, i) =>
-      recallAtK(truth, pqAdcTopK(cb, sub, embeddings, k), k)
+      recallAtK(truth, pqAdcTopK(cb, sub, qsub, k), k)
         .agg(sum("n_hits").as("sum_hits"))
         .select(lit(i.toLong).as("iters"), col("sum_hits"))
     }.reduce(_.unionByName(_))
@@ -1698,6 +1705,146 @@ object Similarity {
       .select(col("iters"), col("sum_hits"),
         expr(s"(sum_hits * 1000) div (n_q * ${k}L)").as("mean_recall_milli"))
   }
+
+  // --- OPQ permutation rotation --------------------------------------------
+
+  /** Per-dim variance diagonal (dim, var_e12) — [[embedCovariance]]'s
+    * diagonal without the off-diagonal pair explode ([[Dim]] groups per
+    * vector instead of Dim·(Dim+1)/2). Same integer contract: e6
+    * coordinates, driver-inlined truncated means (the catalog-stats
+    * convention for a Dim-long statistics literal), var = Σc² div n —
+    * so the values equal [[pqSubspaceBalance]]'s diagonal exactly. */
+  private def dimVariance(embeddings: DataFrame): DataFrame = {
+    val x6 = embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000000L).cast("long")).as("v6"))
+    val means = x6
+      .select(posexplode(col("v6")).as(Seq("dim", "x6")))
+      .groupBy("dim")
+      .agg(sum("x6").as("s"), count(lit(1)).as("n"))
+      .select(col("dim"), expr("s div n").as("mean6"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val meanLit = array((0 until Dim).map(d => lit(means(d))): _*)
+    x6
+      .select(posexplode(zip_with(col("v6"), meanLit, (x, m) => x - m))
+        .as(Seq("dim", "c6")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(sum(col("c6") * col("c6")).as("sp"), count(lit(1)).as("n"))
+      .select(col("dim"), expr("sp div n").as("var_e12"))
+  }
+
+  /** OPQ-style dimension permutation (olddim, newpos) — Ge et al.'s
+    * eigenvalue-allocation idea in its oracle-replayable integer form:
+    * dims ranked by (variance desc, dim) are dealt SNAKE-wise across
+    * the [[PqM]] subspaces (round r gives subspace positions 0..M-1 on
+    * even rounds and M-1..0 on odd ones), so each subspace receives one
+    * dim per round and the high-variance head spreads evenly instead of
+    * stacking in subspace 0. A float SVD rotation would beat it on a
+    * correlated corpus but cannot be replayed bit-exactly cross-engine;
+    * the permutation is integer-exact end to end. Rank comes from a
+    * broadcast triangular self-join over the [[Dim]]-row variance
+    * relation — no window at all. */
+  private def opqPermFrom(v: DataFrame): DataFrame = {
+    val o = v.select(col("dim").as("o_dim"), col("var_e12").as("o_var"))
+    v.join(broadcast(o),
+        col("o_var") > col("var_e12") ||
+          (col("o_var") === col("var_e12") && col("o_dim") < col("dim")),
+        "left")
+      .groupBy("dim")
+      .agg(count(col("o_dim")).as("r0"))
+      .select(col("dim").as("olddim"),
+        ((when(expr(s"(r0 div $PqM) % 2") === 0L, expr(s"r0 % $PqM"))
+          .otherwise(lit(PqM - 1L) - expr(s"r0 % $PqM"))) * PqSubDim
+          + expr(s"r0 div $PqM")).as("newpos"))
+  }
+
+  /** The permutation as a broadcast 1-row array relation pv where
+    * pv[newpos+1] = olddim — the relational form of an instruction-
+    * stream literal (no driver-value exchange, so the oracle replays
+    * the whole derivation). */
+  private def opqPermArr(perm: DataFrame): DataFrame =
+    perm.agg(expr("transform(array_sort(collect_list(" +
+      "struct(newpos, olddim))), p -> p.olddim)").as("pv"))
+
+  /** Apply the permutation to an (id, v6) e6 vector relation: new
+    * coordinate j is old coordinate pv[j] — one broadcast 1-row cross
+    * join, shuffle-free, so [[subspaced]]'s plain slices then read the
+    * OPQ subspaces. */
+  private def opqVecsE6(v6rel: DataFrame, permArr: DataFrame,
+                        idCol: String): DataFrame =
+    v6rel.crossJoin(broadcast(permArr))
+      .select(col(idCol), expr(
+        s"transform(sequence(0, ${Dim - 1}), j -> element_at(v6, " +
+          "cast(element_at(pv, cast(j as int) + 1) + 1 as int)))")
+        .as("v6"))
+
+  /** Permuted query subvectors (q_id, m, qv6) for OPQ ADC scoring. */
+  private def opqQSub(embeddings: DataFrame, permArr: DataFrame): DataFrame =
+    subspaced(opqVecsE6(
+      queries(embeddings).select(col("q_id"),
+        expr("transform(q_vec, x -> cast(round(cast(x as double) * " +
+          "1000000d) as bigint))").as("v6")), permArr, "q_id"), "q_id")
+      .withColumnRenamed("sv6", "qv6")
+
+  /** Per-subspace variance balance BEFORE vs AFTER the OPQ
+    * permutation — [[pqSubspaceBalance]]'s audit with the repair
+    * applied, in the same terms: plain subspace = olddim div SubDim,
+    * OPQ subspace = newpos div SubDim, balance_ppm = subspace share ×
+    * M (1e6 = perfectly flat). The OPQ column's spread contracting
+    * toward 1e6 IS the measured payoff of the snake. Everything after
+    * the variance diagonal is [[Dim]]-row arithmetic. */
+  def opqSubspaceBalance(embeddings: DataFrame): DataFrame = {
+    val v = dimVariance(embeddings).localCheckpoint(false)
+    val withNew = v.join(broadcast(opqPermFrom(v)),
+      col("dim") === col("olddim"))
+    val per = withNew
+      .groupBy(expr(s"olddim div $PqSubDim").as("subspace"))
+      .agg(sum("var_e12").as("plain_var_e12"))
+      .join(withNew
+        .groupBy(expr(s"newpos div $PqSubDim").as("subspace"))
+        .agg(sum("var_e12").as("opq_var_e12")), "subspace")
+    val tot = v.agg(sum("var_e12").as("tot_e12"))
+    per.crossJoin(broadcast(tot))
+      .select(col("subspace"), col("plain_var_e12"), col("opq_var_e12"),
+        expr(s"plain_var_e12 * $PqM * 1000000L div greatest(tot_e12, 1L)")
+          .as("plain_balance_ppm"),
+        expr(s"opq_var_e12 * $PqM * 1000000L div greatest(tot_e12, 1L)")
+          .as("opq_balance_ppm"))
+  }
+
+  /** Recall gate for OPQ-permuted trained PQ — [[pqRecallTrained]]'s
+    * twin with the variance-snake permutation applied before the
+    * subspace split: permute every vector (and query), train the same
+    * [[PqTrainIters]] integer Lloyd rounds on the permuted subvectors,
+    * ADC-score against the SAME exact-L2 truth (L2 is permutation-
+    * invariant, so the truth relation is shared unchanged). Run beside
+    * pq_recall_trained, the delta IS the measured rotation price — the
+    * closing number of the anisotropy arc (embed_covariance →
+    * anisotropy_audit → pq_subspace_balance → here).
+    *
+    * On THIS corpus the honest reading is a NEGATIVE (the same verdict
+    * as the committed residual-PQ gate): pq_opq_balance shows the
+    * subspace variance profile contracting hard toward flat (max
+    * |balance−1e6| ≈44k → ≈6k ppm at sf0.01), but the i.i.d. corpus was
+    * already near-isotropic, so the permutation has no correlated head
+    * to spread and the recall delta vs pq_recall_trained is seed noise.
+    * That is precisely what the gate is FOR: it prices the rotation so
+    * a deployment only pays for OPQ where the covariance audit shows
+    * structure. */
+  def pqRecallOpqFrom(embeddings: DataFrame, truth: DataFrame,
+                      k: Int = TopK): DataFrame = {
+    val v = dimVariance(embeddings).localCheckpoint(false)
+    val pa = opqPermArr(opqPermFrom(v)).localCheckpoint(false)
+    val sub = subspaced(opqVecsE6(vecsE6(embeddings), pa, "vec_id"), "vec_id")
+      .localCheckpoint(false)
+    val chain = lloydChain(sub, pqSeedCb(sub))
+    recallAtK(truth,
+      pqAdcTopK(cbArrays(chain.last), sub, opqQSub(embeddings, pa), k), k)
+  }
+
+  /** [[pqRecallOpqFrom]] building its own exact-L2 truth. */
+  def pqRecallOpq(embeddings: DataFrame, k: Int = TopK): DataFrame =
+    pqRecallOpqFrom(embeddings, l2Truth(embeddings, k), k)
 
   // --- residual IVF-PQ and ADC re-ranking ----------------------------------
 
@@ -1841,7 +1988,7 @@ object Similarity {
   def pqRerankCurveFrom(rels: Seq[DataFrame], sub: DataFrame,
                         truth: DataFrame, embeddings: DataFrame,
                         k: Int = TopK): DataFrame = {
-    val scored = pqAdcScored(cbArrays(rels.last), sub, embeddings)
+    val scored = pqAdcScored(cbArrays(rels.last), sub, pqQSub(embeddings))
       .localCheckpoint(false)
     val nq = truth.select("q_id").distinct().agg(count(lit(1)).as("n_q"))
     val cand = candidates(embeddings).withColumnRenamed("cand_id", "vec_id")
@@ -2148,7 +2295,15 @@ object Similarity {
     * one scan, a per-heldout-vector max (struct max, no window), then
     * a ≤|labels| aggregate; heldout vectors with an empty bucket
     * survive via the left join (they are CLEAN evidence, not dropped
-    * rows). */
+    * rows).
+    *
+    * Determinism: because the LEAKED verdict thresholds a similarity,
+    * the sim must not carry a float-summation ulp that could flip a
+    * boundary pair cross-engine — so it uses the embedDrift
+    * convention: coordinates e6-quantized ONCE, dot product and both
+    * squared norms as exact integer sums (associative), and a single
+    * final double step written identically in the oracle, so both
+    * engines round the identical value. */
   def semanticContamination(embeddings: DataFrame): DataFrame = {
     val lane = pmod(graft.functions.PortableHash.phash(
       concat(lit("split:"), col("vec_id").cast("string"))), lit(100L))
@@ -2157,16 +2312,24 @@ object Similarity {
         col("label").cast("long").as("label"),
         (lane >= 98L).as("heldout"))
       .withColumn("bucket", bucketCol(col("embedding")))
+      .withColumn("v6", expr("transform(embedding, x -> " +
+        "cast(round(cast(x as double) * 1000000d) as bigint))"))
+      .withColumn("n2", expr("aggregate(transform(v6, x -> x * x), " +
+        "cast(0 as bigint), (s, x) -> s + x)"))
     val eval = v.where(col("heldout"))
       .select(col("bucket"), col("vec_id").as("e_id"),
-        col("embedding").as("ev"), col("label"))
+        col("v6").as("ev6"), col("n2").as("en2"), col("label"))
     val train = v.where(!col("heldout"))
       .select(col("bucket"), col("vec_id").as("t_id"),
-        col("embedding").as("tv"))
+        col("v6").as("tv6"), col("n2").as("tn2"))
     val best = eval.join(train, Seq("bucket"), "left")
       .withColumn("sim_e6",
         when(col("t_id").isNull, lit(null).cast("long"))
-          .otherwise(round(cosineSim(col("ev"), col("tv")) * 1000000)
+          .otherwise(round(
+            expr("aggregate(zip_with(ev6, tv6, (a, b) -> a * b), " +
+              "cast(0 as bigint), (s, x) -> s + x)").cast("double")
+              / (sqrt(col("en2").cast("double"))
+                * sqrt(col("tn2").cast("double"))) * 1000000d)
             .cast("long")))
       .groupBy("e_id", "label")
       .agg(max(col("sim_e6")).as("best_e6"),

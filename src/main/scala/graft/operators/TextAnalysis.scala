@@ -1236,6 +1236,68 @@ object TextAnalysis {
         sum(col("tf") * col("len_after")).cast("long").as("chars_after"))
   }
 
+  /** Merge rounds for [[bpeTrainCurve]] — fixed (not convergence-gated)
+    * for the same reason as PqTrainIters: straight-line rounds are what
+    * a DuckDB oracle can replay as staged TEMP tables. */
+  val BpeTrainRounds = 8
+
+  /** The single-character symbol standing for merge round r's pair
+    * (1-based): consecutive private-use-area codepoints, which no
+    * corpus token contains (the tokenizer alphabet precondition every
+    * BPE trainer has), so each round's replacement is injective and
+    * later rounds can merge PAIRS CONTAINING earlier merge symbols —
+    * real BPE composition, not eight independent single merges. */
+  private def bpeSym(r: Int): String = (0xE000 + r - 1).toChar.toString
+
+  /** Multi-round BPE trainer — the iterated form of [[bpeApplyStep]]'s
+    * single pick+apply: [[BpeTrainRounds]] rounds of (most frequent
+    * adjacent symbol pair → merge into a fresh 1-char symbol), each
+    * reported with the merged pair, its corpus frequency, and the
+    * corpus character mass after the merge — the compression curve a
+    * tokenizer build reads to decide when merges stop paying.
+    *
+    * Scale shape, the pq_train discipline applied to text: every round
+    * is VOCABULARY-sized (pair counting explodes len−1 substrings of
+    * vocab TYPES weighted by tf — never corpus tokens), the winning
+    * pair arrives as a broadcast 1-row relation (no driver-value
+    * exchange, so the DuckDB oracle replays the whole chain as staged
+    * TEMP tables), and each round's merged vocabulary is lazily
+    * checkpointed so round r+1 reads a materialized relation instead
+    * of re-deriving r rounds of plans. Merged symbols are single
+    * chars, so the same substr(t, i, 2) pair enumeration stays valid
+    * at every round. */
+  def bpeTrainCurve(documents: DataFrame): DataFrame =
+    bpeTrainCurveFrom(tokenFreqFrom(tokensRel(documents)))
+
+  /** [[bpeTrainCurve]] over a staged (token, tf) frequency relation. */
+  def bpeTrainCurveFrom(freq: DataFrame): DataFrame = {
+    var vocab = freq
+      .select(col("token").as("t"), col("tf").cast("long").as("tf"))
+      .localCheckpoint(false)
+    val rounds = (1 to BpeTrainRounds).map { r =>
+      val top = vocab
+        .where(length(col("t")) >= 2)
+        .select(col("tf"), explode(expr(
+          "transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))"))
+          .as("pair"))
+        .groupBy("pair")
+        .agg(sum("tf").cast("long").as("pair_n"))
+        .orderBy(col("pair_n").desc, col("pair"))
+        .limit(1)
+      vocab = vocab.crossJoin(broadcast(top))
+        .select(replace(col("t"), col("pair"), lit(bpeSym(r))).as("t"),
+          col("tf"))
+        .localCheckpoint(false)
+      vocab
+        .agg(sum(col("tf") * length(col("t"))).cast("long")
+          .as("chars_after"))
+        .crossJoin(broadcast(top))
+        .select(lit(r.toLong).as("iter"), col("pair"), col("pair_n"),
+          col("chars_after"))
+    }
+    rounds.reduce(_.unionByName(_))
+  }
+
   // --- linear quality classifier -------------------------------------------
 
   /** Bag-of-words weights (milli) for [[qualityClassify]] — the

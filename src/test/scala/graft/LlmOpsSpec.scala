@@ -232,6 +232,56 @@ class LlmOpsSpec extends AnyFunSuite {
       shareSum >= 1000000L - Similarity.PqM)
   }
 
+  test("pq_opq_balance: the snake permutation is a driver-replayable " +
+    "bijection that contracts the subspace variance spread") {
+    val got = Similarity.opqSubspaceBalance(embs).collect()
+      .map(r => r.getAs[Long]("subspace") ->
+        (r.getAs[Long]("plain_var_e12"), r.getAs[Long]("opq_var_e12"),
+          r.getAs[Long]("plain_balance_ppm"),
+          r.getAs[Long]("opq_balance_ppm"))).toMap
+    assert(got.size === Similarity.PqM)
+    val diag = Similarity.embedCovariance(embs).collect()
+      .filter(r => r.getLong(0) == r.getLong(1))
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // plain arm = the covariance diagonal grouped by olddim div SubDim
+    (0L until Similarity.PqM.toLong).foreach { s =>
+      val expected = diag.collect {
+        case (d, v) if d / Similarity.PqSubDim == s => v
+      }.sum
+      assert(got(s)._1 === expected, s"plain subspace $s")
+    }
+    // snake replay: rank dims by (var desc, dim), deal serpentine
+    val ranked = diag.toSeq.sortBy { case (d, v) => (-v, d) }.map(_._1)
+    val opqVar = ranked.zipWithIndex
+      .groupBy { case (_, r0) =>
+        val round = r0 / Similarity.PqM
+        val pos = r0 % Similarity.PqM
+        if (round % 2 == 0) pos.toLong
+        else Similarity.PqM - 1L - pos
+      }
+      .view.mapValues(_.map { case (d, _) => diag(d) }.sum).toMap
+    (0L until Similarity.PqM.toLong).foreach { s =>
+      assert(got(s)._2 === opqVar(s), s"opq subspace $s")
+    }
+    // the payoff: the OPQ profile deviates less from flat (1e6)
+    val plainDev = got.values.map(v => math.abs(v._3 - 1000000L)).max
+    val opqDev = got.values.map(v => math.abs(v._4 - 1000000L)).max
+    assert(opqDev < plainDev,
+      s"snake did not contract the spread: plain ±$plainDev opq ±$opqDev")
+  }
+
+  test("pq_recall_opq: one row per query, recall in range, consistent " +
+    "with its hit counts") {
+    val got = Similarity.pqRecallOpq(embs).collect()
+    assert(got.length === Similarity.QueryCount)
+    got.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= Similarity.TopK)
+      assert(r.getAs[Long]("recall_milli") ===
+        hits * 1000L / Similarity.TopK)
+    }
+  }
+
   test("char_diversity: per-language rollup matches a driver-side " +
     "sliding-bigram replay") {
     val got = TextAnalysis.charDiversity(docs).collect()
@@ -1164,6 +1214,35 @@ class LlmOpsSpec extends AnyFunSuite {
     val saved = row.getAs[Long]("chars_before") - row.getAs[Long]("chars_after")
     // saved chars ≤ the pair's counted mass (overlaps reduce it)
     assert(saved <= row.getAs[Long]("pair_n"))
+  }
+
+  test("bpe_train_curve: 8 composing rounds — round 1 agrees with the " +
+    "single-step trainer, compression is monotone, pair mass bounds " +
+    "each round's saving") {
+    val curve = TextAnalysis.bpeTrainCurve(docs).collect()
+      .sortBy(_.getAs[Long]("iter"))
+    assert(curve.map(_.getAs[Long]("iter")).toSeq ===
+      (1L to TextAnalysis.BpeTrainRounds.toLong))
+    // round 1 IS bpeApplyStep's pick
+    val one = TextAnalysis.bpeApplyStep(docs).collect().head
+    assert(curve.head.getAs[String]("pair") === one.getAs[String]("pair"))
+    assert(curve.head.getAs[Long]("pair_n") === one.getAs[Long]("pair_n"))
+    assert(curve.head.getAs[Long]("chars_after") ===
+      one.getAs[Long]("chars_after"))
+    // each round strictly compresses, by at most its pair mass
+    var prev = one.getAs[Long]("chars_before")
+    curve.foreach { r =>
+      val after = r.getAs[Long]("chars_after")
+      assert(after < prev, s"round ${r.getAs[Long]("iter")} did not " +
+        "compress")
+      assert(prev - after <= r.getAs[Long]("pair_n"))
+      prev = after
+    }
+    // composition actually happens: some later round's winning pair
+    // contains an earlier round's merge symbol (true iterated BPE, not
+    // eight independent merges) — private-use plane chars >= U+E000
+    assert(curve.tail.exists(_.getAs[String]("pair")
+      .exists(_ >= 0xE000.toChar)))
   }
 
   test("mass-duplicate bucket degrades to star pairs — O(B), never O(B²)") {

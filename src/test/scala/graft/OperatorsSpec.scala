@@ -2156,9 +2156,11 @@ class OperatorsSpec extends AnyFunSuite {
     // vec_id whose hash lands < 98 (searched here with the same hash)
     val held = emb.where(lane >= 98L).limit(1).collect()(0)
     val maxId = emb.agg(max("vec_id")).collect()(0).getLong(0)
+    // md5Long is phash's JVM twin — pick the id on the driver, zero
+    // Spark jobs regardless of how many consecutive ids hash >= 98
     val freshId = Iterator.iterate(maxId + 1L)(_ + 1L).find { id =>
-      spark.range(1).select(pmod(graft.functions.PortableHash.phash(
-        lit(s"split:$id")), lit(100L))).collect()(0).getLong(0) < 98L
+      math.floorMod(
+        graft.functions.PortableHash.md5Long(s"split:$id"), 100L) < 98L
     }.get
     val dup = emb
       .where(col("vec_id") === held.getAs[Long]("vec_id"))

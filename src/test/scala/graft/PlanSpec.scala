@@ -119,7 +119,9 @@ class PlanSpec extends AnyFunSuite {
       "key_skew_report",
       "sync_lag",
       "ivf_recall", "ivf_recall_curve", "shard_balance", "pmi_pairs",
-      "bpe_apply",
+      // bpe_apply / bpe_train_curve cross each round's broadcast 1-row
+      // winning pair onto the vocabulary
+      "bpe_apply", "bpe_train_curve",
       // dsir_weights cross-joins the broadcast 1-row bigram totals
       "dsir_weights",
       // repeat_plan crosses the broadcast 1-row corpus totals onto the
@@ -216,7 +218,15 @@ class PlanSpec extends AnyFunSuite {
       "retention_sweep",
       // lsh_multiprobe: the truth is the DECLARED gate-scale brute
       // pass (the ann_topk allowance) plus 1-row n_hit/n_truth crosses
-      "lsh_multiprobe")
+      "lsh_multiprobe",
+      // the OPQ gate crosses the broadcast 1-ROW permutation list onto
+      // the corpus (the mix_weights 1-row-total shape) and inherits the
+      // trained-PQ broadcast allowances; the balance audit crosses the
+      // 1-row variance total onto the 8-row subspace grid
+      "pq_recall_opq", "pq_opq_balance",
+      // zipf_fit's triangular bucket-prefix join runs over the ≤63-row
+      // broadcast log2 grid (the shape that REPLACED its global window)
+      "zipf_fit")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
