@@ -1175,16 +1175,44 @@ object CdcStream {
     * drain per dropped file pins the one-file-per-micro-batch replay
     * order. */
   private def replayStaged(spark: SparkSession, batches: Seq[DataFrame],
-      mode: OutputMode)(pipe: DataFrame => DataFrame): DataFrame = {
+      mode: OutputMode, perFileDrain: Boolean = false)
+      (pipe: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.{Files, Path}
     require(batches.nonEmpty, "replay needs at least one batch")
     val name = s"parity_${parityRuns.incrementAndGet()}"
-    val root = Files.createTempDirectory(s"graft_$name")
+    // RAM-backed scratch when available: the replay's staging files,
+    // offset/commit logs and state-store deltas are all throwaway
+    // verification artifacts, and their fsyncs dominate the fixed
+    // per-micro-batch cost on a disk-backed /tmp. The PRODUCTION lane
+    // (StreamRun) keeps its checkpoint wherever the deployment puts
+    // it — this shortcut applies only to the parity harness scratch.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val root =
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        Files.createTempDirectory(shm, s"graft_$name")
+      else Files.createTempDirectory(s"graft_$name")
     val inDir = Files.createDirectories(root.resolve("in"))
-    val staged: Seq[Path] = batches.zipWithIndex.map { case (b, i) =>
-      val d = root.resolve(s"stage_$i")
-      b.coalesce(1).write.mode("overwrite").parquet(d.toString)
-      import scala.jdk.CollectionConverters._
+    // Stage every micro-batch in ONE pass: tag each slice with its
+    // batch index, union, hash-repartition on the tag (all rows of one
+    // batch land in exactly one task) and write partitionBy — one scan
+    // + one write job instead of a sequential coalesce(1) job per
+    // batch (the slices are usually filters over one source, so the
+    // union's branches share the scan within a single job). Batch
+    // contents and count are identical to the per-batch form; only
+    // intra-file row order differs, which no parity pipe observes (the
+    // state shuffles re-order within a micro-batch anyway). An empty
+    // slice writes no partition dir — staged separately below (rare).
+    val stageAll = root.resolve("stage")
+    import scala.jdk.CollectionConverters._
+    batches.zipWithIndex
+      .map { case (b, i) => b.withColumn("__b", lit(i)) }
+      .reduce(_.unionByName(_))
+      .repartition(batches.length, col("__b"))
+      .write.partitionBy("__b").mode("overwrite").parquet(stageAll.toString)
+    val staged: Seq[Path] = batches.indices.map { i =>
+      val d = stageAll.resolve(s"__b=$i")
+      if (!Files.isDirectory(d))
+        batches(i).coalesce(1).write.mode("overwrite").parquet(d.toString)
       Files.list(d).iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet"))
         .getOrElse(sys.error(s"no staged part file under $d"))
@@ -1203,12 +1231,38 @@ object CdcStream {
     val partConf = "spark.sql.shuffle.partitions"
     val outer = spark.conf.get(partConf)
     val result = try {
-      spark.conf.set(partConf, "8")
+      spark.conf.set(partConf, "3")
+      // Default drain: place every staged file up front with strictly
+      // increasing mtimes — the file source admits oldest-first, one
+      // per micro-batch (maxFilesPerTrigger=1, fileSortOrder is mtime
+      // ascending), so ONE processAllAvailable replays the whole feed
+      // in order, minus a scheduler round-trip per batch (~0.5s/harness
+      // across the family). Caveat, measured: without the interleaved
+      // no-data batches, the LATE-EVENT filter watermark (which Spark
+      // holds one batch BEHIND the eviction watermark) lags one data
+      // batch further, so any harness whose CONTRACT is the per-batch
+      // late-drop cadence must pass perFileDrain=true and keep the
+      // move-then-drain handshake (lateParity — the one harness that
+      // exists to pin exactly that semantics; its oracle replays the
+      // per-batch watermark recurrence).
       val query = pipe(stream).writeStream.format("memory")
+        .option("checkpointLocation", root.resolve("chk").toString)
         .queryName(name).outputMode(mode).start()
-      try staged.zipWithIndex.foreach { case (part, i) =>
-        Files.move(part, inDir.resolve(f"batch_$i%05d.parquet"))
-        query.processAllAvailable()
+      try {
+        if (perFileDrain)
+          staged.zipWithIndex.foreach { case (part, i) =>
+            Files.move(part, inDir.resolve(f"batch_$i%05d.parquet"))
+            query.processAllAvailable()
+          }
+        else {
+          staged.zipWithIndex.foreach { case (part, i) =>
+            val dst = inDir.resolve(f"batch_$i%05d.parquet")
+            Files.move(part, dst)
+            Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
+          }
+          query.processAllAvailable()
+        }
       } finally query.stop()
       spark.table(name).localCheckpoint()
     } finally spark.conf.set(partConf, outer)
@@ -1365,7 +1419,8 @@ object CdcStream {
       lit("zz_sentinel").as("event_type"), lit(0L).as("value_cents"))
     val batches = (0 to nBatches).map(i =>
       withB.where(col("b") === i).select("ts", "event_type", "value_cents"))
-    replayStaged(spark, batches :+ sentinel, OutputMode.Append()) { df =>
+    replayStaged(spark, batches :+ sentinel, OutputMode.Append(),
+      perFileDrain = true) { df =>
       df.withWatermark("ts", s"${LateDelayMs / 1000} seconds")
         .groupBy(window(col("ts"), s"${LateWindowMs / 1000} seconds"),
           col("event_type"))
