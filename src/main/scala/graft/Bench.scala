@@ -58,7 +58,8 @@ object Bench {
       val a = Staged.ann(spark, sfDir)
       (Seq(d.sh, d.sigs, d.verified, d.simPairs,
         t.tokens, t.freq, t.skipgrams, t.gopher, t.winnow,
-        a.sub, a.l2truth, a.cosTruth, a.assign) ++ a.chain)
+        a.sub, a.l2truth, a.cosTruth, a.assign, a.opqPerm, a.opqSub)
+        ++ a.chain ++ a.opqChain)
         .foreach(_.count())
       (System.nanoTime() - t0) / 1e9
     }

@@ -6388,16 +6388,19 @@ object OracleSql {
          |    (SELECT MAX(bucket) FROM c))) AS bucket),
          |dense AS (SELECT g.bucket, COALESCE(c.cnt, 0) AS x
          |  FROM grid g LEFT JOIN c USING (bucket)),
-         |$lagCtes
+         |$lagCtes,
+         |lh AS (SELECT lag_m, n_pairs,
+         |    CAST(n_pairs AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS vx,
+         |    CAST(n_pairs AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS vy,
+         |    CAST(n_pairs AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS cov
+         |  FROM ($lagUnion))
          |SELECT lag_m, n_pairs,
-         |  CASE WHEN n_pairs * sxx - sx * sx > 0
-         |      AND n_pairs * syy - sy * sy > 0
-         |    THEN CAST(ROUND((n_pairs * sxy - sx * sy) /
-         |      (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
-         |        * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+         |  CASE WHEN vx > 0 AND vy > 0
+         |    THEN CAST(ROUND(CAST(cov AS DOUBLE) /
+         |      (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))
          |      * 1000000) AS BIGINT)
          |    ELSE 0 END AS acf_e6
-         |FROM ($lagUnion)""".stripMargin
+         |FROM lh""".stripMargin
     },
 
     "fano_burstiness" -> {
@@ -6700,15 +6703,19 @@ object OracleSql {
         |    CAST(SUM(x*y) AS BIGINT) AS sxy,
         |    CAST(SUM(x*x) AS BIGINT) AS sxx,
         |    CAST(SUM(y*y) AS BIGINT) AS syy
-        |  FROM s GROUP BY 1)
+        |  FROM s GROUP BY 1),
+        |h AS (SELECT p_type, n,
+        |    CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS vx,
+        |    CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS vy,
+        |    CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS cov
+        |  FROM g)
         |SELECT p_type, n,
-        |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
-        |    THEN CAST(ROUND((n*sxy - sx*sy) /
-        |      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
-        |        * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) * 1000000)
-        |      AS BIGINT)
+        |  CASE WHEN vx > 0 AND vy > 0
+        |    THEN CAST(ROUND(CAST(cov AS DOUBLE) /
+        |      (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))
+        |      * 1000000) AS BIGINT)
         |    ELSE 0 END AS corr_e6
-        |FROM g""".stripMargin,
+        |FROM h""".stripMargin,
 
     "forget_audit" -> {
       val m = graft.operators.Snapshot.ForgetMod

@@ -322,9 +322,12 @@ object SparkEntry {
       Similarity.pqRecallCurveFrom(a.chain, a.sub, a.l2truth,
         Tables.embeddings(s, dir))
     }),
-    "pq_recall_opq"       -> ((s, dir) =>
-      Similarity.pqRecallOpqFrom(Tables.embeddings(s, dir),
-        Staged.ann(s, dir).l2truth)),
+    "pq_recall_opq"       -> ((s, dir) => {
+      val a = Staged.ann(s, dir)
+      Similarity.pqRecallOpqFrom(a.opqChain, a.opqSub,
+        Similarity.opqQSubFrom(Tables.embeddings(s, dir), a.opqPerm),
+        a.l2truth)
+    }),
     "pq_opq_balance"      -> ((s, dir) =>
       Similarity.opqSubspaceBalance(Tables.embeddings(s, dir))),
     "pq_recall_residual"  -> ((s, dir) =>

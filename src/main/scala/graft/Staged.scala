@@ -80,11 +80,16 @@ object Staged {
     * the (vec_id, m, sv6) subvector explode, the Lloyd training chain
     * over it (element i = codebook after i+1 rounds; each round is
     * checkpointed by the chain builder itself), the exact-L2 and
-    * exact-cosine ground truths, and the IVF list assignment. One
-    * trainer + one truth pass feed the whole recall-gate family. */
+    * exact-cosine ground truths, the IVF list assignment, and the OPQ
+    * lane (the 1-row variance-snake permutation array, the permuted
+    * subvector explode and ITS Lloyd chain). One trainer + one truth
+    * pass feed the whole recall-gate family; the OPQ trainer is a
+    * second chain over the same corpus, staged once for the same
+    * reason. */
   final case class AnnRels(sub: DataFrame, chain: Seq[DataFrame],
                            l2truth: DataFrame, cosTruth: DataFrame,
-                           assign: DataFrame)
+                           assign: DataFrame, opqPerm: DataFrame,
+                           opqSub: DataFrame, opqChain: Seq[DataFrame])
 
   private val cache = TrieMap.empty[(SparkSession, String), DedupRels]
   private val tokenCache = TrieMap.empty[(SparkSession, String), TokenRels]
@@ -163,7 +168,13 @@ object Staged {
       val l2truth = stage(Similarity.annL2Truth(emb))
       val cosTruth = stage(Similarity.bruteTopK(emb))
       val assign = stage(Similarity.ivfAssign(emb))
-      AnnRels(sub, chain, l2truth, cosTruth, assign)
+      // NOTE: opqPermArray's construction runs the Dim-row means
+      // collect (one small job) — the one eager step in this builder
+      val opqPerm = stage(Similarity.opqPermArray(emb))
+      val opqSub = stage(Similarity.opqSubvectorsFrom(emb, opqPerm))
+      val opqChain = Similarity.annLloydChain(opqSub)
+      AnnRels(sub, chain, l2truth, cosTruth, assign, opqPerm, opqSub,
+        opqChain)
     })
 
   /** Drop all staged entries (block-manager copies are reclaimed by the
@@ -212,6 +223,13 @@ object Staged {
         () => Similarity.annLloydRoundPlan(annSub)),
       ("staged:l2truth", true, () => Similarity.annL2Truth(emb)),
       ("staged:cosTruth", true, () => Similarity.bruteTopK(emb)),
-      ("staged:assign", true, () => Similarity.ivfAssign(emb)))
+      ("staged:assign", true, () => Similarity.ivfAssign(emb)),
+      // the OPQ lane: the 1-row permutation build (its triangular
+      // rank join is a broadcast nested-loop over the Dim-row grid)
+      // and the permuted subvector explode (1-row broadcast cross)
+      ("staged:opqPerm", true, () => Similarity.opqPermArray(emb)),
+      ("staged:opqSub", true,
+        () => Similarity.opqSubvectorsFrom(emb,
+          Similarity.opqPermArray(emb))))
   }
 }

@@ -742,11 +742,18 @@ object Analytics {
     * covariance / √(var·var), evaluated in the same literal order on
     * both engines and e6-rounded. A correlation whose inputs are
     * exact is reproducible — the usual corr() over doubles is not.
-    * Bigint bound: n·Σxy stays under 2⁶³ through ~10⁷ rows per type at
-    * these units (bps × quantity-cents); beyond that, coarsen the
-    * units one decade per 100× rows — the e6 output precision is
-    * unaffected. */
-  def discountQuantityCorr(part: DataFrame, lineitem: DataFrame): DataFrame =
+    * Bigint bound: the per-group SUMS stay comfortably inside int64
+    * (Σy² ≈ 2.5e7/row → ~3·10¹¹ rows), but the COMBINATIONS n·Σy² −
+    * (Σy)² do not — the 100× amplified lane overflowed them at 6M
+    * rows — so the combinations run in decimal(38,0), exactly DuckDB's
+    * int128 promotion of the same expressions; both engines then cast
+    * the identical exact integer to double, so the final e6 rounding
+    * still matches bit-for-bit. */
+  def discountQuantityCorr(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val d38 = (c: String) => col(c).cast("decimal(38,0)")
+    val vx = d38("n") * col("sxx") - d38("sx") * col("sx")
+    val vy = d38("n") * col("syy") - d38("sy") * col("sy")
+    val cov = d38("n") * col("sxy") - d38("sx") * col("sy")
     lineitem
       .select(col("l_partkey"),
         round(col("l_discount") * 10000).cast("long").as("x"),
@@ -758,14 +765,12 @@ object Analytics {
         sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
         sum(expr("y * y")).as("syy"))
       .select(col("p_type"), col("n"),
-        when(expr("n * sxx - sx * sx") > 0L
-          && expr("n * syy - sy * sy") > 0L,
-          round((col("n") * col("sxy") - col("sx") * col("sy"))
-            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-              .cast("double"))
-              * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
-                .cast("double"))) * 1000000L).cast("long"))
+        when(vx > 0 && vy > 0,
+          round(cov.cast("double")
+            / (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))
+            * 1000000L).cast("long"))
           .otherwise(lit(0L)).as("corr_e6"))
+  }
 
   /** Market-share constants for [[marketShare]] (TPC-H Q8's
     * region/type/nation triple, values from this corpus's domains). */

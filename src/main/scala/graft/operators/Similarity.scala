@@ -1812,6 +1812,24 @@ object Similarity {
           .as("opq_balance_ppm"))
   }
 
+  /** The OPQ permutation as a stageable 1-row array relation —
+    * [[graft.Staged.ann]] materializes it once per (session, corpus)
+    * so the recall gate and any future OPQ consumer share one
+    * variance pass. NOTE: constructing this relation runs the
+    * Dim-row means collect (the catalog-stats literal convention). */
+  def opqPermArray(embeddings: DataFrame): DataFrame =
+    opqPermArr(opqPermFrom(dimVariance(embeddings).localCheckpoint(false)))
+
+  /** The permuted (vec_id, m, sv6) subvector relation over a (staged)
+    * permutation array — the OPQ trainer's input. */
+  def opqSubvectorsFrom(embeddings: DataFrame,
+                        permArr: DataFrame): DataFrame =
+    subspaced(opqVecsE6(vecsE6(embeddings), permArr, "vec_id"), "vec_id")
+
+  /** Permuted query subvectors over a (staged) permutation array. */
+  def opqQSubFrom(embeddings: DataFrame, permArr: DataFrame): DataFrame =
+    opqQSub(embeddings, permArr)
+
   /** Recall gate for OPQ-permuted trained PQ — [[pqRecallTrained]]'s
     * twin with the variance-snake permutation applied before the
     * subspace split: permute every vector (and query), train the same
@@ -1831,20 +1849,21 @@ object Similarity {
     * That is precisely what the gate is FOR: it prices the rotation so
     * a deployment only pays for OPQ where the covariance audit shows
     * structure. */
-  def pqRecallOpqFrom(embeddings: DataFrame, truth: DataFrame,
-                      k: Int = TopK): DataFrame = {
-    val v = dimVariance(embeddings).localCheckpoint(false)
-    val pa = opqPermArr(opqPermFrom(v)).localCheckpoint(false)
-    val sub = subspaced(opqVecsE6(vecsE6(embeddings), pa, "vec_id"), "vec_id")
-      .localCheckpoint(false)
-    val chain = lloydChain(sub, pqSeedCb(sub))
-    recallAtK(truth,
-      pqAdcTopK(cbArrays(chain.last), sub, opqQSub(embeddings, pa), k), k)
-  }
+  def pqRecallOpqFrom(chain: Seq[DataFrame], sub: DataFrame,
+                      qsub: DataFrame, truth: DataFrame,
+                      k: Int = TopK): DataFrame =
+    recallAtK(truth, pqAdcTopK(cbArrays(chain.last), sub, qsub, k), k)
 
-  /** [[pqRecallOpqFrom]] building its own exact-L2 truth. */
-  def pqRecallOpq(embeddings: DataFrame, k: Int = TopK): DataFrame =
-    pqRecallOpqFrom(embeddings, l2Truth(embeddings, k), k)
+  /** [[pqRecallOpqFrom]] building its own permutation, Lloyd chain and
+    * exact-L2 truth (the standalone form; the registry rides the
+    * [[graft.Staged.ann]] copies). */
+  def pqRecallOpq(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val pa = opqPermArray(embeddings).localCheckpoint(false)
+    val sub = opqSubvectorsFrom(embeddings, pa).localCheckpoint(false)
+    val chain = lloydChain(sub, pqSeedCb(sub))
+    pqRecallOpqFrom(chain, sub, opqQSub(embeddings, pa),
+      l2Truth(embeddings, k), k)
+  }
 
   // --- residual IVF-PQ and ADC re-ranking ----------------------------------
 

@@ -522,9 +522,11 @@ object Temporal {
     * over the DENSE SERIES whose length is the time SPAN in minutes —
     * bounded by calendar, not data volume (a year is 526k rows) — so
     * the single-partition ordering is a deliberate constant-size step,
-    * exactly the k-means-centroid convention. Int64 bound: minute
-    * counts to ~3·10⁹ keep n·Σxy under 2⁶³ for a month-long series;
-    * past that, widen the bucket a decade per 100× rate. */
+    * exactly the k-means-centroid convention. Int64 bound: the SUMS
+    * hold to ~3·10⁹ events/minute over a month; the n·Σ COMBINATIONS
+    * run in decimal(38,0) — DuckDB's int128 promotion of the same
+    * expressions — so the Pearson stays exact however hot the feed
+    * (the discount_qty_corr lesson from the 100× amplified lane). */
   def acfProfile(changelog: DataFrame): DataFrame = {
     val counts = changelog
       .select(expr(s"ems div $AcfBucketMs").as("bucket"))
@@ -555,15 +557,17 @@ object Temporal {
       .agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${AcfLags.length}, $stackArgs)" +
         " as (lag_m, n_pairs, sx, sy, sxy, sxx, syy)"))
-      .select(col("lag_m"), col("n_pairs"),
-        when(expr("n_pairs * sxx - sx * sx") > 0L &&
-          expr("n_pairs * syy - sy * sy") > 0L,
-          round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
-            / (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
-              .cast("double"))
-              * sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
-                .cast("double"))) * 1000000L).cast("long"))
-          .otherwise(lit(0L)).as("acf_e6"))
+      .select(col("lag_m"), col("n_pairs"), {
+        val d38 = (c: String) => col(c).cast("decimal(38,0)")
+        val vx = d38("n_pairs") * col("sxx") - d38("sx") * col("sx")
+        val vy = d38("n_pairs") * col("syy") - d38("sy") * col("sy")
+        val cov = d38("n_pairs") * col("sxy") - d38("sx") * col("sy")
+        when(vx > 0 && vy > 0,
+          round(cov.cast("double")
+            / (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))
+            * 1000000L).cast("long"))
+          .otherwise(lit(0L)).as("acf_e6")
+      })
   }
 
   /** Candidate allowed-lateness bounds swept by [[watermarkSweep]]
