@@ -2047,7 +2047,10 @@ object TextAnalysis {
     * scale) is gone. The multiset of (lx, ly) points — hence every
     * output statistic — is exactly the windowed form's: rank tie-order
     * can't matter because the (rank, freq) multiset is invariant under
-    * tie permutation. */
+    * tie permutation. Int64 bound: the Pearson combinations n·Σly² −
+    * (Σly)² hold to vocabulary ≈1.5e8 types (ly ≤ 63); past that,
+    * promote the combinations to decimal(38,0)/HUGEINT — the
+    * discount_qty_corr pattern. */
   def zipfFitFrom(freq: DataFrame): DataFrame = {
     val b = freq
       .select((length(bin(col("tf"))) - 1).cast("long").as("ly"))
