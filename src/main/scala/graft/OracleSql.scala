@@ -4554,10 +4554,10 @@ object OracleSql {
          |  FROM ob_dv JOIN ob_pm ON dim = olddim GROUP BY 1),
          |t AS (SELECT CAST(SUM(var_e12) AS BIGINT) AS tot FROM ob_dv)
          |SELECT subspace, plain_var_e12, opq_var_e12,
-         |  plain_var_e12 * $PqM * 1000000 // GREATEST(tot, 1)
-         |    AS plain_balance_ppm,
-         |  opq_var_e12 * $PqM * 1000000 // GREATEST(tot, 1)
-         |    AS opq_balance_ppm
+         |  CAST(CAST(plain_var_e12 AS HUGEINT) * $PqM * 1000000
+         |    // GREATEST(tot, 1) AS BIGINT) AS plain_balance_ppm,
+         |  CAST(CAST(opq_var_e12 AS HUGEINT) * $PqM * 1000000
+         |    // GREATEST(tot, 1) AS BIGINT) AS opq_balance_ppm
          |FROM pp JOIN op USING (subspace), t""".stripMargin
     },
 

@@ -85,11 +85,20 @@ object Staged {
     * subvector explode and ITS Lloyd chain). One trainer + one truth
     * pass feed the whole recall-gate family; the OPQ trainer is a
     * second chain over the same corpus, staged once for the same
-    * reason. */
-  final case class AnnRels(sub: DataFrame, chain: Seq[DataFrame],
-                           l2truth: DataFrame, cosTruth: DataFrame,
-                           assign: DataFrame, opqPerm: DataFrame,
-                           opqSub: DataFrame, opqChain: Seq[DataFrame])
+    * reason. The OPQ lane is LAZY: constructing the permutation array
+    * runs the Dim-row means collect (one small job), which non-OPQ
+    * consumers — most of the gate family — must not pay, so the
+    * builder stays zero-job until the first opq* access. */
+  final class AnnRels(val sub: DataFrame, val chain: Seq[DataFrame],
+                      val l2truth: DataFrame, val cosTruth: DataFrame,
+                      val assign: DataFrame,
+                      opqPermT: () => DataFrame,
+                      opqSubT: () => DataFrame,
+                      opqChainT: () => Seq[DataFrame]) {
+    lazy val opqPerm: DataFrame = opqPermT()
+    lazy val opqSub: DataFrame = opqSubT()
+    lazy val opqChain: Seq[DataFrame] = opqChainT()
+  }
 
   private val cache = TrieMap.empty[(SparkSession, String), DedupRels]
   private val tokenCache = TrieMap.empty[(SparkSession, String), TokenRels]
@@ -168,13 +177,14 @@ object Staged {
       val l2truth = stage(Similarity.annL2Truth(emb))
       val cosTruth = stage(Similarity.bruteTopK(emb))
       val assign = stage(Similarity.ivfAssign(emb))
-      // NOTE: opqPermArray's construction runs the Dim-row means
-      // collect (one small job) — the one eager step in this builder
-      val opqPerm = stage(Similarity.opqPermArray(emb))
-      val opqSub = stage(Similarity.opqSubvectorsFrom(emb, opqPerm))
-      val opqChain = Similarity.annLloydChain(opqSub)
-      AnnRels(sub, chain, l2truth, cosTruth, assign, opqPerm, opqSub,
-        opqChain)
+      // the OPQ lane is deferred: opqPermArray's construction runs the
+      // Dim-row means collect (one small job), paid only by the first
+      // opq* consumer; the lazy vals memoize so it still runs once
+      lazy val opqPerm = stage(Similarity.opqPermArray(emb))
+      lazy val opqSub = stage(Similarity.opqSubvectorsFrom(emb, opqPerm))
+      lazy val opqChain = Similarity.annLloydChain(opqSub)
+      new AnnRels(sub, chain, l2truth, cosTruth, assign,
+        () => opqPerm, () => opqSub, () => opqChain)
     })
 
   /** Drop all staged entries (block-manager copies are reclaimed by the

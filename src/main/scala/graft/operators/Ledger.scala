@@ -762,6 +762,13 @@ object Ledger {
   /** Id-space bucket width for [[sequenceGapAudit]]. */
   val SeqBucket = 1024L
 
+  /** Buckets per super-bucket for [[sequenceGapAudit]]'s boundary
+    * stitch: the cross-bucket lag partitions by `bucket div 2^20`, so
+    * no reducer sorts more than 2^20 grid rows and the super-bucket
+    * boundary relation is id-space ÷ 2^30 — ~1k rows even at a 10^12-id
+    * changelog. */
+  val SeqSuperBucket = 1048576L
+
   /** Change-id continuity audit — the lost-change detector a sync
     * validator runs over a landed changelog's PRIMARY id space (the
     * complement of checksum_compare's value check: checksums prove
@@ -771,27 +778,59 @@ object Ledger {
     * previous non-empty bucket's last id — so a dropped poll batch
     * shows up as either an intra-bucket hole or a cross-bucket jump,
     * localized to one bucket instead of one global number. Shape: one
-    * map-side-combined aggregate on the bucket key, then one lag
-    * window over the BUCKET GRID (id-space-sized ÷ 1024, never
-    * event-sized). On a contiguous feed every row is CONTIGUOUS (no
-    * false positives); detection is spec-pinned by an injected hole,
-    * the bot_detection convention. */
-  def sequenceGapAudit(changelog: DataFrame): DataFrame = {
-    val wPrev = Window.orderBy("bucket")
-    changelog
+    * map-side-combined aggregate on the bucket key, then the
+    * FULLY-PARTITIONED classification of [[gapClassifyFrom]] — no
+    * global sort anywhere. On a contiguous feed every row is
+    * CONTIGUOUS (no false positives); detection is spec-pinned by an
+    * injected hole, the bot_detection convention. */
+  def sequenceGapAudit(changelog: DataFrame): DataFrame =
+    gapClassifyFrom(changelog
       .select(expr(s"event_id div $SeqBucket").as("bucket"),
         col("event_id"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_events"),
-        min("event_id").as("id_lo"), max("event_id").as("id_hi"))
+        min("event_id").as("id_lo"), max("event_id").as("id_hi")))
+
+  /** The continuity classification over an already-built per-bucket
+    * (bucket, n_events, id_lo, id_hi) grid — shared with the streaming
+    * parity lane, which builds the grid as per-bucket state. The
+    * cross-bucket lag is DECOMPOSED so no single reducer ever sorts
+    * more than [[SeqSuperBucket]] rows: the lag window partitions by
+    * super-bucket (`bucket div 2^20`), and each super-bucket's first
+    * bucket recovers its predecessor's last id from a broadcast
+    * boundary relation — the max `id_hi` over all EARLIER non-empty
+    * super-buckets (ids grow with bucket, so that max IS the previous
+    * non-empty bucket's last id), built by a broadcast triangular
+    * self-join over the super-bucket grid (id-space ÷ 2^30 rows; ~1k
+    * at 10^12 ids, so the triangle is ~10^6 broadcast-local pairs).
+    * Bit-identical to a global `lag` over the bucket grid: within a
+    * super-bucket the partitioned lag IS the global lag, and across
+    * the boundary the stitched max coincides with it. The grid is
+    * lazily localCheckpointed so its one aggregate feeds both the
+    * boundary branch and the main walk without recomputation. */
+  private[graft] def gapClassifyFrom(grid0: DataFrame): DataFrame = {
+    val grid = grid0
+      .withColumn("sb", expr(s"bucket div $SeqSuperBucket"))
+      .localCheckpoint(false)
+    val wIn = Window.partitionBy("sb").orderBy("bucket")
+    val sbAgg = grid.groupBy("sb").agg(max("id_hi").as("sb_hi"))
+    val prevSb = sbAgg
+      .join(broadcast(sbAgg.select(col("sb").as("psb"),
+        col("sb_hi").as("phi"))), col("psb") < col("sb"), "left")
+      .groupBy("sb").agg(max("phi").as("prev_sb_hi"))
+    grid
       .withColumn("missing_inside",
         col("id_hi") - col("id_lo") + 1L - col("n_events"))
+      .withColumn("prev_in_sb", lag(col("id_hi"), 1).over(wIn))
+      .join(broadcast(prevSb), Seq("sb"))
       .withColumn("gap_before",
-        coalesce(col("id_lo") - lag(col("id_hi"), 1).over(wPrev) - 1L,
+        coalesce(col("id_lo")
+          - coalesce(col("prev_in_sb"), col("prev_sb_hi")) - 1L,
           lit(0L)))
       .withColumn("verdict",
         when(col("missing_inside") === 0L && col("gap_before") === 0L,
           "CONTIGUOUS").otherwise("GAPPED"))
+      .drop("sb", "prev_in_sb", "prev_sb_hi")
   }
 
   /** Micro-batch window width (ms) and compaction target (rows per

@@ -1804,12 +1804,16 @@ object Similarity {
         .groupBy(expr(s"newpos div $PqSubDim").as("subspace"))
         .agg(sum("var_e12").as("opq_var_e12")), "subspace")
     val tot = v.agg(sum("var_e12").as("tot_e12"))
+    // the ppm combination var_e12 * M * 1e6 can exceed int64 for
+    // coordinate scales > ~1 — run it in decimal(38,0), exactly
+    // DuckDB's HUGEINT promotion of the same expression (the
+    // discount_qty_corr convention); `div` returns bigint either way
     per.crossJoin(broadcast(tot))
       .select(col("subspace"), col("plain_var_e12"), col("opq_var_e12"),
-        expr(s"plain_var_e12 * $PqM * 1000000L div greatest(tot_e12, 1L)")
-          .as("plain_balance_ppm"),
-        expr(s"opq_var_e12 * $PqM * 1000000L div greatest(tot_e12, 1L)")
-          .as("opq_balance_ppm"))
+        expr(s"cast(plain_var_e12 as decimal(38,0)) * $PqM * 1000000L" +
+          " div greatest(tot_e12, 1L)").as("plain_balance_ppm"),
+        expr(s"cast(opq_var_e12 as decimal(38,0)) * $PqM * 1000000L" +
+          " div greatest(tot_e12, 1L)").as("opq_balance_ppm"))
   }
 
   /** The OPQ permutation as a stageable 1-row array relation —

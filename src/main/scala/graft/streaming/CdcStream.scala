@@ -753,9 +753,9 @@ object CdcStream {
 
   /** Streaming↔batch id-continuity parity: contiguous event-time
     * replay through [[gapStream]], per-bucket triples flushed by the
-    * 'Z' sentinel batch, then the SAME lag-window classification as
-    * the batch operator over the flushed grid — pinned verbatim to the
-    * sequence_gap_audit oracle. */
+    * 'Z' sentinel batch, then the SAME super-bucket-partitioned
+    * classification as the batch operator over the flushed grid —
+    * pinned verbatim to the sequence_gap_audit oracle. */
   def gapParity(spark: SparkSession, changelog: DataFrame,
                 nBatches: Int = 3): DataFrame = {
     import spark.implicits._
@@ -782,16 +782,10 @@ object CdcStream {
         nBatches) :+ sentinels,
       OutputMode.Append())(
       df => gapStream(spark, df.as[GapChange]).toDF())
-    val wPrev = org.apache.spark.sql.expressions.Window.orderBy("bucket")
-    flushed
-      .withColumn("missing_inside",
-        col("id_hi") - col("id_lo") + 1L - col("n_events"))
-      .withColumn("gap_before",
-        coalesce(col("id_lo") - lag(col("id_hi"), 1).over(wPrev) - 1L,
-          lit(0L)))
-      .withColumn("verdict",
-        when(col("missing_inside") === 0L && col("gap_before") === 0L,
-          "CONTIGUOUS").otherwise("GAPPED"))
+    // the SAME fully-partitioned super-bucket classification as the
+    // batch operator (Ledger.gapClassifyFrom) — no global lag window
+    graft.operators.Ledger.gapClassifyFrom(
+      flushed.select("bucket", "n_events", "id_lo", "id_hi"))
   }
 
   /** One product event for the linear-attribution replay. */
@@ -1256,10 +1250,15 @@ object CdcStream {
           }
         else {
           staged.zipWithIndex.foreach { case (part, i) =>
-            val dst = inDir.resolve(f"batch_$i%05d.parquet")
-            Files.move(part, dst)
-            Files.setLastModifiedTime(dst,
+            // stamp the mtime BEFORE the move: the query is already
+            // polling, and a file listed between move and stamp would
+            // be admitted with its REAL mtime — pushing SeenFilesMap's
+            // maxFileAge purge threshold to ~now-7d, silently dropping
+            // every later epoch-stamped file. Rename on one filesystem
+            // preserves the pre-set mtime, so no such window exists.
+            Files.setLastModifiedTime(part,
               java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
+            Files.move(part, inDir.resolve(f"batch_$i%05d.parquet"))
           }
           query.processAllAvailable()
         }

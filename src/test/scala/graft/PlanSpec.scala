@@ -71,6 +71,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(tf"), p)
   }
 
+  test("sequence_gap_audit: every window is partitioned (cross-bucket " +
+    "lag runs per super-bucket, boundary stitched by broadcast join)") {
+    // batch form and streaming twin share Ledger.gapClassifyFrom, so
+    // this pins BOTH plans; stream_gap_parity's own harness replay is
+    // covered by the parity oracle
+    val unpartitioned = "windowspecdefinition\\([^,()]*(ASC|DESC)".r
+    val p = plan("sequence_gap_audit")
+    assert(unpartitioned.findFirstIn(p).isEmpty, p)
+    assert(p.contains("windowspecdefinition(sb"), p)
+  }
+
   test("zipf_fit: no window at all (closed-form log2-rank intervals)") {
     val p = plan("zipf_fit")
     assert(!p.contains("windowspecdefinition"), p)
@@ -226,7 +237,12 @@ class PlanSpec extends AnyFunSuite {
       "pq_recall_opq", "pq_opq_balance",
       // zipf_fit's triangular bucket-prefix join runs over the ≤63-row
       // broadcast log2 grid (the shape that REPLACED its global window)
-      "zipf_fit")
+      "zipf_fit",
+      // sequence_gap_audit (+ its streaming twin) stitches super-bucket
+      // boundaries with a broadcast triangular join over the
+      // id-space÷2^30 super-bucket grid (the shape that REPLACED its
+      // global lag window)
+      "sequence_gap_audit", "stream_gap_parity")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q uses an unintended nested-loop join")
