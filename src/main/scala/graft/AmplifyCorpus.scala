@@ -111,6 +111,32 @@ object AmplifyCorpus {
       spark.read.parquet(s"$outDir/events.parquet").count())
   }
 
+  /** Deterministic ANISOTROPIC embedding fixture — the corpus where
+    * the OPQ snake should WIN (the generated test embeddings are
+    * near-isotropic i.i.d., so the committed pq_recall_opq row there
+    * is an honest negative; this fixture supplies the honest
+    * positive). Coordinates are i.i.d. hash noise per (vec, dim)
+    * scaled by a geometric per-dim decay (0.9^j), so the variance
+    * profile is a steep monotone stair: PLAIN consecutive-dim
+    * subspaces stack ~80% of the distance mass into subspace 0 —
+    * 16 codewords quantizing most of the energy — while the snake
+    * deals the high-variance head evenly across all 8 subspaces.
+    * Same determinism contract as [[ScaleProbe.amplifyEmbeddings]]
+    * (xxhash64, never rand()) and the same schema/queries convention
+    * as embeddings.parquet (vec_id BIGINT, embedding ARRAY<FLOAT>,
+    * label INT; vec_id < QueryCount are the gate's queries). */
+  def anisotropicEmbeddings(spark: SparkSession, n: Int): DataFrame = {
+    val dim = graft.operators.Similarity.Dim
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      expr(s"""transform(sequence(0, ${dim - 1}), j ->
+              |  CAST((pmod(xxhash64(concat('aniso:', id, ':', j)), 2001L)
+              |    - 1000L) / 1000.0d * power(0.9d, j) AS FLOAT))"""
+        .stripMargin).as("embedding"),
+      expr("CAST(pmod(xxhash64(concat('al:', id)), 8L) AS INT)")
+        .as("label"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("/tmp/graft_amp")

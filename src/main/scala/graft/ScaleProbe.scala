@@ -159,13 +159,20 @@ object ScaleProbe {
     for ((n, df) <- Seq("1" -> amplifyEvents(ev0, 1),
       k.toString -> amplifyEvents(ev0, k)))
       df.write.mode("overwrite").parquet(s"$workDir/events_x$n")
+    val emb0 = Tables.embeddings(spark, sfDir)
+    for ((n, df) <- Seq("1" -> amplifyEmbeddings(emb0, 1),
+      k.toString -> amplifyEmbeddings(emb0, k)))
+      df.write.mode("overwrite").parquet(s"$workDir/embeddings_x$n")
     val docs1 = spark.read.parquet(s"$workDir/documents_x1")
     val docsK = spark.read.parquet(s"$workDir/documents_x$k")
     val ev1 = spark.read.parquet(s"$workDir/events_x1")
     val evK = spark.read.parquet(s"$workDir/events_x$k")
+    val emb1 = spark.read.parquet(s"$workDir/embeddings_x1")
+    val embK = spark.read.parquet(s"$workDir/embeddings_x$k")
 
     import JsonOut.{cs, q}
-    val results = probeOps(docs1, ev1).zip(probeOps(docsK, evK)).map {
+    val results = (probeOps(docs1, ev1) ++ probeAnnOps(emb1))
+      .zip(probeOps(docsK, evK) ++ probeAnnOps(embK)).map {
       case ((name, base), (_, big)) =>
         base() // warm codegen/JIT on the small side
         val t1 = time(base())
@@ -288,6 +295,34 @@ object ScaleProbe {
       "curriculum_order" -> sink(TextAnalysis.curriculumOrder(docs)),
       "mix_temperature" -> sink(TextAnalysis.mixTemperature(docs)),
       "soft_dedup_weights" -> sink(
-        Dedup.softDedupWeights(docs, Dedup.minhashDedup(docs))))
+        Dedup.softDedupWeights(docs, Dedup.minhashDedup(docs))),
+      // round-12: the multi-round BPE trainer (8 composing merge
+      // rounds — each corpus pass is the tokenize + one
+      // vocabulary-sized aggregate; the probe pins that no round
+      // smuggles in a corpus-quadratic stage)
+      "bpe_train_curve" -> sink(TextAnalysis.bpeTrainCurveFrom(
+        TextAnalysis.tokenFreqFrom(TextAnalysis.tokensRel(docs)))))
+  }
+
+  /** The probed ANN-lane suite over one embeddings relation — the
+    * OPQ additions, which ride a corpus that amplifies separately
+    * from documents/events ([[amplifyEmbeddings]]: query prefix stays
+    * copy-0-only, candidates/training scale k×). Probed for the same
+    * reason as [[probeOps]]: the variance pass, the snake grid, the
+    * 4-round Lloyd trainer and the ADC scan are all designed linear
+    * in vectors — a quadratic regression in any of them fails the CI
+    * gate, not the next 100× run. */
+  def probeAnnOps(emb: DataFrame): Seq[(String, () => Unit)] = {
+    import graft.operators.Similarity
+    def sink(df: => DataFrame): () => Unit =
+      () => df.write.format("noop").mode("overwrite").save()
+    Seq(
+      "pq_opq_balance" -> sink(Similarity.opqSubspaceBalance(emb)),
+      "pq_recall_opq" -> sink {
+        val perm = Similarity.opqPermArray(emb)
+        val sub = Similarity.opqSubvectorsFrom(emb, perm)
+        Similarity.pqRecallOpqFrom(Similarity.annLloydChain(sub), sub,
+          Similarity.opqQSubFrom(emb, perm), Similarity.annL2Truth(emb))
+      })
   }
 }

@@ -282,6 +282,25 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("OPQ lift on an anisotropic corpus: the snake's recall beats " +
+    "plain trained PQ where the variance profile has a head") {
+    // the generated test embeddings are near-isotropic i.i.d., so the
+    // committed pq_recall_opq row is an honest NEGATIVE (rotation ≈
+    // seed noise); this fixture — geometric per-dim variance decay,
+    // ~80% of the distance mass in plain subspace 0 — is the corpus
+    // the rotation exists for, and the lift must be real there
+    val emb = AmplifyCorpus.anisotropicEmbeddings(spark, 512)
+      .localCheckpoint()
+    def sumHits(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("n_hits")).collect()(0).getLong(0)
+    val plain = sumHits(Similarity.pqRecallTrained(emb))
+    val opq = sumHits(Similarity.pqRecallOpq(emb))
+    info(s"anisotropic corpus: plain trained-PQ hits=$plain, OPQ hits=$opq" +
+      s" (of ${Similarity.QueryCount * Similarity.TopK})")
+    assert(opq > plain,
+      s"OPQ shows no lift on the anisotropic fixture: plain=$plain opq=$opq")
+  }
+
   test("char_diversity: per-language rollup matches a driver-side " +
     "sliding-bigram replay") {
     val got = TextAnalysis.charDiversity(docs).collect()

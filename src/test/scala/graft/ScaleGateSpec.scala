@@ -42,8 +42,13 @@ class ScaleGateSpec extends AnyFunSuite {
     val docsK = stage(ScaleProbe.amplifyDocuments(docs0, K))
     val ev1 = stage(ScaleProbe.amplifyEvents(ev0, 1))
     val evK = stage(ScaleProbe.amplifyEvents(ev0, K))
-    val failures = ScaleProbe.probeOps(docs1, ev1)
-      .zip(ScaleProbe.probeOps(docsK, evK)).flatMap {
+    val emb0 = Tables.embeddings(spark, Sf)
+    val emb1 = stage(ScaleProbe.amplifyEmbeddings(emb0, 1))
+    val embK = stage(ScaleProbe.amplifyEmbeddings(emb0, K))
+    val failures = (ScaleProbe.probeOps(docs1, ev1)
+      ++ ScaleProbe.probeAnnOps(emb1))
+      .zip(ScaleProbe.probeOps(docsK, evK)
+        ++ ScaleProbe.probeAnnOps(embK)).flatMap {
         case ((name, base), (_, big)) =>
           base() // warm codegen/JIT on the small side
           val t1 = math.min(time(base()), time(base()))
