@@ -1224,8 +1224,17 @@ object CdcStream {
     // production deployment sizes this to its key cardinality.
     val partConf = "spark.sql.shuffle.partitions"
     val outer = spark.conf.get(partConf)
+    // nio checkpoint manager for the replay scratch: the default local
+    // manager's ChecksumFileSystem writes cost ~105ms of every ~300ms
+    // micro-batch across the offsets/commits/state logs even on a RAM
+    // disk; the nio manager keeps the atomic-rename contract and cuts
+    // that to ~1ms. Scoped to the replay (restored below) — the
+    // production lane keeps the default for fault-tolerant storage.
+    val cfmConf = "spark.sql.streaming.checkpointFileManagerClass"
+    val outerCfm = spark.conf.getOption(cfmConf)
     val result = try {
       spark.conf.set(partConf, "3")
+      spark.conf.set(cfmConf, classOf[NioCheckpointFileManager].getName)
       // Default drain: place every staged file up front with strictly
       // increasing mtimes — the file source admits oldest-first, one
       // per micro-batch (maxFilesPerTrigger=1, fileSortOrder is mtime
@@ -1262,9 +1271,21 @@ object CdcStream {
           }
           query.processAllAvailable()
         }
+        // opt-in micro-batch cost breakdown for the fixed-cost work:
+        // GRAFT_STREAM_PROFILE=1 prints each batch's durationMs map
+        // (queryPlanning / getBatch / addBatch / walCommit / ...)
+        if (sys.env.contains("GRAFT_STREAM_PROFILE"))
+          query.recentProgress.foreach(p => println(
+            s"[stream-profile] $name batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}"))
       } finally query.stop()
       spark.table(name).localCheckpoint()
-    } finally spark.conf.set(partConf, outer)
+    } finally {
+      spark.conf.set(partConf, outer)
+      outerCfm match {
+        case Some(v) => spark.conf.set(cfmConf, v)
+        case None => spark.conf.unset(cfmConf)
+      }
+    }
     spark.catalog.dropTempView(name)
     // best-effort cleanup of the staged inputs
     import scala.jdk.CollectionConverters._

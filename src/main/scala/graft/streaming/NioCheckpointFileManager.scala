@@ -1,0 +1,150 @@
+package graft.streaming
+
+import java.io.{BufferedOutputStream, InputStream}
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption, StandardOpenOption}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FSDataInputStream, Path, PathFilter, PositionedReadable, Seekable}
+import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager
+import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager.CancellableFSDataOutputStream
+
+/** A java.nio CheckpointFileManager for LOCAL checkpoint scratch —
+  * the parity harness's offset/commit/state logs on /dev/shm.
+  *
+  * Why: the default local manager routes every metadata write through
+  * Hadoop's ChecksumFileSystem — each offsets/commits entry costs a
+  * temp file + a .crc sibling + listings + a rename, measured at
+  * ~35 ms per log per micro-batch even on a RAM disk (~105 ms of the
+  * ~300 ms steady micro-batch wall across the three logs). Plain nio
+  * writes + ATOMIC_MOVE keep the exact create-temp → rename-atomically
+  * contract (a no-overwrite move onto an existing target raises, which
+  * is the create-if-absent race rule HDFSMetadataLog relies on) and
+  * cut the metadata cost to ~millisecond.
+  *
+  * Scope: the PARITY HARNESS only (CdcStream.replayStaged sets
+  * `spark.sql.streaming.checkpointFileManagerClass` scoped to the
+  * replay, restoring the session default after). The production lane
+  * (StreamRun) keeps the default manager: a deployment's checkpoint
+  * must live on fault-tolerant storage (HDFS/object store), where the
+  * checksummed FileContext path is the right choice — this class
+  * refuses non-local schemes outright. */
+class NioCheckpointFileManager(path: Path, conf: Configuration)
+    extends CheckpointFileManager {
+
+  private def nio(p: Path): java.nio.file.Path = {
+    val u = p.toUri
+    require(u.getScheme == null || u.getScheme == "file",
+      s"NioCheckpointFileManager is local-only, got $p")
+    Paths.get(u.getPath)
+  }
+
+  override def isLocal: Boolean = true
+
+  override def createCheckpointDirectory(): Path = {
+    Files.createDirectories(nio(path))
+    path
+  }
+
+  override def mkdirs(p: Path): Unit = Files.createDirectories(nio(p))
+
+  override def exists(p: Path): Boolean = Files.exists(nio(p))
+
+  override def delete(p: Path): Unit = {
+    // recursive, ignore-missing — the Hadoop fs.delete(p, true) contract
+    val root = nio(p)
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  override def list(p: Path, filter: PathFilter): Array[FileStatus] = {
+    val dir = nio(p)
+    if (!Files.exists(dir)) return Array.empty
+    import scala.jdk.CollectionConverters._
+    val children = Files.list(dir).iterator().asScala.toArray
+    children.flatMap { c =>
+      val hp = new Path(p, c.getFileName.toString)
+      if (!filter.accept(hp)) None
+      else {
+        val isDir = Files.isDirectory(c)
+        val len = if (isDir) 0L else Files.size(c)
+        Some(new FileStatus(len, isDir, 1, 4096L,
+          Files.getLastModifiedTime(c).toMillis, hp))
+      }
+    }
+  }
+
+  override def open(p: Path): FSDataInputStream =
+    new FSDataInputStream(new NioSeekableInputStream(nio(p)))
+
+  override def createAtomic(p: Path,
+      overwriteIfPossible: Boolean): CancellableFSDataOutputStream = {
+    val target = nio(p)
+    Option(target.getParent).foreach(Files.createDirectories(_))
+    val tmp = target.resolveSibling(
+      s".${target.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+    val raw = new BufferedOutputStream(Files.newOutputStream(tmp,
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE))
+    new CancellableFSDataOutputStream(raw) {
+      private var done = false
+      override def close(): Unit = if (!done) {
+        done = true
+        super.close() // flushes the position cache through to `raw`
+        try {
+          if (overwriteIfPossible)
+            Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+          else
+            Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        } catch {
+          case e: FileAlreadyExistsException =>
+            Files.deleteIfExists(tmp)
+            // the contract HDFSMetadataLog's create-if-absent race
+            // detection expects from a no-overwrite atomic create
+            throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+              s"$p exists: ${e.getMessage}")
+        }
+      }
+      override def cancel(): Unit = if (!done) {
+        done = true
+        try super.close() finally Files.deleteIfExists(tmp)
+      }
+    }
+  }
+}
+
+/** Seekable + positioned-readable nio stream — the adapter
+  * FSDataInputStream requires of its wrapped stream. */
+private class NioSeekableInputStream(p: java.nio.file.Path)
+    extends InputStream with Seekable with PositionedReadable {
+  private val ch = FileChannel.open(p, StandardOpenOption.READ)
+
+  override def read(): Int = {
+    val b = ByteBuffer.allocate(1)
+    if (ch.read(b) <= 0) -1 else b.get(0) & 0xff
+  }
+  override def read(arr: Array[Byte], off: Int, len: Int): Int =
+    ch.read(ByteBuffer.wrap(arr, off, len))
+  override def seek(pos: Long): Unit = ch.position(pos)
+  override def getPos: Long = ch.position()
+  override def seekToNewSource(targetPos: Long): Boolean = false
+  override def read(position: Long, buffer: Array[Byte], offset: Int,
+                    length: Int): Int =
+    ch.read(ByteBuffer.wrap(buffer, offset, length), position)
+  override def readFully(position: Long, buffer: Array[Byte],
+                         offset: Int, length: Int): Unit = {
+    var done = 0
+    while (done < length) {
+      val n = read(position + done, buffer, offset + done, length - done)
+      if (n < 0) throw new java.io.EOFException(s"EOF at ${position + done} in $p")
+      done += n
+    }
+  }
+  override def readFully(position: Long, buffer: Array[Byte]): Unit =
+    readFully(position, buffer, 0, buffer.length)
+  override def close(): Unit = ch.close()
+}
