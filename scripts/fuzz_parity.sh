@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Cross-engine fuzz harness: K seeded, structure-preserving corpus
+# mutations through the FULL query registry, each hash-compared against
+# DuckDB on the same parquet (verdict r11 item 8: at this registry size
+# new bugs arrive via scale/value-range — the discount_qty_corr int64
+# overflow — not via logic, so vary the VALUES, keep the structure).
+#
+#   scripts/fuzz_parity.sh [K] [baseSfDir] [workRoot] [outJson]
+#
+# defaults: K=3  baseSfDir=/root/testdata/sf0.001
+#           workRoot=/tmp/graft_fuzz  outJson=FUZZ.json
+#
+# Each seed s: AmplifyCorpus k=2 with salt "fz<s>" (per-seed token
+# suffixes and embedding perturbations — different hash values, same
+# dup density / key structure), then graft.Verify + scripts/parity.py.
+# The verdict JSON per seed lands in $workRoot_s<s>.json; a one-line
+# rollup (seeds, per-seed pass/fail) is written to $outJson.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+K="${1:-3}"
+BASE="${2:-/root/testdata/sf0.001}"
+ROOT="${3:-/tmp/graft_fuzz}"
+OUTJSON="${4:-FUZZ.json}"
+
+declare -a SUMMARY=()
+for s in $(seq 1 "$K"); do
+  WORK="${ROOT}_s$s"
+  OUT="$WORK.out"
+  echo "== fuzz seed $s: amplify $BASE x2 salt=fz$s -> $WORK"
+  rm -rf "$WORK" "$OUT"
+  sbt -batch "runMain graft.AmplifyCorpus $BASE $WORK 2 fz$s"
+  echo "== fuzz seed $s: verify -> $OUT"
+  sbt -batch "runMain graft.Verify $WORK $OUT"
+  echo "== fuzz seed $s: DuckDB parity -> $WORK.json"
+  python3 scripts/parity.py "$OUT" "$WORK" "$WORK.json"
+  NP=$(python3 -c "import json;d=json.load(open('$WORK.json'));print(d['_meta']['n_pass'])")
+  NF=$(python3 -c "import json;d=json.load(open('$WORK.json'));print(d['_meta']['n_fail'])")
+  SUMMARY+=("{\"seed\":$s,\"salt\":\"fz$s\",\"n_pass\":$NP,\"n_fail\":$NF}")
+done
+
+printf '{"metric":"fuzz_parity","k":2,"base":"%s","seeds":[%s]}\n' \
+  "$BASE" "$(IFS=,; echo "${SUMMARY[*]}")" | tee "$OUTJSON"

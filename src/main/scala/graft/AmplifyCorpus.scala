@@ -26,7 +26,9 @@ import scala.jdk.CollectionConverters._
   * (parquet TIMESTAMP; both engines read the identical file, so parity
   * is exact by construction).
   *
-  * Usage: runMain graft.AmplifyCorpus [baseSfDir] [outDir] [k]
+  * Usage: runMain graft.AmplifyCorpus [baseSfDir] [outDir] [k] [salt]
+  * (`salt` is the fuzz lane's per-seed corpus mutation — see
+  * scripts/fuzz_parity.sh; omitted = the committed amplified tiers.)
   */
 object AmplifyCorpus {
   /** Dimensions stay shared across copies (real fact growth runs
@@ -68,14 +70,14 @@ object AmplifyCorpus {
     * been staged by this session before an in-place re-amplify, and the
     * staged relations would otherwise serve the pre-rewrite corpus. */
   def amplify(spark: SparkSession, sfDir: String, outDir: String,
-              k: Int): (Long, Long) = {
+              k: Int, salt: String = ""): (Long, Long) = {
     require(k >= 2, s"k must be >= 2 (got $k)")
     Files.createDirectories(Paths.get(outDir))
     val docs0 = Tables.documents(spark, sfDir)
     val ev0 = Tables.events(spark, sfDir)
     ScaleProbe.requireIdHeadroom(docs0, ev0)
 
-    val docs = ScaleProbe.amplifyDocuments(docs0, k)
+    val docs = ScaleProbe.amplifyDocuments(docs0, k, salt)
       .withColumn("n_chars", length(col("text")).cast("long"))
     writeSingleFile(docs, s"$outDir/documents.parquet")
     val ev = ScaleProbe.amplifyEvents(ev0, k)
@@ -86,7 +88,7 @@ object AmplifyCorpus {
     require(maxVec < ScaleProbe.CopyOffset,
       s"embeddings ids reach $maxVec >= ${ScaleProbe.CopyOffset}: " +
         "copies would collide")
-    writeSingleFile(ScaleProbe.amplifyEmbeddings(emb0, k),
+    writeSingleFile(ScaleProbe.amplifyEmbeddings(emb0, k, salt),
       s"$outDir/embeddings.parquet")
 
     for ((t, keys) <- FactKeys) {
@@ -141,6 +143,9 @@ object AmplifyCorpus {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("/tmp/graft_amp")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional fuzz salt (scripts/fuzz_parity.sh): a per-seed corpus
+    // mutation that keeps every structural invariant of the tier
+    val salt = args.lift(3).getOrElse("")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -150,7 +155,7 @@ object AmplifyCorpus {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (nd, ne) = amplify(spark, sfDir, outDir, k)
+    val (nd, ne) = amplify(spark, sfDir, outDir, k, salt)
     println(s"""{"metric":"amplify","k":$k,"base":"$sfDir","out":"$outDir",""" +
       s""""documents":$nd,"events":$ne}""")
     spark.stop()

@@ -65,14 +65,18 @@ object ScaleProbe {
     * dup DENSITY stays exactly that of the base corpus while volume
     * scales k×. (Appending ONE tag token per doc instead would leave
     * ~96% shingle overlap across copies, silently turning the corpus
-    * into k-wide near-dup groups and inflating candidate pairs k².) */
-  def amplifyDocuments(docs: DataFrame, k: Int): DataFrame =
+    * into k-wide near-dup groups and inflating candidate pairs k².)
+    * `salt` (fuzz lane) varies the suffix text, so every seed yields a
+    * different-but-equally-structured corpus; "" is the committed
+    * amplified-tier corpus. */
+  def amplifyDocuments(docs: DataFrame, k: Int,
+                       salt: String = ""): DataFrame =
     docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
         explode(expr(s"sequence(0, ${k - 1})")).as("cp"))
       .select(
         (col("doc_id") + col("cp").cast("long") * CopyOffset).as("doc_id"),
         expr("array_join(transform(split(text, ' '), " +
-          "t -> concat(t, '_', cast(cp as string))), ' ')").as("text"),
+          s"t -> concat(t, '_$salt', cast(cp as string))), ' ')").as("text"),
         col("lang"), col("source"))
 
   /** k structure-preserving copies of embeddings: vec_id offset by
@@ -85,15 +89,17 @@ object ScaleProbe {
     * duplicates — exact k-wide duplicate vectors would make every
     * top-k a tie pile-up instead of a scaled corpus. Parity needs no
     * cross-engine twin of any of this: the amplified parquet FILE is
-    * written once and read by both engines. */
-  def amplifyEmbeddings(emb: DataFrame, k: Int): DataFrame = {
+    * written once and read by both engines. `salt` (fuzz lane) re-keys
+    * the perturbation hash per seed; "" is the committed tier. */
+  def amplifyEmbeddings(emb: DataFrame, k: Int,
+                        salt: String = ""): DataFrame = {
     val maxLabel = emb.agg(max("label")).collect()(0).getInt(0)
     emb.withColumn("cp", explode(expr(s"sequence(0, ${k - 1})")))
       .select(
         (col("vec_id") + col("cp").cast("long") * CopyOffset).as("vec_id"),
         expr(s"""CASE WHEN cp = 0 THEN embedding ELSE
                 |  transform(embedding, (x, i) -> CAST(x +
-                |    (pmod(xxhash64(concat('amp:', cp, ':', vec_id, ':', i)),
+                |    (pmod(xxhash64(concat('amp$salt:', cp, ':', vec_id, ':', i)),
                 |     2001L) - 1000L) * CAST(1e-6 AS FLOAT) AS FLOAT))
                 |END""".stripMargin).as("embedding"),
         (col("label") + col("cp") * (maxLabel + 1)).cast("int").as("label"))
