@@ -3390,6 +3390,80 @@ object OracleSql {
     // staged + source-blocked so the oracle's spill stays bounded)
     "knn_recall" -> KnnRecallTempSql,
 
+    // probe-sampled kNN recall: truth and both arms restricted to the
+    // fixed 512-probe prefix — the reduced-truth gate that runs at
+    // every amplified tier (the full gate's N² truth cannot)
+    "knn_recall_probe" -> {
+      import graft.operators.Similarity.{KnnK, KnnProbeHi}
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+         |         WHERE vec_id BETWEEN 8 AND 23),
+         |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT cand.vec_id, cent.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+         |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
+         |    FROM cand, cent) t WHERE rn = 1),
+         |vv AS (SELECT a.vec_id, a.centroid_id, c.v
+         |  FROM assign a JOIN cand c ON a.vec_id = c.vec_id),
+         |tp AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
+         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
+         |      AS BIGINT) AS sim_e6
+         |  FROM cand l JOIN cand r ON l.vec_id <> r.vec_id
+         |  WHERE l.vec_id < $KnnProbeHi),
+         |truth AS (SELECT src_id, nbr_id FROM (
+         |    SELECT src_id, nbr_id, ROW_NUMBER() OVER (PARTITION BY src_id
+         |      ORDER BY sim_e6 DESC, nbr_id) AS rn FROM tp) t
+         |  WHERE rn <= $KnnK),
+         |lp AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id
+         |  FROM vv l JOIN vv r
+         |    ON l.centroid_id = r.centroid_id AND l.vec_id <> r.vec_id
+         |  WHERE l.vec_id < $KnnProbeHi),
+         |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM cand),
+         |bp AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id
+         |  FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+         |  WHERE l.vec_id < $KnnProbeHi),
+         |up AS (SELECT src_id, nbr_id FROM lp
+         |  UNION SELECT src_id, nbr_id FROM bp),
+         |sc1 AS (SELECT u.src_id, u.nbr_id,
+         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
+         |      AS BIGINT) AS sim_e6
+         |  FROM lp u JOIN cand l ON u.src_id = l.vec_id
+         |    JOIN cand r ON u.nbr_id = r.vec_id),
+         |arm1 AS (SELECT src_id, nbr_id FROM (
+         |    SELECT src_id, nbr_id, ROW_NUMBER() OVER (PARTITION BY src_id
+         |      ORDER BY sim_e6 DESC, nbr_id) AS rn FROM sc1) t
+         |  WHERE rn <= $KnnK),
+         |sc2 AS (SELECT u.src_id, u.nbr_id,
+         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
+         |      AS BIGINT) AS sim_e6
+         |  FROM up u JOIN cand l ON u.src_id = l.vec_id
+         |    JOIN cand r ON u.nbr_id = r.vec_id),
+         |arm2 AS (SELECT src_id, nbr_id FROM (
+         |    SELECT src_id, nbr_id, ROW_NUMBER() OVER (PARTITION BY src_id
+         |      ORDER BY sim_e6 DESC, nbr_id) AS rn FROM sc2) t
+         |  WHERE rn <= $KnnK),
+         |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+         |SELECT 'ivf_blocked' AS variant, n_truth,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM arm1 b
+         |    JOIN truth t ON b.src_id = t.src_id
+         |      AND b.nbr_id = t.nbr_id) AS n_hit,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM arm1 b
+         |    JOIN truth t ON b.src_id = t.src_id
+         |      AND b.nbr_id = t.nbr_id) * 1000 // n_truth AS recall_milli
+         |FROM tt
+         |UNION ALL
+         |SELECT 'ivf_plus_lsh', n_truth,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM arm2 b
+         |    JOIN truth t ON b.src_id = t.src_id
+         |      AND b.nbr_id = t.nbr_id),
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM arm2 b
+         |    JOIN truth t ON b.src_id = t.src_id
+         |      AND b.nbr_id = t.nbr_id) * 1000 // n_truth
+         |FROM tt""".stripMargin
+    },
+
     // per-label base-vs-delta mean-vector drift; integer e6 sums and
     // truncating means, one identically-ordered double cosine at the end
     "embed_drift" ->

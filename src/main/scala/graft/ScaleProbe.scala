@@ -329,6 +329,10 @@ object ScaleProbe {
         val sub = Similarity.opqSubvectorsFrom(emb, perm)
         Similarity.pqRecallOpqFrom(Similarity.annLloydChain(sub), sub,
           Similarity.opqQSubFrom(emb, perm), Similarity.annL2Truth(emb))
-      })
+      },
+      // the probe-sampled kNN gate: fixed 512-probe truth, so the
+      // probe certifies the arms stay probe-linear as the corpus grows
+      "knn_recall_probe" -> sink(Similarity.knnRecallProbeFrom(
+        Similarity.ivfAssign(emb), emb)))
   }
 }

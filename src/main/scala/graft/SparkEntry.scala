@@ -215,6 +215,9 @@ object SparkEntry {
     "knn_recall"          -> ((s, dir) =>
       Similarity.knnRecallFrom(Staged.ann(s, dir).assign,
         Tables.embeddings(s, dir))),
+    "knn_recall_probe"    -> ((s, dir) =>
+      Similarity.knnRecallProbeFrom(Staged.ann(s, dir).assign,
+        Tables.embeddings(s, dir))),
     "ann_index_card"      -> ((s, dir) =>
       Similarity.annIndexCardFrom(Staged.ann(s, dir).assign,
         Tables.embeddings(s, dir))),

@@ -504,6 +504,77 @@ object Similarity {
       .unionByName(gate("nn_descent", nnDescentFrom(assign, embeddings)))
   }
 
+  /** Probe set size for [[knnRecallProbeFrom]] — fixed, so the truth
+    * side stays a broadcast-small relation at EVERY corpus scale. */
+  val KnnProbes = 512L
+  /** Probes are the first [[KnnProbes]] candidate ids (copy-0 vectors
+    * under amplification — the fixed-query-prefix convention). */
+  val KnnProbeHi: Long = QueryCount + KnnProbes
+
+  /** Probe-sampled kNN-graph recall gate — the REDUCED-TRUTH form of
+    * [[knnRecallFrom]] that runs at every amplified tier: the full
+    * gate's N² truth (and the full-graph construction its oracle twin
+    * must replay) is the declared gate-scale calibration baseline,
+    * unaffordable at 100×, so this gate restricts EVERYTHING to a
+    * fixed [[KnnProbes]]-node probe set. Per probe: the exact
+    * top-[[KnnK]] truth over ALL candidates (probes × N — linear, the
+    * ann_topk convention with a 512-row broadcast side), the probe's
+    * IVF-blocked edges (probe vs its centroid list — what
+    * [[knnGraphFrom]] gives that node, verbatim construction), and the
+    * LSH-bridged arm (list ∪ sign-bucket candidates re-scored, the
+    * [[nnDescentFrom]] seeding without the graph-global expansion).
+    * Two rows (variant, truth mass, hits, recall per mille). Where the
+    * probe set covers the whole corpus (base sf), the ivf_blocked row
+    * EQUALS the full gate's ivf_blocked row — spec-pinned. */
+  def knnRecallProbeFrom(assign: DataFrame,
+                         embeddings: DataFrame): DataFrame = {
+    val v = candidates(embeddings)
+    def rankTopK(pairs: DataFrame): DataFrame = pairs
+      .withColumn("sim_e6",
+        round(cosineSim(col("src_vec"), col("nbr_vec")) * 1000000)
+          .cast("long"))
+      .withColumn("rank", row_number().over(Window.partitionBy("src_id")
+        .orderBy(col("sim_e6").desc, col("nbr_id"))).cast("long"))
+      .where(col("rank") <= KnnK)
+      .select(col("src_id"), col("nbr_id"))
+    val probes = v.where(col("cand_id") < KnnProbeHi)
+      .select(col("cand_id").as("src_id"), col("c_vec").as("src_vec"))
+    val truth = rankTopK(probes
+      .crossJoin(v.select(col("cand_id").as("nbr_id"),
+        col("c_vec").as("nbr_vec")))
+      .where(col("src_id") =!= col("nbr_id")))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val va = v.join(assign.withColumnRenamed("vec_id", "cand_id"),
+      "cand_id")
+    val listPairs = va.where(col("cand_id") < KnnProbeHi)
+      .select(col("centroid_id"), col("cand_id").as("src_id"))
+      .join(va.select(col("centroid_id"), col("cand_id").as("nbr_id")),
+        Seq("centroid_id"))
+      .where(col("src_id") =!= col("nbr_id"))
+      .select("src_id", "nbr_id")
+    val b = v.withColumn("bucket", bucketCol(col("c_vec")))
+    val lshPairs = b.where(col("cand_id") < KnnProbeHi)
+      .select(col("bucket"), col("cand_id").as("src_id"))
+      .join(b.select(col("bucket"), col("cand_id").as("nbr_id")),
+        Seq("bucket"))
+      .where(col("src_id") =!= col("nbr_id"))
+      .select("src_id", "nbr_id")
+    def rescored(pairs: DataFrame): DataFrame = rankTopK(pairs
+      .join(v.select(col("cand_id").as("src_id"),
+        col("c_vec").as("src_vec")), "src_id")
+      .join(v.select(col("cand_id").as("nbr_id"),
+        col("c_vec").as("nbr_vec")), "nbr_id"))
+    def gate(variant: String, g: DataFrame): DataFrame =
+      g.join(truth, Seq("src_id", "nbr_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(nTruth))
+        .select(lit(variant).as("variant"), col("n_truth"), col("n_hit"),
+          expr("n_hit * 1000L div n_truth").as("recall_milli"))
+    gate("ivf_blocked", rescored(listPairs))
+      .unionByName(gate("ivf_plus_lsh",
+        rescored(listPairs.unionByName(lshPairs).distinct())))
+  }
+
   /** Index datasheet — the one-row manifest a deployed ANN index ships
     * with (dataset_card's twin for the vector side): corpus and query
     * populations, list-geometry stats of the coarse quantizer

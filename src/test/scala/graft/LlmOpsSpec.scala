@@ -282,6 +282,26 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knn_recall_probe: where the probe set covers the corpus the " +
+    "ivf_blocked row equals the full gate's, and the LSH bridge never " +
+    "loses hits") {
+    val assign = Similarity.ivfAssign(embs).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("variant") ->
+        (r.getAs[Long]("n_truth"), r.getAs[Long]("n_hit"),
+          r.getAs[Long]("recall_milli"))).toMap
+    val full = rows(Similarity.knnRecallFrom(assign, embs))
+    val probe = rows(Similarity.knnRecallProbeFrom(assign, embs))
+    // sf0.01 has < KnnProbes candidates, so the probe truth IS the
+    // full N² truth and the blocked arm is the same construction
+    assert(embs.where(col("vec_id") >= Similarity.QueryCount).count()
+      <= Similarity.KnnProbes)
+    assert(probe("ivf_blocked") === full("ivf_blocked"))
+    // a superset candidate pool re-ranked by the same strict total
+    // order can only keep or add true edges
+    assert(probe("ivf_plus_lsh")._2 >= probe("ivf_blocked")._2)
+  }
+
   test("OPQ lift on an anisotropic corpus: the snake's recall beats " +
     "plain trained PQ where the variance profile has a head") {
     // the generated test embeddings are near-isotropic i.i.d., so the

@@ -218,6 +218,11 @@ class PlanSpec extends AnyFunSuite {
       // calibration baseline (the ann_topk allowance) plus 1-row
       // truth-mass crosses
       "knn_recall",
+      // knn_recall_probe: the truth cross broadcasts the FIXED
+      // 512-probe side (the ann_topk allowance — bounded at every
+      // corpus scale), plus the 16-centroid assign fan-out and 1-row
+      // truth-mass crosses
+      "knn_recall_probe",
       // split_kfold / benford_audit / sample_coverage cross a 1-row
       // broadcast total onto a K-/9-/index-sized grid
       "split_kfold", "benford_audit", "sample_coverage",
