@@ -1986,22 +1986,34 @@ object TextAnalysis {
       .drop("r")
       .withColumn("lb", (length(bin(col("tf"))) - 1).cast("long"))
       .withColumn("p1", substring(col("token"), 1, 1))
-    val tot = weighted.agg(sum("w75").as("t75"))
+    // stages (a)+(b)+(c-input) AND the corpus total in ONE rollup pass
+    // over the vocabulary: gid 0 = (lb, tf, p1) cell mass, gid 1 =
+    // (lb, tf) tier mass, gid 3 = log2-bucket mass, gid 7 = the grand
+    // total — one shuffle instead of two reaggregates plus a separate
+    // total pass (grouping columns are never null, so gid alone
+    // separates the tiers); lazily checkpointed so its four consumers
+    // read one materialization
+    val rolled = weighted.rollup("lb", "tf", "p1")
+      .agg(sum("w75").as("w"), grouping_id().as("gid"))
+      .localCheckpoint(false)
+    val tot = rolled.where(col("gid") === 7).select(col("w").as("t75"))
     // (a) per-(tf, first-char) cell mass, windowed within its tf tier
-    val g1 = weighted.groupBy("lb", "tf", "p1")
-      .agg(sum("w75").as("w_g"))
+    val g1 = rolled.where(col("gid") === 0)
+      .select(col("lb"), col("tf"), col("p1"), col("w").as("w_g"))
     val wp = W.partitionBy("lb", "tf").orderBy("p1")
       .rowsBetween(W.unboundedPreceding, W.currentRow)
     val g1c = g1.withColumn("cum_p", sum("w_g").over(wp) - col("w_g"))
     // (b) per-tf tier mass, windowed within its log2 bucket
-    val g2 = g1.groupBy("lb", "tf").agg(sum("w_g").as("w_t"))
+    val g2 = rolled.where(col("gid") === 1)
+      .select(col("lb"), col("tf"), col("w").as("w_t"))
     val wt = W.partitionBy("lb").orderBy(col("tf").desc)
       .rowsBetween(W.unboundedPreceding, W.currentRow)
     val g2c = g2.withColumn("cum_t", sum("w_t").over(wt) - col("w_t"))
       .select("lb", "tf", "cum_t")
     // (c) ≤63 log2 buckets: prefix mass of strictly-higher buckets via
     // a broadcast triangular self-join (warning-free, grid-sized)
-    val g3 = g2.groupBy("lb").agg(sum("w_t").as("w_l"))
+    val g3 = rolled.where(col("gid") === 3)
+      .select(col("lb"), col("w").as("w_l"))
     val hi = g3.select(col("lb").as("h_lb"), col("w_l").as("h_w"))
     val g3c = g3.join(broadcast(hi), col("h_lb") > col("lb"), "left")
       .groupBy("lb")
