@@ -24,6 +24,7 @@ ROOT="${3:-/tmp/graft_fuzz}"
 OUTJSON="${4:-FUZZ.json}"
 
 declare -a SUMMARY=()
+TOTAL_FAIL=0
 for s in $(seq 1 "$K"); do
   WORK="${ROOT}_s$s"
   OUT="$WORK.out"
@@ -37,7 +38,15 @@ for s in $(seq 1 "$K"); do
   NP=$(python3 -c "import json;d=json.load(open('$WORK.json'));print(d['_meta']['n_pass'])")
   NF=$(python3 -c "import json;d=json.load(open('$WORK.json'));print(d['_meta']['n_fail'])")
   SUMMARY+=("{\"seed\":$s,\"salt\":\"fz$s\",\"n_pass\":$NP,\"n_fail\":$NF}")
+  TOTAL_FAIL=$((TOTAL_FAIL + NF))
 done
 
 printf '{"metric":"fuzz_parity","k":2,"base":"%s","seeds":[%s]}\n' \
   "$BASE" "$(IFS=,; echo "${SUMMARY[*]}")" | tee "$OUTJSON"
+
+# a fuzz harness nothing can gate on is decoration: fail the run when
+# any seed failed parity
+if [ "$TOTAL_FAIL" -gt 0 ]; then
+  echo "fuzz_parity: $TOTAL_FAIL query failure(s) across seeds" >&2
+  exit 1
+fi

@@ -18,10 +18,13 @@ import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileMana
   * temp file + a .crc sibling + listings + a rename, measured at
   * ~35 ms per log per micro-batch even on a RAM disk (~105 ms of the
   * ~300 ms steady micro-batch wall across the three logs). Plain nio
-  * writes + ATOMIC_MOVE keep the exact create-temp → rename-atomically
-  * contract (a no-overwrite move onto an existing target raises, which
-  * is the create-if-absent race rule HDFSMetadataLog relies on) and
-  * cut the metadata cost to ~millisecond.
+  * writes keep the exact create-temp → publish-atomically contract:
+  * overwrite mode uses ATOMIC_MOVE+REPLACE_EXISTING (rename(2)), and
+  * no-overwrite mode publishes via link(2) (Files.createLink), which
+  * fails atomically with EEXIST when the target exists — the
+  * create-if-absent race rule HDFSMetadataLog relies on (a plain
+  * ATOMIC_MOVE could NOT provide it: Linux rename(2) silently replaces
+  * an existing target). Cuts the metadata cost to ~millisecond.
   *
   * Scope: the PARITY HARNESS only (CdcStream.replayStaged sets
   * `spark.sql.streaming.checkpointFileManagerClass` scoped to the
@@ -56,8 +59,9 @@ class NioCheckpointFileManager(path: Path, conf: Configuration)
     val root = nio(p)
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
+      val walk = Files.walk(root)
+      val entries = try walk.iterator().asScala.toSeq finally walk.close()
+      entries.reverse.foreach(Files.deleteIfExists(_))
     }
   }
 
@@ -65,7 +69,9 @@ class NioCheckpointFileManager(path: Path, conf: Configuration)
     val dir = nio(p)
     if (!Files.exists(dir)) return Array.empty
     import scala.jdk.CollectionConverters._
-    val children = Files.list(dir).iterator().asScala.toArray
+    val stream = Files.list(dir)
+    val children =
+      try stream.iterator().asScala.toArray finally stream.close()
     children.flatMap { c =>
       val hp = new Path(p, c.getFileName.toString)
       if (!filter.accept(hp)) None
@@ -79,7 +85,14 @@ class NioCheckpointFileManager(path: Path, conf: Configuration)
   }
 
   override def open(p: Path): FSDataInputStream =
-    new FSDataInputStream(new NioSeekableInputStream(nio(p)))
+    try new FSDataInputStream(new NioSeekableInputStream(nio(p)))
+    catch {
+      // the Hadoop FileSystem contract: absent file = FileNotFound —
+      // Spark's state-store snapshot probe catches exactly that type
+      // to mean "fall back to delta replay", not NoSuchFileException
+      case e: java.nio.file.NoSuchFileException =>
+        throw new java.io.FileNotFoundException(s"$p: ${e.getMessage}")
+    }
 
   override def createAtomic(p: Path,
       overwriteIfPossible: Boolean): CancellableFSDataOutputStream = {
@@ -98,8 +111,14 @@ class NioCheckpointFileManager(path: Path, conf: Configuration)
           if (overwriteIfPossible)
             Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
               StandardCopyOption.REPLACE_EXISTING)
-          else
-            Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+          else {
+            // NOT Files.move(ATOMIC_MOVE): on Linux that is rename(2),
+            // which silently REPLACES an existing target — the
+            // create-if-absent race rule would never fire. link(2)
+            // fails atomically with EEXIST when the target exists.
+            Files.createLink(target, tmp)
+            Files.deleteIfExists(tmp)
+          }
         } catch {
           case e: FileAlreadyExistsException =>
             Files.deleteIfExists(tmp)
