@@ -10,11 +10,20 @@
 # defaults: K=3  baseSfDir=/root/testdata/sf0.001
 #           workRoot=/tmp/graft_fuzz  outJson=FUZZ.json
 #
-# Each seed s: AmplifyCorpus k=2 with salt "fz<s>" (per-seed token
-# suffixes and embedding perturbations — different hash values, same
-# dup density / key structure), then graft.Verify + scripts/parity.py.
-# The verdict JSON per seed lands in $workRoot_s<s>.json; a one-line
-# rollup (seeds, per-seed pass/fail) is written to $outJson.
+# Value seeds fz1..fzK: AmplifyCorpus k=2 with salt "fz<s>" (per-seed
+# token suffixes and embedding perturbations — different hash values,
+# same dup density / key structure). Structural seeds (always run):
+#   sk1 — zipfian hot-key skew: 30% of events collapse onto 16 hot
+#         user ids (giant sessions, hot reducers)
+#   sh1 — shape adversaries: empty / whitespace-only / unicode-heavy
+#         (CJK + astral emoji + combining mark) documents, null-dense
+#         props JSON
+# Each seed: graft.Verify + scripts/parity.py on the mutated parquet —
+# both engines read the identical file, so a divergence is a real
+# cross-engine semantics bug, never a fixture artifact. The verdict
+# JSON per seed lands in $workRoot_<salt>.json; a one-line rollup
+# (seeds, per-seed pass/fail) is written to $outJson; exit is non-zero
+# if any seed fails.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -23,21 +32,24 @@ BASE="${2:-/root/testdata/sf0.001}"
 ROOT="${3:-/tmp/graft_fuzz}"
 OUTJSON="${4:-FUZZ.json}"
 
+SALTS="$(seq -f 'fz%g' 1 "$K") sk1 sh1"
 declare -a SUMMARY=()
 TOTAL_FAIL=0
-for s in $(seq 1 "$K"); do
-  WORK="${ROOT}_s$s"
+i=0
+for SALT in $SALTS; do
+  i=$((i + 1))
+  WORK="${ROOT}_$SALT"
   OUT="$WORK.out"
-  echo "== fuzz seed $s: amplify $BASE x2 salt=fz$s -> $WORK"
+  echo "== fuzz seed $SALT: amplify $BASE x2 -> $WORK"
   rm -rf "$WORK" "$OUT"
-  sbt -batch "runMain graft.AmplifyCorpus $BASE $WORK 2 fz$s"
-  echo "== fuzz seed $s: verify -> $OUT"
+  sbt -batch "runMain graft.AmplifyCorpus $BASE $WORK 2 $SALT"
+  echo "== fuzz seed $SALT: verify -> $OUT"
   sbt -batch "runMain graft.Verify $WORK $OUT"
-  echo "== fuzz seed $s: DuckDB parity -> $WORK.json"
+  echo "== fuzz seed $SALT: DuckDB parity -> $WORK.json"
   python3 scripts/parity.py "$OUT" "$WORK" "$WORK.json"
   NP=$(python3 -c "import json;d=json.load(open('$WORK.json'));print(d['_meta']['n_pass'])")
   NF=$(python3 -c "import json;d=json.load(open('$WORK.json'));print(d['_meta']['n_fail'])")
-  SUMMARY+=("{\"seed\":$s,\"salt\":\"fz$s\",\"n_pass\":$NP,\"n_fail\":$NF}")
+  SUMMARY+=("{\"seed\":$i,\"salt\":\"$SALT\",\"n_pass\":$NP,\"n_fail\":$NF}")
   TOTAL_FAIL=$((TOTAL_FAIL + NF))
 done
 

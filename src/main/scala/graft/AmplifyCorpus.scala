@@ -77,10 +77,11 @@ object AmplifyCorpus {
     val ev0 = Tables.events(spark, sfDir)
     ScaleProbe.requireIdHeadroom(docs0, ev0)
 
-    val docs = ScaleProbe.amplifyDocuments(docs0, k, salt)
+    val docs = structuralDocs(ScaleProbe.amplifyDocuments(docs0, k, salt),
+        salt)
       .withColumn("n_chars", length(col("text")).cast("long"))
     writeSingleFile(docs, s"$outDir/documents.parquet")
-    val ev = ScaleProbe.amplifyEvents(ev0, k)
+    val ev = structuralEvents(ScaleProbe.amplifyEvents(ev0, k), salt)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     writeSingleFile(ev, s"$outDir/events.parquet")
     val emb0 = Tables.embeddings(spark, sfDir)
@@ -112,6 +113,48 @@ object AmplifyCorpus {
     (spark.read.parquet(s"$outDir/documents.parquet").count(),
       spark.read.parquet(s"$outDir/events.parquet").count())
   }
+
+  // ------------------------------------------------------------------
+  // Structural fuzz seeds (scripts/fuzz_parity.sh): the value-salt lane
+  // (fz*) varies VALUES with the key/dup structure fixed; these two
+  // lanes vary the SHAPE — where the next cross-engine bug class lives.
+  // No oracle twin is needed anywhere: both engines read the identical
+  // mutated parquet, so any divergence is a real semantics bug.
+  // ------------------------------------------------------------------
+
+  /** Shape-seed (`sh*`) document mutations: empty docs, whitespace-only
+    * docs, and unicode-heavy docs (CJK + astral emoji + a combining
+    * mark — the code-point-vs-grapheme and UTF-8-width traps) spliced
+    * into the amplified corpus at fixed doc_id residues. Applied AFTER
+    * amplification so the mutated rows exist in every copy; `n_chars`
+    * is recomputed by the caller. */
+  def structuralDocs(docs: DataFrame, salt: String): DataFrame =
+    if (!salt.startsWith("sh")) docs
+    else docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(17L)) === 3L, lit(""))
+        .when(pmod(col("doc_id"), lit(17L)) === 7L, lit("   "))
+        .when(pmod(col("doc_id"), lit(17L)) === 5L,
+          concat(col("text"),
+            lit(" 模型 训练 🙂 café naïve")))
+        .otherwise(col("text")))
+
+  /** Event-lane structural mutations: `sk*` = zipfian hot-key skew (a
+    * deterministic 30% of events collapse onto 16 hot user ids — the
+    * giant-session / hot-reducer shape salting and AQE exist for);
+    * `sh*` = null-dense optional columns (props JSON nulled on a fixed
+    * residue — the get_json_object/json_extract null path). */
+  def structuralEvents(ev: DataFrame, salt: String): DataFrame =
+    if (salt.startsWith("sk"))
+      ev.withColumn("user_id",
+        when(pmod(xxhash64(concat(lit("skew:"), col("event_id"))),
+          lit(10L)) < 3L, lit(1L) + pmod(col("user_id"), lit(16L)))
+          .otherwise(col("user_id")))
+    else if (salt.startsWith("sh"))
+      ev.withColumn("props",
+        when(pmod(col("event_id"), lit(5L)) === 0L,
+          lit(null).cast("string"))
+          .otherwise(col("props")))
+    else ev
 
   /** Deterministic ANISOTROPIC embedding fixture — the corpus where
     * the OPQ snake should WIN (the generated test embeddings are

@@ -818,7 +818,7 @@ object OracleSql {
     * Similarity.knnGraphFrom; ends in `knn(src_id, rank, nbr_id,
     * sim_e6)` with `cand` still in scope. Shared by knn_graph and
     * hubness_audit (nn_descent carries its own extended chain). */
-  private lazy val KnnGraphCtes: String =
+  private def knnGraphCtes(srcPred: String): String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
        |         WHERE vec_id BETWEEN 8 AND 23),
@@ -835,12 +835,76 @@ object OracleSql {
        |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
        |      AS BIGINT) AS sim_e6
        |  FROM vv l JOIN vv r
-       |    ON l.centroid_id = r.centroid_id AND l.vec_id <> r.vec_id),
+       |    ON l.centroid_id = r.centroid_id AND l.vec_id <> r.vec_id$srcPred),
        |knn AS (SELECT src_id, CAST(rn AS BIGINT) AS rank, nbr_id,
        |    sim_e6 FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
        |    ORDER BY sim_e6 DESC, nbr_id) AS rn FROM p) t
        |WHERE rn <= ${graft.operators.Similarity.KnnK})""".stripMargin
+
+  private lazy val KnnGraphCtes: String = knnGraphCtes("")
+
+  /** The probe-form src restriction (knn_recall_probe convention). */
+  private lazy val KnnProbePred: String =
+    s" AND l.vec_id < ${graft.operators.Similarity.KnnProbeHi}"
+
+  private lazy val KnnGraphProbeCtes: String = knnGraphCtes(KnnProbePred)
+
+  /** min-label propagation unrolled to the same fixed round count as
+    * the Spark operator (the pq_train discipline). The kNN edge list
+    * is materialized ONCE as a TEMP TABLE: the label-prop pyramid
+    * references it 2 + 2·rounds times, and inlining the blocked-join
+    * CTE that many times blew DuckDB's 16GB cap at the 10× amplified
+    * run — staging caps peak memory at one knn build. Shared by the
+    * full gate and its probe form (probe edges, full label census). */
+  private def knnComponentsSql(tmp: String, ctes: String): String = {
+    val rounds = (0 until graft.operators.Similarity.ClpRounds).map {
+      r =>
+        s"""nbr$r AS (SELECT u.src_id AS id, MIN(l$r.label) AS nl
+           |  FROM u JOIN l$r ON u.nbr_id = l$r.id GROUP BY 1),
+           |l${r + 1} AS (SELECT l$r.id,
+           |    LEAST(l$r.label, COALESCE(nbr$r.nl, l$r.label)) AS label
+           |  FROM l$r LEFT JOIN nbr$r USING (id))""".stripMargin
+    }.mkString(",\n")
+    val last = s"l${graft.operators.Similarity.ClpRounds}"
+    s"""${DuckSoftBounds}CREATE OR REPLACE TEMP TABLE $tmp AS
+       |WITH $ctes
+       |SELECT src_id, nbr_id FROM knn;
+       |WITH u AS (SELECT src_id, nbr_id FROM $tmp
+       |  UNION SELECT nbr_id, src_id FROM $tmp),
+       |l0 AS (SELECT vec_id AS id, vec_id AS label FROM embeddings
+       |  WHERE vec_id >= 8),
+       |$rounds
+       |SELECT label AS component_label,
+       |  CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  CAST(SUM(id) AS BIGINT) AS id_sum
+       |FROM $last GROUP BY 1""".stripMargin
+  }
+
+  /** k-occurrence histogram over the knn twin; the 0 bucket is the
+    * uncited remainder; thresholds from the shared constants. Shared
+    * by the full audit and its probe form (probe-rooted in-degrees,
+    * full candidate census in the denominator). */
+  private def hubnessAuditSql(ctes: String): String =
+    s"""WITH $ctes,
+       |ideg AS (SELECT nbr_id, CAST(COUNT(*) AS BIGINT) AS k_occ
+       |  FROM knn GROUP BY 1),
+       |h AS (SELECT k_occ, CAST(COUNT(*) AS BIGINT) AS n_vectors
+       |  FROM ideg GROUP BY 1),
+       |t AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)
+       |      AS n_vecs,
+       |    CAST(COUNT(*) AS BIGINT) AS n_cited,
+       |    CAST(MAX(k_occ) AS BIGINT) AS max_k_occ
+       |  FROM ideg),
+       |hh AS (SELECT k_occ, n_vectors FROM h
+       |  UNION ALL SELECT 0, n_vecs - n_cited FROM t)
+       |SELECT k_occ, n_vectors,
+       |  CAST(n_vectors * 1000000 // n_vecs AS BIGINT) AS share_ppm,
+       |  max_k_occ,
+       |  CASE WHEN max_k_occ >=
+       |    ${Similarity.HubFactor * Similarity.KnnK}
+       |    THEN 'HUBBY' ELSE 'OK' END AS verdict
+       |FROM hh, t WHERE n_vectors > 0""".stripMargin
 
   private lazy val mins: String = (0 until Dedup.NumHashes)
     .map(s => s"CAST(MIN(${sqlPermute("h", s)}) AS BIGINT) AS m$s")
@@ -1425,6 +1489,150 @@ object OracleSql {
        |            ELSE 'UPDATE' END AS apply_op
        |FROM base b FULL OUTER JOIN last l ON b.c_custkey = l.user_id
        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin
+
+  /** DuckDB regex backreference, kept out of the interpolated strings
+    * (the s-interpolator would eat the backslash). */
+  private val Bref: String = "\\1"
+
+  /** Byte-level P6 header regex over the hex-encoded payload:
+    * "P6\n" = 50360A, ASCII digits = 3x pairs, space = 20 — the parse
+    * never UTF-8-decodes binary data. Same regex the Spark side uses
+    * (Multimodal.rasterParsed). */
+  private val PpmHdrRe: String =
+    "^50360A((?:3[0-9])+)20((?:3[0-9])+)0A((?:3[0-9])+)0A"
+
+  /** Shared PPM(P6) image-lane CTE chain — the SQL twin of
+    * Multimodal.imageTable + rasterParsed: `ipay` rebuilds the
+    * IDENTICAL payload bytes from the same documents columns and
+    * doc_id arithmetic, then the parse CTEs re-read them byte-level
+    * (hex pairs, header regex, '0x' casts). Ends with
+    * `ibytes(doc_id, hs, byte_len, w, h, maxval, b)` where `b` is the
+    * raster as a 1-indexed BIGINT list. */
+  private lazy val PpmCtes: String = {
+    import graft.operators.Multimodal.GroupCount
+    s"""iimg AS (SELECT doc_id, doc_id % $GroupCount AS g,
+       |    8 + (doc_id % $GroupCount) % 5 AS w0,
+       |    8 + ((doc_id % $GroupCount) * 3) % 5 AS h0
+       |  FROM documents),
+       |ipx AS (SELECT doc_id, g, w0, h0,
+       |    string_agg(printf('%02X',
+       |      CAST(((g*37 + (i*i)%251 + i*11) % 200 + doc_id % 56
+       |            + CASE WHEN doc_id % 3 = 0 AND i % 31 = 0
+       |              THEN 97 ELSE 0 END) % 256 AS INT)),
+       |      '' ORDER BY i) AS pxhex
+       |  FROM iimg, UNNEST(range(0, 3*w0*h0)) AS t(i)
+       |  GROUP BY doc_id, g, w0, h0),
+       |ipay AS (SELECT doc_id,
+       |    encode('P6' || chr(10) || w0 || ' ' || h0 || chr(10) ||
+       |      '255' || chr(10)) || unhex(pxhex) AS payload
+       |  FROM ipx),
+       |ihx AS (SELECT doc_id, hex(payload) AS hs,
+       |    CAST(octet_length(payload) AS BIGINT) AS byte_len FROM ipay),
+       |ihdr AS (SELECT doc_id, hs, byte_len,
+       |    regexp_extract(hs, '$PpmHdrRe', 1) AS wg,
+       |    regexp_extract(hs, '$PpmHdrRe', 2) AS hg,
+       |    regexp_extract(hs, '$PpmHdrRe', 3) AS mg
+       |  FROM ihx),
+       |idims AS (SELECT doc_id, hs, byte_len,
+       |    CAST(regexp_replace(wg, '3([0-9])', '$Bref', 'g') AS BIGINT) AS w,
+       |    CAST(regexp_replace(hg, '3([0-9])', '$Bref', 'g') AS BIGINT) AS h,
+       |    CAST(regexp_replace(mg, '3([0-9])', '$Bref', 'g') AS BIGINT)
+       |      AS maxval,
+       |    6 + len(wg) + 2 + len(hg) + 2 + len(mg) + 2 AS poff
+       |  FROM ihdr),
+       |ibytes AS (SELECT doc_id, hs, byte_len, w, h, maxval,
+       |    [('0x' || substring(hs, CAST(poff + 1 + 2*i AS INT), 2))::BIGINT
+       |     for i in range(0, 3*w*h)] AS b
+       |  FROM idims)""".stripMargin
+  }
+
+  /** aHash fingerprint CTEs over [[PpmCtes]] — the SQL twin of
+    * Multimodal.imageFingerprints (integer area-downsample to 8×8,
+    * cross-multiplied cell-vs-mean bits, 4×16-bit band values). Ends
+    * with `ifp(doc_id, bands)`. */
+  private lazy val PpmAHashCtes: String = {
+    import graft.operators.Multimodal.{HashBands, BandBits}
+    s"""icells AS (SELECT doc_id, w, h,
+       |    [list_sum(flatten(
+       |       [[b[CAST(3*(y*w+x)+1 AS INT)] + b[CAST(3*(y*w+x)+2 AS INT)]
+       |         + b[CAST(3*(y*w+x)+3 AS INT)]
+       |         for x in range(((idx%8)*w)//8, (((idx%8)+1)*w)//8)]
+       |        for y in range(((idx//8)*h)//8, (((idx//8)+1)*h)//8)]))
+       |     for idx in range(0,64)] AS cs,
+       |    [3 * ((((idx//8)+1)*h)//8 - ((idx//8)*h)//8)
+       |       * ((((idx%8)+1)*w)//8 - ((idx%8)*w)//8)
+       |     for idx in range(0,64)] AS ca
+       |  FROM ibytes),
+       |ifp AS (SELECT doc_id,
+       |    [list_sum([CASE WHEN cs[CAST($BandBits*bb + j + 1 AS INT)]
+       |                         * list_sum(ca)
+       |                    > list_sum(cs)
+       |                         * ca[CAST($BandBits*bb + j + 1 AS INT)]
+       |               THEN 1::BIGINT << j ELSE 0 END
+       |               for j in range(0, $BandBits)])
+       |     for bb in range(0, $HashBands)] AS bands
+       |  FROM icells)""".stripMargin
+  }
+
+  /** One NN-descent oracle round, shared by the full gate and its
+    * probe form ([[KnnProbePred]] caps both seed blockings; `finalPred`
+    * drops the non-probe sources the symmetrized expansion roots). */
+  private def nnDescentSql(srcPred: String, finalPred: String): String =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
+         |         WHERE vec_id BETWEEN 8 AND 23),
+         |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT cand.vec_id, cent.centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
+         |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
+         |    FROM cand, cent) t WHERE rn = 1),
+         |vv AS (SELECT a.vec_id, a.centroid_id, c.v
+         |  FROM assign a JOIN cand c ON a.vec_id = c.vec_id),
+         |p AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
+         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
+         |      AS BIGINT) AS sim_e6
+         |  FROM vv l JOIN vv r
+         |    ON l.centroid_id = r.centroid_id AND l.vec_id <> r.vec_id$srcPred),
+         |base AS (SELECT src_id, nbr_id, sim_e6 FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+         |      ORDER BY sim_e6 DESC, nbr_id) AS rn FROM p) t
+         |  WHERE rn <= ${Similarity.KnnK}),
+         |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM cand),
+         |lp AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
+         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
+         |      AS BIGINT) AS sim_e6
+         |  FROM bk l JOIN bk r
+         |    ON l.bucket = r.bucket AND l.vec_id <> r.vec_id$srcPred),
+         |lsh AS (SELECT src_id, nbr_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+         |      ORDER BY sim_e6 DESC, nbr_id) AS rn FROM lp) t
+         |  WHERE rn <= ${Similarity.KnnK}),
+         |ed AS (SELECT src_id, nbr_id FROM base
+         |  UNION SELECT src_id, nbr_id FROM lsh),
+         |und AS (SELECT src_id, nbr_id FROM ed
+         |  UNION SELECT nbr_id, src_id FROM ed),
+         |ex AS (
+         |  SELECT a.src_id, b.nbr_id AS cand_id
+         |  FROM und a JOIN und b ON a.nbr_id = b.src_id
+         |  WHERE a.src_id <> b.nbr_id
+         |  UNION
+         |  SELECT src_id, nbr_id FROM ed),
+         |sc AS (SELECT x.src_id, x.cand_id,
+         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
+         |      AS BIGINT) AS sim_e6
+         |  FROM ex x JOIN cand l ON x.src_id = l.vec_id
+         |    JOIN cand r ON x.cand_id = r.vec_id),
+         |ref AS (SELECT src_id, cand_id, sim_e6,
+         |    ROW_NUMBER() OVER (PARTITION BY src_id
+         |      ORDER BY sim_e6 DESC, cand_id) AS rn FROM sc)
+         |SELECT r.src_id, CAST(r.rn AS BIGINT) AS rank,
+         |  r.cand_id AS nbr_id, r.sim_e6,
+         |  CAST(b.nbr_id IS NULL AS VARCHAR) AS is_new
+         |FROM ref r LEFT JOIN base b
+         |  ON b.src_id = r.src_id AND b.nbr_id = r.cand_id
+         |WHERE r.rn <= ${Similarity.KnnK}$finalPred""".stripMargin
 
   private val rawSql: Map[String, String] = Map(
     "changelog_normalize" ->
@@ -3272,118 +3480,25 @@ object OracleSql {
       s"""WITH $KnnGraphCtes
          |SELECT src_id, rank, nbr_id, sim_e6 FROM knn""".stripMargin,
 
-    // min-label propagation unrolled to the same fixed round count as
-    // the Spark operator (the pq_train discipline). The kNN edge list
-    // is materialized ONCE as a TEMP TABLE: the label-prop pyramid
-    // references it 2 + 2·rounds times, and inlining the blocked-join
-    // CTE that many times blew DuckDB's 16GB cap at the 10× amplified
-    // run — staging caps peak memory at one knn build.
-    "knn_components" -> {
-      val rounds = (0 until graft.operators.Similarity.ClpRounds).map {
-        r =>
-          s"""nbr$r AS (SELECT u.src_id AS id, MIN(l$r.label) AS nl
-             |  FROM u JOIN l$r ON u.nbr_id = l$r.id GROUP BY 1),
-             |l${r + 1} AS (SELECT l$r.id,
-             |    LEAST(l$r.label, COALESCE(nbr$r.nl, l$r.label)) AS label
-             |  FROM l$r LEFT JOIN nbr$r USING (id))""".stripMargin
-      }.mkString(",\n")
-      val last = s"l${graft.operators.Similarity.ClpRounds}"
-      s"""${DuckSoftBounds}CREATE OR REPLACE TEMP TABLE kc_knn AS
-         |WITH $KnnGraphCtes
-         |SELECT src_id, nbr_id FROM knn;
-         |WITH u AS (SELECT src_id, nbr_id FROM kc_knn
-         |  UNION SELECT nbr_id, src_id FROM kc_knn),
-         |l0 AS (SELECT vec_id AS id, vec_id AS label FROM embeddings
-         |  WHERE vec_id >= 8),
-         |$rounds
-         |SELECT label AS component_label,
-         |  CAST(COUNT(*) AS BIGINT) AS n_members,
-         |  CAST(SUM(id) AS BIGINT) AS id_sum
-         |FROM $last GROUP BY 1""".stripMargin
-    },
+    // the probe form: same chain, src side capped — linear at scale
+    "knn_graph_probe" ->
+      s"""WITH $KnnGraphProbeCtes
+         |SELECT src_id, rank, nbr_id, sim_e6 FROM knn""".stripMargin,
 
-    // k-occurrence histogram over the knn twin; the 0 bucket is the
-    // uncited remainder; thresholds from the shared constants
-    "hubness_audit" ->
-      s"""WITH $KnnGraphCtes,
-         |ideg AS (SELECT nbr_id, CAST(COUNT(*) AS BIGINT) AS k_occ
-         |  FROM knn GROUP BY 1),
-         |h AS (SELECT k_occ, CAST(COUNT(*) AS BIGINT) AS n_vectors
-         |  FROM ideg GROUP BY 1),
-         |t AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)
-         |      AS n_vecs,
-         |    CAST(COUNT(*) AS BIGINT) AS n_cited,
-         |    CAST(MAX(k_occ) AS BIGINT) AS max_k_occ
-         |  FROM ideg),
-         |hh AS (SELECT k_occ, n_vectors FROM h
-         |  UNION ALL SELECT 0, n_vecs - n_cited FROM t)
-         |SELECT k_occ, n_vectors,
-         |  CAST(n_vectors * 1000000 // n_vecs AS BIGINT) AS share_ppm,
-         |  max_k_occ,
-         |  CASE WHEN max_k_occ >=
-         |    ${Similarity.HubFactor * Similarity.KnnK}
-         |    THEN 'HUBBY' ELSE 'OK' END AS verdict
-         |FROM hh, t WHERE n_vectors > 0""".stripMargin,
+    "knn_components" -> knnComponentsSql("kc_knn", KnnGraphCtes),
+    "knn_components_probe" ->
+      knnComponentsSql("kcp_knn", KnnGraphProbeCtes),
+
+    "hubness_audit" -> hubnessAuditSql(KnnGraphCtes),
+    "hubness_audit_probe" -> hubnessAuditSql(KnnGraphProbeCtes),
 
     // one NN-descent round over the knn_graph twin, seeded with the
     // LSH-bucket graph (a second blocking bridges IVF lists); exact
     // re-score, top-KnnK; is_new marks edges IVF blocking missed
-    "nn_descent" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cent AS (SELECT vec_id - 8 AS centroid_id, v AS cv FROM e
-         |         WHERE vec_id BETWEEN 8 AND 23),
-         |cand AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
-         |assign AS (
-         |  SELECT vec_id, centroid_id FROM (
-         |    SELECT cand.vec_id, cent.centroid_id,
-         |      ROW_NUMBER() OVER (PARTITION BY cand.vec_id
-         |        ORDER BY list_cosine_similarity(v, cv) DESC, centroid_id) AS rn
-         |    FROM cand, cent) t WHERE rn = 1),
-         |vv AS (SELECT a.vec_id, a.centroid_id, c.v
-         |  FROM assign a JOIN cand c ON a.vec_id = c.vec_id),
-         |p AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
-         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
-         |      AS BIGINT) AS sim_e6
-         |  FROM vv l JOIN vv r
-         |    ON l.centroid_id = r.centroid_id AND l.vec_id <> r.vec_id),
-         |base AS (SELECT src_id, nbr_id, sim_e6 FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
-         |      ORDER BY sim_e6 DESC, nbr_id) AS rn FROM p) t
-         |  WHERE rn <= ${Similarity.KnnK}),
-         |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM cand),
-         |lp AS (SELECT l.vec_id AS src_id, r.vec_id AS nbr_id,
-         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
-         |      AS BIGINT) AS sim_e6
-         |  FROM bk l JOIN bk r
-         |    ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
-         |lsh AS (SELECT src_id, nbr_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
-         |      ORDER BY sim_e6 DESC, nbr_id) AS rn FROM lp) t
-         |  WHERE rn <= ${Similarity.KnnK}),
-         |ed AS (SELECT src_id, nbr_id FROM base
-         |  UNION SELECT src_id, nbr_id FROM lsh),
-         |und AS (SELECT src_id, nbr_id FROM ed
-         |  UNION SELECT nbr_id, src_id FROM ed),
-         |ex AS (
-         |  SELECT a.src_id, b.nbr_id AS cand_id
-         |  FROM und a JOIN und b ON a.nbr_id = b.src_id
-         |  WHERE a.src_id <> b.nbr_id
-         |  UNION
-         |  SELECT src_id, nbr_id FROM ed),
-         |sc AS (SELECT x.src_id, x.cand_id,
-         |    CAST(ROUND(list_cosine_similarity(l.v, r.v) * 1000000)
-         |      AS BIGINT) AS sim_e6
-         |  FROM ex x JOIN cand l ON x.src_id = l.vec_id
-         |    JOIN cand r ON x.cand_id = r.vec_id),
-         |ref AS (SELECT src_id, cand_id, sim_e6,
-         |    ROW_NUMBER() OVER (PARTITION BY src_id
-         |      ORDER BY sim_e6 DESC, cand_id) AS rn FROM sc)
-         |SELECT r.src_id, CAST(r.rn AS BIGINT) AS rank,
-         |  r.cand_id AS nbr_id, r.sim_e6,
-         |  CAST(b.nbr_id IS NULL AS VARCHAR) AS is_new
-         |FROM ref r LEFT JOIN base b
-         |  ON b.src_id = r.src_id AND b.nbr_id = r.cand_id
-         |WHERE r.rn <= ${Similarity.KnnK}""".stripMargin,
+    "nn_descent" -> nnDescentSql("", ""),
+    // probe form: both seed blockings src-capped, output capped too
+    "nn_descent_probe" -> nnDescentSql(KnnProbePred,
+      s" AND r.src_id < ${graft.operators.Similarity.KnnProbeHi}"),
 
     // recall of the blocked graph and its NN-descent repair against
     // the brute-force all-pairs top-K truth (gate-scale N² by design;
@@ -3732,17 +3847,66 @@ object OracleSql {
          |FROM m GROUP BY 1""".stripMargin
     },
 
+    // the JVM PPM codec's oracle: rebuild the identical payload bytes,
+    // parse them byte-level in SQL, compare dims + channel means
     "multimodal_decode" ->
-      """WITH m AS (SELECT doc_id,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS len,
-        |    hex(encode(text)) AS hx
-        |  FROM documents)
-        |SELECT doc_id, len AS byte_len,
-        |  CAST(list_sum(list_transform(regexp_extract_all(hx, '..'),
-        |       x -> ('0x' || x)::INT)) // len AS BIGINT) AS mean_byte,
-        |  CAST(('0x' || substr(hx, 1, 2))::INT AS BIGINT) AS first_byte,
-        |  len // 1000 + 1 AS frames
-        |FROM m""".stripMargin,
+      s"""WITH $PpmCtes
+         |SELECT doc_id, byte_len, w AS width, h AS height, maxval,
+         |  CAST(list_sum([b[CAST(3*p+1 AS INT)] for p in range(0, w*h)])
+         |       // (w*h) AS BIGINT) AS mean_r,
+         |  CAST(list_sum([b[CAST(3*p+2 AS INT)] for p in range(0, w*h)])
+         |       // (w*h) AS BIGINT) AS mean_g,
+         |  CAST(list_sum([b[CAST(3*p+3 AS INT)] for p in range(0, w*h)])
+         |       // (w*h) AS BIGINT) AS mean_b
+         |FROM ibytes""".stripMargin,
+
+    // the native-expression decoder's oracle — same parse, plus pixel
+    // count and the hex-text md5 (DuckDB md5 is VARCHAR-only, so both
+    // engines hash the hex string)
+    "image_decode" ->
+      s"""WITH $PpmCtes
+         |SELECT doc_id, byte_len, w AS width, h AS height, maxval,
+         |  w * h AS n_pixels,
+         |  CAST(list_sum([b[CAST(3*p+1 AS INT)] for p in range(0, w*h)])
+         |       // (w*h) AS BIGINT) AS mean_r,
+         |  CAST(list_sum([b[CAST(3*p+2 AS INT)] for p in range(0, w*h)])
+         |       // (w*h) AS BIGINT) AS mean_g,
+         |  CAST(list_sum([b[CAST(3*p+3 AS INT)] for p in range(0, w*h)])
+         |       // (w*h) AS BIGINT) AS mean_b,
+         |  md5(hs) AS checksum
+         |FROM ibytes""".stripMargin,
+
+    // banded-hamming aHash near-dup twin: same band buckets, same
+    // minhash star-cap, full 64-bit hamming at <= HammingTau
+    "image_dedup" -> {
+      import graft.operators.Multimodal.{HashBands, HammingTau}
+      val ham = (1 to HashBands).map(i =>
+        s"bit_count(xor(fa.bands[$i], fb.bands[$i]))").mkString(" + ")
+      s"""WITH $PpmCtes,
+         |$PpmAHashCtes,
+         |ibanded AS (SELECT doc_id, bb AS band,
+         |    bands[CAST(bb + 1 AS INT)] AS sig
+         |  FROM ifp, UNNEST(range(0, $HashBands)) AS t(bb)),
+         |ibn AS (SELECT band, sig, COUNT(*) AS cnt, MIN(doc_id) AS keeper
+         |  FROM ibanded GROUP BY 1, 2 HAVING COUNT(*) > 1),
+         |icand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ibn JOIN ibanded a USING (band, sig)
+         |           JOIN ibanded b USING (band, sig)
+         |  WHERE ibn.cnt <= ${Dedup.MaxQuadraticBucket}
+         |    AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT ibn.keeper, b.doc_id
+         |  FROM ibn JOIN ibanded b USING (band, sig)
+         |  WHERE ibn.cnt > ${Dedup.MaxQuadraticBucket}
+         |    AND b.doc_id <> ibn.keeper),
+         |iham AS (SELECT c.doc_a, c.doc_b,
+         |    CAST($ham AS BIGINT) AS hamming
+         |  FROM icand c JOIN ifp fa ON fa.doc_id = c.doc_a
+         |               JOIN ifp fb ON fb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, hamming FROM iham
+         |WHERE hamming <= $HammingTau""".stripMargin
+    },
 
     "multimodal_frames" ->
       """WITH m AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len,

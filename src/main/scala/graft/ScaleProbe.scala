@@ -333,6 +333,25 @@ object ScaleProbe {
       // the probe-sampled kNN gate: fixed 512-probe truth, so the
       // probe certifies the arms stay probe-linear as the corpus grows
       "knn_recall_probe" -> sink(Similarity.knnRecallProbeFrom(
+        Similarity.ivfAssign(emb), emb)),
+      // the probe-form graph gates: src-capped blocked joins must stay
+      // probes·list-linear as the corpus grows
+      "knn_graph_probe" -> sink(Similarity.knnGraphProbeFrom(
+        Similarity.ivfAssign(emb), emb)),
+      "nn_descent_probe" -> sink(Similarity.nnDescentProbeFrom(
         Similarity.ivfAssign(emb), emb)))
+  }
+
+  /** Image-lane probe ops (the PPM synth + decode + banded-hamming
+    * dedup chain over the amplified documents). */
+  def probeImageOps(docs: DataFrame): Seq[(String, () => Unit)] = {
+    import graft.operators.Multimodal
+    def sink(df: => DataFrame): () => Unit =
+      () => df.write.format("noop").mode("overwrite").save()
+    Seq(
+      "image_decode" -> sink(
+        Multimodal.imageDecode(Multimodal.imageTable(docs))),
+      "image_dedup" -> sink(
+        Multimodal.imageDedup(Multimodal.imageTable(docs))))
   }
 }

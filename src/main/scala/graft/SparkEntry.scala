@@ -156,8 +156,11 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(Tables.documents(s, dir))),
     "multimodal_decode"   -> ((s, dir) =>
-      Multimodal.decodeFeatures(s,
-        Multimodal.mediaTable(Tables.documents(s, dir))).toDF()),
+      Multimodal.decodeFeatures(s, Staged.images(s, dir).imgs).toDF()),
+    "image_decode"        -> ((s, dir) =>
+      Multimodal.imageDecode(Staged.images(s, dir).imgs)),
+    "image_dedup"         -> ((s, dir) =>
+      Multimodal.imageDedupFrom(Staged.images(s, dir).fps)),
     "multimodal_frames"   -> ((s, dir) =>
       Multimodal.frameSample(s,
         Multimodal.mediaTable(Tables.documents(s, dir))).toDF()
@@ -217,6 +220,18 @@ object SparkEntry {
         Tables.embeddings(s, dir))),
     "knn_recall_probe"    -> ((s, dir) =>
       Similarity.knnRecallProbeFrom(Staged.ann(s, dir).assign,
+        Tables.embeddings(s, dir))),
+    "knn_graph_probe"     -> ((s, dir) =>
+      Similarity.knnGraphProbeFrom(Staged.ann(s, dir).assign,
+        Tables.embeddings(s, dir))),
+    "knn_components_probe" -> ((s, dir) =>
+      Similarity.knnComponentsProbeFrom(Staged.ann(s, dir).assign,
+        Tables.embeddings(s, dir))),
+    "nn_descent_probe"    -> ((s, dir) =>
+      Similarity.nnDescentProbeFrom(Staged.ann(s, dir).assign,
+        Tables.embeddings(s, dir))),
+    "hubness_audit_probe" -> ((s, dir) =>
+      Similarity.hubnessAuditProbeFrom(Staged.ann(s, dir).assign,
         Tables.embeddings(s, dir))),
     "ann_index_card"      -> ((s, dir) =>
       Similarity.annIndexCardFrom(Staged.ann(s, dir).assign,

@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Session-scoped staged relations — the production shape of "the
   * signature table is a staged table" (Dedup scaladoc), applied to the
@@ -100,9 +100,19 @@ object Staged {
     lazy val opqChain: Seq[DataFrame] = opqChainT()
   }
 
+  /** The staged image-lane relations of one (session, corpus): the
+    * synthesized PPM payload table (one payload construction feeds the
+    * codec, the native decoder AND the dedup) and the aHash
+    * fingerprints (doc_id, bands) — staged because the banded-hamming
+    * dedup references them three times, and because the nested-HOF
+    * hash expression must evaluate once per row, not once per plan
+    * reference. */
+  final case class ImageRels(imgs: DataFrame, fps: DataFrame)
+
   private val cache = TrieMap.empty[(SparkSession, String), DedupRels]
   private val tokenCache = TrieMap.empty[(SparkSession, String), TokenRels]
   private val annCache = TrieMap.empty[(SparkSession, String), AnnRels]
+  private val imageCache = TrieMap.empty[(SparkSession, String), ImageRels]
 
   /** Sessions whose application-end listener is installed. The caches
     * key by session object, which would otherwise strongly retain the
@@ -187,11 +197,22 @@ object Staged {
         () => opqPerm, () => opqSub, () => opqChain)
     })
 
+  /** The staged image-lane relations for the documents table under
+    * `sfDir`, built on first request per (session, dir). */
+  def images(spark: SparkSession, sfDir: String): ImageRels =
+    imageCache.getOrElseUpdate((spark, sfDir), {
+      hookEviction(spark)
+      val docs = Tables.documents(spark, sfDir)
+      val imgs = stage(Multimodal.imageTable(docs))
+      val fps = stage(Multimodal.imageFingerprints(imgs))
+      ImageRels(imgs, fps)
+    })
+
   /** Drop all staged entries (block-manager copies are reclaimed by the
     * context cleaner once unreferenced). For in-place corpus rewrites
     * within a session — tests and the amplify lane. */
   def invalidate(): Unit = {
-    cache.clear(); tokenCache.clear(); annCache.clear()
+    cache.clear(); tokenCache.clear(); annCache.clear(); imageCache.clear()
   }
 
   /** The UNSTAGED build expressions of every relation this object
@@ -240,6 +261,9 @@ object Staged {
       ("staged:opqPerm", true, () => Similarity.opqPermArray(emb)),
       ("staged:opqSub", true,
         () => Similarity.opqSubvectorsFrom(emb,
-          Similarity.opqPermArray(emb))))
+          Similarity.opqPermArray(emb))),
+      ("staged:images", false, () => Multimodal.imageTable(docs)),
+      ("staged:imageFps", false,
+        () => Multimodal.imageFingerprints(Multimodal.imageTable(docs))))
   }
 }

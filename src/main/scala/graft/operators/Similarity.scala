@@ -387,11 +387,28 @@ object Similarity {
     * integer-deterministic cross-engine — not just the output. Misses
     * cross-list true neighbors by construction; [[nnDescentFrom]] is
     * the repair round. */
-  def knnGraphFrom(assign: DataFrame, embeddings: DataFrame): DataFrame = {
+  def knnGraphFrom(assign: DataFrame, embeddings: DataFrame): DataFrame =
+    knnGraphImpl(assign, embeddings, srcCap = None)
+
+  /** Probe-form [[knnGraphFrom]] — the SRC side restricted to the
+    * fixed [[KnnProbeHi]] probe prefix while the neighbor pool stays
+    * the FULL corpus: the output is verbatim the full graph's rows
+    * for the probe nodes (spec-pinned where probes cover the corpus),
+    * and the within-list pair volume drops from Σ list² to
+    * Σ probes·list — linear in the corpus, affordable for the oracle
+    * twin at every amplified tier. The knn_recall_probe convention
+    * applied to the graph itself. */
+  def knnGraphProbeFrom(assign: DataFrame,
+                        embeddings: DataFrame): DataFrame =
+    knnGraphImpl(assign, embeddings, srcCap = Some(KnnProbeHi))
+
+  private def knnGraphImpl(assign: DataFrame, embeddings: DataFrame,
+                           srcCap: Option[Long]): DataFrame = {
     val vecs = candidates(embeddings)
       .join(assign.withColumnRenamed("vec_id", "cand_id"), "cand_id")
-    val left = vecs.select(col("centroid_id"),
+    val leftAll = vecs.select(col("centroid_id"),
       col("cand_id").as("src_id"), col("c_vec").as("src_vec"))
+    val left = srcCap.fold(leftAll)(c => leftAll.where(col("src_id") < c))
     val right = vecs.select(col("centroid_id"),
       col("cand_id").as("nbr_id"), col("c_vec").as("nbr_vec"))
     left.join(right, Seq("centroid_id"))
@@ -420,12 +437,29 @@ object Similarity {
     * corpus), one edge-list self-join (nodes·(2K)² pairs, linear in
     * nodes), one exact re-score join, one per-node top-K window;
     * everything shuffles on node ids. */
-  def nnDescentFrom(assign: DataFrame, embeddings: DataFrame): DataFrame = {
-    val base = knnGraphFrom(assign, embeddings)
+  def nnDescentFrom(assign: DataFrame, embeddings: DataFrame): DataFrame =
+    nnDescentImpl(assign, embeddings, srcCap = None)
+
+  /** Probe-form [[nnDescentFrom]]: both seed blockings (IVF list and
+    * LSH bucket) rooted at the fixed probe prefix, the
+    * neighbor-of-neighbor expansion run on that probe-rooted edge set,
+    * and the output restricted to probe sources. Equals the full round
+    * verbatim where probes cover the corpus (spec-pinned); at scale
+    * every stage is probes·list / probes·bucket bounded — linear. */
+  def nnDescentProbeFrom(assign: DataFrame,
+                         embeddings: DataFrame): DataFrame =
+    nnDescentImpl(assign, embeddings, srcCap = Some(KnnProbeHi))
+
+  private def nnDescentImpl(assign: DataFrame, embeddings: DataFrame,
+                            srcCap: Option[Long]): DataFrame = {
+    val base = knnGraphImpl(assign, embeddings, srcCap)
     val v = candidates(embeddings)
     val b = v.withColumn("bucket", bucketCol(col("c_vec")))
-    val lshSeed = b.select(col("bucket"),
-        col("cand_id").as("src_id"), col("c_vec").as("src_vec"))
+    val lshLeftAll = b.select(col("bucket"),
+      col("cand_id").as("src_id"), col("c_vec").as("src_vec"))
+    val lshLeft = srcCap.fold(lshLeftAll)(c =>
+      lshLeftAll.where(col("src_id") < c))
+    val lshSeed = lshLeft
       .join(b.select(col("bucket"), col("cand_id").as("nbr_id"),
         col("c_vec").as("nbr_vec")), Seq("bucket"))
       .where(col("src_id") =!= col("nbr_id"))
@@ -443,13 +477,17 @@ object Similarity {
       .union(edges.select(col("nbr_id").as("src_id"),
         col("src_id").as("nbr_id")))
       .distinct()
-    val expanded = und
+    val expandedAll = und
       .join(und.select(col("src_id").as("nbr_id"),
         col("nbr_id").as("cand_id")), Seq("nbr_id"))
       .select(col("src_id"), col("cand_id"))
       .where(col("src_id") =!= col("cand_id"))
       .union(edges.select(col("src_id"), col("nbr_id").as("cand_id")))
       .distinct()
+    // probe form: symmetrization roots expansion rows at non-probe
+    // nodes too — keep only probe sources (full form: no-op)
+    val expanded = srcCap.fold(expandedAll)(c =>
+      expandedAll.where(col("src_id") < c))
     val refined = expanded
       .join(v.select(col("cand_id").as("src_id"),
         col("c_vec").as("src_vec")), "src_id")
@@ -2457,8 +2495,23 @@ object Similarity {
     * checkpointed to keep the plan linear; isolated nodes (alone in
     * their IVF list) keep their own label. Output component-sized. */
   def knnComponentsFrom(assign: DataFrame,
-                        embeddings: DataFrame): DataFrame = {
-    val edges = knnGraphFrom(assign, embeddings)
+                        embeddings: DataFrame): DataFrame =
+    knnComponentsImpl(assign, embeddings, srcCap = None)
+
+  /** Probe-form [[knnComponentsFrom]]: the same fixed-round min-label
+    * propagation over the PROBE-rooted edge set (every node still
+    * starts with its own label, so non-participating nodes surface as
+    * singletons exactly as in the full form). Equals the full gate
+    * verbatim where probes cover the corpus (spec-pinned); at scale
+    * the edge set is probes·K-bounded and each round is one linear
+    * node join. */
+  def knnComponentsProbeFrom(assign: DataFrame,
+                             embeddings: DataFrame): DataFrame =
+    knnComponentsImpl(assign, embeddings, srcCap = Some(KnnProbeHi))
+
+  private def knnComponentsImpl(assign: DataFrame, embeddings: DataFrame,
+                                srcCap: Option[Long]): DataFrame = {
+    val edges = knnGraphImpl(assign, embeddings, srcCap)
       .select(col("src_id"), col("nbr_id"))
     val und = edges
       .union(edges.select(col("nbr_id").as("src_id"),
@@ -2501,8 +2554,21 @@ object Similarity {
     * aggregate; totals and max arrive as a 1-row broadcast cross onto
     * the ≤max-degree-sized grid. */
   def hubnessAuditFrom(assign: DataFrame,
-                       embeddings: DataFrame): DataFrame = {
-    val indeg = knnGraphFrom(assign, embeddings)
+                       embeddings: DataFrame): DataFrame =
+    hubnessAuditImpl(assign, embeddings, srcCap = None)
+
+  /** Probe-form [[hubnessAuditFrom]]: k-occurrence histogram of the
+    * probe-rooted graph (citations BY probe nodes), 0-bucket and
+    * share_ppm still over the full candidate census. Equals the full
+    * audit verbatim where probes cover the corpus (spec-pinned);
+    * linear at scale. */
+  def hubnessAuditProbeFrom(assign: DataFrame,
+                            embeddings: DataFrame): DataFrame =
+    hubnessAuditImpl(assign, embeddings, srcCap = Some(KnnProbeHi))
+
+  private def hubnessAuditImpl(assign: DataFrame, embeddings: DataFrame,
+                               srcCap: Option[Long]): DataFrame = {
+    val indeg = knnGraphImpl(assign, embeddings, srcCap)
       .groupBy(col("nbr_id")).agg(count(lit(1)).as("k_occ"))
     val hist = indeg.groupBy("k_occ").agg(count(lit(1)).as("n_vectors"))
     val tot = candidates(embeddings).agg(count(lit(1)).as("n_vecs"))

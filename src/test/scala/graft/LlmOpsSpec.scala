@@ -305,6 +305,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(probe("ivf_plus_lsh")._2 >= probe("ivf_blocked")._2)
   }
 
+  test("probe-form kNN gates (graph/components/nn-descent/hubness) " +
+    "equal the full gates where the probe set covers the corpus") {
+    // same coverage precondition as the recall-probe pin: every
+    // candidate id below KnnProbeHi means src-capping is a no-op, so
+    // each probe form must reproduce its full gate VERBATIM — the
+    // construction-identity that lets the probe rows carry the
+    // family's amplified-tier evidence
+    assert(embs.agg(max("vec_id")).collect()(0).getLong(0)
+      < Similarity.KnnProbeHi)
+    val assign = Similarity.ivfAssign(embs).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Similarity.knnGraphProbeFrom(assign, embs)) ===
+      rows(Similarity.knnGraphFrom(assign, embs)))
+    assert(rows(Similarity.knnComponentsProbeFrom(assign, embs)) ===
+      rows(Similarity.knnComponentsFrom(assign, embs)))
+    assert(rows(Similarity.nnDescentProbeFrom(assign, embs)) ===
+      rows(Similarity.nnDescentFrom(assign, embs)))
+    assert(rows(Similarity.hubnessAuditProbeFrom(assign, embs)) ===
+      rows(Similarity.hubnessAuditFrom(assign, embs)))
+  }
+
   test("OPQ lift on an anisotropic corpus: the snake's recall beats " +
     "plain trained PQ where the variance profile has a head") {
     // the generated test embeddings are near-isotropic i.i.d., so the
@@ -708,17 +730,19 @@ class LlmOpsSpec extends AnyFunSuite {
 
   // --- multimodal ---
 
-  test("multimodal decode plumbing: per-partition batch decode matches the payload") {
-    val media = Multimodal.mediaTable(docs)
-    val feats = Multimodal.decodeFeatures(spark, media)
+  test("multimodal decode plumbing: per-partition batch decode parses " +
+    "the real PPM payloads") {
+    val images = Multimodal.imageTable(docs)
+    val feats = Multimodal.decodeFeatures(spark, images)
     assert(feats.count() === docs.count())
     val byteLens = feats.toDF().select("doc_id", "byte_len").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val expected = docs.select(col("doc_id"), length(col("text")).cast("long"))
+    val expected = images
+      .select(col("doc_id"), octet_length(col("payload")).cast("long"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byteLens === expected)
     // partitioning is preserved (no repartition to 1 / driver collect)
-    assert(feats.rdd.getNumPartitions === media.rdd.getNumPartitions)
+    assert(feats.rdd.getNumPartitions === images.rdd.getNumPartitions)
   }
 
   test("frameSample fans out to every-Nth fixed-size chunk, capped") {

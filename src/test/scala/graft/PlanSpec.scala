@@ -227,8 +227,9 @@ class PlanSpec extends AnyFunSuite {
       // broadcast total onto a K-/9-/index-sized grid
       "split_kfold", "benford_audit", "sample_coverage",
       // hubness_audit crosses the 1-row (total, max) aggregate onto
-      // the ≤max-degree histogram grid
-      "hubness_audit",
+      // the ≤max-degree histogram grid (probe form: same shape over
+      // the probe-rooted graph)
+      "hubness_audit", "hubness_audit_probe",
       // retention_sweep crosses the broadcast 1-row max-week aggregate
       // (IdentityBroadcastMode) onto the cohort-week grid
       "retention_sweep",

@@ -46,9 +46,11 @@ class ScaleGateSpec extends AnyFunSuite {
     val emb1 = stage(ScaleProbe.amplifyEmbeddings(emb0, 1))
     val embK = stage(ScaleProbe.amplifyEmbeddings(emb0, K))
     val failures = (ScaleProbe.probeOps(docs1, ev1)
-      ++ ScaleProbe.probeAnnOps(emb1))
+      ++ ScaleProbe.probeAnnOps(emb1)
+      ++ ScaleProbe.probeImageOps(docs1))
       .zip(ScaleProbe.probeOps(docsK, evK)
-        ++ ScaleProbe.probeAnnOps(embK)).flatMap {
+        ++ ScaleProbe.probeAnnOps(embK)
+        ++ ScaleProbe.probeImageOps(docsK)).flatMap {
         case ((name, base), (_, big)) =>
           base() // warm codegen/JIT on the small side
           val t1 = math.min(time(base()), time(base()))
