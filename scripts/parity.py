@@ -25,7 +25,11 @@ def main(outdir, sfdir, json_out=None):
     # "bad allocation" when another JVM holds most of the host's RAM —
     # observed as a 1-in-4 pq_train flake on an otherwise green registry
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
-    con.sql("SET memory_limit='16GB'")
+    # 16GB default matches the driver's checker; the big amplified tiers
+    # (100x/300x, where no Spark JVM holds RAM concurrently) override via
+    # GRAFT_DUCK_MEM — round 12's only 100x "failure" was this cap, not
+    # the engine (curation_pipeline hash-green at 48GB).
+    con.sql(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '16GB')}'")
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
         if os.path.exists(p):

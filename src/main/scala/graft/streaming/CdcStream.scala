@@ -1232,8 +1232,21 @@ object CdcStream {
     // production lane keeps the default for fault-tolerant storage.
     val cfmConf = "spark.sql.streaming.checkpointFileManagerClass"
     val outerCfm = spark.conf.getOption(cfmConf)
+    // interpreted execution for the replay: at gate scale each distinct
+    // harness plan pays ~1s of Janino whole-stage compilation in its
+    // FIRST micro-batch (measured via GRAFT_STREAM_PROFILE — batch 0
+    // addBatch ~1.2s vs ~0.2s for later batches), while the rows per
+    // replay are only thousands — interpreted row processing is
+    // microseconds here and results are bit-identical (same plan, same
+    // operators, codegen is an execution strategy not a semantics).
+    // Scoped to the replay and restored below — the production lane
+    // (StreamRun) keeps codegen, which wins as soon as rows dominate
+    // compile time.
+    val wscgConf = "spark.sql.codegen.wholeStage"
+    val outerWscg = spark.conf.get(wscgConf)
     val result = try {
       spark.conf.set(partConf, "3")
+      spark.conf.set(wscgConf, "false")
       spark.conf.set(cfmConf, classOf[NioCheckpointFileManager].getName)
       // Default drain: place every staged file up front with strictly
       // increasing mtimes — the file source admits oldest-first, one
@@ -1281,6 +1294,7 @@ object CdcStream {
       spark.table(name).localCheckpoint()
     } finally {
       spark.conf.set(partConf, outer)
+      spark.conf.set(wscgConf, outerWscg)
       outerCfm match {
         case Some(v) => spark.conf.set(cfmConf, v)
         case None => spark.conf.unset(cfmConf)
