@@ -18,6 +18,9 @@
 #   sh1 — shape adversaries: empty / whitespace-only / unicode-heavy
 #         (CJK + astral emoji + combining mark) documents, null-dense
 #         props JSON
+#   ep1 — empty-group shape: a whole language+source of documents, all
+#         signup events and a whole embedding label vanish (empty
+#         rollup groups, zero-denominator funnels, empty label QA)
 # Each seed: graft.Verify + scripts/parity.py on the mutated parquet —
 # both engines read the identical file, so a divergence is a real
 # cross-engine semantics bug, never a fixture artifact. The verdict
@@ -32,7 +35,7 @@ BASE="${2:-/root/testdata/sf0.001}"
 ROOT="${3:-/tmp/graft_fuzz}"
 OUTJSON="${4:-FUZZ.json}"
 
-SALTS="$(seq -f 'fz%g' 1 "$K") sk1 sh1"
+SALTS="$(seq -f 'fz%g' 1 "$K") sk1 sh1 ep1"
 declare -a SUMMARY=()
 TOTAL_FAIL=0
 i=0

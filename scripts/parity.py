@@ -16,24 +16,39 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def main(outdir, sfdir, json_out=None):
-    import time
+    import re, time
     t_start = time.time()
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
-    con = duckdb.connect()
-    # bound DuckDB and give it somewhere to spill: the heavy iterated
-    # oracles (pq_train's 4 Lloyd rounds) otherwise die with a transient
-    # "bad allocation" when another JVM holds most of the host's RAM —
-    # observed as a 1-in-4 pq_train flake on an otherwise green registry
-    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     # 16GB default matches the driver's checker; the big amplified tiers
     # (100x/300x, where no Spark JVM holds RAM concurrently) override via
     # GRAFT_DUCK_MEM — round 12's only 100x "failure" was this cap, not
-    # the engine (curation_pipeline hash-green at 48GB).
-    con.sql(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '16GB')}'")
-    for t in TABLES:
-        p = os.path.join(sfdir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    # the engine (curation_pipeline hash-green at 48GB). The heavy
+    # oracles carry their OWN re-settable `SET memory_limit` statements
+    # (and the alphabetically-first oracle the session bounds), so the
+    # override must rewrite those in-SQL caps too, not just the session
+    # default — otherwise query 1 silently caps the session back.
+    duck_mem = os.environ.get("GRAFT_DUCK_MEM", "16GB")
+    if "GRAFT_DUCK_MEM" in os.environ:
+        oracle = {k: re.sub(r"SET memory_limit\s*=\s*'[^']*'",
+                            f"SET memory_limit='{duck_mem}'", v)
+                  for k, v in oracle.items()}
+
+    def fresh_connection():
+        c = duckdb.connect()
+        # bound DuckDB and give it somewhere to spill: the heavy iterated
+        # oracles (pq_train's 4 Lloyd rounds) otherwise die with a
+        # transient "bad allocation" when another JVM holds most of the
+        # host's RAM — observed as a 1-in-4 pq_train flake on an
+        # otherwise green registry
+        c.sql("SET temp_directory='/tmp/duckdb_spill'")
+        c.sql(f"SET memory_limit='{duck_mem}'")
+        for t in TABLES:
+            p = os.path.join(sfdir, f"{t}.parquet")
+            if os.path.exists(p):
+                c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        return c
+
+    con = fresh_connection()
     n_pass = n_fail = 0
     report = {}
 
@@ -58,9 +73,16 @@ def main(outdir, sfdir, json_out=None):
             try:
                 duck_df = con.sql(sql).df()
             except duckdb.OutOfMemoryException:
-                # one retry after spill settles — minus any temp_directory
-                # SET: DuckDB refuses it once the session has spilled,
-                # which the failed first attempt may just have done
+                # a hard OOM can poison the connection's buffer pool —
+                # every later allocation then dies with "bad allocation"
+                # (observed: one 100x OOM cascaded into 178 spurious
+                # fails). Reconnect, then retry once minus any
+                # temp_directory SET (DuckDB refuses it once the session
+                # has spilled, which the failed attempt may just have
+                # done on the old connection; the fresh one sets it
+                # before any spill).
+                con.close()
+                con = fresh_connection()
                 retry_sql = "\n".join(
                     l for l in sql.splitlines()
                     if not l.startswith("SET temp_directory"))
@@ -69,6 +91,11 @@ def main(outdir, sfdir, json_out=None):
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             record(name, err=f"{type(e).__name__}: {e}")
             n_fail += 1
+            if "Out of Memory" in str(e) or isinstance(
+                    e, duckdb.OutOfMemoryException):
+                # don't let one genuine OOM poison every later query
+                con.close()
+                con = fresh_connection()
             continue
         s, d = canon(spark_df), canon(duck_df)
         if list(s.columns) != list(d.columns):

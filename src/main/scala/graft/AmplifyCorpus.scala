@@ -89,7 +89,11 @@ object AmplifyCorpus {
     require(maxVec < ScaleProbe.CopyOffset,
       s"embeddings ids reach $maxVec >= ${ScaleProbe.CopyOffset}: " +
         "copies would collide")
-    writeSingleFile(ScaleProbe.amplifyEmbeddings(emb0, k, salt),
+    val emb = ScaleProbe.amplifyEmbeddings(emb0, k, salt)
+    // ep*: one whole label class vanishes — per-label QA rollups,
+    // drift baselines and topic compositions get an empty group
+    writeSingleFile(
+      if (salt.startsWith("ep")) emb.where(col("label") =!= 6L) else emb,
       s"$outDir/embeddings.parquet")
 
     for ((t, keys) <- FactKeys) {
@@ -129,7 +133,14 @@ object AmplifyCorpus {
     * amplification so the mutated rows exist in every copy; `n_chars`
     * is recomputed by the caller. */
   def structuralDocs(docs: DataFrame, salt: String): DataFrame =
-    if (!salt.startsWith("sh")) docs
+    if (salt.startsWith("ep"))
+      // empty-group seed: one whole language and one whole source
+      // vanish — per-(lang)/per-(lang,source) rollups, mixture ladders
+      // and stratified splits must produce EMPTY groups (the
+      // 0-count / NULL-ratio / division-by-zero shape) identically in
+      // both engines, not just small ones
+      docs.where(col("lang") =!= "de" && col("source") =!= "src3")
+    else if (!salt.startsWith("sh")) docs
     else docs.withColumn("text",
       when(pmod(col("doc_id"), lit(17L)) === 3L, lit(""))
         .when(pmod(col("doc_id"), lit(17L)) === 7L, lit("   "))
@@ -142,9 +153,15 @@ object AmplifyCorpus {
     * deterministic 30% of events collapse onto 16 hot user ids — the
     * giant-session / hot-reducer shape salting and AQE exist for);
     * `sh*` = null-dense optional columns (props JSON nulled on a fixed
-    * residue — the get_json_object/json_extract null path). */
+    * residue — the get_json_object/json_extract null path);
+    * `ep*` = empty-group shape: every `signup` event vanishes — the
+    * funnel's FIRST stage, cohort anchors and attribution journey
+    * starts are all empty groups (zero-denominator ppm, empty
+    * anti-join sides) in both engines. */
   def structuralEvents(ev: DataFrame, salt: String): DataFrame =
-    if (salt.startsWith("sk"))
+    if (salt.startsWith("ep"))
+      ev.where(col("event_type") =!= "signup")
+    else if (salt.startsWith("sk"))
       ev.withColumn("user_id",
         when(pmod(xxhash64(concat(lit("skew:"), col("event_id"))),
           lit(10L)) < 3L, lit(1L) + pmod(col("user_id"), lit(16L)))
