@@ -451,8 +451,18 @@ object Similarity {
     nnDescentImpl(assign, embeddings, srcCap = Some(KnnProbeHi))
 
   private def nnDescentImpl(assign: DataFrame, embeddings: DataFrame,
-                            srcCap: Option[Long]): DataFrame = {
-    val base = knnGraphImpl(assign, embeddings, srcCap)
+                            srcCap: Option[Long]): DataFrame =
+    nnDescentFromBase(
+      knnGraphImpl(assign, embeddings, srcCap).localCheckpoint(false),
+      embeddings, srcCap)
+
+  /** [[nnDescentImpl]] over an already-built (and staged) blocked
+    * graph: `base` is consumed twice (edge seeding and the final
+    * is_new anti-probe), so callers that ALSO need the blocked graph
+    * itself (knn_recall's ivf_blocked arm) stage it once and share —
+    * one graph build instead of two identical ones. */
+  private def nnDescentFromBase(base: DataFrame, embeddings: DataFrame,
+                                srcCap: Option[Long]): DataFrame = {
     val v = candidates(embeddings)
     val b = v.withColumn("bucket", bucketCol(col("c_vec")))
     val lshLeftAll = b.select(col("bucket"),
@@ -470,13 +480,19 @@ object Similarity {
         .orderBy(col("sim_e6").desc, col("nbr_id"))).cast("long"))
       .where(col("rank") <= KnnK)
       .select(col("src_id"), col("nbr_id"))
+    // consumed by the symmetrization AND the expansion's union arm —
+    // stage so the distinct runs once
     val edges = base.select(col("src_id"), col("nbr_id"))
       .union(lshSeed)
       .distinct()
+      .localCheckpoint(false)
+    // the undirected edge set self-joins (both sides of the
+    // neighbor-of-neighbor expansion) — stage so it builds once
     val und = edges
       .union(edges.select(col("nbr_id").as("src_id"),
         col("src_id").as("nbr_id")))
       .distinct()
+      .localCheckpoint(false)
     val expandedAll = und
       .join(und.select(col("src_id").as("nbr_id"),
         col("nbr_id").as("cand_id")), Seq("nbr_id"))
@@ -518,8 +534,19 @@ object Similarity {
     * the gate measures exactly what ships. */
   def knnRecallFrom(assign: DataFrame, embeddings: DataFrame): DataFrame = {
     val v = candidates(embeddings)
+    // The N² pair volume is generated AFTER the src-side scan, which is
+    // file-split-sized — a handful of tasks at gate scale — so without
+    // an explicit fan-out the whole quadratic core (cosine + the
+    // group-limit sort) inherits near-serial parallelism. Round-robin
+    // the src side across the cluster's cores first: the heavy work is
+    // downstream of the repartition, so the exchange moves only the
+    // narrow (id, vec) rows. The truth is then staged — three
+    // consumers (census + both gate joins) read the ~N·K result
+    // instead of re-running the N² ranking.
+    val p = embeddings.sparkSession.sparkContext.defaultParallelism
     val truth = v
       .select(col("cand_id").as("src_id"), col("c_vec").as("src_vec"))
+      .repartition(p)
       .crossJoin(v.select(col("cand_id").as("nbr_id"),
         col("c_vec").as("nbr_vec")))
       .where(col("src_id") =!= col("nbr_id"))
@@ -530,6 +557,7 @@ object Similarity {
         .orderBy(col("sim_e6").desc, col("nbr_id"))).cast("long"))
       .where(col("rank") <= KnnK)
       .select(col("src_id"), col("nbr_id"))
+      .localCheckpoint(false)
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     def gate(variant: String, g: DataFrame): DataFrame =
       g.select(col("src_id"), col("nbr_id"))
@@ -538,8 +566,13 @@ object Similarity {
         .crossJoin(broadcast(nTruth))
         .select(lit(variant).as("variant"), col("n_truth"), col("n_hit"),
           expr("n_hit * 1000L div n_truth").as("recall_milli"))
-    gate("ivf_blocked", knnGraphFrom(assign, embeddings))
-      .unionByName(gate("nn_descent", nnDescentFrom(assign, embeddings)))
+    // ONE blocked-graph build feeds both arms: the ivf_blocked gate
+    // reads it directly, the nn_descent arm seeds from the same staged
+    // copy (previously each arm rebuilt the graph from scratch).
+    val base = knnGraphFrom(assign, embeddings).localCheckpoint(false)
+    gate("ivf_blocked", base)
+      .unionByName(gate("nn_descent",
+        nnDescentFromBase(base, embeddings, srcCap = None)))
   }
 
   /** Probe set size for [[knnRecallProbeFrom]] — fixed, so the truth
@@ -575,21 +608,30 @@ object Similarity {
         .orderBy(col("sim_e6").desc, col("nbr_id"))).cast("long"))
       .where(col("rank") <= KnnK)
       .select(col("src_id"), col("nbr_id"))
+    // probes × corpus is generated after a file-split-sized scan — fan
+    // the probe side out first so the linear-but-wide truth pass uses
+    // the cluster (the knnRecallFrom discipline); stage the ~probes·K
+    // result for its census + two gate-join consumers
+    val p = embeddings.sparkSession.sparkContext.defaultParallelism
     val probes = v.where(col("cand_id") < KnnProbeHi)
       .select(col("cand_id").as("src_id"), col("c_vec").as("src_vec"))
+      .repartition(p)
     val truth = rankTopK(probes
       .crossJoin(v.select(col("cand_id").as("nbr_id"),
         col("c_vec").as("nbr_vec")))
       .where(col("src_id") =!= col("nbr_id")))
+      .localCheckpoint(false)
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val va = v.join(assign.withColumnRenamed("vec_id", "cand_id"),
       "cand_id")
+    // consumed by both gate arms (directly and unioned with lshPairs)
     val listPairs = va.where(col("cand_id") < KnnProbeHi)
       .select(col("centroid_id"), col("cand_id").as("src_id"))
       .join(va.select(col("centroid_id"), col("cand_id").as("nbr_id")),
         Seq("centroid_id"))
       .where(col("src_id") =!= col("nbr_id"))
       .select("src_id", "nbr_id")
+      .localCheckpoint(false)
     val b = v.withColumn("bucket", bucketCol(col("c_vec")))
     val lshPairs = b.where(col("cand_id") < KnnProbeHi)
       .select(col("bucket"), col("cand_id").as("src_id"))
