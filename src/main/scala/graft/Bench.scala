@@ -64,10 +64,11 @@ object Bench {
       val t = Staged.tokens(spark, sfDir)
       val a = Staged.ann(spark, sfDir)
       val i = Staged.images(spark, sfDir)
+      val h = Staged.catalog(spark, sfDir)
       (Seq(d.sh, d.sigs, d.verified, d.simPairs,
         t.tokens, t.freq, t.skipgrams, t.gopher, t.winnow,
         a.sub, a.l2truth, a.cosTruth, a.assign, a.opqPerm, a.opqSub,
-        i.imgs, i.fps)
+        i.imgs, i.fps, h)
         ++ a.chain ++ a.opqChain)
         .foreach(_.count())
       (System.nanoTime() - t0) / 1e9

@@ -13,7 +13,9 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfileQ {
   final case class StageRec(name: String, submitted: Long, completed: Long,
-                            numTasks: Int, taskTimeMs: Long)
+                            numTasks: Int, taskTimeMs: Long,
+                            inRec: Long, srRec: Long, swRec: Long,
+                            gcMs: Long)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,9 +41,14 @@ object ProfileQ {
             Some(p.getOrElse(0L) + t.taskMetrics.executorRunTime))
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val i = s.stageInfo
+        val m = i.taskMetrics
         stages(i.stageId) = StageRec(i.name.takeWhile(_ != '\n'),
           i.submissionTime.getOrElse(0L), i.completionTime.getOrElse(0L),
-          i.numTasks, taskTime.getOrElse(i.stageId, 0L))
+          i.numTasks, taskTime.getOrElse(i.stageId, 0L),
+          m.inputMetrics.recordsRead,
+          m.shuffleReadMetrics.recordsRead,
+          m.shuffleWriteMetrics.recordsWritten,
+          m.jvmGCTime)
       }
     })
 
@@ -64,7 +71,9 @@ object ProfileQ {
       recs.sortBy { case (_, r) => -(r.completed - r.submitted) }
         .take(12).foreach { case (id, r) =>
           println(f"  stage $id%4d wall=${(r.completed - r.submitted) / 1e3}%7.3f " +
-            f"tasks=${r.numTasks}%3d taskSum=${r.taskTimeMs / 1e3}%7.3f ${r.name.take(80)}")
+            f"tasks=${r.numTasks}%3d taskSum=${r.taskTimeMs / 1e3}%7.3f " +
+            f"gc=${r.gcMs / 1e3}%6.2f in=${r.inRec}%9d sr=${r.srRec}%9d " +
+            f"sw=${r.swRec}%9d ${r.name.take(60)}")
         }
     }
     spark.stop()

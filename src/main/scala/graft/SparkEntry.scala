@@ -19,10 +19,7 @@ object SparkEntry {
     * [[Snapshot.CatalogColumns]] grid the DuckDB oracles are generated
     * from, so neither side can drift alone. */
   private def catalogGrid(s: SparkSession, dir: String)
-  : Seq[(String, DataFrame)] =
-    Snapshot.CatalogColumns.map { case (t, cols) =>
-      t -> Tables.table(s, dir, t).select(cols.map(col): _*)
-    }
+  : Seq[(String, DataFrame)] = Staged.catalogGrid(s, dir)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -531,11 +528,13 @@ object SparkEntry {
         Tables.customer(s, dir), Tables.supplier(s, dir), Tables.part(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "catalog_stats"       -> ((s, dir) =>
-      Snapshot.catalogStats(catalogGrid(s, dir))),
+      Snapshot.catalogStatsFrom(Staged.catalog(s, dir),
+        Snapshot.CatalogColumns)),
     "partition_advisor"   -> ((s, dir) =>
       Snapshot.partitionAdvisor(catalogGrid(s, dir))),
     "catalog_stats_sketch" -> ((s, dir) =>
-      Snapshot.catalogStatsSketchGate(catalogGrid(s, dir))),
+      Snapshot.catalogStatsSketchGateFrom(Staged.catalog(s, dir),
+        Snapshot.CatalogColumns, catalogGrid(s, dir))),
     "join_size_estimate"  -> ((s, dir) =>
       Snapshot.joinSizeEstimate(
         (Snapshot.JoinEdges.map(_._1) ++ Snapshot.JoinEdges.map(_._3))

@@ -113,6 +113,7 @@ object Staged {
   private val tokenCache = TrieMap.empty[(SparkSession, String), TokenRels]
   private val annCache = TrieMap.empty[(SparkSession, String), AnnRels]
   private val imageCache = TrieMap.empty[(SparkSession, String), ImageRels]
+  private val catalogCache = TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Sessions whose application-end listener is installed. The caches
     * key by session object, which would otherwise strongly retain the
@@ -144,6 +145,8 @@ object Staged {
             cache.filterInPlace { case ((s, _), _) => s ne spark }
             tokenCache.filterInPlace { case ((s, _), _) => s ne spark }
             annCache.filterInPlace { case ((s, _), _) => s ne spark }
+            imageCache.filterInPlace { case ((s, _), _) => s ne spark }
+            catalogCache.filterInPlace { case ((s, _), _) => s ne spark }
             hooked.remove(spark)
           }
         })
@@ -208,11 +211,34 @@ object Staged {
       ImageRels(imgs, fps)
     })
 
+  /** The audited (table, column) grid as (name, projected table) pairs
+    * — shared by the staged histogram and the sketch side of the gate. */
+  def catalogGrid(spark: SparkSession, sfDir: String)
+  : Seq[(String, org.apache.spark.sql.DataFrame)] =
+    graft.operators.Snapshot.CatalogColumns.map { case (t, cols) =>
+      t -> Tables.table(spark, sfDir, t)
+        .select(cols.map(org.apache.spark.sql.functions.col): _*)
+    }
+
+  /** The staged ANALYZE histogram (table, column, value, cnt) for the
+    * audited catalog grid under `sfDir` — the per-column value
+    * histogram an ANALYZE pass persists, built on first request per
+    * (session, dir). Feeds catalog_stats' exact rollup and the exact
+    * side of the sketch gate; the sketch side always recomputes from
+    * raw rows. */
+  def catalog(spark: SparkSession, sfDir: String): DataFrame =
+    catalogCache.getOrElseUpdate((spark, sfDir), {
+      hookEviction(spark)
+      stage(graft.operators.Snapshot.catalogHistogram(
+        catalogGrid(spark, sfDir)))
+    })
+
   /** Drop all staged entries (block-manager copies are reclaimed by the
     * context cleaner once unreferenced). For in-place corpus rewrites
     * within a session — tests and the amplify lane. */
   def invalidate(): Unit = {
     cache.clear(); tokenCache.clear(); annCache.clear(); imageCache.clear()
+    catalogCache.clear()
   }
 
   /** The UNSTAGED build expressions of every relation this object
@@ -264,6 +290,9 @@ object Staged {
           Similarity.opqPermArray(emb))),
       ("staged:images", false, () => Multimodal.imageTable(docs)),
       ("staged:imageFps", false,
-        () => Multimodal.imageFingerprints(Multimodal.imageTable(docs))))
+        () => Multimodal.imageFingerprints(Multimodal.imageTable(docs))),
+      ("staged:catalogHist", false,
+        () => graft.operators.Snapshot.catalogHistogram(
+          catalogGrid(spark, sfDir))))
   }
 }

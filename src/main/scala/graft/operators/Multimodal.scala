@@ -128,6 +128,18 @@ object Multimodal {
         g.as("g"),
         (lit(8L) + g % 5).as("width"),
         (lit(8L) + (g * 3) % 5).as("height"))
+      // The per-pixel payload synthesis and every downstream raster
+      // consumer (decode, fingerprints) are compute-bound per row, but
+      // the documents scan at gate scale is a single file split — so
+      // without an explicit exchange the whole lane runs on ONE task
+      // (measured: image_decode 3.2 s on one core). Spread the narrow
+      // (doc_id, dims) rows across the executor cores BEFORE the heavy
+      // expressions; deterministic hash key (not round-robin) so task
+      // retries reproduce the same placement. The fixed partition
+      // count pins the exchange against AQE coalescing the tiny
+      // pre-synthesis rows back to one partition.
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .withColumn("pxhex", expr(
         """array_join(transform(sequence(0, 3 * width * height - 1), i ->
           |  lpad(hex(((g*37 + (i*i) % 251 + i*11) % 200

@@ -275,20 +275,58 @@ object Snapshot {
     * overhead dominates; the Expand CPU multiplier only shows on a
     * wide fact scan). For the sketch-NDV pass a 100 TB catalog crawl
     * should actually run on, see [[catalogStatsSketch]]. */
-  def catalogStats(tables: Seq[(String, DataFrame)]): DataFrame = {
-    def one(name: String, df: DataFrame): DataFrame =
-      df.columns.toSeq.map { c =>
-        df.select(col(c).as("value"))
-          .groupBy("value").agg(count(lit(1)).as("cnt"))
-          .agg(coalesce(sum("cnt"), lit(0L)).as("n_rows"),
-            count(when(col("value").isNotNull, lit(1)))
-              .as("n_distinct"),
-            coalesce(sum(when(col("value").isNull, col("cnt"))),
-              lit(0L)).as("n_null"))
-          .select(lit(name).as("table_name"), col("n_rows"),
-            lit(c).as("column_name"), col("n_distinct"), col("n_null"))
-      }.reduce(_ unionByName _)
-    tables.map { case (n, df) => one(n, df) }.reduce(_ unionByName _)
+  def catalogStats(tables: Seq[(String, DataFrame)]): DataFrame =
+    catalogStatsFrom(catalogHistogram(tables),
+      tables.map { case (n, df) => n -> df.columns.toSeq })
+
+  /** The per-(table, column, value) count histogram — the relation an
+    * ANALYZE pass actually persists (per-column value histograms), and
+    * the staged intermediate the whole catalog family rolls up from.
+    * One branch per table: the audited columns are stacked to
+    * (column_name, value-as-string) pairs in a single pipelined pass
+    * over one scan, and partial aggregation collapses every map
+    * partition to per-(column, value) counts before the one exchange.
+    * The string cast is NDV-preserving per column (the int / long /
+    * double / date / string renderings are each injective), and only
+    * counts ever leave this relation, so the exact rollups are
+    * bit-identical to per-column native aggregation. */
+  def catalogHistogram(tables: Seq[(String, DataFrame)]): DataFrame =
+    tables.map { case (name, df) =>
+      val cols = df.columns.toSeq
+      val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)")
+        .mkString(", ")
+      df.select(expr(
+          s"stack(${cols.length}, $stackArgs) AS (column_name, value)"))
+        .groupBy("column_name", "value").agg(count(lit(1)).as("cnt"))
+        .select(lit(name).as("table_name"), col("column_name"),
+          col("value"), col("cnt"))
+    }.reduce(_ unionByName _)
+
+  /** ANALYZE rollup over [[catalogHistogram]] — grid-sized: per
+    * (table, column), Σcnt = n_rows, #non-null values = exact NDV,
+    * Σnull-group counts = n_null. The literal (table, column) grid
+    * left-joins the rollup so an empty table still reports every
+    * audited column (the oracle emits those rows too). The previous
+    * shape — one two-phase aggregate branch PER COLUMN — planned 72
+    * exchanges whose AQE stage-jobs cost ~80 ms of scheduling and
+    * re-planning each, dwarfing the actual aggregate work; this form
+    * is two exchanges per table once, then grid-sized arithmetic. */
+  def catalogStatsFrom(hist: DataFrame,
+                       grid: Seq[(String, Seq[String])]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val stats = hist
+      .groupBy("table_name", "column_name")
+      .agg(coalesce(sum("cnt"), lit(0L)).as("n_rows"),
+        count(when(col("value").isNotNull, lit(1))).as("n_distinct"),
+        coalesce(sum(when(col("value").isNull, col("cnt"))), lit(0L))
+          .as("n_null"))
+    grid.flatMap { case (t, cs) => cs.map(c => (t, c)) }
+      .toDF("table_name", "column_name")
+      .join(stats, Seq("table_name", "column_name"), "left")
+      .na.fill(0L, Seq("n_rows", "n_distinct", "n_null"))
+      .select(col("table_name"), col("n_rows"), col("column_name"),
+        col("n_distinct"), col("n_null"))
   }
 
   /** Relative standard deviation of the catalog sketch NDV (HLL++). */
@@ -332,7 +370,19 @@ object Snapshot {
     * (Spark rewrites that through Expand, the exact shuffle shape the
     * sketch pass exists to avoid). */
   def catalogStatsSketchGate(tables: Seq[(String, DataFrame)]): DataFrame =
-    catalogStats(tables)
+    catalogStatsSketchGateFrom(catalogHistogram(tables),
+      tables.map { case (n, df) => n -> df.columns.toSeq }, tables)
+
+  /** [[catalogStatsSketchGate]] over an already-staged histogram — the
+    * staged-consumer entry point: the exact side is the grid-sized
+    * [[catalogStatsFrom]] rollup, the sketch side recomputes from RAW
+    * rows (bit-identical HLL to the standalone form; only the exact
+    * side rides the histogram). */
+  def catalogStatsSketchGateFrom(hist: DataFrame,
+                                 grid: Seq[(String, Seq[String])],
+                                 tables: Seq[(String, DataFrame)])
+  : DataFrame =
+    catalogStatsFrom(hist, grid)
       .join(
         catalogStatsSketch(tables)
           .select(col("table_name"), col("column_name"),
