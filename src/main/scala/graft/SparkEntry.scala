@@ -245,8 +245,10 @@ object SparkEntry {
       TextAnalysis.splitAssign(Tables.documents(s, dir))),
     "split_kfold"         -> ((s, dir) =>
       TextAnalysis.splitKfold(Tables.documents(s, dir))),
-    "training_pipeline"   -> ((s, dir) =>
-      TrainingPipeline.run(Tables.documents(s, dir))),
+    "training_pipeline"   -> ((s, dir) => {
+      val d = Staged.dedup(s, dir)
+      TrainingPipeline.runFrom(Tables.documents(s, dir), d.sh, d.sigs)
+    }),
     "dup_cluster"         -> ((s, dir) =>
       Dedup.dupClustersFrom(Staged.dedup(s, dir).dups)),
     "soft_dedup_weights"  -> ((s, dir) =>
@@ -346,7 +348,8 @@ object SparkEntry {
     "pq_opq_balance"      -> ((s, dir) =>
       Similarity.opqSubspaceBalance(Tables.embeddings(s, dir))),
     "pq_recall_residual"  -> ((s, dir) =>
-      Similarity.pqRecallResidual(Tables.embeddings(s, dir))),
+      Similarity.pqRecallResidualFrom(Tables.embeddings(s, dir),
+        Staged.ann(s, dir).l2truth)),
     "pq_rerank_curve"     -> ((s, dir) => {
       val a = Staged.ann(s, dir)
       Similarity.pqRerankCurveFrom(a.chain, a.sub, a.l2truth,
@@ -472,8 +475,7 @@ object SparkEntry {
       Snapshot.accessExport(cl(s, dir), Tables.customer(s, dir),
         Tables.orders(s, dir))),
     "fk_integrity"        -> ((s, dir) =>
-      Snapshot.fkIntegrity(Tables.customer(s, dir), Tables.orders(s, dir),
-        Tables.lineitem(s, dir), Tables.nation(s, dir))),
+      Snapshot.fkIntegrityFrom(Staged.catalog(s, dir))),
     "kmeans_shift"        -> ((s, dir) =>
       Similarity.kmeansShift(Tables.embeddings(s, dir))),
     "cluster_cohesion"    -> ((s, dir) =>
@@ -536,9 +538,7 @@ object SparkEntry {
       Snapshot.catalogStatsSketchGateFrom(Staged.catalog(s, dir),
         Snapshot.CatalogColumns, catalogGrid(s, dir))),
     "join_size_estimate"  -> ((s, dir) =>
-      Snapshot.joinSizeEstimate(
-        (Snapshot.JoinEdges.map(_._1) ++ Snapshot.JoinEdges.map(_._3))
-          .distinct.map(t => t -> Tables.table(s, dir, t)).toMap)),
+      Snapshot.joinSizeEstimateFrom(Staged.catalog(s, dir))),
     "anisotropy_audit"    -> ((s, dir) =>
       Similarity.anisotropyAudit(Tables.embeddings(s, dir))),
     "mmr_diversify"       -> ((s, dir) =>
@@ -669,9 +669,7 @@ object SparkEntry {
       Temporal.sessionGapSweep(cl(s, dir))),
     "balance_audit"       -> ((s, dir) => Ledger.balanceAudit(cl(s, dir))),
     "join_advisor"        -> ((s, dir) =>
-      Snapshot.joinAdvisor(
-        (Snapshot.JoinEdges.map(_._1) ++ Snapshot.JoinEdges.map(_._3))
-          .distinct.map(t => t -> Tables.table(s, dir, t)).toMap)),
+      Snapshot.joinAdvisorFrom(Staged.catalog(s, dir))),
     "embed_covariance"    -> ((s, dir) =>
       Similarity.embedCovariance(Tables.embeddings(s, dir))),
     "domain_caps"         -> ((s, dir) =>

@@ -27,21 +27,56 @@ object TrainingPipeline {
   /** The surviving corpus after quality gate → exact dedup → near-dup
     * removal (full document rows). */
   def corpus(documents: DataFrame): DataFrame = {
+    val sh = Dedup.shingleHashes(documents)
+    corpusFrom(documents, sh,
+      Dedup.signaturesFromHashes(sh).localCheckpoint(false))
+  }
+
+  /** [[corpus]] over the already-staged full-corpus shingle-hash and
+    * signature relations: shingling and the 64-wide minhash aggregate
+    * are strictly PER-DOCUMENT, so filtering commutes with both —
+    * semi-joining the staged relations to the quality-gated
+    * exact-deduped survivor ids yields bit-identical shingles and
+    * signatures to re-deriving them from the survivors' text, and the
+    * banding/verify chain then runs on the filtered copies exactly as
+    * the oracle's subset chain does. One corpus shingle pass + one
+    * signature aggregate feed the standalone dedup family AND this
+    * composed pass, instead of the composition re-paying both. */
+  def corpusFrom(documents: DataFrame, sh: DataFrame,
+                 sigs: DataFrame): DataFrame = {
     val quality = documents.where(TextAnalysis.keepCol)
     val canonical = TextAnalysis.dedupExact(quality)
       .select(col("keeper_doc_id").as("doc_id"))
     // lazy checkpoint: consumed by BOTH the minhash chain and the final
     // anti-join — staging runs the gate + exact-dedup join once
     val uniq = quality.join(canonical, Seq("doc_id")).localCheckpoint(false)
-    val dupIds = Dedup.minhashDedup(uniq)
+    // the filtered copies are staged like the full-corpus originals:
+    // the banding chain references the signature relation three times
+    // and the verify references the shingle table twice — without the
+    // checkpoint each reference re-runs the semi-join
+    val ids = uniq.select("doc_id")
+    val shU = sh.join(ids, Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
+    val sigsU = sigs.join(ids, Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
+    val dupIds = Dedup.minhashDedupFrom(Dedup.ngramJaccardFrom(shU, sigsU))
       .select(col("dup_doc_id").as("doc_id")).distinct()
     uniq.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
   /** Per-(lang, split) manifest of the sampled training corpus:
     * document and whitespace-token counts. */
-  def run(documents: DataFrame): DataFrame =
-    corpus(documents)
+  def run(documents: DataFrame): DataFrame = {
+    val sh = Dedup.shingleHashes(documents)
+    runFrom(documents, sh,
+      Dedup.signaturesFromHashes(sh).localCheckpoint(false))
+  }
+
+  /** [[run]] over staged shingle-hash/signature relations (the
+    * [[corpusFrom]] convention). */
+  def runFrom(documents: DataFrame, sh: DataFrame,
+              sigs: DataFrame): DataFrame =
+    corpusFrom(documents, sh, sigs)
       .where(TextAnalysis.sampledCol)
       .select(col("lang"), TextAnalysis.splitCol.as("split"),
         size(TextAnalysis.tokensCol).cast("long").as("toks"))

@@ -2088,7 +2088,15 @@ object Similarity {
     * one row per (vector[, subspace]) through broadcast joins; the
     * query-side residual LUT is |Q|·NumCentroids·PqM rows (tiny,
     * broadcast). No stage reads more than the candidate relation. */
-  def pqRecallResidual(embeddings: DataFrame, k: Int = TopK): DataFrame = {
+  def pqRecallResidual(embeddings: DataFrame, k: Int = TopK): DataFrame =
+    pqRecallResidualFrom(embeddings, l2Truth(embeddings, k), k)
+
+  /** [[pqRecallResidual]] over a staged exact-L2 truth (the registry
+    * rides [[graft.Staged.ann]]'s copy like every other recall gate —
+    * the residual trainer itself is necessarily fresh, but the truth
+    * side need not be re-ranked per gate). */
+  def pqRecallResidualFrom(embeddings: DataFrame, truth: DataFrame,
+                           k: Int = TopK): DataFrame = {
     val vecs = vecsE6(embeddings)
     val cents = ivfTrainedCentsE6(vecs, embeddings).localCheckpoint(false)
     val assigned = assignE6(vecs, cents).localCheckpoint(false)
@@ -2130,7 +2138,7 @@ object Similarity {
         .orderBy(col("dist_e12"), col("vec_id"))))
       .where(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("cand_id"))
-    recallAtK(l2Truth(embeddings, k), approx, k)
+    recallAtK(truth, approx, k)
   }
 
   /** Shortlist sizes evaluated by [[pqRerankCurve]]. R = TopK re-ranks

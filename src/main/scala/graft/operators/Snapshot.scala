@@ -139,31 +139,53 @@ object Snapshot {
     * pre-aggregated per key BEFORE the anti-join, so the join moves
     * |distinct keys| rows, not |child rows|. */
   def fkIntegrity(customer: DataFrame, orders: DataFrame,
-                  lineitem: DataFrame, nation: DataFrame): DataFrame = {
-    def audit(rel: String, child: DataFrame, ck: String,
-              parent: DataFrame, pk: String): DataFrame = {
-      val childKeys = child.groupBy(col(ck).as("k"))
-        .agg(count(lit(1)).as("n"))
-      val parentKeys = parent.select(col(pk).as("k")).distinct()
+                  lineitem: DataFrame, nation: DataFrame): DataFrame =
+    fkIntegrityFrom(catalogHistogram(Seq(
+      "orders" -> orders.select(col("o_custkey"), col("o_orderkey")),
+      "customer" -> customer.select(col("c_custkey"), col("c_nationkey")),
+      "lineitem" -> lineitem.select(col("l_orderkey")),
+      "nation" -> nation.select(col("n_nationkey")))))
+
+  /** The audited FK edges of [[fkIntegrity]]:
+    * (relation label, child table, child key, parent table, parent key). */
+  val FkEdges: Seq[(String, String, String, String, String)] = Seq(
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation",
+      "n_nationkey"))
+
+  /** [[fkIntegrity]] over an already-staged ANALYZE histogram: the
+    * per-child-key count profile and the distinct-parent-key set ARE
+    * the histogram restricted to the two key columns, so the audit's
+    * anti-joins move |distinct keys| rows read from the published
+    * stats — no fact table is rescanned per relation. Null-key
+    * semantics are unchanged (null histogram values never match an
+    * equi/anti join, exactly like the native-key form). */
+  def fkIntegrityFrom(hist: DataFrame): DataFrame = {
+    // per-edge form, NOT the joinSizeEstimateFrom single-pass shape:
+    // measured 0.8 s vs 1.4 s for the relation-tagged variant — with
+    // only three edges the tagged anti-joins serialize more work into
+    // one lane than the three small concurrent per-edge plans cost
+    def profile(table: String, column: String, vCol: String,
+                cCol: String): DataFrame =
+      hist.where(col("table_name") === table &&
+          col("column_name") === column)
+        .select(col("value").as(vCol), col("cnt").as(cCol))
+    FkEdges.map { case (rel, ct, ck, pt, pk) =>
+      val childKeys = profile(ct, ck, "k", "n")
+      val parentKeys = profile(pt, pk, "k", "np").select("k")
       val orphanRows = childKeys.join(parentKeys, Seq("k"), "left_anti")
         .agg(coalesce(sum("n"), lit(0L)).as("n_orphan_rows"))
       val childless = parentKeys.join(childKeys, Seq("k"), "left_anti")
         .agg(count(lit(1)).as("n_childless_parents"))
-      child.agg(count(lit(1)).as("n_child_rows"))
+      childKeys.agg(coalesce(sum("n"), lit(0L)).as("n_child_rows"))
         .crossJoin(parentKeys.agg(count(lit(1)).as("n_parents")))
         .crossJoin(orphanRows)
         .crossJoin(childless)
         .select(lit(rel).as("relation"), col("n_child_rows"),
           col("n_orphan_rows"), col("n_parents"),
           col("n_childless_parents"))
-    }
-    audit("orders->customer", orders, "o_custkey", customer, "c_custkey")
-      .unionByName(
-        audit("lineitem->orders", lineitem, "l_orderkey", orders,
-          "o_orderkey"))
-      .unionByName(
-        audit("customer->nation", customer, "c_nationkey", nation,
-          "n_nationkey"))
+    }.reduce(_ unionByName _)
   }
 
   /** Sync manifest over the whole star schema: per table, row count +
@@ -420,31 +442,75 @@ object Snapshot {
     * so |A|·|B| stays exact far past the int64 envelope a 100 TB fact
     * table breaks (6e11 · 1.5e11 ≈ 9e22 needs 77 bits). */
   def joinSizeEstimate(tables: Map[String, DataFrame]): DataFrame =
-    JoinEdges.map { case (lt, lk, rt, rk) =>
-      val lp = tables(lt).groupBy(col(lk).as("k"))
-        .agg(count(lit(1)).as("cl"))
-      val rp = tables(rt).groupBy(col(rk).as("k"))
-        .agg(count(lit(1)).as("cr"))
-      val ls = lp.agg(coalesce(sum("cl"), lit(0L)).as("n_left"),
+    joinSizeEstimateFrom(edgeKeyHistogram(tables))
+
+  /** The minimal ANALYZE histogram the join-edge family needs when no
+    * staged copy is supplied: the [[JoinEdges]] key columns only. */
+  private def edgeKeyHistogram(tables: Map[String, DataFrame]): DataFrame = {
+    val keyCols = JoinEdges
+      .flatMap { case (lt, lk, rt, rk) => Seq(lt -> lk, rt -> rk) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (t, kvs) => t -> kvs.map(_._2).distinct }
+    catalogHistogram(keyCols.map { case (t, cs) =>
+      t -> tables(t).select(cs.map(col): _*) })
+  }
+
+  /** [[joinSizeEstimate]] over an already-staged ANALYZE histogram —
+    * how a CBO actually consumes statistics at 100 TB: the per-key
+    * count profiles ARE the published histogram restricted to the key
+    * columns (never a fact-table rescan per edge), the side totals and
+    * NDVs are grid-sized rollups of the same profiles, and the exact
+    * join size is Σ cnt_l·cnt_r over the profile equi-join. */
+  def joinSizeEstimateFrom(hist: DataFrame): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    // ONE pass for all six edges: the literal edge table tags each
+    // side's histogram rows with its edge id (broadcast joins on the
+    // tiny (table, column) grid), the two tagged profiles equi-join on
+    // (edge, value) ONCE, and three grid-sized rollups join back on
+    // the edge id. The previous per-edge union re-read and re-joined
+    // the profiles six times — ~36 AQE stage-jobs of scheduling for
+    // grid-sized output; this form plans one join + three aggregates.
+    val edges = JoinEdges
+      .map { case (lt, lk, rt, rk) =>
+        (s"$lt.$lk=$rt.$rk", lt, lk, rt, rk) }
+      .toDF("edge", "lt", "lk", "rt", "rk")
+    val lp = hist.join(broadcast(edges),
+        col("table_name") === col("lt") && col("column_name") === col("lk"))
+      .select(col("edge"), col("value").as("k"), col("cnt").as("cl"))
+    val rp = hist.join(broadcast(edges),
+        col("table_name") === col("rt") && col("column_name") === col("rk"))
+      .select(col("edge"), col("value").as("k"), col("cnt").as("cr"))
+    val ls = lp.groupBy("edge")
+      .agg(coalesce(sum("cl"), lit(0L)).as("n_left"),
         count(when(col("k").isNotNull, lit(1))).as("ndv_left"))
-      val rs = rp.agg(coalesce(sum("cr"), lit(0L)).as("n_right"),
+    val rs = rp.groupBy("edge")
+      .agg(coalesce(sum("cr"), lit(0L)).as("n_right"),
         count(when(col("k").isNotNull, lit(1))).as("ndv_right"))
-      val ex = lp.join(rp, "k")
-        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L))
-          .as("exact_rows"))
-      ls.crossJoin(rs).crossJoin(ex)
-        .withColumn("est_rows", expr(
-          """cast(cast(n_left as decimal(38,0)) * n_right
-            |  div greatest(ndv_left, ndv_right) as bigint)"""
-            .stripMargin))
-        .select(lit(s"$lt.$lk=$rt.$rk").as("edge"),
-          col("n_left"), col("n_right"),
-          col("ndv_left"), col("ndv_right"),
-          col("est_rows"), col("exact_rows"),
-          expr("""cast(cast(est_rows as decimal(38,0)) * 1000000
-                 |  div greatest(exact_rows, 1) as bigint)"""
-            .stripMargin).as("est_ppm_of_exact"))
-    }.reduce(_ unionByName _)
+    val ex = lp.join(rp, Seq("edge", "k"))
+      .groupBy("edge")
+      .agg(coalesce(sum(col("cl") * col("cr")), lit(0L))
+        .as("exact_rows"))
+    // left joins from the edge list: an empty table yields empty
+    // profiles, but every audited edge must still report (0 rows)
+    edges.select("edge")
+      .join(ls, Seq("edge"), "left")
+      .join(rs, Seq("edge"), "left")
+      .join(ex, Seq("edge"), "left")
+      .na.fill(0L, Seq("n_left", "ndv_left", "n_right", "ndv_right",
+        "exact_rows"))
+      .withColumn("est_rows", expr(
+        """cast(cast(n_left as decimal(38,0)) * n_right
+          |  div greatest(ndv_left, ndv_right) as bigint)"""
+          .stripMargin))
+      .select(col("edge"),
+        col("n_left"), col("n_right"),
+        col("ndv_left"), col("ndv_right"),
+        col("est_rows"), col("exact_rows"),
+        expr("""cast(cast(est_rows as decimal(38,0)) * 1000000
+               |  div greatest(exact_rows, 1) as bigint)"""
+          .stripMargin).as("est_ppm_of_exact"))
+  }
 
   /** [[joinAdvisor]] thresholds: a dim side at most this many rows is
     * broadcast-able; a left key owning more than this share (ppm) of
@@ -462,24 +528,43 @@ object Snapshot {
     * is a max over the profile, never a second fact scan; output is
     * edge-count-sized. */
   def joinAdvisor(tables: Map[String, DataFrame]): DataFrame =
-    JoinEdges.map { case (lt, lk, rt, rk) =>
-      val lp = tables(lt).groupBy(col(lk).as("k"))
-        .agg(count(lit(1)).as("cl"))
-      val ls = lp.agg(coalesce(sum("cl"), lit(0L)).as("n_left"),
-        coalesce(max("cl"), lit(0L)).as("max_key_n"))
-      val rs = tables(rt).agg(count(lit(1)).as("n_right"))
-      ls.crossJoin(rs)
-        .select(lit(s"$lt.$lk=$rt.$rk").as("edge"),
-          col("n_left"), col("n_right"),
-          expr("max_key_n * 1000000L div greatest(n_left, 1L)")
-            .as("max_key_share_ppm"))
-        .select(col("edge"), col("n_left"), col("n_right"),
-          col("max_key_share_ppm"),
-          when(col("n_right") <= BroadcastRowLimit, "BROADCAST")
-            .otherwise("SORT_MERGE").as("strategy"),
-          (col("max_key_share_ppm") > SkewSharePpm)
-            .cast("string").as("salt_left"))
-    }.reduce(_ unionByName _)
+    joinAdvisorFrom(edgeKeyHistogram(tables))
+
+  /** [[joinAdvisor]] over an already-staged ANALYZE histogram (the
+    * [[joinSizeEstimateFrom]] convention): the hottest-key share is a
+    * max over the published per-key counts, the dim-side row count a
+    * Σcnt over its key column — no table is rescanned per edge. */
+  def joinAdvisorFrom(hist: DataFrame): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    // one pass for all edges (the [[joinSizeEstimateFrom]] shape)
+    val edges = JoinEdges
+      .map { case (lt, lk, rt, rk) =>
+        (s"$lt.$lk=$rt.$rk", lt, lk, rt, rk) }
+      .toDF("edge", "lt", "lk", "rt", "rk")
+    val ls = hist.join(broadcast(edges),
+        col("table_name") === col("lt") && col("column_name") === col("lk"))
+      .groupBy("edge")
+      .agg(coalesce(sum("cnt"), lit(0L)).as("n_left"),
+        coalesce(max("cnt"), lit(0L)).as("max_key_n"))
+    val rs = hist.join(broadcast(edges),
+        col("table_name") === col("rt") && col("column_name") === col("rk"))
+      .groupBy("edge")
+      .agg(coalesce(sum("cnt"), lit(0L)).as("n_right"))
+    edges.select("edge")
+      .join(ls, Seq("edge"), "left")
+      .join(rs, Seq("edge"), "left")
+      .na.fill(0L, Seq("n_left", "max_key_n", "n_right"))
+      .select(col("edge"), col("n_left"), col("n_right"),
+        expr("max_key_n * 1000000L div greatest(n_left, 1L)")
+          .as("max_key_share_ppm"))
+      .select(col("edge"), col("n_left"), col("n_right"),
+        col("max_key_share_ppm"),
+        when(col("n_right") <= BroadcastRowLimit, "BROADCAST")
+          .otherwise("SORT_MERGE").as("strategy"),
+        (col("max_key_share_ppm") > SkewSharePpm)
+          .cast("string").as("salt_left"))
+  }
 
   /** 1-in-DriftMod columns are simulated as absent from the sync
     * target's catalog — the deterministic stand-in for a target
