@@ -41,14 +41,16 @@ object ProfileQ {
             Some(p.getOrElse(0L) + t.taskMetrics.executorRunTime))
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val i = s.stageInfo
-        val m = i.taskMetrics
+        // taskMetrics can be null for stages completing with no tasks
+        // run (skipped/failed stages) — default the metrics to 0
+        val m = Option(i.taskMetrics)
         stages(i.stageId) = StageRec(i.name.takeWhile(_ != '\n'),
           i.submissionTime.getOrElse(0L), i.completionTime.getOrElse(0L),
           i.numTasks, taskTime.getOrElse(i.stageId, 0L),
-          m.inputMetrics.recordsRead,
-          m.shuffleReadMetrics.recordsRead,
-          m.shuffleWriteMetrics.recordsWritten,
-          m.jvmGCTime)
+          m.map(_.inputMetrics.recordsRead).getOrElse(0L),
+          m.map(_.shuffleReadMetrics.recordsRead).getOrElse(0L),
+          m.map(_.shuffleWriteMetrics.recordsWritten).getOrElse(0L),
+          m.map(_.jvmGCTime).getOrElse(0L))
       }
     })
 

@@ -21,8 +21,11 @@ object TimeQ {
     // diagnostic conf overrides: SPARK_GRAFT_CONF="k=v;k2=v2" — for
     // A/B-ing a setting on a few queries without touching the bench
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v.trim)
+        case _ if kv.trim.isEmpty => () // trailing ';' / empty env var
+        case _ => System.err.println(s"[timeq] ignoring malformed conf entry '$kv'")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

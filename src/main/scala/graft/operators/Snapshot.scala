@@ -309,9 +309,17 @@ object Snapshot {
     * over one scan, and partial aggregation collapses every map
     * partition to per-(column, value) counts before the one exchange.
     * The string cast is NDV-preserving per column (the int / long /
-    * double / date / string renderings are each injective), and only
+    * decimal / date / string renderings are each injective), and only
     * counts ever leave this relation, so the exact rollups are
-    * bit-identical to per-column native aggregation. */
+    * bit-identical to per-column native aggregation. RESTRICTION
+    * (documented, not hit by [[CatalogColumns]]): float/double columns
+    * containing negative zero or NaN would diverge from native groupBy
+    * semantics — native aggregation normalizes -0.0 to 0.0 and all
+    * NaNs to one NaN, while the string rendering keeps "-0.0" and
+    * "0.0" distinct — so histogram columns must be types with
+    * injective string renderings (ints, longs, decimals, dates,
+    * strings); audit floating columns through a normalizing projection
+    * (e.g. `nanvl(c, NaN) + 0.0`) before passing them here. */
   def catalogHistogram(tables: Seq[(String, DataFrame)]): DataFrame =
     tables.map { case (name, df) =>
       val cols = df.columns.toSeq

@@ -54,7 +54,13 @@ class ScaleGateSpec extends AnyFunSuite {
         case ((name, base), (_, big)) =>
           base() // warm codegen/JIT on the small side
           val t1 = math.min(time(base()), time(base()))
-          val tk = time(big())
+          // min-of-2 on the xK sample too: with a single xK sample the
+          // gate's noise sensitivity was asymmetric (a throttle window
+          // during the one big-side run always pushes the ratio in the
+          // failing direction — the round-13 driver's red suite at
+          // noise 2.06 while a quiet re-run passes every probe at
+          // ratio ≤ 4.6 against the bound of 20)
+          val tk = math.min(time(big()), time(big()))
           val ratio = tk / t1
           info(f"$name%-18s x1=$t1%6.2fs x$K=$tk%6.2fs ratio=$ratio%6.2f")
           if (ratio > GateRatio)
