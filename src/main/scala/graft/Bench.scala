@@ -65,10 +65,11 @@ object Bench {
       val a = Staged.ann(spark, sfDir)
       val i = Staged.images(spark, sfDir)
       val h = Staged.catalog(spark, sfDir)
+      val b = Staged.baskets(spark, sfDir)
       (Seq(d.sh, d.sigs, d.verified, d.simPairs,
         t.tokens, t.freq, t.skipgrams, t.gopher, t.winnow,
         a.sub, a.l2truth, a.cosTruth, a.assign, a.opqPerm, a.opqSub,
-        i.imgs, i.fps, h)
+        i.imgs, i.fps, h, b)
         ++ a.chain ++ a.opqChain)
         .foreach(_.count())
       (System.nanoTime() - t0) / 1e9

@@ -651,11 +651,9 @@ object SparkEntry {
       Analytics.dominantShippers(Tables.part(s, dir),
         Tables.supplier(s, dir), Tables.lineitem(s, dir))),
     "market_basket"       -> ((s, dir) =>
-      Analytics.marketBasket(Tables.part(s, dir),
-        Tables.lineitem(s, dir))),
+      Analytics.marketBasketFrom(Staged.baskets(s, dir))),
     "brand_pagerank"      -> ((s, dir) =>
-      Analytics.brandPagerank(Tables.part(s, dir),
-        Tables.lineitem(s, dir))),
+      Analytics.brandPagerankFrom(Staged.baskets(s, dir))),
     "weighted_sample"     -> ((s, dir) =>
       TextAnalysis.weightedSample(Tables.documents(s, dir))),
     "rrf_fusion"          -> ((s, dir) =>
@@ -717,8 +715,7 @@ object SparkEntry {
     "negative_sampling"   -> ((s, dir) =>
       TextAnalysis.negativeSamplingFrom(Staged.tokens(s, dir).freq)),
     "brand_triangles"     -> ((s, dir) =>
-      Analytics.brandTriangles(Tables.part(s, dir),
-        Tables.lineitem(s, dir))),
+      Analytics.brandTrianglesFrom(Staged.baskets(s, dir))),
     "l_diversity"         -> ((s, dir) =>
       TextAnalysis.lDiversity(Tables.documents(s, dir))),
     "t_closeness"         -> ((s, dir) =>

@@ -114,6 +114,7 @@ object Staged {
   private val annCache = TrieMap.empty[(SparkSession, String), AnnRels]
   private val imageCache = TrieMap.empty[(SparkSession, String), ImageRels]
   private val catalogCache = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val basketCache = TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Sessions whose application-end listener is installed. The caches
     * key by session object, which would otherwise strongly retain the
@@ -147,6 +148,7 @@ object Staged {
             annCache.filterInPlace { case ((s, _), _) => s ne spark }
             imageCache.filterInPlace { case ((s, _), _) => s ne spark }
             catalogCache.filterInPlace { case ((s, _), _) => s ne spark }
+            basketCache.filterInPlace { case ((s, _), _) => s ne spark }
             hooked.remove(spark)
           }
         })
@@ -157,7 +159,12 @@ object Staged {
   def dedup(spark: SparkSession, sfDir: String): DedupRels =
     cache.getOrElseUpdate((spark, sfDir), {
       hookEviction(spark)
-      val docs = Tables.documents(spark, sfDir)
+      // spread the (locally single-split) corpus scan before the
+      // shingle/fingerprint builds — the staged materialization
+      // otherwise runs its explode+md5 passes on one core (Spread is a
+      // no-op when the scan already has enough splits)
+      val docs = graft.operators.Spread.byKey(
+        Tables.documents(spark, sfDir), "doc_id")
       val sh = stage(Dedup.shingleHashes(docs))
       val sigs = stage(Dedup.signaturesFromHashes(sh))
       val verified = stage(Dedup.ngramJaccardFrom(sh, sigs))
@@ -170,7 +177,9 @@ object Staged {
   def tokens(spark: SparkSession, sfDir: String): TokenRels =
     tokenCache.getOrElseUpdate((spark, sfDir), {
       hookEviction(spark)
-      val docs = Tables.documents(spark, sfDir)
+      // spread before the token/skip-gram/gopher builds (see dedup)
+      val docs = graft.operators.Spread.byKey(
+        Tables.documents(spark, sfDir), "doc_id")
       val toks = stage(TextAnalysis.tokensRel(docs))
       val freq = stage(TextAnalysis.tokenFreqFrom(toks))
       val skip = stage(TextAnalysis.skipgramsRel(docs))
@@ -233,12 +242,23 @@ object Staged {
         catalogGrid(spark, sfDir)))
     })
 
+  /** The staged per-order brand-basket relation (okey, sorted brand
+    * array) for the star schema under `sfDir` — the one corpus-sized
+    * pass of the brand-graph family (market_basket, brand_pagerank,
+    * brand_triangles), built on first request per (session, dir). */
+  def baskets(spark: SparkSession, sfDir: String): DataFrame =
+    basketCache.getOrElseUpdate((spark, sfDir), {
+      hookEviction(spark)
+      stage(graft.operators.Analytics.basketsRel(
+        Tables.part(spark, sfDir), Tables.lineitem(spark, sfDir)))
+    })
+
   /** Drop all staged entries (block-manager copies are reclaimed by the
     * context cleaner once unreferenced). For in-place corpus rewrites
     * within a session — tests and the amplify lane. */
   def invalidate(): Unit = {
     cache.clear(); tokenCache.clear(); annCache.clear(); imageCache.clear()
-    catalogCache.clear()
+    catalogCache.clear(); basketCache.clear()
   }
 
   /** The UNSTAGED build expressions of every relation this object
@@ -255,7 +275,10 @@ object Staged {
     */
   def buildPlans(spark: SparkSession, sfDir: String)
   : Seq[(String, Boolean, () => DataFrame)] = {
-    val docs = Tables.documents(spark, sfDir)
+    // same scan spread as the dedup/tokens builders above — the audit
+    // must show the plans that actually execute at materialization
+    val docs = graft.operators.Spread.byKey(
+      Tables.documents(spark, sfDir), "doc_id")
     lazy val sh = Dedup.shingleHashes(docs)
     lazy val sigs = Dedup.signaturesFromHashes(sh)
     lazy val toks = TextAnalysis.tokensRel(docs)
@@ -293,6 +316,9 @@ object Staged {
         () => Multimodal.imageFingerprints(Multimodal.imageTable(docs))),
       ("staged:catalogHist", false,
         () => graft.operators.Snapshot.catalogHistogram(
-          catalogGrid(spark, sfDir))))
+          catalogGrid(spark, sfDir))),
+      ("staged:baskets", false,
+        () => graft.operators.Analytics.basketsRel(
+          Tables.part(spark, sfDir), Tables.lineitem(spark, sfDir))))
   }
 }

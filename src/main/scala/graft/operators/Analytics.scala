@@ -1173,12 +1173,28 @@ object Analytics {
     * combined aggregate into a constant-size group space; the brand
     * counts riding into the result are true broadcasts (vocabulary-
     * sized, not data-sized). */
-  def marketBasket(part: DataFrame, lineitem: DataFrame): DataFrame = {
-    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey"))
+  def marketBasket(part: DataFrame, lineitem: DataFrame): DataFrame =
+    marketBasketFrom(basketsRel(part, lineitem))
+
+  /** The per-order brand-basket relation (okey, sorted brand array) —
+    * the ONE corpus-sized pass of the whole brand-graph family
+    * (co-purchase support, PageRank, triangles). Staged once per
+    * (session, dir) by [[graft.Staged.baskets]]: the three consumers
+    * each re-derived this identical part⋈lineitem + orderkey
+    * aggregate from scratch (and the triangle census referenced its
+    * edge relation five times), so the fact-table scan + shuffle ran
+    * 3–7× per bench pass where one suffices (guide §2.4 — two
+    * operations keyed the same way share one exchange; at 100 TB, one
+    * basket build feeds every graph report). */
+  def basketsRel(part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_partkey"))
       .join(part.select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey").as("okey"))
       .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+
+  /** [[marketBasket]] over an already-staged basket relation. */
+  def marketBasketFrom(baskets: DataFrame): DataFrame = {
     val brandCnt = baskets
       .select(explode(col("brands")).as("brand"))
       .groupBy("brand").agg(count(lit(1)).as("cnt"))
@@ -1222,9 +1238,13 @@ object Analytics {
     * the result is independent of edge order. Isolated brands (never
     * co-purchased) have no edges and are absent, as in any
     * adjacency-driven rank. */
-  def brandPagerank(part: DataFrame, lineitem: DataFrame): DataFrame = {
-    val spark = part.sparkSession
-    val edges = marketBasket(part, lineitem)
+  def brandPagerank(part: DataFrame, lineitem: DataFrame): DataFrame =
+    brandPagerankFrom(basketsRel(part, lineitem))
+
+  /** [[brandPagerank]] over an already-staged basket relation. */
+  def brandPagerankFrom(baskets: DataFrame): DataFrame = {
+    val spark = baskets.sparkSession
+    val edges = marketBasketFrom(baskets)
       .select("brand_a", "brand_b", "support").collect()
       .flatMap { r =>
         val a = r.getString(0); val b = r.getString(1)
@@ -1273,12 +1293,16 @@ object Analytics {
     * triangle exactly once — the standard distributed-triangle
     * discipline (orient, then one wedge join + one closing join),
     * never an unoriented 6× overcount. */
-  def brandTriangles(part: DataFrame, lineitem: DataFrame): DataFrame = {
-    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey"))
-      .join(part.select(col("p_partkey"), col("p_brand")),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy(col("l_orderkey").as("okey"))
-      .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+  def brandTriangles(part: DataFrame, lineitem: DataFrame): DataFrame =
+    brandTrianglesFrom(basketsRel(part, lineitem))
+
+  /** [[brandTriangles]] over an already-staged basket relation. The
+    * thresholded edge relation is lazily checkpointed: it is
+    * vocabulary-sized (≤ |brands|²/2 ≈ 300 rows) but referenced FIVE
+    * times downstream (the three triangle-join arms and both degree
+    * union sides), each of which previously re-derived the full
+    * corpus-sized pair aggregate (guide §2.4). */
+  def brandTrianglesFrom(baskets: DataFrame): DataFrame = {
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     val edges = baskets
       .select(col("brands"), posexplode(col("brands")).as(Seq("i", "a")))
@@ -1289,6 +1313,7 @@ object Analytics {
       .crossJoin(broadcast(nOrders))
       .where(col("support") * 1000000L >= col("n_orders") * TriSupportPpm)
       .select("a", "b")
+      .localCheckpoint(false)
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e1.b") === col("e2.a"))
       .join(edges.as("e3"),

@@ -716,9 +716,18 @@ object Dedup {
     * Output per doc: n_tokens, n_covered (positions inside any shared
     * run), covered_milli. */
   def substringDedup(documents: DataFrame): DataFrame = {
-    val toks = documents.select(col("doc_id"),
-      TextAnalysis.tokensCol.as("tk"))
+    // spread before the tokenize + L-gram explode (the corpus scan is
+    // one split locally, so both explode passes ran single-task:
+    // 0.90 s + 0.78 s of a 2.45 s wall at sf0.1), and stage the k-gram
+    // hash relation ONCE — it feeds both the repeated-gram aggregate
+    // and the coverage join, which otherwise each re-run the tokenize
+    // and the explode (guide §2.4; materializing the gram table is
+    // what a suffix-array/ExactSubstr pipeline does at scale anyway).
+    val toks = Spread.byKey(
+      documents.select(col("doc_id"), TextAnalysis.tokensCol.as("tk")),
+      "doc_id")
       .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .localCheckpoint(false)
     val kgrams = toks
       .where(size(col("tk")) >= SubstrL)
       .select(col("doc_id"), posexplode(expr(
@@ -727,6 +736,7 @@ object Dedup {
         .as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         phash(col("g")).as("h"))
+      .localCheckpoint(false)
     val repeated = kgrams.groupBy("h")
       .agg(countDistinct("doc_id").as("nd"))
       .where(col("nd") >= 2)

@@ -371,7 +371,12 @@ object TextAnalysis {
     * explode, no shuffle); the rollup is one language-bounded
     * aggregate. */
   def charDiversity(documents: DataFrame): DataFrame =
-    documents.select(col("lang"),
+    // spread before the per-doc bigram HOF: the whole corpus ran the
+    // interpreted transform+array_distinct chain on ONE scan task
+    // (measured: 1.77 s single-task stage of a 1.93 s wall at sf0.1)
+    Spread.byKey(documents.select(col("doc_id"), col("lang"), col("text")),
+        "doc_id")
+      .select(col("lang"),
         expr("transform(sequence(1, greatest(length(text) - 1, 1))," +
           " i -> substring(text, i, 2))").as("bgs"))
       .select(col("lang"),
@@ -1828,9 +1833,14 @@ object TextAnalysis {
     val khe = (graft.functions.PortableHash.phash(
       concat(lit("key:"), col("doc_id").cast("string"))) % (RingMask + 1)
       ) * 16 + 15
-    val s = documents.select(
-      succ(ringEnc(RingNodes), khe).as("n8"),
-      succ(ringEnc(RingNodes + 1), khe).as("n9"))
+    // spread before the per-row ring walk (two 16-slot filter HOFs per
+    // row over the single-split scan), and stage the tiny (n8, n9)
+    // placement relation once — before/after/total each re-derived it
+    val s = Spread.byKey(documents.select(col("doc_id")), "doc_id")
+      .select(
+        succ(ringEnc(RingNodes), khe).as("n8"),
+        succ(ringEnc(RingNodes + 1), khe).as("n9"))
+      .localCheckpoint(false)
     val before = s.groupBy(col("n8").as("node"))
       .agg(count(lit(1)).as("n_before"),
         sum(when(col("n9") =!= col("n8"), 1L).otherwise(0L))
