@@ -1607,15 +1607,62 @@ object Similarity {
     * assignment. */
   def ivfRecallCurveFrom(cosTruth: DataFrame, assign: DataFrame,
                          embeddings: DataFrame, k: Int = TopK): DataFrame = {
+    val spark = cosTruth.sparkSession
+    import spark.implicits._
     val truth = cosTruth.select(col("q_id"), col("cand_id"))
     val nq = truth.select("q_id").distinct().agg(count(lit(1)).as("n_q"))
-    IvfProbeCounts.map { p =>
-      recallAtK(truth,
-        ivfTopKFrom(assign, embeddings, k, p)
-          .select(col("q_id"), col("cand_id")), k)
-        .agg(sum("n_hits").cast("long").as("sum_hits"))
-        .select(lit(p.toLong).as("probes"), col("sum_hits"))
-    }.reduce(_.unionByName(_))
+    // Probe lists NEST: setting p's probed lists are exactly the rn ≤ p
+    // prefix of the widest setting's probe ranking, so ONE scored
+    // candidate pass at max(IvfProbeCounts) — probe ranking kept as rn —
+    // feeds every arm; each arm is a filter + top-k window over the
+    // staged scored relation instead of its own probe/assign/candidate
+    // join chain (guide §2.4 — was 5 chains, 146 Exchange mentions and
+    // 45 AQE stage-jobs; per-arm results are bit-identical to
+    // ivfTopKFrom(p) because the rn ≤ p subset IS that arm's candidate
+    // set and the rank window orders the same (sim desc, vec_id)).
+    val pmax = IvfProbeCounts.max
+    val cents = broadcast(centroids(embeddings))
+    val q = queries(embeddings)
+    val probes = q.join(cents)
+      .withColumn("sim", cosineSim(col("q_vec"), col("cv")))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("centroid_id"))))
+      .where(col("rn") <= pmax)
+      .select("q_id", "centroid_id", "rn")
+    val scored = probes
+      .join(assign, Seq("centroid_id"))
+      .join(candidates(embeddings).withColumnRenamed("cand_id", "vec_id"),
+        "vec_id")
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("sim", cosineSim(col("q_vec"), col("c_vec")))
+      .select(col("q_id"), col("vec_id"), col("rn"), col("sim"))
+    // ONE plan for every arm (the catalogHistogram trick): each scored
+    // candidate explodes into the probe settings whose prefix it
+    // belongs to (rn ≤ p), one window partitioned by (probes, q_id)
+    // ranks all arms at once, and one join + one grid aggregate roll
+    // up the hit counts — per-arm results bit-identical to
+    // ivfTopKFrom(p) (same candidate subset, same (sim desc, vec_id)
+    // order), but 5 chains → 1 (was 146 Exchange mentions / 45 AQE
+    // stage-jobs; per-arm sum-of-per-query-hits ≡ inner-join count
+    // because (q_id, cand_id) is unique on both sides).
+    val armGrid = IvfProbeCounts.map(_.toLong)
+      .toDF("probes").hint("broadcast")
+    val armsExpr = s"filter(array(${IvfProbeCounts.map(_ + "L").mkString(", ")})," +
+      " p -> rn <= p)"
+    val hitsAll = scored
+      .select(col("q_id"), col("vec_id"), col("sim"),
+        explode(expr(armsExpr)).as("probes"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probes", "q_id")
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("probes"), col("q_id"), col("vec_id").as("cand_id"))
+      .join(truth, Seq("q_id", "cand_id"))
+      .groupBy("probes")
+      .agg(count(lit(1)).cast("long").as("sum_hits"))
+    armGrid
+      .join(hitsAll, Seq("probes"), "left")
+      .na.fill(0L, Seq("sum_hits"))
       .join(broadcast(nq))
       .select(col("probes"), col("sum_hits"),
         expr(s"(sum_hits * 1000) div (n_q * ${k}L)").as("mean_recall_milli"))
@@ -1843,15 +1890,48 @@ object Similarity {
   def pqRecallCurveFrom(rels: Seq[DataFrame], sub: DataFrame,
                         truth: DataFrame, embeddings: DataFrame,
                         k: Int = TopK): DataFrame = {
-    val cbs = pqSeedCb(sub) +: rels.map(cbArrays)
+    val spark = truth.sparkSession
+    import spark.implicits._
+    // ONE tagged plan for all PqTrainIters+1 arms (the catalogHistogram
+    // trick): the per-round codebooks union with an `iters` tag, the
+    // encode/ADC/rank chain runs once with `iters` added to every
+    // grouping and window key, and one join + one grid aggregate roll
+    // up the hits. Per-arm results are bit-identical to the previous
+    // one-chain-per-codebook form (same min_by encode, same ADC sums,
+    // same (dist_e12, vec_id) window order, per-arm
+    // sum-of-per-query-hits ≡ inner-join count on unique keys) — but
+    // the curve plans 1 chain instead of 5 (was 1942 plan lines / 132
+    // Exchange mentions and ~45 AQE stage-jobs of scheduling).
+    val cbs = (pqSeedCb(sub) +: rels.map(cbArrays)).zipWithIndex
+      .map { case (cb, i) => cb.select(lit(i.toLong).as("iters"),
+        col("m"), col("k"), col("c6")) }
+      .reduce(_.unionByName(_))
     val qsub = pqQSub(embeddings)
     val nq = truth.select("q_id").distinct()
       .agg(count(lit(1)).as("n_q"))
-    cbs.zipWithIndex.map { case (cb, i) =>
-      recallAtK(truth, pqAdcTopK(cb, sub, qsub, k), k)
-        .agg(sum("n_hits").as("sum_hits"))
-        .select(lit(i.toLong).as("iters"), col("sum_hits"))
-    }.reduce(_.unionByName(_))
+    val codes = sub.join(broadcast(cbs), "m")
+      .withColumn("d12",
+        graft.functions.VectorFunctions.intL2(col("sv6"), col("c6")))
+      .groupBy("iters", "vec_id", "m")
+      .agg(min_by(col("k"), struct(col("d12"), col("k"))).as("k"))
+    val hitsAll = codes
+      .join(broadcast(cbs), Seq("iters", "m", "k"))
+      .join(broadcast(qsub), Seq("m"))
+      .withColumn("d12",
+        graft.functions.VectorFunctions.intL2(col("qv6"), col("c6")))
+      .groupBy("iters", "q_id", "vec_id")
+      .agg(sum("d12").as("dist_e12"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("iters", "q_id")
+          .orderBy(col("dist_e12"), col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("iters"), col("q_id"), col("vec_id").as("cand_id"))
+      .join(truth, Seq("q_id", "cand_id"))
+      .groupBy("iters")
+      .agg(count(lit(1)).cast("long").as("sum_hits"))
+    (0 to rels.size).map(_.toLong).toDF("iters").hint("broadcast")
+      .join(hitsAll, Seq("iters"), "left")
+      .na.fill(0L, Seq("sum_hits"))
       .join(broadcast(nq))
       .select(col("iters"), col("sum_hits"),
         expr(s"(sum_hits * 1000) div (n_q * ${k}L)").as("mean_recall_milli"))
@@ -2175,19 +2255,41 @@ object Similarity {
     val nq = truth.select("q_id").distinct().agg(count(lit(1)).as("n_q"))
     val cand = candidates(embeddings).withColumnRenamed("cand_id", "vec_id")
     val q = queries(embeddings)
-    RerankRs.map { r =>
-      val exact = scored.where(col("rank") <= r).select("q_id", "vec_id")
-        .join(cand, "vec_id")
-        .join(broadcast(q), "q_id")
-        .withColumn("d2_e9", l2DistE9(col("q_vec"), col("c_vec")))
-        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+    // Shortlists NEST: setting R's shortlist is the adc_rank ≤ R prefix
+    // of the widest setting's, so the exact re-score (the full-vector
+    // join + integer L2) runs ONCE at max(RerankRs), and ONE plan
+    // computes every arm (the catalogHistogram trick): each re-scored
+    // candidate explodes into the settings whose prefix it belongs to,
+    // one window partitioned by (rerank_r, q_id) ranks all arms, one
+    // join + one grid aggregate roll up the hits — per-arm results
+    // bit-identical (same candidate subset, same (d2_e9, vec_id)
+    // order; sum-of-per-query-hits ≡ inner-join count on unique
+    // (q_id, cand_id)). Was 4 join/score chains, 36 AQE stage-jobs.
+    val spark = truth.sparkSession
+    import spark.implicits._
+    val rescored = scored.where(col("rank") <= RerankRs.max)
+      .select(col("q_id"), col("vec_id"), col("rank").as("adc_rank"))
+      .join(cand, "vec_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("d2_e9", l2DistE9(col("q_vec"), col("c_vec")))
+      .select(col("q_id"), col("vec_id"), col("adc_rank"), col("d2_e9"))
+    val armGrid = RerankRs.map(_.toLong).toDF("rerank_r").hint("broadcast")
+    val armsExpr = s"filter(array(${RerankRs.map(_ + "L").mkString(", ")})," +
+      " r -> adc_rank <= r)"
+    val hitsAll = rescored
+      .select(col("q_id"), col("vec_id"), col("d2_e9"),
+        explode(expr(armsExpr)).as("rerank_r"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("rerank_r", "q_id")
           .orderBy(col("d2_e9"), col("vec_id"))))
-        .where(col("rk") <= k)
-        .select(col("q_id"), col("vec_id").as("cand_id"))
-      recallAtK(truth, exact, k)
-        .agg(sum("n_hits").cast("long").as("sum_hits"))
-        .select(lit(r.toLong).as("rerank_r"), col("sum_hits"))
-    }.reduce(_.unionByName(_))
+      .where(col("rk") <= k)
+      .select(col("rerank_r"), col("q_id"), col("vec_id").as("cand_id"))
+      .join(truth, Seq("q_id", "cand_id"))
+      .groupBy("rerank_r")
+      .agg(count(lit(1)).cast("long").as("sum_hits"))
+    armGrid
+      .join(hitsAll, Seq("rerank_r"), "left")
+      .na.fill(0L, Seq("sum_hits"))
       .join(broadcast(nq))
       .select(col("rerank_r"), col("sum_hits"),
         expr(s"(sum_hits * 1000) div (n_q * ${k}L)").as("mean_recall_milli"))

@@ -351,9 +351,13 @@ object Snapshot {
         count(when(col("value").isNotNull, lit(1))).as("n_distinct"),
         coalesce(sum(when(col("value").isNull, col("cnt"))), lit(0L))
           .as("n_null"))
+    // the rollup is GRID-sized (bounded by the audited (table, column)
+    // constant, never by data) — broadcast it explicitly: size
+    // estimates on a post-aggregate relation made the planner pick a
+    // SortMergeJoin, paying an exchange + two sorts for a ≤37-row join
     grid.flatMap { case (t, cs) => cs.map(c => (t, c)) }
       .toDF("table_name", "column_name")
-      .join(stats, Seq("table_name", "column_name"), "left")
+      .join(broadcast(stats), Seq("table_name", "column_name"), "left")
       .na.fill(0L, Seq("n_rows", "n_distinct", "n_null"))
       .select(col("table_name"), col("n_rows"), col("column_name"),
         col("n_distinct"), col("n_null"))
